@@ -1,0 +1,41 @@
+"""pandas_alchemy_spark — a PySpark-native analytics engine with the
+query surface of `pandas-alchemy` (pandas façade over a lazy engine),
+rebuilt Spark-first.
+
+The reference (JunyuanChen/pandas-alchemy, /root/reference) backs a
+pandas-shaped DataFrame/Series with a lazily-composed SQL CTE against a
+live RDBMS; we back the same API with a lazy PySpark logical plan and
+let Catalyst/Tungsten do what the remote RDBMS optimizer did
+(reference README.md; SURVEY.md §1.5).
+
+Exports mirror reference pandas_alchemy/__init__.py:1-21 plus the
+Spark-era extensions (read_parquet, the ext.* pipeline operators).
+"""
+
+from .core import DataFrame, Series
+from .session import close_db, get_session, init_db
+
+__version__ = "0.1.0"
+
+
+def read_parquet(path, columns=None, index=None):
+    """Parquet scan as an engine DataFrame (supersedes the reference's
+    SQLAlchemy-URL connector surface, SURVEY.md §2.1)."""
+    return DataFrame.from_table(path, columns=columns, index=index)
+
+
+def use_repr_workaround():
+    """Reference-compat no-op: our __repr__ is already a limit-fetch
+    (reference __init__.py:5-18 monkeypatches a full-fetch repr)."""
+    return None
+
+
+__all__ = [
+    "DataFrame",
+    "Series",
+    "init_db",
+    "close_db",
+    "get_session",
+    "read_parquet",
+    "use_repr_workaround",
+]

@@ -1,0 +1,249 @@
+"""BaseFrame — the shared representation behind DataFrame and Series.
+
+The reference's frame is a triple ``(_index, _columns, _cte)``
+(reference base.py:6-23): label metadata client-side, data as a lazy
+relational query addressed positionally.  Ours is the same triple with
+the CTE replaced by a lazy PySpark DataFrame whose columns follow the
+reserved layout of :mod:`..internal` — index levels first, then data
+columns, exactly the reference's positional convention (base.py:18-23).
+
+All alignment joins (the reference's internal machinery for pandas
+index alignment, base.py:64-128) are implemented here as Spark joins:
+
+- full-outer equi-join on index equality for single×single alignment
+  (base.py:72-84) — native ``full_outer``; the reference's LEFT JOIN ∪
+  anti-join polyfill (dialect.py:52-56) is unnecessary;
+- left join on one level for single×multi (base.py:86-102);
+- name-inferred level resolution (base.py:104-116) with the same
+  refusal errors for multi×multi;
+- positional paste-join via scalable rowids (base.py:118-128).
+
+Everything is a plan rewrite; only ``_fetch``/``__len__``-style calls
+execute.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+from . import internal as I
+from .operators.rowid import with_rowid
+from .utils import wrap
+
+
+class BaseFrame:
+    ndim: int
+
+    def __init__(self, index: pd.Index, columns: pd.Index | None, sdf: SparkDF):
+        # index: pd.Index of *level names* (values live in the plan),
+        # reference base.py:9-12.
+        self._index = index
+        self._columns = columns
+        self._sdf = sdf
+
+    # -- structure ---------------------------------------------------------
+
+    @property
+    def _is_mindex(self) -> bool:
+        return len(self._index) > 1  # reference base.py:14-16
+
+    def _n_idx(self) -> int:
+        return len(self._index)
+
+    def _n_cols(self) -> int:
+        return len(self._columns) if self._columns is not None else 1
+
+    def _idx_cols(self) -> list[Column]:
+        return [self._sdf[I.idx_name(i)] for i in range(self._n_idx())]
+
+    def _data_cols(self) -> list[Column]:
+        return [self._sdf[I.col_name(i)] for i in range(self._n_cols())]
+
+    def _col_at(self, i: int) -> Column:
+        # position -1 = the NULL column injected for unmatched labels
+        # (reference base.py:42-46 -> sa Null()).
+        if i == -1:
+            return F.lit(None)
+        return self._sdf[I.col_name(i)]
+
+    def _idx_at(self, i: int) -> Column:
+        return self._sdf[I.idx_name(i)]
+
+    def _dtypes(self) -> list:
+        """Spark dtypes of the data columns, positional."""
+        schema = {f.name: f.dataType for f in self._sdf.schema.fields}
+        return [schema[I.col_name(i)] for i in range(self._n_cols())]
+
+    def _idx_dtypes(self) -> list:
+        schema = {f.name: f.dataType for f in self._sdf.schema.fields}
+        return [schema[I.idx_name(i)] for i in range(self._n_idx())]
+
+    def _shallow_copy(self):
+        new = object.__new__(type(self))
+        new.__dict__.update(self.__dict__)
+        return new
+
+    def _level_of(self, level) -> int:
+        """Resolve a level name/position (reference base.py:25-37)."""
+        if isinstance(level, int):
+            n = self._n_idx()
+            i = wrap(level, n)
+            if not 0 <= i < n:
+                raise IndexError(
+                    f"Too many levels: Index has only {n} level(s), "
+                    f"{level} is not a valid level number")
+            return i
+        if level in list(self._index):
+            return list(self._index).index(level)
+        raise KeyError(f"Level {level} not found")
+
+    # -- canonical select --------------------------------------------------
+
+    def _project(self, idx_exprs: list[Column], data_exprs: list[Column]) -> SparkDF:
+        """Re-emit the reserved positional layout from arbitrary
+        expressions — every verb funnels through here, so the layout
+        invariant holds everywhere."""
+        sel = [e.alias(I.idx_name(i)) for i, e in enumerate(idx_exprs)]
+        sel += [e.alias(I.col_name(i)) for i, e in enumerate(data_exprs)]
+        return self._sdf.select(*sel)
+
+    # -- rowid -------------------------------------------------------------
+
+    def _add_rowid(self, sdf: SparkDF, name: str = I.ROWID) -> SparkDF:
+        """Positional rowid for paste-joins (reference base.py:58-62) —
+        scalable partition-offset variant, not a global window."""
+        return with_rowid(sdf, name)
+
+    # -- alignment joins ---------------------------------------------------
+
+    @staticmethod
+    def _join_cols(left: pd.Index, right: pd.Index):
+        """Column-label alignment, pure client-side metadata
+        (reference base.py:64-70): outer-join the two label Indexes,
+        returning (joined_labels, left_positions, right_positions) with
+        -1 marking a missing side (consumed by ``_col_at``)."""
+        joined, lidx, ridx = left.join(right, how="outer", return_indexers=True)
+        if lidx is None:
+            lidx = list(range(len(joined)))
+        if ridx is None:
+            ridx = list(range(len(joined)))
+        return joined, list(lidx), list(ridx)
+
+    @staticmethod
+    def _rename_all(sdf: SparkDF, prefix: str) -> SparkDF:
+        return sdf.select([F.col(c).alias(prefix + c) for c in sdf.columns])
+
+    def _join_idx(self, other: "BaseFrame"):
+        """Row alignment single×single: FULL OUTER JOIN on index
+        equality, result index = coalesce(l, r) (reference base.py:72-84).
+
+        Returns (joined_sdf, lcol, rcol, idx_exprs) where lcol/rcol map
+        positions to Columns of each side.  At 100 TB this is a shuffle
+        on the index key — unavoidable for true pandas alignment; AQE
+        picks broadcast automatically when one side is small.
+        """
+        if self._is_mindex or other._is_mindex:
+            return self._join_idx_names(other)
+        l = self._rename_all(self._sdf, "l_")
+        r = self._rename_all(other._sdf, "r_")
+        lk, rk = f"l_{I.idx_name(0)}", f"r_{I.idx_name(0)}"
+        joined = l.join(r, l[lk] == r[rk], "full_outer")
+        idx = [F.coalesce(joined[lk], joined[rk])]
+
+        def lcol(i):
+            return F.lit(None) if i == -1 else joined[f"l_{I.col_name(i)}"]
+
+        def rcol(i):
+            return F.lit(None) if i == -1 else joined[f"r_{I.col_name(i)}"]
+
+        return joined, lcol, rcol, idx, self._index
+
+    def _join_idx_level(self, other: "BaseFrame", swapped: bool = False):
+        """single-index self × one level of MultiIndex other: LEFT JOIN
+        the single frame onto the multi frame's matching level, keeping
+        the multi side's index (reference base.py:86-102)."""
+        single, multi = (self, other)
+        if single._is_mindex:
+            raise TypeError("Cannot join two frames with MultiIndex")
+        name = single._index[0]
+        level = multi._level_of(name)
+        m = self._rename_all(multi._sdf, "m_")
+        s = self._rename_all(single._sdf, "s_")
+        joined = m.join(
+            s, m[f"m_{I.idx_name(level)}"] == s[f"s_{I.idx_name(0)}"], "left")
+        idx = [joined[f"m_{I.idx_name(i)}"] for i in range(multi._n_idx())]
+
+        def mcol(i):
+            return F.lit(None) if i == -1 else joined[f"m_{I.col_name(i)}"]
+
+        def scol(i):
+            return F.lit(None) if i == -1 else joined[f"s_{I.col_name(i)}"]
+
+        if swapped:
+            return joined, mcol, scol, idx, multi._index
+        return joined, scol, mcol, idx, multi._index
+
+    def _join_idx_names(self, other: "BaseFrame"):
+        """Infer the join level from overlapping index *names*
+        (reference base.py:104-116), with the reference's refusals:
+        no overlap -> ValueError; multi×multi -> NotImplementedError."""
+        if self._is_mindex and other._is_mindex:
+            raise NotImplementedError(
+                "Joining two frames with MultiIndex is not supported")
+        overlap = set(self._index) & set(other._index)
+        if not overlap:
+            raise ValueError("cannot join with no overlapping index names")
+        if self._is_mindex:
+            j, scol, mcol, idx, names = other._join_idx_level(self, swapped=False)
+            # other is the single side -> lcol must be self (the multi side)
+            return j, mcol, scol, idx, names
+        return self._join_idx_level(other, swapped=False)
+
+    def _paste_join(self, other_sdf: SparkDF, n_other_cols: int,
+                    other_rowid: str | None = None):
+        """Positional alignment (reference base.py:118-128): rowid both
+        sides, INNER JOIN on rowid.  Self's rowid comes from the
+        scalable partition-offset pass (operators/rowid.py); the other
+        side reuses its enumerated index column when it has one (the
+        reference does the same: from_list's rowid is passed in as
+        ``other_rowid``, alchemy.py:231-232)."""
+        l = self._add_rowid(self._sdf, I.ROWID)
+        l = self._rename_all(l, "l_")
+        if other_rowid is None:
+            r = with_rowid(other_sdf, I.ROWID)
+        else:
+            r = other_sdf.withColumn(I.ROWID, F.col(other_rowid).cast("long"))
+        r = self._rename_all(r, "r_")
+        joined = l.join(r, l[f"l_{I.ROWID}"] == r[f"r_{I.ROWID}"], "inner")
+        idx = [joined[f"l_{I.idx_name(i)}"] for i in range(self._n_idx())]
+
+        def lcol(i):
+            return F.lit(None) if i == -1 else joined[f"l_{I.col_name(i)}"]
+
+        def rcol(i):
+            return F.lit(None) if i == -1 else joined[f"r_{I.col_name(i)}"]
+
+        return joined, lcol, rcol, idx
+
+    # -- execution boundary ------------------------------------------------
+
+    def _fetch(self):
+        """Materialize all rows (reference base.py:55-56) — Arrow path."""
+        return self._sdf.toPandas()
+
+    def _fetch_pandas(self) -> tuple[pd.Index, pd.DataFrame]:
+        """Fetch and split the positional layout back into a pandas
+        (Multi)Index + data block (reference alchemy.py:287-299)."""
+        pdf = self._fetch()
+        n = self._n_idx()
+        idx_part = pdf.iloc[:, :n]
+        data_part = pdf.iloc[:, n:]
+        if n > 1:
+            index = pd.MultiIndex.from_frame(idx_part)
+            index.names = list(self._index)
+        else:
+            index = pd.Index(idx_part.iloc[:, 0])
+            index.name = self._index[0]
+        return index, data_part

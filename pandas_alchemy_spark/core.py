@@ -1,0 +1,816 @@
+"""DataFrame & Series — the pandas façade over PySpark.
+
+Re-expresses reference pandas_alchemy/alchemy.py (the DataFrame/Series
+classes, op factories and broadcast dispatch, alchemy.py:25-517) on the
+Spark DataFrame model.  Every verb is a logical-plan rewrite; only
+``to_pandas`` / ``__len__`` / iteration / ``.iat`` execute — the same
+laziness contract the reference gets from its CTE representation.
+
+Broadcast dispatch reproduces the reference's 9 rules exactly
+(alchemy.py:165-236 for DataFrame, alchemy.py:385-447 for Series),
+including exception-to-exception parity for the broadcast ``ValueError``
+messages (alchemy.py:216-218,225-227,433-438) and the ``TypeError``
+fallthrough (alchemy.py:235-236,446-447).  Two deliberate fixes of
+reference bugs (both flagged in SURVEY.md §2.8):
+
+- ``Series <op> DataFrame`` delegates to the *matching* reflected op,
+  not unconditionally ``radd`` (reference bug at alchemy.py:419-424);
+- ``fill_value`` follows pandas (fill each missing *input*, keep NULL
+  when both missing), not the reference's coalesce-after-op
+  (alchemy.py:179-181) which wrongly fills both-missing slots.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import collections
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import base, generic, internal as I, ops_mixin, utils
+from .functions import coercion
+from .indexer import _iAtIndexer
+from .operators.rowid import with_rowid
+from .session import get_session
+
+_REPR_ROWS = 10
+
+
+def _is_bool_dtype(dt) -> bool:
+    return isinstance(dt, T.BooleanType)
+
+
+def _scalar_lit(value):
+    """Literal column from a Python/NumPy scalar, NA -> NULL."""
+    if value is None or value is pd.NA or (isinstance(value, float) and pd.isna(value)):
+        return F.lit(None)
+    if value is pd.NaT:
+        return F.lit(None)
+    if hasattr(value, "item") and not isinstance(value, (bytes, str)):
+        try:
+            value = value.item()
+        except Exception:
+            pass
+    if isinstance(value, pd.Timestamp):
+        value = value.to_pydatetime()
+    return F.lit(value)
+
+
+def _is_scalar(value) -> bool:
+    return pd.api.types.is_scalar(value)
+
+
+def dataframe_op(name):
+    """Generate (op, rop) methods (reference dataframe_op, alchemy.py:25-49)."""
+
+    def op_func(self, other, axis="columns", level=None, fill_value=None):
+        return self._op(name, other, axis=axis, level=level, fill_value=fill_value)
+
+    def rop_func(self, other, axis="columns", level=None, fill_value=None):
+        return self._op(name, other, axis=axis, level=level,
+                        fill_value=fill_value, reverse=True)
+
+    op_func.__name__ = name
+    rop_func.__name__ = "r" + name
+    return op_func, rop_func
+
+
+def dataframe_cmp(name):
+    def cmp_func(self, other, axis="columns", level=None):
+        return self._op(name, other, axis=axis, level=level)
+
+    cmp_func.__name__ = name
+    return cmp_func
+
+
+def series_op(name):
+    def op_func(self, other, level=None, fill_value=None, axis=0):
+        return self._op(name, other, level=level, fill_value=fill_value, axis=axis)
+
+    def rop_func(self, other, level=None, fill_value=None, axis=0):
+        return self._op(name, other, level=level, fill_value=fill_value,
+                        axis=axis, reverse=True)
+
+    op_func.__name__ = name
+    rop_func.__name__ = "r" + name
+    return op_func, rop_func
+
+
+def series_cmp(name):
+    def cmp_func(self, other, level=None, axis=0):
+        return self._op(name, other, level=level, axis=axis)
+
+    cmp_func.__name__ = name
+    return cmp_func
+
+
+class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin):
+    """2-D labeled frame backed by a lazy Spark plan
+    (reference DataFrame, alchemy.py:99-350)."""
+
+    ndim = 2
+    _AXIS_MAPPER = utils.merge({0: 0, "index": 0, "rows": 0}, {1: 1, "columns": 1})
+
+    def _get_axis(self, axis):
+        num = self._AXIS_MAPPER.get(axis)
+        if num is None:
+            raise ValueError(
+                f"No axis named {axis} for object type {type(self).__name__}")
+        return num
+
+    # -- column access -----------------------------------------------------
+
+    def __getattr__(self, name):
+        # attribute access -> column Series (reference alchemy.py:106-111)
+        try:
+            col = self.__dict__["_columns"].get_loc(name)
+            return self._seq_at(col)
+        except KeyError:
+            return self.__getattribute__(name)
+
+    def _seq_at(self, i, name=None):
+        """Column i as a Series — a projection keeping the index columns
+        (reference alchemy.py:113-118)."""
+        if name is None:
+            name = self._columns[i]
+        sdf = self._sdf.select(
+            *[F.col(I.idx_name(k)) for k in range(self._n_idx())],
+            self._col_at(i).alias(I.col_name(0)))
+        return Series(self._index, pd.Index([name]), sdf, name,
+                      lineage=(self._sdf, self._col_at(i)))
+
+    def __getitem__(self, key):
+        # label -> Series; list of labels -> projection; boolean Series
+        # -> row filter.  Filtering is beyond the reference surface
+        # (SURVEY.md §2.3) but required by the flagship queries.
+        if isinstance(key, Series):
+            return self._filter_mask(key)
+        if isinstance(key, list):
+            positions = [self._columns.get_loc(k) for k in key]
+            sdf = self._sdf.select(
+                *[F.col(I.idx_name(k)) for k in range(self._n_idx())],
+                *[self._col_at(p).alias(I.col_name(j)) for j, p in enumerate(positions)])
+            return DataFrame(self._index, pd.Index(key), sdf)
+        return self._seq_at(self._columns.get_loc(key))
+
+    def __setitem__(self, key, value):
+        # assignment of a computed Series sharing this frame's lineage,
+        # or a scalar.  Beyond-reference convenience for query building.
+        if isinstance(key, str) and isinstance(value, Series):
+            new = self.assign(**{key: value})
+        elif _is_scalar(value):
+            new = self.assign(**{key: value})
+        else:
+            raise TypeError(f"Cannot assign value of type {type(value)}")
+        self._sdf, self._columns = new._sdf, new._columns
+
+    @property
+    def columns(self):
+        return self._columns  # reference alchemy.py:120-122
+
+    # -- iteration (materializing, streamed) ------------------------------
+
+    def iterrows(self):
+        # reference alchemy.py:124-129; toLocalIterator streams
+        # partition-at-a-time instead of a full collect.
+        n = self._n_idx()
+        for row in self._sdf.toLocalIterator():
+            vals = list(row)
+            idx = tuple(vals[:n]) if self._is_mindex else vals[0]
+            yield idx, pd.Series(vals[n:], index=self._columns)
+
+    def iteritems(self):
+        for i, col in enumerate(self._columns):
+            yield col, self._seq_at(i, name=col)
+
+    items = iteritems
+
+    def itertuples(self, index=True, name="Pandas"):
+        # reference alchemy.py:133-144
+        fields = list(self._columns)
+        if index:
+            fields.insert(0, "Index")
+        named = collections.namedtuple(name, fields, rename=True)
+        n = self._n_idx()
+        for row in self._sdf.toLocalIterator():
+            vals = list(row)
+            if index:
+                idx = tuple(vals[:n]) if self._is_mindex else vals[0]
+                yield named(idx, *vals[n:])
+            else:
+                yield named(*vals[n:])
+
+    # -- scalar access -----------------------------------------------------
+
+    @property
+    def iat(self):
+        return _iAtIndexer(self)
+
+    def _get_value(self, index, col, takeable=False):
+        """Scalar at (row, col) (reference alchemy.py:146-163) — rowid
+        filter + take(1) rather than LIMIT/OFFSET."""
+        if not takeable:
+            raise NotImplementedError
+        col = utils.wrap(col, self._n_cols())
+        if col < 0 or col >= self._n_cols():
+            # pandas 1.2.3 says axis 0 here; kept for exception parity
+            # (reference alchemy.py:149-155).
+            raise IndexError(f"index {col} is out of bounds for "
+                             f"axis 0 with size {self._n_cols()}")
+        row_count = len(self)
+        index = utils.wrap(index, row_count)
+        if index < 0 or index >= row_count:
+            raise IndexError(f"index {index} is out of bounds for "
+                             f"axis 0 with size {row_count}")
+        rid = with_rowid(self._sdf, I.ROWID)
+        rows = rid.filter(F.col(I.ROWID) == index).select(I.col_name(col)).take(1)
+        return rows[0][0]
+
+    # -- the broadcast dispatch (9 rules) ---------------------------------
+
+    @utils.copied
+    def _op(self, op, other, axis="columns", level=None, fill_value=None,
+            reverse=False):
+        axis = 1 if axis is None else self._get_axis(axis)
+        dtypes = self._dtypes()
+        is_cmp = op in coercion.COMPARISONS
+
+        def app_op(lhs, rhs, l_bool, r_bool):
+            if fill_value is not None and not is_cmp:
+                both_null = lhs.isNull() & rhs.isNull()
+                fv = _scalar_lit(fill_value)
+                lhs2, rhs2 = F.coalesce(lhs, fv), F.coalesce(rhs, fv)
+                if reverse:
+                    lhs2, rhs2 = rhs2, lhs2
+                    l_bool, r_bool = r_bool, l_bool
+                res = coercion.apply_op(op, lhs2, rhs2, l_bool=l_bool, r_bool=r_bool)
+                return F.when(both_null, F.lit(None)).otherwise(res)
+            if reverse:
+                lhs, rhs = rhs, lhs
+                l_bool, r_bool = r_bool, l_bool
+            return coercion.apply_op(op, lhs, rhs, l_bool=l_bool, r_bool=r_bool)
+
+        # rule 1: scalar -> every data column (reference alchemy.py:183-186)
+        if _is_scalar(other):
+            r_bool = isinstance(other, bool)
+            cols = [app_op(self._col_at(i), _scalar_lit(other),
+                           _is_bool_dtype(dtypes[i]), r_bool)
+                    for i in range(self._n_cols())]
+            self._sdf = self._project(self._idx_cols(), cols)
+            return
+
+        # rules 2-3: Series operand
+        if isinstance(other, (Series, pd.Series)):
+            if axis == 1:
+                # rule 2: align Series index labels against our column
+                # labels; the Series is materialized to literals — one
+                # value per column, small by construction (reference
+                # alchemy.py:187-196 does list(other)).
+                pser = other.to_pandas() if isinstance(other, Series) else other
+                joined, lpos, rpos = self._join_cols(self._columns, pser.index)
+                values = list(pser)
+                cols = []
+                for i, j in zip(lpos, rpos):
+                    rhs = F.lit(None) if j == -1 else _scalar_lit(values[j])
+                    r_bool = j != -1 and isinstance(values[j], bool)
+                    l_bool = i != -1 and _is_bool_dtype(dtypes[i])
+                    cols.append(app_op(self._col_at(i), rhs, l_bool, r_bool))
+                self._sdf = self._project(self._idx_cols(), cols)
+                self._columns = joined
+                return
+            # rule 3: axis=0 -> full-outer index join, the Series column
+            # against every data column (reference alchemy.py:197-199).
+            if isinstance(other, pd.Series):
+                other = Series.from_pandas(other)
+            o_bool = _is_bool_dtype(other._dtypes()[0])
+            joined, lcol, rcol, idx, idx_names = self._join_idx(other)
+            cols = [app_op(lcol(i), rcol(0), _is_bool_dtype(dtypes[i]), o_bool)
+                    for i in range(self._n_cols())]
+            self._sdf = base.BaseFrame(idx_names, self._columns, joined)._project(idx, cols)
+            self._index = idx_names
+            return
+
+        # rule 4: DataFrame operand -> align columns and rows
+        # (reference alchemy.py:200-211; self-join aliasing via the
+        # l_/r_ renames in _join_idx).
+        if isinstance(other, (DataFrame, pd.DataFrame)):
+            if isinstance(other, pd.DataFrame):
+                other = DataFrame.from_pandas(other)
+            o_dtypes = other._dtypes()
+            joined_labels, lpos, rpos = self._join_cols(self._columns, other._columns)
+            joined, lcol, rcol, idx, idx_names = self._join_idx(other)
+            cols = []
+            for i, j in zip(lpos, rpos):
+                l_bool = i != -1 and _is_bool_dtype(dtypes[i])
+                r_bool = j != -1 and _is_bool_dtype(o_dtypes[j])
+                cols.append(app_op(lcol(i), rcol(j), l_bool, r_bool))
+            self._sdf = base.BaseFrame(idx_names, joined_labels, joined)._project(idx, cols)
+            self._index = idx_names
+            self._columns = joined_labels
+            return
+
+        # rules 5-6: plain list-likes
+        if pd.api.types.is_list_like(other):
+            other = list(other)
+            if axis == 1:
+                # rule 5: element i applied to column i
+                # (reference alchemy.py:212-223)
+                num_cols = self._n_cols()
+                if len(other) != num_cols:
+                    raise ValueError(f"Unable to coerce to Series, length "
+                                     f"must be {num_cols}: given {len(other)}")
+                cols = [app_op(self._col_at(i), _scalar_lit(other[i]),
+                               _is_bool_dtype(dtypes[i]), isinstance(other[i], bool))
+                        for i in range(num_cols)]
+                self._sdf = self._project(self._idx_cols(), cols)
+                return
+            # rule 6: positional paste-join (reference alchemy.py:224-234);
+            # the len() here is the same count round trip the reference
+            # makes — required for the error contract.
+            num_rows = len(self)
+            if len(other) != num_rows:
+                raise ValueError(f"Unable to coerce to Series, length "
+                                 f"must be {num_rows}: given {len(other)}")
+            other_sdf = _list_to_sdf(other)
+            joined, lcol, rcol, idx = self._paste_join(
+                other_sdf, 1, other_rowid=I.idx_name(0))
+            cols = [app_op(lcol(i), rcol(0), _is_bool_dtype(dtypes[i]),
+                           all(isinstance(v, bool) for v in other))
+                    for i in range(self._n_cols())]
+            self._sdf = base.BaseFrame(self._index, self._columns, joined)._project(idx, cols)
+            return
+
+        # rule 9 (reference alchemy.py:235-236)
+        raise TypeError(f"Cannot broadcast np.ndarray with "
+                        f"operand of type {type(other)}")
+
+    add, radd = dataframe_op("add")
+    sub, rsub = dataframe_op("sub")
+    mul, rmul = dataframe_op("mul")
+    div, rdiv = dataframe_op("div")
+    truediv, rtruediv = dataframe_op("truediv")
+    floordiv, rfloordiv = dataframe_op("floordiv")
+    mod, rmod = dataframe_op("mod")
+    pow, rpow = dataframe_op("pow")
+
+    eq = dataframe_cmp("eq")
+    ne = dataframe_cmp("ne")
+    le = dataframe_cmp("le")
+    lt = dataframe_cmp("lt")
+    ge = dataframe_cmp("ge")
+    gt = dataframe_cmp("gt")
+
+    # -- clip / applymap ---------------------------------------------------
+
+    @utils.copied
+    def clip(self, lower=None, upper=None, axis=None, *args, **kwargs):
+        # greatest(c, lower) then least(c, upper)
+        # (reference alchemy.py:254-262)
+        if axis is None:
+            if not _is_scalar(lower) or not _is_scalar(upper):
+                raise ValueError("Must specify axis=0 or 1")
+        def clipped(c):
+            out = c
+            if lower is not None:
+                out = F.greatest(out, _scalar_lit(lower))
+            if upper is not None:
+                out = F.least(out, _scalar_lit(upper))
+            return out
+        self._sdf = self._project(
+            self._idx_cols(), [clipped(c) for c in self._data_cols()])
+
+    @utils.copied
+    def applymap(self, func, na_action=None):
+        # func: Column -> Column expression, as the reference's funcs are
+        # SQLAlchemy-expression-valued (alchemy.py:264-275).
+        if na_action not in (None, "ignore"):
+            raise ValueError(f"na_action must be 'ignore' or None. "
+                             f"Got {repr(na_action)}")
+
+        def app(c):
+            if na_action is None:
+                return func(c)
+            return F.when(c.isNull(), c).otherwise(func(c))
+
+        self._sdf = self._project(
+            self._idx_cols(), [app(c) for c in self._data_cols()])
+
+    # -- relabeling (metadata-only; reference alchemy.py:277-285) ----------
+
+    @utils.copied
+    def add_prefix(self, prefix):
+        self._columns = pd.Index([prefix + str(c) for c in self._columns])
+
+    @utils.copied
+    def add_suffix(self, suffix):
+        self._columns = pd.Index([str(c) + suffix for c in self._columns])
+
+    # -- filtering / assignment (beyond reference, SURVEY.md §2.3) ---------
+
+    def _filter_mask(self, mask: "Series") -> "DataFrame":
+        """Boolean-mask row filter.  Fast path: a mask derived from this
+        frame's own lineage filters in-plan (no join, predicate pushes
+        down to the scan); otherwise align by index join."""
+        root = mask._lineage_root
+        if root is not None and root is self._sdf:
+            cond = mask._lineage_expr
+            return DataFrame(self._index, self._columns, self._sdf.filter(cond))
+        # general path: inner join on index equality
+        m = self._rename_all(mask._sdf, "m_")
+        cond = self._sdf[I.idx_name(0)] == m[f"m_{I.idx_name(0)}"]
+        joined = self._sdf.join(m, cond, "inner").filter(
+            F.col(f"m_{I.col_name(0)}"))
+        return DataFrame(self._index, self._columns,
+                         joined.select(self._sdf.columns))
+
+    def assign(self, **kwargs) -> "DataFrame":
+        """Append computed columns (beyond reference; standard pandas
+        verb needed by the flagship queries)."""
+        labels = list(self._columns)
+        exprs = list(self._data_cols())
+        for name, value in kwargs.items():
+            if isinstance(value, Series):
+                root = value._lineage_root
+                if root is None or root is not self._sdf:
+                    raise NotImplementedError(
+                        "assign requires a Series derived from this frame")
+                expr = value._lineage_expr
+            elif callable(value):
+                expr = value(self)
+                if isinstance(expr, Series):
+                    expr = expr._lineage_expr
+            else:
+                expr = _scalar_lit(value)
+            if name in labels:
+                exprs[labels.index(name)] = expr
+            else:
+                labels.append(name)
+                exprs.append(expr)
+        sdf = self._project(self._idx_cols(), exprs)
+        return DataFrame(self._index, pd.Index(labels), sdf)
+
+    # -- materialization ---------------------------------------------------
+
+    def to_pandas(self) -> pd.DataFrame:
+        # reference alchemy.py:287-299, Arrow path instead of row loops.
+        index, data = self._fetch_pandas()
+        data.columns = list(self._columns)
+        return data.set_index(index)
+
+    def __repr__(self):
+        # limit-fetch repr (SURVEY.md Phase 3: unlike the reference's
+        # full-fetch monkeypatch, __init__.py:5-18)
+        head = self.head(_REPR_ROWS + 1).to_pandas()
+        truncated = len(head) > _REPR_ROWS
+        body = repr(head.iloc[:_REPR_ROWS])
+        return body + ("\n..." if truncated else "")
+
+    # -- constructors ------------------------------------------------------
+
+    @staticmethod
+    def from_pandas(df: pd.DataFrame, optional: bool = False):
+        """Ingest a literal pandas frame (reference alchemy.py:301-311).
+
+        The reference builds one SELECT-literal per row UNION ALL-ed —
+        O(rows) SQL text; we go through Arrow ``createDataFrame``.
+        NaN/NaT normalize to NULL on ingest, matching the reference's
+        NA adapters (dialect.py:167-182)."""
+        if not isinstance(df, pd.DataFrame):
+            if optional:
+                return df
+            raise TypeError("Must be a pandas DataFrame")
+        spark = get_session()
+        index = pd.Index(df.index.names)
+        flat = df.reset_index()
+        n_idx = df.index.nlevels
+        names = I.idx_names(n_idx) + I.col_names(len(df.columns))
+        flat.columns = names
+        sdf = spark.createDataFrame(flat)
+        sdf = _nan_to_null(sdf)
+        return DataFrame(index, df.columns, sdf)
+
+    @staticmethod
+    def from_table(table, schema=None, columns=None, index=None):
+        """Scan a table/path as a DataFrame (reference alchemy.py:313-350).
+
+        ``table`` is a Spark table name or a parquet path/glob.  Schema
+        comes from the catalog / parquet footers (the analogue of
+        SQLAlchemy reflection).  ``columns`` projects (column-pruned at
+        the scan), ``index`` promotes named columns to index levels;
+        with no index a 0-based rowid is synthesized via the scalable
+        partition-offset pass (operators/rowid.py), not a global window.
+        """
+        spark = get_session()
+        if isinstance(table, str) and (
+                "/" in table or table.endswith(".parquet")):
+            sdf = spark.read.parquet(table)
+        else:
+            sdf = spark.read.table(table if schema is None else f"{schema}.{table}")
+        cols = list(sdf.columns)
+        if index is None:
+            sdf = with_rowid(sdf, I.ROWID)
+            idx_exprs = [F.col(I.ROWID)]
+            index = pd.Index((None,))
+        else:
+            if not pd.api.types.is_list_like(index):
+                index = (index,)
+            index = pd.Index(index)
+            for i in index:
+                cols.pop(cols.index(i))
+            idx_exprs = [F.col(i) for i in index]
+        if columns is None:
+            columns = pd.Index(cols)
+        else:
+            columns = pd.Index(columns)
+            for c in columns:
+                cols.index(c)  # raises ValueError on unknown, as reference
+        sel = [e.alias(I.idx_name(i)) for i, e in enumerate(idx_exprs)]
+        sel += [F.col(c).alias(I.col_name(i)) for i, c in enumerate(columns)]
+        return DataFrame(index, columns, sdf.select(*sel))
+
+
+class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin):
+    """1-D labeled array backed by a lazy Spark plan
+    (reference Series, alchemy.py:353-517)."""
+
+    ndim = 1
+    _AXIS_MAPPER = {0: 0, "index": 0, "rows": 0}
+
+    def __init__(self, index, columns, sdf, name, lineage=None):
+        super().__init__(index, columns, sdf)
+        self.name = name
+        # (root_sdf, Column) when this Series is a projection/expression
+        # over a parent frame's plan — enables in-plan filter/assign
+        # without a self-join.
+        self._lineage = lineage
+
+    @property
+    def _lineage_root(self):
+        return self._lineage[0] if self._lineage else None
+
+    @property
+    def _lineage_expr(self):
+        return self._lineage[1] if self._lineage else None
+
+    def _get_axis(self, axis):
+        num = self._AXIS_MAPPER.get(axis)
+        if num is None:
+            raise ValueError(
+                f"No axis named {axis} for object type {type(self).__name__}")
+        return num
+
+    @property
+    def _the_col(self):
+        return self._col_at(0)  # reference alchemy.py:365-368
+
+    # -- iteration ---------------------------------------------------------
+
+    def __iter__(self):
+        for row in self._sdf.toLocalIterator():
+            yield row[self._n_idx()]
+
+    def iteritems(self):
+        n = self._n_idx()
+        for row in self._sdf.toLocalIterator():
+            vals = list(row)
+            idx = tuple(vals[:n]) if self._is_mindex else vals[0]
+            yield idx, vals[n]
+
+    items = iteritems
+
+    # -- scalar access -----------------------------------------------------
+
+    @property
+    def iat(self):
+        return _iAtIndexer(self)
+
+    def _get_value(self, label, takeable=False):
+        # reference alchemy.py:374-383; note the reference's off-by-one
+        # (`label > row_count`) is fixed to `>=` per SURVEY.md §2.6.
+        if not takeable:
+            raise NotImplementedError
+        row_count = len(self)
+        label = utils.wrap(label, row_count)
+        if label < 0 or label >= row_count:
+            raise IndexError(f"index {label} is out of bounds for "
+                             f"axis 0 with size {row_count}")
+        rid = with_rowid(self._sdf, I.ROWID)
+        rows = rid.filter(F.col(I.ROWID) == label).select(I.col_name(0)).take(1)
+        return rows[0][0]
+
+    # -- broadcast dispatch ------------------------------------------------
+
+    @utils.copied
+    def _op(self, op, other, level=None, fill_value=None, axis=0,
+            reverse=False, lax=True):
+        if axis is not None:
+            self._get_axis(axis)  # validation only (reference alchemy.py:395-398)
+        my_bool = _is_bool_dtype(self._dtypes()[0])
+        is_cmp = op in coercion.COMPARISONS
+
+        def app_op(lhs, rhs, l_bool, r_bool):
+            if fill_value is not None and not is_cmp:
+                both_null = lhs.isNull() & rhs.isNull()
+                fv = _scalar_lit(fill_value)
+                lhs2, rhs2 = F.coalesce(lhs, fv), F.coalesce(rhs, fv)
+                if reverse:
+                    lhs2, rhs2 = rhs2, lhs2
+                    l_bool, r_bool = r_bool, l_bool
+                res = coercion.apply_op(op, lhs2, rhs2, l_bool=l_bool, r_bool=r_bool)
+                return F.when(both_null, F.lit(None)).otherwise(res)
+            if reverse:
+                lhs, rhs = rhs, lhs
+                l_bool, r_bool = r_bool, l_bool
+            return coercion.apply_op(op, lhs, rhs, l_bool=l_bool, r_bool=r_bool)
+
+        # rule 1: scalar (reference alchemy.py:407-410)
+        if _is_scalar(other):
+            col = app_op(self._the_col, _scalar_lit(other), my_bool,
+                         isinstance(other, bool))
+            new_lineage = None
+            if self._lineage is not None:
+                # keep lineage so masks like (s != 0) stay in-plan
+                root, expr = self._lineage
+                new_lineage = (root, app_op(expr, _scalar_lit(other), my_bool,
+                                            isinstance(other, bool)))
+            self._sdf = self._project(self._idx_cols(), [col])
+            self._lineage = new_lineage
+            return
+
+        # rule 7: Series × Series -> full-outer index join
+        # (reference alchemy.py:411-418)
+        if isinstance(other, (Series, pd.Series)):
+            if isinstance(other, pd.Series):
+                other = Series.from_pandas(other)
+            # lineage fast path: both sides projections of the same
+            # parent plan -> no join at all (the reference cannot do
+            # this; it always full-outer-joins, SURVEY.md §4.1)
+            if (self._lineage is not None and other._lineage is not None
+                    and self._lineage_root is other._lineage_root):
+                o_bool = _is_bool_dtype(other._dtypes()[0])
+                expr = app_op(self._lineage_expr, other._lineage_expr,
+                              my_bool, o_bool)
+                root = self._lineage_root
+                idx_exprs = [root[I.idx_name(k)] for k in range(self._n_idx())]
+                self._sdf = root.select(
+                    *[e.alias(I.idx_name(k)) for k, e in enumerate(idx_exprs)],
+                    expr.alias(I.col_name(0)))
+                self._lineage = (root, expr)
+                self.name = self.name if self.name == other.name else None
+                return
+            o_bool = _is_bool_dtype(other._dtypes()[0])
+            joined, lcol, rcol, idx, idx_names = self._join_idx(other)
+            col = app_op(lcol(0), rcol(0), my_bool, o_bool)
+            self._sdf = base.BaseFrame(idx_names, None, joined)._project(idx, [col])
+            self._index = idx_names
+            self._lineage = None
+            self.name = self.name if self.name == other.name else None
+            return
+
+        # rule 8: Series × DataFrame -> delegate to the matching
+        # reflected DataFrame op (fixing reference bug alchemy.py:419-424
+        # which always called radd).
+        if isinstance(other, (DataFrame, pd.DataFrame)):
+            if isinstance(other, pd.DataFrame):
+                other = DataFrame.from_pandas(other)
+            return other._op(op, self, axis=0, level=level,
+                             fill_value=fill_value, reverse=not reverse)
+
+        # rules 5'/6': list-likes (reference alchemy.py:425-445)
+        if pd.api.types.is_list_like(other):
+            other = list(other)
+            if lax and len(other) == 1:
+                return self._op(op, other[0], level=level,
+                                fill_value=fill_value, axis=axis,
+                                reverse=reverse, lax=lax)
+            row_count = len(self)
+            if len(other) != row_count:
+                if reverse:
+                    lhs, rhs = len(other), row_count
+                else:
+                    lhs, rhs = row_count, len(other)
+                raise ValueError(f"operands could not be broadcast together "
+                                 f"with shapes ({lhs},) ({rhs},)")
+            other_sdf = _list_to_sdf(other)
+            joined, lcol, rcol, idx = self._paste_join(
+                other_sdf, 1, other_rowid=I.idx_name(0))
+            col = app_op(lcol(0), rcol(0), my_bool,
+                         all(isinstance(v, bool) for v in other))
+            self._sdf = base.BaseFrame(self._index, None, joined)._project(idx, [col])
+            self._lineage = None
+            return
+
+        raise TypeError(f"Cannot broadcast np.ndarray with "
+                        f"operand of type {type(other)}")
+
+    add, radd = series_op("add")
+    sub, rsub = series_op("sub")
+    mul, rmul = series_op("mul")
+    div, rdiv = series_op("div")
+    truediv, rtruediv = series_op("truediv")
+    floordiv, rfloordiv = series_op("floordiv")
+    mod, rmod = series_op("mod")
+    pow, rpow = series_op("pow")
+
+    eq = series_cmp("eq")
+    ne = series_cmp("ne")
+    le = series_cmp("le")
+    lt = series_cmp("lt")
+    ge = series_cmp("ge")
+    gt = series_cmp("gt")
+
+    # -- clip --------------------------------------------------------------
+
+    @utils.copied
+    def clip(self, lower=None, upper=None, axis=None, *args, **kwargs):
+        # reference alchemy.py:465-468
+        def clipped(c):
+            out = c
+            if lower is not None:
+                out = F.greatest(out, _scalar_lit(lower))
+            if upper is not None:
+                out = F.least(out, _scalar_lit(upper))
+            return out
+        self._sdf = self._project(self._idx_cols(),
+                                  [clipped(self._the_col)])
+        self._lineage = None
+
+    # -- prefix/suffix: concat onto *index values* (query rewrite,
+    #    reference alchemy.py:470-478 — intended semantics; the
+    #    reference's own code path has a latent TypeError, SURVEY §2.2) -
+
+    @utils.copied
+    def add_prefix(self, prefix):
+        idx = [F.concat(F.lit(str(prefix)), self._idx_at(0).cast("string"))]
+        self._sdf = self._project(idx, [self._the_col])
+        self._lineage = None
+
+    @utils.copied
+    def add_suffix(self, suffix):
+        idx = [F.concat(self._idx_at(0).cast("string"), F.lit(str(suffix)))]
+        self._sdf = self._project(idx, [self._the_col])
+        self._lineage = None
+
+    # -- materialization ---------------------------------------------------
+
+    def to_pandas(self) -> pd.Series:
+        # reference alchemy.py:480-491
+        index, data = self._fetch_pandas()
+        ser = data.iloc[:, 0]
+        ser.name = self.name
+        ser.index = index
+        return ser
+
+    def __repr__(self):
+        head = self.head(_REPR_ROWS + 1).to_pandas()
+        truncated = len(head) > _REPR_ROWS
+        body = repr(head.iloc[:_REPR_ROWS])
+        return body + ("\n..." if truncated else "")
+
+    # -- constructors ------------------------------------------------------
+
+    @staticmethod
+    def from_pandas(seq: pd.Series, name=None, optional: bool = False):
+        # reference alchemy.py:493-506
+        if not isinstance(seq, pd.Series):
+            if optional:
+                return seq
+            raise TypeError("Must be a pandas Series")
+        if name is None:
+            name = seq.name
+        spark = get_session()
+        index = pd.Index(seq.index.names)
+        flat = seq.reset_index()
+        flat.columns = I.idx_names(seq.index.nlevels) + [I.col_name(0)]
+        sdf = _nan_to_null(spark.createDataFrame(flat))
+        return Series(index, pd.Index([name]), sdf, name)
+
+    @staticmethod
+    def from_list(values, name=None):
+        # reference alchemy.py:508-517; rowid index comes free from
+        # enumerate instead of per-row UNION ALL.
+        return Series.from_pandas(pd.Series(values), name=name)
+
+
+def _list_to_sdf(values):
+    """(rowid, value) frame from a Python list (reference from_list,
+    alchemy.py:508-517)."""
+    spark = get_session()
+    pdf = pd.DataFrame({I.idx_name(0): range(len(values)),
+                        I.col_name(0): values})
+    return _nan_to_null(spark.createDataFrame(pdf))
+
+
+def _nan_to_null(sdf):
+    """NaN -> NULL for float columns on ingest: the engine's NA model is
+    NULL-as-NA uniformly (reference adapts pd.NA/NaT to NULL on write,
+    dialect.py:167-182; SURVEY.md hard-part 1)."""
+    exprs = []
+    for f in sdf.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            c = F.when(F.isnan(c), F.lit(None)).otherwise(c).alias(f.name)
+        exprs.append(c)
+    return sdf.select(*exprs)

@@ -1,0 +1,163 @@
+"""Type-directed operator coercion with pandas/NumPy IEEE-754 semantics.
+
+Re-expresses the reference's coercion table (reference coercion.py:5-116)
+as pure PySpark Column builders — no UDFs, everything stays inside
+whole-stage codegen.
+
+The reference emulates IEEE float semantics *on top of SQL* with CASE
+expressions (coercion.py:48-85) because SQL databases return NULL or
+error on x/0.  Spark doubles natively hold NaN/±inf and most IEEE cases
+fall out of JVM arithmetic; only these need CASE logic:
+
+- ``truediv``: Spark's ``Divide`` returns NULL for a zero divisor (even
+  for doubles, in non-ANSI mode) — pandas gives ``sign(x)*inf`` and
+  ``0/0 -> NaN`` (reference sane_division, coercion.py:48-65).
+- ``floordiv``: same pre-checks then floor (coercion.py:68-70); Spark's
+  ``floor`` returns LONG so non-finite cases are short-circuited first.
+- ``mod``: pandas follows *Python* mod (sign of divisor); Spark ``%`` is
+  C-style fmod (sign of dividend).  Python-mod is ``((l % r) + r) % r``
+  plus the reference's inf/NaN rules (coercion.py:73-85).
+- bool operands coerce to INTEGER for arithmetic (coercion.py:88-116).
+
+All builders are (Column, Column) -> Column and keep NULL-propagation:
+NULL in -> NULL out, matching both SQL and the reference's NA model.
+"""
+
+from __future__ import annotations
+
+import operator
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+def _nan() -> Column:
+    return F.lit(float("nan"))
+
+
+def _inf() -> Column:
+    return F.lit(float("inf"))
+
+
+def _dnull() -> Column:
+    return F.lit(None).cast("double")
+
+
+def _d(c: Column) -> Column:
+    return c.cast("double")
+
+
+def ieee_truediv(l: Column, r: Column) -> Column:
+    """pandas ``/``: x/0 -> sign(x)*inf, 0/0 -> NaN, NaN op -> NaN,
+    x/inf -> 0; NULL propagates (reference coercion.py:48-65)."""
+    l, r = _d(l), _d(r)
+    return (
+        F.when(l.isNull() | r.isNull(), _dnull())
+        .when(F.isnan(l) | F.isnan(r), _nan())
+        .when(r == 0.0, F.when(l == 0.0, _nan()).otherwise(F.signum(l) * _inf()))
+        .otherwise(l / r)
+    )
+
+
+def ieee_floordiv(l: Column, r: Column) -> Column:
+    """pandas ``//``: IEEE pre-checks then floor (reference
+    coercion.py:68-70).  Non-finite operands short-circuit so the LONG
+    floor never sees inf."""
+    l, r = _d(l), _d(r)
+    return (
+        F.when(l.isNull() | r.isNull(), _dnull())
+        .when(F.isnan(l) | F.isnan(r), _nan())
+        .when(r == 0.0, F.when(l == 0.0, _nan()).otherwise(F.signum(l) * _inf()))
+        .when(F.abs(l) == _inf(), F.when(F.abs(r) == _inf(), _nan()).otherwise(F.signum(l) * F.signum(r) * _inf()))
+        .when(F.abs(r) == _inf(), F.when(F.signum(l) * F.signum(r) < 0, F.lit(-1.0)).otherwise(F.lit(0.0)))
+        .otherwise(F.floor(l / r).cast("double"))
+    )
+
+
+def python_mod(l: Column, r: Column) -> Column:
+    """pandas ``%`` = Python mod: result takes the divisor's sign.
+
+    inf % x -> NaN; NaN % x -> NaN; x % 0 -> NaN; x % ±inf -> x when
+    signs agree else the divisor (reference coercion.py:73-85; matches
+    CPython float.__mod__)."""
+    l, r = _d(l), _d(r)
+    fmod = l % r  # Spark %: C semantics, sign of dividend
+    return (
+        F.when(l.isNull() | r.isNull(), _dnull())
+        .when(F.isnan(l) | F.isnan(r), _nan())
+        .when(r == 0.0, _nan())
+        .when(F.abs(l) == _inf(), _nan())
+        .when(F.abs(r) == _inf(), F.when(F.signum(l) * F.signum(r) >= 0, l).otherwise(r))
+        .otherwise(((fmod + r) % r))
+    )
+
+
+def ieee_pow(l: Column, r: Column) -> Column:
+    """pandas ``**`` on doubles: Java Math.pow already matches NumPy
+    (0**neg -> inf, NaN**0 -> 1, 1**NaN -> 1)."""
+    return F.pow(_d(l), _d(r))
+
+
+# ---------------------------------------------------------------------------
+# Dispatch table: op name -> Column builder.
+# Plain operators map straight onto Column arithmetic (JVM-side);
+# only the IEEE four need custom builders.
+# ---------------------------------------------------------------------------
+
+_PLAIN = {
+    "add": operator.add,
+    "sub": operator.sub,
+    "mul": operator.mul,
+    "eq": operator.eq,
+    "ne": operator.ne,
+    "le": operator.le,
+    "lt": operator.lt,
+    "ge": operator.ge,
+    "gt": operator.gt,
+}
+
+_CUSTOM = {
+    "truediv": ieee_truediv,
+    "div": ieee_truediv,
+    "floordiv": ieee_floordiv,
+    "mod": python_mod,
+    "pow": ieee_pow,
+}
+
+#: ops whose bool operands are first cast to int (reference coercion.py:88-116)
+_BOOL_COERCING = {"add", "sub", "mul", "truediv", "div", "floordiv", "mod", "pow"}
+
+COMPARISONS = frozenset({"eq", "ne", "le", "lt", "ge", "gt"})
+
+
+def _debool(c: Column) -> Column:
+    """Bool -> int before arithmetic, mirroring the reference's
+    bool×num coercion rules (coercion.py:88-116).  Cheap no-op for
+    non-boolean columns via a try-typed cast at the expression level:
+    Spark casts bool->int natively, and int->int is folded away, so we
+    gate on the *expression* dtype where known and otherwise leave the
+    column untouched (callers pass dtype hints)."""
+    return c.cast("int")
+
+
+def apply_op(op: str, l: Column, r: Column, *, l_bool: bool = False,
+             r_bool: bool = False) -> Column:
+    """Apply named operator with coercion (reference app_op_coerced,
+    coercion.py:34-42).  ``l_bool``/``r_bool`` are dtype hints from the
+    frame schema deciding bool->int pre-casts."""
+    if op in _BOOL_COERCING:
+        if l_bool:
+            l = _debool(l)
+        if r_bool:
+            r = _debool(r)
+    elif op in COMPARISONS and l_bool != r_bool:
+        # pandas compares True == 1 numerically; Spark refuses a
+        # bool-vs-numeric comparison, so lift the bool side to int.
+        if l_bool:
+            l = _debool(l)
+        else:
+            r = _debool(r)
+    if op in _CUSTOM:
+        return _CUSTOM[op](l, r)
+    if op in _PLAIN:
+        return _PLAIN[op](l, r)
+    raise TypeError(f"unsupported operator: {op}")
