@@ -62,6 +62,18 @@ def _is_scalar(value) -> bool:
     return pd.api.types.is_scalar(value)
 
 
+def _clip_col(c, lower, upper):
+    """greatest/least clip that preserves NULL (Spark's greatest/least
+    *skip* NULLs, pandas clip keeps NaN; reference alchemy.py:254-262
+    relies on SQL greatest which is NULL-propagating on most dialects)."""
+    out = c
+    if lower is not None:
+        out = F.greatest(out, _scalar_lit(lower))
+    if upper is not None:
+        out = F.least(out, _scalar_lit(upper))
+    return F.when(c.isNull(), c).otherwise(out)
+
+
 def dataframe_op(name):
     """Generate (op, rop) methods (reference dataframe_op, alchemy.py:25-49)."""
 
@@ -371,15 +383,8 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin):
         if axis is None:
             if not _is_scalar(lower) or not _is_scalar(upper):
                 raise ValueError("Must specify axis=0 or 1")
-        def clipped(c):
-            out = c
-            if lower is not None:
-                out = F.greatest(out, _scalar_lit(lower))
-            if upper is not None:
-                out = F.least(out, _scalar_lit(upper))
-            return out
         self._sdf = self._project(
-            self._idx_cols(), [clipped(c) for c in self._data_cols()])
+            self._idx_cols(), [_clip_col(c, lower, upper) for c in self._data_cols()])
 
     @utils.copied
     def applymap(self, func, na_action=None):
@@ -671,11 +676,13 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin):
 
         # rule 8: Series × DataFrame -> delegate to the matching
         # reflected DataFrame op (fixing reference bug alchemy.py:419-424
-        # which always called radd).
+        # which always called radd).  pandas aligns the Series' labels
+        # on the DataFrame's *columns* (axis=1), so delegate with the
+        # DataFrame default axis, materializing this Series to literals.
         if isinstance(other, (DataFrame, pd.DataFrame)):
             if isinstance(other, pd.DataFrame):
                 other = DataFrame.from_pandas(other)
-            return other._op(op, self, axis=0, level=level,
+            return other._op(op, self, axis=1, level=level,
                              fill_value=fill_value, reverse=not reverse)
 
         # rules 5'/6': list-likes (reference alchemy.py:425-445)
@@ -726,15 +733,8 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin):
     @utils.copied
     def clip(self, lower=None, upper=None, axis=None, *args, **kwargs):
         # reference alchemy.py:465-468
-        def clipped(c):
-            out = c
-            if lower is not None:
-                out = F.greatest(out, _scalar_lit(lower))
-            if upper is not None:
-                out = F.least(out, _scalar_lit(upper))
-            return out
         self._sdf = self._project(self._idx_cols(),
-                                  [clipped(self._the_col)])
+                                  [_clip_col(self._the_col, lower, upper)])
         self._lineage = None
 
     # -- prefix/suffix: concat onto *index values* (query rewrite,

@@ -46,6 +46,13 @@ def _d(c: Column) -> Column:
     return c.cast("double")
 
 
+def _zero_sign(r: Column) -> Column:
+    """±1 by the sign of a zero divisor.  ``-0.0 == 0.0`` in Spark, but
+    the string form keeps the sign bit — x/-0.0 must be -inf*sign(x)
+    (IEEE; pandas agrees).  Only evaluated inside the r==0 branch."""
+    return F.when(r.cast("string").startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+
+
 def ieee_truediv(l: Column, r: Column) -> Column:
     """pandas ``/``: x/0 -> sign(x)*inf, 0/0 -> NaN, NaN op -> NaN,
     x/inf -> 0; NULL propagates (reference coercion.py:48-65)."""
@@ -53,21 +60,28 @@ def ieee_truediv(l: Column, r: Column) -> Column:
     return (
         F.when(l.isNull() | r.isNull(), _dnull())
         .when(F.isnan(l) | F.isnan(r), _nan())
-        .when(r == 0.0, F.when(l == 0.0, _nan()).otherwise(F.signum(l) * _inf()))
+        .when(r == 0.0,
+              F.when(l == 0.0, _nan())
+              .otherwise(F.signum(l) * _zero_sign(r) * _inf()))
         .otherwise(l / r)
     )
 
 
 def ieee_floordiv(l: Column, r: Column) -> Column:
     """pandas ``//``: IEEE pre-checks then floor (reference
-    coercion.py:68-70).  Non-finite operands short-circuit so the LONG
+    coercion.py:68-70), with NumPy's non-finite rules (verified against
+    pandas 2.x): x//0 -> sign(x)*inf (0//0 -> NaN), inf//anything-else
+    -> NaN, finite//±inf -> 0 or -1 by sign agreement (Python floordiv,
+    not floor(x/inf)).  Non-finite operands short-circuit so the LONG
     floor never sees inf."""
     l, r = _d(l), _d(r)
     return (
         F.when(l.isNull() | r.isNull(), _dnull())
         .when(F.isnan(l) | F.isnan(r), _nan())
-        .when(r == 0.0, F.when(l == 0.0, _nan()).otherwise(F.signum(l) * _inf()))
-        .when(F.abs(l) == _inf(), F.when(F.abs(r) == _inf(), _nan()).otherwise(F.signum(l) * F.signum(r) * _inf()))
+        .when(r == 0.0,
+              F.when(l == 0.0, _nan())
+              .otherwise(F.signum(l) * _zero_sign(r) * _inf()))
+        .when(F.abs(l) == _inf(), _nan())
         .when(F.abs(r) == _inf(), F.when(F.signum(l) * F.signum(r) < 0, F.lit(-1.0)).otherwise(F.lit(0.0)))
         .otherwise(F.floor(l / r).cast("double"))
     )
@@ -143,8 +157,24 @@ def apply_op(op: str, l: Column, r: Column, *, l_bool: bool = False,
              r_bool: bool = False) -> Column:
     """Apply named operator with coercion (reference app_op_coerced,
     coercion.py:34-42).  ``l_bool``/``r_bool`` are dtype hints from the
-    frame schema deciding bool->int pre-casts."""
-    if op in _BOOL_COERCING:
+    frame schema deciding bool handling.
+
+    bool semantics follow pandas/NumPy (the differential oracle), which
+    refines the reference's blanket cast-to-INTEGER (coercion.py:88-116):
+    bool+bool -> OR, bool*bool -> AND, bool-bool -> TypeError,
+    bool vs numeric -> int cast."""
+    if l_bool and r_bool and op in _BOOL_COERCING:
+        if op == "add":
+            return l | r
+        if op == "mul":
+            return l & r
+        if op == "sub":
+            raise TypeError(
+                "numpy boolean subtract, the `-` operator, is not supported, "
+                "use the bitwise_xor, the `^` operator, or the logical_xor "
+                "function instead.")
+        l, r = _debool(l), _debool(r)
+    elif op in _BOOL_COERCING:
         if l_bool:
             l = _debool(l)
         if r_bool:
@@ -158,6 +188,12 @@ def apply_op(op: str, l: Column, r: Column, *, l_bool: bool = False,
             r = _debool(r)
     if op in _CUSTOM:
         return _CUSTOM[op](l, r)
+    if op in COMPARISONS:
+        # pandas NA comparison semantics: NA==x -> False, NA!=x -> True,
+        # ordered comparisons -> False (never NULL-propagating).
+        raw = _PLAIN[op](l, r)
+        either_null = l.isNull() | r.isNull()
+        return F.when(either_null, F.lit(op == "ne")).otherwise(raw)
     if op in _PLAIN:
         return _PLAIN[op](l, r)
     raise TypeError(f"unsupported operator: {op}")

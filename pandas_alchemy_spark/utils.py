@@ -17,11 +17,14 @@ def copied(func):
 
     @functools.wraps(func)
     def wrapper(self, *args, inplace=False, **kwargs):
-        target = self if inplace else self._shallow_copy()
-        func(target, *args, **kwargs)
-        if not inplace:
-            return target
-        return None
+        if inplace:
+            return func(self, *args, **kwargs)
+        target = self._shallow_copy()
+        result = func(target, *args, **kwargs)
+        # a verb may return a different object (e.g. Series<op>DataFrame
+        # delegates to the reflected DataFrame op); propagate it
+        # (reference utils.py:5-16 does the same).
+        return target if result is None else result
 
     return wrapper
 
