@@ -33,6 +33,7 @@ from . import base, generic, internal as I, ops_mixin, utils
 from .functions import coercion
 from .indexer import _iAtIndexer
 from .operators.rowid import with_rowid
+from .relational import RelationalMixin, SeriesAggMixin
 from .session import get_session
 
 _REPR_ROWS = 10
@@ -118,7 +119,8 @@ def series_cmp(name):
     return cmp_func
 
 
-class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin):
+class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
+                RelationalMixin):
     """2-D labeled frame backed by a lazy Spark plan
     (reference DataFrame, alchemy.py:99-350)."""
 
@@ -536,7 +538,8 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin):
         return DataFrame(index, columns, sdf.select(*sel))
 
 
-class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin):
+class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
+             SeriesAggMixin):
     """1-D labeled array backed by a lazy Spark plan
     (reference Series, alchemy.py:353-517)."""
 

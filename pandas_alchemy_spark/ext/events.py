@@ -1,0 +1,63 @@
+"""Event analytics over the ``events`` table: windowed aggregates and
+sessionization in batch (SURVEY.md §2.10 — the reference has no
+streaming; the streaming variants live in ..streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the events table.  The driver's parquet uses nanosecond
+    timestamps, which Spark rejects by default (PARQUET_TYPE_ILLEGAL);
+    read nanos as long and convert to microsecond timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def tumbling_window_agg(df: DataFrame, ts_col: str = "ts",
+                        window: str = "1 hour") -> DataFrame:
+    """Per-hour (or arbitrary-width) tumbling window aggregate.
+    date_trunc keeps the result SQL-oracle-comparable; the streaming
+    twin uses F.window + watermark."""
+    unit = {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}[window]
+    return (df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+                       F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def sessionize(df: DataFrame, ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the user's
+    inter-event gap exceeds ``gap_minutes``.  One shuffle (partition by
+    user), per-user window sort — the standard scalable formulation."""
+    w = Window.partitionBy("user_id").orderBy(ts_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+    marked = df.withColumn(
+        "__new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
+    sess = marked.withColumn("session_seq", F.sum("__new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .drop("session_seq"))
+
+
+def top_users_by_value(df: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k users by total event value with per-type breakdown."""
+    totals = (df.groupBy("user_id")
+              .agg(F.round(F.sum("value"), 4).alias("total_value"),
+                   F.count(F.lit(1)).alias("n_events")))
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return (totals.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1,0 +1,84 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+Beyond-reference extension (SURVEY.md §7 Phase 4).  The container has
+no image/audio codecs, so the *decode* step is a clearly-marked stub
+(deterministic fake derived from the payload bytes) — but the Spark
+plumbing is real and the part that matters at 100 TB: schema, batch
+iteration, partition-wise processing, and the UDF signature are exactly
+what a real decoder would use (swap `_fake_decode` for PIL/ffmpeg).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: schema of decoded media metadata
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def attach_fake_payload(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Synthesize an opaque binary payload column (stand-in for image
+    bytes) plus media_type metadata — deterministic from the text."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("audio/wav")),
+            (F.pmod(F.xxhash64(text_col), 3) + 1).cast("int")).alias("media_type"))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """STUB decoder: a real deployment replaces this with PIL/ffmpeg.
+    Deterministic dimensions/features from the byte content so tests
+    and oracles are stable.  Raises NotImplementedError for media the
+    stub does not model (none today)."""
+    h = hashlib.md5(payload).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    channels = 1 + h[2] % 3
+    feature = [b / 255.0 for b in h[:8]]
+    return width, height, channels, feature
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Partition-wise decode via mapInPandas (Arrow batches).  The
+    iterator signature keeps memory bounded: one pandas batch in, one
+    out; no per-row Python overhead beyond the batch loop."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                w, h, c, feat = _fake_decode(bytes(payload))
+                rows.append((row[id_col], row["media_type"],
+                             len(payload), w, h, c, feat))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])
+
+    return df.mapInPandas(decode_batches, MEDIA_META_SCHEMA)
+
+
+def media_stats(decoded: DataFrame) -> DataFrame:
+    """Aggregate decoded-media stats per media_type (pure built-ins)."""
+    return (decoded.groupBy("media_type")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.round(F.avg("width"), 4).alias("avg_width"),
+                 F.round(F.avg("height"), 4).alias("avg_height")))

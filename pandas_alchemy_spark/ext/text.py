@@ -1,0 +1,102 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Beyond-reference extension (SURVEY.md §7 Phase 4).  Everything is
+built-in expressions (regexp / array higher-order functions) — no UDFs,
+fully codegen'd, and reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small, fixed stopword inventories per language (n-gram-free heuristic
+# language ID by stopword hit-rate; deterministic and SQL-expressible)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "as", "his", "on", "be", "at", "by", "had", "not", "are"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "des",
+           "dem", "ein", "eine", "zu", "im", "nicht", "sich", "auf", "als"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "qui", "pour",
+           "pas", "sur", "sont", "avec", "son", "au", "par", "plus", "ne"],
+    "es": ["el", "los", "las", "una", "es", "del", "por", "con", "para",
+           "como", "mas", "pero", "sus", "le", "ha", "si", "sin", "sobre"],
+}
+
+_TOKENS = "filter(split(lower(regexp_replace({col}, '[^a-zA-Z0-9]+', ' ')), ' '), t -> t != '')"
+
+
+def _tok(col: str) -> str:
+    return _TOKENS.format(col=col)
+
+
+def _stop_ratio(col: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (f"size(filter({_tok(col)}, t -> array_contains(array({lst}), t)))"
+            f" / cast(greatest(size({_tok(col)}), 1) as double)")
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect language by stopword hit-rate; adds ``lang_pred`` and
+    ``lang_score``.  Ties break alphabetically (deterministic)."""
+    pairs = ", ".join(
+        f"struct(cast({_stop_ratio(text_col, ws)} as double) as score, '{lang}' as lang)"
+        for lang, ws in sorted(STOPWORDS.items()))
+    best = (f"array_max(array({pairs}))")
+    return df.withColumn("__best", F.expr(best)) \
+             .withColumn("lang_pred", F.expr("case when __best.score > 0 then __best.lang else 'unknown' end")) \
+             .withColumn("lang_score", F.round(F.expr("__best.score"), 6)) \
+             .drop("__best")
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score:
+    length, token count, mean word length, punctuation ratio, stopword
+    ratio, uppercase ratio.  All pure expressions."""
+    n_chars = F.length(F.col(text_col))
+    toks = _tok(text_col)
+    n_tokens = F.expr(f"size({toks})")
+    mean_wlen = F.expr(
+        f"aggregate({toks}, cast(0 as bigint), (s, t) -> s + length(t))"
+        f" / cast(greatest(size({toks}), 1) as double)")
+    punct = F.expr(
+        f"length(regexp_replace({text_col}, '[a-zA-Z0-9\\\\s]+', ''))"
+        f" / cast(greatest(length({text_col}), 1) as double)")
+    stop_en = F.expr(_stop_ratio(text_col, STOPWORDS["en"]))
+    score = (
+        F.when(n_tokens < 5, F.lit(0.0))
+        .otherwise(
+            F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.3
+            + (1.0 - F.least(F.lit(1.0), punct * 5)) * 0.3
+            + F.least(F.lit(1.0), stop_en * 4) * 0.2
+            + F.when((mean_wlen >= 3) & (mean_wlen <= 8), 0.2).otherwise(0.0)))
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        F.round(mean_wlen, 6).alias("q_mean_word_len"),
+        F.round(punct, 6).alias("q_punct_ratio"),
+        F.round(stop_en, 6).alias("q_stopword_ratio"),
+        F.round(score, 6).alias("q_score"))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish subword count
+    (word chars in runs of <=4 plus punctuation marks — a deterministic
+    proxy for BPE token count usable for budget estimates)."""
+    ws = F.expr(f"size({_tok(text_col)})")
+    # BPE-ish: ceil(len(word)/4) per word + count of non-space punctuation
+    bpe = F.expr(
+        f"aggregate({_tok(text_col)}, cast(0 as bigint), (s, t) -> s + cast(ceil(length(t) / 4.0) as bigint))"
+        f" + length(regexp_replace({text_col}, '[a-zA-Z0-9\\\\s]+', ''))")
+    return df.select("*", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalization fingerprint (OpenRefine-style key collision): md5
+    of the sorted distinct token set.  Collision => same content up to
+    word order / punctuation / case."""
+    fp = F.expr(
+        f"md5(concat_ws(' ', array_sort(array_distinct({_tok(text_col)}))))")
+    return df.select("*", fp.alias("fingerprint"))

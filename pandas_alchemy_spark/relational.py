@@ -1,0 +1,306 @@
+"""Beyond-reference relational verbs: groupby/agg, sort, merge, dropna/
+fillna, astype, set_index/reset_index, value_counts, drop_duplicates.
+
+The reference implements none of these (SURVEY.md §2.3, §2.5 — no
+filters, no aggregations beyond COUNT(*)); they are the natural Spark
+extension mandated by the build plan (SURVEY.md §7 Phase 4).  All are
+plan rewrites over the reserved positional layout; aggregates stay
+JVM-side (map-side partial aggregation for free), joins go through
+Catalyst/AQE which picks broadcast vs sort-merge at runtime — the
+100 TB story is Spark's own.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from . import internal as I
+
+_AGG_FUNCS = {
+    "sum": F.sum,
+    "mean": F.mean,
+    "avg": F.mean,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "first": F.first,
+    "last": F.last,
+    "nunique": F.countDistinct,
+    "approx_nunique": F.approx_count_distinct,
+}
+
+
+def _resolve_agg(fn):
+    if callable(fn):
+        return fn
+    if fn in _AGG_FUNCS:
+        return _AGG_FUNCS[fn]
+    raise ValueError(f"Unknown aggregation: {fn}")
+
+
+class GroupBy:
+    """``df.groupby(keys)`` — group keys become the result's index
+    levels, mirroring pandas.  Aggregation is a single Spark groupBy:
+    partial (map-side) aggregation + one shuffle on the keys."""
+
+    def __init__(self, df, by):
+        if not isinstance(by, list):
+            by = [by]
+        self._df = df
+        self._by = by
+        self._key_cols = [df._col_at(df._columns.get_loc(b)) for b in by]
+
+    def agg(self, spec=None, **named):
+        """``agg({"col": "sum"})`` / ``agg(out=("col", "mean"))``.
+
+        Result: DataFrame indexed by the group keys with one column per
+        aggregate; output labels follow pandas ("col" for dict form,
+        the kwarg name for named form)."""
+        df = self._df
+        exprs, labels = [], []
+        if spec is not None:
+            for col, fns in spec.items():
+                if not isinstance(fns, list):
+                    fns = [fns]
+                for fn in fns:
+                    src = df._col_at(df._columns.get_loc(col))
+                    exprs.append(_resolve_agg(fn)(src))
+                    labels.append(col if len(fns) == 1 else f"{col}_{fn}")
+        for out, (col, fn) in named.items():
+            src = df._col_at(df._columns.get_loc(col))
+            exprs.append(_resolve_agg(fn)(src))
+            labels.append(out)
+        keys = [k.alias(I.idx_name(i)) for i, k in enumerate(self._key_cols)]
+        sdf = df._sdf.groupBy(*keys).agg(
+            *[e.alias(I.col_name(i)) for i, e in enumerate(exprs)])
+        from .core import DataFrame
+        return DataFrame(pd.Index(self._by), pd.Index(labels), sdf)
+
+    def _simple(self, fn):
+        labels = [c for c in self._df._columns if c not in self._by]
+        return self.agg({c: fn for c in labels})
+
+    def sum(self):
+        return self._simple("sum")
+
+    def mean(self):
+        return self._simple("mean")
+
+    def min(self):
+        return self._simple("min")
+
+    def max(self):
+        return self._simple("max")
+
+    def count(self):
+        return self._simple("count")
+
+    def size(self):
+        df = self._df
+        keys = [k.alias(I.idx_name(i)) for i, k in enumerate(self._key_cols)]
+        sdf = df._sdf.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias(I.col_name(0)))
+        from .core import Series
+        return Series(pd.Index(self._by), pd.Index([None]), sdf, None)
+
+
+class RelationalMixin:
+    """DataFrame verbs beyond the reference surface."""
+
+    def groupby(self, by):
+        return GroupBy(self, by)
+
+    def sort_values(self, by, ascending=True):
+        if not isinstance(by, list):
+            by = [by]
+        if not isinstance(ascending, list):
+            ascending = [ascending] * len(by)
+        order = []
+        for b, asc in zip(by, ascending):
+            c = self._col_at(self._columns.get_loc(b))
+            order.append(c.asc() if asc else c.desc())
+        new = self._shallow_copy()
+        new._sdf = self._sdf.orderBy(*order)
+        return new
+
+    def sort_index(self, ascending=True):
+        order = [c.asc() if ascending else c.desc() for c in self._idx_cols()]
+        new = self._shallow_copy()
+        new._sdf = self._sdf.orderBy(*order)
+        return new
+
+    def nlargest(self, n, columns):
+        return self.sort_values(columns, ascending=False).head(n)
+
+    def nsmallest(self, n, columns):
+        return self.sort_values(columns, ascending=True).head(n)
+
+    def merge(self, right, how="inner", on=None, left_on=None, right_on=None,
+              suffixes=("_x", "_y"), broadcast=False):
+        """Relational join on data columns (pandas.merge semantics for
+        the label bookkeeping).  ``broadcast=True`` hints the right side
+        — use for dimension tables; AQE also auto-broadcasts small
+        sides at runtime."""
+        from .core import DataFrame
+        if on is not None:
+            left_on = right_on = on if isinstance(on, list) else [on]
+        else:
+            if left_on is None or right_on is None:
+                raise ValueError("must specify on or left_on/right_on")
+            left_on = left_on if isinstance(left_on, list) else [left_on]
+            right_on = right_on if isinstance(right_on, list) else [right_on]
+        l = self._rename_all(self._sdf, "l_")
+        r = self._rename_all(right._sdf, "r_")
+        if broadcast:
+            r = F.broadcast(r)
+        cond = None
+        for lo, ro in zip(left_on, right_on):
+            li = self._columns.get_loc(lo)
+            ri = right._columns.get_loc(ro)
+            c = l[f"l_{I.col_name(li)}"] == r[f"r_{I.col_name(ri)}"]
+            cond = c if cond is None else (cond & c)
+        joined = l.join(r, cond, how)
+        # result columns: left data cols + right data cols (minus
+        # right-side join keys when joining `on` shared labels)
+        out_labels, out_exprs = [], []
+        overlap = set(self._columns) & set(right._columns)
+        drop_right = set(right_on) if on is not None else set()
+        for i, lab in enumerate(self._columns):
+            name = f"{lab}{suffixes[0]}" if lab in overlap and lab not in drop_right else lab
+            out_labels.append(name)
+            out_exprs.append(l[f"l_{I.col_name(i)}"])
+        for j, lab in enumerate(right._columns):
+            if lab in drop_right:
+                continue
+            name = f"{lab}{suffixes[1]}" if lab in overlap else lab
+            out_labels.append(name)
+            out_exprs.append(r[f"r_{I.col_name(j)}"])
+        sel = [l[f"l_{I.idx_name(0)}"].alias(I.idx_name(0))]
+        sel += [e.alias(I.col_name(k)) for k, e in enumerate(out_exprs)]
+        return DataFrame(self._index, pd.Index(out_labels), joined.select(*sel))
+
+    def drop_duplicates(self, subset=None):
+        """Exact dedup.  With ``subset``, keeps one arbitrary row per
+        key via max-struct (single shuffle, no window sort)."""
+        from .core import DataFrame
+        if subset is None:
+            data = [c.alias(I.col_name(i)) for i, c in enumerate(self._data_cols())]
+            sdf = self._sdf.select(*data).dropDuplicates()
+            from .operators.rowid import with_rowid
+            sdf = with_rowid(sdf, I.idx_name(0))
+            sdf = sdf.select(I.idx_name(0), *[I.col_name(i) for i in range(self._n_cols())])
+            return DataFrame(pd.Index((None,)), self._columns, sdf)
+        keys = [self._col_at(self._columns.get_loc(s)).alias(f"__k_{j}")
+                for j, s in enumerate(subset)]
+        others = F.struct(*self._idx_cols(), *self._data_cols()).alias("__all")
+        agg = self._sdf.select(*keys, others) \
+            .groupBy(*[f"__k_{j}" for j in range(len(subset))]) \
+            .agg(F.min("__all").alias("__all"))
+        n = self._n_idx()
+        sel = [F.col(f"__all.{I.idx_name(i)}").alias(I.idx_name(i)) for i in range(n)]
+        sel += [F.col(f"__all.{I.col_name(i)}").alias(I.col_name(i))
+                for i in range(self._n_cols())]
+        return DataFrame(self._index, self._columns, agg.select(*sel))
+
+    def dropna(self, subset=None):
+        cols = self._data_cols() if subset is None else \
+            [self._col_at(self._columns.get_loc(s)) for s in subset]
+        cond = None
+        for c in cols:
+            k = c.isNotNull()
+            cond = k if cond is None else (cond & k)
+        new = self._shallow_copy()
+        new._sdf = self._sdf.filter(cond)
+        return new
+
+    def fillna(self, value):
+        new = self._shallow_copy()
+        new._sdf = self._project(
+            self._idx_cols(),
+            [F.coalesce(c, F.lit(value)) for c in self._data_cols()])
+        return new
+
+    def rename(self, columns=None):
+        new = self._shallow_copy()
+        if columns:
+            new._columns = pd.Index(
+                [columns.get(c, c) for c in self._columns])
+        return new
+
+    def astype(self, dtype):
+        mapping = {"int64": "long", "int32": "int", "float64": "double",
+                   "float32": "float", "str": "string", "string": "string",
+                   "bool": "boolean"}
+        return self._cast(mapping.get(str(dtype), str(dtype)))
+
+    def set_index(self, keys):
+        """Promote data column(s) to the index (replaces current index,
+        like pandas set_index with drop=True)."""
+        from .core import DataFrame
+        if not isinstance(keys, list):
+            keys = [keys]
+        key_pos = [self._columns.get_loc(k) for k in keys]
+        rest = [(i, lab) for i, lab in enumerate(self._columns) if i not in key_pos]
+        idx_exprs = [self._col_at(p) for p in key_pos]
+        sel = [e.alias(I.idx_name(i)) for i, e in enumerate(idx_exprs)]
+        sel += [self._col_at(i).alias(I.col_name(j)) for j, (i, _) in enumerate(rest)]
+        return DataFrame(pd.Index(keys), pd.Index([lab for _, lab in rest]),
+                         self._sdf.select(*sel))
+
+    def reset_index(self):
+        """Demote index levels to data columns; new rowid index."""
+        from .core import DataFrame
+        from .operators.rowid import with_rowid
+        idx_labels = [n if n is not None else "index" for n in self._index]
+        sel = [self._idx_at(i).alias(I.col_name(i)) for i in range(self._n_idx())]
+        sel += [self._col_at(i).alias(I.col_name(self._n_idx() + i))
+                for i in range(self._n_cols())]
+        sdf = self._sdf.select(*sel)
+        sdf = with_rowid(sdf, I.idx_name(0))
+        order = [I.idx_name(0)] + [I.col_name(i)
+                                   for i in range(self._n_idx() + self._n_cols())]
+        return DataFrame(pd.Index((None,)), pd.Index(idx_labels + list(self._columns)),
+                         sdf.select(*order))
+
+
+class SeriesAggMixin:
+    """Series reductions (materializing) + value_counts/unique."""
+
+    def _reduce(self, fn):
+        row = self._sdf.select(fn(self._the_col).alias("v")).take(1)
+        return row[0]["v"]
+
+    def sum(self):
+        return self._reduce(F.sum)
+
+    def mean(self):
+        return self._reduce(F.mean)
+
+    def min(self):
+        return self._reduce(F.min)
+
+    def max(self):
+        return self._reduce(F.max)
+
+    def std(self):
+        return self._reduce(F.stddev_samp)
+
+    def count(self):
+        return self._reduce(F.count)
+
+    def nunique(self):
+        return self._reduce(F.countDistinct)
+
+    def unique(self):
+        return [r[0] for r in
+                self._sdf.select(self._the_col.alias("v")).distinct().collect()]
+
+    def value_counts(self):
+        from .core import Series
+        sdf = (self._sdf.groupBy(self._the_col.alias(I.idx_name(0)))
+               .agg(F.count(F.lit(1)).alias(I.col_name(0)))
+               .orderBy(F.col(I.col_name(0)).desc()))
+        return Series(pd.Index([self.name]), pd.Index(["count"]), sdf, "count")

@@ -53,6 +53,8 @@ def init_db(master: str | None = None, app_name: str = "pandas_alchemy_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
+        # driver testdata uses nanosecond parquet timestamps
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in conf.items():
         builder = builder.config(k, v)

@@ -1,0 +1,54 @@
+"""Structured Streaming twin of ext.events: windowed aggregation with
+watermarks over a streaming events source.
+
+The reference has no streaming surface at all (SURVEY.md §2.10); this
+is the Spark-native extension.  The batch query (ext.events.
+tumbling_window_agg) and this streaming query share semantics: the
+streaming one adds a watermark for late data and emits per-window
+updates.  Tested by streaming parquet files through a file source into
+a memory sink (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a directory of parquet event files."""
+    return (spark.readStream
+            .schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark.
+    State is bounded by the watermark: Spark drops window state older
+    than (max event time - watermark) — the 100 TB streaming contract."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def run_to_memory_sink(windowed: DataFrame, name: str = "windowed_events",
+                       timeout_s: int = 60):
+    """Drive the stream into an in-memory table until idle; returns the
+    query handle (caller reads spark.table(name))."""
+    q = (windowed.writeStream
+         .outputMode("complete")
+         .format("memory")
+         .queryName(name)
+         .start())
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,179 @@
+"""Pipeline-extension operators: dedup, similarity, text analysis,
+events, multimodal plumbing.  Correctness checks use brute-force /
+pandas re-implementations on the small sf0.001 tables."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_alchemy_spark.ext import dedup, events, multimodal, similarity, text
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return events.load_events(spark, f"{SF_DIR}/events.parquet")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).toPandas()
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(out) == pdf.text.nunique()
+    assert out.n_copies.sum() == len(pdf)
+
+
+def test_minhash_vs_exact_jaccard(docs):
+    """LSH candidates are verified with exact Jaccard, so every
+    reported pair must match a brute-force pandas Jaccard."""
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                    threshold=0.4).toPandas()
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def shingles(t, n=3):
+        toks = [w for w in "".join(c.lower() if c.isalnum() else " " for c in t).split() if w]
+        return set(" ".join(toks[i:i + n]) for i in range(max(len(toks) - n + 1, 1)))
+
+    sh = {r.doc_id: shingles(r.text) for r in pdf.itertuples()}
+    for row in pairs.itertuples():
+        a, b = sh[row.id_a], sh[row.id_b]
+        want = len(a & b) / len(a | b)
+        assert row.jaccard == pytest.approx(want, abs=1e-9)
+        assert row.jaccard >= 0.4
+
+
+def test_ngram_jaccard_exact(docs):
+    """ngram_jaccard_pairs is exhaustive for pairs sharing a shingle:
+    it must find every pair above threshold that MinHash found."""
+    mh = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16,
+                                 threshold=0.5).toPandas()
+    ng = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    mh_pairs = set(zip(mh.id_a, mh.id_b))
+    ng_pairs = set(zip(ng.id_a, ng.id_b))
+    assert mh_pairs <= ng_pairs
+
+
+def test_simhash_symmetric_bound(docs):
+    out = dedup.simhash_pairs(docs, max_hamming=3).toPandas()
+    assert (out.hamming <= 3).all()
+    assert (out.id_a < out.id_b).all()
+
+
+def test_cosine_topk_vs_numpy(emb):
+    got = similarity.cosine_topk(emb, emb.filter("vec_id < 3"), k=5).toPandas()
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    mat = np.stack(pdf.embedding.to_numpy())
+    ids = pdf.vec_id.to_numpy()
+    for qid in [0, 1, 2]:
+        qv = mat[ids == qid][0]
+        cos = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+        order = [(i, c) for i, c in zip(ids, cos) if i != qid]
+        order.sort(key=lambda t: (-t[1], t[0]))
+        want_ids = [i for i, _ in order[:5]]
+        got_ids = list(got[got.query_id == qid].sort_values("rank").neighbor_id)
+        assert got_ids == want_ids
+
+
+def test_lsh_topk_recall(emb):
+    """Multi-table LSH is approximate: demand >=70% top-5 recall vs
+    brute force at defaults (6 planes x 8 tables, deterministic
+    hyperplanes so the number is stable; measured 92%)."""
+    dim = len(emb.take(1)[0]["embedding"])
+    bf = similarity.cosine_topk(emb, emb.filter("vec_id < 10"), k=5).toPandas()
+    ls = similarity.lsh_topk(emb, emb.filter("vec_id < 10"), k=5, dim=dim).toPandas()
+    bf_set = set(zip(bf.query_id, bf.neighbor_id))
+    ls_set = set(zip(ls.query_id, ls.neighbor_id))
+    recall = len(bf_set & ls_set) / len(bf_set)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_language_id_deterministic(docs):
+    out = text.language_id(docs).select("doc_id", "lang_pred", "lang_score").toPandas()
+    assert set(out.lang_pred) <= {"en", "de", "fr", "es", "unknown"}
+    again = text.language_id(docs).select("doc_id", "lang_pred", "lang_score").toPandas()
+    pd.testing.assert_frame_equal(out.sort_values("doc_id").reset_index(drop=True),
+                                  again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_quality_score_bounds(docs):
+    out = text.quality_score(docs).toPandas()
+    assert ((out.q_score >= 0) & (out.q_score <= 1)).all()
+    assert (out.q_n_tokens > 0).all()
+
+
+def test_token_stats_vs_python(docs):
+    out = text.token_stats(docs).drop("text").toPandas()
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    merged = out.merge(pdf[["doc_id", "text"]], on="doc_id")
+    for row in merged.head(20).itertuples():
+        toks = [w for w in "".join(
+            c.lower() if c.isalnum() else " " for c in row.text).split() if w]
+        assert row.n_ws_tokens == len(toks)
+        bpe = sum(math.ceil(len(t) / 4) for t in toks) + sum(
+            1 for c in row.text if not (c.isalnum() or c.isspace()))
+        assert row.n_bpe_tokens == bpe
+
+
+def test_fingerprint_collisions(docs):
+    out = text.fingerprint(docs).toPandas()
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def fp_key(t):
+        toks = sorted(set(w for w in "".join(
+            c.lower() if c.isalnum() else " " for c in t).split() if w))
+        return " ".join(toks)
+
+    want_distinct = pdf.text.map(fp_key).nunique()
+    assert out.fingerprint.nunique() == want_distinct
+
+
+def test_tumbling_window_agg(ev):
+    out = events.tumbling_window_agg(ev).toPandas()
+    raw = ev.toPandas()
+    want = (raw.assign(window_start=raw.ts.dt.floor("h"))
+            .groupby(["window_start", "event_type"])
+            .agg(n_events=("event_id", "count"),
+                 sum_value=("value", "sum"),
+                 n_users=("user_id", "nunique")).reset_index())
+    assert len(out) == len(want)
+    m = out.merge(want, on=["window_start", "event_type"], suffixes=("", "_w"))
+    assert (m.n_events == m.n_events_w).all()
+    assert np.allclose(m.sum_value, m.sum_value_w.round(4))
+    assert (m.n_users == m.n_users_w).all()
+
+
+def test_sessionize(ev):
+    out = events.sessionize(ev, gap_minutes=30).toPandas()
+    assert (out.session_start <= out.session_end).all()
+    raw = ev.toPandas()
+    assert out.n_events.sum() == len(raw)
+    one = raw[raw.user_id == raw.user_id.iloc[0]].sort_values("ts")
+    gaps = one.ts.diff().dt.total_seconds()
+    want_sessions = 1 + (gaps > 1800).sum()
+    assert len(out[out.user_id == one.user_id.iloc[0]]) == want_sessions
+
+
+def test_multimodal_plumbing(docs):
+    mm = multimodal.attach_fake_payload(docs)
+    assert dict(mm.dtypes)["payload"] == "binary"
+    dec = multimodal.decode_media(mm)
+    out = dec.toPandas()
+    assert len(out) == docs.count()
+    assert (out.width.between(16, 255)).all()
+    assert out.feature.map(len).eq(8).all()
+    stats = multimodal.media_stats(dec).toPandas()
+    assert stats.n_items.sum() == len(out)

@@ -1,0 +1,145 @@
+"""Beyond-reference relational verbs: groupby/agg, sort, merge,
+drop_duplicates, set_index/reset_index — differential vs pandas."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import pandas_alchemy_spark as pas
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return pas.read_parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return pas.read_parquet(f"{SF_DIR}/orders.parquet")
+
+
+def test_groupby_agg(li, lineitem_pdf):
+    got = (li.groupby(["l_returnflag", "l_linestatus"])
+           .agg({"l_quantity": "sum", "l_extendedprice": "mean"})
+           .to_pandas().sort_index())
+    want = (lineitem_pdf.groupby(["l_returnflag", "l_linestatus"])
+            .agg({"l_quantity": "sum", "l_extendedprice": "mean"})
+            .sort_index())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_index_type=False)
+
+
+def test_groupby_named_agg(li, lineitem_pdf):
+    got = (li.groupby("l_returnflag")
+           .agg(total=("l_quantity", "sum"), n=("l_quantity", "count"))
+           .to_pandas().sort_index())
+    want = (lineitem_pdf.groupby("l_returnflag")
+            .agg(total=("l_quantity", "sum"), n=("l_quantity", "count"))
+            .sort_index())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_index_type=False)
+
+
+def test_groupby_size(li, lineitem_pdf):
+    got = li.groupby("l_returnflag").size().to_pandas().sort_index()
+    want = lineitem_pdf.groupby("l_returnflag").size().sort_index()
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_index_type=False, check_names=False)
+
+
+def test_sort_values_head(li, lineitem_pdf):
+    got = li.sort_values("l_extendedprice", ascending=False).head(5).to_pandas()
+    want = lineitem_pdf.sort_values("l_extendedprice", ascending=False).head(5)
+    assert list(got.l_extendedprice) == list(want.l_extendedprice)
+
+
+def test_nlargest(li, lineitem_pdf):
+    got = li.nlargest(3, "l_extendedprice").to_pandas()
+    want = lineitem_pdf.nlargest(3, "l_extendedprice")
+    assert list(got.l_extendedprice) == list(want.l_extendedprice)
+
+
+def test_merge(li, orders, lineitem_pdf):
+    orders_pdf = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey",
+                   how="inner")
+    want = lineitem_pdf.merge(orders_pdf, left_on="l_orderkey",
+                              right_on="o_orderkey", how="inner")
+    assert len(got) == len(want)
+    assert list(got.columns) == list(want.columns)
+    gs = got.groupby("o_orderstatus").agg({"l_quantity": "sum"}).to_pandas().sort_index()
+    ws = want.groupby("o_orderstatus").agg({"l_quantity": "sum"}).sort_index()
+    pd.testing.assert_frame_equal(gs, ws, check_dtype=False, check_index_type=False)
+
+
+def test_merge_on_shared_label(spark):
+    a = pas.DataFrame.from_pandas(pd.DataFrame({"k": [1, 2, 3], "x": [10.0, 20.0, 30.0]}))
+    b = pas.DataFrame.from_pandas(pd.DataFrame({"k": [2, 3, 4], "y": [200.0, 300.0, 400.0]}))
+    got = a.merge(b, on="k", how="left").to_pandas()
+    pa = pd.DataFrame({"k": [1, 2, 3], "x": [10.0, 20.0, 30.0]})
+    pb = pd.DataFrame({"k": [2, 3, 4], "y": [200.0, 300.0, 400.0]})
+    want = pa.merge(pb, on="k", how="left")
+    assert list(got.columns) == list(want.columns)
+    got_s = got.sort_values("k").reset_index(drop=True)
+    want_s = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s[["k", "x", "y"]], want_s,
+                                  check_dtype=False)
+
+
+def test_drop_duplicates(spark):
+    pdf = pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": ["x", "x", "y", "z", "w"]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.drop_duplicates().to_pandas()
+    assert len(got) == 4
+    got_sub = df.drop_duplicates(subset=["a"]).to_pandas()
+    assert len(got_sub) == 3
+
+
+def test_dropna_fillna(spark):
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": [None, 2.0, 3.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    assert len(df.dropna().to_pandas()) == 1
+    assert len(df.dropna(subset=["a"]).to_pandas()) == 2
+    got = df.fillna(0).to_pandas().sort_index()
+    want = pdf.fillna(0)
+    want.index = got.index
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_set_reset_index(spark):
+    pdf = pd.DataFrame({"k": ["a", "b"], "v": [1.0, 2.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    si = df.set_index("k")
+    got = si.to_pandas().sort_index()
+    want = pdf.set_index("k").sort_index()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ri = si.reset_index()
+    got2 = ri.to_pandas()
+    assert list(got2.columns) == ["k", "v"]
+
+
+def test_series_reductions(li, lineitem_pdf):
+    s, ps = li.l_quantity, lineitem_pdf.l_quantity
+    assert s.sum() == pytest.approx(ps.sum())
+    assert s.mean() == pytest.approx(ps.mean())
+    assert s.min() == ps.min()
+    assert s.max() == ps.max()
+    assert s.count() == ps.count()
+    assert s.nunique() == ps.nunique()
+
+
+def test_value_counts(li, lineitem_pdf):
+    got = li.l_returnflag.value_counts().to_pandas().sort_index()
+    want = lineitem_pdf.l_returnflag.value_counts().sort_index()
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_index_type=False, check_names=False)
+
+
+def test_rename_astype(spark):
+    pdf = pd.DataFrame({"a": [1, 2]})
+    df = pas.DataFrame.from_pandas(pdf)
+    assert list(df.rename(columns={"a": "z"}).columns) == ["z"]
+    got = df.astype("float64").to_pandas()
+    assert got["a"].dtype == "float64"
