@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (engine façade) on sf0.001.
+``queries()`` — one named query per implemented operator from
+SURVEY.md §2 plus the pipeline extensions; each callable takes
+(spark, sf_dir) and returns a Spark DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents with matching
+column aliases; omitted only for genuinely approximate/non-SQL ops
+(LSH ANN), which the driver records as rows-only checks.
+
+Conventions for hash-stable comparison:
+- every double aggregate is ROUND()ed identically on both sides;
+- counts/sums of integers are cast to BIGINT in the oracle (DuckDB
+  sums to HUGEINT otherwise);
+- timestamps are exported as formatted strings (engine-neutral);
+- NaN/inf never appear raw in output — IEEE edge queries classify
+  them into sentinel doubles.
 """
 
 from __future__ import annotations
@@ -12,27 +22,953 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-style pricing summary through the pandas
+    façade (scan -> mask filter -> assign -> groupby/agg -> sort)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    li = li[li.l_shipdate <= "1998-09-01"]
+    li = li.assign(
+        disc_price=li.l_extendedprice * (1 - li.l_discount),
+        charge=li.l_extendedprice * (1 - li.l_discount) * (1 + li.l_tax))
+    out = (li.groupby(["l_returnflag", "l_linestatus"])
+           .agg(sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                sum_charge=("charge", "sum"),
+                avg_qty=("l_quantity", "mean"),
+                avg_price=("l_extendedprice", "mean"),
+                avg_disc=("l_discount", "mean"),
+                count_order=("l_quantity", "count")))
+    sdf = out.to_spark()
+    return sdf.select(
+        "l_returnflag", "l_linestatus",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_base_price", 2).alias("sum_base_price"),
+        F.round("sum_disc_price", 2).alias("sum_disc_price"),
+        F.round("sum_charge", 2).alias("sum_charge"),
+        F.round("avg_qty", 4).alias("avg_qty"),
+        F.round("avg_price", 4).alias("avg_price"),
+        F.round("avg_disc", 4).alias("avg_disc"),
+        F.col("count_order"))
+
+
+# ---------------------------------------------------------------------------
+# reference-surface queries (engine façade)
+# ---------------------------------------------------------------------------
+
+def q_scan_project(spark, sf_dir):
+    """from_table with column projection (alchemy.py:313-350)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.DataFrame.from_table(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    return li.to_spark(index=False)
+
+
+def q_scalar_arith(spark, sf_dir):
+    """Scalar + aligned Series arithmetic (rule 1/7 fast path)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    rev = li.l_extendedprice * (1 - li.l_discount)
+    out = li.assign(revenue=rev.round(4))[
+        ["l_orderkey", "l_linenumber", "revenue"]]
+    return out.to_spark(index=False)
+
+
+_NAN_S, _INF_S, _NINF_S = -999999.0, 999999.0, -888888.0
+
+
+def q_ieee_div(spark, sf_dir):
+    """IEEE truediv incl. /0 -> ±inf, 0/0 -> NaN (coercion.py:48-65
+    semantics re-expressed as Column builders)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    d = li.l_quantity / (li.l_linenumber - 3)
+    out = li.assign(div=d)[["l_orderkey", "l_linenumber", "div"]]
+    sdf = out.to_spark(index=False)
+    cls = (F.when(F.isnan("div"), F.lit(_NAN_S))
+           .when(F.col("div") == float("inf"), F.lit(_INF_S))
+           .when(F.col("div") == float("-inf"), F.lit(_NINF_S))
+           .otherwise(F.round("div", 6)))
+    return sdf.select("l_orderkey", "l_linenumber", cls.alias("div_val"))
+
+
+def q_python_mod(spark, sf_dir):
+    """Python-mod (sign of divisor) + x%0 -> NaN (coercion.py:73-85)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    m = li.l_quantity % (li.l_linenumber - 3)
+    out = li.assign(md=m)[["l_orderkey", "l_linenumber", "md"]]
+    sdf = out.to_spark(index=False)
+    cls = (F.when(F.isnan("md"), F.lit(_NAN_S)).otherwise(F.round("md", 6)))
+    return sdf.select("l_orderkey", "l_linenumber", cls.alias("mod_val"))
+
+
+def q_clip_round_abs(spark, sf_dir):
+    """clip/round/abs scalar functions (generic.py:77-83,
+    alchemy.py:254-262)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    c = pas.read_parquet(_t(sf_dir, "customer"))
+    clipped = c.c_acctbal.clip(-500.0, 5000.0).round(1)
+    absd = c.c_acctbal.abs().round(1)
+    out = c.assign(bal_clip=clipped, bal_abs=absd)[
+        ["c_custkey", "bal_clip", "bal_abs"]]
+    return out.to_spark(index=False)
+
+
+def q_fill_isna(spark, sf_dir):
+    """isna/notna + fill_value (generic.py:69-75, alchemy.py:179-181):
+    nullify zero discounts, count NAs, re-fill."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    two = li[["l_orderkey", "l_discount"]].applymap(
+        lambda c: F.when(c != 0, c))
+    sdf = two.to_spark(index=False)
+    return sdf.agg(
+        F.sum(F.when(F.col("l_discount").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.round(F.sum(F.coalesce(F.col("l_discount"), F.lit(1.0))), 4).alias("sum_filled"))
+
+
+def q_align_add_outer(spark, sf_dir):
+    """Series+Series full-outer index alignment (base.py:72-84): order
+    totals of 'F' vs 'O' status orders per customer."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    a = o[o.o_orderstatus == "F"].groupby("o_custkey").agg(
+        total=("o_totalprice", "sum"))
+    b = o[o.o_orderstatus == "O"].groupby("o_custkey").agg(
+        total=("o_totalprice", "sum"))
+    s = a["total"] + b["total"]
+    sdf = s.to_spark()
+    return sdf.select(F.col("o_custkey").cast("long").alias("o_custkey"),
+                      F.round("total", 2).alias("total_both"))
+
+
+def q_col_align_nulls(spark, sf_dir):
+    """DataFrame+DataFrame outer column-label alignment with NULL
+    columns for unmatched labels (base.py:64-70, alchemy.py:200-211)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    a = li.groupby("l_returnflag").agg(x=("l_quantity", "sum"),
+                                       y=("l_extendedprice", "sum"))
+    b = li.groupby("l_returnflag").agg(y=("l_discount", "sum"),
+                                       z=("l_tax", "sum"))
+    both = a + b
+    sdf = both.to_spark()
+    return sdf.select("l_returnflag",
+                      F.round("x", 2).alias("x"),
+                      F.round("y", 2).alias("y"),
+                      F.round("z", 2).alias("z"))
+
+
+def q_head_sorted(spark, sf_dir):
+    """sort + head/limit (generic.py:46-48 + beyond-ref sort)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    top = o.nlargest(10, "o_totalprice")[["o_orderkey", "o_totalprice"]]
+    return top.to_spark(index=False)
+
+
+def q_tail_sorted(spark, sf_dir):
+    """tail via rowid-offset filter (generic.py:50-57)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    t = o.sort_values("o_orderkey").tail(5)[["o_orderkey", "o_custkey"]]
+    return t.to_spark(index=False)
+
+
+def q_iat_scalar(spark, sf_dir):
+    """.iat positional scalar fetch (indexer.py, alchemy.py:146-163)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders")).sort_values("o_orderkey")
+    price = o.iat[0, 3]
+    first_key = o.iat[0, 0]
+    return spark.createDataFrame(
+        [(int(first_key), float(round(price, 2)))],
+        "o_orderkey long, o_totalprice double")
+
+
+def q_from_pandas_literal(spark, sf_dir):
+    """from_pandas literal ingestion (alchemy.py:301-311) + scalar op."""
+    import pandas as pd
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    pdf = pd.DataFrame({"k": ["a", "b", "c"], "v": [1.5, 2.5, None]})
+    df = pas.DataFrame.from_pandas(pdf)
+    out = df.assign(v2=df.v * 10)
+    sdf = out.to_spark(index=False)
+    return sdf.select("k", "v", F.col("v2").cast("double").alias("v2"))
+
+
+def q_series_prefix(spark, sf_dir):
+    """Series.add_prefix concat onto index values (alchemy.py:470-478)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    n = pas.read_parquet(_t(sf_dir, "nation"))
+    s = n.set_index("n_nationkey")["n_name"].add_prefix("nation_")
+    sdf = s.to_spark()
+    return sdf.select(F.col("n_nationkey").cast("string").alias("idx"),
+                      F.col("n_name"))
+
+
+def q_bool_coercion(spark, sf_dir):
+    """bool->int coercion in arithmetic (coercion.py:88-116): flag
+    comparisons summed as ints."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    heavy = li.l_quantity > 25
+    cheap = li.l_discount < 0.05
+    score = heavy * 2 + cheap * 1  # bool*int -> int
+    out = li.assign(score=score).groupby("l_returnflag").agg(
+        total_score=("score", "sum"), n=("score", "count"))
+    sdf = out.to_spark()
+    return sdf.select("l_returnflag",
+                      F.col("total_score").cast("long").alias("total_score"),
+                      F.col("n").cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference relational (groupby/join/sort/window)
+# ---------------------------------------------------------------------------
+
+def q_groupby_agg(spark, sf_dir):
+    """Q1-style multi-aggregate groupby through the façade."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    li = li[li.l_shipdate <= "1998-09-01"]
+    li = li.assign(disc_price=li.l_extendedprice * (1 - li.l_discount))
+    out = (li.groupby(["l_returnflag", "l_linestatus"])
+           .agg(sum_qty=("l_quantity", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                avg_qty=("l_quantity", "mean"),
+                count_order=("l_quantity", "count")))
+    sdf = out.to_spark()
+    return sdf.select("l_returnflag", "l_linestatus",
+                      F.round("sum_qty", 2).alias("sum_qty"),
+                      F.round("sum_disc_price", 2).alias("sum_disc_price"),
+                      F.round("avg_qty", 4).alias("avg_qty"),
+                      F.col("count_order"))
+
+
+def q3_shipping(spark, sf_dir):
+    """TPC-H Q3-style: 3-way join + filter + groupby + top-k revenue."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    c = pas.read_parquet(_t(sf_dir, "customer"))
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    cb = c[c.c_mktsegment == "BUILDING"][["c_custkey"]]
+    oj = o.merge(cb, left_on="o_custkey", right_on="c_custkey",
+                 how="inner", broadcast=True)
+    lj = li.merge(oj[["o_orderkey"]], left_on="l_orderkey",
+                  right_on="o_orderkey", how="inner")
+    lj = lj.assign(rev=lj.l_extendedprice * (1 - lj.l_discount))
+    out = lj.groupby("l_orderkey").agg(revenue=("rev", "sum"))
+    top = out.reset_index().nlargest(10, "revenue")
+    sdf = top.to_spark(index=False)
+    return sdf.select(F.col("l_orderkey").cast("long").alias("l_orderkey"),
+                      F.round("revenue", 2).alias("revenue"))
+
+
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5-style: 6-way star join, revenue by nation (dims
+    broadcast)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    r = pas.read_parquet(_t(sf_dir, "region"))
+    n = pas.read_parquet(_t(sf_dir, "nation"))
+    c = pas.read_parquet(_t(sf_dir, "customer"))
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    s = pas.read_parquet(_t(sf_dir, "supplier"))
+    nr = n.merge(r, left_on="n_regionkey", right_on="r_regionkey",
+                 how="inner", broadcast=True)
+    cn = c.merge(nr[["n_nationkey", "n_name"]], left_on="c_nationkey",
+                 right_on="n_nationkey", how="inner", broadcast=True)
+    oc = o.merge(cn[["c_custkey", "n_name"]], left_on="o_custkey",
+                 right_on="c_custkey", how="inner")
+    ls = li.merge(s[["s_suppkey", "s_nationkey"]], left_on="l_suppkey",
+                  right_on="s_suppkey", how="inner", broadcast=True)
+    lo = ls.merge(oc[["o_orderkey", "n_name"]], left_on="l_orderkey",
+                  right_on="o_orderkey", how="inner")
+    lo = lo.assign(rev=lo.l_extendedprice * (1 - lo.l_discount))
+    out = lo.groupby("n_name").agg(revenue=("rev", "sum"))
+    sdf = out.to_spark()
+    return sdf.select("n_name", F.round("revenue", 2).alias("revenue"))
+
+
+def q6_forecast(spark, sf_dir):
+    """TPC-H Q6-style: filtered single-row aggregate (mask filter
+    pushes to the parquet scan)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    # chained masks: each filter composes in-plan and pushes to the scan
+    f = li[li.l_quantity < 24]
+    f = f[f.l_discount >= 0.05]
+    f = f[f.l_discount <= 0.07]
+    f = f.assign(rev=f.l_extendedprice * f.l_discount)
+    total = f.rev.sum()
+    n = len(f)
+    return spark.createDataFrame(
+        [(float(round(total, 2)), int(n))], "revenue double, n long")
+
+
+def q_window_topk(spark, sf_dir):
+    """Window function: per-customer top-3 orders by totalprice."""
+    from pyspark.sql import Window
+    _prep(spark)
+    o = spark.read.parquet(_t(sf_dir, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.col("rk").cast("long").alias("rk")))
+
+
+def q_distinct_count(spark, sf_dir):
+    """distinct + exact/approx count-distinct per group."""
+    _prep(spark)
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_orderkey").alias("n_orders"),
+                 F.countDistinct("l_partkey").alias("n_parts")))
+
+
+# ---------------------------------------------------------------------------
+# events
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    from pandas_alchemy_spark.ext import events
+    _prep(spark)
+    ev = events.load_events(spark, _t(sf_dir, "events"))
+    out = events.tumbling_window_agg(ev)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value", "n_users")
+
+
+def q_sessionize(spark, sf_dir):
+    from pandas_alchemy_spark.ext import events
+    _prep(spark)
+    ev = events.load_events(spark, _t(sf_dir, "events"))
+    out = events.sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        "n_events", "sum_value")
+
+
+def q_top_users(spark, sf_dir):
+    from pandas_alchemy_spark.ext import events
+    _prep(spark)
+    ev = events.load_events(spark, _t(sf_dir, "events"))
+    return events.top_users_by_value(ev, 10).select(
+        "user_id", "total_value", "n_events",
+        F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text (pipeline extensions)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from pandas_alchemy_spark.ext import dedup
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup.exact_dedup(docs)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from pandas_alchemy_spark.ext import dedup
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                  threshold=0.4)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from pandas_alchemy_spark.ext import dedup
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return dedup.simhash_pairs(docs, max_hamming=8).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from pandas_alchemy_spark.ext import dedup
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    from pandas_alchemy_spark.ext import similarity
+    _prep(spark)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = emb.filter("vec_id < 5")
+    out = similarity.cosine_topk(emb, q, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Approximate ANN (multi-table LSH) — no SQL oracle (approximate
+    by design); driver records rows-only.  Recall is tested against
+    brute force in tests/test_ext.py."""
+    from pandas_alchemy_spark.ext import similarity
+    _prep(spark)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    dim = len(emb.select("embedding").head(1)[0][0])
+    q = emb.filter("vec_id < 5")
+    out = similarity.lsh_topk(emb, q, k=5, dim=dim)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Brute-force embedding near-dup pairs (exact; the LSH-bucketed
+    variant is the scale path)."""
+    from pandas_alchemy_spark.ext import similarity
+    _prep(spark)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    dot = similarity._DOT.format(a="va", b="vb")
+    na = similarity._NORM.format(a="va")
+    nb = similarity._NORM.format(a="vb")
+    cos = F.expr(f"({dot}) / nullif(({na}) * ({nb}), 0.0)")
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("c"))
+            .filter(F.col("c") >= 0.45)
+            .select("id_a", "id_b", F.round("c", 4).alias("cosine")))
+
+
+def q_langid(spark, sf_dir):
+    from pandas_alchemy_spark.ext import text
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = text.language_id(docs)
+    return (out.groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("lang_score"), 6).alias("avg_score")))
+
+
+def q_quality(spark, sf_dir):
+    from pandas_alchemy_spark.ext import text
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = text.quality_score(docs)
+    return out.select("doc_id", "q_n_chars", "q_n_tokens",
+                      "q_mean_word_len", "q_punct_ratio",
+                      "q_stopword_ratio", "q_score")
+
+
+def q_token_stats(spark, sf_dir):
+    from pandas_alchemy_spark.ext import text
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text.token_stats(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+
+
+def q_fingerprint(spark, sf_dir):
+    from pandas_alchemy_spark.ext import text
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_multimodal_stats(spark, sf_dir):
+    from pandas_alchemy_spark.ext import multimodal
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    dec = multimodal.decode_media(multimodal.attach_fake_payload(docs))
+    return multimodal.media_stats(dec)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_project": q_scan_project,
+        "scalar_arith": q_scalar_arith,
+        "ieee_div": q_ieee_div,
+        "python_mod": q_python_mod,
+        "clip_round_abs": q_clip_round_abs,
+        "fill_isna": q_fill_isna,
+        "align_add_outer": q_align_add_outer,
+        "col_align_nulls": q_col_align_nulls,
+        "head_sorted": q_head_sorted,
+        "tail_sorted": q_tail_sorted,
+        "iat_scalar": q_iat_scalar,
+        "from_pandas_literal": q_from_pandas_literal,
+        "series_prefix": q_series_prefix,
+        "bool_coercion": q_bool_coercion,
+        "groupby_agg": q_groupby_agg,
+        "q3_shipping": q3_shipping,
+        "q5_local_supplier": q5_local_supplier,
+        "q6_forecast": q6_forecast,
+        "window_topk": q_window_topk,
+        "distinct_count": q_distinct_count,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
+        "top_users": q_top_users,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann": q_lsh_ann,
+        "emb_near_dup": q_emb_near_dup,
+        "langid": q_langid,
+        "quality": q_quality,
+        "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
+        "multimodal_stats": q_multimodal_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# shared SQL fragments (DuckDB dialect)
+_DK_TOKS = ("list_filter(string_split_regex(lower(regexp_replace({col}, "
+            "'[^a-zA-Z0-9]+', ' ', 'g')), ' '), t -> t != '')")
+_DK_H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+def _dk_shingles(col: str, n: int = 3) -> str:
+    toks = _DK_TOKS.format(col=col)
+    return (f"list_distinct(list_transform(range(0, greatest(len({toks}) - {n}, 0) + 1), "
+            f"i -> array_to_string(({toks})[i + 1: i + {n}], ' ')))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks_text = _DK_TOKS.format(col="text")
+    stop_en = ("len(list_filter(" + toks_text + ", t -> list_contains("
+               "['the','and','of','to','in','is','that','it','was','for',"
+               "'with','as','his','on','be','at','by','had','not','are'], t)))"
+               " / greatest(len(" + toks_text + "), 1)::DOUBLE")
+
+    def stop_ratio(words):
+        lst = ", ".join(f"'{w}'" for w in words)
+        return (f"len(list_filter({toks_text}, t -> list_contains([{lst}], t)))"
+                f" / greatest(len({toks_text}), 1)::DOUBLE")
+
+    from pandas_alchemy_spark.ext.text import STOPWORDS
+    lang_structs = ", ".join(
+        "{'score': CAST(%s AS DOUBLE), 'lang': '%s'}" % (stop_ratio(ws), lang)
+        for lang, ws in sorted(STOPWORDS.items()))
+
+    return {
+        "scan_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        """,
+        "scalar_arith": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount), 4) AS revenue
+            FROM lineitem
+        """,
+        "ieee_div": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE
+                     WHEN l_linenumber = 3 AND l_quantity = 0 THEN -999999.0
+                     WHEN l_linenumber = 3 AND l_quantity > 0 THEN 999999.0
+                     WHEN l_linenumber = 3 AND l_quantity < 0 THEN -888888.0
+                     ELSE round(l_quantity / (l_linenumber - 3), 6)
+                   END AS div_val
+            FROM lineitem
+        """,
+        "python_mod": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE
+                     WHEN l_linenumber = 3 THEN -999999.0
+                     ELSE round(fmod(fmod(l_quantity, l_linenumber - 3)
+                                     + (l_linenumber - 3), l_linenumber - 3), 6)
+                   END AS mod_val
+            FROM lineitem
+        """,
+        "clip_round_abs": """
+            SELECT c_custkey,
+                   round(least(greatest(c_acctbal, -500.0), 5000.0), 1) AS bal_clip,
+                   round(abs(c_acctbal), 1) AS bal_abs
+            FROM customer
+        """,
+        "fill_isna": """
+            SELECT count(*) FILTER (WHERE l_discount = 0)::BIGINT AS n_null,
+                   round(sum(CASE WHEN l_discount = 0 THEN 1.0 ELSE l_discount END), 4) AS sum_filled
+            FROM lineitem
+        """,
+        "align_add_outer": """
+            WITH a AS (
+              SELECT o_custkey, sum(o_totalprice) AS total
+              FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+            ), b AS (
+              SELECT o_custkey, sum(o_totalprice) AS total
+              FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+            )
+            SELECT coalesce(a.o_custkey, b.o_custkey)::BIGINT AS o_custkey,
+                   round(a.total + b.total, 2) AS total_both
+            FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        "col_align_nulls": """
+            WITH a AS (
+              SELECT l_returnflag, sum(l_quantity) AS x, sum(l_extendedprice) AS y
+              FROM lineitem GROUP BY l_returnflag
+            ), b AS (
+              SELECT l_returnflag, sum(l_discount) AS y, sum(l_tax) AS z
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT coalesce(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+                   CAST(NULL AS DOUBLE) AS x,
+                   round(a.y + b.y, 2) AS y,
+                   CAST(NULL AS DOUBLE) AS z
+            FROM a FULL OUTER JOIN b ON a.l_returnflag = b.l_returnflag
+        """,
+        "head_sorted": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC LIMIT 10
+        """,
+        "tail_sorted": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY o_orderkey DESC LIMIT 5
+        """,
+        "iat_scalar": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_orderkey LIMIT 1
+        """,
+        "from_pandas_literal": """
+            SELECT k, CAST(v AS DOUBLE) AS v, CAST(v2 AS DOUBLE) AS v2
+            FROM (VALUES ('a', 1.5, 15.0), ('b', 2.5, 25.0),
+                         ('c', NULL, NULL)) AS t(k, v, v2)
+        """,
+        "series_prefix": """
+            SELECT 'nation_' || n_nationkey::VARCHAR AS idx, n_name
+            FROM nation
+        """,
+        "bool_coercion": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN l_quantity > 25 THEN 2 ELSE 0 END
+                       + CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END)::BIGINT AS total_score,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(l_quantity)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping": """
+            SELECT l_orderkey::BIGINT AS l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name
+        """,
+        "q6_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*)::BIGINT AS n
+            FROM lineitem
+            WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
+        """,
+        "window_topk": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   rk::BIGINT AS rk
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders) t
+            WHERE rk <= 3
+        """,
+        "distinct_count": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+                   count(DISTINCT l_partkey)::BIGINT AS n_parts
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT *, sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+              FROM marked
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        "top_users": """
+            SELECT user_id, round(sum(value), 4) AS total_value,
+                   count(*)::BIGINT AS n_events,
+                   row_number() OVER (ORDER BY round(sum(value), 4) DESC, user_id ASC)::BIGINT AS rank
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id ASC LIMIT 10
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keep_id,
+                   count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash": f"""
+            WITH sh AS (
+              SELECT doc_id, {_dk_shingles("text")} AS s
+              FROM documents
+            ), nonempty AS (
+              SELECT * FROM sh WHERE len(s) > 0
+            ), sigs AS (
+              SELECT doc_id, s,
+                     list_transform(range(0, 16), k ->
+                       list_min(list_transform(s, x ->
+                         {_DK_H60.format(s="k::VARCHAR || '|' || x")}))) AS sig
+              FROM nonempty
+            ), banded AS (
+              SELECT doc_id, s, b.band,
+                     array_to_string(sig[b.band * 4 + 1: b.band * 4 + 4], ',') AS bh
+              FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                     l.s AS sa, r.s AS sb
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(len(list_intersect(sa, sb))
+                         / (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE, 6) AS jaccard
+            FROM cand
+            WHERE len(list_intersect(sa, sb))
+                  / (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.4
+        """,
+        "dedup_simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({toks_text}) AS t FROM documents
+            ), th AS (
+              SELECT doc_id, {_DK_H60.format(s="t")} AS h FROM tok
+            ), bits AS (
+              SELECT doc_id, b.b,
+                     sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(range(0, 64)) AS b) b
+              GROUP BY doc_id, b.b
+            ), sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+              FROM bits GROUP BY doc_id
+            ), chunked AS (
+              SELECT doc_id, sh, c.c AS chunk, (sh >> (c.c * 16)) & 65535 AS ch
+              FROM sig, (SELECT unnest(range(0, 4)) AS c) c
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                     l.sh AS sha, r.sh AS shb
+              FROM chunked l JOIN chunked r
+                ON l.chunk = r.chunk AND l.ch = r.ch AND l.doc_id < r.doc_id
+            )
+            SELECT id_a, id_b, bit_count(xor(sha, shb))::BIGINT AS hamming
+            FROM cand WHERE bit_count(xor(sha, shb)) <= 8
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id, {_dk_shingles("text")} AS s FROM documents
+            ), nonempty AS (SELECT * FROM sh WHERE len(s) > 0),
+            ex AS (
+              SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM nonempty
+            ), inter AS (
+              SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                     min(l.sz) AS sz_a, min(r.sz) AS sz_b,
+                     count(*)::BIGINT AS n_inter
+              FROM ex l JOIN ex r ON l.g = r.g AND l.doc_id < r.doc_id
+              GROUP BY l.doc_id, r.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (sz_a + sz_b - n_inter)::DOUBLE, 6) AS jaccard
+            FROM inter
+            WHERE n_inter / (sz_a + sz_b - n_inter)::DOUBLE >= 0.5
+        """,
+        "cosine_topk": """
+            WITH pairs AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                                 (a, b) -> a + b)
+                     / nullif(
+                         sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                         * sqrt(list_reduce(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)),
+                         0.0) AS cosine
+              FROM embeddings q JOIN embeddings c ON q.vec_id < 5
+                   AND c.vec_id != q.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM pairs
+            )
+            SELECT query_id, neighbor_id, round(cosine, 4) AS cosine,
+                   rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "emb_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                                 (x, y) -> x + y)
+                     / nullif(
+                         sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+                         * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)),
+                         0.0), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                              (x, y) -> x + y)
+                  / nullif(
+                      sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+                      * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)),
+                      0.0) >= 0.45
+        """,
+        "langid": f"""
+            WITH scored AS (
+              SELECT doc_id, unnest([{lang_structs}]) AS sl
+              FROM documents
+            ), ranked AS (
+              SELECT doc_id, sl.score AS score, sl.lang AS lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY sl.score DESC, sl.lang DESC) AS rk
+              FROM scored
+            ), best AS (
+              SELECT doc_id,
+                     CASE WHEN score > 0 THEN lang ELSE 'unknown' END AS lang_pred,
+                     round(score, 6) AS lang_score
+              FROM ranked WHERE rk = 1
+            )
+            SELECT lang_pred, count(*)::BIGINT AS n,
+                   round(avg(lang_score), 6) AS avg_score
+            FROM best GROUP BY lang_pred
+        """,
+        "quality": f"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS q_n_chars,
+                   len({toks_text})::BIGINT AS q_n_tokens,
+                   round(list_reduce(list_prepend(0::BIGINT,
+                         list_transform({toks_text}, t -> length(t)::BIGINT)), (a, b) -> a + b)
+                         / greatest(len({toks_text}), 1)::DOUBLE, 6) AS q_mean_word_len,
+                   round(length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g'))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS q_punct_ratio,
+                   round({stop_en}, 6) AS q_stopword_ratio,
+                   round(CASE WHEN len({toks_text}) < 5 THEN 0.0 ELSE
+                     least(1.0, len({toks_text}) / 100.0) * 0.3
+                     + (1.0 - least(1.0, (length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g'))
+                                          / greatest(length(text), 1)::DOUBLE) * 5)) * 0.3
+                     + least(1.0, ({stop_en}) * 4) * 0.2
+                     + CASE WHEN (list_reduce(list_prepend(0::BIGINT,
+                              list_transform({toks_text}, t -> length(t)::BIGINT)), (a, b) -> a + b)
+                              / greatest(len({toks_text}), 1)::DOUBLE) BETWEEN 3 AND 8
+                            THEN 0.2 ELSE 0.0 END
+                   END, 6) AS q_score
+            FROM documents
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len({toks_text})::BIGINT AS n_ws_tokens,
+                   (list_reduce(list_prepend(0::BIGINT,
+                      list_transform({toks_text}, t -> ceil(length(t) / 4.0)::BIGINT)),
+                      (a, b) -> a + b)
+                    + length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g')))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
+        "fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct({toks_text})), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "multimodal_stats": """
+            WITH dec AS (
+              SELECT doc_id,
+                     CASE (('0x' || substr(md5(text), 17, 8))::BIGINT % 3)
+                       WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                       ELSE 'audio/wav' END AS media_type,
+                     strlen(text)::BIGINT AS n_bytes,
+                     16 + (('0x' || substr(md5(text), 1, 2))::INT % 240) AS width,
+                     16 + (('0x' || substr(md5(text), 3, 2))::INT % 240) AS height
+              FROM documents
+            )
+            SELECT media_type, count(*)::BIGINT AS n_items,
+                   sum(n_bytes)::BIGINT AS total_bytes,
+                   round(avg(width), 4) AS avg_width,
+                   round(avg(height), 4) AS avg_height
+            FROM dec GROUP BY media_type
+        """,
+    }

@@ -227,6 +227,23 @@ class BaseFrame:
 
         return joined, lcol, rcol, idx
 
+    def to_spark(self, index: bool = True) -> SparkDF:
+        """Export the plan as a plain Spark DataFrame with user-facing
+        names: index levels under their level names (or ``index``),
+        data columns under their labels.  Labels must be unique strings
+        (the general duplicate-label case stays inside the façade)."""
+        sel = []
+        if index:
+            for i, name in enumerate(self._index):
+                sel.append(self._idx_at(i).alias(str(name) if name is not None else "index"))
+        if self._columns is not None:
+            labels = list(self._columns)
+        else:
+            labels = [getattr(self, "name", None) or "value"]
+        for i, lab in enumerate(labels):
+            sel.append(self._col_at(i).alias(str(lab)))
+        return self._sdf.select(*sel)
+
     # -- execution boundary ------------------------------------------------
 
     def _fetch(self):

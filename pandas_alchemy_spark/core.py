@@ -738,7 +738,9 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         # reference alchemy.py:465-468
         self._sdf = self._project(self._idx_cols(),
                                   [_clip_col(self._the_col, lower, upper)])
-        self._lineage = None
+        if self._lineage is not None:
+            root, expr = self._lineage
+            self._lineage = (root, _clip_col(expr, lower, upper))
 
     # -- prefix/suffix: concat onto *index values* (query rewrite,
     #    reference alchemy.py:470-478 — intended semantics; the

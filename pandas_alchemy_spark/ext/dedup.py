@@ -81,11 +81,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     filtered at ``threshold``.  Returns (id_a, id_b, jaccard)."""
     rows = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    # band key = the band's signature values themselves (joined as a
+    # string) — deterministic and oracle-reproducible.  At very large
+    # scale, re-hashing the band string (xxhash64) narrows the shuffle
+    # key; the candidate set is identical up to hash collisions.
     banded = sigs.select(
         id_col, "__sh",
         F.explode(F.expr(
             f"transform(sequence(0, {bands - 1}), b -> "
-            f" struct(b as band, hash(concat_ws(',', slice(signature, b * {rows} + 1, {rows}))) as bh))"
+            f" struct(b as band, concat_ws(',', slice(signature, b * {rows} + 1, {rows})) as bh))"
         )).alias("bb"))
     banded = banded.select(id_col, "__sh", "bb.band", "bb.bh")
     l = banded.alias("l")

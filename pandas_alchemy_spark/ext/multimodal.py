@@ -35,12 +35,15 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """Synthesize an opaque binary payload column (stand-in for image
     bytes) plus media_type metadata — deterministic from the text."""
+    # md5-derived type selection (not xxhash64) so the DuckDB oracle
+    # can reproduce it bit-for-bit
+    sel = F.expr(f"pmod(cast(conv(substr(md5({text_col}), 17, 8), 16, 10) as bigint), 3)")
     return df.select(
         F.col(id_col),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.element_at(
             F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("audio/wav")),
-            (F.pmod(F.xxhash64(text_col), 3) + 1).cast("int")).alias("media_type"))
+            (sel + 1).cast("int")).alias("media_type"))
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
