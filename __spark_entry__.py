@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # InferFiltersFromGenerate inlines expensive generators into
+    # pushed-down filters (see pandas_alchemy_spark/ext/dedup.py)
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -575,10 +580,11 @@ _DK_TOKS = ("list_filter(string_split_regex(lower(regexp_replace({col}, "
 _DK_H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
 
 
-def _dk_shingles(col: str, n: int = 3) -> str:
+def _dk_shingles(col: str, n: int = 3, distinct: bool = True) -> str:
     toks = _DK_TOKS.format(col=col)
-    return (f"list_distinct(list_transform(range(0, greatest(len({toks}) - {n}, 0) + 1), "
-            f"i -> array_to_string(({toks})[i + 1: i + {n}], ' ')))")
+    raw = (f"list_transform(range(0, greatest(len({toks}) - {n}, 0) + 1), "
+           f"i -> array_to_string(({toks})[i + 1: i + {n}], ' '))")
+    return f"list_distinct({raw})" if distinct else raw
 
 
 def oracle_sql() -> dict[str, str]:
@@ -787,23 +793,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": f"""
             WITH sh AS (
-              SELECT doc_id, {_dk_shingles("text")} AS s
+              SELECT doc_id, {_dk_shingles("text", distinct=False)} AS s
               FROM documents
-            ), nonempty AS (
-              SELECT * FROM sh WHERE len(s) > 0
+            ), hset AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(s, x -> {_DK_H60.format(s="x")})) AS hs
+              FROM sh WHERE len(s) > 0
             ), sigs AS (
-              SELECT doc_id, s,
+              SELECT doc_id, hs,
                      list_transform(range(0, 16), k ->
-                       list_min(list_transform(s, x ->
-                         {_DK_H60.format(s="k::VARCHAR || '|' || x")}))) AS sig
-              FROM nonempty
+                       list_min(list_transform(hs, x ->
+                         ((2 * k + 1) * (x % 2147483647) + (12345 + k * 7919)) % 2147483647))) AS sig
+              FROM hset
             ), banded AS (
-              SELECT doc_id, s, b.band,
+              SELECT doc_id, hs, b.band,
                      array_to_string(sig[b.band * 4 + 1: b.band * 4 + 4], ',') AS bh
               FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
             ), cand AS (
               SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
-                     l.s AS sa, r.s AS sb
+                     l.hs AS sa, r.hs AS sb
               FROM banded l JOIN banded r
                 ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
             )
@@ -842,10 +850,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": f"""
             WITH sh AS (
-              SELECT doc_id, {_dk_shingles("text")} AS s FROM documents
-            ), nonempty AS (SELECT * FROM sh WHERE len(s) > 0),
-            ex AS (
-              SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM nonempty
+              SELECT doc_id, {_dk_shingles("text", distinct=False)} AS s FROM documents
+            ), hset AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(s, x -> {_DK_H60.format(s="x")})) AS hs
+              FROM sh WHERE len(s) > 0
+            ), ex AS (
+              SELECT doc_id, len(hs) AS sz, unnest(hs) AS g FROM hset
             ), inter AS (
               SELECT l.doc_id AS id_a, r.doc_id AS id_b,
                      min(l.sz) AS sz_a, min(r.sz) AS sz_b,

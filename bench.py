@@ -1,0 +1,102 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are the scalable subset of __spark_entry__.queries() — the
+O(n^2) brute-force near-dup is replaced by its LSH-bucketed scale path.
+Materialization uses the noop sink (full compute, no driver transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("pandas_alchemy_spark_bench")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+             .config("spark.sql.optimizer.excludedRules",
+                     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from pandas_alchemy_spark.ext import similarity
+
+    qs = E.queries()
+
+    def lsh_near_dup(spark_, sf_dir_):
+        emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+        dim = len(emb.select("embedding").head(1)[0][0])
+        return similarity.embedding_near_dup_pairs(emb, dim=dim, planes=10,
+                                                   threshold=0.45)
+
+    bench_queries = {
+        "q1_pricing": qs["groupby_agg"],
+        "q3_shipping": qs["q3_shipping"],
+        "q5_local_supplier": qs["q5_local_supplier"],
+        "q6_forecast": qs["q6_forecast"],
+        "window_topk": qs["window_topk"],
+        "scalar_arith": qs["scalar_arith"],
+        "ieee_div": qs["ieee_div"],
+        "align_add_outer": qs["align_add_outer"],
+        "events_hourly": qs["events_hourly"],
+        "sessionize": qs["sessionize"],
+        "dedup_exact": qs["dedup_exact"],
+        "dedup_minhash": qs["dedup_minhash"],
+        "dedup_simhash": qs["dedup_simhash"],
+        "cosine_topk": qs["cosine_topk"],
+        "lsh_ann": qs["lsh_ann"],
+        "emb_near_dup_lsh": lsh_near_dup,
+        "token_stats": qs["token_stats"],
+        "fingerprint": qs["fingerprint"],
+        "langid": qs["langid"],
+    }
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times = {}
+    for name, fn in bench_queries.items():
+        t0 = time.time()
+        try:
+            _materialize(fn(spark, sf_dir))
+            times[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # record failures without killing the run
+            times[name] = -1.0
+            print(f"# bench error {name}: {str(ex)[:200]}", file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "n_queries": len(times),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,17 @@ from .utils import wrap
 class BaseFrame:
     ndim: int
 
+    #: True when __idx_0 holds a *provisional* rowid — a
+    #: monotonically_increasing_id captured at scan time (unique,
+    #: order-correlated, NOT contiguous).  The contiguous 0-based values
+    #: the reference synthesizes eagerly (row_number() OVER () - 1,
+    #: alchemy.py:332-334) are only produced when index *values* become
+    #: observable: export, positional ops, or alignment against a
+    #: value-indexed frame.  This keeps a plain scan->project->agg
+    #: pipeline completely free of rowid jobs — the 100 TB-relevant
+    #: property (no count pass, no broadcast join under every query).
+    _mid_index = False
+
     def __init__(self, index: pd.Index, columns: pd.Index | None, sdf: SparkDF):
         # index: pd.Index of *level names* (values live in the plan),
         # reference base.py:9-12.
@@ -116,6 +127,26 @@ class BaseFrame:
         scalable partition-offset variant, not a global window."""
         return with_rowid(sdf, name)
 
+    def _densify(self) -> None:
+        """Replace a provisional mid-index with contiguous 0-based
+        rowids in current physical order (one O(#partitions) count
+        pass).  Mirrors the reference's on-demand rowid re-synthesis
+        (base.py:58-62).  In place; no-op when already dense."""
+        if not self._mid_index:
+            return
+        body = self._sdf.drop(I.idx_name(0))
+        rid = with_rowid(body, I.idx_name(0))
+        order = [I.idx_name(0)] + [c for c in body.columns]
+        self._sdf = rid.select(*order)
+        self._mid_index = False
+
+    def _densified(self) -> "BaseFrame":
+        if not self._mid_index:
+            return self
+        new = self._shallow_copy()
+        new._densify()
+        return new
+
     # -- alignment joins ---------------------------------------------------
 
     @staticmethod
@@ -146,8 +177,16 @@ class BaseFrame:
         """
         if self._is_mindex or other._is_mindex:
             return self._join_idx_names(other)
-        l = self._rename_all(self._sdf, "l_")
-        r = self._rename_all(other._sdf, "r_")
+        # provisional-mid handling: two mid-indexed frames from the same
+        # scan share row identity — join on the mids directly (zero
+        # extra jobs; exactly the eager-rowid alignment semantics).
+        # Mixed mid/value indexes must densify the mid side first.
+        this = self
+        if self._mid_index != other._mid_index:
+            this = self._densified()
+            other = other._densified()
+        l = this._rename_all(this._sdf, "l_")
+        r = this._rename_all(other._sdf, "r_")
         lk, rk = f"l_{I.idx_name(0)}", f"r_{I.idx_name(0)}"
         joined = l.join(r, l[lk] == r[rk], "full_outer")
         idx = [F.coalesce(joined[lk], joined[rk])]
@@ -231,18 +270,21 @@ class BaseFrame:
         """Export the plan as a plain Spark DataFrame with user-facing
         names: index levels under their level names (or ``index``),
         data columns under their labels.  Labels must be unique strings
-        (the general duplicate-label case stays inside the façade)."""
+        (the general duplicate-label case stays inside the façade).
+        ``index=False`` skips the index entirely — a mid-indexed frame
+        then exports with zero rowid cost."""
+        this = self._densified() if index else self
         sel = []
         if index:
-            for i, name in enumerate(self._index):
-                sel.append(self._idx_at(i).alias(str(name) if name is not None else "index"))
-        if self._columns is not None:
-            labels = list(self._columns)
+            for i, name in enumerate(this._index):
+                sel.append(this._idx_at(i).alias(str(name) if name is not None else "index"))
+        if this._columns is not None:
+            labels = list(this._columns)
         else:
-            labels = [getattr(self, "name", None) or "value"]
+            labels = [getattr(this, "name", None) or "value"]
         for i, lab in enumerate(labels):
-            sel.append(self._col_at(i).alias(str(lab)))
-        return self._sdf.select(*sel)
+            sel.append(this._col_at(i).alias(str(lab)))
+        return this._sdf.select(*sel)
 
     # -- execution boundary ------------------------------------------------
 
@@ -252,7 +294,11 @@ class BaseFrame:
 
     def _fetch_pandas(self) -> tuple[pd.Index, pd.DataFrame]:
         """Fetch and split the positional layout back into a pandas
-        (Multi)Index + data block (reference alchemy.py:287-299)."""
+        (Multi)Index + data block (reference alchemy.py:287-299).
+
+        A provisional mid-index is ranked *client-side* on the fetched
+        rows (free — the data already crossed the wire), yielding the
+        0-based contiguous index the reference synthesizes in-query."""
         pdf = self._fetch()
         n = self._n_idx()
         idx_part = pdf.iloc[:, :n]
@@ -261,6 +307,9 @@ class BaseFrame:
             index = pd.MultiIndex.from_frame(idx_part)
             index.names = list(self._index)
         else:
-            index = pd.Index(idx_part.iloc[:, 0])
+            values = idx_part.iloc[:, 0]
+            if self._mid_index:
+                values = values.rank(method="first").astype("int64") - 1
+            index = pd.Index(values)
             index.name = self._index[0]
         return index, data_part

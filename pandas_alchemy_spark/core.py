@@ -152,8 +152,10 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         sdf = self._sdf.select(
             *[F.col(I.idx_name(k)) for k in range(self._n_idx())],
             self._col_at(i).alias(I.col_name(0)))
-        return Series(self._index, pd.Index([name]), sdf, name,
-                      lineage=(self._sdf, self._col_at(i)))
+        s = Series(self._index, pd.Index([name]), sdf, name,
+                   lineage=(self._sdf, self._col_at(i)))
+        s._mid_index = self._mid_index
+        return s
 
     def __getitem__(self, key):
         # label -> Series; list of labels -> projection; boolean Series
@@ -166,7 +168,9 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             sdf = self._sdf.select(
                 *[F.col(I.idx_name(k)) for k in range(self._n_idx())],
                 *[self._col_at(p).alias(I.col_name(j)) for j, p in enumerate(positions)])
-            return DataFrame(self._index, pd.Index(key), sdf)
+            out = DataFrame(self._index, pd.Index(key), sdf)
+            out._mid_index = self._mid_index
+            return out
         return self._seq_at(self._columns.get_loc(key))
 
     def __setitem__(self, key, value):
@@ -304,6 +308,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                     for i in range(self._n_cols())]
             self._sdf = base.BaseFrame(idx_names, self._columns, joined)._project(idx, cols)
             self._index = idx_names
+            self._mid_index = self._mid_index and other._mid_index
             return
 
         # rule 4: DataFrame operand -> align columns and rows
@@ -323,6 +328,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             self._sdf = base.BaseFrame(idx_names, joined_labels, joined)._project(idx, cols)
             self._index = idx_names
             self._columns = joined_labels
+            self._mid_index = self._mid_index and other._mid_index
             return
 
         # rules 5-6: plain list-likes
@@ -423,14 +429,18 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         root = mask._lineage_root
         if root is not None and root is self._sdf:
             cond = mask._lineage_expr
-            return DataFrame(self._index, self._columns, self._sdf.filter(cond))
+            out = DataFrame(self._index, self._columns, self._sdf.filter(cond))
+            out._mid_index = self._mid_index
+            return out
         # general path: inner join on index equality
         m = self._rename_all(mask._sdf, "m_")
         cond = self._sdf[I.idx_name(0)] == m[f"m_{I.idx_name(0)}"]
         joined = self._sdf.join(m, cond, "inner").filter(
             F.col(f"m_{I.col_name(0)}"))
-        return DataFrame(self._index, self._columns,
-                         joined.select(self._sdf.columns))
+        out = DataFrame(self._index, self._columns,
+                        joined.select(self._sdf.columns))
+        out._mid_index = self._mid_index and mask._mid_index
+        return out
 
     def assign(self, **kwargs) -> "DataFrame":
         """Append computed columns (beyond reference; standard pandas
@@ -456,7 +466,9 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                 labels.append(name)
                 exprs.append(expr)
         sdf = self._project(self._idx_cols(), exprs)
-        return DataFrame(self._index, pd.Index(labels), sdf)
+        out = DataFrame(self._index, pd.Index(labels), sdf)
+        out._mid_index = self._mid_index
+        return out
 
     # -- materialization ---------------------------------------------------
 
@@ -516,10 +528,15 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         else:
             sdf = spark.read.table(table if schema is None else f"{schema}.{table}")
         cols = list(sdf.columns)
+        mid = False
         if index is None:
-            sdf = with_rowid(sdf, I.ROWID)
+            # provisional rowid: a narrow monotonic id, densified to the
+            # reference's 0-based contiguous form only when index values
+            # become observable (base.BaseFrame._mid_index)
+            sdf = sdf.withColumn(I.ROWID, F.monotonically_increasing_id())
             idx_exprs = [F.col(I.ROWID)]
             index = pd.Index((None,))
+            mid = True
         else:
             if not pd.api.types.is_list_like(index):
                 index = (index,)
@@ -535,7 +552,9 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                 cols.index(c)  # raises ValueError on unknown, as reference
         sel = [e.alias(I.idx_name(i)) for i, e in enumerate(idx_exprs)]
         sel += [F.col(c).alias(I.col_name(i)) for i, c in enumerate(columns)]
-        return DataFrame(index, columns, sdf.select(*sel))
+        out = DataFrame(index, columns, sdf.select(*sel))
+        out._mid_index = mid
+        return out
 
 
 class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
@@ -674,6 +693,7 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             self._sdf = base.BaseFrame(idx_names, None, joined)._project(idx, [col])
             self._index = idx_names
             self._lineage = None
+            self._mid_index = self._mid_index and other._mid_index
             self.name = self.name if self.name == other.name else None
             return
 

@@ -32,6 +32,24 @@ _TOKENS = "filter(split(lower(regexp_replace({col}, '[^a-zA-Z0-9]+', ' ')), ' ')
 _H60 = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
 
 
+#: Catalyst's InferFiltersFromGenerate synthesizes size(generator)>0
+#: filters and pushes them below projections, INLINING the whole
+#: tokenize/shingle pipeline into the filter (O(n^2) re-tokenization
+#: per row; measured 3-6x slowdown on every explode-based operator
+#: here).  The generators in this module never benefit from the rule.
+_BAD_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def _tune(df: DataFrame) -> DataFrame:
+    conf = df.sparkSession.conf
+    current = conf.get("spark.sql.optimizer.excludedRules", None)
+    if not current:
+        conf.set("spark.sql.optimizer.excludedRules", _BAD_RULE)
+    elif _BAD_RULE not in current:
+        conf.set("spark.sql.optimizer.excludedRules", f"{current},{_BAD_RULE}")
+    return df
+
+
 def tokens_expr(col: str):
     return F.expr(_TOKENS.format(col=col))
 
@@ -47,26 +65,80 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                    F.count(F.lit(1)).alias("n_copies")))
 
 
-def shingles_expr(col: str, n: int = 3):
-    """Word n-gram shingles as an array<string> (distinct)."""
-    toks = _TOKENS.format(col=col)
-    return F.expr(
-        f"array_distinct(transform(sequence(0, greatest(size({toks}) - {n}, 0)),"
-        f" i -> concat_ws(' ', slice({toks}, i + 1, {n}))))")
+def shingles_expr(col: str, n: int = 3, distinct: bool = True):
+    """Word n-gram shingles as an array<string>.
+
+    ``col`` should be a *materialized token-array column* (see
+    :func:`with_shingles`) — embedding the tokenizer here would
+    re-tokenize inside the per-shingle lambda, turning an O(len) pass
+    into O(len^2) per document."""
+    raw = (f"transform(sequence(0, greatest(size({col}) - {n}, 0)),"
+           f" i -> concat_ws(' ', slice({col}, i + 1, {n})))")
+    return F.expr(f"array_distinct({raw})" if distinct else raw)
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow-but-CPU-heavy pipeline across the cluster when
+    the source has fewer partitions than cores (common for one small
+    parquet file; on a real cluster the scan already has thousands of
+    splits, making this a no-op)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def with_shingles(df: DataFrame, text_col: str, out: str = "__sh",
+                  n: int = 3, distinct: bool = True) -> DataFrame:
+    """Two-step tokenize-then-shingle so each stage sees a column, not
+    a recomputed expression."""
+    toked = df.withColumn("__toks", tokens_expr(text_col))
+    return toked.withColumn(out, shingles_expr("__toks", n, distinct)).drop("__toks")
+
+
+def hashed_shingle_sets(df: DataFrame, text_col: str, id_col: str,
+                        shingle_n: int = 3) -> DataFrame:
+    """(id, hs array<long>) — the DISTINCT shingle set as 60-bit
+    hashes, built by explode + collect_set (one codegen'd aggregate;
+    dedup happens in the agg hash map, not via interpreted
+    array_distinct).  All downstream set algebra (Jaccard) runs on
+    longs — far cheaper to shuffle/cache than shingle strings, and
+    identical up to md5 collisions (~(n^2)/2^60, negligible)."""
+    sh = with_shingles(df, text_col, "__shraw", shingle_n, distinct=False)
+    ex = sh.select(F.col(id_col), F.explode("__shraw").alias("s"))
+    hashed = ex.select(id_col, F.expr(_H60.format(s="s")).alias("h"))
+    return hashed.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
+
+
+#: Mersenne prime 2^31-1 for universal hashing
+_P31 = 2147483647
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       shingle_n: int = 3) -> DataFrame:
-    """(id, signature array<long>) — sig[k] = min over shingles of
-    h60(k || shingle).  Pure narrow computation."""
-    sh = shingles_expr(text_col, shingle_n).alias("__sh")
-    base = df.select(F.col(id_col), sh).filter(F.size("__sh") > 0)
-    sig = F.expr(
-        "transform(sequence(0, %d), k -> "
-        " array_min(transform(__sh, s -> %s)))"
-        % (num_hashes - 1, _H60.format(s="concat(cast(k as string), '|', s)")))
-    return base.select(id_col, sig.alias("signature"), F.col("__sh"))
+    """(id, signature array<long>, __sh) — universal-hash MinHash:
+    ONE md5 per shingle reduced to 31 bits, then K affine hashes
+    h_k(x) = ((2k+1)·x + c_k) mod (2^31-1) as K codegen'd MIN
+    aggregates over exploded shingles.
+
+    Formulation notes (measured at sf0.1): higher-order array lambdas
+    are interpreted per element AND Catalyst's CollapseProject re-
+    inlines the hashed array into every k-lambda (K x md5 recompute);
+    explode + plain aggregates keeps everything in whole-stage codegen
+    with map-side partial MIN — ~20x faster and shuffle-light (the
+    partial agg reduces each partition to one row per doc)."""
+    sh = with_shingles(_tune(df), text_col, "__shraw", shingle_n, distinct=False)
+    ex = sh.select(F.col(id_col), F.explode("__shraw").alias("s"))
+    hashed = ex.select(id_col, F.expr(_H60.format(s="s")).alias("h"))
+    aggs = [F.min(F.expr(
+        f"pmod((2 * {k} + 1) * (h % {_P31}) + (12345 + {k} * 7919), {_P31})")).alias(f"__m{k}")
+        for k in range(num_hashes)]
+    aggs.append(F.collect_set("h").alias("hs"))
+    return hashed.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{k}") for k in range(num_hashes)]).alias("signature"),
+        F.col("hs"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -76,53 +148,79 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """Near-duplicate pairs via MinHash + LSH banding.
 
     signature -> ``bands`` bands of ``num_hashes/bands`` rows; docs
-    sharing any band hash become candidates (shuffle on band buckets
-    only); candidates are verified with exact shingle Jaccard and
-    filtered at ``threshold``.  Returns (id_a, id_b, jaccard)."""
+    sharing any band signature become candidates; candidates are
+    verified with exact shingle Jaccard at ``threshold``.
+    Returns (id_a, id_b, jaccard).
+
+    Execution shape (matters at scale):
+    - the shingle/signature frame is persisted — every downstream
+      branch would otherwise re-run the md5 pipeline (Spark re-executes
+      shared subtrees per DAG branch);
+    - candidate pairs come from a groupBy-(band,key) + within-bucket
+      combination explode, NOT a self-join — one shuffle on bucket
+      keys, no second copy of the corpus in flight;
+    - band key = the band's signature values as a string — oracle-
+      reproducible; re-hash it (xxhash64) to narrow the shuffle key at
+      very large scale.
+    """
     rows = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    # band key = the band's signature values themselves (joined as a
-    # string) — deterministic and oracle-reproducible.  At very large
-    # scale, re-hashing the band string (xxhash64) narrows the shuffle
-    # key; the candidate set is identical up to hash collisions.
-    banded = sigs.select(
-        id_col, "__sh",
+    sh = with_shingles(_tune(df), text_col, "__shraw", shingle_n, distinct=False)
+    ex = sh.select(F.col(id_col), F.explode("__shraw").alias("s"))
+    hashed = ex.select(id_col, F.expr(_H60.format(s="s")).alias("h"))
+    # ONE aggregate produces both the K minhash values (over h mod
+    # 2^31-1; min over the multiset == min over the set) and the
+    # distinct hashed-shingle set for the exact-Jaccard verify.
+    aggs = [F.min(F.expr(
+        f"pmod((2 * {k} + 1) * (h % {_P31}) + (12345 + {k} * 7919), {_P31})")).alias(f"__m{k}")
+        for k in range(num_hashes)]
+    aggs.append(F.collect_set("h").alias("hs"))
+    base = hashed.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col), F.col("hs"),
+        F.array(*[F.col(f"__m{k}") for k in range(num_hashes)]).alias("signature"))
+    base = base.persist()
+    banded = (base.select(
+        id_col,
         F.explode(F.expr(
             f"transform(sequence(0, {bands - 1}), b -> "
             f" struct(b as band, concat_ws(',', slice(signature, b * {rows} + 1, {rows})) as bh))"
         )).alias("bb"))
-    banded = banded.select(id_col, "__sh", "bb.band", "bb.bh")
-    l = banded.alias("l")
-    r = banded.alias("r")
-    cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
-                   & (F.col("l.bh") == F.col("r.bh"))
-                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"),
-                    F.col("l.__sh").alias("sh_a"),
-                    F.col("r.__sh").alias("sh_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    jac = (F.size(F.array_intersect("sh_a", "sh_b"))
-           / F.size(F.array_union("sh_a", "sh_b")))
-    return (cand.select("id_a", "id_b", jac.alias("jaccard"))
+        .select(id_col, "bb.band", "bb.bh"))
+    buckets = (banded.groupBy("band", "bh")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = (buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x as id_a, y as id_b))))"
+    )).alias("p")).select("p.id_a", "p.id_b").dropDuplicates())
+    sha = base.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    shb = base.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    jac = (F.size(F.array_intersect("hs_a", "hs_b"))
+           / F.size(F.array_union("hs_a", "hs_b")))
+    return (pairs.join(sha, "id_a").join(shb, "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 
-def simhash_expr(col: str, bits: int = 64):
-    """SimHash of the token multiset, as one narrow array fold: for each
-    bit position, sum ±1 over token hashes, take the sign bit."""
-    toks = _TOKENS.format(col=col)
+def simhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(id, sh) 64-bit SimHash of the token multiset.
+
+    Formulation chosen for whole-stage codegen: explode tokens, ONE md5
+    per token, then ``bits`` plain SUM(CASE ...) aggregates (vectorized
+    hash-agg with map-side partial aggregation) — higher-order array
+    lambdas are interpreted per-element in Spark and were ~10x slower.
+    Shuffle is one hash-agg keyed by doc id."""
     th = _H60.format(s="t")
-    # per-token ±1 vector for each bit, folded elementwise
-    acc = (f"aggregate({toks}, array_repeat(0, {bits}), (acc, t) -> "
-           f"zip_with(acc, transform(sequence(0, {bits - 1}), b -> "
-           f"case when (shiftright({th}, b) & 1) = 1 then 1 else -1 end), "
-           f"(a, x) -> a + x))")
-    # sign bits -> integer
-    return F.expr(
-        f"aggregate(zip_with({acc}, sequence(0, {bits - 1}), (v, b) -> "
-        f"case when v > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end), "
-        f"cast(0 as bigint), (s, x) -> s + x)")
+    tok = _tune(df).select(F.col(id_col),
+                           F.explode(tokens_expr(text_col)).alias("t"))
+    tok = tok.select(id_col, F.expr(th).alias("h"))
+    sums = tok.groupBy(id_col).agg(*[
+        F.sum(F.expr(f"case when (shiftright(h, {b}) & 1) = 1 then 1 else -1 end")).alias(f"s{b}")
+        for b in range(bits)])
+    packed = " + ".join(
+        f"(case when s{b} > 0 then shiftleft(cast(1 as bigint), {b}) else cast(0 as bigint) end)"
+        for b in range(bits))
+    return sums.select(id_col, F.expr(packed).alias("sh"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
@@ -130,23 +228,29 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit chunks (pigeonhole: hamming<=3 -> >=1 chunk equal), join on
     chunk equality, verify with bit_count(a XOR b)."""
-    sig = df.select(id_col, simhash_expr(text_col).alias("sh"))
+    sig = simhash_signature(df, text_col, id_col)
     chunked = sig.select(
         id_col, "sh",
         F.explode(F.expr(
             "transform(sequence(0, 3), c -> "
             "struct(c as chunk, (shiftright(sh, c * 16) & 65535) as ch))"
         )).alias("cc")).select(id_col, "sh", "cc.chunk", "cc.ch")
-    l, r = chunked.alias("l"), chunked.alias("r")
-    cand = (l.join(r, (F.col("l.chunk") == F.col("r.chunk"))
-                   & (F.col("l.ch") == F.col("r.ch"))
-                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"),
-                    F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    # bucket-local combinations instead of a self-join: one shuffle on
+    # (chunk, ch); the 64-bit signatures ride along in the buckets so
+    # no join-back is needed for the hamming verify.
+    buckets = (chunked.groupBy("chunk", "ch")
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   F.col(id_col).alias("id"), F.col("sh")))).alias("ms"))
+               .filter(F.size("ms") > 1))
+    pairs = (buckets.select(F.explode(F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), y -> "
+        "struct(x.id as id_a, y.id as id_b, x.sh as sh_a, y.sh as sh_b))))"
+    )).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
+        .dropDuplicates(["id_a", "id_b"]))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+    return (pairs.select("id_a", "id_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
 
 
@@ -158,11 +262,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Explode shingles -> inner self-join on shingle (the shuffle is on
     shingle values, not the cross product) -> per-pair intersection
     count -> Jaccard against per-doc set sizes."""
-    sh = df.select(F.col(id_col),
-                   shingles_expr(text_col, n).alias("sh")) \
-        .filter(F.size("sh") > 0)
-    sizes = sh.select(id_col, F.size("sh").alias("sz"))
-    ex = sh.select(id_col, F.explode("sh").alias("g"))
+    sh = hashed_shingle_sets(_tune(df), text_col, id_col, n).persist()
+    sizes = sh.select(id_col, F.size("hs").alias("sz"))
+    ex = sh.select(id_col, F.explode("hs").alias("g"))
     l, r = ex.alias("l"), ex.alias("r")
     inter = (l.join(r, (F.col("l.g") == F.col("r.g"))
                     & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))

@@ -46,7 +46,10 @@ class GenericMixin:
             idx = pd.MultiIndex.from_frame(pdf)
             idx.names = list(self._index)
             return idx
-        idx = pd.Index(pdf.iloc[:, 0])
+        values = pdf.iloc[:, 0]
+        if getattr(self, "_mid_index", False):
+            values = values.rank(method="first").astype("int64") - 1
+        idx = pd.Index(values)
         idx.name = self._index[0]
         return idx
 
@@ -88,6 +91,9 @@ class GenericMixin:
         """Last n rows.  The reference does count() + LIMIT/OFFSET — two
         queries (generic.py:50-57).  We do the same two passes but the
         offset filter is a scalable rowid predicate, not OFFSET."""
+        if getattr(self, "_mid_index", False):
+            # positional parity: tail keeps the original index values
+            self._densify()
         total = self._sdf.count()
         skip = max(0, total - n)
         if skip == 0:

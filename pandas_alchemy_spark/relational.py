@@ -180,7 +180,9 @@ class RelationalMixin:
             out_exprs.append(r[f"r_{I.col_name(j)}"])
         sel = [l[f"l_{I.idx_name(0)}"].alias(I.idx_name(0))]
         sel += [e.alias(I.col_name(k)) for k, e in enumerate(out_exprs)]
-        return DataFrame(self._index, pd.Index(out_labels), joined.select(*sel))
+        out = DataFrame(self._index, pd.Index(out_labels), joined.select(*sel))
+        out._mid_index = self._mid_index
+        return out
 
     def drop_duplicates(self, subset=None):
         """Exact dedup.  With ``subset``, keeps one arbitrary row per
@@ -189,10 +191,11 @@ class RelationalMixin:
         if subset is None:
             data = [c.alias(I.col_name(i)) for i, c in enumerate(self._data_cols())]
             sdf = self._sdf.select(*data).dropDuplicates()
-            from .operators.rowid import with_rowid
-            sdf = with_rowid(sdf, I.idx_name(0))
-            sdf = sdf.select(I.idx_name(0), *[I.col_name(i) for i in range(self._n_cols())])
-            return DataFrame(pd.Index((None,)), self._columns, sdf)
+            sdf = sdf.select(F.monotonically_increasing_id().alias(I.idx_name(0)),
+                             *[I.col_name(i) for i in range(self._n_cols())])
+            out = DataFrame(pd.Index((None,)), self._columns, sdf)
+            out._mid_index = True
+            return out
         keys = [self._col_at(self._columns.get_loc(s)).alias(f"__k_{j}")
                 for j, s in enumerate(subset)]
         others = F.struct(*self._idx_cols(), *self._data_cols()).alias("__all")
@@ -251,19 +254,18 @@ class RelationalMixin:
                          self._sdf.select(*sel))
 
     def reset_index(self):
-        """Demote index levels to data columns; new rowid index."""
+        """Demote index levels to data columns; new provisional rowid
+        index (densified only when observed)."""
         from .core import DataFrame
-        from .operators.rowid import with_rowid
         idx_labels = [n if n is not None else "index" for n in self._index]
-        sel = [self._idx_at(i).alias(I.col_name(i)) for i in range(self._n_idx())]
+        sel = [F.monotonically_increasing_id().alias(I.idx_name(0))]
+        sel += [self._idx_at(i).alias(I.col_name(i)) for i in range(self._n_idx())]
         sel += [self._col_at(i).alias(I.col_name(self._n_idx() + i))
                 for i in range(self._n_cols())]
-        sdf = self._sdf.select(*sel)
-        sdf = with_rowid(sdf, I.idx_name(0))
-        order = [I.idx_name(0)] + [I.col_name(i)
-                                   for i in range(self._n_idx() + self._n_cols())]
-        return DataFrame(pd.Index((None,)), pd.Index(idx_labels + list(self._columns)),
-                         sdf.select(*order))
+        out = DataFrame(pd.Index((None,)), pd.Index(idx_labels + list(self._columns)),
+                        self._sdf.select(*sel))
+        out._mid_index = True
+        return out
 
 
 class SeriesAggMixin:

@@ -55,6 +55,10 @@ def init_db(master: str | None = None, app_name: str = "pandas_alchemy_spark",
         .config("spark.sql.ansi.enabled", "false")
         # driver testdata uses nanosecond parquet timestamps
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate inlines expensive generators into
+        # pushed-down filters (O(n^2) re-evaluation; see ext/dedup.py)
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     )
     for k, v in conf.items():
         builder = builder.config(k, v)
