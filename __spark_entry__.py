@@ -476,12 +476,14 @@ def q_emb_near_dup(spark, sf_dir):
     from pandas_alchemy_spark.ext import similarity
     _prep(spark)
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"),
+                   similarity.norm_expr("embedding").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"),
+                   similarity.norm_expr("embedding").alias("nb"))
     dot = similarity._DOT.format(a="va", b="vb")
-    na = similarity._NORM.format(a="va")
-    nb = similarity._NORM.format(a="vb")
-    cos = F.expr(f"({dot}) / nullif(({na}) * ({nb}), 0.0)")
+    cos = F.expr(f"({dot}) / nullif(na * nb, 0.0)")
     return (a.join(b, F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", cos.alias("c"))
             .filter(F.col("c") >= 0.45)

@@ -16,6 +16,8 @@ Beyond-reference extension (SURVEY.md §7 Phase 4).  Two paths:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -37,13 +39,16 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
     ``queries``: (query_id, vec) — small; broadcast.  Result:
     (query_id, neighbor_id, cosine, rank), excluding self-matches."""
+    # norms are computed once per row *below* the join — inside the
+    # cross product they would be re-evaluated |Q| (resp. N) times
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+                       F.col(vec_col).alias("qv"),
+                       norm_expr(vec_col).alias("qn"))
     c = df.select(F.col(id_col).alias("neighbor_id"),
-                  F.col(vec_col).alias("cv"))
+                  F.col(vec_col).alias("cv"),
+                  norm_expr(vec_col).alias("cn"))
     dot = _DOT.format(a="qv", b="cv")
-    na, nb = _NORM.format(a="qv"), _NORM.format(a="cv")
-    cos = F.expr(f"({dot}) / nullif(({na}) * ({nb}), 0.0)")
+    cos = F.expr(f"({dot}) / nullif(qn * cn, 0.0)")
     scored = (c.join(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id", cos.alias("cosine")))
@@ -53,38 +58,51 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
-def _hyperplane_sql(dim: int, planes: int, table: str = "0") -> str:
-    """Deterministic pseudo-random hyperplanes: component (t, p, d) is
-    an md5-derived value in [-0.5, 0.5).  Same formula is reproducible
-    in any SQL engine with md5 — no RNG state, no driver-side
-    materialization."""
-    comp = (f"(cast(conv(substr(md5(concat(cast({table} as string), '#', "
-            "cast(p as string), '_', cast(d as string))), 1, 8), 16, 10) as double)"
-            " / 4294967296.0 - 0.5)")
-    return (f"transform(sequence(0, {planes - 1}), p -> "
-            f"transform(sequence(0, {dim - 1}), d -> {comp}))")
+def _hyperplane_component(table: int, plane: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    first 8 hex chars of md5("{table}#{plane}_{d}") scaled.  Computed
+    ONCE on the driver and embedded as a literal — an earlier
+    formulation evaluated the same md5 inside the per-row Spark
+    expression, costing dim*planes*tables md5 calls per row (~6M
+    per 2k vectors; 10x the whole query's useful work)."""
+    h = hashlib.md5(f"{table}#{plane}_{d}".encode()).hexdigest()[:8]
+    return int(h, 16) / 4294967296.0 - 0.5
 
 
-def bucket_code_expr(vec_col: str, dim: int, planes: int = 12,
-                     table: str = "0"):
-    """Sign-bit LSH bucket code (int) from ``planes`` hyperplanes."""
-    hp = _hyperplane_sql(dim, planes, table)
-    dot = _DOT.format(a="hp_p", b=vec_col)
-    return F.expr(
-        f"aggregate(zip_with({hp}, sequence(0, {planes - 1}), (hp_p, p) -> "
-        f"case when ({dot}) >= 0 then shiftleft(1, p) else 0 end), 0, (s, x) -> s + x)")
+def _hyperplane_matrix(dim: int, planes: int, tables: int = 1):
+    """(tables*planes) x dim float64 hyperplane matrix (row t*planes+p
+    is plane p of table t)."""
+    import numpy as np
+    return np.array(
+        [[_hyperplane_component(t, p, d) for d in range(dim)]
+         for t in range(tables) for p in range(planes)],
+        dtype=np.float64)
 
 
-def _table_codes_expr(vec_col: str, dim: int, planes: int, tables: int):
-    """array of (table, code) structs — one sign-bit code per hash
-    table, all computed in one narrow pass."""
-    hp = _hyperplane_sql(dim, planes, table="t")
-    dot = _DOT.format(a="hp_p", b=vec_col)
-    code = (f"aggregate(zip_with({hp}, sequence(0, {planes - 1}), (hp_p, p) -> "
-            f"case when ({dot}) >= 0 then shiftleft(1, p) else 0 end), 0, (s, x) -> s + x)")
-    return F.expr(
-        f"transform(sequence(0, {tables - 1}), t -> "
-        f"struct(t as tbl, {code} as code))")
+def table_codes_udf(dim: int, planes: int, tables: int = 1):
+    """Arrow-vectorized sign-bit LSH codes: column fn vec ->
+    array<int> of ``tables`` bucket codes.
+
+    One numpy matmul per Arrow batch (B x dim @ dim x T*P), then
+    bit-packing — per-partition, narrow, no shuffle, no driver data.
+    Replaces a higher-order-function formulation whose nested
+    interpreted lambdas evaluated tables*planes*dim boxed ops per row
+    (3+ s for 2k x 64-dim vectors vs ~10 ms for the matmul)."""
+    import numpy as np
+    import pandas as pd
+
+    H = _hyperplane_matrix(dim, planes, tables).T  # dim x (T*P)
+    weights = (1 << np.arange(planes, dtype=np.int64))
+
+    def _codes(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (V @ H) >= 0.0                      # B x (T*P)
+        packed = bits.reshape(len(vecs), tables, planes) @ weights
+        return pd.Series(list(packed.astype(np.int32)))
+
+    return F.pandas_udf(_codes, "array<int>")
 
 
 def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
@@ -98,26 +116,28 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     corpus explodes to ``tables`` rows (narrow); the join shuffles on
     (table, code) buckets; exact cosine re-rank at the end.  Multi-probe
     (1-bit flips) widens query buckets without touching the corpus."""
-    codes = _table_codes_expr(vec_col, dim, planes, tables)
+    codes = table_codes_udf(dim, planes, tables)
     c = (df.select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("cv"),
-                   F.explode(codes).alias("tc"))
-         .select("neighbor_id", "cv", "tc.tbl", "tc.code"))
+                   norm_expr(vec_col).alias("cn"),
+                   codes(F.col(vec_col)).alias("codes"))
+         .select("neighbor_id", "cv", "cn",
+                 F.posexplode("codes").alias("tbl", "code")))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"),
-                       codes.alias("qcodes"))
+                       norm_expr(vec_col).alias("qn"),
+                       codes(F.col(vec_col)).alias("qcodes"))
     # multi-probe: each table's code plus all 1-bit flips
     probes = F.explode(F.expr(
-        f"flatten(transform(qcodes, tc -> concat("
-        f"array(struct(tc.tbl as tbl, tc.code as code)), "
+        f"flatten(transform(qcodes, (c, t) -> concat("
+        f"array(struct(t as tbl, c as code)), "
         f"transform(sequence(0, {planes - 1}), p -> "
-        f"struct(tc.tbl as tbl, cast(tc.code ^ shiftleft(1, p) as int) as code)))))"
+        f"struct(t as tbl, cast(c ^ shiftleft(1, p) as int) as code)))))"
     )).alias("probe")
-    qp = q.select("query_id", "qv", probes).select(
-        "query_id", "qv", "probe.tbl", "probe.code")
+    qp = q.select("query_id", "qv", "qn", probes).select(
+        "query_id", "qv", "qn", "probe.tbl", "probe.code")
     dot = _DOT.format(a="qv", b="cv")
-    na, nb = _NORM.format(a="qv"), _NORM.format(a="cv")
-    cos = F.expr(f"({dot}) / nullif(({na}) * ({nb}), 0.0)")
+    cos = F.expr(f"({dot}) / nullif(qn * cn, 0.0)")
     scored = (c.join(F.broadcast(qp), ["tbl", "code"])
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .dropDuplicates(["query_id", "neighbor_id"])
@@ -134,13 +154,13 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              threshold: float = 0.95) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket join (no cross
     product), exact cosine verify at ``threshold``."""
-    code = bucket_code_expr(vec_col, dim, planes)
+    codes = table_codes_udf(dim, planes, tables=1)
     b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  code.alias("code"))
+                  norm_expr(vec_col).alias("n"),
+                  codes(F.col(vec_col)).getItem(0).alias("code"))
     l, r = b.alias("l"), b.alias("r")
     dot = _DOT.format(a="l.v", b="r.v")
-    na, nb = _NORM.format(a="l.v"), _NORM.format(a="r.v")
-    cos = F.expr(f"({dot}) / nullif(({na}) * ({nb}), 0.0)")
+    cos = F.expr(f"({dot}) / nullif(l.n * r.n, 0.0)")
     return (l.join(r, (F.col("l.code") == F.col("r.code"))
                    & (F.col("l.id") < F.col("r.id")))
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
