@@ -120,6 +120,34 @@ def q_ieee_div(spark, sf_dir):
     return sdf.select("l_orderkey", "l_linenumber", cls.alias("div_val"))
 
 
+def q_ieee_floordiv(spark, sf_dir):
+    """IEEE floordiv: floor(l/r) with /0 -> ±inf, 0/0 -> NaN
+    (coercion.py:68-70 semantics as Column builders)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    fd = li.l_quantity // (li.l_linenumber - 3)
+    out = li.assign(fd=fd)[["l_orderkey", "l_linenumber", "fd"]]
+    sdf = out.to_spark(index=False)
+    cls = (F.when(F.isnan("fd"), F.lit(_NAN_S))
+           .when(F.col("fd") == float("inf"), F.lit(_INF_S))
+           .when(F.col("fd") == float("-inf"), F.lit(_NINF_S))
+           .otherwise(F.round("fd", 6)))
+    return sdf.select("l_orderkey", "l_linenumber", cls.alias("fd_val"))
+
+
+def q_from_list_positional(spark, sf_dir):
+    """Series.from_list literal ingestion (alchemy.py:508-517) +
+    positional list op via rowid paste-join (base.py:118-128)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    s = pas.Series.from_list([10.0, 20.0, 30.0, 40.0], name="v")
+    t = s * [1.0, 2.0, 3.0, 4.0]
+    return t.to_spark().select(
+        F.col("index").cast("long").alias("idx"),
+        F.col("v").cast("double").alias("v"))
+
+
 def q_python_mod(spark, sf_dir):
     """Python-mod (sign of divisor) + x%0 -> NaN (coercion.py:73-85)."""
     import pandas_alchemy_spark as pas
@@ -537,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_project": q_scan_project,
         "scalar_arith": q_scalar_arith,
         "ieee_div": q_ieee_div,
+        "ieee_floordiv": q_ieee_floordiv,
+        "from_list_positional": q_from_list_positional,
         "python_mod": q_python_mod,
         "clip_round_abs": q_clip_round_abs,
         "fill_isna": q_fill_isna,
@@ -624,6 +654,21 @@ def oracle_sql() -> dict[str, str]:
                      ELSE round(l_quantity / (l_linenumber - 3), 6)
                    END AS div_val
             FROM lineitem
+        """,
+        "ieee_floordiv": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE
+                     WHEN l_linenumber = 3 AND l_quantity = 0 THEN -999999.0
+                     WHEN l_linenumber = 3 AND l_quantity > 0 THEN 999999.0
+                     WHEN l_linenumber = 3 AND l_quantity < 0 THEN -888888.0
+                     ELSE round(floor(l_quantity / (l_linenumber - 3)), 6)
+                   END AS fd_val
+            FROM lineitem
+        """,
+        "from_list_positional": """
+            SELECT idx::BIGINT AS idx, v::DOUBLE AS v
+            FROM (VALUES (0, 10.0), (1, 40.0), (2, 90.0), (3, 160.0))
+                 AS t(idx, v)
         """,
         "python_mod": """
             SELECT l_orderkey, l_linenumber,

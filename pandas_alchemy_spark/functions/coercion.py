@@ -191,9 +191,19 @@ def apply_op(op: str, l: Column, r: Column, *, l_bool: bool = False,
     if op in COMPARISONS:
         # pandas NA comparison semantics: NA==x -> False, NA!=x -> True,
         # ordered comparisons -> False (never NULL-propagating).
+        # Expressed as AND/OR conjunctions, not CASE WHEN: raw is NULL
+        # iff an input is NULL, so `raw AND NOT either_null` /
+        # `raw OR either_null` give identical values (3VL: NULL AND
+        # false = false, NULL OR true = true) while staying parquet-
+        # pushdown-eligible when used as a filter — a CASE wrapper
+        # reaches the scan with PushedFilters: [] (no row-group
+        # pruning; the difference between scanning 100 TB and pruning
+        # most of it).
         raw = _PLAIN[op](l, r)
         either_null = l.isNull() | r.isNull()
-        return F.when(either_null, F.lit(op == "ne")).otherwise(raw)
+        if op == "ne":
+            return raw | either_null
+        return raw & ~either_null
     if op in _PLAIN:
         return _PLAIN[op](l, r)
     raise TypeError(f"unsupported operator: {op}")
