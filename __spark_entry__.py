@@ -291,6 +291,43 @@ def q_bool_coercion(spark, sf_dir):
                       F.col("n").cast("long").alias("n"))
 
 
+def q_str_funcs(spark, sf_dir):
+    """Series.str accessor (beyond-reference, SURVEY.md §2.9): lower/
+    len/contains/replace/slice over customer segments, in-plan."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    c = pas.read_parquet(_t(sf_dir, "customer"))
+    seg = c.c_mktsegment
+    out = c.assign(
+        seg_lower=seg.str.lower(),
+        seg_len=seg.str.len(),
+        has_ing=seg.str.contains("ING", regex=False),
+        seg_us=seg.str.replace("I", "1"),
+        seg_3=seg.str.slice(0, 3),
+    )[["c_custkey", "seg_lower", "seg_len", "has_ing", "seg_us", "seg_3"]]
+    sdf = out.to_spark(index=False)
+    return sdf.select("c_custkey", "seg_lower",
+                      F.col("seg_len").cast("long").alias("seg_len"),
+                      "has_ing", "seg_us", "seg_3")
+
+
+def q_dt_funcs(spark, sf_dir):
+    """Series.dt accessor (beyond-reference): calendar components of
+    o_orderdate rolled up per (year, quarter)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    d = o.o_orderdate
+    out = (o.assign(yr=d.dt.year, qtr=d.dt.quarter, dow=d.dt.dayofweek)
+           .groupby(["yr", "qtr"])
+           .agg(n=("yr", "count"), dow_sum=("dow", "sum")))
+    sdf = out.to_spark()
+    return sdf.select(F.col("yr").cast("long").alias("yr"),
+                      F.col("qtr").cast("long").alias("qtr"),
+                      F.col("n").cast("long").alias("n"),
+                      F.col("dow_sum").cast("long").alias("dow_sum"))
+
+
 # ---------------------------------------------------------------------------
 # beyond-reference relational (groupby/join/sort/window)
 # ---------------------------------------------------------------------------
@@ -377,6 +414,42 @@ def q6_forecast(spark, sf_dir):
     n = len(f)
     return spark.createDataFrame(
         [(float(round(total, 2)), int(n))], "revenue double, n long")
+
+
+def q4_semi_join(spark, sf_dir):
+    """TPC-H Q4-style: EXISTS via left-semi join (orders with at least
+    one returned lineitem, counted by priority).  The semi join never
+    materializes the right payload — keys-only build side."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    o = o[o.o_orderdate >= "1995-01-01"]
+    o = o[o.o_orderdate < "1996-01-01"]
+    ret = li[li.l_returnflag == "R"][["l_orderkey"]]
+    sj = o.merge(ret, left_on="o_orderkey", right_on="l_orderkey",
+                 how="semi")
+    out = sj.groupby("o_orderpriority").agg(
+        order_count=("o_orderkey", "count"))
+    sdf = out.to_spark()
+    return sdf.select("o_orderpriority",
+                      F.col("order_count").cast("long").alias("order_count"))
+
+
+def q_anti_join(spark, sf_dir):
+    """NOT EXISTS via left-anti join: customers with no high-value
+    order, counted per nation."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    c = pas.read_parquet(_t(sf_dir, "customer"))
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    big = o[o.o_totalprice > 300000.0][["o_custkey"]]
+    aj = c.merge(big, left_on="c_custkey",
+                 right_on="o_custkey", how="anti")
+    out = aj.groupby("c_nationkey").agg(n_customers=("c_custkey", "count"))
+    sdf = out.to_spark()
+    return sdf.select(F.col("c_nationkey").cast("long").alias("c_nationkey"),
+                      F.col("n_customers").cast("long").alias("n_customers"))
 
 
 def q_window_topk(spark, sf_dir):
@@ -578,10 +651,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "from_pandas_literal": q_from_pandas_literal,
         "series_prefix": q_series_prefix,
         "bool_coercion": q_bool_coercion,
+        "str_funcs": q_str_funcs,
+        "dt_funcs": q_dt_funcs,
         "groupby_agg": q_groupby_agg,
         "q3_shipping": q3_shipping,
         "q5_local_supplier": q5_local_supplier,
         "q6_forecast": q6_forecast,
+        "q4_semi_join": q4_semi_join,
+        "anti_join": q_anti_join,
         "window_topk": q_window_topk,
         "distinct_count": q_distinct_count,
         "events_hourly": q_events_hourly,
@@ -744,6 +821,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM lineitem GROUP BY l_returnflag
         """,
+        "str_funcs": """
+            SELECT c_custkey,
+                   lower(c_mktsegment) AS seg_lower,
+                   length(c_mktsegment)::BIGINT AS seg_len,
+                   contains(c_mktsegment, 'ING') AS has_ing,
+                   replace(c_mktsegment, 'I', '1') AS seg_us,
+                   substring(c_mktsegment, 1, 3) AS seg_3
+            FROM customer
+        """,
+        "dt_funcs": """
+            SELECT year(o_orderdate)::BIGINT AS yr,
+                   quarter(o_orderdate)::BIGINT AS qtr,
+                   count(*)::BIGINT AS n,
+                   sum(isodow(o_orderdate) - 1)::BIGINT AS dow_sum
+            FROM orders
+            GROUP BY 1, 2
+        """,
         "groupby_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -780,6 +874,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM lineitem
             WHERE l_quantity < 24 AND l_discount >= 0.05 AND l_discount <= 0.07
+        """,
+        "q4_semi_join": """
+            SELECT o_orderpriority, count(o_orderkey)::BIGINT AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "anti_join": """
+            SELECT c_nationkey::BIGINT AS c_nationkey,
+                   count(c_custkey)::BIGINT AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000.0)
+            GROUP BY c_nationkey
         """,
         "window_topk": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,

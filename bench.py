@@ -73,8 +73,16 @@ def main():
         "langid": qs["langid"],
     }
 
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM + parquet footers with a trivial action, and the
+    # Python/Arrow worker pool with a no-op pandas UDF (pool startup is
+    # session infrastructure, not per-query work)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    import pandas as pd
+    from pyspark.sql import functions as F
+    noop_udf = F.pandas_udf(lambda s: s, "long")
+    (spark.range(10000).repartition(int(cpus))
+     .select(noop_udf("id").alias("x")).write.format("noop")
+     .mode("overwrite").save())
 
     times = {}
     for name, fn in bench_queries.items():

@@ -592,6 +592,18 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def _the_col(self):
         return self._col_at(0)  # reference alchemy.py:365-368
 
+    # -- accessor namespaces (beyond-reference; SURVEY.md §2.9) ------------
+
+    @property
+    def str(self):
+        from .accessors import StringMethods
+        return StringMethods(self)
+
+    @property
+    def dt(self):
+        from .accessors import DatetimeProperties
+        return DatetimeProperties(self)
+
     # -- iteration ---------------------------------------------------------
 
     def __iter__(self):

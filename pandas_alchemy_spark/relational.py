@@ -162,6 +162,17 @@ class RelationalMixin:
             ri = right._columns.get_loc(ro)
             c = l[f"l_{I.col_name(li)}"] == r[f"r_{I.col_name(ri)}"]
             cond = c if cond is None else (cond & c)
+        if how in ("semi", "anti"):
+            # existence joins (beyond pandas.merge): only left columns
+            # survive; Spark's left_semi/left_anti never materialize
+            # the right side's payload (build-side is keys only)
+            joined = l.join(r, cond, f"left_{how}")
+            sel = [l[f"l_{I.idx_name(0)}"].alias(I.idx_name(0))]
+            sel += [l[f"l_{I.col_name(i)}"].alias(I.col_name(i))
+                    for i in range(len(self._columns))]
+            out = DataFrame(self._index, self._columns, joined.select(*sel))
+            out._mid_index = self._mid_index
+            return out
         joined = l.join(r, cond, how)
         # result columns: left data cols + right data cols (minus
         # right-side join keys when joining `on` shared labels)
