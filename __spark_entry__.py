@@ -291,6 +291,39 @@ def q_bool_coercion(spark, sf_dir):
                       F.col("n").cast("long").alias("n"))
 
 
+def q_isin_between(spark, sf_dir):
+    """isin + between + logical mask composition (all pushdown-
+    eligible predicates)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    mask = (li.l_returnflag.isin(["A", "R"])
+            & li.l_quantity.between(10, 20, inclusive="both"))
+    out = li[mask].groupby("l_returnflag").agg(
+        n=("l_orderkey", "count"), qty=("l_quantity", "sum"))
+    sdf = out.to_spark()
+    return sdf.select("l_returnflag",
+                      F.col("n").cast("long").alias("n"),
+                      F.round("qty", 2).alias("qty"))
+
+
+def q_concat_union(spark, sf_dir):
+    """pas.concat label-aligned row union (UNION ALL + NULL padding for
+    unmatched labels), aggregated."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    hi = o[o.o_totalprice > 200000.0][["o_orderkey", "o_totalprice"]]
+    lo = o[o.o_totalprice < 50000.0][["o_orderkey", "o_custkey"]]
+    both = pas.concat([hi, lo], ignore_index=True)
+    sdf = both.to_spark(index=False)
+    return sdf.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").cast("long").alias("n_price"),
+        F.count("o_custkey").cast("long").alias("n_cust"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+
+
 def q_str_funcs(spark, sf_dir):
     """Series.str accessor (beyond-reference, SURVEY.md §2.9): lower/
     len/contains/replace/slice over customer segments, in-plan."""
@@ -651,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "from_pandas_literal": q_from_pandas_literal,
         "series_prefix": q_series_prefix,
         "bool_coercion": q_bool_coercion,
+        "isin_between": q_isin_between,
+        "concat_union": q_concat_union,
         "str_funcs": q_str_funcs,
         "dt_funcs": q_dt_funcs,
         "groupby_agg": q_groupby_agg,
@@ -820,6 +855,28 @@ def oracle_sql() -> dict[str, str]:
                        + CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END)::BIGINT AS total_score,
                    count(*)::BIGINT AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "isin_between": """
+            SELECT l_returnflag, count(l_orderkey)::BIGINT AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            WHERE l_returnflag IN ('A', 'R')
+              AND l_quantity BETWEEN 10 AND 20
+            GROUP BY l_returnflag
+        """,
+        "concat_union": """
+            WITH u AS (
+              SELECT o_orderkey, o_totalprice, NULL::BIGINT AS o_custkey
+              FROM orders WHERE o_totalprice > 200000.0
+              UNION ALL
+              SELECT o_orderkey, NULL::DOUBLE AS o_totalprice, o_custkey
+              FROM orders WHERE o_totalprice < 50000.0
+            )
+            SELECT count(*)::BIGINT AS n_rows,
+                   count(o_totalprice)::BIGINT AS n_price,
+                   count(o_custkey)::BIGINT AS n_cust,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM u
         """,
         "str_funcs": """
             SELECT c_custkey,

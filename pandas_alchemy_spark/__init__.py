@@ -12,7 +12,7 @@ Exports mirror reference pandas_alchemy/__init__.py:1-21 plus the
 Spark-era extensions (read_parquet, the ext.* pipeline operators).
 """
 
-from .core import DataFrame, Series
+from .core import DataFrame, Series, concat
 from .session import close_db, get_session, init_db
 
 __version__ = "0.1.0"
@@ -33,6 +33,7 @@ def use_repr_workaround():
 __all__ = [
     "DataFrame",
     "Series",
+    "concat",
     "init_db",
     "close_db",
     "get_session",

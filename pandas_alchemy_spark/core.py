@@ -557,6 +557,57 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         return out
 
 
+def concat(objs, axis=0, ignore_index: bool = False):
+    """Row-wise concatenation (beyond-reference set op, SURVEY.md §2.7
+    lists UNION ALL as internal-only in the reference).
+
+    Columns are aligned by label (outer, first-appearance order —
+    pandas sort=False); missing labels become NULL.  Spark's unionAll
+    is a zero-shuffle plan node: partitions of the inputs are simply
+    concatenated, so this scales as a metadata op.  ``ignore_index``
+    re-synthesizes a 0-based rowid lazily (provisional mid-index; no
+    count pass until index values are observed)."""
+    objs = list(objs)
+    if axis != 0:
+        raise NotImplementedError("concat(axis=1) is not supported")
+    if not objs:
+        raise ValueError("No objects to concatenate")
+    n_idx = objs[0]._n_idx()
+    for o in objs[1:]:
+        if o._n_idx() != n_idx:
+            raise ValueError("cannot concat frames with different "
+                             "numbers of index levels")
+    labels: list = []
+    for o in objs:
+        for lab in o._columns:
+            if lab not in labels:
+                labels.append(lab)
+    parts = []
+    for o in objs:
+        sel = [o._idx_at(i).alias(I.idx_name(i)) for i in range(n_idx)]
+        for j, lab in enumerate(labels):
+            if lab in o._columns:
+                e = o._col_at(o._columns.get_loc(lab))
+            else:
+                e = F.lit(None).cast("double")
+            sel.append(e.alias(I.col_name(j)))
+        parts.append(o._sdf.select(*sel))
+    sdf = parts[0]
+    for p in parts[1:]:
+        sdf = sdf.unionAll(p)
+    out = DataFrame(objs[0]._index, pd.Index(labels), sdf)
+    if ignore_index:
+        body = sdf.drop(*[I.idx_name(i) for i in range(n_idx)])
+        body = body.select(
+            F.monotonically_increasing_id().alias(I.idx_name(0)),
+            *[I.col_name(j) for j in range(len(labels))])
+        out = DataFrame(pd.Index((None,)), pd.Index(labels), body)
+        out._mid_index = True
+    else:
+        out._mid_index = all(getattr(o, "_mid_index", False) for o in objs)
+    return out
+
+
 class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
              SeriesAggMixin):
     """1-D labeled array backed by a lazy Spark plan
@@ -603,6 +654,19 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def dt(self):
         from .accessors import DatetimeProperties
         return DatetimeProperties(self)
+
+    # -- membership / range predicates (beyond-reference) ------------------
+
+    def isin(self, values):
+        """pandas isin: NULL -> False (not NULL).  `IN (...) AND NOT
+        NULL` keeps the predicate parquet-pushdown-eligible."""
+        vals = list(values)
+        return self._app(lambda c: c.isin(vals) & c.isNotNull())
+
+    def between(self, left, right, inclusive: str = "both"):
+        lo = self.ge(left) if inclusive in ("both", "left") else self.gt(left)
+        hi = self.le(right) if inclusive in ("both", "right") else self.lt(right)
+        return lo & hi
 
     # -- iteration ---------------------------------------------------------
 

@@ -129,12 +129,31 @@ _PLAIN = {
     "gt": operator.gt,
 }
 
+def logical_and(l: Column, r: Column) -> Column:
+    """pandas object-dtype semantics: NA treated as False.  Expressed
+    as a pushdown-eligible conjunction (see the COMPARISONS note)."""
+    return l & r & l.isNotNull() & r.isNotNull()
+
+
+def logical_or(l: Column, r: Column) -> Column:
+    return (l & l.isNotNull()) | (r & r.isNotNull())
+
+
+def logical_xor(l: Column, r: Column) -> Column:
+    ln = l & l.isNotNull()
+    rn = r & r.isNotNull()
+    return ln != rn
+
+
 _CUSTOM = {
     "truediv": ieee_truediv,
     "div": ieee_truediv,
     "floordiv": ieee_floordiv,
     "mod": python_mod,
     "pow": ieee_pow,
+    "and": logical_and,
+    "or": logical_or,
+    "xor": logical_xor,
 }
 
 #: ops whose bool operands are first cast to int (reference coercion.py:88-116)

@@ -71,3 +71,28 @@ class OpsMixin:
 
     def __gt__(self, other):
         return self.gt(other)
+
+    # -- logical ops (beyond-reference; mask composition) ------------------
+
+    def __and__(self, other):
+        return self._op("and", other)
+
+    def __rand__(self, other):
+        return self._op("and", other)
+
+    def __or__(self, other):
+        return self._op("or", other)
+
+    def __ror__(self, other):
+        return self._op("or", other)
+
+    def __xor__(self, other):
+        return self._op("xor", other)
+
+    def __rxor__(self, other):
+        return self._op("xor", other)
+
+    def __invert__(self):
+        # pandas ~mask; NULL stays NULL (masks built by our comparisons
+        # are never NULL)
+        return self._app(lambda c: ~c)
