@@ -1,0 +1,70 @@
+"""Custom stateful streaming operators (applyInPandasWithState) and
+built-in session windows.
+
+The reference has no streaming surface (SURVEY.md §2.10); these are the
+Spark-native extensions the build plan mandates for event pipelines:
+
+- :func:`stateful_user_totals` — running per-user aggregates via
+  ``applyInPandasWithState``: state lives in the state store (RocksDB/
+  HDFS-backed on a cluster), keyed by user, Arrow batches per trigger.
+  The canonical template for any custom accumulator Spark's built-in
+  aggregates can't express.
+- :func:`session_windows_stream` — session windows via the built-in
+  ``F.session_window`` (gap-based), watermark-bounded state, the scale
+  path for streaming sessionization (the batch twin is
+  ``ext.events.sessionize``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+USER_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _update_user_totals(key, pdf_iter, state: GroupState):
+    """Accumulate (count, sum) for one user across triggers.  State is
+    a (n, total) tuple; each trigger folds its Arrow batches in and
+    emits the new running totals."""
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]],
+                        "n_events": [n],
+                        "total_value": [round(total, 4)]})
+
+
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Running per-user (n_events, total_value) as an update stream."""
+    return (stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=USER_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def session_windows_stream(stream: DataFrame, gap: str = "30 minutes",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization with the built-in session_window: state
+    is merged per (user, overlapping-window) and dropped once the
+    watermark passes the session end — bounded state at any scale."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"),
+                     F.col("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))

@@ -19,12 +19,15 @@ EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
 
 
 def read_event_stream(spark: SparkSession, path: str,
-                      max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over a directory of parquet event files."""
-    return (spark.readStream
-            .schema(EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(path))
+                      max_files_per_trigger: int | None = 1) -> DataFrame:
+    """File-source stream over a directory of parquet event files.
+    ``max_files_per_trigger=None`` processes all available files in one
+    micro-batch (file order is not time order, so watermarked queries
+    that must not drop intra-run 'late' files want a single batch)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def windowed_counts(stream: DataFrame, window: str = "1 hour",

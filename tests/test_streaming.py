@@ -25,6 +25,75 @@ def stream_dir(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stateful_user_totals_matches_batch(spark, stream_dir):
+    """applyInPandasWithState running totals: after draining the whole
+    stream, each user's last update equals the batch aggregate."""
+    from pandas_alchemy_spark.streaming import stateful
+
+    stream = stream_events.read_event_stream(spark, stream_dir,
+                                             max_files_per_trigger=2)
+    totals = stateful.stateful_user_totals(stream)
+    q = (totals.writeStream.outputMode("update")
+         .format("memory").queryName("t_user_totals")
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        got = spark.table("t_user_totals").toPandas()
+        # last emitted row per user is the final running total
+        final = got.groupby("user_id").last().reset_index()
+        want = (spark.read.parquet(stream_dir).toPandas()
+                .assign(value=lambda d: d.value.fillna(0.0))
+                .groupby("user_id")
+                .agg(n_events=("event_id", "count"),
+                     total_value=("value", "sum")).reset_index())
+        m = final.merge(want, on="user_id", suffixes=("", "_b"))
+        assert len(m) == len(want)
+        assert (m.n_events == m.n_events_b).all()
+        assert (m.total_value - m.total_value_b).abs().max() < 1e-6
+    finally:
+        q.stop()
+
+
+def test_session_window_stream_matches_batch(spark, stream_dir):
+    """Built-in session_window streaming == batch lag/cumsum
+    sessionization (same gap)."""
+    from pandas_alchemy_spark.streaming import stateful
+
+    # single micro-batch (file order != time order) + zero-delay
+    # watermark: after the batch the watermark jumps to max(ts) and the
+    # end-of-stream flush emits every session that closed before it
+    stream = stream_events.read_event_stream(spark, stream_dir,
+                                             max_files_per_trigger=None)
+    sess = stateful.session_windows_stream(stream, gap="30 minutes",
+                                           watermark="0 seconds")
+    q = (sess.writeStream.outputMode("append")
+         .format("memory").queryName("t_sessions")
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        got = spark.table("t_sessions").toPandas()
+        pdf = spark.read.parquet(stream_dir).toPandas()
+        max_ts = pdf.ts.max()
+        batch = events.sessionize(
+            spark.read.parquet(stream_dir), gap_minutes=30).toPandas()
+        # append mode only emits sessions whose window end
+        # (last event + gap) <= watermark (= max_ts here)
+        closeable = batch[batch.session_end
+                          + pd.Timedelta(minutes=30) <= max_ts]
+        g = got.groupby("user_id").agg(n_sessions=("n_events", "count"),
+                                       n_events=("n_events", "sum"))
+        b = closeable.groupby("user_id").agg(
+            n_sessions=("n_events", "count"),
+            n_events=("n_events", "sum"))
+        m = g.merge(b, left_index=True, right_index=True,
+                    suffixes=("", "_b"))
+        assert len(m) == len(b) > 0
+        assert (m.n_events == m.n_events_b).all()
+        assert (m.n_sessions == m.n_sessions_b).all()
+    finally:
+        q.stop()
+
+
 def test_stream_matches_batch(spark, stream_dir):
     stream = stream_events.read_event_stream(spark, stream_dir,
                                              max_files_per_trigger=2)
