@@ -291,6 +291,41 @@ def q_bool_coercion(spark, sf_dir):
                       F.col("n").cast("long").alias("n"))
 
 
+def q_grouped_cumsum(spark, sf_dir):
+    """Grouped analytic transform (partitionBy window — the scalable
+    flavor): running order total per customer in orderkey order."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders")).set_index("o_orderkey")
+    cum = o.groupby("o_custkey")["o_totalprice"].cumsum()
+    sdf = cum.to_spark()
+    return sdf.select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                      F.round("o_totalprice", 2).alias("cum_total"))
+
+
+def q_series_rank(spark, sf_dir):
+    """Series.rank(method='min'): global value rank (single-partition
+    window — parity path; grouped rank is the scale path)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    c = pas.read_parquet(_t(sf_dir, "customer")).set_index("c_custkey")
+    rk = c["c_acctbal"].rank(method="min")
+    sdf = rk.to_spark()
+    return sdf.select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                      F.col("c_acctbal").cast("long").alias("bal_rank"))
+
+
+def q_rolling_sum(spark, sf_dir):
+    """Series.rolling(3).sum() in index order."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders")).set_index("o_orderkey")
+    roll = o["o_totalprice"].rolling(3).sum()
+    sdf = roll.to_spark()
+    return sdf.select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                      F.round("o_totalprice", 2).alias("roll_sum"))
+
+
 def q_isin_between(spark, sf_dir):
     """isin + between + logical mask composition (all pushdown-
     eligible predicates)."""
@@ -684,6 +719,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "from_pandas_literal": q_from_pandas_literal,
         "series_prefix": q_series_prefix,
         "bool_coercion": q_bool_coercion,
+        "grouped_cumsum": q_grouped_cumsum,
+        "series_rank": q_series_rank,
+        "rolling_sum": q_rolling_sum,
         "isin_between": q_isin_between,
         "concat_union": q_concat_union,
         "str_funcs": q_str_funcs,
@@ -855,6 +893,28 @@ def oracle_sql() -> dict[str, str]:
                        + CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END)::BIGINT AS total_score,
                    count(*)::BIGINT AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "grouped_cumsum": """
+            SELECT o_orderkey::BIGINT AS o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS cum_total
+            FROM orders
+        """,
+        "series_rank": """
+            SELECT c_custkey::BIGINT AS c_custkey,
+                   rank() OVER (ORDER BY c_acctbal)::BIGINT AS bal_rank
+            FROM customer
+        """,
+        "rolling_sum": """
+            SELECT o_orderkey::BIGINT AS o_orderkey,
+                   CASE WHEN count(*) OVER w >= 3
+                        THEN round(sum(o_totalprice) OVER w, 2)
+                   END AS roll_sum
+            FROM orders
+            WINDOW w AS (ORDER BY o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "isin_between": """
             SELECT l_returnflag, count(l_orderkey)::BIGINT AS n,

@@ -47,6 +47,16 @@ class BaseFrame:
     #: property (no count pass, no broadcast join under every query).
     _mid_index = False
 
+    #: True when the user imposed a row order (sort_values/sort_index/
+    #: nlargest, or a non-default index on ingest): export then follows
+    #: PLAN order.  False (default) means row order IS index order, so
+    #: export re-sorts client-side by the index — this makes the
+    #: materialized order immune to plan-level reordering (window
+    #: partitionBy, join shuffles), which the reference never faced
+    #: because its RDBMS never reordered single-table scans
+    #: (SURVEY.md §2.6 "no ORDER BY is ever emitted").
+    _explicit_order = False
+
     def __init__(self, index: pd.Index, columns: pd.Index | None, sdf: SparkDF):
         # index: pd.Index of *level names* (values live in the plan),
         # reference base.py:9-12.
@@ -301,6 +311,15 @@ class BaseFrame:
         0-based contiguous index the reference synthesizes in-query."""
         pdf = self._fetch()
         n = self._n_idx()
+        if (not self._explicit_order and n == 1 and len(pdf) > 1
+                and (self._mid_index
+                     or (self._index[0] is None
+                         and pd.api.types.is_integer_dtype(pdf.iloc[:, 0])))):
+            # positional frame: row order is index order by contract;
+            # re-sort the fetched rows (client-side, data already here)
+            # so plan-level reordering (window/join shuffles) never
+            # leaks into the materialized result
+            pdf = pdf.sort_values(pdf.columns[0], kind="stable")
         idx_part = pdf.iloc[:, :n]
         data_part = pdf.iloc[:, n:]
         if n > 1:

@@ -508,7 +508,13 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         flat.columns = names
         sdf = spark.createDataFrame(flat)
         sdf = _nan_to_null(sdf)
-        return DataFrame(index, df.columns, sdf)
+        out = DataFrame(index, df.columns, sdf)
+        # a non-default index means "row order is NOT index order";
+        # export must then follow plan order (base._explicit_order)
+        default_idx = (n_idx == 1 and df.index.name is None
+                       and df.index.equals(pd.RangeIndex(len(df))))
+        out._explicit_order = not default_idx
+        return out
 
     @staticmethod
     def from_table(table, schema=None, columns=None, index=None):
@@ -654,6 +660,36 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def dt(self):
         from .accessors import DatetimeProperties
         return DatetimeProperties(self)
+
+    # -- analytic window verbs (beyond-reference; SURVEY.md §2.6) ----------
+
+    def _win(self):
+        # a provisional mid-index orders identically to the dense rowid
+        # (monotonic ids are order-correlated), so no densify pass
+        from .operators.analytic import SeriesWindow
+        return SeriesWindow(self)
+
+    def shift(self, periods: int = 1, fill_value=None):
+        return self._win().shift(periods, fill_value)
+
+    def diff(self, periods: int = 1):
+        return self._win().diff(periods)
+
+    def cumsum(self):
+        return self._win().cumsum()
+
+    def cummax(self):
+        return self._win().cummax()
+
+    def cummin(self):
+        return self._win().cummin()
+
+    def rank(self, method: str = "min", ascending: bool = True):
+        return self._win().rank(method, ascending)
+
+    def rolling(self, window: int, min_periods: int | None = None):
+        from .operators.analytic import Rolling
+        return Rolling(self, window, min_periods)
 
     # -- membership / range predicates (beyond-reference) ------------------
 
@@ -886,7 +922,11 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         flat = seq.reset_index()
         flat.columns = I.idx_names(seq.index.nlevels) + [I.col_name(0)]
         sdf = _nan_to_null(spark.createDataFrame(flat))
-        return Series(index, pd.Index([name]), sdf, name)
+        out = Series(index, pd.Index([name]), sdf, name)
+        default_idx = (seq.index.nlevels == 1 and seq.index.name is None
+                       and seq.index.equals(pd.RangeIndex(len(seq))))
+        out._explicit_order = not default_idx
+        return out
 
     @staticmethod
     def from_list(values, name=None):

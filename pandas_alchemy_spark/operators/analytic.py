@@ -1,0 +1,212 @@
+"""Analytic window verbs: shift/diff/cumsum/cummax/cummin/rank and
+rolling aggregates.
+
+Beyond-reference (SURVEY.md §2.6: "ranking / analytic windows ...
+absent ... Window/orderBy when we extend").  Two flavors with very
+different scale profiles:
+
+- **Grouped** (``df.groupby(k)[col].shift()`` etc.): the window is
+  ``partitionBy(keys)`` — shuffles once on the keys and parallelizes
+  per group.  This is the 100 TB path; per-key cardinality bounds the
+  partition size.
+- **Global** (``series.shift()`` etc.): pandas semantics need a total
+  row order, which in Spark is a single-partition window — fine for
+  small/aggregated frames, a deliberate bottleneck on raw 100 TB input
+  (use the grouped flavor there).  We still provide it for parity; the
+  plan warns via Spark's own WindowExec single-partition warning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .. import internal as I
+
+_RANK_METHODS = {
+    "first": F.row_number,
+    "min": F.rank,
+    "dense": F.dense_rank,
+}
+
+
+def _order_cols(frame):
+    return [frame._sdf[I.idx_name(i)] for i in range(frame._n_idx())]
+
+
+class _WindowVerbs:
+    """Shared implementations; subclasses provide ``_window()`` (the
+    partitioning) and ``_wrap(expr)`` (packaging into a Series)."""
+
+    def shift(self, periods: int = 1, fill_value=None):
+        def fn(c):
+            e = F.lag(c, periods).over(self._window())
+            if fill_value is not None:
+                e = F.coalesce(e, F.lit(fill_value))
+            return e
+        return self._wrap(fn)
+
+    def diff(self, periods: int = 1):
+        return self._wrap(
+            lambda c: c - F.lag(c, periods).over(self._window()))
+
+    def _cum(self, agg):
+        w = self._window().rowsBetween(Window.unboundedPreceding,
+                                       Window.currentRow)
+        # pandas cum* keeps NaN holes (the running value skips them but
+        # the NaN row stays NaN); Spark aggregates just ignore nulls
+        return self._wrap(
+            lambda c: F.when(c.isNull(), F.lit(None))
+            .otherwise(agg(c).over(w)))
+
+    def cumsum(self):
+        return self._cum(F.sum)
+
+    def cummax(self):
+        return self._cum(F.max)
+
+    def cummin(self):
+        return self._cum(F.min)
+
+    def cumcount(self):
+        # pandas: 0-based position within group
+        return self._wrap(
+            lambda c: F.row_number().over(self._window()) - F.lit(1))
+
+    def rank(self, method: str = "min", ascending: bool = True):
+        if method not in _RANK_METHODS:
+            raise NotImplementedError(f"rank method {method!r}")
+        rank_fn = _RANK_METHODS[method]
+        # "first" breaks ties by position (needs the index in the
+        # ordering); min/dense must NOT include it or ties vanish
+        tiebreak = method == "first"
+
+        def fn(c):
+            # nulls last so they never shift non-null ranks; pandas
+            # gives NaN rank to NaN values (keep_na guard below)
+            order = c.asc_nulls_last() if ascending else c.desc_nulls_last()
+            w = self._value_window(order, tiebreak)
+            return F.when(c.isNull(), F.lit(None)).otherwise(
+                rank_fn().over(w))
+        return self._wrap(fn)
+
+    def rolling_sum(self, window: int, min_periods: int | None = None):
+        return self._rolling(F.sum, window, min_periods)
+
+    def rolling_mean(self, window: int, min_periods: int | None = None):
+        return self._rolling(F.mean, window, min_periods)
+
+    def _rolling(self, agg, window: int, min_periods):
+        if min_periods is None:
+            min_periods = window
+        w = self._window().rowsBetween(-(window - 1), Window.currentRow)
+
+        def fn(c):
+            val = agg(c).over(w)
+            n = F.count(c).over(w)
+            return F.when(n >= min_periods, val)
+        return self._wrap(fn)
+
+
+class SeriesWindow(_WindowVerbs):
+    """Global (whole-series) analytic verbs, ordered by the index."""
+
+    def __init__(self, series):
+        self._s = series
+
+    def _window(self):
+        return Window.orderBy(*_order_cols(self._s))
+
+    def _value_window(self, order, tiebreak):
+        # pandas rank orders by VALUE (ties broken per method)
+        if tiebreak:
+            return Window.orderBy(order, *_order_cols(self._s))
+        return Window.orderBy(order)
+
+    def _wrap(self, fn):
+        # window evaluation reorders rows in the PLAN (rank sorts by
+        # value, grouped windows cluster by key); no plan-level re-sort
+        # is added — positional frames re-establish index order client-
+        # side at export (base._fetch_pandas), costing nothing cluster-
+        # side at scale
+        return self._s._app(fn)
+
+
+class SeriesGroupBy(_WindowVerbs):
+    """``df.groupby(keys)[label]`` — grouped transforms returning a
+    Series aligned with (same length as) the parent frame."""
+
+    def __init__(self, df, by, label):
+        from ..core import Series
+        self._df = df
+        self._by = by if isinstance(by, list) else [by]
+        self._label = label
+        self._Series = Series
+
+    def _keys(self):
+        return [self._df._col_at(self._df._columns.get_loc(b))
+                for b in self._by]
+
+    def _window(self):
+        return Window.partitionBy(*self._keys()).orderBy(
+            *_order_cols(self._df))
+
+    def _value_window(self, order, tiebreak):
+        if tiebreak:
+            return Window.partitionBy(*self._keys()).orderBy(
+                order, *_order_cols(self._df))
+        return Window.partitionBy(*self._keys()).orderBy(order)
+
+    def _wrap(self, fn):
+        df = self._df
+        col = df._col_at(df._columns.get_loc(self._label))
+        expr = fn(col)
+        n = df._n_idx()
+        sel = [df._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        sel.append(expr.alias(I.col_name(0)))
+        # partitionBy shuffles rows into key order in the plan; export
+        # re-establishes index order client-side for positional frames
+        # (base._fetch_pandas), and lineage consumers (df.assign) keep
+        # the parent plan anyway — no cluster-side sort here
+        body = df._sdf.select(*sel)
+        out = self._Series(df._index, None, body, self._label,
+                           lineage=(df._sdf, expr))
+        out._mid_index = getattr(df, "_mid_index", False)
+        return out
+
+    # grouped aggregation to one row per group (pandas .groupby(k)[c].sum())
+    def _agg(self, how):
+        from ..relational import GroupBy
+        gb = GroupBy(self._df, self._by)
+        out = gb.agg(**{self._label: (self._label, how)})
+        return out[self._label]
+
+    def sum(self):
+        return self._agg("sum")
+
+    def mean(self):
+        return self._agg("mean")
+
+    def min(self):
+        return self._agg("min")
+
+    def max(self):
+        return self._agg("max")
+
+    def count(self):
+        return self._agg("count")
+
+
+class Rolling:
+    """``series.rolling(n)`` handle."""
+
+    def __init__(self, series, window: int, min_periods=None):
+        self._sw = SeriesWindow(series)
+        self._window_n = window
+        self._min_periods = min_periods
+
+    def sum(self):
+        return self._sw.rolling_sum(self._window_n, self._min_periods)
+
+    def mean(self):
+        return self._sw.rolling_mean(self._window_n, self._min_periods)

@@ -53,6 +53,13 @@ class GroupBy:
         self._by = by
         self._key_cols = [df._col_at(df._columns.get_loc(b)) for b in by]
 
+    def __getitem__(self, label):
+        """Grouped column handle: transforms (shift/cumsum/rank/...)
+        window over partitionBy(keys) — the scalable flavor — and
+        reductions collapse to one row per group."""
+        from .operators.analytic import SeriesGroupBy
+        return SeriesGroupBy(self._df, self._by, label)
+
     def agg(self, spec=None, **named):
         """``agg({"col": "sum"})`` / ``agg(out=("col", "mean"))``.
 
@@ -124,12 +131,14 @@ class RelationalMixin:
             order.append(c.asc() if asc else c.desc())
         new = self._shallow_copy()
         new._sdf = self._sdf.orderBy(*order)
+        new._explicit_order = True
         return new
 
     def sort_index(self, ascending=True):
         order = [c.asc() if ascending else c.desc() for c in self._idx_cols()]
         new = self._shallow_copy()
         new._sdf = self._sdf.orderBy(*order)
+        new._explicit_order = True
         return new
 
     def nlargest(self, n, columns):

@@ -1,0 +1,88 @@
+"""Differential tests: shift/diff/cum*/rank/rolling and grouped
+transforms vs pandas."""
+
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+
+import pandas_alchemy_spark as pas
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return pd.DataFrame({
+        "g": ["a", "b", "a", "b", "a", "c", "b", "a"],
+        "v": [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0],
+        "w": [1.0, None, 2.0, 2.0, None, 3.0, 1.0, 4.0],
+    })
+
+
+def _series_eq(ours, want):
+    got = ours.to_pandas().reset_index(drop=True)
+    want = want.reset_index(drop=True)
+    want.name = got.name
+    pdt.assert_series_equal(got, want, check_dtype=False)
+
+
+SERIES_CASES = [
+    ("shift1", lambda s: s.shift(1)),
+    ("shift2_fill", lambda s: s.shift(2, fill_value=0.0)),
+    ("diff", lambda s: s.diff()),
+    ("cumsum", lambda s: s.cumsum()),
+    ("cummax", lambda s: s.cummax()),
+    ("cummin", lambda s: s.cummin()),
+    ("rank_min", lambda s: s.rank(method="min")),
+    ("rank_first", lambda s: s.rank(method="first")),
+    ("rank_dense_desc", lambda s: s.rank(method="dense", ascending=False)),
+    ("rolling_sum", lambda s: s.rolling(3).sum()),
+    ("rolling_mean_mp1", lambda s: s.rolling(3, min_periods=1).mean()),
+]
+
+
+@pytest.mark.parametrize("name,fn", SERIES_CASES,
+                         ids=[c[0] for c in SERIES_CASES])
+def test_series_analytic(spark, pdf, name, fn):
+    df = pas.DataFrame.from_pandas(pdf)
+    _series_eq(fn(df.v), fn(pdf.v))
+
+
+def test_cumsum_skips_na_like_pandas(spark, pdf):
+    df = pas.DataFrame.from_pandas(pdf)
+    # pandas cumsum keeps NaN holes but continues the running sum
+    _series_eq(df.w.cumsum(), pdf.w.cumsum())
+
+
+GROUPED_CASES = [
+    ("gshift", lambda g: g.shift(1)),
+    ("gcumsum", lambda g: g.cumsum()),
+    ("gcumcount", lambda g: g.cumcount()),
+    ("grank", lambda g: g.rank(method="min")),
+]
+
+
+@pytest.mark.parametrize("name,fn", GROUPED_CASES,
+                         ids=[c[0] for c in GROUPED_CASES])
+def test_grouped_transforms(spark, pdf, name, fn):
+    df = pas.DataFrame.from_pandas(pdf)
+    got = fn(df.groupby("g")["v"]).to_pandas().reset_index(drop=True)
+    want = fn(pdf.groupby("g")["v"]).reset_index(drop=True)
+    want.name = got.name
+    pdt.assert_series_equal(got, want, check_dtype=False)
+
+
+def test_grouped_reduction(spark, pdf):
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("g")["v"].sum().to_pandas().sort_index()
+    want = pdf.groupby("g")["v"].sum().sort_index()
+    want.name = got.name
+    pdt.assert_series_equal(got, want, check_dtype=False,
+                            check_index_type=False)
+
+
+def test_shift_assign_lineage(spark, pdf):
+    """grouped shift assigns back onto the parent frame in-plan."""
+    df = pas.DataFrame.from_pandas(pdf)
+    out = df.assign(prev=df.groupby("g")["v"].shift(1)).to_pandas()
+    want = pdf.assign(prev=pdf.groupby("g")["v"].shift(1))
+    pdt.assert_frame_equal(out.reset_index(drop=True),
+                           want.reset_index(drop=True), check_dtype=False)
