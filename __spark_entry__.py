@@ -291,6 +291,35 @@ def q_bool_coercion(spark, sf_dir):
                       F.col("n").cast("long").alias("n"))
 
 
+def q_pivot_table(spark, sf_dir):
+    """pivot_table: quantity by (linestatus x returnflag) — Spark
+    groupBy().pivot() with an explicit domain (no distinct-values job;
+    at 100 TB always pass the domain)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    pv = li.pivot_table("l_quantity", "l_linestatus", "l_returnflag",
+                        "sum", columns_values=["A", "N", "R"])
+    sdf = pv.to_spark()
+    return sdf.select("l_linestatus",
+                      F.round("A", 2).alias("qty_a"),
+                      F.round("N", 2).alias("qty_n"),
+                      F.round("R", 2).alias("qty_r"))
+
+
+def q_melt_unpivot(spark, sf_dir):
+    """melt: wide customer metrics to long (Spark native unpivot
+    generator, not N scans)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    c = pas.read_parquet(_t(sf_dir, "customer"))
+    m = c.melt("c_custkey", ["c_acctbal", "c_nationkey"])
+    sdf = m.to_spark(index=False)
+    return sdf.select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                      "variable",
+                      F.round(F.col("value").cast("double"), 2).alias("value"))
+
+
 def q_grouped_cumsum(spark, sf_dir):
     """Grouped analytic transform (partitionBy window — the scalable
     flavor): running order total per customer in orderkey order."""
@@ -719,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "from_pandas_literal": q_from_pandas_literal,
         "series_prefix": q_series_prefix,
         "bool_coercion": q_bool_coercion,
+        "pivot_table": q_pivot_table,
+        "melt_unpivot": q_melt_unpivot,
         "grouped_cumsum": q_grouped_cumsum,
         "series_rank": q_series_rank,
         "rolling_sum": q_rolling_sum,
@@ -893,6 +924,30 @@ def oracle_sql() -> dict[str, str]:
                        + CASE WHEN l_discount < 0.05 THEN 1 ELSE 0 END)::BIGINT AS total_score,
                    count(*)::BIGINT AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "pivot_table": """
+            SELECT l_linestatus,
+                   round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'),
+                     CASE WHEN count(*) FILTER (WHERE l_returnflag = 'A') > 0
+                          THEN 0.0 END), 2) AS qty_a,
+                   round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'),
+                     CASE WHEN count(*) FILTER (WHERE l_returnflag = 'N') > 0
+                          THEN 0.0 END), 2) AS qty_n,
+                   round(coalesce(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'),
+                     CASE WHEN count(*) FILTER (WHERE l_returnflag = 'R') > 0
+                          THEN 0.0 END), 2) AS qty_r
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "melt_unpivot": """
+            SELECT c_custkey::BIGINT AS c_custkey, variable,
+                   round(value, 2) AS value
+            FROM (
+              SELECT c_custkey, 'c_acctbal' AS variable,
+                     c_acctbal::DOUBLE AS value FROM customer
+              UNION ALL
+              SELECT c_custkey, 'c_nationkey' AS variable,
+                     c_nationkey::DOUBLE AS value FROM customer
+            )
         """,
         "grouped_cumsum": """
             SELECT o_orderkey::BIGINT AS o_orderkey,

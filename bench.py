@@ -54,12 +54,16 @@ def main():
     bench_queries = {
         "q1_pricing": qs["groupby_agg"],
         "q3_shipping": qs["q3_shipping"],
+        "q4_semi_join": qs["q4_semi_join"],
         "q5_local_supplier": qs["q5_local_supplier"],
         "q6_forecast": qs["q6_forecast"],
         "window_topk": qs["window_topk"],
+        "grouped_cumsum": qs["grouped_cumsum"],
         "scalar_arith": qs["scalar_arith"],
         "ieee_div": qs["ieee_div"],
         "align_add_outer": qs["align_add_outer"],
+        "isin_between": qs["isin_between"],
+        "str_funcs": qs["str_funcs"],
         "events_hourly": qs["events_hourly"],
         "sessionize": qs["sessionize"],
         "dedup_exact": qs["dedup_exact"],

@@ -33,7 +33,7 @@ from . import base, generic, internal as I, ops_mixin, utils
 from .functions import coercion
 from .indexer import _iAtIndexer
 from .operators.rowid import with_rowid
-from .relational import RelationalMixin, SeriesAggMixin
+from .relational import RelationalMixin, ReshapeMixin, SeriesAggMixin
 from .session import get_session
 
 _REPR_ROWS = 10
@@ -120,7 +120,7 @@ def series_cmp(name):
 
 
 class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
-                RelationalMixin):
+                RelationalMixin, ReshapeMixin):
     """2-D labeled frame backed by a lazy Spark plan
     (reference DataFrame, alchemy.py:99-350)."""
 

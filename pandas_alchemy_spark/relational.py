@@ -288,6 +288,110 @@ class RelationalMixin:
         return out
 
 
+class ReshapeMixin:
+    """pivot_table / melt / describe — Spark-native reshapes
+    (beyond-reference; SURVEY.md §8.2)."""
+
+    def pivot_table(self, values, index, columns, aggfunc="sum",
+                    columns_values=None):
+        """Spark ``groupBy(index).pivot(columns).agg``: one shuffle on
+        the index keys; each pivoted value becomes a map-side CASE
+        aggregate.  Pass ``columns_values`` (the distinct pivot domain)
+        to skip the distinct-values job Spark otherwise runs at plan
+        time — at 100 TB always pass it."""
+        from .core import DataFrame
+        fn = _resolve_agg(aggfunc)
+        body = self._sdf.select(
+            self._col_at(self._columns.get_loc(index)).alias("__pi"),
+            self._col_at(self._columns.get_loc(columns)).alias("__pc"),
+            self._col_at(self._columns.get_loc(values)).alias("__pv"))
+        g = body.groupBy("__pi")
+        piv = (g.pivot("__pc", columns_values) if columns_values is not None
+               else g.pivot("__pc"))
+        # pandas: a PRESENT (index, column) cell whose values are all
+        # NaN sums to 0.0 / counts 0; an ABSENT combination is NaN.
+        # Spark's pivot emits NULL for both, so carry a presence count
+        # to tell them apart.
+        zero_fill = aggfunc in ("sum", "count")
+        if zero_fill:
+            agged = piv.agg(fn("__pv").alias("s"),
+                            F.count(F.lit(1)).alias("n"))
+            out_labels = sorted({c[:-2] for c in agged.columns
+                                 if c.endswith("_s")})
+            cells = [F.when(F.col(f"`{c}_n`").isNotNull(),
+                            F.coalesce(F.col(f"`{c}_s`"), F.lit(0.0)))
+                     for c in out_labels]
+        else:
+            agged = piv.agg(fn("__pv"))
+            out_labels = [c for c in agged.columns if c != "__pi"]
+            cells = [F.col(f"`{c}`") for c in out_labels]
+        sel = [F.col("__pi").alias(I.idx_name(0))]
+        sel += [e.alias(I.col_name(j)) for j, e in enumerate(cells)]
+        out_sdf = agged.select(*sel)
+        # pandas dropna=True: rows whose cells are ALL NaN are dropped
+        keep = None
+        for j in range(len(out_labels)):
+            c = F.col(I.col_name(j)).isNotNull()
+            keep = c if keep is None else (keep | c)
+        if keep is not None:
+            out_sdf = out_sdf.filter(keep)
+        return DataFrame(pd.Index([index]), pd.Index(out_labels),
+                         out_sdf)
+
+    def melt(self, id_vars, value_vars, var_name="variable",
+             value_name="value"):
+        """Unpivot via Spark's native ``unpivot`` (a generator, not a
+        UNION ALL of N scans)."""
+        from .core import DataFrame
+        if not isinstance(id_vars, list):
+            id_vars = [id_vars]
+        if not isinstance(value_vars, list):
+            value_vars = [value_vars]
+        named = self._sdf.select(
+            *[self._col_at(self._columns.get_loc(c)).alias(c)
+              for c in id_vars + value_vars])
+        un = named.unpivot(id_vars, value_vars, var_name, value_name)
+        labels = id_vars + [var_name, value_name]
+        sel = [F.monotonically_increasing_id().alias(I.idx_name(0))]
+        sel += [F.col(c).alias(I.col_name(j)) for j, c in enumerate(labels)]
+        from .core import DataFrame as DF
+        out = DF(pd.Index((None,)), pd.Index(labels), un.select(*sel))
+        out._mid_index = True
+        return out
+
+    def describe(self, percentiles=(0.25, 0.5, 0.75)):
+        """pandas describe() for numeric columns: ONE Spark aggregate
+        (count/mean/std/min/exact percentiles/max for every column in
+        a single pass), returned as a small pandas frame — this is a
+        materializer, like pandas."""
+        num_pos = [i for i, t in enumerate(self._dtypes())
+                   if t.simpleString() in ("bigint", "int", "smallint",
+                                           "tinyint", "double", "float")]
+        aggs, names = [], []
+        for i in num_pos:
+            c = self._col_at(i)
+            lab = str(self._columns[i])
+            aggs += [F.count(c).alias(f"{lab}__count"),
+                     F.mean(c).alias(f"{lab}__mean"),
+                     F.stddev_samp(c).alias(f"{lab}__std"),
+                     F.min(c).alias(f"{lab}__min"),
+                     F.max(c).alias(f"{lab}__max")]
+            for p in percentiles:
+                aggs.append(F.percentile(c, F.lit(p)).alias(f"{lab}__p{p}"))
+            names.append(lab)
+        row = self._sdf.agg(*aggs).collect()[0].asDict()
+        stats = (["count", "mean", "std", "min"]
+                 + [f"{int(p * 100)}%" for p in percentiles] + ["max"])
+        data = {}
+        for lab in names:
+            vals = [row[f"{lab}__count"], row[f"{lab}__mean"],
+                    row[f"{lab}__std"], row[f"{lab}__min"]]
+            vals += [row[f"{lab}__p{p}"] for p in percentiles]
+            vals += [row[f"{lab}__max"]]
+            data[lab] = vals
+        return pd.DataFrame(data, index=stats)
+
+
 class SeriesAggMixin:
     """Series reductions (materializing) + value_counts/unique."""
 
