@@ -722,6 +722,20 @@ def q_fingerprint(spark, sf_dir):
     return text.fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling (one-to-many mapInPandas): frames per
+    media_type.  Deterministic stub fan-out (1 + md5[3] % 5 frames for
+    temporal media) so the oracle reproduces it."""
+    from pandas_alchemy_spark.ext import multimodal
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    frames = multimodal.sample_frames(multimodal.attach_fake_payload(docs))
+    return (frames.groupBy("media_type")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.max("frame_idx").cast("long").alias("max_frame_idx")))
+
+
 def q_multimodal_stats(spark, sf_dir):
     from pandas_alchemy_spark.ext import multimodal
     _prep(spark)
@@ -780,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "multimodal_stats": q_multimodal_stats,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -1296,6 +1311,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct({toks_text})), ' ')) AS fingerprint
             FROM documents
+        """,
+        "frame_sample": """
+            WITH typed AS (
+              SELECT doc_id,
+                     CASE (('0x' || substr(md5(text), 17, 8))::BIGINT % 3)
+                       WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                       ELSE 'audio/wav' END AS media_type,
+                     CASE WHEN (('0x' || substr(md5(text), 17, 8))::BIGINT % 3) = 2
+                          THEN 1 + (('0x' || substr(md5(text), 7, 2))::INT % 5)
+                          ELSE 1 END AS n_frames
+              FROM documents
+            ), frames AS (
+              SELECT doc_id, media_type,
+                     unnest(range(0, n_frames))::INT AS frame_idx
+              FROM typed
+            )
+            SELECT media_type, count(*)::BIGINT AS n_frames,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   max(frame_idx)::BIGINT AS max_frame_idx
+            FROM frames GROUP BY media_type
         """,
         "multimodal_stats": """
             WITH dec AS (

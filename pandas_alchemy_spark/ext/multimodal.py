@@ -78,6 +78,72 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(decode_batches, MEDIA_META_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def resize_media(df: DataFrame, max_w: int = 64, max_h: int = 64,
+                 payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Partition-wise resize via mapInPandas.  STUB kernel (aspect-
+    preserving dimension clamp; payload passed through) — a real
+    deployment swaps the kernel for PIL ``Image.resize``.  The Spark
+    side (schema, Arrow batches, bounded memory per batch) is real."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                w, h, _, _ = _fake_decode(payload)
+                scale = min(max_w / w, max_h / h, 1.0)
+                rows.append((row[id_col], row["media_type"],
+                             int(w * scale), int(h * scale), payload))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in RESIZED_SCHEMA])
+
+    return df.mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_feature", T.ArrayType(T.FloatType())),
+])
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """One-to-many frame sampling via mapInPandas: temporal media
+    (audio/wav here; video in a real deployment) expands to
+    ``1 + md5(payload)[3] % 5`` frames, stills to one.  The fan-out
+    happens inside the Arrow batch loop — no explode shuffle, output
+    partitioning inherits the input's."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                digest = hashlib.md5(payload).digest()
+                mt = row["media_type"]
+                n = 1 + digest[3] % 5 if mt == "audio/wav" else 1
+                for i in range(n):
+                    feat = [b / 255.0 for b in
+                            hashlib.md5(payload + bytes([i])).digest()[:4]]
+                    rows.append((row[id_col], mt, i, feat))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in FRAMES_SCHEMA])
+
+    return df.mapInPandas(frame_batches, FRAMES_SCHEMA)
+
+
 def media_stats(decoded: DataFrame) -> DataFrame:
     """Aggregate decoded-media stats per media_type (pure built-ins)."""
     return (decoded.groupBy("media_type")

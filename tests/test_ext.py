@@ -177,3 +177,19 @@ def test_multimodal_plumbing(docs):
     assert out.feature.map(len).eq(8).all()
     stats = multimodal.media_stats(dec).toPandas()
     assert stats.n_items.sum() == len(out)
+
+
+def test_multimodal_resize_and_frames(docs):
+    mm = multimodal.attach_fake_payload(docs)
+    rs = multimodal.resize_media(mm, max_w=64, max_h=64).toPandas()
+    assert len(rs) == docs.count()
+    assert (rs.width <= 64).all() and (rs.height <= 64).all()
+    assert (rs.width > 0).all()
+    fr = multimodal.sample_frames(mm).toPandas()
+    # stills yield exactly one frame; temporal media 1..5
+    per_doc = fr.groupby(["doc_id", "media_type"]).frame_idx.count()
+    stills = per_doc[per_doc.index.get_level_values(1) != "audio/wav"]
+    assert (stills == 1).all()
+    audio = per_doc[per_doc.index.get_level_values(1) == "audio/wav"]
+    assert audio.between(1, 5).all() and (audio > 1).any()
+    assert fr.frame_feature.map(len).eq(4).all()
