@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 
 from . import base, generic, internal as I, ops_mixin, utils
 from .functions import coercion
-from .indexer import _iAtIndexer
+from .indexer import _iAtIndexer, _iLocIndexer, _LocIndexer
 from .operators.rowid import with_rowid
 from .relational import RelationalMixin, ReshapeMixin, SeriesAggMixin
 from .session import get_session
@@ -225,6 +225,14 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     @property
     def iat(self):
         return _iAtIndexer(self)
+
+    @property
+    def iloc(self):
+        return _iLocIndexer(self)
+
+    @property
+    def loc(self):
+        return _LocIndexer(self)
 
     def _get_value(self, index, col, takeable=False):
         """Scalar at (row, col) (reference alchemy.py:146-163) — rowid
@@ -724,6 +732,14 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     @property
     def iat(self):
         return _iAtIndexer(self)
+
+    @property
+    def iloc(self):
+        return _iLocIndexer(self)
+
+    @property
+    def loc(self):
+        return _LocIndexer(self)
 
     def _get_value(self, label, takeable=False):
         # reference alchemy.py:374-383; note the reference's off-by-one

@@ -1,6 +1,102 @@
-"""``.iat`` positional scalar indexer (reference pandas_alchemy/indexer.py:1-21)."""
+"""Indexers: ``.iat`` (reference pandas_alchemy/indexer.py:1-21) plus
+beyond-reference ``.loc`` / ``.iloc``.
+
+``.iloc[slice]`` is a rowid range filter — on a positional frame the
+predicate lands on the synthesized rowid, one narrow pass, no
+collect.  ``.loc`` supports boolean-mask rows (in-plan filter) and
+label rows (index equality filter), each optionally with a column
+list / single column."""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import internal as I
+
+
+class _iLocIndexer:
+    def __init__(self, obj):
+        self._obj = obj
+
+    def __getitem__(self, key):
+        obj = self._obj
+        cols = None
+        if isinstance(key, tuple):
+            key, cols = key
+        if isinstance(key, int):
+            if obj.ndim == 1:
+                return obj._get_value(key, takeable=True)
+            if isinstance(cols, int):
+                return obj._get_value(key, cols, takeable=True)
+            key = slice(key, key + 1 if key != -1 else None)
+        if not isinstance(key, slice):
+            raise NotImplementedError(
+                "iloc supports integers and slices")
+        if key.step not in (None, 1):
+            raise NotImplementedError("iloc slice step")
+        out = self._slice_rows(key)
+        if cols is not None and obj.ndim == 2:
+            if isinstance(cols, int):
+                out = out._seq_at(cols)
+            elif isinstance(cols, slice):
+                out = out[list(obj._columns[cols])]
+            else:
+                out = out[[obj._columns[c] if isinstance(c, int) else c
+                           for c in cols]]
+        return out
+
+    def _slice_rows(self, sl: slice):
+        from .operators.rowid import with_rowid
+        obj = self._obj
+        start, stop = sl.start, sl.stop
+        if (start is not None and start < 0) or (stop is not None and stop < 0):
+            # negative bounds need the row count (same trade the
+            # reference makes for tail, generic.py:50-57)
+            n = len(obj)
+            start = None if start is None else max(0, start + n) if start < 0 else start
+            stop = None if stop is None else max(0, stop + n) if stop < 0 else stop
+        new = obj._shallow_copy()
+        rid = with_rowid(new._sdf, I.ROWID)
+        cond = None
+        if start:
+            cond = F.col(I.ROWID) >= start
+        if stop is not None:
+            c = F.col(I.ROWID) < stop
+            cond = c if cond is None else (cond & c)
+        new._sdf = rid.filter(cond).drop(I.ROWID) if cond is not None else new._sdf
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+
+class _LocIndexer:
+    def __init__(self, obj):
+        self._obj = obj
+
+    def __getitem__(self, key):
+        from .core import Series
+        obj = self._obj
+        cols = None
+        if isinstance(key, tuple):
+            key, cols = key
+        if isinstance(key, Series):
+            if obj.ndim != 2:
+                raise NotImplementedError("loc mask on Series")
+            out = obj[key]
+        elif isinstance(key, slice) and key == slice(None):
+            out = obj
+        else:
+            # label row selection: index equality filter
+            labels = key if isinstance(key, list) else [key]
+            new = obj._shallow_copy()
+            new._sdf = new._sdf.filter(
+                new._sdf[I.idx_name(0)].isin(labels))
+            if hasattr(new, "_drop_lineage"):
+                new._drop_lineage()
+            out = new
+        if cols is not None and obj.ndim == 2:
+            out = out[cols if isinstance(cols, list) else cols]
+        return out
 
 
 class _iAtIndexer:
