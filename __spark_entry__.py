@@ -572,6 +572,76 @@ def q_distinct_count(spark, sf_dir):
                  F.countDistinct("l_partkey").alias("n_parts")))
 
 
+def q_stats_summary(spark, sf_dir):
+    """Series statistical reductions (beyond-reference, SURVEY.md §8.2):
+    exact quantile (linear interpolation, Spark `percentile`), median,
+    corr/cov with full-outer index alignment, std — each a single
+    JVM-side aggregate pass, no collect of data rows."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    q25 = li.l_quantity.quantile(0.25)
+    med = li.l_quantity.median()
+    q75 = li.l_quantity.quantile(0.75)
+    corr = li.l_quantity.corr(li.l_extendedprice)
+    cov = li.l_quantity.cov(li.l_extendedprice)
+    sd = li.l_extendedprice.std()
+    return spark.createDataFrame(
+        [(round(q25, 4), round(med, 4), round(q75, 4),
+          round(corr, 6), round(cov, 2), round(sd, 2))],
+        "q25 double, med double, q75 double, corr double, "
+        "cov double, sd double")
+
+
+def q_idx_extrema(spark, sf_dir):
+    """Series.idxmax/idxmin — max_by/min_by aggregates (one pass,
+    map-side partial; no global sort)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    s = pas.read_parquet(_t(sf_dir, "orders")).set_index(
+        "o_orderkey").o_totalprice
+    return spark.createDataFrame(
+        [(int(s.idxmax()), int(s.idxmin()))], "key_max long, key_min long")
+
+
+def q_value_counts(spark, sf_dir):
+    """Series.value_counts — groupBy + count, descending."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    vc = o.o_orderpriority.value_counts()
+    return vc.to_spark().select(
+        "o_orderpriority", F.col("count").cast("long").alias("n"))
+
+
+def q_describe(spark, sf_dir):
+    """DataFrame.describe — count/mean/std/min/quartiles/max for every
+    numeric column in ONE Spark aggregate pass (materializer, like
+    pandas)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))[
+        ["l_quantity", "l_discount"]]
+    d = li.describe()
+    rows = [(stat, round(float(d.loc[stat, "l_quantity"]), 3),
+             round(float(d.loc[stat, "l_discount"]), 3))
+            for stat in d.index]
+    return spark.createDataFrame(
+        rows, "stat string, l_quantity double, l_discount double")
+
+
+def q_iloc_slice(spark, sf_dir):
+    """iloc positional row slice on a sorted frame — rowid range filter
+    (no OFFSET scan, no collect)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders")).set_index("o_orderkey")
+    part = o.sort_index().iloc[10:15, [0, 2]]
+    sdf = part.to_spark()
+    return sdf.select("o_orderkey", "o_custkey",
+                      F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
 # ---------------------------------------------------------------------------
 # events
 # ---------------------------------------------------------------------------
@@ -779,6 +849,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "window_topk": q_window_topk,
         "distinct_count": q_distinct_count,
+        "stats_summary": q_stats_summary,
+        "idx_extrema": q_idx_extrema,
+        "value_counts": q_value_counts,
+        "describe": q_describe,
+        "iloc_slice": q_iloc_slice,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "top_users": q_top_users,
@@ -1096,6 +1171,49 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_orderkey)::BIGINT AS n_orders,
                    count(DISTINCT l_partkey)::BIGINT AS n_parts
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "stats_summary": """
+            SELECT round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS med,
+                   round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr,
+                   round(covar_samp(l_quantity, l_extendedprice), 2) AS cov,
+                   round(stddev_samp(l_extendedprice), 2) AS sd
+            FROM lineitem
+        """,
+        "idx_extrema": """
+            SELECT arg_max(o_orderkey, o_totalprice)::BIGINT AS key_max,
+                   arg_min(o_orderkey, o_totalprice)::BIGINT AS key_min
+            FROM orders
+        """,
+        "value_counts": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "describe": """
+            SELECT 'count' AS stat,
+                   round(count(l_quantity)::DOUBLE, 3) AS l_quantity,
+                   round(count(l_discount)::DOUBLE, 3) AS l_discount
+            FROM lineitem
+            UNION ALL SELECT 'mean', round(avg(l_quantity), 3),
+                   round(avg(l_discount), 3) FROM lineitem
+            UNION ALL SELECT 'std', round(stddev_samp(l_quantity), 3),
+                   round(stddev_samp(l_discount), 3) FROM lineitem
+            UNION ALL SELECT 'min', round(min(l_quantity), 3),
+                   round(min(l_discount), 3) FROM lineitem
+            UNION ALL SELECT '25%', round(quantile_cont(l_quantity, 0.25), 3),
+                   round(quantile_cont(l_discount, 0.25), 3) FROM lineitem
+            UNION ALL SELECT '50%', round(quantile_cont(l_quantity, 0.5), 3),
+                   round(quantile_cont(l_discount, 0.5), 3) FROM lineitem
+            UNION ALL SELECT '75%', round(quantile_cont(l_quantity, 0.75), 3),
+                   round(quantile_cont(l_discount, 0.75), 3) FROM lineitem
+            UNION ALL SELECT 'max', round(max(l_quantity), 3),
+                   round(max(l_discount), 3) FROM lineitem
+        """,
+        "iloc_slice": """
+            SELECT o_orderkey, o_custkey,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 10
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

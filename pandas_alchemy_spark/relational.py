@@ -30,6 +30,8 @@ _AGG_FUNCS = {
     "last": F.last,
     "nunique": F.countDistinct,
     "approx_nunique": F.approx_count_distinct,
+    "median": F.median,
+    "prod": F.product,
 }
 
 
@@ -414,8 +416,46 @@ class SeriesAggMixin:
     def std(self):
         return self._reduce(F.stddev_samp)
 
+    def var(self):
+        return self._reduce(F.var_samp)
+
     def count(self):
         return self._reduce(F.count)
+
+    def quantile(self, q=0.5):
+        """Exact linear-interpolated quantile (pandas default) via
+        Spark's ``percentile`` aggregate — one JVM-side pass; at scale
+        swap for ``percentile_approx`` when an error bound is OK."""
+        return self._reduce(lambda c: F.percentile(c, F.lit(float(q))))
+
+    def median(self):
+        return self.quantile(0.5)
+
+    def idxmax(self):
+        """Index label at the max value — ``max_by`` aggregate (single
+        pass, map-side partial; no sort)."""
+        return self._reduce_pair(F.max_by)
+
+    def idxmin(self):
+        return self._reduce_pair(F.min_by)
+
+    def _reduce_pair(self, fn):
+        row = self._sdf.select(
+            fn(self._idx_at(0), self._the_col).alias("v")).take(1)
+        return row[0]["v"]
+
+    def _corr_like(self, other, fn):
+        """Align the two Series on their index (full-outer join, same
+        machinery as binary ops) then run one bivariate aggregate."""
+        joined, lcol, rcol, _idx, _names = self._join_idx(other)
+        row = joined.select(fn(lcol(0), rcol(0)).alias("v")).take(1)
+        return row[0]["v"]
+
+    def corr(self, other):
+        return self._corr_like(other, F.corr)
+
+    def cov(self, other):
+        return self._corr_like(other, F.covar_samp)
 
     def nunique(self):
         return self._reduce(F.countDistinct)

@@ -143,3 +143,35 @@ def test_rename_astype(spark):
     assert list(df.rename(columns={"a": "z"}).columns) == ["z"]
     got = df.astype("float64").to_pandas()
     assert got["a"].dtype == "float64"
+
+
+def test_series_stat_reductions(li, lineitem_pdf):
+    import numpy as np
+    s = li.l_quantity
+    ps = lineitem_pdf["l_quantity"]
+    assert abs(s.quantile(0.25) - ps.quantile(0.25)) < 1e-9
+    assert abs(s.median() - ps.median()) < 1e-9
+    assert abs(s.var() - ps.var()) < 1e-9
+    got_c = li.l_quantity.corr(li.l_extendedprice)
+    want_c = ps.corr(lineitem_pdf["l_extendedprice"])
+    assert abs(got_c - want_c) < 1e-9
+    got_v = li.l_quantity.cov(li.l_extendedprice)
+    want_v = ps.cov(lineitem_pdf["l_extendedprice"])
+    assert abs(got_v - want_v) / abs(want_v) < 1e-9
+
+
+def test_series_idx_extrema(orders, spark):
+    opdf = orders.to_pandas()
+    s = orders.set_index("o_orderkey").o_totalprice
+    ps = opdf.set_index("o_orderkey")["o_totalprice"]
+    assert s.idxmax() == ps.idxmax()
+    assert s.idxmin() == ps.idxmin()
+
+
+def test_groupby_median(li, lineitem_pdf):
+    got = (li.groupby("l_returnflag").agg(med=("l_quantity", "median"))
+           .to_pandas().sort_index())
+    want = (lineitem_pdf.groupby("l_returnflag")
+            .agg(med=("l_quantity", "median")).sort_index())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_index_type=False)
