@@ -572,6 +572,30 @@ def q_distinct_count(spark, sf_dir):
                  F.countDistinct("l_partkey").alias("n_parts")))
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py — union+window, ONE shuffle on the
+    key, no range explosion): each event matched to the user's most
+    recent order at or before the event time (events shifted onto the
+    orders timeline).  Right side pre-aggregated to unique (key, time)
+    for deterministic ties."""
+    from pandas_alchemy_spark.ext.events import load_events
+    from pandas_alchemy_spark.operators.asof import asof_join
+    _prep(spark)
+    ev = load_events(spark, _t(sf_dir, "events")).select(
+        "event_id", "user_id",
+        (F.col("ts") - F.expr("INTERVAL 23 YEARS")).alias("t"))
+    od = (spark.read.parquet(_t(sf_dir, "orders"))
+          .groupBy(F.col("o_custkey").alias("user_id"),
+                   F.col("o_orderdate").alias("t"))
+          .agg(F.max("o_totalprice").alias("tp")))
+    j = asof_join(ev, od, on="t", by="user_id")
+    return (j.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("tp").alias("matched"),
+                 F.round(F.max("tp"), 2).alias("max_tp"),
+                 F.round(F.min("tp"), 2).alias("min_tp")))
+
+
 def q_stats_summary(spark, sf_dir):
     """Series statistical reductions (beyond-reference, SURVEY.md §8.2):
     exact quantile (linear interpolation, Spark `percentile`), median,
@@ -849,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "window_topk": q_window_topk,
         "distinct_count": q_distinct_count,
+        "asof_join": q_asof_join,
         "stats_summary": q_stats_summary,
         "idx_extrema": q_idx_extrema,
         "value_counts": q_value_counts,
@@ -1171,6 +1196,20 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_orderkey)::BIGINT AS n_orders,
                    count(DISTINCT l_partkey)::BIGINT AS n_parts
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "asof_join": """
+            WITH ev AS (SELECT event_id, user_id,
+                               ts - INTERVAL 23 YEAR AS t FROM events),
+                 od AS (SELECT o_custkey AS user_id, o_orderdate AS t,
+                               max(o_totalprice) AS tp
+                        FROM orders GROUP BY 1, 2)
+            SELECT ev.user_id, count(*)::BIGINT AS n,
+                   count(tp)::BIGINT AS matched,
+                   round(max(tp), 2) AS max_tp,
+                   round(min(tp), 2) AS min_tp
+            FROM ev ASOF LEFT JOIN od
+              ON ev.user_id = od.user_id AND ev.t >= od.t
+            GROUP BY ev.user_id
         """,
         "stats_summary": """
             SELECT round(quantile_cont(l_quantity, 0.25), 4) AS q25,

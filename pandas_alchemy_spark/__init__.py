@@ -13,6 +13,7 @@ Spark-era extensions (read_parquet, the ext.* pipeline operators).
 """
 
 from .core import DataFrame, Series, concat
+from .operators.asof import merge_asof
 from .session import close_db, get_session, init_db
 
 __version__ = "0.1.0"
@@ -38,5 +39,6 @@ __all__ = [
     "close_db",
     "get_session",
     "read_parquet",
+    "merge_asof",
     "use_repr_workaround",
 ]

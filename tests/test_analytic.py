@@ -86,3 +86,43 @@ def test_shift_assign_lineage(spark, pdf):
     want = pdf.assign(prev=pdf.groupby("g")["v"].shift(1))
     pdt.assert_frame_equal(out.reset_index(drop=True),
                            want.reset_index(drop=True), check_dtype=False)
+
+
+class TestAsofJoin:
+    """asof_join vs pandas merge_asof (operators/asof.py)."""
+
+    def _frames(self):
+        import numpy as np
+        rng = np.random.RandomState(7)
+        left = pd.DataFrame({
+            "k": rng.randint(0, 4, 60),
+            "t": rng.randint(0, 100, 60).astype("int64"),
+            "lv": np.arange(60, dtype="int64"),
+        }).sort_values("t", kind="stable").reset_index(drop=True)
+        right = (pd.DataFrame({
+            "k": rng.randint(0, 4, 40),
+            "t": rng.randint(0, 100, 40).astype("int64"),
+            "rv": np.arange(40, dtype="int64") * 10,
+        }).drop_duplicates(["k", "t"])
+          .sort_values("t", kind="stable").reset_index(drop=True))
+        return left, right
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    @pytest.mark.parametrize("exact", [True, False])
+    def test_vs_pandas(self, spark, direction, exact):
+        from pandas_alchemy_spark.operators.asof import asof_join
+        left, right = self._frames()
+        want = pd.merge_asof(left, right, on="t", by="k",
+                             direction=direction,
+                             allow_exact_matches=exact)
+        got = (asof_join(spark.createDataFrame(left),
+                         spark.createDataFrame(right),
+                         on="t", by="k", direction=direction,
+                         allow_exact_matches=exact)
+               .toPandas().sort_values(["t", "lv"], kind="stable")
+               .reset_index(drop=True))
+        want = (want.sort_values(["t", "lv"], kind="stable")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["k", "t", "lv", "rv"]], want[["k", "t", "lv", "rv"]],
+            check_dtype=False)
