@@ -572,6 +572,45 @@ def q_distinct_count(spark, sf_dir):
                  F.countDistinct("l_partkey").alias("n_parts")))
 
 
+def q_explode_embedding(spark, sf_dir):
+    """Series.explode — unnest an array column (generator in-stage, no
+    shuffle, no join)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    emb = pas.read_parquet(_t(sf_dir, "embeddings")).set_index("vec_id")
+    ex = emb.embedding.explode()
+    return ex.to_spark().select(
+        "vec_id",
+        F.round(F.col("embedding").cast("double"), 5).alias("val"))
+
+
+def q_get_dummies(spark, sf_dir):
+    """get_dummies one-hot encoding: fixed category domain -> pure
+    codegen CASE columns, zero extra jobs; summed per flag here to keep
+    the result small."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    d = pas.get_dummies(li.l_returnflag, prefix="rf",
+                        categories=["A", "N", "R"])
+    sums = [int(d[c].sum()) for c in ["rf_A", "rf_N", "rf_R"]]
+    return spark.createDataFrame(
+        [tuple(sums)], "rf_a long, rf_n long, rf_r long")
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic content-addressed sample (Knuth multiplicative
+    hash on the key) — reproducible across engines, pushdown-eligible
+    filter; no RNG state, no sort."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    s = o.sample(0.1, key="o_orderkey")
+    return spark.createDataFrame(
+        [(len(s), float(round(s.o_totalprice.sum(), 2)))],
+        "n long, total double")
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/asof.py — union+window, ONE shuffle on the
     key, no range explosion): each event matched to the user's most
@@ -874,6 +913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "distinct_count": q_distinct_count,
         "asof_join": q_asof_join,
+        "explode_embedding": q_explode_embedding,
+        "get_dummies": q_get_dummies,
+        "sample_hash": q_sample_hash,
         "stats_summary": q_stats_summary,
         "idx_extrema": q_idx_extrema,
         "value_counts": q_value_counts,
@@ -1196,6 +1238,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_orderkey)::BIGINT AS n_orders,
                    count(DISTINCT l_partkey)::BIGINT AS n_parts
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "explode_embedding": """
+            SELECT vec_id,
+                   round(unnest(embedding)::DOUBLE, 5) AS val
+            FROM embeddings
+        """,
+        "get_dummies": """
+            SELECT sum((l_returnflag = 'A')::INT)::BIGINT AS rf_a,
+                   sum((l_returnflag = 'N')::INT)::BIGINT AS rf_n,
+                   sum((l_returnflag = 'R')::INT)::BIGINT AS rf_r
+            FROM lineitem
+        """,
+        "sample_hash": """
+            SELECT count(*)::BIGINT AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            WHERE (o_orderkey * 2654435761) % 4294967296 < 429496729
         """,
         "asof_join": """
             WITH ev AS (SELECT event_id, user_id,

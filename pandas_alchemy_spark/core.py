@@ -657,6 +657,17 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def _the_col(self):
         return self._col_at(0)  # reference alchemy.py:365-368
 
+    def explode(self):
+        """pandas Series.explode: one row per array element, index
+        values repeated; empty/NULL arrays yield a NULL row
+        (``explode_outer``).  A generator, not a join — stays in one
+        stage, no shuffle."""
+        new = self._shallow_copy()
+        idx = [new._idx_at(i) for i in range(new._n_idx())]
+        new._sdf = new._project(idx, [F.explode_outer(new._the_col)])
+        new._drop_lineage()
+        return new
+
     # -- accessor namespaces (beyond-reference; SURVEY.md §2.9) ------------
 
     @property

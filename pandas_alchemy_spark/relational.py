@@ -206,6 +206,38 @@ class RelationalMixin:
         out._mid_index = self._mid_index
         return out
 
+    def explode(self, column):
+        """pandas DataFrame.explode: unnest one array column, other
+        columns and index repeated per element (explode_outer keeps
+        empty/NULL rows).  Generator in-stage; no shuffle."""
+        new = self._shallow_copy()
+        pos = new._columns.get_loc(column)
+        idx = [new._idx_at(i) for i in range(new._n_idx())]
+        data = [F.explode_outer(new._col_at(i)) if i == pos
+                else new._col_at(i) for i in range(new._n_cols())]
+        new._sdf = new._project(idx, data)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def sample(self, frac, key=None, seed=None):
+        """Row sample.  With ``key``: DETERMINISTIC content-addressed
+        sample via a Knuth multiplicative hash on that column —
+        reproducible across runs/engines and cheap (a pushdown-eligible
+        filter, no RNG state).  Without ``key``: Spark's Bernoulli
+        sample with ``seed``."""
+        new = self._shallow_copy()
+        if key is None:
+            new._sdf = new._sdf.sample(fraction=frac, seed=seed)
+        else:
+            c = new._col_at(new._columns.get_loc(key))
+            cond = ((c.cast("long") * F.lit(2654435761)) % F.lit(4294967296)
+                    < F.lit(int(frac * 4294967296)))
+            new._sdf = new._sdf.filter(cond)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
     def drop_duplicates(self, subset=None):
         """Exact dedup.  With ``subset``, keeps one arbitrary row per
         key via max-struct (single shuffle, no window sort)."""
@@ -288,6 +320,26 @@ class RelationalMixin:
                         self._sdf.select(*sel))
         out._mid_index = True
         return out
+
+
+def get_dummies(ser, prefix=None, categories=None):
+    """One-hot encode a Series into a 0/1 DataFrame (pandas
+    ``get_dummies``).  Pass ``categories`` (the value domain) to skip
+    the distinct-collect job — at 100 TB always pass it; each dummy is
+    then a codegen'd CASE column, zero extra jobs."""
+    from .core import DataFrame
+    if categories is None:
+        categories = sorted(
+            r[0] for r in
+            ser._sdf.select(ser._the_col.alias("v")).distinct().collect()
+            if r[0] is not None)
+    base = prefix if prefix is not None else (ser.name or "")
+    labels = [f"{base}_{v}" if base else str(v) for v in categories]
+    idx = [ser._idx_at(i) for i in range(ser._n_idx())]
+    data = [(ser._the_col == F.lit(v)).cast("int") for v in categories]
+    out = DataFrame(ser._index, pd.Index(labels), ser._project(idx, data))
+    out._mid_index = ser._mid_index
+    return out
 
 
 class ReshapeMixin:

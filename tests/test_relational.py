@@ -175,3 +175,39 @@ def test_groupby_median(li, lineitem_pdf):
             .agg(med=("l_quantity", "median")).sort_index())
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_index_type=False)
+
+
+def test_series_explode(spark):
+    pdf = pd.DataFrame({"k": [1, 2, 3], "v": [[1, 2], [], [3]]})
+    got = (pas.DataFrame.from_pandas(pdf).set_index("k").v.explode()
+           .to_pandas())
+    want = pdf.set_index("k")["v"].explode()
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_index_type=False)
+
+
+def test_frame_explode(spark):
+    pdf = pd.DataFrame({"k": [1, 2], "v": [[1, 2, 3], [4]],
+                        "w": ["a", "b"]})
+    got = (pas.DataFrame.from_pandas(pdf).explode("v")
+           .to_pandas().reset_index(drop=True))
+    want = pdf.explode("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_get_dummies(li, lineitem_pdf):
+    got = (pas.get_dummies(li.l_returnflag, prefix="rf",
+                           categories=["A", "N", "R"])
+           .to_pandas().sum())
+    want = (pd.get_dummies(lineitem_pdf["l_returnflag"], prefix="rf")
+            .sum())
+    pd.testing.assert_series_equal(got.astype("int64"),
+                                   want.astype("int64"))
+
+
+def test_sample_deterministic(orders):
+    s1 = orders.sample(0.1, key="o_orderkey")
+    s2 = orders.sample(0.1, key="o_orderkey")
+    n1, n2 = len(s1), len(s2)
+    assert n1 == n2
+    assert 0.05 * len(orders) < n1 < 0.2 * len(orders)
