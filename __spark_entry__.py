@@ -821,6 +821,28 @@ def q_emb_near_dup(spark, sf_dir):
             .select("id_a", "id_b", F.round("c", 4).alias("cosine")))
 
 
+def q_text_normalize(spark, sf_dir):
+    """normalize_text: PII scrub + lowercase + whitespace collapse —
+    one chained regexp_replace projection, codegen, no UDF."""
+    from pandas_alchemy_spark.ext import text
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = text.normalize_text(docs)
+    return out.select("doc_id", F.md5("norm_text").alias("h"),
+                      F.length("norm_text").alias("n"))
+
+
+def q_repetition(spark, sf_dir):
+    """repetition_stats: Gopher-style per-document 2-gram repetition
+    signals — pure array expressions, per-row CPU, no explode."""
+    from pandas_alchemy_spark.ext import text
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = text.repetition_stats(docs)
+    return out.select("doc_id", "n_2grams", "n_distinct_2grams",
+                      "top_2gram_count", "dup_2gram_frac")
+
+
 def q_langid(spark, sf_dir):
     from pandas_alchemy_spark.ext import text
     _prep(spark)
@@ -931,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
         "emb_near_dup": q_emb_near_dup,
+        "text_normalize": q_text_normalize,
+        "repetition": q_repetition,
         "langid": q_langid,
         "quality": q_quality,
         "token_stats": q_token_stats,
@@ -1472,6 +1496,49 @@ def oracle_sql() -> dict[str, str]:
                       sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
                       * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)),
                       0.0) >= 0.45
+        """,
+        "text_normalize": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                         '[EMAIL]', 'g'),
+                         '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '[PHONE]', 'g'),
+                         '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g')),
+                       '[\\x00-\\x1f]+', ' ', 'g'),
+                       '\\s{2,}', ' ', 'g')) AS norm_text
+              FROM documents)
+            SELECT doc_id, md5(norm_text) AS h,
+                   length(norm_text)::BIGINT AS n
+            FROM n
+        """,
+        "repetition": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(regexp_replace(
+                       text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                       x -> x != '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(toks), 1)),
+                       i -> toks[i] || ' ' || toks[i + 1]) AS grams
+              FROM t),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            c AS (SELECT doc_id, gram, count(*) AS cnt
+                  FROM e GROUP BY doc_id, gram),
+            s AS (SELECT doc_id, sum(cnt) AS n, count(*) AS nd,
+                         max(cnt) AS top
+                  FROM c GROUP BY doc_id)
+            SELECT g.doc_id,
+                   coalesce(s.n, 0)::BIGINT AS n_2grams,
+                   coalesce(s.nd, 0)::BIGINT AS n_distinct_2grams,
+                   coalesce(s.top, 0)::BIGINT AS top_2gram_count,
+                   round(CASE WHEN coalesce(s.n, 0) = 0 THEN 0.0
+                         ELSE 1.0 - s.nd / s.n::DOUBLE END,
+                         6) AS dup_2gram_frac
+            FROM g LEFT JOIN s ON g.doc_id = s.doc_id
         """,
         "langid": f"""
             WITH scored AS (

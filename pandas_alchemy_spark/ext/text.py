@@ -100,3 +100,68 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     fp = F.expr(
         f"md5(concat_ws(' ', array_sort(array_distinct({_tok(text_col)}))))")
     return df.select("*", fp.alias("fingerprint"))
+
+
+# PII patterns (scrubbing for training-data pipelines): email, intl/US
+# phone, IPv4.  Kept simple & deterministic — the goal is redaction
+# plumbing, not NER-grade recall.
+PII_PATTERNS = [
+    ("[EMAIL]", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("[PHONE]", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+    ("[IP]", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+]
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   scrub_pii: bool = True) -> DataFrame:
+    """Normalization + PII scrub: lowercase, strip control chars,
+    collapse whitespace, redact emails/phones/IPs.  Chained
+    ``regexp_replace`` — single codegen'd projection, no UDF, no
+    shuffle; scales linearly and pushes through AQE untouched."""
+    c = F.col(text_col)
+    if scrub_pii:
+        for token, pat in PII_PATTERNS:
+            c = F.regexp_replace(c, pat, token)
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[\x00-\x1f]+", " ")
+    c = F.regexp_replace(c, r"\s{2,}", " ")
+    c = F.trim(c)
+    return df.select("*", c.alias("norm_text"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: 2-gram count,
+    distinct 2-gram count, top-2-gram frequency, duplicate-2-gram
+    fraction.  Pure array expressions — per-row CPU only
+    (embarrassingly parallel, no explode => no row blow-up, no
+    shuffle).  The top count is a longest-equal-run scan over the
+    SORTED gram array — O(n log n) per row, not the naive O(n²)
+    distinct×filter double loop (measured 25× slower on ~1k-gram
+    docs)."""
+    toks = _tok(text_col)
+    # NB sequence(0, -1) DESCENDS in Spark — short docs need the guard
+    grams = (f"case when size({toks}) < 2 then array() "
+             f"else transform(sequence(0, size({toks}) - 2), "
+             f"i -> concat(element_at({toks}, i + 1), ' ', "
+             f"element_at({toks}, i + 2))) end")
+    # stage the gram array once per row — inlining it into every stat
+    # would re-tokenize 4× (no CSE across projection items)
+    staged = df.select("*", F.expr(grams).alias("__grams"))
+    n = "size(__grams)"
+    nd = "size(array_distinct(__grams))"
+    # longest run of equal adjacent elements in sorted order == count
+    # of the most frequent gram
+    top = ("aggregate(array_sort(__grams), "
+           "struct('' as prev, 0 as run, 0 as best), "
+           "(s, x) -> struct(x, "
+           "if(x = s.prev, s.run + 1, 1), "
+           "greatest(s.best, if(x = s.prev, s.run + 1, 1))), "
+           "s -> s.best)")
+    return staged.select(
+        *[c for c in df.columns],
+        F.expr(f"cast({n} as bigint)").alias("n_2grams"),
+        F.expr(f"cast({nd} as bigint)").alias("n_distinct_2grams"),
+        F.expr(f"cast(coalesce({top}, 0) as bigint)").alias("top_2gram_count"),
+        F.round(F.expr(
+            f"if({n} = 0, 0.0, 1.0 - {nd} / cast({n} as double))"), 6
+        ).alias("dup_2gram_frac"))

@@ -193,3 +193,34 @@ def test_multimodal_resize_and_frames(docs):
     audio = per_doc[per_doc.index.get_level_values(1) == "audio/wav"]
     assert audio.between(1, 5).all() and (audio > 1).any()
     assert fr.frame_feature.map(len).eq(4).all()
+
+
+def test_normalize_text_pii(spark):
+    from pandas_alchemy_spark.ext import text
+    df = spark.createDataFrame(
+        [(1, "Contact Bob.Smith+x@corp.example.COM  or +1 (415) 555-0199 now"),
+         (2, "server at 10.0.42.7 \x01\x02 DOWN"),
+         (3, "just  plain   text")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["norm_text"]
+           for r in text.normalize_text(df).collect()}
+    assert got[1] == "contact [email] or [phone] now"
+    assert got[2] == "server at [ip] down"
+    assert got[3] == "just plain text"
+
+
+def test_repetition_stats(spark):
+    from pandas_alchemy_spark.ext import text
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),     # grams: ab ba ab ba ab -> top 3 of 5
+         (2, "x y z"),           # grams: xy yz -> no repeats
+         (3, "solo")],           # 1 token -> no grams
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    assert rows[1]["n_2grams"] == 5
+    assert rows[1]["n_distinct_2grams"] == 2
+    assert rows[1]["top_2gram_count"] == 3
+    assert rows[2]["top_2gram_count"] == 1
+    assert rows[3]["n_2grams"] == 0
+    assert rows[3]["top_2gram_count"] == 0
+    assert rows[3]["dup_2gram_frac"] == 0.0
