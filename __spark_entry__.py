@@ -801,6 +801,21 @@ def q_lsh_ann(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
+def q_ivf_ann(spark, sf_dir):
+    """Approximate ANN (IVF inverted-file cells) — no SQL oracle
+    (approximate by design); driver records rows-only.  Recall tested
+    against brute force in tests/test_ext.py.  Query cost scales with
+    nprobe/nlist of the corpus instead of 1.0."""
+    from pandas_alchemy_spark.ext import similarity
+    _prep(spark)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    dim = len(emb.select("embedding").head(1)[0][0])
+    q = emb.filter("vec_id < 5")
+    out = similarity.ivf_topk(emb, q, k=5, dim=dim, nlist=16, nprobe=6)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"))
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Brute-force embedding near-dup pairs (exact; the LSH-bucketed
     variant is the scale path)."""
@@ -952,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "emb_near_dup": q_emb_near_dup,
         "text_normalize": q_text_normalize,
         "repetition": q_repetition,

@@ -71,6 +71,11 @@ def main():
         "dedup_simhash": qs["dedup_simhash"],
         "cosine_topk": qs["cosine_topk"],
         "lsh_ann": qs["lsh_ann"],
+        "ivf_ann": qs["ivf_ann"],
+        "asof_join": qs["asof_join"],
+        "text_normalize": qs["text_normalize"],
+        "repetition": qs["repetition"],
+        "sample_hash": qs["sample_hash"],
         "emb_near_dup_lsh": lsh_near_dup,
         "token_stats": qs["token_stats"],
         "fingerprint": qs["fingerprint"],

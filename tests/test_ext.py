@@ -224,3 +224,25 @@ def test_repetition_stats(spark):
     assert rows[3]["n_2grams"] == 0
     assert rows[3]["top_2gram_count"] == 0
     assert rows[3]["dup_2gram_frac"] == 0.0
+
+
+def test_ivf_topk_recall(emb):
+    """IVF ANN is approximate: demand >=70% top-5 recall vs brute
+    force at nlist=16/nprobe=6 on the 500-vector corpus (deterministic
+    seed pick so the number is stable)."""
+    dim = len(emb.take(1)[0]["embedding"])
+    bf = similarity.cosine_topk(emb, emb.filter("vec_id < 10"), k=5).toPandas()
+    iv = similarity.ivf_topk(emb, emb.filter("vec_id < 10"), k=5, dim=dim,
+                             nlist=16, nprobe=6).toPandas()
+    bf_set = set(zip(bf.query_id, bf.neighbor_id))
+    iv_set = set(zip(iv.query_id, iv.neighbor_id))
+    recall = len(bf_set & iv_set) / len(bf_set)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
+def test_ivf_centroids_deterministic(emb):
+    dim = len(emb.take(1)[0]["embedding"])
+    c1 = similarity.train_ivf_centroids(emb, dim=dim, nlist=8)
+    c2 = similarity.train_ivf_centroids(emb, dim=dim, nlist=8)
+    assert c1 == c2
+    assert len(c1) == 8 and len(c1[0]) == dim
