@@ -635,6 +635,59 @@ def q_asof_join(spark, sf_dir):
                  F.round(F.min("tp"), 2).alias("min_tp")))
 
 
+def q_where_replace(spark, sf_dir):
+    """where (conditional keep) + replace (value mapping) composed into
+    a grouped aggregate — both stay pure CASE projections feeding one
+    shuffle."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    wq = li.l_quantity.where(li.l_quantity < 25, other=0.0)
+    rf = li.l_returnflag.replace({"A": "AA", "R": "RR"})
+    li2 = li.assign(wq=wq, rf=rf)
+    out = li2.groupby("rf").agg(total=("wq", "sum"), n=("wq", "count"))
+    sdf = out.to_spark()
+    return sdf.select("rf", F.round("total", 2).alias("total"),
+                      F.col("n").cast("long").alias("n"))
+
+
+def q_duplicated(spark, sf_dir):
+    """duplicated marker (keep='first' and keep=False) — window
+    counts over the key partition, summed."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    n_first = int(o.duplicated(subset=["o_custkey"]).astype("int64").sum())
+    n_all = int(o.duplicated(subset=["o_custkey"], keep=False)
+                .astype("int64").sum())
+    return spark.createDataFrame(
+        [(n_first, n_all)], "n_dup_first long, n_dup_all long")
+
+
+def q_cut_bins(spark, sf_dir):
+    """cut (explicit-edge binning, CASE ladder) + group count per bin."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    b = pas.cut(li.l_quantity, [0, 10, 20, 30, 40, 50])
+    out = (li.assign(bin=b).groupby("bin")
+           .agg(n=("bin", "count"), avg_price=("l_extendedprice", "mean")))
+    sdf = out.to_spark()
+    return sdf.select("bin", F.col("n").cast("long").alias("n"),
+                      F.round("avg_price", 2).alias("avg_price"))
+
+
+def q_pct_change(spark, sf_dir):
+    """Grouped pct_change: per-customer order-value change in orderkey
+    order — one partitionBy window (the scalable flavor)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders")).set_index("o_orderkey")
+    pct = o.groupby("o_custkey")["o_totalprice"].pct_change()
+    return pct.to_spark().select(
+        "o_orderkey", F.round(F.col("o_totalprice"), 6).alias("pct"))
+
+
 def q_stats_summary(spark, sf_dir):
     """Series statistical reductions (beyond-reference, SURVEY.md §8.2):
     exact quantile (linear interpolation, Spark `percentile`), median,
@@ -954,6 +1007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dummies": q_get_dummies,
         "sample_hash": q_sample_hash,
         "stats_summary": q_stats_summary,
+        "where_replace": q_where_replace,
+        "duplicated": q_duplicated,
+        "cut_bins": q_cut_bins,
+        "pct_change": q_pct_change,
         "idx_extrema": q_idx_extrema,
         "value_counts": q_value_counts,
         "describe": q_describe,
@@ -1318,6 +1375,46 @@ def oracle_sql() -> dict[str, str]:
                    round(covar_samp(l_quantity, l_extendedprice), 2) AS cov,
                    round(stddev_samp(l_extendedprice), 2) AS sd
             FROM lineitem
+        """,
+        "where_replace": """
+            SELECT CASE WHEN l_returnflag = 'A' THEN 'AA'
+                        WHEN l_returnflag = 'R' THEN 'RR'
+                        ELSE l_returnflag END AS rf,
+                   round(sum(CASE WHEN l_quantity < 25 THEN l_quantity
+                             ELSE 0.0 END), 2) AS total,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "duplicated": """
+            WITH c AS (SELECT o_custkey, count(*) AS cnt
+                       FROM orders GROUP BY o_custkey)
+            SELECT (sum(cnt) - count(*))::BIGINT AS n_dup_first,
+                   coalesce(sum(cnt) FILTER (cnt > 1), 0)::BIGINT
+                     AS n_dup_all
+            FROM c
+        """,
+        "cut_bins": """
+            SELECT CASE WHEN l_quantity > 0 AND l_quantity <= 10
+                          THEN '(0, 10]'
+                        WHEN l_quantity > 10 AND l_quantity <= 20
+                          THEN '(10, 20]'
+                        WHEN l_quantity > 20 AND l_quantity <= 30
+                          THEN '(20, 30]'
+                        WHEN l_quantity > 30 AND l_quantity <= 40
+                          THEN '(30, 40]'
+                        WHEN l_quantity > 40 AND l_quantity <= 50
+                          THEN '(40, 50]'
+                        END AS bin,
+                   count(*)::BIGINT AS n,
+                   round(avg(l_extendedprice), 2) AS avg_price
+            FROM lineitem GROUP BY 1
+        """,
+        "pct_change": """
+            SELECT o_orderkey,
+                   round(o_totalprice / lag(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderkey) - 1,
+                     6) AS pct
+            FROM orders
         """,
         "idx_extrema": """
             SELECT arg_max(o_orderkey, o_totalprice)::BIGINT AS key_max,

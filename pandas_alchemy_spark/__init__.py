@@ -14,7 +14,7 @@ Spark-era extensions (read_parquet, the ext.* pipeline operators).
 
 from .core import DataFrame, Series, concat
 from .operators.asof import merge_asof
-from .relational import get_dummies
+from .relational import cut, get_dummies
 from .session import close_db, get_session, init_db
 
 __version__ = "0.1.0"
@@ -42,5 +42,6 @@ __all__ = [
     "read_parquet",
     "merge_asof",
     "get_dummies",
+    "cut",
     "use_repr_workaround",
 ]

@@ -657,6 +657,46 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def _the_col(self):
         return self._col_at(0)  # reference alchemy.py:365-368
 
+    def _zip_with(self, other, fn):
+        """Align with another Series and apply a binary column
+        function: lineage fast path (both project the same parent plan
+        — zero joins) else full-outer index join, the same two paths
+        the arithmetic ``_op`` uses."""
+        new = self._shallow_copy()
+        if isinstance(other, pd.Series):
+            other = Series.from_pandas(other)
+        if (new._lineage is not None and other._lineage is not None
+                and new._lineage_root is other._lineage_root):
+            root = new._lineage_root
+            expr = fn(new._lineage_expr, other._lineage_expr)
+            new._sdf = root.select(
+                *[root[I.idx_name(k)] for k in range(new._n_idx())],
+                expr.alias(I.col_name(0)))
+            new._lineage = (root, expr)
+            return new
+        joined, lcol, rcol, idx, idx_names = new._join_idx(other)
+        new._sdf = base.BaseFrame(idx_names, None, joined)._project(
+            idx, [fn(lcol(0), rcol(0))])
+        new._lineage = None
+        new._mid_index = False
+        return new
+
+    def where(self, cond, other=None):
+        """pandas Series.where: keep values where ``cond`` is True,
+        replace elsewhere (NULL cond counts as False, like pandas NA)."""
+        o = _scalar_lit(other)
+        return self._zip_with(cond, lambda c, m: F.when(m, c).otherwise(o))
+
+    def mask(self, cond, other=None):
+        """pandas Series.mask: replace values where ``cond`` is True."""
+        o = _scalar_lit(other)
+        return self._zip_with(cond, lambda c, m: F.when(m, o).otherwise(c))
+
+    def combine_first(self, other):
+        """pandas combine_first: self's values, with holes filled from
+        ``other`` after index alignment (coalesce over the outer join)."""
+        return self._zip_with(other, F.coalesce)
+
     def explode(self):
         """pandas Series.explode: one row per array element, index
         values repeated; empty/NULL arrays yield a NULL row
@@ -702,6 +742,12 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
 
     def cummin(self):
         return self._win().cummin()
+
+    def cumprod(self):
+        return self._win().cumprod()
+
+    def pct_change(self, periods: int = 1):
+        return self._win().pct_change(periods)
 
     def rank(self, method: str = "min", ascending: bool = True):
         return self._win().rank(method, ascending)

@@ -141,6 +141,19 @@ class GenericMixin:
     def round(self, decimals: int = 0):
         return self._app(lambda c: F.round(c, decimals))  # generic.py:81-83
 
+    def replace(self, to_replace, value=None):
+        """pandas replace with a scalar pair or dict mapping — a CASE
+        ladder per column (codegen; applied to every data column)."""
+        items = (list(to_replace.items()) if isinstance(to_replace, dict)
+                 else [(to_replace, value)])
+
+        def fn(c):
+            out = c
+            for k, v in items:
+                out = F.when(c == F.lit(k), F.lit(v)).otherwise(out)
+            return out
+        return self._app(fn)
+
     # -- plumbing ----------------------------------------------------------
 
     def pipe(self, func, *args, **kwargs):

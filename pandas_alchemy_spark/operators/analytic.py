@@ -62,6 +62,16 @@ class _WindowVerbs:
     def cumsum(self):
         return self._cum(F.sum)
 
+    def cumprod(self):
+        return self._cum(F.product)
+
+    def pct_change(self, periods: int = 1):
+        """Fractional change vs the previous (periods-th prior) row —
+        lag + divide in one window pass."""
+        return self._wrap(
+            lambda c: c / F.lag(c, periods).over(self._window())
+            - F.lit(1.0))
+
     def cummax(self):
         return self._cum(F.max)
 

@@ -238,6 +238,35 @@ class RelationalMixin:
             new._drop_lineage()
         return new
 
+    def duplicated(self, subset=None, keep="first"):
+        """Boolean Series marking duplicate rows.  ``keep='first'``:
+        row_number over a window partitioned by the key columns,
+        ordered by the positional index (first occurrence wins) —
+        one shuffle on the keys.  ``keep=False``: a count window (all
+        members of any duplicate group are True)."""
+        from pyspark.sql import Window
+
+        from .core import Series
+        cols = subset if subset is not None else list(self._columns)
+        if not isinstance(cols, list):
+            cols = [cols]
+        keys = [self._col_at(self._columns.get_loc(c)) for c in cols]
+        if keep == "first":
+            order = [self._idx_at(i) for i in range(self._n_idx())]
+            w = Window.partitionBy(*keys).orderBy(*order)
+            expr = F.row_number().over(w) > 1
+        elif keep is False:
+            w = Window.partitionBy(*keys)
+            expr = F.count(F.lit(1)).over(w) > 1
+        else:
+            raise NotImplementedError(f"duplicated keep={keep!r}")
+        idx = [self._idx_at(i) for i in range(self._n_idx())]
+        sel = [e.alias(I.idx_name(i)) for i, e in enumerate(idx)]
+        sel.append(expr.alias(I.col_name(0)))
+        out = Series(self._index, None, self._sdf.select(*sel), None)
+        out._mid_index = getattr(self, "_mid_index", False)
+        return out
+
     def drop_duplicates(self, subset=None):
         """Exact dedup.  With ``subset``, keeps one arbitrary row per
         key via max-struct (single shuffle, no window sort)."""
@@ -320,6 +349,28 @@ class RelationalMixin:
                         self._sdf.select(*sel))
         out._mid_index = True
         return out
+
+
+def cut(ser, bins, labels=None, right=True):
+    """pandas.cut with explicit edges: a CASE ladder per row (codegen,
+    no shuffle).  ``labels`` defaults to pandas' interval strings.
+    Out-of-range values -> NULL, matching pandas NaN."""
+    if labels is None:
+        if right:
+            labels = [f"({bins[i]}, {bins[i + 1]}]"
+                      for i in range(len(bins) - 1)]
+        else:
+            labels = [f"[{bins[i]}, {bins[i + 1]})"
+                      for i in range(len(bins) - 1)]
+
+    def fn(c):
+        out = F.lit(None).cast("string")
+        for i in range(len(bins) - 1):
+            lo, hi = F.lit(bins[i]), F.lit(bins[i + 1])
+            cond = ((c > lo) & (c <= hi)) if right else ((c >= lo) & (c < hi))
+            out = F.when(cond, F.lit(str(labels[i]))).otherwise(out)
+        return out
+    return ser._app(fn)
 
 
 def get_dummies(ser, prefix=None, categories=None):
@@ -448,6 +499,12 @@ class ReshapeMixin:
 
 class SeriesAggMixin:
     """Series reductions (materializing) + value_counts/unique."""
+
+    def astype(self, dtype):
+        mapping = {"int64": "long", "int32": "int", "float64": "double",
+                   "float32": "float", "str": "string", "string": "string",
+                   "bool": "boolean"}
+        return self._cast(mapping.get(str(dtype), str(dtype)))
 
     def _reduce(self, fn):
         row = self._sdf.select(fn(self._the_col).alias("v")).take(1)

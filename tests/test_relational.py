@@ -211,3 +211,73 @@ def test_sample_deterministic(orders):
     n1, n2 = len(s1), len(s2)
     assert n1 == n2
     assert 0.05 * len(orders) < n1 < 0.2 * len(orders)
+
+
+def test_where_mask_combine_first(li, lineitem_pdf):
+    s, ps = li.l_quantity, lineitem_pdf["l_quantity"]
+    got = s.where(s < 25, other=-1.0).to_pandas().reset_index(drop=True)
+    want = ps.where(ps < 25, other=-1.0).reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+    got = s.mask(s < 25, other=0.0).to_pandas().reset_index(drop=True)
+    want = ps.mask(ps < 25, other=0.0).reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+    holes = s.where(s < 25)
+    filled = holes.combine_first(s * 100)
+    pholes = ps.where(ps < 25)
+    pfilled = pholes.combine_first(ps * 100)
+    pd.testing.assert_series_equal(
+        filled.to_pandas().reset_index(drop=True),
+        pfilled.reset_index(drop=True), check_dtype=False,
+        check_names=False)
+
+
+def test_replace(li, lineitem_pdf):
+    got = (li.l_returnflag.replace({"A": "AA", "R": "RR"})
+           .to_pandas().reset_index(drop=True))
+    want = (lineitem_pdf["l_returnflag"].replace({"A": "AA", "R": "RR"})
+            .reset_index(drop=True))
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+
+
+def test_duplicated(orders):
+    opdf = orders.to_pandas()
+    got = orders.duplicated(subset=["o_custkey"]).to_pandas().reset_index(drop=True)
+    want = opdf.duplicated(subset=["o_custkey"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+    got_all = (orders.duplicated(subset=["o_custkey"], keep=False)
+               .to_pandas().reset_index(drop=True))
+    want_all = (opdf.duplicated(subset=["o_custkey"], keep=False)
+                .reset_index(drop=True))
+    pd.testing.assert_series_equal(got_all, want_all, check_dtype=False,
+                                   check_names=False)
+
+
+def test_cut(li, lineitem_pdf):
+    bins = [0, 10, 20, 30, 40, 50]
+    got = (pas.cut(li.l_quantity, bins).to_pandas()
+           .reset_index(drop=True))
+    want = (pd.cut(lineitem_pdf["l_quantity"], bins).astype(str)
+            .replace("nan", None).reset_index(drop=True))
+    # pandas prints intervals like (0, 10]; ours use the same format
+    want = want.map(lambda x: x.replace(".0", "") if isinstance(x, str) else x)
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+
+
+def test_pct_change_cumprod(li, lineitem_pdf):
+    got = (li.l_quantity.head(50).pct_change().to_pandas()
+           .reset_index(drop=True))
+    want = (lineitem_pdf["l_quantity"].head(50).pct_change(fill_method=None)
+            .reset_index(drop=True))
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+    got = ((li.l_discount.head(20) + 1).cumprod().to_pandas()
+           .reset_index(drop=True))
+    want = ((lineitem_pdf["l_discount"].head(20) + 1).cumprod()
+            .reset_index(drop=True))
+    pd.testing.assert_series_equal(got.round(9), want.round(9),
+                                   check_dtype=False, check_names=False)
