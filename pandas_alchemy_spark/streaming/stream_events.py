@@ -55,3 +55,17 @@ def run_to_memory_sink(windowed: DataFrame, name: str = "windowed_events",
          .start())
     q.processAllAvailable()
     return q
+
+
+def dedup_stream(stream: DataFrame, keys: list[str] | None = None,
+                 ts_col: str = "ts",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication — the streaming twin of
+    ext.dedup.exact_dedup.  ``dropDuplicatesWithinWatermark`` keeps
+    per-key state only until the watermark passes it, so state is
+    bounded by (event-rate x watermark), not by stream history — the
+    contract that makes exact dedup runnable forever at 100 TB/day.
+    Keys default to ``event_id``."""
+    keys = list(keys or ["event_id"])
+    return (stream.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))

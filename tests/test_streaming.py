@@ -113,3 +113,33 @@ def test_stream_matches_batch(spark, stream_dir):
         assert (m.n_events == m.n_events_b).all()
     finally:
         q.stop()
+
+
+def test_dedup_stream_drops_replayed_files(spark, stream_dir):
+    """Streaming dedup: replay every file twice; after draining, row
+    count equals the batch distinct count of event_id."""
+    import glob
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pas_dedupstream_")
+    try:
+        for i, f in enumerate(sorted(glob.glob(f"{stream_dir}/*.parquet"))):
+            shutil.copy(f, f"{d}/a{i}.parquet")
+            shutil.copy(f, f"{d}/b{i}.parquet")
+        stream = stream_events.read_event_stream(spark, d,
+                                                 max_files_per_trigger=None)
+        deduped = stream_events.dedup_stream(stream)
+        q = (deduped.writeStream.outputMode("append")
+             .format("memory").queryName("t_dedup_stream")
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = spark.table("t_dedup_stream").count()
+        want = (events.load_events(spark, f"{SF_DIR}/events.parquet")
+                .select("event_id").distinct().count())
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
