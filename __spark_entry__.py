@@ -507,10 +507,11 @@ def q6_forecast(spark, sf_dir):
     f = f[f.l_discount >= 0.05]
     f = f[f.l_discount <= 0.07]
     f = f.assign(rev=f.l_extendedprice * f.l_discount)
-    total = f.rev.sum()
-    n = len(f)
-    return spark.createDataFrame(
-        [(float(round(total, 2)), int(n))], "revenue double, n long")
+    # one job for both reductions (sum+count fused in a single agg
+    # pass) instead of two separate actions
+    return f.to_spark(index=False).agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"))
 
 
 def q4_semi_join(spark, sf_dir):
@@ -906,7 +907,7 @@ def q_repetition(spark, sf_dir):
     from pandas_alchemy_spark.ext import text
     _prep(spark)
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    out = text.repetition_stats(docs)
+    out = text.repetition_stats(docs, id_col="doc_id")
     return out.select("doc_id", "n_2grams", "n_distinct_2grams",
                       "top_2gram_count", "dup_2gram_frac")
 

@@ -106,6 +106,28 @@ class StringMethods:
             return F.when(F.length(c) >= width, c).otherwise(padded(c))
         return fn
 
+    def extract(self, pat: str, group: int = 1):
+        """First regex capture group (pandas str.extract with one
+        group; NULL when no match, like pandas NaN)."""
+        return self._map(lambda c: F.when(
+            c.rlike(pat), F.regexp_extract(c, pat, group)))
+
+    def count(self, pat: str):
+        """Count non-overlapping regex matches."""
+        return self._map(lambda c: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))))
+
+    def find(self, sub: str):
+        """Position of first occurrence, -1 if absent (pandas find)."""
+        return self._map(lambda c: F.instr(c, sub) - F.lit(1))
+
+    def repeat(self, n: int):
+        return self._map(lambda c: F.repeat(c, n))
+
+    def capitalize(self):
+        return self._map(lambda c: F.concat(
+            F.upper(F.substring(c, 1, 1)),
+            F.lower(F.substring(c, 2, 2147483647))))
+
     def zfill(self, width: int):
         return self._map(self._no_trunc(
             lambda c: F.lpad(c, width, "0"), width))
@@ -171,6 +193,30 @@ class DatetimeProperties:
     @property
     def date(self):
         return self._map(F.to_date)
+
+    @property
+    def days_in_month(self):
+        return self._map(lambda c: F.dayofmonth(F.last_day(c)))
+
+    daysinmonth = days_in_month
+
+    @property
+    def is_month_start(self):
+        return self._map(lambda c: F.dayofmonth(c) == 1)
+
+    @property
+    def is_month_end(self):
+        return self._map(lambda c: F.to_date(c) == F.last_day(c))
+
+    @property
+    def isocalendar_week(self):
+        return self._map(F.weekofyear)
+
+    def month_name(self):
+        return self._map(lambda c: F.date_format(c, "MMMM"))
+
+    def day_name(self):
+        return self._map(lambda c: F.date_format(c, "EEEE"))
 
     def floor(self, freq: str):
         unit = {"D": "day", "h": "hour", "H": "hour", "min": "minute",

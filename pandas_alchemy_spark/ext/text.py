@@ -129,39 +129,51 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     return df.select("*", c.alias("norm_text"))
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str | None = None) -> DataFrame:
     """Gopher-style repetition signals per document: 2-gram count,
     distinct 2-gram count, top-2-gram frequency, duplicate-2-gram
-    fraction.  Pure array expressions — per-row CPU only
-    (embarrassingly parallel, no explode => no row blow-up, no
-    shuffle).  The top count is a longest-equal-run scan over the
-    SORTED gram array — O(n log n) per row, not the naive O(n²)
-    distinct×filter double loop (measured 25× slower on ~1k-gram
-    docs)."""
-    toks = _tok(text_col)
+    fraction.
+
+    Set-based formulation: explode grams -> two codegen'd hash
+    aggregates -> join the per-document stats back.  An earlier
+    array-expression version (higher-order ``aggregate`` lambda over
+    the sorted gram array) kept everything in one stage but evaluated
+    the lambda interpreted per element — 6× slower at sf0.1 (28 s vs
+    4.4 s).  Whole-stage-codegen hash aggregation beats shuffle
+    avoidance here; gram rows are narrow (key, string) and partial
+    aggregation collapses them map-side."""
+    if id_col is None:
+        body = df.withColumn("__rid", F.monotonically_increasing_id())
+        key = "__rid"
+    else:
+        body = df
+        key = id_col
+    # stage tokens as a REAL column before referencing them inside the
+    # transform lambda: an element_at(<tokenizer-expr>, i) inside the
+    # lambda re-tokenizes the document per element — O(n_tokens²) per
+    # row, measured 20× slower at sf0.1 (25 s vs 1.2 s).  A multi-
+    # referenced non-cheap column survives CollapseProject, so the
+    # tokenizer runs exactly once per row.
+    toked = body.select(key, F.expr(_tok(text_col)).alias("__tk"))
     # NB sequence(0, -1) DESCENDS in Spark — short docs need the guard
-    grams = (f"case when size({toks}) < 2 then array() "
-             f"else transform(sequence(0, size({toks}) - 2), "
-             f"i -> concat(element_at({toks}, i + 1), ' ', "
-             f"element_at({toks}, i + 2))) end")
-    # stage the gram array once per row — inlining it into every stat
-    # would re-tokenize 4× (no CSE across projection items)
-    staged = df.select("*", F.expr(grams).alias("__grams"))
-    n = "size(__grams)"
-    nd = "size(array_distinct(__grams))"
-    # longest run of equal adjacent elements in sorted order == count
-    # of the most frequent gram
-    top = ("aggregate(array_sort(__grams), "
-           "struct('' as prev, 0 as run, 0 as best), "
-           "(s, x) -> struct(x, "
-           "if(x = s.prev, s.run + 1, 1), "
-           "greatest(s.best, if(x = s.prev, s.run + 1, 1))), "
-           "s -> s.best)")
-    return staged.select(
-        *[c for c in df.columns],
-        F.expr(f"cast({n} as bigint)").alias("n_2grams"),
-        F.expr(f"cast({nd} as bigint)").alias("n_distinct_2grams"),
-        F.expr(f"cast(coalesce({top}, 0) as bigint)").alias("top_2gram_count"),
+    grams = ("case when size(__tk) < 2 then array() "
+             "else transform(sequence(0, size(__tk) - 2), "
+             "i -> concat(element_at(__tk, i + 1), ' ', "
+             "element_at(__tk, i + 2))) end")
+    e = toked.select(key, F.explode_outer(F.expr(grams)).alias("__g"))
+    c = e.groupBy(key, "__g").agg(F.count("__g").alias("__cnt"))
+    s = (c.groupBy(key)
+         .agg(F.sum("__cnt").alias("__n"),
+              F.count(F.when(F.col("__g").isNotNull(), 1)).alias("__nd"),
+              F.max("__cnt").alias("__top")))
+    joined = body.join(s, key)
+    out = joined.select(
+        *[c_ for c_ in df.columns],
+        F.col("__n").cast("bigint").alias("n_2grams"),
+        F.col("__nd").cast("bigint").alias("n_distinct_2grams"),
+        F.col("__top").cast("bigint").alias("top_2gram_count"),
         F.round(F.expr(
-            f"if({n} = 0, 0.0, 1.0 - {nd} / cast({n} as double))"), 6
+            "if(__n = 0, 0.0, 1.0 - __nd / cast(__n as double))"), 6
         ).alias("dup_2gram_frac"))
+    return out

@@ -95,3 +95,41 @@ def test_str_filter_lineage(spark, str_pdf):
     ours = df[df.s.str.contains("o", regex=False)][["k"]].to_pandas()
     want = str_pdf[str_pdf.s.str.contains("o", regex=False).fillna(False)][["k"]]
     assert sorted(ours.k.tolist()) == sorted(want.k.tolist())
+
+
+def test_str_extract_count_find_repeat_capitalize(spark):
+    pdf = pd.DataFrame({"s": ["foo123bar", "no digits", "a1b2c3", "XYZ"]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.s.str.extract(r"([0-9]+)").to_pandas().reset_index(drop=True)
+    want = pdf["s"].str.extract(r"([0-9]+)", expand=False).reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_names=False)
+    got = df.s.str.count(r"[0-9]").to_pandas().reset_index(drop=True)
+    want = pdf["s"].str.count(r"[0-9]").reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_dtype=False, check_names=False)
+    got = df.s.str.find("b").to_pandas().reset_index(drop=True)
+    want = pdf["s"].str.find("b").reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_dtype=False, check_names=False)
+    got = df.s.str.repeat(2).to_pandas().reset_index(drop=True)
+    want = pdf["s"].str.repeat(2).reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_names=False)
+    got = df.s.str.capitalize().to_pandas().reset_index(drop=True)
+    want = pdf["s"].str.capitalize().reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_dt_calendar_extras(spark):
+    ts = pd.to_datetime(["2024-01-01 00:00:00", "2024-02-29 12:30:00",
+                         "2023-12-31 23:59:59", "2024-06-15 08:00:00"])
+    pdf = pd.DataFrame({"t": ts})
+    df = pas.DataFrame.from_pandas(pdf)
+    for attr in ["days_in_month", "is_month_start", "is_month_end"]:
+        got = getattr(df.t.dt, attr).to_pandas().reset_index(drop=True)
+        want = getattr(pdf["t"].dt, attr).reset_index(drop=True)
+        pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                       check_names=False)
+    got = df.t.dt.month_name().to_pandas().reset_index(drop=True)
+    want = pdf["t"].dt.month_name().reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_names=False)
+    got = df.t.dt.day_name().to_pandas().reset_index(drop=True)
+    want = pdf["t"].dt.day_name().reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_names=False)
