@@ -15,6 +15,8 @@ Spark-era extensions (read_parquet, the ext.* pipeline operators).
 from .core import DataFrame, Series, concat
 from .operators.asof import merge_asof
 from .relational import cut, get_dummies
+from .sources.io import (read_csv, read_json, read_orc, read_table,
+                         to_csv, to_parquet, write_bucketed)
 from .session import close_db, get_session, init_db
 
 __version__ = "0.1.0"
@@ -43,5 +45,12 @@ __all__ = [
     "merge_asof",
     "get_dummies",
     "cut",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "read_table",
+    "to_csv",
+    "to_parquet",
+    "write_bucketed",
     "use_repr_workaround",
 ]

@@ -541,6 +541,12 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             sdf = spark.read.parquet(table)
         else:
             sdf = spark.read.table(table if schema is None else f"{schema}.{table}")
+        return DataFrame._from_spark_scan(sdf, columns=columns, index=index)
+
+    @staticmethod
+    def _from_spark_scan(sdf, columns=None, index=None):
+        """Wrap an arbitrary Spark scan in the positional layout
+        (shared by from_table and the sources.io readers)."""
         cols = list(sdf.columns)
         mid = False
         if index is None:

@@ -1,0 +1,94 @@
+"""Sources & sinks beyond the parquet scan.
+
+The reference's connector surface is "anything SQLAlchemy can reach"
+(reference db.py:12-19, SURVEY.md §2.1); ours is "anything Spark can
+read" — strictly wider.  This module adds the file formats, the write
+side, and bucketed tables.
+
+Bucketing is the flagship 100 TB feature here: two tables bucketed by
+the same key into the same bucket count join WITHOUT a shuffle on
+either side (SortMergeJoin over pre-bucketed scans — no Exchange in
+the physical plan, verified in tests/test_sources.py).  At 100 TB the
+shuffle is usually THE cost of a large join; bucketing pays it once at
+write time and amortizes it over every subsequent join/aggregation on
+that key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
+
+from ..session import get_session
+
+
+def read_csv(path, header: bool = True, sep: str = ",",
+             schema: str | None = None, columns=None, index=None):
+    """CSV scan as an engine DataFrame.  Pass an explicit ``schema``
+    ("a long, b string, ...") at scale — schema inference reads the
+    data twice."""
+    from ..core import DataFrame
+    spark = get_session()
+    reader = spark.read.option("header", header).option("sep", sep)
+    sdf = (reader.schema(schema).csv(path) if schema is not None
+           else reader.option("inferSchema", "true").csv(path))
+    return DataFrame._from_spark_scan(sdf, columns=columns, index=index)
+
+
+def read_json(path, schema: str | None = None, columns=None, index=None):
+    """JSON-lines scan.  Explicit ``schema`` skips the inference pass."""
+    from ..core import DataFrame
+    spark = get_session()
+    reader = spark.read
+    sdf = (reader.schema(schema).json(path) if schema is not None
+           else reader.json(path))
+    return DataFrame._from_spark_scan(sdf, columns=columns, index=index)
+
+
+def read_orc(path, columns=None, index=None):
+    from ..core import DataFrame
+    spark = get_session()
+    return DataFrame._from_spark_scan(spark.read.orc(path),
+                                      columns=columns, index=index)
+
+
+def to_parquet(df, path, mode: str = "overwrite",
+               partition_by=None) -> None:
+    """Write the frame as parquet.  ``partition_by`` produces
+    hive-style directory partitioning — the scan-side partition-pruning
+    handle for time/tenant-sliced 100 TB layouts."""
+    writer = df.to_spark(index=df._n_idx() > 0 and not df._mid_index) \
+        .write.mode(mode)
+    if partition_by:
+        cols = (partition_by if isinstance(partition_by, list)
+                else [partition_by])
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
+
+
+def to_csv(df, path, mode: str = "overwrite", header: bool = True) -> None:
+    (df.to_spark(index=df._n_idx() > 0 and not df._mid_index)
+     .write.mode(mode).option("header", header).csv(path))
+
+
+def write_bucketed(df, table: str, bucket_by, buckets: int = 16,
+                   sort_by=None, mode: str = "overwrite") -> None:
+    """Persist as a bucketed managed table: rows are hash-partitioned
+    into ``buckets`` files per partition by ``bucket_by`` at WRITE
+    time.  Joins and aggregations on the bucket key then skip the
+    shuffle entirely (Spark trusts the bucketing metadata in the
+    catalog)."""
+    bucket_cols = bucket_by if isinstance(bucket_by, list) else [bucket_by]
+    writer = (df.to_spark(index=df._n_idx() > 0 and not df._mid_index)
+              .write.mode(mode)
+              .bucketBy(buckets, *bucket_cols))
+    if sort_by is not None:
+        sort_cols = sort_by if isinstance(sort_by, list) else [sort_by]
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def read_table(table: str, columns=None, index=None):
+    """Catalog table scan (bucketed tables keep their bucket metadata
+    — the co-located-join fast path)."""
+    from ..core import DataFrame
+    return DataFrame.from_table(table, columns=columns, index=index)

@@ -1,0 +1,81 @@
+"""Sources & sinks: csv/json roundtrips, partitioned parquet writes,
+and bucketed tables whose joins run WITHOUT a shuffle."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+import pandas_alchemy_spark as pas
+from pandas_alchemy_spark.sources import io as pio
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def tmpd():
+    d = tempfile.mkdtemp(prefix="pas_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_roundtrip(spark, tmpd):
+    df = pas.read_parquet(f"{SF_DIR}/nation.parquet")
+    pio.to_csv(df, f"{tmpd}/nation_csv")
+    back = pio.read_csv(
+        f"{tmpd}/nation_csv",
+        schema="n_nationkey long, n_name string, n_regionkey long")
+    got = (back.to_pandas().sort_values("n_nationkey")
+           .reset_index(drop=True))
+    want = (df.to_pandas().sort_values("n_nationkey")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_json_roundtrip(spark, tmpd):
+    df = pas.read_parquet(f"{SF_DIR}/region.parquet")
+    df.to_spark(index=False).write.mode("overwrite").json(f"{tmpd}/region_json")
+    back = pio.read_json(f"{tmpd}/region_json",
+                         schema="r_regionkey long, r_name string")
+    assert len(back) == len(df)
+
+
+def test_partitioned_parquet_prunes(spark, tmpd):
+    df = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    pio.to_parquet(df, f"{tmpd}/orders_part", partition_by="o_orderstatus")
+    back = pas.read_parquet(f"{tmpd}/orders_part")
+    one = back[back.o_orderstatus == "F"]
+    plan = one._sdf._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the status predicate must reach PartitionFilters
+    assert "PartitionFilters: [" in plan
+    assert len(one) == len(df[df.o_orderstatus == "F"])
+
+
+def test_bucketed_join_no_shuffle(spark, tmpd):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+        li = pas.read_parquet(f"{SF_DIR}/lineitem.parquet")
+        pio.write_bucketed(o, "t_orders_b", bucket_by="o_orderkey",
+                           buckets=8, sort_by="o_orderkey")
+        pio.write_bucketed(
+            li[["l_orderkey", "l_quantity"]], "t_lineitem_b",
+            bucket_by="l_orderkey", buckets=8, sort_by="l_orderkey")
+        ob = pio.read_table("t_orders_b")
+        lb = pio.read_table("t_lineitem_b")
+        j = lb.merge(ob[["o_orderkey", "o_totalprice"]],
+                     left_on="l_orderkey", right_on="o_orderkey",
+                     how="inner")
+        plan = j._sdf._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        got = len(j)
+        want = len(li.merge(o[["o_orderkey", "o_totalprice"]],
+                            left_on="l_orderkey", right_on="o_orderkey",
+                            how="inner"))
+        assert got == want
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
