@@ -514,6 +514,100 @@ def q6_forecast(spark, sf_dir):
         F.count(F.lit(1)).alias("n"))
 
 
+def q_groupby_apply(spark, sf_dir):
+    """groupby().apply via applyInPandas (grouped-map Arrow UDF): the
+    escape hatch for per-group logic the built-ins can't express.
+    Groups go executor-side, never to the driver."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+
+    def top2(pdf):
+        out = pdf.sort_values(
+            ["l_quantity", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True]).head(2)
+        return out[["l_returnflag", "l_orderkey", "l_quantity"]]
+
+    res = (li[["l_returnflag", "l_orderkey", "l_linenumber",
+               "l_quantity"]]
+           .groupby("l_returnflag")
+           .apply(top2, "l_returnflag string, l_orderkey long, "
+                        "l_quantity double"))
+    return res.to_spark(index=False)
+
+
+def q10_returned(spark, sf_dir):
+    """TPC-H Q10-style: revenue lost to returned items per customer,
+    top 20 — join lineitem(R) × orders × customer × nation (dims
+    broadcast), one aggregate shuffle, window-free top-k."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    c = pas.read_parquet(_t(sf_dir, "customer"))
+    n = pas.read_parquet(_t(sf_dir, "nation"))
+    lr = li[li.l_returnflag == "R"]
+    lo = lr.merge(o[["o_orderkey", "o_custkey"]], left_on="l_orderkey",
+                  right_on="o_orderkey", how="inner")
+    cn = c.merge(n[["n_nationkey", "n_name"]], left_on="c_nationkey",
+                 right_on="n_nationkey", how="inner", broadcast=True)
+    j = lo.merge(cn[["c_custkey", "c_name", "n_name"]],
+                 left_on="o_custkey", right_on="c_custkey", how="inner")
+    j = j.assign(rev=j.l_extendedprice * (1 - j.l_discount))
+    out = (j.groupby(["c_custkey", "c_name", "n_name"])
+           .agg(revenue=("rev", "sum")))
+    top = out.reset_index().nlargest(20, "revenue")
+    return top.to_spark(index=False).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name", "n_name", F.round("revenue", 2).alias("revenue"))
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18-style: orders whose total quantity exceeds 300 —
+    aggregate + HAVING filter + join back for customer detail."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    c = pas.read_parquet(_t(sf_dir, "customer"))
+    qty = li.groupby("l_orderkey").agg(total_qty=("l_quantity", "sum"))
+    big = qty.reset_index()
+    big = big[big.total_qty > 300]
+    j = big.merge(o[["o_orderkey", "o_custkey", "o_totalprice"]],
+                  left_on="l_orderkey", right_on="o_orderkey", how="inner")
+    j = j.merge(c[["c_custkey", "c_name"]], left_on="o_custkey",
+                right_on="c_custkey", how="inner", broadcast=True)
+    return j.to_spark(index=False).select(
+        F.col("l_orderkey").cast("long").alias("o_orderkey"),
+        "c_name",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round("total_qty", 2).alias("total_qty"))
+
+
+def q19_disjunct(spark, sf_dir):
+    """TPC-H Q19-style: disjunctive multi-range predicate (brand x
+    quantity bands) over a broadcast part join — Catalyst folds the
+    OR-of-ANDs into one scan-side filter."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    p = pas.read_parquet(_t(sf_dir, "part"))
+    j = li.merge(p[["p_partkey", "p_brand", "p_size"]],
+                 left_on="l_partkey", right_on="p_partkey",
+                 how="inner", broadcast=True)
+    m = (((j.p_brand == "Brand#1") & (j.l_quantity >= 1)
+          & (j.l_quantity <= 11) & (j.p_size <= 5))
+         | ((j.p_brand == "Brand#2") & (j.l_quantity >= 10)
+            & (j.l_quantity <= 20) & (j.p_size <= 10))
+         | ((j.p_brand == "Brand#3") & (j.l_quantity >= 20)
+            & (j.l_quantity <= 30) & (j.p_size <= 15)))
+    f = j[m]
+    f = f.assign(rev=f.l_extendedprice * (1 - f.l_discount))
+    return f.to_spark(index=False).agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"))
+
+
 def q4_semi_join(spark, sf_dir):
     """TPC-H Q4-style: EXISTS via left-semi join (orders with at least
     one returned lineitem, counted by priority).  The semi join never
@@ -1000,6 +1094,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": q5_local_supplier,
         "q6_forecast": q6_forecast,
         "q4_semi_join": q4_semi_join,
+        "q10_returned": q10_returned,
+        "groupby_apply": q_groupby_apply,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunct": q19_disjunct,
         "anti_join": q_anti_join,
         "window_topk": q_window_topk,
         "distinct_count": q_distinct_count,
@@ -1376,6 +1474,49 @@ def oracle_sql() -> dict[str, str]:
                    round(covar_samp(l_quantity, l_extendedprice), 2) AS cov,
                    round(stddev_samp(l_extendedprice), 2) AS sd
             FROM lineitem
+        """,
+        "groupby_apply": """
+            SELECT l_returnflag, l_orderkey, l_quantity
+            FROM (SELECT l_returnflag, l_orderkey, l_quantity,
+                         row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_quantity DESC, l_orderkey,
+                                    l_linenumber) AS rn
+                  FROM lineitem) t
+            WHERE rn <= 2
+        """,
+        "q10_returned": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q18_large_orders": """
+            WITH t AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                       FROM lineitem GROUP BY l_orderkey
+                       HAVING sum(l_quantity) > 300)
+            SELECT t.l_orderkey AS o_orderkey, c.c_name,
+                   round(o.o_totalprice, 2) AS o_totalprice,
+                   round(t.total_qty, 2) AS total_qty
+            FROM t JOIN orders o ON t.l_orderkey = o.o_orderkey
+                   JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q19_disjunct": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue,
+                   count(*)::BIGINT AS n
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11
+                   AND p.p_size <= 5)
+               OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20
+                   AND p.p_size <= 10)
+               OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
+                   AND p.p_size <= 15)
         """,
         "where_replace": """
             SELECT CASE WHEN l_returnflag = 'A' THEN 'AA'

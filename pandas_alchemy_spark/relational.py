@@ -88,6 +88,32 @@ class GroupBy:
         from .core import DataFrame
         return DataFrame(pd.Index(self._by), pd.Index(labels), sdf)
 
+    def apply(self, fn, schema):
+        """Arbitrary per-group pandas transform via ``applyInPandas``
+        (grouped-map Pandas UDF): ``fn(pdf) -> pdf`` runs once per
+        group on an Arrow batch of that group's rows, executor-side.
+        ``schema`` is the output schema ("a long, b double, ...").
+
+        This is the escape hatch for semantics the built-in operators
+        can't express; groups shuffle to executors but never to the
+        driver.  Per-group size must fit an executor's memory — at
+        100 TB keep keys fine-grained or pre-aggregate."""
+        from .core import DataFrame
+        df = self._df
+        labels = [str(c) for c in df._columns]
+        named = df._sdf.select(
+            *[df._col_at(i).alias(lab) for i, lab in enumerate(labels)])
+        out = (named.groupBy(*[str(b) for b in self._by])
+               .applyInPandas(fn, schema))
+        out_labels = out.columns
+        sel = [F.monotonically_increasing_id().alias(I.idx_name(0))]
+        sel += [F.col(c).alias(I.col_name(j))
+                for j, c in enumerate(out_labels)]
+        res = DataFrame(pd.Index((None,)), pd.Index(out_labels),
+                        out.select(*sel))
+        res._mid_index = True
+        return res
+
     def _simple(self, fn):
         labels = [c for c in self._df._columns if c not in self._by]
         return self.agg({c: fn for c in labels})

@@ -281,3 +281,24 @@ def test_pct_change_cumprod(li, lineitem_pdf):
             .reset_index(drop=True))
     pd.testing.assert_series_equal(got.round(9), want.round(9),
                                    check_dtype=False, check_names=False)
+
+
+def test_groupby_apply_pandas(li, lineitem_pdf):
+    def top2(pdf):
+        out = pdf.nlargest(2, "l_quantity")[
+            ["l_returnflag", "l_orderkey", "l_quantity"]]
+        return out
+
+    got = (li[["l_returnflag", "l_orderkey", "l_quantity"]]
+           .groupby("l_returnflag")
+           .apply(top2, "l_returnflag string, l_orderkey long,"
+                        " l_quantity double")
+           .to_pandas()
+           .sort_values(["l_returnflag", "l_orderkey"])
+           .reset_index(drop=True))
+    want = (lineitem_pdf.groupby("l_returnflag", group_keys=False)[
+                ["l_returnflag", "l_orderkey", "l_quantity"]]
+            .apply(top2)
+            .sort_values(["l_returnflag", "l_orderkey"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
