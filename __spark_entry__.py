@@ -783,6 +783,40 @@ def q_pct_change(spark, sf_dir):
         "o_orderkey", F.round(F.col("o_totalprice"), 6).alias("pct"))
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval join (operators/interval.py — tolerance-width bin
+    band join, ONE shuffle, candidates bounded by 3x bin occupancy):
+    pairs of same-user events within 120 s."""
+    from pandas_alchemy_spark.ext.events import load_events
+    from pandas_alchemy_spark.operators.interval import interval_join
+    _prep(spark)
+    ev = (load_events(spark, _t(sf_dir, "events"))
+          .select("user_id", "event_id", F.unix_micros("ts").alias("t")))
+    pairs = interval_join(ev, ev, on="t", tolerance=120_000_000,
+                          by="user_id")
+    pairs = pairs.filter(F.col("event_id") < F.col("event_id_r"))
+    return (pairs.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.max(F.abs(F.col("t") - F.col("t_r")))
+                 .alias("max_gap_us")))
+
+
+def q_frame_reduce(spark, sf_dir):
+    """DataFrame column-wise reductions (df.sum()/mean() -> Series):
+    one aggregate pass over all columns."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    s = li[["l_quantity", "l_extendedprice", "l_discount"]].sum()
+    m = li[["l_quantity", "l_extendedprice"]].mean()
+    return spark.createDataFrame(
+        [(round(float(s.iat[0]), 2), round(float(s.iat[1]), 2),
+          round(float(s.iat[2]), 2), round(float(m.iat[0]), 3),
+          round(float(m.iat[1]), 2))],
+        "sum_qty double, sum_price double, sum_disc double, "
+        "avg_qty double, avg_price double")
+
+
 def q_stats_summary(spark, sf_dir):
     """Series statistical reductions (beyond-reference, SURVEY.md §8.2):
     exact quantile (linear interpolation, Spark `percentile`), median,
@@ -1106,6 +1140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dummies": q_get_dummies,
         "sample_hash": q_sample_hash,
         "stats_summary": q_stats_summary,
+        "interval_join": q_interval_join,
+        "frame_reduce": q_frame_reduce,
         "where_replace": q_where_replace,
         "duplicated": q_duplicated,
         "cut_bins": q_cut_bins,
@@ -1517,6 +1553,25 @@ def oracle_sql() -> dict[str, str]:
                    AND p.p_size <= 10)
                OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
                    AND p.p_size <= 15)
+        """,
+        "interval_join": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t
+                       FROM events)
+            SELECT a.user_id, count(*)::BIGINT AS n_pairs,
+                   max(abs(a.t - b.t))::BIGINT AS max_gap_us
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND abs(a.t - b.t) <= 120000000
+            GROUP BY a.user_id
+        """,
+        "frame_reduce": """
+            SELECT round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(sum(l_discount), 2) AS sum_disc,
+                   round(avg(l_quantity), 3) AS avg_qty,
+                   round(avg(l_extendedprice), 2) AS avg_price
+            FROM lineitem
         """,
         "where_replace": """
             SELECT CASE WHEN l_returnflag = 'A' THEN 'AA'

@@ -73,6 +73,9 @@ def main():
         "lsh_ann": qs["lsh_ann"],
         "ivf_ann": qs["ivf_ann"],
         "asof_join": qs["asof_join"],
+        "interval_join": qs["interval_join"],
+        "q10_returned": qs["q10_returned"],
+        "q19_disjunct": qs["q19_disjunct"],
         "text_normalize": qs["text_normalize"],
         "repetition": qs["repetition"],
         "sample_hash": qs["sample_hash"],

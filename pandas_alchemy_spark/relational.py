@@ -182,7 +182,9 @@ class RelationalMixin:
         — use for dimension tables; AQE also auto-broadcasts small
         sides at runtime."""
         from .core import DataFrame
-        if on is not None:
+        if how == "cross":
+            left_on = right_on = []
+        elif on is not None:
             left_on = right_on = on if isinstance(on, list) else [on]
         else:
             if left_on is None or right_on is None:
@@ -210,7 +212,7 @@ class RelationalMixin:
             out = DataFrame(self._index, self._columns, joined.select(*sel))
             out._mid_index = self._mid_index
             return out
-        joined = l.join(r, cond, how)
+        joined = l.crossJoin(r) if how == "cross" else l.join(r, cond, how)
         # result columns: left data cols + right data cols (minus
         # right-side join keys when joining `on` shared labels)
         out_labels, out_exprs = [], []
@@ -263,6 +265,46 @@ class RelationalMixin:
         if hasattr(new, "_drop_lineage"):
             new._drop_lineage()
         return new
+
+    def _reduce_columns(self, fn, numeric_only=True):
+        """Column-wise reduction to a pandas-style Series (one Spark
+        aggregate pass over every column, then a literal frame — the
+        result is ncols-sized, driver-side by definition)."""
+        from .core import Series
+        num_types = ("bigint", "int", "smallint", "tinyint", "double",
+                     "float", "boolean")
+        pairs = []
+        for i, t in enumerate(self._dtypes()):
+            if numeric_only and t.simpleString() not in num_types:
+                continue
+            c = self._col_at(i)
+            if t.simpleString() == "boolean":
+                c = c.cast("int")  # pandas reduces booleans as ints
+            pairs.append((self._columns[i], c))
+        row = self._sdf.agg(
+            *[fn(c).alias(f"__r{j}") for j, (_, c) in enumerate(pairs)]
+        ).collect()[0]
+        ser = pd.Series({lab: row[f"__r{j}"]
+                         for j, (lab, _) in enumerate(pairs)})
+        return Series.from_pandas(ser)
+
+    def sum(self, numeric_only=True):
+        return self._reduce_columns(F.sum, numeric_only)
+
+    def mean(self, numeric_only=True):
+        return self._reduce_columns(F.mean, numeric_only)
+
+    def min(self, numeric_only=True):
+        return self._reduce_columns(F.min, numeric_only)
+
+    def max(self, numeric_only=True):
+        return self._reduce_columns(F.max, numeric_only)
+
+    def count(self):
+        return self._reduce_columns(F.count, numeric_only=False)
+
+    def std(self, numeric_only=True):
+        return self._reduce_columns(F.stddev_samp, numeric_only)
 
     def duplicated(self, subset=None, keep="first"):
         """Boolean Series marking duplicate rows.  ``keep='first'``:

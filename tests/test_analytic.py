@@ -126,3 +126,27 @@ class TestAsofJoin:
         pd.testing.assert_frame_equal(
             got[["k", "t", "lv", "rv"]], want[["k", "t", "lv", "rv"]],
             check_dtype=False)
+
+
+class TestIntervalJoin:
+    def test_vs_bruteforce(self, spark):
+        import numpy as np
+        from pandas_alchemy_spark.operators.interval import interval_join
+        rng = np.random.RandomState(11)
+        left = pd.DataFrame({
+            "k": rng.randint(0, 3, 50),
+            "t": rng.randint(-50, 1000, 50).astype("int64"),
+            "lid": np.arange(50, dtype="int64")})
+        right = pd.DataFrame({
+            "k": rng.randint(0, 3, 60),
+            "t": rng.randint(-50, 1000, 60).astype("int64"),
+            "rid": np.arange(60, dtype="int64")})
+        got = (interval_join(spark.createDataFrame(left),
+                             spark.createDataFrame(right),
+                             on="t", tolerance=25, by="k")
+               .toPandas())
+        bf = left.merge(right, on="k", suffixes=("", "_r"))
+        bf = bf[(bf.t - bf.t_r).abs() <= 25]
+        want = set(zip(bf.lid, bf.rid))
+        assert set(zip(got.lid, got.rid)) == want
+        assert len(got) == len(bf)

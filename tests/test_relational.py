@@ -302,3 +302,25 @@ def test_groupby_apply_pandas(li, lineitem_pdf):
             .sort_values(["l_returnflag", "l_orderkey"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_frame_reductions(li, lineitem_pdf):
+    got = li[["l_quantity", "l_discount", "l_tax"]].sum().to_pandas()
+    want = lineitem_pdf[["l_quantity", "l_discount", "l_tax"]].sum()
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False, check_index_type=False)
+    got = li[["l_quantity", "l_discount"]].mean().to_pandas()
+    want = lineitem_pdf[["l_quantity", "l_discount"]].mean()
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False, check_index_type=False)
+
+
+def test_merge_cross(spark):
+    a = pas.DataFrame.from_pandas(pd.DataFrame({"x": [1, 2, 3]}))
+    b = pas.DataFrame.from_pandas(pd.DataFrame({"y": ["u", "v"]}))
+    got = (a.merge(b, how="cross").to_pandas()
+           .sort_values(["x", "y"]).reset_index(drop=True))
+    want = (pd.DataFrame({"x": [1, 2, 3]}).merge(
+        pd.DataFrame({"y": ["u", "v"]}), how="cross")
+        .sort_values(["x", "y"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
