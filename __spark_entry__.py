@@ -942,6 +942,21 @@ def q_dedup_minhash(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_cluster(spark, sf_dir):
+    """Transitive near-dup clustering: MinHash-LSH pairs -> iterative
+    min-label connected components (ext/dedup.py — O(diameter)
+    rounds, each one edge-join + min-aggregate, no driver graph
+    state).  Oracle: same pairs in SQL + a recursive-CTE transitive
+    closure."""
+    from pandas_alchemy_spark.ext import dedup
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    out = dedup.cluster_near_dups(docs, threshold=0.4, num_hashes=16,
+                                  bands=4)
+    return out.select(F.col("id"), F.col("component"),
+                      F.col("keep").cast("boolean").alias("keep"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     from pandas_alchemy_spark.ext import dedup
     _prep(spark)
@@ -1155,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users": q_top_users,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_cluster": q_dedup_cluster,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1718,6 +1734,51 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE len(list_intersect(sa, sb))
                   / (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.4
+        """,
+        "dedup_cluster": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, {_dk_shingles("text", distinct=False)} AS s
+              FROM documents
+            ), hset AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(s, x -> {_DK_H60.format(s="x")})) AS hs
+              FROM sh WHERE len(s) > 0
+            ), sigs AS (
+              SELECT doc_id, hs,
+                     list_transform(range(0, 16), k ->
+                       list_min(list_transform(hs, x ->
+                         ((2 * k + 1) * (x % 2147483647) + (12345 + k * 7919)) % 2147483647))) AS sig
+              FROM hset
+            ), banded AS (
+              SELECT doc_id, hs, b.band,
+                     array_to_string(sig[b.band * 4 + 1: b.band * 4 + 4], ',') AS bh
+              FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                     l.hs AS sa, r.hs AS sb
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+            ), pairs AS (
+              SELECT id_a, id_b FROM cand
+              WHERE len(list_intersect(sa, sb))
+                    / (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.4
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+            ), lab AS (
+              SELECT a AS id, min(b) AS mn FROM reach GROUP BY a
+            )
+            SELECT d.doc_id AS id,
+                   coalesce(least(l.mn, d.doc_id), d.doc_id)::BIGINT
+                     AS component,
+                   (coalesce(least(l.mn, d.doc_id), d.doc_id) = d.doc_id)
+                     AS keep
+            FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
         """,
         "dedup_simhash": f"""
             WITH tok AS (

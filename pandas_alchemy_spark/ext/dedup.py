@@ -277,3 +277,71 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return (inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
             .select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_iters: int = 20) -> DataFrame:
+    """Connected components over a pair graph (near-dup clustering):
+    iterative min-label propagation — each vertex repeatedly adopts
+    the smallest component id among itself and its neighbors until a
+    fixed point.
+
+    Converges in O(diameter) rounds (near-dup graphs are shallow:
+    cliques and short chains, typically <5).  Each round is one
+    edge-join + one min-aggregate — all shuffles on the vertex id, no
+    driver-side graph state; convergence is checked with a count of
+    changed labels (a scalar per round).  This is the standard
+    large-graph CC recipe (GraphX/Pregel formulation) expressed in
+    plain DataFrame ops.
+
+    Returns (id, component) where component = min vertex id reachable.
+    """
+    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .union(pairs.select(F.col(dst).alias("a"),
+                                 F.col(src).alias("b"))))
+    # localCheckpoint (eager) truncates lineage each round — without
+    # it the plan doubles per iteration and the convergence count
+    # re-executes the whole history (measured 5× slower)
+    edges = (edges.filter(F.col("a") != F.col("b")).distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("id"))
+              .distinct()
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        # neighbor labels: for each edge a->b, b's current component
+        nbr = (edges.join(labels.withColumnRenamed("id", "b")
+                          .withColumnRenamed("comp", "nbr_comp"), "b")
+               .groupBy("a").agg(F.min("nbr_comp").alias("min_nbr")))
+        new_labels = (labels.withColumnRenamed("comp", "old_comp")
+                      .join(nbr, labels["id"] == nbr["a"], "left")
+                      .select(F.col("id"), F.col("old_comp"),
+                              F.least("old_comp", "min_nbr").alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = new_labels.filter(
+            F.col("comp") != F.col("old_comp")).count()
+        labels = new_labels.drop("old_comp")
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def cluster_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.6,
+                      num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs ->
+    Jaccard verify at ``threshold`` -> connected components.  Returns
+    (id, component, keep) where keep marks the component
+    representative (min id) — filter keep to deduplicate the corpus
+    transitively (A~B~C collapse to one doc even when A!~C)."""
+    pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    ids = df.select(F.col(id_col).alias("id"))
+    all_labels = (ids.join(comp, "id", "left")
+                  .select("id", F.coalesce("component", F.col("id"))
+                          .alias("component")))
+    return all_labels.withColumn(
+        "keep", F.col("id") == F.col("component"))

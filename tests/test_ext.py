@@ -246,3 +246,30 @@ def test_ivf_centroids_deterministic(emb):
     c2 = similarity.train_ivf_centroids(emb, dim=dim, nlist=8)
     assert c1 == c2
     assert len(c1) == 8 and len(c1[0]) == dim
+
+
+def test_connected_components(spark):
+    from pandas_alchemy_spark.ext import dedup
+    # two chains + an isolated pair: {1-2-3}, {10-11}, {20-21-22-23}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_cluster_near_dups(docs):
+    from pandas_alchemy_spark.ext import dedup
+    out = dedup.cluster_near_dups(docs, threshold=0.5).toPandas()
+    assert len(out) == docs.count()
+    # component rep is its own min and marked keep
+    reps = out[out.keep]
+    assert (reps.id == reps.component).all()
+    # transitivity: every component's min id is the component label
+    gmin = out.groupby("component")["id"].min()
+    assert (gmin.index == gmin.values).all()
+    # clustering must not keep MORE docs than pairwise dedup drops
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    assert len(reps) <= len(out) - len(set(pairs.id_b))
