@@ -783,6 +783,34 @@ def q_pct_change(spark, sf_dir):
         "o_orderkey", F.round(F.col("o_totalprice"), 6).alias("pct"))
 
 
+def q_qcut_bins(spark, sf_dir):
+    """qcut quantile binning: one exact-percentile pass for the edges,
+    then a codegen CASE ladder; counts per code."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    b = pas.qcut(li.l_extendedprice, 4)
+    out = (li.assign(qb=b).groupby("qb")
+           .agg(n=("qb", "count"), avg_qty=("l_quantity", "mean")))
+    sdf = out.to_spark()
+    return sdf.select(F.col("qb").cast("long").alias("qb"),
+                      F.col("n").cast("long").alias("n"),
+                      F.round("avg_qty", 3).alias("avg_qty"))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort/retention matrix over events (first-day cohorts ×
+    day offsets) — two keyed aggregates + one join."""
+    from pandas_alchemy_spark.ext.events import cohort_retention, load_events
+    _prep(spark)
+    ev = load_events(spark, _t(sf_dir, "events"))
+    out = cohort_retention(ev)
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_users")
+
+
 def q_interval_join(spark, sf_dir):
     """Interval join (operators/interval.py — tolerance-width bin
     band join, ONE shuffle, candidates bounded by 3x bin occupancy):
@@ -1155,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dummies": q_get_dummies,
         "sample_hash": q_sample_hash,
         "stats_summary": q_stats_summary,
+        "qcut_bins": q_qcut_bins,
+        "cohort_retention": q_cohort_retention,
         "interval_join": q_interval_join,
         "frame_reduce": q_frame_reduce,
         "where_replace": q_where_replace,
@@ -1569,6 +1599,37 @@ def oracle_sql() -> dict[str, str]:
                    AND p.p_size <= 10)
                OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
                    AND p.p_size <= 15)
+        """,
+        "qcut_bins": """
+            WITH e AS (
+              SELECT quantile_cont(l_extendedprice,
+                                   [0.0, 0.25, 0.5, 0.75, 1.0]) AS ed
+              FROM lineitem)
+            SELECT CASE
+                     WHEN l_extendedprice >= ed[1]
+                          AND l_extendedprice <= ed[2] THEN 0
+                     WHEN l_extendedprice > ed[2]
+                          AND l_extendedprice <= ed[3] THEN 1
+                     WHEN l_extendedprice > ed[3]
+                          AND l_extendedprice <= ed[4] THEN 2
+                     WHEN l_extendedprice > ed[4]
+                          AND l_extendedprice <= ed[5] THEN 3
+                   END AS qb,
+                   count(*)::BIGINT AS n,
+                   round(avg(l_quantity), 3) AS avg_qty
+            FROM lineitem, e GROUP BY 1
+        """,
+        "cohort_retention": """
+            WITH f AS (SELECT user_id,
+                              min(ts::DATE) AS cohort_day
+                       FROM events GROUP BY user_id),
+                 a AS (SELECT DISTINCT user_id, ts::DATE AS day
+                       FROM events)
+            SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   (a.day - f.cohort_day)::BIGINT AS day_offset,
+                   count(DISTINCT a.user_id)::BIGINT AS n_users
+            FROM a JOIN f ON a.user_id = f.user_id
+            GROUP BY 1, 2
         """,
         "interval_join": """
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t

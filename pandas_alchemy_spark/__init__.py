@@ -14,7 +14,7 @@ Spark-era extensions (read_parquet, the ext.* pipeline operators).
 
 from .core import DataFrame, Series, concat
 from .operators.asof import merge_asof
-from .relational import cut, get_dummies
+from .relational import cut, get_dummies, qcut
 from .sources.io import (read_csv, read_json, read_orc, read_table,
                          to_csv, to_parquet, write_bucketed)
 from .session import close_db, get_session, init_db
@@ -45,6 +45,7 @@ __all__ = [
     "merge_asof",
     "get_dummies",
     "cut",
+    "qcut",
     "read_csv",
     "read_json",
     "read_orc",

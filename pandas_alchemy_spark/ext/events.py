@@ -62,3 +62,18 @@ def top_users_by_value(df: DataFrame, k: int = 10) -> DataFrame:
     w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
     return (totals.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def cohort_retention(df: DataFrame, ts_col: str = "ts",
+                     user_col: str = "user_id") -> DataFrame:
+    """Cohort/retention matrix: users bucketed by first-active day,
+    counted per (cohort_day, day_offset).  Two keyed aggregates + one
+    join — all shuffles on user_id/day, no window, no driver state."""
+    first = (df.groupBy(user_col)
+             .agg(F.min(F.to_date(ts_col)).alias("cohort_day")))
+    active = (df.select(user_col, F.to_date(ts_col).alias("day"))
+              .distinct())
+    j = active.join(first, user_col)
+    return (j.groupBy("cohort_day",
+                      F.datediff("day", "cohort_day").alias("day_offset"))
+            .agg(F.countDistinct(user_col).alias("n_users")))

@@ -441,6 +441,32 @@ def cut(ser, bins, labels=None, right=True):
     return ser._app(fn)
 
 
+def qcut(ser, q, labels=False):
+    """Quantile binning (pandas.qcut): exact interpolated quantile
+    edges in ONE aggregate pass, then the same CASE ladder as
+    :func:`cut`.  ``labels=False`` (default) yields integer bin codes
+    0..q-1; pass explicit labels otherwise.  First bin is closed on
+    the left (pandas semantics)."""
+    qs = ([i / q for i in range(q + 1)] if isinstance(q, int)
+          else list(q))
+    row = ser._sdf.select(
+        F.percentile(ser._the_col,
+                     F.array(*[F.lit(float(x)) for x in qs])).alias("e")
+    ).take(1)
+    edges = list(row[0]["e"])
+    if labels is False:
+        labels = list(range(len(edges) - 1))
+
+    def fn(c):
+        out = F.lit(None)
+        for i in range(len(edges) - 1):
+            lo, hi = F.lit(edges[i]), F.lit(edges[i + 1])
+            cond = (c >= lo) & (c <= hi) if i == 0 else (c > lo) & (c <= hi)
+            out = F.when(cond, F.lit(labels[i])).otherwise(out)
+        return out
+    return ser._app(fn)
+
+
 def get_dummies(ser, prefix=None, categories=None):
     """One-hot encode a Series into a 0/1 DataFrame (pandas
     ``get_dummies``).  Pass ``categories`` (the value domain) to skip

@@ -324,3 +324,12 @@ def test_merge_cross(spark):
         pd.DataFrame({"y": ["u", "v"]}), how="cross")
         .sort_values(["x", "y"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_qcut(li, lineitem_pdf):
+    got = (pas.qcut(li.l_extendedprice, 4).to_pandas()
+           .reset_index(drop=True))
+    want = (pd.qcut(lineitem_pdf["l_extendedprice"], 4, labels=False)
+            .reset_index(drop=True))
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
