@@ -783,6 +783,21 @@ def q_pct_change(spark, sf_dir):
         "o_orderkey", F.round(F.col("o_totalprice"), 6).alias("pct"))
 
 
+def q_query_expr(spark, sf_dir):
+    """DataFrame.query string predicate — compiled to a Spark SQL
+    expression, pushdown-eligible like any mask."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    f = li.query("l_quantity < 10 and l_discount >= 0.05")
+    out = f.groupby("l_returnflag").agg(n=("l_quantity", "count"),
+                                        qty=("l_quantity", "sum"))
+    sdf = out.to_spark()
+    return sdf.select("l_returnflag",
+                      F.col("n").cast("long").alias("n"),
+                      F.round("qty", 2).alias("qty"))
+
+
 def q_qcut_bins(spark, sf_dir):
     """qcut quantile binning: one exact-percentile pass for the edges,
     then a codegen CASE ladder; counts per code."""
@@ -1183,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_dummies": q_get_dummies,
         "sample_hash": q_sample_hash,
         "stats_summary": q_stats_summary,
+        "query_expr": q_query_expr,
         "qcut_bins": q_qcut_bins,
         "cohort_retention": q_cohort_retention,
         "interval_join": q_interval_join,
@@ -1599,6 +1615,13 @@ def oracle_sql() -> dict[str, str]:
                    AND p.p_size <= 10)
                OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
                    AND p.p_size <= 15)
+        """,
+        "query_expr": """
+            SELECT l_returnflag, count(*)::BIGINT AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            WHERE l_quantity < 10 AND l_discount >= 0.05
+            GROUP BY l_returnflag
         """,
         "qcut_bins": """
             WITH e AS (

@@ -266,6 +266,53 @@ class RelationalMixin:
             new._drop_lineage()
         return new
 
+    def query(self, expr):
+        """pandas DataFrame.query: a boolean expression over column
+        NAMES, compiled to a Spark SQL predicate (F.expr) over a
+        label-named projection — stays in-plan and pushdown-eligible.
+        Python operators (`and/or/not/==`) are accepted and mapped to
+        SQL."""
+        sql = (expr.replace(" and ", " AND ").replace(" or ", " OR ")
+               .replace("not ", "NOT ").replace("==", "="))
+        labels = [str(c) for c in self._columns]
+        named = self._sdf.select(
+            *[self._idx_at(i) for i in range(self._n_idx())],
+            *[self._col_at(i).alias(lab) for i, lab in enumerate(labels)])
+        kept = named.filter(F.expr(sql))
+        back = kept.select(
+            *[F.col(I.idx_name(i)) for i in range(self._n_idx())],
+            *[F.col(lab).alias(I.col_name(i))
+              for i, lab in enumerate(labels)])
+        new = self._shallow_copy()
+        new._sdf = back
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def nunique(self):
+        """Distinct count per column -> pandas Series (one aggregate
+        pass; exact)."""
+        return self._reduce_columns(F.countDistinct, numeric_only=False)
+
+    def idxmax(self):
+        """Index label of each column's max -> pandas Series (max_by
+        against the first index level, one pass)."""
+        from .core import Series
+        idx = self._idx_at(0)
+        row = self._sdf.agg(
+            *[F.max_by(idx, self._col_at(i)).alias(f"__r{i}")
+              for i in range(self._n_cols())]).collect()[0]
+        ser = pd.Series({self._columns[i]: row[f"__r{i}"]
+                         for i in range(self._n_cols())})
+        return Series.from_pandas(ser)
+
+    @property
+    def T(self):
+        """Transpose — a MATERIALIZER (like pandas semantics demand:
+        columns become rows).  Only sane for small/aggregated frames;
+        collects via to_pandas."""
+        return self.to_pandas().T
+
     def _reduce_columns(self, fn, numeric_only=True):
         """Column-wise reduction to a pandas-style Series (one Spark
         aggregate pass over every column, then a literal frame — the
@@ -666,6 +713,23 @@ class SeriesAggMixin:
     def unique(self):
         return [r[0] for r in
                 self._sdf.select(self._the_col.alias("v")).distinct().collect()]
+
+    def nlargest(self, n=5):
+        new = self.sort_values(ascending=False)
+        return new.head(n)
+
+    def nsmallest(self, n=5):
+        new = self.sort_values(ascending=True)
+        return new.head(n)
+
+    def sort_values(self, ascending=True):
+        new = self._shallow_copy()
+        c = new._the_col
+        new._sdf = new._sdf.orderBy(c.asc() if ascending else c.desc())
+        new._explicit_order = True
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
 
     def value_counts(self):
         from .core import Series

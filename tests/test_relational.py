@@ -333,3 +333,33 @@ def test_qcut(li, lineitem_pdf):
             .reset_index(drop=True))
     pd.testing.assert_series_equal(got, want, check_dtype=False,
                                    check_names=False)
+
+
+def test_query_expr(li, lineitem_pdf):
+    got = (li.query("l_quantity < 10 and l_discount >= 0.05")
+           [["l_orderkey", "l_quantity"]].to_pandas()
+           .sort_values(["l_orderkey", "l_quantity"]).reset_index(drop=True))
+    want = (lineitem_pdf.query("l_quantity < 10 and l_discount >= 0.05")
+            [["l_orderkey", "l_quantity"]]
+            .sort_values(["l_orderkey", "l_quantity"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_frame_nunique_idxmax(orders):
+    opdf = orders.to_pandas()
+    got = orders[["o_orderstatus", "o_orderpriority"]].nunique().to_pandas()
+    want = opdf[["o_orderstatus", "o_orderpriority"]].nunique()
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False, check_index_type=False)
+    oi = orders.set_index("o_orderkey")
+    got = oi[["o_totalprice", "o_custkey"]].idxmax().to_pandas()
+    want = opdf.set_index("o_orderkey")[["o_totalprice", "o_custkey"]].idxmax()
+    # o_custkey max is duplicated; max_by picks an arbitrary holder,
+    # pandas the first -- compare only the unique-max column strictly
+    assert got["o_totalprice"] == want["o_totalprice"]
+
+
+def test_series_nlargest(li, lineitem_pdf):
+    got = list(li.l_extendedprice.nlargest(5).to_pandas())
+    want = list(lineitem_pdf["l_extendedprice"].nlargest(5))
+    assert got == want
