@@ -663,6 +663,32 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def _the_col(self):
         return self._col_at(0)  # reference alchemy.py:365-368
 
+    def map(self, arg, na_action=None):
+        """pandas Series.map: dict mapping (unmatched -> NULL, like
+        pandas NaN) or an expression-returning callable.  Dict maps
+        compile to a CASE ladder; at large domains prefer a broadcast
+        join via merge."""
+        if isinstance(arg, dict):
+            def fn(c):
+                out = F.lit(None)
+                for k, v in arg.items():
+                    out = F.when(c == _scalar_lit(k),
+                                 _scalar_lit(v)).otherwise(out)
+                if na_action == "ignore":
+                    out = F.when(c.isNull(), F.lit(None)).otherwise(out)
+                return out
+            return self._app(fn)
+        if callable(arg):
+            return self._app(lambda c: arg(c))
+        raise TypeError(f"unsupported map argument: {type(arg)}")
+
+    def to_frame(self, name=None):
+        """1-column DataFrame from this Series (plan unchanged)."""
+        label = name if name is not None else (self.name or 0)
+        out = DataFrame(self._index, pd.Index([label]), self._sdf)
+        out._mid_index = self._mid_index
+        return out
+
     def _zip_with(self, other, fn):
         """Align with another Series and apply a binary column
         function: lineage fast path (both project the same parent plan

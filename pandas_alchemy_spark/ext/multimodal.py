@@ -151,3 +151,35 @@ def media_stats(decoded: DataFrame) -> DataFrame:
                  F.sum("n_bytes").alias("total_bytes"),
                  F.round(F.avg("width"), 4).alias("avg_width"),
                  F.round(F.avg("height"), 4).alias("avg_height")))
+
+
+def embed_media(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id", dim: int = 32) -> DataFrame:
+    """Media -> embedding column (``array<float>``), the bridge from
+    multimodal ingest to the similarity/ANN operators
+    (ext/similarity.py).  STUB kernel: a deterministic pseudo-embedding
+    from the payload bytes (md5-seeded) standing in for a CLIP-style
+    encoder; the Spark shape is the real thing — Arrow-batched
+    mapInPandas, fixed-width float arrays, partition-wise, no driver
+    data, no shuffle."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            vecs = []
+            for payload in pdf[payload_col]:
+                h = hashlib.md5(bytes(payload)).digest()
+                seed = int.from_bytes(h[:8], "big") % (2**32)
+                rng = np.random.RandomState(seed)
+                v = rng.standard_normal(dim).astype("float32")
+                v /= np.linalg.norm(v) or 1.0
+                vecs.append(v.tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "embedding": vecs})
+
+    named = df.select(F.col(id_col).alias(id_col),
+                      F.col(payload_col).alias(payload_col))
+    return named.mapInPandas(embed_batches, out_schema)

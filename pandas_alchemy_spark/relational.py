@@ -266,6 +266,19 @@ class RelationalMixin:
             new._drop_lineage()
         return new
 
+    def drop(self, labels=None, axis=1, columns=None):
+        """Drop columns (axis=1 / columns=...): a metadata update + one
+        projection, no data movement."""
+        to_drop = columns if columns is not None else labels
+        if axis in (0, "index") and columns is None:
+            raise NotImplementedError("drop on axis=0 (use masks)")
+        if not isinstance(to_drop, list):
+            to_drop = [to_drop]
+        keep = [c for c in self._columns if c not in to_drop]
+        for c in to_drop:
+            self._columns.get_loc(c)  # KeyError parity on unknown label
+        return self[keep]
+
     def query(self, expr):
         """pandas DataFrame.query: a boolean expression over column
         NAMES, compiled to a Spark SQL predicate (F.expr) over a

@@ -273,3 +273,22 @@ def test_cluster_near_dups(docs):
     # clustering must not keep MORE docs than pairwise dedup drops
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).toPandas()
     assert len(reps) <= len(out) - len(set(pairs.id_b))
+
+
+def test_embed_media_to_ann(docs, spark):
+    """Multimodal -> embedding -> ANN end-to-end: fake payloads get
+    deterministic unit embeddings; cosine_topk runs on them."""
+    from pandas_alchemy_spark.ext import multimodal, similarity
+    pay = multimodal.attach_fake_payload(docs)
+    emb = multimodal.embed_media(pay, dim=16)
+    first = emb.orderBy("doc_id").limit(3).collect()
+    again = multimodal.embed_media(pay, dim=16).orderBy("doc_id").limit(3).collect()
+    assert [r["embedding"] for r in first] == [r["embedding"] for r in again]
+    import numpy as np
+    for r in first:
+        assert abs(np.linalg.norm(r["embedding"]) - 1.0) < 1e-5
+    top = similarity.cosine_topk(
+        emb, emb.filter("doc_id < 3"), k=3,
+        id_col="doc_id", vec_col="embedding").toPandas()
+    assert set(top.query("rank == 1").query_id) == {0, 1, 2}
+    assert (top.cosine <= 1.0 + 1e-6).all()

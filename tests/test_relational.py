@@ -363,3 +363,20 @@ def test_series_nlargest(li, lineitem_pdf):
     got = list(li.l_extendedprice.nlargest(5).to_pandas())
     want = list(lineitem_pdf["l_extendedprice"].nlargest(5))
     assert got == want
+
+
+def test_drop_map_to_frame(li, lineitem_pdf):
+    got = li.drop(columns=["l_tax", "l_shipdate"]).columns.tolist()
+    want = lineitem_pdf.drop(columns=["l_tax", "l_shipdate"]).columns.tolist()
+    assert got == want
+    with pytest.raises(KeyError):
+        li.drop(columns=["nope"])
+    got = (li.l_returnflag.map({"A": 1, "N": 2}).to_pandas()
+           .reset_index(drop=True))
+    want = (lineitem_pdf["l_returnflag"].map({"A": 1, "N": 2})
+            .reset_index(drop=True))
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+    f = li.l_quantity.to_frame("qty")
+    assert f.columns.tolist() == ["qty"]
+    assert len(f) == len(li)
