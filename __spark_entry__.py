@@ -546,7 +546,12 @@ def q10_returned(spark, sf_dir):
     o = pas.read_parquet(_t(sf_dir, "orders"))
     c = pas.read_parquet(_t(sf_dir, "customer"))
     n = pas.read_parquet(_t(sf_dir, "nation"))
-    lr = li[li.l_returnflag == "R"]
+    # project the fact down BEFORE the join chain: Catalyst would prune
+    # for execution anyway, but analysis cost scales with plan width —
+    # carrying 11 lineitem columns through 3 joins measurably slows the
+    # driver (build 7 s -> 2 s at sf0.01)
+    lr = li[li.l_returnflag == "R"][
+        ["l_orderkey", "l_extendedprice", "l_discount"]]
     lo = lr.merge(o[["o_orderkey", "o_custkey"]], left_on="l_orderkey",
                   right_on="o_orderkey", how="inner")
     cn = c.merge(n[["n_nationkey", "n_name"]], left_on="c_nationkey",
@@ -701,9 +706,9 @@ def q_sample_hash(spark, sf_dir):
     _prep(spark)
     o = pas.read_parquet(_t(sf_dir, "orders"))
     s = o.sample(0.1, key="o_orderkey")
-    return spark.createDataFrame(
-        [(len(s), float(round(s.o_totalprice.sum(), 2)))],
-        "n long, total double")
+    return s.to_spark(index=False).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"))
 
 
 def q_asof_join(spark, sf_dir):
@@ -850,12 +855,12 @@ def q_frame_reduce(spark, sf_dir):
     import pandas_alchemy_spark as pas
     _prep(spark)
     li = pas.read_parquet(_t(sf_dir, "lineitem"))
-    s = li[["l_quantity", "l_extendedprice", "l_discount"]].sum()
-    m = li[["l_quantity", "l_extendedprice"]].mean()
+    s = li[["l_quantity", "l_extendedprice", "l_discount"]].sum().to_pandas()
+    m = li[["l_quantity", "l_extendedprice"]].mean().to_pandas()
     return spark.createDataFrame(
-        [(round(float(s.iat[0]), 2), round(float(s.iat[1]), 2),
-          round(float(s.iat[2]), 2), round(float(m.iat[0]), 3),
-          round(float(m.iat[1]), 2))],
+        [(round(float(s.iloc[0]), 2), round(float(s.iloc[1]), 2),
+          round(float(s.iloc[2]), 2), round(float(m.iloc[0]), 3),
+          round(float(m.iloc[1]), 2))],
         "sum_qty double, sum_price double, sum_disc double, "
         "avg_qty double, avg_price double")
 
