@@ -788,6 +788,10 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         from .operators.analytic import Rolling
         return Rolling(self, window, min_periods)
 
+    def expanding(self, min_periods: int = 1):
+        from .operators.analytic import Expanding
+        return Expanding(self, min_periods)
+
     # -- membership / range predicates (beyond-reference) ------------------
 
     def isin(self, values):

@@ -220,3 +220,50 @@ class Rolling:
 
     def mean(self):
         return self._sw.rolling_mean(self._window_n, self._min_periods)
+
+    def max(self):
+        return self._sw._rolling(F.max, self._window_n, self._min_periods)
+
+    def min(self):
+        return self._sw._rolling(F.min, self._window_n, self._min_periods)
+
+    def std(self):
+        return self._sw._rolling(F.stddev_samp, self._window_n,
+                                 self._min_periods)
+
+    def count(self):
+        return self._sw._rolling(F.count, self._window_n,
+                                 self._min_periods or 1)
+
+
+class Expanding:
+    """``series.expanding()`` — cumulative window from the first row
+    (unbounded-preceding frame; same scale caveat as the global
+    cum* verbs: total order = single-partition window)."""
+
+    def __init__(self, series, min_periods: int = 1):
+        self._sw = SeriesWindow(series)
+        self._min_periods = min_periods
+
+    def _exp(self, agg):
+        w = self._sw._window().rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+        mp = self._min_periods
+
+        def fn(c):
+            val = agg(c).over(w)
+            n = F.count(c).over(w)
+            return F.when(n >= mp, val)
+        return self._sw._wrap(fn)
+
+    def sum(self):
+        return self._exp(F.sum)
+
+    def mean(self):
+        return self._exp(F.mean)
+
+    def max(self):
+        return self._exp(F.max)
+
+    def min(self):
+        return self._exp(F.min)

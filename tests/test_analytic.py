@@ -150,3 +150,21 @@ class TestIntervalJoin:
         want = set(zip(bf.lid, bf.rid))
         assert set(zip(got.lid, got.rid)) == want
         assert len(got) == len(bf)
+
+
+def test_rolling_minmax_expanding(spark):
+    pdf = pd.DataFrame({"v": [3.0, 1.0, None, 7.0, 5.0, 2.0]})
+    s = pas.DataFrame.from_pandas(pdf).v
+    ps = pdf["v"]
+    for verb in ["max", "min", "std", "count"]:
+        got = getattr(s.rolling(3, min_periods=1), verb)().to_pandas()
+        want = getattr(ps.rolling(3, min_periods=1), verb)()
+        pd.testing.assert_series_equal(got.reset_index(drop=True),
+                                       want.reset_index(drop=True),
+                                       check_dtype=False, check_names=False)
+    for verb in ["sum", "mean", "max", "min"]:
+        got = getattr(s.expanding(), verb)().to_pandas()
+        want = getattr(ps.expanding(), verb)()
+        pd.testing.assert_series_equal(got.reset_index(drop=True),
+                                       want.reset_index(drop=True),
+                                       check_dtype=False, check_names=False)
