@@ -1081,6 +1081,28 @@ def q_emb_near_dup(spark, sf_dir):
             .select("id_a", "id_b", F.round("c", 4).alias("cosine")))
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): sequential
+    conditional min-aggregates per user, one count row out."""
+    from pandas_alchemy_spark.ext.events import funnel, load_events
+    _prep(spark)
+    ev = load_events(spark, _t(sf_dir, "events"))
+    return funnel(ev, ["view", "click", "purchase"]).select(
+        F.col("n_step0").cast("long").alias("n_step0"),
+        F.col("n_step1").cast("long").alias("n_step1"),
+        F.col("n_step2").cast("long").alias("n_step2"))
+
+
+def q_top_terms(spark, sf_dir):
+    """Corpus top-k term frequencies: explode -> one hash aggregate
+    (map-side partial) -> top-k of the tiny aggregate."""
+    from pandas_alchemy_spark.ext import text
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return text.top_terms(docs, k=25).select(
+        "term", F.col("tf").cast("long").alias("tf"))
+
+
 def q_text_normalize(spark, sf_dir):
     """normalize_text: PII scrub + lowercase + whitespace collapse —
     one chained regexp_replace projection, codegen, no UDF."""
@@ -1228,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "emb_near_dup": q_emb_near_dup,
+        "funnel": q_funnel,
+        "top_terms": q_top_terms,
         "text_normalize": q_text_normalize,
         "repetition": q_repetition,
         "langid": q_langid,
@@ -1956,6 +1980,31 @@ def oracle_sql() -> dict[str, str]:
                       sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
                       * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)),
                       0.0) >= 0.45
+        """,
+        "funnel": """
+            WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+                 s1 AS (SELECT e.user_id, min(e.ts) AS t1
+                        FROM events e JOIN s0 ON e.user_id = s0.user_id
+                        WHERE e.event_type = 'click' AND e.ts > s0.t0
+                        GROUP BY e.user_id),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                        FROM events e JOIN s1 ON e.user_id = s1.user_id
+                        WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                        GROUP BY e.user_id)
+            SELECT (SELECT count(*) FROM s0)::BIGINT AS n_step0,
+                   (SELECT count(*) FROM s1)::BIGINT AS n_step1,
+                   (SELECT count(*) FROM s2)::BIGINT AS n_step2
+        """,
+        "top_terms": """
+            WITH t AS (
+              SELECT unnest(list_filter(string_split_regex(lower(
+                       regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')),
+                       ' '), x -> x != '')) AS term
+              FROM documents)
+            SELECT term, count(*)::BIGINT AS tf
+            FROM t GROUP BY term
+            ORDER BY tf DESC, term ASC LIMIT 25
         """,
         "text_normalize": """
             WITH n AS (

@@ -77,3 +77,32 @@ def cohort_retention(df: DataFrame, ts_col: str = "ts",
     return (j.groupBy("cohort_day",
                       F.datediff("day", "cohort_day").alias("day_offset"))
             .agg(F.countDistinct(user_col).alias("n_users")))
+
+
+def funnel(df: DataFrame, steps: list[str], ts_col: str = "ts",
+           user_col: str = "user_id",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel: per user, the earliest completion time of each
+    step GIVEN the previous step was completed earlier (classic
+    product-analytics funnel).  One groupBy(user) with sequential
+    conditional min-aggregates — a single shuffle; no joins, no
+    windows, no driver state.  Returns per-step completion counts.
+    """
+    # stage k time = min ts of step-k events that happen AFTER the
+    # user's stage k-1 time; computed iteratively with one aggregate
+    # per stage over the same grouped frame (Catalyst fuses the
+    # aggregates into one pass per groupBy).
+    base = df.select(F.col(user_col).alias("u"),
+                     F.col(type_col).alias("e"),
+                     F.col(ts_col).alias("t"))
+    per_user = base.groupBy("u").agg(
+        F.min(F.when(F.col("e") == steps[0], F.col("t"))).alias("t0"))
+    for k in range(1, len(steps)):
+        stage = (base.filter(F.col("e") == steps[k])
+                 .join(per_user, "u")
+                 .filter(F.col("t") > F.col(f"t{k - 1}"))
+                 .groupBy("u").agg(F.min("t").alias(f"t{k}")))
+        per_user = per_user.join(stage, "u", "left")
+    aggs = [F.count(F.col(f"t{k}")).alias(f"n_step{k}")
+            for k in range(len(steps))]
+    return per_user.agg(*aggs)

@@ -177,3 +177,17 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
             "if(__n = 0, 0.0, 1.0 - __nd / cast(__n as double))"), 6
         ).alias("dup_2gram_frac"))
     return out
+
+
+def top_terms(df: DataFrame, text_col: str = "text", k: int = 50,
+              min_len: int = 1) -> DataFrame:
+    """Corpus-wide term frequencies, top-k: explode tokens -> one hash
+    aggregate (map-side partial) -> top-k sort of the tiny aggregate.
+    The classic first look at any new text corpus."""
+    toks = _tok(text_col)
+    e = df.select(F.explode(F.expr(toks)).alias("term"))
+    if min_len > 1:
+        e = e.filter(F.length("term") >= min_len)
+    return (e.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+            .orderBy(F.col("tf").desc(), F.col("term").asc())
+            .limit(k))

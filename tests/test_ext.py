@@ -292,3 +292,31 @@ def test_embed_media_to_ann(docs, spark):
         id_col="doc_id", vec_col="embedding").toPandas()
     assert set(top.query("rank == 1").query_id) == {0, 1, 2}
     assert (top.cosine <= 1.0 + 1e-6).all()
+
+
+def test_funnel_ordering(spark):
+    from pandas_alchemy_spark.ext import events as ev
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: click BEFORE view -> stops at step0
+        (2, t(5), "click"), (2, t(6), "view"),
+        # user 3: view+click, purchase before click -> stops at step1
+        (3, t(1), "view"), (3, t(4), "click"), (3, t(2), "purchase"),
+        # user 4: never viewed
+        (4, t(1), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, et) for u, ts, et in rows],
+        "user_id long, ts timestamp, event_type string")
+    out = ev.funnel(df, ["view", "click", "purchase"]).collect()[0]
+    assert (out["n_step0"], out["n_step1"], out["n_step2"]) == (3, 2, 1)
+
+
+def test_top_terms(docs):
+    from pandas_alchemy_spark.ext import text
+    out = text.top_terms(docs, k=10).toPandas()
+    assert len(out) == 10
+    assert (out.tf.values == sorted(out.tf.values, reverse=True)).all()
