@@ -831,6 +831,20 @@ def q_cohort_retention(spark, sf_dir):
         "n_users")
 
 
+def q_corr_matrix(spark, sf_dir):
+    """df.corr() pairwise correlation matrix — all pairs fused into
+    one aggregate pass."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    d = pas.read_parquet(_t(sf_dir, "lineitem"))[cols].corr()
+    rows = [tuple([a] + [round(float(d.loc[a, b]), 6) for b in cols])
+            for a in cols]
+    return spark.createDataFrame(
+        rows, "col string, l_quantity double, l_extendedprice double, "
+              "l_discount double")
+
+
 def q_interval_join(spark, sf_dir):
     """Interval join (operators/interval.py — tolerance-width bin
     band join, ONE shuffle, candidates bounded by 3x bin occupancy):
@@ -1229,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qcut_bins": q_qcut_bins,
         "cohort_retention": q_cohort_retention,
         "interval_join": q_interval_join,
+        "corr_matrix": q_corr_matrix,
         "frame_reduce": q_frame_reduce,
         "where_replace": q_where_replace,
         "duplicated": q_duplicated,
@@ -1693,6 +1708,25 @@ def oracle_sql() -> dict[str, str]:
              AND a.event_id < b.event_id
              AND abs(a.t - b.t) <= 120000000
             GROUP BY a.user_id
+        """,
+        "corr_matrix": """
+            SELECT 'l_quantity' AS col,
+                   1.0 AS l_quantity,
+                   round(corr(l_quantity, l_extendedprice), 6) AS l_extendedprice,
+                   round(corr(l_quantity, l_discount), 6) AS l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   round(corr(l_quantity, l_extendedprice), 6),
+                   1.0,
+                   round(corr(l_extendedprice, l_discount), 6)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+                   round(corr(l_quantity, l_discount), 6),
+                   round(corr(l_extendedprice, l_discount), 6),
+                   1.0
+            FROM lineitem
         """,
         "frame_reduce": """
             SELECT round(sum(l_quantity), 2) AS sum_qty,

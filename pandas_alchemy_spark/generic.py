@@ -141,6 +141,45 @@ class GenericMixin:
     def round(self, decimals: int = 0):
         return self._app(lambda c: F.round(c, decimals))  # generic.py:81-83
 
+    def swaplevel(self, i=-2, j=-1):
+        """Swap two index levels (MultiIndex) — a projection reorder +
+        metadata swap, no data movement."""
+        pi, pj = self._level_of(i), self._level_of(j)
+        names = list(self._index)
+        names[pi], names[pj] = names[pj], names[pi]
+        order = list(range(len(names)))
+        order[pi], order[pj] = order[pj], order[pi]
+        new = self._shallow_copy()
+        sel = [new._idx_at(k).alias(I.idx_name(m))
+               for m, k in enumerate(order)]
+        sel += [new._col_at(c) .alias(I.col_name(c))
+                for c in range(new._n_cols())]
+        new._sdf = new._sdf.select(*sel)
+        new._index = pd.Index(names)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def droplevel(self, level):
+        """Drop one index level — projection + metadata removal."""
+        p = self._level_of(level)
+        if len(self._index) < 2:
+            raise ValueError(
+                "Cannot remove 1 levels from an index with 1 levels: "
+                "at least one level must be left.")
+        names = [n for k, n in enumerate(self._index) if k != p]
+        new = self._shallow_copy()
+        keep = [k for k in range(len(self._index)) if k != p]
+        sel = [new._idx_at(k).alias(I.idx_name(m))
+               for m, k in enumerate(keep)]
+        sel += [new._col_at(c).alias(I.col_name(c))
+                for c in range(new._n_cols())]
+        new._sdf = new._sdf.select(*sel)
+        new._index = pd.Index(names)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
     def replace(self, to_replace, value=None):
         """pandas replace with a scalar pair or dict mapping — a CASE
         ladder per column (codegen; applied to every data column)."""

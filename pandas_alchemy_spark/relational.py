@@ -319,6 +319,26 @@ class RelationalMixin:
                          for i in range(self._n_cols())})
         return Series.from_pandas(ser)
 
+    def corr(self):
+        """Pairwise correlation matrix of numeric columns — ALL k²/2
+        corr aggregates fused into ONE Spark pass, returned as a small
+        pandas frame (materializer, like pandas)."""
+        num_types = ("bigint", "int", "smallint", "tinyint", "double",
+                     "float")
+        cols = [(str(self._columns[i]), self._col_at(i))
+                for i, t in enumerate(self._dtypes())
+                if t.simpleString() in num_types]
+        aggs = []
+        for i, (_, ci) in enumerate(cols):
+            for j, (_, cj) in enumerate(cols):
+                if j >= i:
+                    aggs.append(F.corr(ci, cj).alias(f"__c{i}_{j}"))
+        row = self._sdf.agg(*aggs).collect()[0]
+        labels = [lab for lab, _ in cols]
+        data = [[row[f"__c{min(i, j)}_{max(i, j)}"]
+                 for j in range(len(cols))] for i in range(len(cols))]
+        return pd.DataFrame(data, index=labels, columns=labels)
+
     @property
     def T(self):
         """Transpose — a MATERIALIZER (like pandas semantics demand:
@@ -659,6 +679,17 @@ class SeriesAggMixin:
                    "float32": "float", "str": "string", "string": "string",
                    "bool": "boolean"}
         return self._cast(mapping.get(str(dtype), str(dtype)))
+
+    def agg(self, funcs):
+        """``s.agg("sum")`` -> scalar; ``s.agg(["sum","mean"])`` ->
+        pandas Series — the list form fuses every aggregate into ONE
+        Spark pass."""
+        if not isinstance(funcs, list):
+            return getattr(self, funcs)()
+        exprs = [_resolve_agg(f)(self._the_col).alias(f"__a{i}")
+                 for i, f in enumerate(funcs)]
+        row = self._sdf.agg(*exprs).collect()[0]
+        return pd.Series({f: row[f"__a{i}"] for i, f in enumerate(funcs)})
 
     def _reduce(self, fn):
         row = self._sdf.select(fn(self._the_col).alias("v")).take(1)

@@ -380,3 +380,50 @@ def test_drop_map_to_frame(li, lineitem_pdf):
     f = li.l_quantity.to_frame("qty")
     assert f.columns.tolist() == ["qty"]
     assert len(f) == len(li)
+
+
+def test_frame_corr_matrix(li, lineitem_pdf):
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    got = li[cols].corr()
+    want = lineitem_pdf[cols].corr()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  atol=1e-9)
+
+
+def test_series_agg_list(li, lineitem_pdf):
+    got = li.l_quantity.agg(["sum", "mean", "max"])
+    want = lineitem_pdf["l_quantity"].agg(["sum", "mean", "max"])
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+    assert li.l_quantity.agg("sum") == lineitem_pdf["l_quantity"].sum()
+
+
+def test_swaplevel_droplevel(li, lineitem_pdf):
+    m = li.set_index(["l_returnflag", "l_linestatus"])
+    pm = lineitem_pdf.set_index(["l_returnflag", "l_linestatus"])
+    got = (m.swaplevel()[["l_quantity"]].to_pandas()
+           .sort_index().groupby(level=[0, 1]).sum())
+    want = (pm.swaplevel()[["l_quantity"]]
+            .sort_index().groupby(level=[0, 1]).sum())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    got2 = (m.droplevel(0)[["l_quantity"]].to_pandas()
+            .groupby(level=0).sum())
+    want2 = (pm.droplevel(0)[["l_quantity"]].groupby(level=0).sum())
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+
+def test_salted_join_equivalence(spark, orders):
+    from pandas_alchemy_spark.operators.skew import salted_join
+    o = orders.to_spark(index=False).select("o_orderkey", "o_custkey",
+                                            "o_totalprice")
+    dim = (orders.to_spark(index=False)
+           .select("o_custkey").distinct()
+           .withColumn("seg", (F_col := __import__("pyspark.sql.functions",
+                                                   fromlist=["col"]))
+                       .pmod(F_col.col("o_custkey"), F_col.lit(3))))
+    got = salted_join(o, dim, on="o_custkey", salt=4)
+    want = o.join(dim, "o_custkey")
+    assert got.count() == want.count()
+    gs = got.agg(F_col.sum("o_totalprice")).collect()[0][0]
+    ws = want.agg(F_col.sum("o_totalprice")).collect()[0][0]
+    assert abs(gs - ws) < 1e-6
