@@ -617,6 +617,37 @@ class ReshapeMixin:
         return DataFrame(pd.Index([index]), pd.Index(out_labels),
                          out_sdf)
 
+    def unstack(self, level=-1, agg: str = "first",
+                level_values=None):
+        """Pivot an index level into columns (pandas unstack for the
+        single-data-column case) — groupBy(remaining levels) +
+        pivot(level).  Pass ``level_values`` at scale to skip the
+        distinct-values planning job."""
+        from .core import DataFrame
+        if self._n_cols() != 1:
+            raise NotImplementedError("unstack: one data column only")
+        p = self._level_of(level)
+        keep = [k for k in range(len(self._index)) if k != p]
+        if not keep:
+            raise NotImplementedError("unstack needs a remaining level")
+        fn = _resolve_agg(agg)
+        body = self._sdf.select(
+            *[self._idx_at(k).alias(f"__k{m}") for m, k in enumerate(keep)],
+            self._idx_at(p).alias("__pc"),
+            self._col_at(0).alias("__pv"))
+        g = body.groupBy(*[f"__k{m}" for m in range(len(keep))])
+        piv = (g.pivot("__pc", level_values) if level_values is not None
+               else g.pivot("__pc"))
+        agged = piv.agg(fn("__pv"))
+        out_labels = [c for c in agged.columns
+                      if not c.startswith("__k")]
+        sel = [F.col(f"__k{m}").alias(I.idx_name(m))
+               for m in range(len(keep))]
+        sel += [F.col(f"`{c}`").alias(I.col_name(j))
+                for j, c in enumerate(out_labels)]
+        return DataFrame(pd.Index([self._index[k] for k in keep]),
+                         pd.Index(out_labels), agged.select(*sel))
+
     def melt(self, id_vars, value_vars, var_name="variable",
              value_name="value"):
         """Unpivot via Spark's native ``unpivot`` (a generator, not a

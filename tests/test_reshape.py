@@ -54,3 +54,16 @@ def test_describe(spark, pdf):
     got = df.describe()
     want = pdf.describe()
     pdt.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_unstack(spark):
+    pdf = pd.DataFrame({
+        "k": ["a", "a", "b", "b"],
+        "c": ["x", "y", "x", "y"],
+        "v": [1.0, 2.0, 3.0, 4.0]})
+    m = pas.DataFrame.from_pandas(pdf).set_index(["k", "c"])
+    got = m.unstack().to_pandas().sort_index()
+    want = pdf.set_index(["k", "c"])["v"].unstack().sort_index()
+    want.columns.name = None
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_index_type=False)

@@ -143,3 +143,38 @@ def test_dedup_stream_drops_replayed_files(spark, stream_dir):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, stream_dir):
+    """Stream-stream range join (view -> click within 10 min per user)
+    drained with availableNow equals the batch twin."""
+    from pandas_alchemy_spark.streaming import join_streams
+
+    def split(df):
+        return (df.filter(df.event_type == "view"),
+                df.filter(df.event_type == "click"))
+
+    lv_s, cl_s = split(stream_events.read_event_stream(
+        spark, stream_dir, max_files_per_trigger=None))
+    joined = join_streams.join_event_streams(lv_s, cl_s)
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("t_ss_join")
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.table("t_ss_join").count()
+
+    ev = events.load_events(spark, f"{SF_DIR}/events.parquet")
+    lv_b, cl_b = split(ev)
+    import pyspark.sql.functions as F
+    want = (lv_b.selectExpr("user_id AS k", "ts AS l_ts", "event_id AS l_id")
+            .join(cl_b.selectExpr("user_id AS rk", "ts AS r_ts",
+                                  "event_id AS r_id"),
+                  (F.col("k") == F.col("rk"))
+                  & (F.col("r_ts") >= F.col("l_ts"))
+                  & (F.col("r_ts") <= F.col("l_ts")
+                     + F.expr("INTERVAL 10 minutes")))
+            .count())
+    assert got == want and got > 0
