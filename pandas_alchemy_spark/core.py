@@ -577,6 +577,25 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         return out
 
 
+def _concat_columns(objs):
+    """concat(axis=1): column-wise paste with full-outer index
+    alignment, pairwise (the same join the binary ops use)."""
+    out = objs[0]
+    if isinstance(out, Series):
+        out = out.to_frame()
+    for o in objs[1:]:
+        if isinstance(o, Series):
+            o = o.to_frame()
+        joined, lcol, rcol, idx, idx_names = out._join_idx(o)
+        labels = list(out._columns) + list(o._columns)
+        exprs = [lcol(i) for i in range(len(out._columns))]
+        exprs += [rcol(i) for i in range(len(o._columns))]
+        sdf = base.BaseFrame(idx_names, None, joined)._project(idx, exprs)
+        nxt = DataFrame(out._index, pd.Index(labels), sdf)
+        out = nxt
+    return out
+
+
 def concat(objs, axis=0, ignore_index: bool = False):
     """Row-wise concatenation (beyond-reference set op, SURVEY.md §2.7
     lists UNION ALL as internal-only in the reference).
@@ -588,10 +607,10 @@ def concat(objs, axis=0, ignore_index: bool = False):
     re-synthesizes a 0-based rowid lazily (provisional mid-index; no
     count pass until index values are observed)."""
     objs = list(objs)
-    if axis != 0:
-        raise NotImplementedError("concat(axis=1) is not supported")
     if not objs:
         raise ValueError("No objects to concatenate")
+    if axis in (1, "columns"):
+        return _concat_columns(objs)
     n_idx = objs[0]._n_idx()
     for o in objs[1:]:
         if o._n_idx() != n_idx:

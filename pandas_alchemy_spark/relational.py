@@ -439,22 +439,44 @@ class RelationalMixin:
                 for i in range(self._n_cols())]
         return DataFrame(self._index, self._columns, agg.select(*sel))
 
-    def dropna(self, subset=None):
+    def dropna(self, subset=None, how="any", thresh=None):
+        """Drop rows with NULLs.  ``how='any'|'all'``; ``thresh=n``
+        keeps rows with at least n non-null values (overrides how) —
+        all pure filter predicates, pushdown-eligible."""
         cols = self._data_cols() if subset is None else \
             [self._col_at(self._columns.get_loc(s)) for s in subset]
-        cond = None
-        for c in cols:
-            k = c.isNotNull()
-            cond = k if cond is None else (cond & k)
+        if thresh is not None:
+            n_ok = None
+            for c in cols:
+                k = c.isNotNull().cast("int")
+                n_ok = k if n_ok is None else (n_ok + k)
+            cond = n_ok >= thresh
+        elif how == "all":
+            cond = None
+            for c in cols:
+                k = c.isNotNull()
+                cond = k if cond is None else (cond | k)
+        else:
+            cond = None
+            for c in cols:
+                k = c.isNotNull()
+                cond = k if cond is None else (cond & k)
         new = self._shallow_copy()
         new._sdf = self._sdf.filter(cond)
         return new
 
     def fillna(self, value):
+        """Fill NULLs: a scalar fills every column; a dict fills per
+        column label (pandas semantics — unlisted columns untouched)."""
         new = self._shallow_copy()
-        new._sdf = self._project(
-            self._idx_cols(),
-            [F.coalesce(c, F.lit(value)) for c in self._data_cols()])
+        if isinstance(value, dict):
+            pos = {self._columns.get_loc(k): v for k, v in value.items()}
+            exprs = [F.coalesce(c, F.lit(pos[i])) if i in pos else c
+                     for i, c in enumerate(self._data_cols())]
+        else:
+            exprs = [F.coalesce(c, F.lit(value))
+                     for c in self._data_cols()]
+        new._sdf = self._project(self._idx_cols(), exprs)
         return new
 
     def rename(self, columns=None):

@@ -75,3 +75,32 @@ def test_concat_ignore_index_order(spark, pdf):
     df = pas.DataFrame.from_pandas(pdf)
     got = pas.concat([df, df], ignore_index=True).to_pandas()
     assert got.index.tolist() == list(range(2 * len(pdf)))
+
+
+def test_concat_axis1(spark):
+    a = pd.DataFrame({"x": [1, 2, 3]}, index=[0, 1, 2])
+    b = pd.DataFrame({"y": [10.0, 30.0]}, index=[0, 2])
+    got = (pas.concat([pas.DataFrame.from_pandas(a),
+                       pas.DataFrame.from_pandas(b)], axis=1)
+           .to_pandas().sort_index())
+    want = pd.concat([a, b], axis=1).sort_index()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_index_type=False)
+
+
+def test_dropna_how_thresh(spark):
+    pdf = pd.DataFrame({"a": [1.0, None, None], "b": [None, None, 3.0],
+                        "c": [1.0, 2.0, None]})
+    df = pas.DataFrame.from_pandas(pdf)
+    for kw in [dict(how="any"), dict(how="all"), dict(thresh=2)]:
+        got = (df.dropna(**kw).to_pandas().reset_index(drop=True))
+        want = pdf.dropna(**kw).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_fillna_dict(spark):
+    pdf = pd.DataFrame({"a": [1.0, None], "b": [None, 2.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.fillna({"a": 0.0}).to_pandas().reset_index(drop=True)
+    want = pdf.fillna({"a": 0.0}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
