@@ -77,6 +77,9 @@ def main():
         "q10_returned": qs["q10_returned"],
         "q19_disjunct": qs["q19_disjunct"],
         "text_normalize": qs["text_normalize"],
+        "funnel": qs["funnel"],
+        "cohort_retention": qs["cohort_retention"],
+        "top_terms": qs["top_terms"],
         "repetition": qs["repetition"],
         "sample_hash": qs["sample_hash"],
         "emb_near_dup_lsh": lsh_near_dup,
