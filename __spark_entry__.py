@@ -1592,7 +1592,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*)::BIGINT AS n,
                    round(sum(o_totalprice), 2) AS total
             FROM orders
-            WHERE (o_orderkey * 2654435761) % 4294967296 < 429496729
+            WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+                  < CAST(0.1 * 1152921504606846976 AS BIGINT)
         """,
         "asof_join": """
             WITH ev AS (SELECT event_id, user_id,

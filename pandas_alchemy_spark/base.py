@@ -57,6 +57,16 @@ class BaseFrame:
     #: (SURVEY.md §2.6 "no ORDER BY is ever emitted").
     _explicit_order = False
 
+    #: True when a verb may have reordered rows in the PLAN relative to
+    #: the positional index (window evaluation sorts by value/key,
+    #: joins shuffle).  Export already re-sorts positional frames
+    #: client-side (_fetch_pandas); positional ACCESSORS (head/tail/
+    #: iloc/iat) consult this flag to re-sort plan-side first, so they
+    #: return the same rows the export shows.  Kept False on the plain
+    #: scan->project->filter path so head() stays an early-exit LIMIT
+    #: (no full-scan TakeOrdered under every repr).
+    _rows_reordered = False
+
     def __init__(self, index: pd.Index, columns: pd.Index | None, sdf: SparkDF):
         # index: pd.Index of *level names* (values live in the plan),
         # reference base.py:9-12.
@@ -156,6 +166,28 @@ class BaseFrame:
         new = self._shallow_copy()
         new._densify()
         return new
+
+    # -- positional-order contract ----------------------------------------
+
+    def _positional_export(self) -> bool:
+        """True when ``_fetch_pandas`` re-sorts rows by ``__idx_0`` at
+        export (the positional contract: row order IS index order)."""
+        if self._explicit_order or self._n_idx() != 1:
+            return False
+        if self._mid_index:
+            return True
+        if self._index[0] is not None:
+            return False
+        from pyspark.sql import types as T
+        return isinstance(self._idx_dtypes()[0],
+                          (T.LongType, T.IntegerType, T.ShortType,
+                           T.ByteType))
+
+    def _positional_reordered(self) -> bool:
+        """True when a positional accessor (head/tail/iloc/iat) must
+        re-sort the plan by the index before slicing: the export
+        contract is index order, but the plan may not be in it."""
+        return self._rows_reordered and self._positional_export()
 
     # -- alignment joins ---------------------------------------------------
 

@@ -155,6 +155,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         s = Series(self._index, pd.Index([name]), sdf, name,
                    lineage=(self._sdf, self._col_at(i)))
         s._mid_index = self._mid_index
+        s._rows_reordered = self._rows_reordered
         return s
 
     def __getitem__(self, key):
@@ -170,6 +171,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                 *[self._col_at(p).alias(I.col_name(j)) for j, p in enumerate(positions)])
             out = DataFrame(self._index, pd.Index(key), sdf)
             out._mid_index = self._mid_index
+            out._rows_reordered = self._rows_reordered
             return out
         return self._seq_at(self._columns.get_loc(key))
 
@@ -250,7 +252,10 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         if index < 0 or index >= row_count:
             raise IndexError(f"index {index} is out of bounds for "
                              f"axis 0 with size {row_count}")
-        rid = with_rowid(self._sdf, I.ROWID)
+        body = self._sdf
+        if self._positional_reordered():
+            body = body.orderBy(F.col(I.idx_name(0)).asc())
+        rid = with_rowid(body, I.ROWID)
         rows = rid.filter(F.col(I.ROWID) == index).select(I.col_name(col)).take(1)
         return rows[0][0]
 
@@ -317,6 +322,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             self._sdf = base.BaseFrame(idx_names, self._columns, joined)._project(idx, cols)
             self._index = idx_names
             self._mid_index = self._mid_index and other._mid_index
+            self._rows_reordered = True
             return
 
         # rule 4: DataFrame operand -> align columns and rows
@@ -337,6 +343,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             self._index = idx_names
             self._columns = joined_labels
             self._mid_index = self._mid_index and other._mid_index
+            self._rows_reordered = True
             return
 
         # rules 5-6: plain list-likes
@@ -368,6 +375,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                            all(isinstance(v, bool) for v in other))
                     for i in range(self._n_cols())]
             self._sdf = base.BaseFrame(self._index, self._columns, joined)._project(idx, cols)
+            self._rows_reordered = True
             return
 
         # rule 9 (reference alchemy.py:235-236)
@@ -439,15 +447,30 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             cond = mask._lineage_expr
             out = DataFrame(self._index, self._columns, self._sdf.filter(cond))
             out._mid_index = self._mid_index
+            # a window-backed mask expression evaluates the window in
+            # this plan -> rows come out in window order
+            out._rows_reordered = (self._rows_reordered
+                                   or mask._rows_reordered)
             return out
-        # general path: inner join on index equality
+        # general path: inner join on index equality over ALL levels —
+        # level-0-only equality would mis-align MultiIndex frames
+        # (duplicate level-0 values multiply rows).  Null-safe so NULL
+        # index labels still align, like pandas.
+        if mask._n_idx() != self._n_idx():
+            raise ValueError(
+                "cannot align boolean mask: index has "
+                f"{self._n_idx()} level(s), mask has {mask._n_idx()}")
         m = self._rename_all(mask._sdf, "m_")
-        cond = self._sdf[I.idx_name(0)] == m[f"m_{I.idx_name(0)}"]
+        cond = None
+        for i in range(self._n_idx()):
+            c = self._sdf[I.idx_name(i)].eqNullSafe(m[f"m_{I.idx_name(i)}"])
+            cond = c if cond is None else (cond & c)
         joined = self._sdf.join(m, cond, "inner").filter(
             F.col(f"m_{I.col_name(0)}"))
         out = DataFrame(self._index, self._columns,
                         joined.select(self._sdf.columns))
         out._mid_index = self._mid_index and mask._mid_index
+        out._rows_reordered = True
         return out
 
     def assign(self, **kwargs) -> "DataFrame":
@@ -476,6 +499,12 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         sdf = self._project(self._idx_cols(), exprs)
         out = DataFrame(self._index, pd.Index(labels), sdf)
         out._mid_index = self._mid_index
+        # a window-backed Series value (rank/cumsum/...) makes the
+        # projected plan evaluate that window -> rows come out in
+        # window order, not index order
+        out._rows_reordered = self._rows_reordered or any(
+            isinstance(v, Series) and v._rows_reordered
+            for v in kwargs.values())
         return out
 
     # -- materialization ---------------------------------------------------
@@ -706,6 +735,7 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         label = name if name is not None else (self.name or 0)
         out = DataFrame(self._index, pd.Index([label]), self._sdf)
         out._mid_index = self._mid_index
+        out._rows_reordered = self._rows_reordered
         return out
 
     def _zip_with(self, other, fn):
@@ -730,6 +760,7 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             idx, [fn(lcol(0), rcol(0))])
         new._lineage = None
         new._mid_index = False
+        new._rows_reordered = True
         return new
 
     def where(self, cond, other=None):
@@ -863,7 +894,10 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         if label < 0 or label >= row_count:
             raise IndexError(f"index {label} is out of bounds for "
                              f"axis 0 with size {row_count}")
-        rid = with_rowid(self._sdf, I.ROWID)
+        body = self._sdf
+        if self._positional_reordered():
+            body = body.orderBy(F.col(I.idx_name(0)).asc())
+        rid = with_rowid(body, I.ROWID)
         rows = rid.filter(F.col(I.ROWID) == label).select(I.col_name(0)).take(1)
         return rows[0][0]
 
@@ -934,6 +968,7 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             self._index = idx_names
             self._lineage = None
             self._mid_index = self._mid_index and other._mid_index
+            self._rows_reordered = True
             self.name = self.name if self.name == other.name else None
             return
 
@@ -970,6 +1005,7 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                          all(isinstance(v, bool) for v in other))
             self._sdf = base.BaseFrame(self._index, None, joined)._project(idx, [col])
             self._lineage = None
+            self._rows_reordered = True
             return
 
         raise TypeError(f"Cannot broadcast np.ndarray with "

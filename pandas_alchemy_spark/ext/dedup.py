@@ -21,8 +21,39 @@ correctness oracle can reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _cap_buckets(buckets: DataFrame, member_col: str,
+                 cap: int | None, what: str) -> DataFrame:
+    """Drop degenerate LSH buckets (> ``cap`` members) with a LOGGED
+    count — never silently.
+
+    At corpus scale the common degenerate case is boilerplate: millions
+    of byte-identical documents share every band signature, so one
+    bucket holds 10^5-10^6 ids and the within-bucket pair explode
+    materializes O(B^2) rows in a single task.  The cap bounds that
+    task at O(cap^2).  The principled spill path is to pre-collapse
+    exact duplicates first (:func:`exact_dedup` — identical docs are
+    where degenerate buckets come from), then run LSH on the
+    representatives; an oversized bucket that SURVIVES exact collapse
+    is near-certainly one boilerplate template and its pairs carry no
+    information worth O(B^2).
+
+    ``buckets`` must be persisted by the caller (the count below would
+    otherwise re-run the signature pipeline)."""
+    if cap is None:
+        return buckets
+    n_over = buckets.filter(F.size(member_col) > cap).count()
+    if n_over:
+        print(f"[pandas_alchemy_spark] {what}: dropped {n_over} "
+              f"oversized LSH bucket(s) (> {cap} members); pre-collapse "
+              "exact duplicates (exact_dedup) to avoid degenerate "
+              "buckets", file=sys.stderr)
+    return buckets.filter(F.size(member_col) <= cap)
 
 # tokenize: lowercase, strip non-alphanumerics, split
 _TOKENS = "filter(split(lower(regexp_replace({col}, '[^a-zA-Z0-9]+', ' ')), ' '), t -> t != '')"
@@ -144,7 +175,8 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_n: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      bucket_cap: int | None = 2000) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     signature -> ``bands`` bands of ``num_hashes/bands`` rows; docs
@@ -161,7 +193,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
       keys, no second copy of the corpus in flight;
     - band key = the band's signature values as a string — oracle-
       reproducible; re-hash it (xxhash64) to narrow the shuffle key at
-      very large scale.
+      very large scale;
+    - buckets larger than ``bucket_cap`` are DROPPED with a logged
+      count (see :func:`_cap_buckets`) — the O(B^2) within-bucket
+      explode of a degenerate boilerplate bucket would otherwise pin
+      one task; pre-collapse exact dups to keep recall.
     """
     rows = num_hashes // bands
     sh = with_shingles(_tune(df), text_col, "__shraw", shingle_n, distinct=False)
@@ -188,6 +224,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     buckets = (banded.groupBy("band", "bh")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))
+    if bucket_cap is not None:
+        buckets = buckets.persist()
+        buckets = _cap_buckets(buckets, "ids", bucket_cap,
+                               "minhash_lsh_pairs")
     pairs = (buckets.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x as id_a, y as id_b))))"
@@ -224,10 +264,13 @@ def simhash_signature(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  bucket_cap: int | None = 2000) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit chunks (pigeonhole: hamming<=3 -> >=1 chunk equal), join on
-    chunk equality, verify with bit_count(a XOR b)."""
+    chunk equality, verify with bit_count(a XOR b).  Chunk buckets
+    larger than ``bucket_cap`` are dropped with a logged count
+    (:func:`_cap_buckets`) — degenerate boilerplate protection."""
     sig = simhash_signature(df, text_col, id_col)
     chunked = sig.select(
         id_col, "sh",
@@ -242,6 +285,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                .agg(F.array_sort(F.collect_list(F.struct(
                    F.col(id_col).alias("id"), F.col("sh")))).alias("ms"))
                .filter(F.size("ms") > 1))
+    if bucket_cap is not None:
+        buckets = buckets.persist()
+        buckets = _cap_buckets(buckets, "ms", bucket_cap, "simhash_pairs")
     pairs = (buckets.select(F.explode(F.expr(
         "flatten(transform(ms, (x, i) -> "
         "transform(slice(ms, i + 2, size(ms)), y -> "
@@ -329,7 +375,8 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
 def cluster_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.6,
-                      num_hashes: int = 64, bands: int = 16) -> DataFrame:
+                      num_hashes: int = 64, bands: int = 16,
+                      bucket_cap: int | None = 2000) -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidate pairs ->
     Jaccard verify at ``threshold`` -> connected components.  Returns
     (id, component, keep) where keep marks the component
@@ -337,7 +384,7 @@ def cluster_near_dups(df: DataFrame, text_col: str = "text",
     transitively (A~B~C collapse to one doc even when A!~C)."""
     pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col,
                               num_hashes=num_hashes, bands=bands,
-                              threshold=threshold)
+                              threshold=threshold, bucket_cap=bucket_cap)
     comp = connected_components(pairs, src="id_a", dst="id_b")
     ids = df.select(F.col(id_col).alias("id"))
     all_labels = (ids.join(comp, "id", "left")

@@ -150,21 +150,48 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding", dim: int = 32,
-                             planes: int = 10,
-                             threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket join (no cross
-    product), exact cosine verify at ``threshold``."""
-    codes = table_codes_udf(dim, planes, tables=1)
-    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  norm_expr(vec_col).alias("n"),
-                  codes(F.col(vec_col)).getItem(0).alias("code"))
-    l, r = b.alias("l"), b.alias("r")
-    dot = _DOT.format(a="l.v", b="r.v")
-    cos = F.expr(f"({dot}) / nullif(l.n * r.n, 0.0)")
-    return (l.join(r, (F.col("l.code") == F.col("r.code"))
-                   & (F.col("l.id") < F.col("r.id")))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                    cos.alias("cosine"))
+                             planes: int = 10, tables: int = 4,
+                             threshold: float = 0.95,
+                             bucket_cap: int | None = 2000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table sign-bit
+    LSH — the same banded candidate generation :func:`lsh_topk` uses.
+
+    A pair is a candidate when the two vectors share a bucket in ANY of
+    the ``tables`` hyperplane sets (recall compounds as
+    1-(1-p^planes)^tables — strictly better than the old single-table
+    code join), then verified with exact cosine at ``threshold``.
+    Candidates come from a groupBy-(table, code) bucket + within-bucket
+    pair explode, NOT a self-join, and buckets larger than
+    ``bucket_cap`` are dropped with a logged count (a degenerate bucket
+    of B identical embeddings would otherwise materialize O(B^2) pairs
+    in one task — boilerplate protection, same policy as the MinHash
+    path)."""
+    from .dedup import _cap_buckets
+    codes = table_codes_udf(dim, planes, tables)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     norm_expr(vec_col).alias("n"),
+                     codes(F.col(vec_col)).alias("codes")).persist()
+    banded = base.select("id", F.posexplode("codes").alias("tbl", "code"))
+    buckets = (banded.groupBy("tbl", "code")
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    if bucket_cap is not None:
+        buckets = buckets.persist()
+        buckets = _cap_buckets(buckets, "ids", bucket_cap,
+                               "embedding_near_dup_pairs")
+    pairs = (buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(x as id_a, y as id_b))))"
+    )).alias("p")).select("p.id_a", "p.id_b").dropDuplicates())
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                    F.col("n").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                    F.col("n").alias("nb"))
+    dot = _DOT.format(a="va", b="vb")
+    cos = F.expr(f"({dot}) / nullif(na * nb, 0.0)")
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
 

@@ -82,8 +82,17 @@ class GenericMixin:
 
     @copied
     def head(self, n: int = 5) -> None:
-        # LIMIT n (reference generic.py:46-48).
-        self._sdf = self._sdf.limit(n)
+        # LIMIT n (reference generic.py:46-48).  When the plan was
+        # reordered under a positional index (window verbs, joins) the
+        # limit must follow index order or head() returns different
+        # rows than to_pandas()'s first rows — orderBy+limit compiles
+        # to TakeOrderedAndProject, a one-pass top-k, never a full
+        # sort.  The common scan path keeps the early-exit LIMIT.
+        if self._positional_reordered():
+            self._sdf = self._sdf.orderBy(
+                F.col(I.idx_name(0)).asc()).limit(n)
+        else:
+            self._sdf = self._sdf.limit(n)
         self._drop_lineage()
 
     @copied
@@ -91,6 +100,11 @@ class GenericMixin:
         """Last n rows.  The reference does count() + LIMIT/OFFSET — two
         queries (generic.py:50-57).  We do the same two passes but the
         offset filter is a scalable rowid predicate, not OFFSET."""
+        if self._positional_reordered():
+            # rowids below must be assigned in INDEX order, not the
+            # reordered plan order
+            self._sdf = self._sdf.orderBy(F.col(I.idx_name(0)).asc())
+            self._rows_reordered = False
         if getattr(self, "_mid_index", False):
             # positional parity: tail keeps the original index values
             self._densify()

@@ -56,6 +56,16 @@ class _iLocIndexer:
             start = None if start is None else max(0, start + n) if start < 0 else start
             stop = None if stop is None else max(0, stop + n) if stop < 0 else stop
         new = obj._shallow_copy()
+        if obj._positional_reordered():
+            # rowids must follow index order, not the reordered plan
+            new._sdf = new._sdf.orderBy(F.col(I.idx_name(0)).asc())
+            new._rows_reordered = False
+        if getattr(new, "_mid_index", False):
+            # pandas iloc keeps the original positional labels (e.g.
+            # iloc[10:15] shows index 10..14): densify BEFORE slicing
+            # so positions materialize as real index values instead of
+            # being re-ranked 0-based within the slice at export
+            new._densify()
         rid = with_rowid(new._sdf, I.ROWID)
         cond = None
         if start:

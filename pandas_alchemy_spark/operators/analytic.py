@@ -138,8 +138,11 @@ class SeriesWindow(_WindowVerbs):
         # value, grouped windows cluster by key); no plan-level re-sort
         # is added — positional frames re-establish index order client-
         # side at export (base._fetch_pandas), costing nothing cluster-
-        # side at scale
-        return self._s._app(fn)
+        # side at scale.  _rows_reordered tells positional accessors
+        # (head/iloc/iat) to re-sort plan-side before slicing.
+        out = self._s._app(fn)
+        out._rows_reordered = True
+        return out
 
 
 class SeriesGroupBy(_WindowVerbs):
@@ -182,6 +185,7 @@ class SeriesGroupBy(_WindowVerbs):
         out = self._Series(df._index, None, body, self._label,
                            lineage=(df._sdf, expr))
         out._mid_index = getattr(df, "_mid_index", False)
+        out._rows_reordered = True
         return out
 
     # grouped aggregation to one row per group (pandas .groupby(k)[c].sum())

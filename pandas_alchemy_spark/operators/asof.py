@@ -82,9 +82,14 @@ def asof_join(left: SparkDF, right: SparkDF, on: str,
 
     order = [F.col(on).asc(), F.col(_TAG).asc()]
     if tiebreak is not None:
-        # right-side tiebreak rides inside the payload; order on the
-        # plain column (NULL for left rows — sorts consistently)
-        order.insert(1, F.col(_PAYLOAD)[tiebreak].asc_nulls_last()
+        # right-side tiebreak rides inside the payload.  It must come
+        # AFTER the tag: the tag alone decides left-vs-right placement
+        # at equal times (the allow_exact_matches contract); the
+        # tiebreak only disambiguates right-vs-right ties.  Placing it
+        # before the tag would sort left rows (NULL payload,
+        # nulls_last) after equal-time right rows even when
+        # allow_exact_matches=False.
+        order.append(F.col(_PAYLOAD)[tiebreak].asc_nulls_last()
                      if direction == "backward"
                      else F.col(_PAYLOAD)[tiebreak].desc_nulls_last())
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)

@@ -204,13 +204,18 @@ class RelationalMixin:
         if how in ("semi", "anti"):
             # existence joins (beyond pandas.merge): only left columns
             # survive; Spark's left_semi/left_anti never materialize
-            # the right side's payload (build-side is keys only)
+            # the right side's payload (build-side is keys only).
+            # Left rows pass through unchanged, so ALL left index
+            # levels are kept (a MultiIndex left frame keeps its
+            # MultiIndex, like a boolean-mask filter).
             joined = l.join(r, cond, f"left_{how}")
-            sel = [l[f"l_{I.idx_name(0)}"].alias(I.idx_name(0))]
+            sel = [l[f"l_{I.idx_name(i)}"].alias(I.idx_name(i))
+                   for i in range(self._n_idx())]
             sel += [l[f"l_{I.col_name(i)}"].alias(I.col_name(i))
                     for i in range(len(self._columns))]
             out = DataFrame(self._index, self._columns, joined.select(*sel))
             out._mid_index = self._mid_index
+            out._rows_reordered = True
             return out
         joined = l.crossJoin(r) if how == "cross" else l.join(r, cond, how)
         # result columns: left data cols + right data cols (minus
@@ -228,10 +233,16 @@ class RelationalMixin:
             name = f"{lab}{suffixes[1]}" if lab in overlap else lab
             out_labels.append(name)
             out_exprs.append(r[f"r_{I.col_name(j)}"])
-        sel = [l[f"l_{I.idx_name(0)}"].alias(I.idx_name(0))]
+        # pandas.merge resets the result index to a RangeIndex — emit a
+        # fresh provisional rowid (densified only when observed) instead
+        # of passing the left index through: a MultiIndex left frame
+        # would otherwise claim n_idx>=2 levels over a 1-column plan and
+        # silently consume data columns as index levels on export.
+        sel = [F.monotonically_increasing_id().alias(I.idx_name(0))]
         sel += [e.alias(I.col_name(k)) for k, e in enumerate(out_exprs)]
-        out = DataFrame(self._index, pd.Index(out_labels), joined.select(*sel))
-        out._mid_index = self._mid_index
+        out = DataFrame(pd.Index((None,)), pd.Index(out_labels),
+                        joined.select(*sel))
+        out._mid_index = True
         return out
 
     def explode(self, column):
@@ -250,28 +261,58 @@ class RelationalMixin:
 
     def sample(self, frac, key=None, seed=None):
         """Row sample.  With ``key``: DETERMINISTIC content-addressed
-        sample via a Knuth multiplicative hash on that column —
-        reproducible across runs/engines and cheap (a pushdown-eligible
-        filter, no RNG state).  Without ``key``: Spark's Bernoulli
-        sample with ``seed``."""
+        sample — md5 the key's string form and keep rows whose top 60
+        hash bits fall under ``frac``.  Reproducible across runs AND
+        engines, works for any key type (strings hash as-is, no cast
+        to NULL), and always non-negative (a plain ``%`` on a Spark
+        long keeps the dividend's sign and can overflow for large
+        keys, silently sampling everything — the md5 bucket has
+        neither failure mode).  Cheap: one projection + filter, no RNG
+        state.  Without ``key``: Spark's Bernoulli sample with
+        ``seed``."""
         new = self._shallow_copy()
         if key is None:
             new._sdf = new._sdf.sample(fraction=frac, seed=seed)
         else:
             c = new._col_at(new._columns.get_loc(key))
-            cond = ((c.cast("long") * F.lit(2654435761)) % F.lit(4294967296)
-                    < F.lit(int(frac * 4294967296)))
+            bucket = F.conv(
+                F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            cond = bucket < F.lit(int(frac * (1 << 60)))
             new._sdf = new._sdf.filter(cond)
         if hasattr(new, "_drop_lineage"):
             new._drop_lineage()
         return new
 
-    def drop(self, labels=None, axis=1, columns=None):
+    def drop(self, labels=None, axis=1, columns=None, index=None,
+             level=None, errors="raise"):
         """Drop columns (axis=1 / columns=...): a metadata update + one
-        projection, no data movement."""
-        to_drop = columns if columns is not None else labels
+        projection, no data movement.
+
+        Drop rows (axis=0 / index=...): an index-label anti-filter —
+        ``NOT IN (literals)``, pushdown-eligible, no shuffle.  With
+        ``errors='raise'`` (pandas default) one tiny aggregate job
+        verifies every label exists (count of distinct matches — O(1)
+        result); pass ``errors='ignore'`` to skip that job at scale.
+        ``level`` selects the MultiIndex level to match (default 0)."""
+        if index is not None:
+            axis, labels = 0, index
         if axis in (0, "index") and columns is None:
-            raise NotImplementedError("drop on axis=0 (use masks)")
+            to_drop = labels if isinstance(labels, list) else [labels]
+            lv = self._level_of(level) if level is not None else 0
+            idx = self._sdf[I.idx_name(lv)]
+            if errors == "raise":
+                found = self._sdf.filter(idx.isin(to_drop)).select(
+                    F.countDistinct(idx).alias("n")).take(1)[0]["n"]
+                if found != len(set(to_drop)):
+                    raise KeyError(
+                        f"labels {to_drop} not found in axis")
+            new = self._shallow_copy()
+            new._sdf = self._sdf.filter(~idx.isin(to_drop))
+            if hasattr(new, "_drop_lineage"):
+                new._drop_lineage()
+            return new
+        to_drop = columns if columns is not None else labels
         if not isinstance(to_drop, list):
             to_drop = [to_drop]
         keep = [c for c in self._columns if c not in to_drop]
@@ -400,19 +441,25 @@ class RelationalMixin:
             cols = [cols]
         keys = [self._col_at(self._columns.get_loc(c)) for c in cols]
         if keep == "first":
-            order = [self._idx_at(i) for i in range(self._n_idx())]
+            order = [self._idx_at(i).asc() for i in range(self._n_idx())]
+            w = Window.partitionBy(*keys).orderBy(*order)
+            expr = F.row_number().over(w) > 1
+        elif keep == "last":
+            order = [self._idx_at(i).desc() for i in range(self._n_idx())]
             w = Window.partitionBy(*keys).orderBy(*order)
             expr = F.row_number().over(w) > 1
         elif keep is False:
             w = Window.partitionBy(*keys)
             expr = F.count(F.lit(1)).over(w) > 1
         else:
-            raise NotImplementedError(f"duplicated keep={keep!r}")
+            raise ValueError(
+                'keep must be either "first", "last" or False')
         idx = [self._idx_at(i) for i in range(self._n_idx())]
         sel = [e.alias(I.idx_name(i)) for i, e in enumerate(idx)]
         sel.append(expr.alias(I.col_name(0)))
         out = Series(self._index, None, self._sdf.select(*sel), None)
         out._mid_index = getattr(self, "_mid_index", False)
+        out._rows_reordered = True
         return out
 
     def drop_duplicates(self, subset=None):
@@ -569,17 +616,27 @@ def qcut(ser, q, labels=False):
     return ser._app(fn)
 
 
-def get_dummies(ser, prefix=None, categories=None):
+def get_dummies(ser, prefix=None, categories=None, max_categories=64):
     """One-hot encode a Series into a 0/1 DataFrame (pandas
     ``get_dummies``).  Pass ``categories`` (the value domain) to skip
     the distinct-collect job — at 100 TB always pass it; each dummy is
-    then a codegen'd CASE column, zero extra jobs."""
+    then a codegen'd CASE column, zero extra jobs.
+
+    Without ``categories`` the distinct domain is collected to the
+    driver, but BOUNDED: the collect is limited to ``max_categories+1``
+    rows and a domain larger than ``max_categories`` raises instead of
+    silently pulling an unbounded value set (and emitting an absurdly
+    wide frame).  Raise the cap explicitly if you really want more."""
     from .core import DataFrame
     if categories is None:
-        categories = sorted(
-            r[0] for r in
-            ser._sdf.select(ser._the_col.alias("v")).distinct().collect()
-            if r[0] is not None)
+        rows = (ser._sdf.select(ser._the_col.alias("v")).distinct()
+                .limit(max_categories + 1).collect())
+        if len(rows) > max_categories:
+            raise ValueError(
+                f"get_dummies: column has more than {max_categories} "
+                "distinct values; pass categories=[...] (the explicit "
+                "domain) or raise max_categories")
+        categories = sorted(r[0] for r in rows if r[0] is not None)
     base = prefix if prefix is not None else (ser.name or "")
     labels = [f"{base}_{v}" if base else str(v) for v in categories]
     idx = [ser._idx_at(i) for i in range(ser._n_idx())]
@@ -641,32 +698,49 @@ class ReshapeMixin:
 
     def unstack(self, level=-1, agg: str = "first",
                 level_values=None):
-        """Pivot an index level into columns (pandas unstack for the
-        single-data-column case) — groupBy(remaining levels) +
-        pivot(level).  Pass ``level_values`` at scale to skip the
-        distinct-values planning job."""
+        """Pivot an index level into columns (pandas unstack) —
+        groupBy(remaining levels) + pivot(level).  With several data
+        columns the result gets pandas' MultiIndex-style tuple labels
+        ``(data_label, level_value)``, one pivot pass aggregating all
+        data columns together.  Pass ``level_values`` at scale to skip
+        the distinct-values planning job."""
         from .core import DataFrame
-        if self._n_cols() != 1:
-            raise NotImplementedError("unstack: one data column only")
         p = self._level_of(level)
         keep = [k for k in range(len(self._index)) if k != p]
         if not keep:
             raise NotImplementedError("unstack needs a remaining level")
         fn = _resolve_agg(agg)
+        n_data = self._n_cols()
         body = self._sdf.select(
             *[self._idx_at(k).alias(f"__k{m}") for m, k in enumerate(keep)],
             self._idx_at(p).alias("__pc"),
-            self._col_at(0).alias("__pv"))
+            *[self._col_at(j).alias(f"__pv{j}") for j in range(n_data)])
         g = body.groupBy(*[f"__k{m}" for m in range(len(keep))])
         piv = (g.pivot("__pc", level_values) if level_values is not None
                else g.pivot("__pc"))
-        agged = piv.agg(fn("__pv"))
-        out_labels = [c for c in agged.columns
-                      if not c.startswith("__k")]
+        if n_data == 1:
+            agged = piv.agg(fn("__pv0"))
+            pivot_vals = [c for c in agged.columns
+                          if not c.startswith("__k")]
+            out_labels = list(pivot_vals)
+            out_cols = [F.col(f"`{c}`") for c in pivot_vals]
+        else:
+            # multi-agg pivot names columns "<pivot_value>_<agg_alias>"
+            marker = "xqzagg"  # collision-safe suffix marker
+            agged = piv.agg(*[fn(f"__pv{j}").alias(f"{marker}{j}")
+                              for j in range(n_data)])
+            pivot_vals = sorted({c[: c.rfind(f"_{marker}")]
+                                 for c in agged.columns
+                                 if not c.startswith("__k")})
+            out_labels, out_cols = [], []
+            # pandas column order: data label major, level value minor
+            for j in range(n_data):
+                for v in pivot_vals:
+                    out_labels.append((self._columns[j], v))
+                    out_cols.append(F.col(f"`{v}_{marker}{j}`"))
         sel = [F.col(f"__k{m}").alias(I.idx_name(m))
                for m in range(len(keep))]
-        sel += [F.col(f"`{c}`").alias(I.col_name(j))
-                for j, c in enumerate(out_labels)]
+        sel += [e.alias(I.col_name(j)) for j, e in enumerate(out_cols)]
         return DataFrame(pd.Index([self._index[k] for k in keep]),
                          pd.Index(out_labels), agged.select(*sel))
 

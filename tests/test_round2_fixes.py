@@ -1,0 +1,283 @@
+"""Round-2 regression tests: the ADVICE.md fixes (merge/mask index
+handling, positional accessors after plan reordering, sample hashing,
+asof tiebreak) and the new verbs (drop rows, duplicated keeps,
+multi-column unstack, get_dummies guard, LSH bucket caps)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import pandas_alchemy_spark as pas
+from tests.conftest import SF_DIR, assert_frame_equal_sorted
+
+
+# -- merge index handling (ADVICE #1) -----------------------------------
+
+
+def test_merge_resets_index_like_pandas(spark):
+    n = pas.read_parquet(f"{SF_DIR}/nation.parquet")
+    r = pas.read_parquet(f"{SF_DIR}/region.parquet")
+    j = n.merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    got = j.to_pandas()
+    pn = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    pr = pd.read_parquet(f"{SF_DIR}/region.parquet")
+    want = pn.merge(pr, left_on="n_regionkey", right_on="r_regionkey")
+    # pandas.merge resets to a RangeIndex — ours must claim ONE level
+    # of integer labels 0..n-1, never the left frame's index layers
+    assert got.index.nlevels == 1
+    assert sorted(got.index) == list(range(len(want)))
+    assert_frame_equal_sorted(
+        got.sort_values(["n_nationkey"]).reset_index(drop=True),
+        want.sort_values(["n_nationkey"]).reset_index(drop=True))
+
+
+def test_merge_multiindex_left_not_corrupted(spark):
+    n = pas.read_parquet(f"{SF_DIR}/nation.parquet").set_index(
+        ["n_regionkey", "n_nationkey"])
+    r = pas.read_parquet(f"{SF_DIR}/region.parquet")
+    j = n.reset_index().merge(r, left_on="n_regionkey",
+                              right_on="r_regionkey")
+    got = j.to_pandas()
+    # all four data column sets survive; nothing was eaten as an index
+    for c in ("n_regionkey", "n_nationkey", "n_name", "r_name"):
+        assert c in got.columns
+    assert len(got) == 25
+
+
+def test_semi_join_keeps_multiindex(spark):
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet").set_index(
+        ["o_custkey", "o_orderkey"])
+    big = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    big = big[big.o_totalprice > 100000.0][["o_orderkey"]]
+    sj = o.reset_index().merge(big, left_on="o_orderkey",
+                               right_on="o_orderkey_r"
+                               if False else "o_orderkey", how="semi")
+    assert len(sj) == len(big)
+
+
+# -- boolean-mask alignment over MultiIndex (ADVICE #2) -----------------
+
+
+def test_filter_mask_multiindex_general_path(spark):
+    pdf = pd.DataFrame({
+        "a": [1, 1, 2, 2], "b": [1, 2, 1, 2], "v": [10., 20., 30., 40.]})
+    df = pas.DataFrame.from_pandas(pdf.set_index(["a", "b"]))
+    # a mask built from a DIFFERENT frame with the same MultiIndex —
+    # forces the general join path
+    mask_src = pas.DataFrame.from_pandas(pdf.set_index(["a", "b"]))
+    mask = mask_src.v > 15
+    got = df[mask].to_pandas().sort_index()
+    want = pdf.set_index(["a", "b"])
+    want = want[want.v > 15].sort_index()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_filter_mask_level_count_mismatch_raises(spark):
+    pdf = pd.DataFrame({
+        "a": [1, 1, 2], "b": [1, 2, 1], "v": [10., 20., 30.]})
+    df = pas.DataFrame.from_pandas(pdf.set_index(["a", "b"]))
+    single = pas.DataFrame.from_pandas(pdf)
+    with pytest.raises(ValueError, match="cannot align boolean mask"):
+        df[single.v > 15]
+
+
+# -- sample(key=...) hashing (ADVICE #3) --------------------------------
+
+
+def test_sample_negative_and_string_keys(spark):
+    pdf = pd.DataFrame({"k": [-(10 ** 12) - i for i in range(200)],
+                        "s": [f"id_{i}" for i in range(200)],
+                        "v": range(200)})
+    df = pas.DataFrame.from_pandas(pdf)
+    # negative keys: the old (key*knuth) % 2^32 kept the sign and let
+    # everything through; the md5 bucket must actually subsample
+    frac_neg = len(df.sample(0.3, key="k")) / 200
+    assert 0.05 < frac_neg < 0.65
+    # string keys: the old cast-to-long gave NULL (never sampled)
+    n_str = len(df.sample(0.3, key="s"))
+    assert 0 < n_str < 200
+    # deterministic
+    assert len(df.sample(0.3, key="s")) == n_str
+
+
+# -- positional accessors after plan reordering (ADVICE #4) -------------
+
+
+def test_head_matches_to_pandas_after_rank(spark):
+    s = pas.read_parquet(f"{SF_DIR}/orders.parquet").o_totalprice
+    rk = s.rank(method="first")  # window over VALUE order -> plan reordered
+    full = rk.to_pandas()
+    head = rk.head(5).to_pandas()
+    pd.testing.assert_series_equal(head, full.head(5), check_dtype=False)
+
+
+def test_iloc_matches_to_pandas_after_grouped_cumsum(spark):
+    df = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    cum = df.groupby("o_custkey")["o_totalprice"].cumsum()
+    full = cum.to_pandas()
+    sl = cum.iloc[7:12].to_pandas()
+    pd.testing.assert_series_equal(sl, full.iloc[7:12], check_dtype=False)
+
+
+def test_iat_matches_to_pandas_after_rank(spark):
+    s = pas.read_parquet(f"{SF_DIR}/orders.parquet").o_totalprice
+    rk = s.rank(method="first")
+    assert rk.iat[3] == rk.to_pandas().iat[3]
+
+
+def test_tail_matches_to_pandas_after_rank(spark):
+    s = pas.read_parquet(f"{SF_DIR}/orders.parquet").o_totalprice
+    rk = s.rank(method="first")
+    full = rk.to_pandas()
+    tail = rk.tail(4).to_pandas()
+    pd.testing.assert_series_equal(tail, full.tail(4), check_dtype=False)
+
+
+# -- asof tiebreak with allow_exact_matches=False (ADVICE #5) -----------
+
+
+def test_asof_tiebreak_no_exact_matches(spark):
+    from pandas_alchemy_spark.operators.asof import asof_join
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, 100), (1, 9, 90), (1, 9, 91)], "k int, t int, p int")
+    out = asof_join(left, right, on="t", by="k",
+                    allow_exact_matches=False, tiebreak="p")
+    rows = out.collect()
+    assert len(rows) == 1
+    # the t=10 right row is an exact match and must NOT be seen;
+    # among the t=9 ties the larger tiebreak wins (last in asc order)
+    assert rows[0]["p"] == 91
+
+
+# -- drop rows ----------------------------------------------------------
+
+
+def test_drop_rows_differential(spark):
+    pn = pd.read_parquet(f"{SF_DIR}/nation.parquet").set_index("n_nationkey")
+    n = pas.read_parquet(f"{SF_DIR}/nation.parquet").set_index("n_nationkey")
+    got = n.drop(index=[0, 5, 10]).to_pandas().sort_index()
+    want = pn.drop(index=[0, 5, 10]).sort_index()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_drop_rows_missing_label_raises(spark):
+    n = pas.read_parquet(f"{SF_DIR}/nation.parquet").set_index("n_nationkey")
+    with pytest.raises(KeyError):
+        n.drop(index=[999])
+    # errors='ignore' skips both the check job and the error
+    assert len(n.drop(index=[999], errors="ignore")) == 25
+
+
+# -- duplicated keeps ---------------------------------------------------
+
+
+@pytest.mark.parametrize("keep", ["first", "last", False])
+def test_duplicated_keeps_differential(spark, keep):
+    po = (pd.read_parquet(f"{SF_DIR}/orders.parquet")
+          .set_index("o_orderkey").sort_index())
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet").set_index("o_orderkey")
+    got = (o.duplicated(subset=["o_custkey"], keep=keep)
+           .to_pandas().sort_index())
+    want = po.duplicated(subset=["o_custkey"], keep=keep)
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+
+
+# -- unstack multi data column ------------------------------------------
+
+
+def test_unstack_multi_column(spark):
+    li = pas.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    g = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+        qty=("l_quantity", "sum"), price=("l_extendedprice", "sum"))
+    u = g.unstack(level=-1, level_values=["F", "O"])
+    got = u.to_pandas().sort_index()
+    pli = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    want = (pli.groupby(["l_returnflag", "l_linestatus"])
+            .agg(qty=("l_quantity", "sum"),
+                 price=("l_extendedprice", "sum")).unstack(-1)
+            .sort_index())
+    assert list(got.columns) == list(want.columns)
+    for c in want.columns:
+        pd.testing.assert_series_equal(
+            got[c].astype(float), want[c].astype(float),
+            check_names=False, check_index_type=False)
+
+
+# -- get_dummies guard --------------------------------------------------
+
+
+def test_get_dummies_domain_guard(spark):
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    with pytest.raises(ValueError, match="distinct values"):
+        pas.get_dummies(o.o_orderkey, max_categories=10)
+    # explicit categories skip the collect entirely
+    d = pas.get_dummies(o.o_orderpriority, prefix="p",
+                        categories=["1-URGENT", "2-HIGH"])
+    assert list(d.columns) == ["p_1-URGENT", "p_2-HIGH"]
+
+
+# -- LSH bucket caps ----------------------------------------------------
+
+
+def test_minhash_bucket_cap_degenerate_corpus(spark):
+    from pandas_alchemy_spark.ext import dedup
+    # 3000 byte-identical docs: every band bucket would hold all 3000
+    # ids -> an O(B^2)=4.5M-pair explode in ONE task without the cap
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate license header text "
+              "appears in every single document").alias("text"))
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                  threshold=0.4, bucket_cap=100)
+    assert out.count() == 0  # degenerate buckets dropped, fast
+
+    # and the capped path stays correct on a mixed corpus
+    real = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    capped = dedup.minhash_lsh_pairs(real, num_hashes=16, bands=4,
+                                     threshold=0.4, bucket_cap=2000)
+    uncapped = dedup.minhash_lsh_pairs(real, num_hashes=16, bands=4,
+                                       threshold=0.4, bucket_cap=None)
+    assert capped.count() == uncapped.count()
+
+
+def test_simhash_bucket_cap(spark):
+    from pandas_alchemy_spark.ext import dedup
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical words everywhere again and again").alias("text"))
+    out = dedup.simhash_pairs(docs, max_hamming=8, bucket_cap=100)
+    assert out.count() == 0
+
+
+def test_emb_near_dup_recall_vs_brute_force(spark):
+    from pandas_alchemy_spark.ext import similarity
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").head(1)[0][0])
+    thr = 0.45
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"),
+                   similarity.norm_expr("embedding").alias("na"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"),
+                   similarity.norm_expr("embedding").alias("nb"))
+    dot = similarity._DOT.format(a="va", b="vb")
+    cos = F.expr(f"({dot}) / nullif(na * nb, 0.0)")
+    truth = {(r["id_a"], r["id_b"]) for r in
+             (a.join(b, F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", cos.alias("c"))
+              .filter(F.col("c") >= thr).collect())}
+    # a LOW cosine threshold needs wide buckets: p(plane agrees) at
+    # cos=0.45 is ~0.65, so planes=4/tables=8 gives expected recall
+    # 1-(1-0.65^4)^8 ~ 0.79 (the 0.95-threshold default is planes=10)
+    got = {(r["id_a"], r["id_b"]) for r in
+           similarity.embedding_near_dup_pairs(
+               emb, dim=dim, planes=4, tables=8,
+               threshold=thr).collect()}
+    assert got <= truth  # exact verify -> no false positives
+    if truth:
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.6, f"recall {recall:.2f}"

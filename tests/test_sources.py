@@ -47,7 +47,8 @@ def test_partitioned_parquet_prunes(spark, tmpd):
     pio.to_parquet(df, f"{tmpd}/orders_part", partition_by="o_orderstatus")
     back = pas.read_parquet(f"{tmpd}/orders_part")
     one = back[back.o_orderstatus == "F"]
-    plan = one._sdf._jdf.queryExecution().executedPlan().toString()
+    from pandas_alchemy_spark.plans import physical_plan
+    plan = physical_plan(one)
     # partition pruning: the status predicate must reach PartitionFilters
     assert "PartitionFilters: [" in plan
     assert len(one) == len(df[df.o_orderstatus == "F"])
@@ -68,8 +69,9 @@ def test_bucketed_join_no_shuffle(spark, tmpd):
         j = lb.merge(ob[["o_orderkey", "o_totalprice"]],
                      left_on="l_orderkey", right_on="o_orderkey",
                      how="inner")
-        plan = j._sdf._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        from pandas_alchemy_spark.plans import exchange_count, physical_plan
+        assert exchange_count(j) == 0, (
+            f"bucketed join still shuffles:\n{physical_plan(j)}")
         got = len(j)
         want = len(li.merge(o[["o_orderkey", "o_totalprice"]],
                             left_on="l_orderkey", right_on="o_orderkey",
