@@ -73,15 +73,58 @@ class StringMethods:
         return self._map(lambda c: F.replace(c, F.lit(pat), F.lit(repl)))
 
     def slice(self, start=None, stop=None, step=None):
-        if step not in (None, 1):
-            raise NotImplementedError("str.slice step is not supported")
-        lo = 0 if start is None else start
-        if lo < 0 or (stop is not None and stop < 0):
-            raise NotImplementedError("negative str.slice bounds")
-        length = None if stop is None else max(stop - lo, 0)
-        if length is None:
-            return self._map(lambda c: F.substring(c, lo + 1, 2147483647))
-        return self._map(lambda c: F.substring(c, lo + 1, length))
+        """Python slice semantics per row (negative bounds count from
+        the string's end; ``step`` walks by stride, negative reverses).
+
+        Fast path (step 1): pure length arithmetic + one substring —
+        whole-stage codegen.  Stepped path: ``sequence`` of normalized
+        indices + per-char substr + array_join — still expression-level
+        (strings are short, the per-char lambda is bounded by the
+        slice length)."""
+        if step == 0:
+            raise ValueError("slice step cannot be zero")
+        s = 1 if step is None else step
+
+        def norm(bound, c):
+            """CPython ``slice.indices()`` normalization as a Column:
+            negative bounds count from the end, then clamp to the
+            valid range for the step direction."""
+            L = F.length(c)
+            b = F.lit(bound)
+            if s > 0:
+                lo, hi = F.lit(0), L
+            else:
+                lo, hi = F.lit(-1), L - 1
+            return (F.when(b < 0, F.greatest(L + b, lo))
+                    .otherwise(F.least(b, hi)))
+
+        if s == 1:
+            def fn(c):
+                a = F.lit(0) if start is None else norm(start, c)
+                b = F.length(c) if stop is None else norm(stop, c)
+                ln = F.greatest(b - a, F.lit(0))
+                return F.when(c.isNull(), F.lit(None)).otherwise(
+                    F.substring(c, a + 1, ln))
+            return self._map(fn)
+
+        def fn(c):
+            a = ((F.length(c) - 1 if s < 0 else F.lit(0))
+                 if start is None else norm(start, c))
+            b = ((F.lit(-1) if s < 0 else F.length(c))
+                 if stop is None else norm(stop, c))
+            # sequence() walks the stepped indices (inclusive bounds,
+            # so back off one from the exclusive stop); guard the empty
+            # range — Spark's sequence would walk the other way
+            if s > 0:
+                seq, nonempty = F.sequence(a, b - 1, F.lit(s)), a <= b - 1
+            else:
+                seq, nonempty = F.sequence(a, b + 1, F.lit(s)), a >= b + 1
+            picked = F.when(nonempty, seq).otherwise(
+                F.expr("array()").cast("array<int>"))
+            chars = F.transform(picked, lambda i: c.substr(i + 1, F.lit(1)))
+            return F.when(c.isNull(), F.lit(None)).otherwise(
+                F.array_join(chars, ""))
+        return self._map(fn)
 
     def get(self, i: int):
         """i-th character (pandas .str.get on strings)."""
@@ -218,21 +261,69 @@ class DatetimeProperties:
     def day_name(self):
         return self._map(lambda c: F.date_format(c, "EEEE"))
 
+    #: microseconds per fixed-frequency unit (pandas dt.floor supports
+    #: only fixed frequencies — W/M/Q/Y are calendar-sized and raise
+    #: in pandas too)
+    _US = {"D": 86_400_000_000, "h": 3_600_000_000, "H": 3_600_000_000,
+           "min": 60_000_000, "T": 60_000_000, "s": 1_000_000,
+           "S": 1_000_000, "ms": 1_000, "L": 1_000, "us": 1, "U": 1}
+
     def floor(self, freq: str):
-        unit = {"D": "day", "h": "hour", "H": "hour", "min": "minute",
-                "T": "minute", "s": "second", "S": "second"}.get(freq)
-        if unit is None:
-            raise NotImplementedError(f"dt.floor freq {freq!r}")
-        return self._map(lambda c: F.date_trunc(unit, c))
+        """pandas dt.floor for any fixed frequency, including
+        multiples ('15min', '2h'): truncate epoch-microseconds to the
+        bucket width — one arithmetic projection, codegen."""
+        import re as _re
+        m = _re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq)
+        unit_us = self._US.get(m.group(2)) if m else None
+        if unit_us is None:
+            raise ValueError(f"dt.floor: {freq!r} is not a fixed "
+                             "frequency (calendar freqs W/M/Q/Y have "
+                             "no fixed length; pandas raises too)")
+        width = int(m.group(1) or 1) * unit_us
+        in_type = self._s._dtypes()[0].simpleString()
+
+        def fn(c):
+            # unix_micros needs TIMESTAMP; parquet naive timestamps
+            # surface as TIMESTAMP_NTZ.  The session runs UTC, so the
+            # round trip is wall-clock-preserving; cast back so the
+            # column keeps its original flavor.
+            us = F.unix_micros(c.cast("timestamp"))
+            floored = F.timestamp_micros(us - F.pmod(us, F.lit(width)))
+            return floored.cast(in_type)
+        return self._map(fn)
+
+    #: strftime %-code -> java.time pattern letters
+    _STRF = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+             "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
+             "%f": "SSSSSS", "%j": "DDD", "%a": "EEE", "%A": "EEEE",
+             "%b": "MMM", "%B": "MMMM", "%p": "a", "%%": "'%'"}
 
     def strftime(self, fmt: str):
-        """pandas strftime with the common %-codes mapped to Spark's
-        java.time pattern letters."""
-        mapping = [("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"),
-                   ("%H", "HH"), ("%M", "mm"), ("%S", "ss")]
-        out = fmt
-        for py, jv in mapping:
-            out = out.replace(py, jv)
-        if "%" in out:
-            raise NotImplementedError(f"strftime code in {fmt!r}")
-        return self._map(lambda c: F.date_format(c, out))
+        """pandas strftime mapped to Spark's java.time pattern.
+        Literal text is single-quoted so stray letters (like the T in
+        ISO-8601) pass through instead of being parsed as pattern
+        letters."""
+        out, lit = [], []
+
+        def flush():
+            if lit:
+                chunk = "".join(lit).replace("'", "''")
+                out.append(f"'{chunk}'" if any(ch.isalpha() or ch == "'"
+                                               for ch in lit)
+                           else chunk)
+                lit.clear()
+
+        i = 0
+        while i < len(fmt):
+            if fmt[i] == "%" and i + 1 < len(fmt):
+                code = fmt[i:i + 2]
+                if code not in self._STRF:
+                    raise NotImplementedError(f"strftime code {code!r}")
+                flush()
+                out.append(self._STRF[code])
+                i += 2
+            else:
+                lit.append(fmt[i])
+                i += 1
+        flush()
+        return self._map(lambda c: F.date_format(c, "".join(out)))

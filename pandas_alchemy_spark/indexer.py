@@ -32,8 +32,11 @@ class _iLocIndexer:
         if not isinstance(key, slice):
             raise NotImplementedError(
                 "iloc supports integers and slices")
-        if key.step not in (None, 1):
-            raise NotImplementedError("iloc slice step")
+        if key.step is not None and key.step < 1:
+            # a negative step REVERSES row order, which conflicts with
+            # the positional export contract (row order is index
+            # order); reverse client-side after to_pandas instead
+            raise NotImplementedError("iloc slice with negative step")
         out = self._slice_rows(key)
         if cols is not None and obj.ndim == 2:
             if isinstance(cols, int):
@@ -72,6 +75,10 @@ class _iLocIndexer:
             cond = F.col(I.ROWID) >= start
         if stop is not None:
             c = F.col(I.ROWID) < stop
+            cond = c if cond is None else (cond & c)
+        if sl.step is not None and sl.step > 1:
+            c = F.pmod(F.col(I.ROWID) - F.lit(start or 0),
+                       F.lit(sl.step)) == 0
             cond = c if cond is None else (cond & c)
         new._sdf = rid.filter(cond).drop(I.ROWID) if cond is not None else new._sdf
         if hasattr(new, "_drop_lineage"):

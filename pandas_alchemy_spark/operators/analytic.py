@@ -84,8 +84,25 @@ class _WindowVerbs:
             lambda c: F.row_number().over(self._window()) - F.lit(1))
 
     def rank(self, method: str = "min", ascending: bool = True):
+        if method in ("average", "max"):
+            # average = min_rank + (ties-1)/2; max = min_rank + ties-1.
+            # ties counted with a second window partitioned by the
+            # value (plus the group keys) — same shuffle, no join.
+            def fn(c):
+                order = (c.asc_nulls_last() if ascending
+                         else c.desc_nulls_last())
+                w = self._value_window(order, False)
+                ties = F.count(c).over(self._tie_window(c))
+                base = F.rank().over(w)
+                expr = (base + (ties - F.lit(1)) / F.lit(2.0)
+                        if method == "average"
+                        else base + ties - F.lit(1))
+                return F.when(c.isNull(), F.lit(None)).otherwise(expr)
+            return self._wrap(fn)
         if method not in _RANK_METHODS:
-            raise NotImplementedError(f"rank method {method!r}")
+            raise ValueError(
+                f"method must be one of 'average', 'min', 'max', "
+                f"'first', 'dense', got {method!r}")
         rank_fn = _RANK_METHODS[method]
         # "first" breaks ties by position (needs the index in the
         # ordering); min/dense must NOT include it or ties vanish
@@ -133,6 +150,9 @@ class SeriesWindow(_WindowVerbs):
             return Window.orderBy(order, *_order_cols(self._s))
         return Window.orderBy(order)
 
+    def _tie_window(self, c):
+        return Window.partitionBy(c)
+
     def _wrap(self, fn):
         # window evaluation reorders rows in the PLAN (rank sorts by
         # value, grouped windows cluster by key); no plan-level re-sort
@@ -169,6 +189,9 @@ class SeriesGroupBy(_WindowVerbs):
             return Window.partitionBy(*self._keys()).orderBy(
                 order, *_order_cols(self._df))
         return Window.partitionBy(*self._keys()).orderBy(order)
+
+    def _tie_window(self, c):
+        return Window.partitionBy(*self._keys(), c)
 
     def _wrap(self, fn):
         df = self._df

@@ -281,3 +281,82 @@ def test_emb_near_dup_recall_vs_brute_force(spark):
     if truth:
         recall = len(got & truth) / len(truth)
         assert recall >= 0.6, f"recall {recall:.2f}"
+
+
+# -- round-2 widened partials -------------------------------------------
+
+
+@pytest.mark.parametrize("sl", [
+    (1, None, None), (None, 3, None), (-3, None, None), (None, -1, None),
+    (-4, -1, None), (1, 8, 2), (None, None, 3), (-5, None, 2),
+    (None, None, -1), (8, 2, -2), (-1, None, -1),
+])
+def test_str_slice_differential(spark, sl):
+    vals = ["BUILDING", "abc", "", "x", "hello world", None, "ab"]
+    pser = pd.Series(vals, name="s")
+    df = pas.DataFrame.from_pandas(pser.to_frame())
+    got = df.s.str.slice(*sl).to_pandas().sort_index()
+    want = pser.str.slice(*sl)
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+
+
+@pytest.mark.parametrize("method", ["average", "max", "min", "dense",
+                                    "first"])
+def test_rank_methods_differential(spark, method):
+    po = pd.read_parquet(f"{SF_DIR}/orders.parquet").set_index(
+        "o_orderkey").sort_index()
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet").set_index("o_orderkey")
+    got = (o.o_custkey.rank(method=method).to_pandas().sort_index()
+           .astype(float))
+    want = po.o_custkey.rank(method=method)
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+
+
+@pytest.mark.parametrize("method", ["average", "max"])
+def test_grouped_rank_methods_differential(spark, method):
+    po = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li = pas.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    got = (li.groupby("l_returnflag")["l_quantity"].rank(method=method)
+           .to_pandas().sort_index().astype(float).reset_index(drop=True))
+    want = (po.groupby("l_returnflag")["l_quantity"].rank(method=method)
+            .sort_index().reset_index(drop=True))
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+
+
+@pytest.mark.parametrize("freq", ["D", "h", "15min", "2h", "s"])
+def test_dt_floor_differential(spark, freq):
+    po = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = (o.o_orderdate.dt.floor(freq).to_pandas()
+           .sort_index().reset_index(drop=True))
+    want = (po.o_orderdate.dt.floor(freq).reset_index(drop=True)
+            .dt.tz_localize(None))
+    pd.testing.assert_series_equal(
+        pd.to_datetime(got), want, check_dtype=False, check_names=False)
+
+
+@pytest.mark.parametrize("fmt", [
+    "%Y-%m-%d", "%Y-%m-%dT%H:%M:%S", "%d/%m/%y", "%B %d, %Y",
+    "%a %H:%M", "100%% %Y",
+])
+def test_strftime_differential(spark, fmt):
+    po = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = (o.o_orderdate.dt.strftime(fmt).to_pandas()
+           .sort_index().reset_index(drop=True))
+    want = po.o_orderdate.dt.strftime(fmt).reset_index(drop=True)
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
+
+
+def test_iloc_step_slice(spark):
+    po = (pd.read_parquet(f"{SF_DIR}/orders.parquet")
+          .sort_values("o_orderkey").reset_index(drop=True))
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet").sort_values(
+        "o_orderkey")
+    got = o.iloc[10:30:4][["o_orderkey"]].to_pandas().reset_index(drop=True)
+    want = po.iloc[10:30:4][["o_orderkey"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
