@@ -67,6 +67,14 @@ class BaseFrame:
     #: (no full-scan TakeOrdered under every repr).
     _rows_reordered = False
 
+    #: True when the provisional mid-index holds TRUE file positions
+    #: (parquet _metadata.row_index on a single-file scan) rather than
+    #: arbitrary monotonic ids.  Then no densify pass is ever needed
+    #: (the mid IS the pandas RangeIndex), and export keeps the raw
+    #: values — after a filter that yields pandas' sparse original
+    #: labels exactly, where ranked monotonic mids would renumber.
+    _mid_dense = False
+
     def __init__(self, index: pd.Index, columns: pd.Index | None, sdf: SparkDF):
         # index: pd.Index of *level names* (values live in the plan),
         # reference base.py:9-12.
@@ -151,8 +159,16 @@ class BaseFrame:
         """Replace a provisional mid-index with contiguous 0-based
         rowids in current physical order (one O(#partitions) count
         pass).  Mirrors the reference's on-demand rowid re-synthesis
-        (base.py:58-62).  In place; no-op when already dense."""
+        (base.py:58-62).  In place; no-op when already dense.
+
+        A ``_mid_dense`` mid already HOLDS the true positional labels
+        (parquet row_index), so densify is a pure metadata flip — zero
+        jobs — and filtered frames keep pandas' sparse original
+        labels."""
         if not self._mid_index:
+            return
+        if self._mid_dense:
+            self._mid_index = False
             return
         body = self._sdf.drop(I.idx_name(0))
         rid = with_rowid(body, I.idx_name(0))
@@ -222,9 +238,14 @@ class BaseFrame:
         # provisional-mid handling: two mid-indexed frames from the same
         # scan share row identity — join on the mids directly (zero
         # extra jobs; exactly the eager-rowid alignment semantics).
-        # Mixed mid/value indexes must densify the mid side first.
+        # Two DENSE mids align correctly even across scans (both hold
+        # true 0-based positions).  Mixed mid/value indexes — and mixed
+        # dense/monotonic mids, whose values aren't comparable — must
+        # densify the mid side(s) first.
         this = self
-        if self._mid_index != other._mid_index:
+        if (self._mid_index != other._mid_index
+                or (self._mid_index and other._mid_index
+                    and self._mid_dense != other._mid_dense)):
             this = self._densified()
             other = other._densified()
         l = this._rename_all(this._sdf, "l_")
@@ -359,7 +380,9 @@ class BaseFrame:
             index.names = list(self._index)
         else:
             values = idx_part.iloc[:, 0]
-            if self._mid_index:
+            if self._mid_index and not self._mid_dense:
+                # arbitrary monotonic mids -> rank into 0-based labels;
+                # dense mids already ARE the positional labels
                 values = values.rank(method="first").astype("int64") - 1
             index = pd.Index(values)
             index.name = self._index[0]

@@ -155,6 +155,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         s = Series(self._index, pd.Index([name]), sdf, name,
                    lineage=(self._sdf, self._col_at(i)))
         s._mid_index = self._mid_index
+        s._mid_dense = self._mid_dense
         s._rows_reordered = self._rows_reordered
         return s
 
@@ -171,6 +172,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                 *[self._col_at(p).alias(I.col_name(j)) for j, p in enumerate(positions)])
             out = DataFrame(self._index, pd.Index(key), sdf)
             out._mid_index = self._mid_index
+            out._mid_dense = self._mid_dense
             out._rows_reordered = self._rows_reordered
             return out
         return self._seq_at(self._columns.get_loc(key))
@@ -447,6 +449,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             cond = mask._lineage_expr
             out = DataFrame(self._index, self._columns, self._sdf.filter(cond))
             out._mid_index = self._mid_index
+            out._mid_dense = self._mid_dense
             # a window-backed mask expression evaluates the window in
             # this plan -> rows come out in window order
             out._rows_reordered = (self._rows_reordered
@@ -470,6 +473,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         out = DataFrame(self._index, self._columns,
                         joined.select(self._sdf.columns))
         out._mid_index = self._mid_index and mask._mid_index
+        out._mid_dense = self._mid_dense and mask._mid_dense
         out._rows_reordered = True
         return out
 
@@ -499,6 +503,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         sdf = self._project(self._idx_cols(), exprs)
         out = DataFrame(self._index, pd.Index(labels), sdf)
         out._mid_index = self._mid_index
+        out._mid_dense = self._mid_dense
         # a window-backed Series value (rank/cumsum/...) makes the
         # projected plan evaluate that window -> rows come out in
         # window order, not index order
@@ -577,12 +582,39 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         """Wrap an arbitrary Spark scan in the positional layout
         (shared by from_table and the sources.io readers)."""
         cols = list(sdf.columns)
-        mid = False
+        mid = dense = False
         if index is None:
-            # provisional rowid: a narrow monotonic id, densified to the
-            # reference's 0-based contiguous form only when index values
-            # become observable (base.BaseFrame._mid_index)
-            sdf = sdf.withColumn(I.ROWID, F.monotonically_increasing_id())
+            # provisional rowid, densified to the reference's 0-based
+            # contiguous form only when index values become observable
+            # (base.BaseFrame._mid_index).  Single-file scans use the
+            # parquet reader's _metadata.row_index: it is the TRUE file
+            # position (so the provisional index is already the pandas
+            # RangeIndex — no densify pass ever needed) and, unlike
+            # monotonically_increasing_id, it is DETERMINISTIC.  That
+            # determinism is what keeps predicate pushdown alive:
+            # Catalyst refuses to move filters below a projection
+            # containing a nondeterministic expression, so a monotonic
+            # rowid silently pins every downstream mask filter ABOVE
+            # the scan (no PushedFilters).  Multi-file scans fall back
+            # to the monotonic id (row_index repeats per file); their
+            # masks should be applied before wrapping when pushdown
+            # matters.
+            try:
+                n_files = len(sdf.inputFiles())
+            except Exception:
+                n_files = 0
+            if n_files == 1:
+                try:
+                    # parquet only — CSV/JSON metadata has no row_index
+                    sdf = sdf.withColumn(
+                        I.ROWID, F.col("_metadata.row_index"))
+                    dense = True
+                except Exception:
+                    sdf = sdf.withColumn(
+                        I.ROWID, F.monotonically_increasing_id())
+            else:
+                sdf = sdf.withColumn(
+                    I.ROWID, F.monotonically_increasing_id())
             idx_exprs = [F.col(I.ROWID)]
             index = pd.Index((None,))
             mid = True
@@ -603,6 +635,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         sel += [F.col(c).alias(I.col_name(i)) for i, c in enumerate(columns)]
         out = DataFrame(index, columns, sdf.select(*sel))
         out._mid_index = mid
+        out._mid_dense = dense
         return out
 
 
@@ -673,6 +706,11 @@ def concat(objs, axis=0, ignore_index: bool = False):
         out._mid_index = True
     else:
         out._mid_index = all(getattr(o, "_mid_index", False) for o in objs)
+        # all-dense parts: every row already carries its own frame's
+        # true position, so the exported index repeats per part
+        # (0..n-1, 0..m-1) — exactly pandas concat semantics
+        out._mid_dense = out._mid_index and all(
+            getattr(o, "_mid_dense", False) for o in objs)
     return out
 
 
@@ -735,6 +773,7 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         label = name if name is not None else (self.name or 0)
         out = DataFrame(self._index, pd.Index([label]), self._sdf)
         out._mid_index = self._mid_index
+        out._mid_dense = self._mid_dense
         out._rows_reordered = self._rows_reordered
         return out
 

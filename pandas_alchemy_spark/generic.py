@@ -47,7 +47,8 @@ class GenericMixin:
             idx.names = list(self._index)
             return idx
         values = pdf.iloc[:, 0]
-        if getattr(self, "_mid_index", False):
+        if (getattr(self, "_mid_index", False)
+                and not getattr(self, "_mid_dense", False)):
             values = values.rank(method="first").astype("int64") - 1
         idx = pd.Index(values)
         idx.name = self._index[0]

@@ -208,6 +208,7 @@ class SeriesGroupBy(_WindowVerbs):
         out = self._Series(df._index, None, body, self._label,
                            lineage=(df._sdf, expr))
         out._mid_index = getattr(df, "_mid_index", False)
+        out._mid_dense = getattr(df, "_mid_dense", False)
         out._rows_reordered = True
         return out
 

@@ -215,6 +215,7 @@ class RelationalMixin:
                     for i in range(len(self._columns))]
             out = DataFrame(self._index, self._columns, joined.select(*sel))
             out._mid_index = self._mid_index
+            out._mid_dense = getattr(self, "_mid_dense", False)
             out._rows_reordered = True
             return out
         joined = l.crossJoin(r) if how == "cross" else l.join(r, cond, how)
@@ -459,6 +460,7 @@ class RelationalMixin:
         sel.append(expr.alias(I.col_name(0)))
         out = Series(self._index, None, self._sdf.select(*sel), None)
         out._mid_index = getattr(self, "_mid_index", False)
+        out._mid_dense = getattr(self, "_mid_dense", False)
         out._rows_reordered = True
         return out
 
@@ -643,6 +645,7 @@ def get_dummies(ser, prefix=None, categories=None, max_categories=64):
     data = [(ser._the_col == F.lit(v)).cast("int") for v in categories]
     out = DataFrame(ser._index, pd.Index(labels), ser._project(idx, data))
     out._mid_index = ser._mid_index
+    out._mid_dense = getattr(ser, "_mid_dense", False)
     return out
 
 

@@ -1,0 +1,113 @@
+"""Physical-plan audits: the scale properties the engine promises —
+pushdown, broadcast, one-shuffle aggregation, top-k form — asserted
+against the executed plans via pandas_alchemy_spark.plans."""
+
+from __future__ import annotations
+
+import pandas_alchemy_spark as pas
+from pandas_alchemy_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    has_pushed_filters,
+    physical_plan,
+    uses_take_ordered,
+)
+from tests.conftest import SF_DIR
+
+
+def test_mask_filter_pushes_to_scan(spark):
+    li = pas.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    f = li[li.l_quantity < 24]
+    f = f[f.l_discount >= 0.05]
+    out = f[["l_orderkey", "l_quantity"]]
+    # chained masks compose into scan-side PushedFilters
+    assert has_pushed_filters(out, "l_quantity")
+    assert has_pushed_filters(out, "l_discount")
+    # and the scan reads only what the projection needs
+    plan = physical_plan(out)
+    assert "l_extendedprice" not in plan.split("ReadSchema")[-1]
+
+
+def test_nlargest_compiles_to_take_ordered(spark):
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    top = o.nlargest(10, "o_totalprice")[["o_orderkey", "o_totalprice"]]
+    # orderBy+limit -> one-pass top-k, never a global sort
+    assert uses_take_ordered(top)
+
+
+def test_dimension_merges_broadcast(spark):
+    c = pas.read_parquet(f"{SF_DIR}/customer.parquet")
+    n = pas.read_parquet(f"{SF_DIR}/nation.parquet")
+    j = c.merge(n[["n_nationkey", "n_name"]], left_on="c_nationkey",
+                right_on="n_nationkey", how="inner", broadcast=True)
+    assert broadcast_join_count(j) >= 1
+
+
+def test_groupby_agg_single_shuffle(spark):
+    li = pas.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    out = (li.groupby(["l_returnflag", "l_linestatus"])
+           .agg(sum_qty=("l_quantity", "sum"),
+                n=("l_quantity", "count")))
+    # one hash-aggregate shuffle; map-side partial agg handles the rest
+    assert exchange_count(out) == 1
+
+
+def test_window_topk_single_shuffle(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    out = (o.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 3))
+    assert exchange_count(out) == 1
+
+
+def test_semi_join_no_right_payload(spark):
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pas.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    ret = li[li.l_returnflag == "R"][["l_orderkey"]]
+    sj = o.merge(ret, left_on="o_orderkey", right_on="l_orderkey",
+                 how="semi")
+    plan = physical_plan(sj)
+    assert "LeftSemi" in plan
+    # the build side scans ONLY the join key — no payload columns
+    right_schema = plan.split("ReadSchema")[-1]
+    assert "l_quantity" not in right_schema
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    from pandas_alchemy_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+    ev = (spark.read.parquet(f"{SF_DIR}/orders.parquet")
+          .select(F.col("o_custkey").alias("k"),
+                  F.col("o_orderdate").alias("t"),
+                  F.col("o_totalprice").alias("v")))
+    j = asof_join(ev.limit(1000), ev, on="t", by="k")
+    # union+window form: shuffles bounded (never a range-explosion
+    # join); at most the union's two inputs + one window partition
+    assert exchange_count(j) <= 3
+    assert "CartesianProduct" not in physical_plan(j)
+
+
+def test_interval_join_no_cartesian(spark):
+    from pandas_alchemy_spark.ext.events import load_events
+    from pandas_alchemy_spark.operators.interval import interval_join
+    from pyspark.sql import functions as F
+    ev = (load_events(spark, f"{SF_DIR}/events.parquet")
+          .select("user_id", "event_id", F.unix_micros("ts").alias("t")))
+    pairs = interval_join(ev, ev, on="t", tolerance=120_000_000,
+                          by="user_id")
+    plan = physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scan_head_stays_cheap_limit(spark):
+    # a plain scan's head() must remain an early-exit LIMIT (no sort,
+    # no TakeOrdered over the full table) — the _rows_reordered flag
+    # only forces ordering when a reordering verb intervened
+    li = pas.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    h = li.head(5)
+    plan = physical_plan(h)
+    assert "TakeOrderedAndProject" not in plan
+    assert "CollectLimit" in plan or "GlobalLimit" in plan
