@@ -1515,6 +1515,20 @@ def q_multimodal_suite(spark, sf_dir):
     return a.join(b, "media_type")
 
 
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing for training batches (ext/text.py
+    pack_sequences): shard-local offset packing into 2048-token bins,
+    rolled up per (shard, bin)."""
+    from pandas_alchemy_spark.ext import text
+    _prep(spark)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    packed = text.pack_sequences(docs, capacity=2048, n_shards=8)
+    return (packed.groupBy("shard", "bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.min("doc_id").alias("first_doc")))
+
+
 def q_ann_suite(spark, sf_dir):
     """Approximate ANN suite (LSH multi-table + IVF), union with an
     algo tag.  No SQL oracle — approximate by contract; the driver
@@ -1584,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "langid_terms": q_langid_terms,
         "multimodal_suite": q_multimodal_suite,
+        "seq_pack": q_seq_pack,
         "ann_suite": q_ann_suite,
     }
 
@@ -2712,6 +2727,25 @@ def oracle_sql() -> dict[str, str]:
             FROM {sub("multimodal_stats")} a
             JOIN {sub("frame_sample")} b
               ON a.media_type = b.media_type
+        """,
+        "seq_pack": f"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     len({toks_text}) AS n_tokens
+              FROM documents
+            ), p AS (
+              SELECT shard, doc_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard
+                                         ORDER BY doc_id) - n_tokens
+                       AS start_offset
+              FROM t
+            )
+            SELECT shard::BIGINT AS shard,
+                   (start_offset // 2048)::BIGINT AS bin,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   min(doc_id)::BIGINT AS first_doc
+            FROM p GROUP BY 1, 2
         """,
         # ann_suite: deliberately no oracle (approximate by contract)
     }

@@ -486,8 +486,12 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             if isinstance(value, Series):
                 root = value._lineage_root
                 if root is None or root is not self._sdf:
-                    raise NotImplementedError(
-                        "assign requires a Series derived from this frame")
+                    # Series from ANOTHER frame: align on the index
+                    # (left join, pandas assign semantics) and retry
+                    # the remaining assignments on the joined frame
+                    out = self._assign_aligned(name, value)
+                    rest = {k: v for k, v in kwargs.items() if k != name}
+                    return out.assign(**rest) if rest else out
                 expr = value._lineage_expr
             elif callable(value):
                 expr = value(self)
@@ -510,6 +514,47 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         out._rows_reordered = self._rows_reordered or any(
             isinstance(v, Series) and v._rows_reordered
             for v in kwargs.values())
+        return out
+
+    def _assign_aligned(self, name, value: "Series") -> "DataFrame":
+        """Append a Series from ANOTHER frame: LEFT join on index
+        equality (pandas assign alignment — self keeps all its rows,
+        unmatched get NULL).  Null-safe equality so NULL labels align.
+        A value Series with duplicate index labels multiplies rows
+        (pandas raises there; we document instead of pre-counting)."""
+        this, val = self, value
+        if (this._mid_index != val._mid_index
+                or (this._mid_index
+                    and this._mid_dense != getattr(val, "_mid_dense",
+                                                   False))):
+            this = this._densified()
+            val = val._densified()
+        if val._n_idx() != this._n_idx():
+            raise ValueError(
+                "cannot align assigned Series: index has "
+                f"{this._n_idx()} level(s), value has {val._n_idx()}")
+        m = this._rename_all(val._sdf, "m_")
+        cond = None
+        for i in range(this._n_idx()):
+            c = this._sdf[I.idx_name(i)].eqNullSafe(m[f"m_{I.idx_name(i)}"])
+            cond = c if cond is None else (cond & c)
+        joined = this._sdf.join(m, cond, "left")
+        labels = list(this._columns)
+        exprs = [joined[I.col_name(i)] for i in range(len(labels))]
+        new_col = joined[f"m_{I.col_name(0)}"]
+        if name in labels:
+            exprs[labels.index(name)] = new_col
+        else:
+            labels.append(name)
+            exprs.append(new_col)
+        sel = [joined[I.idx_name(i)].alias(I.idx_name(i))
+               for i in range(this._n_idx())]
+        sel += [e.alias(I.col_name(j)) for j, e in enumerate(exprs)]
+        out = DataFrame(this._index, pd.Index(labels), joined.select(*sel))
+        out._mid_index = this._mid_index and val._mid_index
+        out._mid_dense = (getattr(this, "_mid_dense", False)
+                          and getattr(val, "_mid_dense", False))
+        out._rows_reordered = True
         return out
 
     # -- materialization ---------------------------------------------------

@@ -191,3 +191,35 @@ def top_terms(df: DataFrame, text_col: str = "text", k: int = 50,
     return (e.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
             .orderBy(F.col("tf").desc(), F.col("term").asc())
             .limit(k))
+
+
+def pack_sequences(df: DataFrame, capacity: int = 2048,
+                   n_shards: int = 32, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Offset-pack documents into fixed-token-budget bins for training
+    batch assembly: each document lands in the bin whose token range
+    ``[bin*capacity, (bin+1)*capacity)`` contains its starting offset.
+
+    Scalable formulation: documents shard by ``pmod(id, n_shards)`` and
+    each shard packs independently with ONE keyed window (cumulative
+    token sum ordered by id) — no single-partition global window, and
+    shards parallelize across the cluster.  Deterministic given the
+    id column, so results reproduce across engines.
+
+    Contract: a bin's token total is bounded by ``capacity`` plus at
+    most one straddling document (exact greedy bin-packing is
+    inherently sequential; the offset rule is the standard one-pass
+    approximation).  Returns (id, shard, n_tokens, start_offset, bin).
+    """
+    from pyspark.sql import Window
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
+        F.expr(f"size({_tok(text_col)})").cast("long").alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    packed = base.withColumn(
+        "start_offset",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"))
+    return packed.withColumn(
+        "bin", F.floor(F.col("start_offset") / F.lit(capacity))
+        .cast("long"))

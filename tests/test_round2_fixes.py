@@ -426,3 +426,32 @@ def test_filtered_export_keeps_sparse_labels(spark):
     got = n[n.n_regionkey == 2].to_pandas().sort_index()
     want = po[po.n_regionkey == 2].sort_index()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_assign_from_foreign_frame(spark):
+    pn = pd.read_parquet(f"{SF_DIR}/nation.parquet").set_index("n_nationkey")
+    a = pas.read_parquet(f"{SF_DIR}/nation.parquet").set_index("n_nationkey")
+    b = pas.read_parquet(f"{SF_DIR}/nation.parquet").set_index("n_nationkey")
+    # a Series from a DIFFERENT frame: aligned by index, left-join
+    out = a.assign(rk2=b.n_regionkey * 10).to_pandas().sort_index()
+    want = pn.assign(rk2=pn.n_regionkey * 10).sort_index()
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # partial overlap: unmatched rows get NaN
+    bsub = b[b.n_regionkey < 2]
+    out2 = a.assign(rk2=bsub.n_regionkey).to_pandas().sort_index()
+    want2 = pn.assign(rk2=pn[pn.n_regionkey < 2].n_regionkey).sort_index()
+    pd.testing.assert_frame_equal(out2, want2, check_dtype=False)
+
+
+def test_pack_sequences_bounded_bins(spark):
+    from pandas_alchemy_spark.ext import text
+    from pyspark.sql import functions as SF
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    packed = text.pack_sequences(docs, capacity=512, n_shards=4)
+    # every document's START offset lies inside its bin's token range
+    bad = packed.filter(
+        (SF.col("start_offset") < SF.col("bin") * 512)
+        | (SF.col("start_offset") >= (SF.col("bin") + 1) * 512)).count()
+    assert bad == 0
+    # all docs packed exactly once
+    assert packed.count() == docs.count()
