@@ -43,17 +43,32 @@ def _cap_buckets(buckets: DataFrame, member_col: str,
     is near-certainly one boilerplate template and its pairs carry no
     information worth O(B^2).
 
-    ``buckets`` must be persisted by the caller (the count below would
-    otherwise re-run the signature pipeline)."""
+    The drop count rides an ``observe()`` metric collected DURING the
+    caller's own action and logged from a daemon thread — zero extra
+    jobs, zero extra passes (an earlier eager count() cost ~25% of the
+    whole pipeline)."""
     if cap is None:
         return buckets
-    n_over = buckets.filter(F.size(member_col) > cap).count()
-    if n_over:
-        print(f"[pandas_alchemy_spark] {what}: dropped {n_over} "
-              f"oversized LSH bucket(s) (> {cap} members); pre-collapse "
-              "exact duplicates (exact_dedup) to avoid degenerate "
-              "buckets", file=sys.stderr)
-    return buckets.filter(F.size(member_col) <= cap)
+    import threading
+
+    from pyspark.sql import Observation
+    obs = Observation()
+    observed = buckets.observe(
+        obs, F.sum((F.size(member_col) > cap).cast("long")).alias("n_over"))
+
+    def _log():
+        try:
+            n = obs.get.get("n_over")  # blocks until the caller acts
+            if n:
+                print(f"[pandas_alchemy_spark] {what}: dropped {n} "
+                      f"oversized LSH bucket(s) (> {cap} members); "
+                      "pre-collapse exact duplicates (exact_dedup) to "
+                      "avoid degenerate buckets", file=sys.stderr)
+        except Exception:
+            pass
+
+    threading.Thread(target=_log, daemon=True).start()
+    return observed.filter(F.size(member_col) <= cap)
 
 # tokenize: lowercase, strip non-alphanumerics, split
 _TOKENS = "filter(split(lower(regexp_replace({col}, '[^a-zA-Z0-9]+', ' ')), ' '), t -> t != '')"
@@ -224,10 +239,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     buckets = (banded.groupBy("band", "bh")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))
-    if bucket_cap is not None:
-        buckets = buckets.persist()
-        buckets = _cap_buckets(buckets, "ids", bucket_cap,
-                               "minhash_lsh_pairs")
+    buckets = _cap_buckets(buckets, "ids", bucket_cap,
+                           "minhash_lsh_pairs")
     pairs = (buckets.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x as id_a, y as id_b))))"
@@ -285,9 +298,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                .agg(F.array_sort(F.collect_list(F.struct(
                    F.col(id_col).alias("id"), F.col("sh")))).alias("ms"))
                .filter(F.size("ms") > 1))
-    if bucket_cap is not None:
-        buckets = buckets.persist()
-        buckets = _cap_buckets(buckets, "ms", bucket_cap, "simhash_pairs")
+    buckets = _cap_buckets(buckets, "ms", bucket_cap, "simhash_pairs")
     pairs = (buckets.select(F.explode(F.expr(
         "flatten(transform(ms, (x, i) -> "
         "transform(slice(ms, i + 2, size(ms)), y -> "

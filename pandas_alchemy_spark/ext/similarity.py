@@ -175,10 +175,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     buckets = (banded.groupBy("tbl", "code")
                .agg(F.array_sort(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") > 1))
-    if bucket_cap is not None:
-        buckets = buckets.persist()
-        buckets = _cap_buckets(buckets, "ids", bucket_cap,
-                               "embedding_near_dup_pairs")
+    buckets = _cap_buckets(buckets, "ids", bucket_cap,
+                           "embedding_near_dup_pairs")
     pairs = (buckets.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> "
