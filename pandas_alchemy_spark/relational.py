@@ -148,6 +148,45 @@ class RelationalMixin:
     def groupby(self, by):
         return GroupBy(self, by)
 
+    # -- pipeline control (thin wrappers over the Spark plan) ----------
+
+    def cache(self):
+        """Persist the underlying plan (MEMORY_AND_DISK).  Use before
+        fanning one frame into several downstream branches — Spark
+        otherwise re-executes the shared subtree per branch."""
+        new = self._shallow_copy()
+        new._sdf = self._sdf.cache()
+        return new
+
+    persist = cache
+
+    def unpersist(self):
+        self._sdf.unpersist()
+        return self
+
+    def repartition(self, num_partitions=None, by=None):
+        """Explicit repartition: by columns (hash-partitions on the
+        labels — pre-shuffle for a co-located join or to spread skew)
+        and/or to a partition count.  A shuffle; use deliberately."""
+        new = self._shallow_copy()
+        if by is not None:
+            by = by if isinstance(by, list) else [by]
+            cols = [self._col_at(self._columns.get_loc(b)) for b in by]
+            new._sdf = (self._sdf.repartition(num_partitions, *cols)
+                        if num_partitions else self._sdf.repartition(*cols))
+        else:
+            new._sdf = self._sdf.repartition(num_partitions)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def to_parquet(self, path, mode="overwrite", partition_by=None):
+        """Write as parquet via the engine's sink (sources/io.py):
+        data columns under their labels, optional directory
+        partitioning."""
+        from .sources.io import to_parquet as _tp
+        _tp(self, path, mode=mode, partition_by=partition_by)
+
     def sort_values(self, by, ascending=True):
         if not isinstance(by, list):
             by = [by]

@@ -455,3 +455,16 @@ def test_pack_sequences_bounded_bins(spark):
     assert bad == 0
     # all docs packed exactly once
     assert packed.count() == docs.count()
+
+
+def test_pipeline_control_surface(spark, tmp_path):
+    df = pas.read_parquet(f"{SF_DIR}/nation.parquet")
+    cached = df.cache()
+    assert len(cached) == 25
+    cached.unpersist()
+    rep = df.repartition(4, by="n_regionkey")
+    assert rep._sdf.rdd.getNumPartitions() == 4
+    assert len(rep) == 25
+    df.to_parquet(str(tmp_path / "nation_out"))
+    back = pas.read_parquet(str(tmp_path / "nation_out"))
+    assert len(back) == 25
