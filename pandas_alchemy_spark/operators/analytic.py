@@ -212,6 +212,15 @@ class SeriesGroupBy(_WindowVerbs):
         out._rows_reordered = True
         return out
 
+    def transform(self, how):
+        """pandas groupby transform: the group aggregate broadcast back
+        onto every member row — one unordered window over the keys
+        (single shuffle, no join-back)."""
+        from ..relational import _resolve_agg
+        fn = _resolve_agg(how)
+        w = Window.partitionBy(*self._keys())
+        return self._wrap(lambda c: fn(c).over(w))
+
     # grouped aggregation to one row per group (pandas .groupby(k)[c].sum())
     def _agg(self, how):
         from ..relational import GroupBy

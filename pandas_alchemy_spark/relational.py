@@ -285,6 +285,59 @@ class RelationalMixin:
         out._mid_index = True
         return out
 
+    def join(self, other, how="left", lsuffix="", rsuffix=""):
+        """pandas DataFrame.join: join on the INDEX (all levels,
+        null-safe).  ``how`` in left/inner/outer/right; overlapping
+        column labels need suffixes, like pandas.  One keyed shuffle
+        (AQE broadcasts a small side automatically)."""
+        from .core import DataFrame
+        if how not in ("left", "inner", "outer", "right"):
+            raise ValueError(f"join how={how!r}")
+        this, oth = self, other
+        if (this._mid_index != oth._mid_index
+                or (this._mid_index
+                    and this._mid_dense != getattr(oth, "_mid_dense",
+                                                   False))):
+            this, oth = this._densified(), oth._densified()
+        if this._n_idx() != oth._n_idx():
+            raise ValueError(
+                "cannot join frames with different index level counts")
+        overlap = sorted(set(this._columns) & set(oth._columns))
+        if overlap and not (lsuffix or rsuffix):
+            raise ValueError(
+                f"columns overlap but no suffix specified: {overlap}")
+        l = this._rename_all(this._sdf, "l_")
+        r = this._rename_all(oth._sdf, "r_")
+        cond = None
+        for i in range(this._n_idx()):
+            c = l[f"l_{I.idx_name(i)}"].eqNullSafe(r[f"r_{I.idx_name(i)}"])
+            cond = c if cond is None else (cond & c)
+        spark_how = {"left": "left", "inner": "inner",
+                     "outer": "full_outer", "right": "right"}[how]
+        joined = l.join(r, cond, spark_how)
+        if how == "right":
+            idx = [joined[f"r_{I.idx_name(i)}"]
+                   for i in range(this._n_idx())]
+        elif how == "outer":
+            idx = [F.coalesce(joined[f"l_{I.idx_name(i)}"],
+                              joined[f"r_{I.idx_name(i)}"])
+                   for i in range(this._n_idx())]
+        else:
+            idx = [joined[f"l_{I.idx_name(i)}"]
+                   for i in range(this._n_idx())]
+        labels, exprs = [], []
+        for i, lab in enumerate(this._columns):
+            labels.append(f"{lab}{lsuffix}" if lab in overlap else lab)
+            exprs.append(joined[f"l_{I.col_name(i)}"])
+        for j, lab in enumerate(oth._columns):
+            labels.append(f"{lab}{rsuffix}" if lab in overlap else lab)
+            exprs.append(joined[f"r_{I.col_name(j)}"])
+        sel = [e.alias(I.idx_name(i)) for i, e in enumerate(idx)]
+        sel += [e.alias(I.col_name(k)) for k, e in enumerate(exprs)]
+        out = DataFrame(this._index, pd.Index(labels), joined.select(*sel))
+        out._rows_reordered = True
+        return out
+
     def explode(self, column):
         """pandas DataFrame.explode: unnest one array column, other
         columns and index repeated per element (explode_outer keeps

@@ -468,3 +468,34 @@ def test_pipeline_control_surface(spark, tmp_path):
     df.to_parquet(str(tmp_path / "nation_out"))
     back = pas.read_parquet(str(tmp_path / "nation_out"))
     assert len(back) == 25
+
+
+@pytest.mark.parametrize("how", ["left", "inner", "outer", "right"])
+def test_df_join_on_index(spark, how):
+    pn = pd.read_parquet(f"{SF_DIR}/nation.parquet").set_index("n_nationkey")
+    a = pn[["n_name"]]
+    b = pn[pn.n_regionkey < 3][["n_regionkey"]]
+    da = pas.DataFrame.from_pandas(a)
+    db = pas.DataFrame.from_pandas(b)
+    got = da.join(db, how=how).to_pandas().sort_index()
+    want = a.join(b, how=how).sort_index()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_df_join_overlap_needs_suffix(spark):
+    n = pas.read_parquet(f"{SF_DIR}/nation.parquet").set_index("n_nationkey")
+    with pytest.raises(ValueError, match="columns overlap"):
+        n.join(n)
+    j = n.join(n, lsuffix="_a", rsuffix="_b")
+    assert "n_name_a" in list(j.columns) and "n_name_b" in list(j.columns)
+
+
+def test_groupby_transform_differential(spark):
+    po = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = (o.groupby("o_custkey")["o_totalprice"].transform("sum")
+           .to_pandas().sort_index().reset_index(drop=True))
+    want = (po.groupby("o_custkey")["o_totalprice"].transform("sum")
+            .sort_index().reset_index(drop=True))
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False)
