@@ -1,0 +1,76 @@
+"""End-to-end corpus curation: the composition a training-data
+pipeline actually runs, expressed as ONE lazy Spark plan per stage.
+
+    raw documents
+      -> normalize + PII scrub        (codegen projection)
+      -> quality gate                 (expression filter)
+      -> exact dedup collapse         (hash aggregate)
+      -> transitive near-dup collapse (MinHash-LSH + connected comps)
+      -> token-budget packing         (sharded window)
+
+Every stage is one of the already-audited operators from
+:mod:`.text` / :mod:`.dedup`; this module only wires them with the
+joins/filters between stages.  Nothing collects to the driver; the
+result is a lazy frame of kept documents with their pack assignment,
+ready for a distributed write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, text
+
+
+def curate_corpus(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", min_quality: float = 0.2,
+                  near_dup_threshold: float = 0.6,
+                  capacity: int = 2048, n_shards: int = 32,
+                  bucket_cap: int | None = 2000) -> DataFrame:
+    """Curate a raw document corpus for training.
+
+    Returns the kept documents with curation metadata:
+    (id, norm_text, q_score, component, shard, n_tokens, start_offset,
+    bin).  Stage order matters at scale: the quality gate and exact
+    collapse shrink the corpus BEFORE the (more expensive) MinHash
+    pass, and near-dup clustering runs on exact-dedup representatives —
+    which is also what keeps LSH buckets non-degenerate (identical
+    docs are the pathological bucket case; see dedup._cap_buckets).
+    """
+    # 1. normalize (adds norm_text), score quality on the RAW text
+    normalized = text.normalize_text(docs, text_col=text_col)
+    scored = text.quality_score(normalized, text_col=text_col)
+    kept = scored.filter(F.col("q_score") >= F.lit(min_quality))
+
+    # 2. exact collapse on the normalized form: boilerplate and
+    # whitespace/case variants fold together; keep the min-id copy
+    reps = (dedup.exact_dedup(kept, text_col="norm_text", id_col=id_col)
+            .select(F.col("keep_id").alias(id_col)))
+    kept = kept.join(reps, id_col, "inner")
+
+    # 3. transitive near-dup collapse on the survivors
+    clusters = dedup.cluster_near_dups(
+        kept, text_col="norm_text", id_col=id_col,
+        threshold=near_dup_threshold, bucket_cap=bucket_cap)
+    keep_ids = clusters.filter(F.col("keep")).select(
+        F.col("id").alias(id_col),
+        F.col("component"))
+    kept = kept.join(keep_ids, id_col, "inner")
+
+    # 4. pack the curated corpus into token-budget bins
+    packed = text.pack_sequences(kept, capacity=capacity,
+                                 n_shards=n_shards, id_col=id_col,
+                                 text_col="norm_text")
+    return (kept.select(id_col, "norm_text", "q_score", "component")
+            .join(packed, id_col, "inner"))
+
+
+def curation_stats(curated: DataFrame) -> DataFrame:
+    """One-row rollup of a curated corpus: docs kept, token volume,
+    bin count, mean quality — a single aggregate pass."""
+    return curated.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("shard", "bin").alias("n_bins"),
+        F.round(F.avg("q_score"), 6).alias("avg_quality"))

@@ -320,3 +320,28 @@ def test_top_terms(docs):
     out = text.top_terms(docs, k=10).toPandas()
     assert len(out) == 10
     assert (out.tf.values == sorted(out.tf.values, reverse=True)).all()
+
+
+def test_curate_corpus_end_to_end(spark):
+    from pandas_alchemy_spark.ext import pipeline
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    curated = pipeline.curate_corpus(docs, min_quality=0.2,
+                                     near_dup_threshold=0.5,
+                                     capacity=1024, n_shards=4)
+    n_raw = docs.count()
+    rows = curated.collect()
+    assert 0 < len(rows) <= n_raw
+    # one row per kept doc, no duplicates
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    # each kept doc is its own cluster representative
+    assert all(r["component"] == r["doc_id"] for r in rows)
+    # deterministic: re-running the whole pipeline reproduces exactly
+    again = {(r["doc_id"], r["shard"], r["bin"]) for r in
+             pipeline.curate_corpus(docs, min_quality=0.2,
+                                    near_dup_threshold=0.5,
+                                    capacity=1024, n_shards=4).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["bin"]) for r in rows}
+    stats = pipeline.curation_stats(curated).collect()[0]
+    assert stats["n_docs"] == len(rows)
+    assert stats["n_tokens"] > 0 and stats["n_bins"] > 0
