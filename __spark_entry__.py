@@ -686,16 +686,17 @@ def q_explode_embedding(spark, sf_dir):
 
 def q_get_dummies(spark, sf_dir):
     """get_dummies one-hot encoding: fixed category domain -> pure
-    codegen CASE columns, zero extra jobs; summed per flag here to keep
-    the result small."""
+    codegen CASE columns, zero extra jobs; all three dummy sums fused
+    into ONE aggregate pass (was three separate driver actions)."""
     import pandas_alchemy_spark as pas
     _prep(spark)
     li = pas.read_parquet(_t(sf_dir, "lineitem"))
     d = pas.get_dummies(li.l_returnflag, prefix="rf",
                         categories=["A", "N", "R"])
-    sums = [int(d[c].sum()) for c in ["rf_A", "rf_N", "rf_R"]]
-    return spark.createDataFrame(
-        [tuple(sums)], "rf_a long, rf_n long, rf_r long")
+    sdf = d.to_spark(index=False)
+    return sdf.agg(F.sum("rf_A").cast("long").alias("rf_a"),
+                   F.sum("rf_N").cast("long").alias("rf_n"),
+                   F.sum("rf_R").cast("long").alias("rf_r"))
 
 
 def q_sample_hash(spark, sf_dir):

@@ -220,6 +220,11 @@ class GenericMixin:
 
     # -- plumbing ----------------------------------------------------------
 
+    def explain(self, mode: str = "formatted"):
+        """Print the Spark plan for this frame (convenience passthrough
+        — audit helpers live in :mod:`pandas_alchemy_spark.plans`)."""
+        self._sdf.explain(mode=mode)
+
     def pipe(self, func, *args, **kwargs):
         # reference generic.py:85-90
         if isinstance(func, tuple):

@@ -1080,6 +1080,12 @@ class SeriesAggMixin:
             new._drop_lineage()
         return new
 
+    def describe(self, percentiles=(0.25, 0.5, 0.75)):
+        """pandas Series.describe() — the frame describe's single
+        aggregate pass on a one-column frame, returned as a pandas
+        Series."""
+        return self.to_frame().describe(percentiles).iloc[:, 0]
+
     def value_counts(self, normalize=False, ascending=False, dropna=True):
         from .core import Series
         body = self._sdf
