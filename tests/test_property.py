@@ -1,0 +1,93 @@
+"""Property-based differential tests (hypothesis): generated inputs
+through the hardest semantic layer — IEEE arithmetic, broadcast
+alignment, fill_value — compared against pandas on every example."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+import pandas_alchemy_spark as pas
+
+_float = st.one_of(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.just(0.0), st.just(-0.0), st.just(float("nan")),
+)
+_vals = st.lists(_float, min_size=1, max_size=6)
+
+_SLOW = settings(max_examples=15, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+def _norm(x):
+    """NaN/inf -> comparable sentinels (NaN != NaN breaks equality)."""
+    out = []
+    for v in x:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            out.append("nan")
+        elif v == float("inf"):
+            out.append("inf")
+        elif v == float("-inf"):
+            out.append("-inf")
+        else:
+            out.append(round(float(v), 9))
+    return out
+
+
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "truediv",
+                                "floordiv", "mod"])
+def test_series_binop_differential_generated(spark, op):
+    @_SLOW
+    @given(a=_vals, b=_vals)
+    def check(a, b):
+        n = min(len(a), len(b))
+        a, b = a[:n], b[:n]
+        pa, pb = pd.Series(a), pd.Series(b)
+        want = getattr(pa, op)(pb)
+        sa = pas.Series.from_pandas(pa)
+        sb = pas.Series.from_pandas(pb)
+        got = getattr(sa, op)(sb).to_pandas()
+        assert _norm(got.tolist()) == _norm(want.tolist()), (op, a, b)
+
+    check()
+
+
+def test_fill_value_differential_generated(spark):
+    opt_float = st.one_of(_float, st.none())
+
+    @_SLOW
+    @given(a=st.lists(opt_float, min_size=3, max_size=5),
+           b=st.lists(opt_float, min_size=3, max_size=5),
+           fv=st.floats(min_value=-10, max_value=10, allow_nan=False))
+    def check(a, b, fv):
+        n = min(len(a), len(b))
+        pa, pb = pd.Series(a[:n], dtype="float64"), pd.Series(
+            b[:n], dtype="float64")
+        want = pa.add(pb, fill_value=fv)
+        got = (pas.Series.from_pandas(pa)
+               .add(pas.Series.from_pandas(pb), fill_value=fv)
+               .to_pandas())
+        assert _norm(got.tolist()) == _norm(want.tolist()), (a, b, fv)
+
+    check()
+
+
+def test_outer_alignment_differential_generated(spark):
+    keys = st.lists(st.integers(min_value=0, max_value=6), min_size=1,
+                    max_size=5, unique=True)
+
+    @_SLOW
+    @given(ka=keys, kb=keys)
+    def check(ka, kb):
+        pa = pd.Series(range(len(ka)), index=ka, dtype="float64")
+        pb = pd.Series(range(len(kb)), index=kb, dtype="float64")
+        want = (pa + pb).sort_index()
+        got = ((pas.Series.from_pandas(pa) + pas.Series.from_pandas(pb))
+               .to_pandas().sort_index())
+        assert _norm(got.tolist()) == _norm(want.tolist()), (ka, kb)
+        assert got.index.tolist() == want.index.tolist()
+
+    check()

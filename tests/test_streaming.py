@@ -178,3 +178,32 @@ def test_stream_stream_join_matches_batch(spark, stream_dir):
                      + F.expr("INTERVAL 10 minutes")))
             .count())
     assert got == want and got > 0
+
+
+def test_text_operators_stream_transparent(spark, tmp_path):
+    """The text operators are pure projections, so the SAME functions
+    run unchanged on a streaming frame — batch/stream parity by
+    construction, no separate streaming implementation to maintain."""
+    from pandas_alchemy_spark.ext import text
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # readStream needs a directory source
+    src.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    stream = (spark.readStream.schema(src.schema)
+              .parquet(str(tmp_path / "docs")))
+    q = text.quality_score(text.normalize_text(stream))
+    query = (q.select("doc_id", "q_score", "norm_text")
+             .writeStream.format("memory").queryName("stream_quality")
+             .outputMode("append").start())
+    try:
+        query.processAllAvailable()
+        got = spark.sql(
+            "SELECT count(*) AS n, round(avg(q_score), 6) AS q "
+            "FROM stream_quality").collect()[0]
+        want_df = text.quality_score(text.normalize_text(src))
+        from pyspark.sql import functions as SF
+        want = want_df.agg(
+            SF.count(SF.lit(1)).alias("n"),
+            SF.round(SF.avg("q_score"), 6).alias("q")).collect()[0]
+        assert (got["n"], got["q"]) == (want["n"], want["q"])
+    finally:
+        query.stop()
