@@ -77,6 +77,17 @@ _TOKENS = "filter(split(lower(regexp_replace({col}, '[^a-zA-Z0-9]+', ' ')), ' ')
 #: reproducible in DuckDB as: ('0x' || substr(md5(s),1,15))::BIGINT
 _H60 = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
 
+#: fast-path 60-bit hash: xxhash64 masked to non-negative 60 bits.
+#: Native codegen (no hex round-trip) — the md5 form exists ONLY so
+#: the DuckDB oracle can reproduce signatures bit-for-bit; production
+#: runs at scale should pass fast_hash=True (hash QUALITY is
+#: equivalent for MinHash; only the oracle equality breaks).
+_H60_FAST = "(xxhash64({s}) & 1152921504606846975)"
+
+
+def _h60(s: str, fast: bool = False) -> str:
+    return (_H60_FAST if fast else _H60).format(s=s)
+
 
 #: Catalyst's InferFiltersFromGenerate synthesizes size(generator)>0
 #: filters and pushes them below projections, INLINING the whole
@@ -143,7 +154,8 @@ def with_shingles(df: DataFrame, text_col: str, out: str = "__sh",
 
 
 def hashed_shingle_sets(df: DataFrame, text_col: str, id_col: str,
-                        shingle_n: int = 3) -> DataFrame:
+                        shingle_n: int = 3,
+                        fast_hash: bool = False) -> DataFrame:
     """(id, hs array<long>) — the DISTINCT shingle set as 60-bit
     hashes, built by explode + collect_set (one codegen'd aggregate;
     dedup happens in the agg hash map, not via interpreted
@@ -152,7 +164,7 @@ def hashed_shingle_sets(df: DataFrame, text_col: str, id_col: str,
     identical up to md5 collisions (~(n^2)/2^60, negligible)."""
     sh = with_shingles(df, text_col, "__shraw", shingle_n, distinct=False)
     ex = sh.select(F.col(id_col), F.explode("__shraw").alias("s"))
-    hashed = ex.select(id_col, F.expr(_H60.format(s="s")).alias("h"))
+    hashed = ex.select(id_col, F.expr(_h60("s", fast_hash)).alias("h"))
     return hashed.groupBy(id_col).agg(F.collect_set("h").alias("hs"))
 
 
@@ -162,7 +174,8 @@ _P31 = 2147483647
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      fast_hash: bool = False) -> DataFrame:
     """(id, signature array<long>, __sh) — universal-hash MinHash:
     ONE md5 per shingle reduced to 31 bits, then K affine hashes
     h_k(x) = ((2k+1)·x + c_k) mod (2^31-1) as K codegen'd MIN
@@ -176,7 +189,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     partial agg reduces each partition to one row per doc)."""
     sh = with_shingles(_tune(df), text_col, "__shraw", shingle_n, distinct=False)
     ex = sh.select(F.col(id_col), F.explode("__shraw").alias("s"))
-    hashed = ex.select(id_col, F.expr(_H60.format(s="s")).alias("h"))
+    hashed = ex.select(id_col, F.expr(_h60("s", fast_hash)).alias("h"))
     aggs = [F.min(F.expr(
         f"pmod((2 * {k} + 1) * (h % {_P31}) + (12345 + {k} * 7919), {_P31})")).alias(f"__m{k}")
         for k in range(num_hashes)]
@@ -191,7 +204,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_n: int = 3,
                       threshold: float = 0.5,
-                      bucket_cap: int | None = 2000) -> DataFrame:
+                      bucket_cap: int | None = 2000,
+                      fast_hash: bool = False) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
     signature -> ``bands`` bands of ``num_hashes/bands`` rows; docs
@@ -217,7 +231,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     rows = num_hashes // bands
     sh = with_shingles(_tune(df), text_col, "__shraw", shingle_n, distinct=False)
     ex = sh.select(F.col(id_col), F.explode("__shraw").alias("s"))
-    hashed = ex.select(id_col, F.expr(_H60.format(s="s")).alias("h"))
+    hashed = ex.select(id_col, F.expr(_h60("s", fast_hash)).alias("h"))
     # ONE aggregate produces both the K minhash values (over h mod
     # 2^31-1; min over the multiset == min over the set) and the
     # distinct hashed-shingle set for the exact-Jaccard verify.
@@ -255,7 +269,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_signature(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+                      id_col: str = "doc_id", bits: int = 64,
+                      fast_hash: bool = False) -> DataFrame:
     """(id, sh) 64-bit SimHash of the token multiset.
 
     Formulation chosen for whole-stage codegen: explode tokens, ONE md5
@@ -263,7 +278,7 @@ def simhash_signature(df: DataFrame, text_col: str = "text",
     hash-agg with map-side partial aggregation) — higher-order array
     lambdas are interpreted per-element in Spark and were ~10x slower.
     Shuffle is one hash-agg keyed by doc id."""
-    th = _H60.format(s="t")
+    th = _h60("t", fast_hash)
     tok = _tune(df).select(F.col(id_col),
                            F.explode(tokens_expr(text_col)).alias("t"))
     tok = tok.select(id_col, F.expr(th).alias("h"))
@@ -278,13 +293,15 @@ def simhash_signature(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  bucket_cap: int | None = 2000) -> DataFrame:
+                  bucket_cap: int | None = 2000,
+                  fast_hash: bool = False) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit chunks (pigeonhole: hamming<=3 -> >=1 chunk equal), join on
     chunk equality, verify with bit_count(a XOR b).  Chunk buckets
     larger than ``bucket_cap`` are dropped with a logged count
     (:func:`_cap_buckets`) — degenerate boilerplate protection."""
-    sig = simhash_signature(df, text_col, id_col)
+    sig = simhash_signature(df, text_col, id_col,
+                            fast_hash=fast_hash)
     chunked = sig.select(
         id_col, "sh",
         F.explode(F.expr(

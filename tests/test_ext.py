@@ -345,3 +345,22 @@ def test_curate_corpus_end_to_end(spark):
     stats = pipeline.curation_stats(curated).collect()[0]
     assert stats["n_docs"] == len(rows)
     assert stats["n_tokens"] > 0 and stats["n_bins"] > 0
+
+
+def test_fast_hash_minhash_agrees_with_md5_path(spark):
+    """xxhash64 fast path: same candidate QUALITY as the md5/oracle
+    path — the exact-Jaccard verify makes the pair set nearly
+    identical (signatures differ, the verified pairs shouldn't)."""
+    from pandas_alchemy_spark.ext import dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    slow = {(r["id_a"], r["id_b"]) for r in
+            dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                    threshold=0.4).collect()}
+    fast = {(r["id_a"], r["id_b"]) for r in
+            dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                    threshold=0.4,
+                                    fast_hash=True).collect()}
+    # both paths verify with exact Jaccard, so overlap must be high
+    assert slow and fast
+    inter = len(slow & fast)
+    assert inter / max(len(slow), len(fast)) >= 0.9
