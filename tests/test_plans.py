@@ -111,3 +111,27 @@ def test_scan_head_stays_cheap_limit(spark):
     plan = physical_plan(h)
     assert "TakeOrderedAndProject" not in plan
     assert "CollectLimit" in plan or "GlobalLimit" in plan
+
+
+def test_minhash_pipeline_no_cartesian_bounded_shuffles(spark):
+    from pandas_alchemy_spark.ext import dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                    threshold=0.4)
+    plan = physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # signature agg + bucket agg + pair joins — candidate generation
+    # is bucket-local, never a corpus self-join
+    assert exchange_count(pairs) <= 8
+
+
+def test_emb_near_dup_no_cartesian(spark):
+    from pandas_alchemy_spark.ext import similarity
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").head(1)[0][0])
+    pairs = similarity.embedding_near_dup_pairs(emb, dim=dim, planes=6,
+                                                tables=4, threshold=0.9)
+    plan = physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
