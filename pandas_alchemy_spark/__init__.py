@@ -14,7 +14,7 @@ Spark-era extensions (read_parquet, the ext.* pipeline operators).
 
 from .core import DataFrame, Series, concat
 from .operators.asof import merge_asof
-from .relational import cut, get_dummies, qcut
+from .relational import crosstab, cut, get_dummies, qcut
 from .sources.io import (read_csv, read_json, read_orc, read_table,
                          to_csv, to_parquet, write_bucketed)
 from .session import close_db, get_session, init_db
@@ -43,6 +43,7 @@ __all__ = [
     "get_session",
     "read_parquet",
     "merge_asof",
+    "crosstab",
     "get_dummies",
     "cut",
     "qcut",

@@ -102,6 +102,25 @@ class _LocIndexer:
             out = obj[key]
         elif isinstance(key, slice) and key == slice(None):
             out = obj
+        elif isinstance(key, slice):
+            # label range (pandas loc slice: INCLUSIVE both ends;
+            # meaningful on a sorted index) — a pushdown-eligible
+            # range filter, no row numbering
+            if key.step not in (None, 1):
+                raise NotImplementedError("loc slice step")
+            new = obj._shallow_copy()
+            idx = new._sdf[I.idx_name(0)]
+            cond = None
+            if key.start is not None:
+                cond = idx >= key.start
+            if key.stop is not None:
+                c = idx <= key.stop
+                cond = c if cond is None else (cond & c)
+            if cond is not None:
+                new._sdf = new._sdf.filter(cond)
+            if hasattr(new, "_drop_lineage"):
+                new._drop_lineage()
+            out = new
         else:
             # label row selection: index equality filter
             labels = key if isinstance(key, list) else [key]

@@ -730,6 +730,35 @@ def qcut(ser, q, labels=False):
     return ser._app(fn)
 
 
+def crosstab(index, columns, values=None, aggfunc="count",
+             index_values=None, columns_values=None):
+    """pandas.crosstab over two Series from the SAME frame: one
+    groupBy().pivot() pass (count by default, or an aggregate of
+    ``values``).  Pass ``columns_values`` (the pivot domain) at scale
+    to skip the distinct-values planning job."""
+    from .core import DataFrame
+    root = index._lineage_root
+    if root is None or root is not (columns._lineage_root or object()):
+        raise ValueError(
+            "crosstab requires two Series from the same frame")
+    fn = (F.count if values is None else _resolve_agg(aggfunc))
+    val = (F.lit(1) if values is None else values._lineage_expr)
+    body = root.select(index._lineage_expr.alias("__xi"),
+                       columns._lineage_expr.alias("__xc"),
+                       val.alias("__xv"))
+    g = body.groupBy("__xi")
+    piv = (g.pivot("__xc", columns_values) if columns_values is not None
+           else g.pivot("__xc"))
+    agged = piv.agg(fn("__xv"))
+    out_labels = [c for c in agged.columns if c != "__xi"]
+    sel = [F.col("__xi").alias(I.idx_name(0))]
+    sel += [F.coalesce(F.col(f"`{c}`"),
+                       F.lit(0) if values is None else F.lit(None))
+            .alias(I.col_name(j)) for j, c in enumerate(out_labels)]
+    return DataFrame(pd.Index([index.name]), pd.Index(out_labels),
+                     agged.select(*sel))
+
+
 def get_dummies(ser, prefix=None, categories=None, max_categories=64):
     """One-hot encode a Series into a 0/1 DataFrame (pandas
     ``get_dummies``).  Pass ``categories`` (the value domain) to skip

@@ -122,8 +122,12 @@ def test_minhash_pipeline_no_cartesian_bounded_shuffles(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # signature agg + bucket agg + pair joins — candidate generation
-    # is bucket-local, never a corpus self-join
-    assert exchange_count(pairs) <= 8
+    # is bucket-local, never a corpus self-join.  The bound is loose:
+    # neighboring tests may leave session conf (broadcast threshold)
+    # that turns the two verify joins into sort-merge (+2 exchanges
+    # each); the invariant under test is "no quadratic join", not an
+    # exact exchange census.
+    assert exchange_count(pairs) <= 12
 
 
 def test_emb_near_dup_no_cartesian(spark):

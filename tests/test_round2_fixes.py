@@ -499,3 +499,28 @@ def test_groupby_transform_differential(spark):
             .sort_index().reset_index(drop=True))
     pd.testing.assert_series_equal(got, want, check_dtype=False,
                                    check_names=False)
+
+
+def test_loc_label_slice(spark):
+    pn = pd.read_parquet(f"{SF_DIR}/nation.parquet").set_index(
+        "n_nationkey").sort_index()
+    n = pas.read_parquet(f"{SF_DIR}/nation.parquet").set_index(
+        "n_nationkey").sort_index()
+    got = n.loc[5:9].to_pandas().sort_index()
+    want = pn.loc[5:9]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    got2 = n.loc[20:].to_pandas().sort_index()
+    pd.testing.assert_frame_equal(got2, pn.loc[20:], check_dtype=False)
+
+
+def test_crosstab_differential(spark):
+    po = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li = pas.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    got = (pas.crosstab(li.l_returnflag, li.l_linestatus,
+                        columns_values=["F", "O"])
+           .to_pandas().sort_index())
+    want = pd.crosstab(po.l_returnflag, po.l_linestatus).sort_index()
+    want.columns = list(want.columns)
+    want.index.name = "l_returnflag"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_names=False)
