@@ -171,6 +171,38 @@ class StringMethods:
             F.upper(F.substring(c, 1, 1)),
             F.lower(F.substring(c, 2, 2147483647))))
 
+    def swapcase(self):
+        # per-char case flip via the char-level transform
+        return self._map(lambda c: F.array_join(F.transform(
+            F.split(c, ""),
+            lambda ch: F.when(ch == F.upper(ch), F.lower(ch))
+            .otherwise(F.upper(ch))), ""))
+
+    # character-class predicates (pandas: False for empty strings,
+    # NULL propagates)
+    def _cls(self, pat):
+        return self._map(lambda c: c.rlike(pat))
+
+    def isdigit(self):
+        return self._cls("^[0-9]+$")
+
+    def isalpha(self):
+        return self._cls("^[A-Za-z]+$")
+
+    def isalnum(self):
+        return self._cls("^[A-Za-z0-9]+$")
+
+    def isspace(self):
+        return self._cls("^\\s+$")
+
+    def islower(self):
+        return self._map(
+            lambda c: (c == F.lower(c)) & (c != F.upper(c)))
+
+    def isupper(self):
+        return self._map(
+            lambda c: (c == F.upper(c)) & (c != F.lower(c)))
+
     def zfill(self, width: int):
         return self._map(self._no_trunc(
             lambda c: F.lpad(c, width, "0"), width))
@@ -217,6 +249,34 @@ class DatetimeProperties:
     @property
     def second(self):
         return self._map(F.second)
+
+    @property
+    def weekday(self):
+        return self.dayofweek
+
+    @property
+    def is_quarter_start(self):
+        return self._map(lambda c: (F.dayofmonth(c) == 1)
+                         & F.month(c).isin([1, 4, 7, 10]))
+
+    @property
+    def is_quarter_end(self):
+        return self._map(lambda c: (F.to_date(c) == F.last_day(c))
+                         & F.month(c).isin([3, 6, 9, 12]))
+
+    @property
+    def is_year_start(self):
+        return self._map(lambda c: (F.dayofmonth(c) == 1)
+                         & (F.month(c) == 1))
+
+    @property
+    def is_year_end(self):
+        return self._map(lambda c: (F.dayofmonth(c) == 31)
+                         & (F.month(c) == 12))
+
+    def normalize(self):
+        """Midnight-truncate (pandas dt.normalize)."""
+        return self._map(lambda c: F.date_trunc("day", c))
 
     @property
     def dayofweek(self):

@@ -888,6 +888,31 @@ class ReshapeMixin:
         return DataFrame(pd.Index([self._index[k] for k in keep]),
                          pd.Index(out_labels), agged.select(*sel))
 
+    def stack(self):
+        """pandas stack for single-level columns: each row becomes one
+        row per column, labels pushed into a new innermost index level
+        -> a Series with a (index..., label) MultiIndex.  One `stack`
+        generator in-stage — no shuffle, no join.  Values cast to
+        double (pandas would object-box mixed types; numeric columns
+        are the meaningful case)."""
+        from .core import Series
+        n = self._n_cols()
+        parts = []
+        for i, lab in enumerate(self._columns):
+            lab_sql = str(lab).replace("'", "''")
+            parts.append(f"'{lab_sql}', cast(`{I.col_name(i)}` as double)")
+        gen = F.expr(f"stack({n}, {', '.join(parts)})").alias(
+            "__sk", "__sv")
+        body = self._sdf.select(
+            *[self._idx_at(i) for i in range(self._n_idx())], gen)
+        sel = [F.col(I.idx_name(i)) for i in range(self._n_idx())]
+        sel.append(F.col("__sk").alias(I.idx_name(self._n_idx())))
+        sel.append(F.col("__sv").alias(I.col_name(0)))
+        names = list(self._index) + [None]
+        out = Series(pd.Index(names), None,
+                     body.select(*sel), None)
+        return out
+
     def melt(self, id_vars, value_vars, var_name="variable",
              value_name="value"):
         """Unpivot via Spark's native ``unpivot`` (a generator, not a

@@ -524,3 +524,36 @@ def test_crosstab_differential(spark):
     want.index.name = "l_returnflag"
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_names=False)
+
+
+def test_stack_differential(spark):
+    pn = (pd.read_parquet(f"{SF_DIR}/nation.parquet")
+          .set_index("n_nationkey")[["n_regionkey"]]
+          .assign(x=lambda d: d.n_regionkey * 2.0))
+    n = (pas.read_parquet(f"{SF_DIR}/nation.parquet")
+         .set_index("n_nationkey")[["n_regionkey"]])
+    n = n.assign(x=n.n_regionkey * 2.0)
+    got = n.stack().to_pandas().sort_index().astype(float)
+    want = pn.stack().sort_index().astype(float)
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_names=False,
+                                   check_index_type=False)
+
+
+def test_str_predicates_and_dt_flags(spark):
+    pdf = pd.DataFrame({"s": ["abc", "ABC", "a1", "123", "  ", "", None]})
+    df = pas.DataFrame.from_pandas(pdf)
+    for meth in ("isdigit", "isalpha", "isalnum", "islower", "isupper"):
+        got = getattr(df.s.str, meth)().to_pandas().sort_index()
+        want = getattr(pdf.s.str, meth)()
+        pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                       check_names=False)
+    po = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    for prop in ("is_quarter_start", "is_quarter_end", "is_year_start",
+                 "is_year_end", "weekday"):
+        got = (getattr(o.o_orderdate.dt, prop).to_pandas()
+               .sort_index().reset_index(drop=True))
+        want = getattr(po.o_orderdate.dt, prop).reset_index(drop=True)
+        pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                       check_names=False)
