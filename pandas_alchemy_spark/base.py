@@ -75,6 +75,15 @@ class BaseFrame:
     #: labels exactly, where ranked monotonic mids would renumber.
     _mid_dense = False
 
+    #: Identity token for NON-dense mids: monotonically_increasing_id
+    #: encodes partition layout, so raw values are only comparable
+    #: between frames whose mids were minted by the SAME scan (file
+    #: scans are deterministically partitioned within a session, so a
+    #: file-set key works across re-reads of the same path).  Frames
+    #: derived from one another share the token via _shallow_copy.
+    #: ``None`` means "never directly comparable" — alignment densifies.
+    _mid_origin = None
+
     def __init__(self, index: pd.Index, columns: pd.Index | None, sdf: SparkDF):
         # index: pd.Index of *level names* (values live in the plan),
         # reference base.py:9-12.
@@ -183,6 +192,42 @@ class BaseFrame:
         new._densify()
         return new
 
+    def _mids_aligned(self, other: "BaseFrame"):
+        """Make two frames' indexes label-comparable for an
+        index-equality join, densifying provisional mids that are not.
+
+        Raw mids join directly ONLY when (a) both are dense (true file
+        positions — comparable across any two scans) or (b) both are
+        monotonic ids minted by the SAME scan (``_mid_origin`` match —
+        monotonically_increasing_id encodes partition layout, so values
+        from two different scans pair arbitrary rows).  Everything else
+        (mixed mid/value, mixed dense/monotonic, monotonic mids of
+        different or unknown origin) densifies the mid side(s) first:
+        contiguous 0-based positions ARE comparable across plans."""
+        a, b = self._mid_index, other._mid_index
+        if not a and not b:
+            return self, other
+        if a and b:
+            if self._mid_dense and getattr(other, "_mid_dense", False):
+                return self, other
+            if (not self._mid_dense
+                    and not getattr(other, "_mid_dense", False)
+                    and self._mid_origin is not None
+                    and self._mid_origin == getattr(other, "_mid_origin",
+                                                    None)):
+                return self, other
+        return self._densified(), other._densified()
+
+    def _align_mids_with(self, other: "BaseFrame") -> "BaseFrame":
+        """In-place twin of ``_mids_aligned`` for callers that mutate a
+        copied self: densify SELF when the pair requires it and return
+        the (possibly densified) other, so the caller's post-join flag
+        bookkeeping reads post-alignment state."""
+        a, b = self._mids_aligned(other)
+        if a is not self:
+            self._densify()
+        return b
+
     # -- positional-order contract ----------------------------------------
 
     def _positional_export(self) -> bool:
@@ -238,16 +283,8 @@ class BaseFrame:
         # provisional-mid handling: two mid-indexed frames from the same
         # scan share row identity — join on the mids directly (zero
         # extra jobs; exactly the eager-rowid alignment semantics).
-        # Two DENSE mids align correctly even across scans (both hold
-        # true 0-based positions).  Mixed mid/value indexes — and mixed
-        # dense/monotonic mids, whose values aren't comparable — must
-        # densify the mid side(s) first.
-        this = self
-        if (self._mid_index != other._mid_index
-                or (self._mid_index and other._mid_index
-                    and self._mid_dense != other._mid_dense)):
-            this = self._densified()
-            other = other._densified()
+        # Anything else densifies first (_mids_aligned).
+        this, other = self._mids_aligned(other)
         l = this._rename_all(this._sdf, "l_")
         r = this._rename_all(other._sdf, "r_")
         lk, rk = f"l_{I.idx_name(0)}", f"r_{I.idx_name(0)}"

@@ -156,6 +156,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                    lineage=(self._sdf, self._col_at(i)))
         s._mid_index = self._mid_index
         s._mid_dense = self._mid_dense
+        s._mid_origin = self._mid_origin
         s._rows_reordered = self._rows_reordered
         return s
 
@@ -173,6 +174,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             out = DataFrame(self._index, pd.Index(key), sdf)
             out._mid_index = self._mid_index
             out._mid_dense = self._mid_dense
+            out._mid_origin = self._mid_origin
             out._rows_reordered = self._rows_reordered
             return out
         return self._seq_at(self._columns.get_loc(key))
@@ -318,12 +320,15 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             if isinstance(other, pd.Series):
                 other = Series.from_pandas(other)
             o_bool = _is_bool_dtype(other._dtypes()[0])
+            other = self._align_mids_with(other)
             joined, lcol, rcol, idx, idx_names = self._join_idx(other)
             cols = [app_op(lcol(i), rcol(0), _is_bool_dtype(dtypes[i]), o_bool)
                     for i in range(self._n_cols())]
             self._sdf = base.BaseFrame(idx_names, self._columns, joined)._project(idx, cols)
             self._index = idx_names
             self._mid_index = self._mid_index and other._mid_index
+            self._mid_dense = self._mid_dense and getattr(
+                other, "_mid_dense", False)
             self._rows_reordered = True
             return
 
@@ -335,6 +340,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                 other = DataFrame.from_pandas(other)
             o_dtypes = other._dtypes()
             joined_labels, lpos, rpos = self._join_cols(self._columns, other._columns)
+            other = self._align_mids_with(other)
             joined, lcol, rcol, idx, idx_names = self._join_idx(other)
             cols = []
             for i, j in zip(lpos, rpos):
@@ -345,6 +351,8 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             self._index = idx_names
             self._columns = joined_labels
             self._mid_index = self._mid_index and other._mid_index
+            self._mid_dense = self._mid_dense and getattr(
+                other, "_mid_dense", False)
             self._rows_reordered = True
             return
 
@@ -450,6 +458,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             out = DataFrame(self._index, self._columns, self._sdf.filter(cond))
             out._mid_index = self._mid_index
             out._mid_dense = self._mid_dense
+            out._mid_origin = self._mid_origin
             # a window-backed mask expression evaluates the window in
             # this plan -> rows come out in window order
             out._rows_reordered = (self._rows_reordered
@@ -463,17 +472,21 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             raise ValueError(
                 "cannot align boolean mask: index has "
                 f"{self._n_idx()} level(s), mask has {mask._n_idx()}")
-        m = self._rename_all(mask._sdf, "m_")
+        this, mask = self._mids_aligned(mask)
+        m = this._rename_all(mask._sdf, "m_")
         cond = None
-        for i in range(self._n_idx()):
-            c = self._sdf[I.idx_name(i)].eqNullSafe(m[f"m_{I.idx_name(i)}"])
+        for i in range(this._n_idx()):
+            c = this._sdf[I.idx_name(i)].eqNullSafe(m[f"m_{I.idx_name(i)}"])
             cond = c if cond is None else (cond & c)
-        joined = self._sdf.join(m, cond, "inner").filter(
+        joined = this._sdf.join(m, cond, "inner").filter(
             F.col(f"m_{I.col_name(0)}"))
-        out = DataFrame(self._index, self._columns,
-                        joined.select(self._sdf.columns))
-        out._mid_index = self._mid_index and mask._mid_index
-        out._mid_dense = self._mid_dense and mask._mid_dense
+        out = DataFrame(this._index, this._columns,
+                        joined.select(this._sdf.columns))
+        out._mid_index = this._mid_index and mask._mid_index
+        out._mid_dense = (getattr(this, "_mid_dense", False)
+                          and getattr(mask, "_mid_dense", False))
+        if out._mid_index and not out._mid_dense:
+            out._mid_origin = this._mid_origin
         out._rows_reordered = True
         return out
 
@@ -508,6 +521,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         out = DataFrame(self._index, pd.Index(labels), sdf)
         out._mid_index = self._mid_index
         out._mid_dense = self._mid_dense
+        out._mid_origin = self._mid_origin
         # a window-backed Series value (rank/cumsum/...) makes the
         # projected plan evaluate that window -> rows come out in
         # window order, not index order
@@ -522,13 +536,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         unmatched get NULL).  Null-safe equality so NULL labels align.
         A value Series with duplicate index labels multiplies rows
         (pandas raises there; we document instead of pre-counting)."""
-        this, val = self, value
-        if (this._mid_index != val._mid_index
-                or (this._mid_index
-                    and this._mid_dense != getattr(val, "_mid_dense",
-                                                   False))):
-            this = this._densified()
-            val = val._densified()
+        this, val = self._mids_aligned(value)
         if val._n_idx() != this._n_idx():
             raise ValueError(
                 "cannot align assigned Series: index has "
@@ -554,6 +562,8 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         out._mid_index = this._mid_index and val._mid_index
         out._mid_dense = (getattr(this, "_mid_dense", False)
                           and getattr(val, "_mid_dense", False))
+        if out._mid_index and not out._mid_dense:
+            out._mid_origin = this._mid_origin
         out._rows_reordered = True
         return out
 
@@ -645,10 +655,10 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             # masks should be applied before wrapping when pushdown
             # matters.
             try:
-                n_files = len(sdf.inputFiles())
+                files = sorted(sdf.inputFiles())
             except Exception:
-                n_files = 0
-            if n_files == 1:
+                files = []
+            if len(files) == 1:
                 try:
                     # parquet only — CSV/JSON metadata has no row_index
                     sdf = sdf.withColumn(
@@ -663,6 +673,12 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             idx_exprs = [F.col(I.ROWID)]
             index = pd.Index((None,))
             mid = True
+            # monotonic mids are comparable between frames of the same
+            # file set (deterministic scan partitioning within a
+            # session); unknown inputs get a unique token so only
+            # frames DERIVED from this one (sharing it via
+            # _shallow_copy) join on raw mids
+            origin = ("scan",) + tuple(files) if files else object()
         else:
             if not pd.api.types.is_list_like(index):
                 index = (index,)
@@ -681,6 +697,8 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         out = DataFrame(index, columns, sdf.select(*sel))
         out._mid_index = mid
         out._mid_dense = dense
+        if mid and not dense:
+            out._mid_origin = origin
         return out
 
 
@@ -693,12 +711,22 @@ def _concat_columns(objs):
     for o in objs[1:]:
         if isinstance(o, Series):
             o = o.to_frame()
-        joined, lcol, rcol, idx, idx_names = out._join_idx(o)
-        labels = list(out._columns) + list(o._columns)
-        exprs = [lcol(i) for i in range(len(out._columns))]
+        this, o = out._mids_aligned(o)
+        joined, lcol, rcol, idx, idx_names = this._join_idx(o)
+        labels = list(this._columns) + list(o._columns)
+        exprs = [lcol(i) for i in range(len(this._columns))]
         exprs += [rcol(i) for i in range(len(o._columns))]
         sdf = base.BaseFrame(idx_names, None, joined)._project(idx, exprs)
-        nxt = DataFrame(out._index, pd.Index(labels), sdf)
+        nxt = DataFrame(this._index, pd.Index(labels), sdf)
+        # mids survive only when the pair joined on raw mids (same
+        # origin / both dense) — otherwise the index now holds real
+        # labels and the default flags are right
+        nxt._mid_index = this._mid_index and o._mid_index
+        nxt._mid_dense = (getattr(this, "_mid_dense", False)
+                          and getattr(o, "_mid_dense", False))
+        if nxt._mid_index and not nxt._mid_dense:
+            nxt._mid_origin = this._mid_origin
+        nxt._rows_reordered = True
         out = nxt
     return out
 
@@ -728,6 +756,17 @@ def concat(objs, axis=0, ignore_index: bool = False):
         for lab in o._columns:
             if lab not in labels:
                 labels.append(lab)
+    any_mid = any(getattr(o, "_mid_index", False) for o in objs)
+    if any_mid and not ignore_index:
+        # pandas keeps each part's own labels (0..n-1, 0..m-1, ...) in
+        # part order.  Materialize them per part BEFORE the union
+        # (metadata flip for dense mids, one count pass for monotonic
+        # ones): per-part positions repeat across parts, so the result
+        # can NOT be a mid-index — a mid claims "index order == row
+        # order" and export would re-sort, interleaving the parts —
+        # nor are the duplicated values usable by the dense tail()/
+        # iloc fast paths.
+        objs = [o._densified() for o in objs]
     parts = []
     for o in objs:
         sel = [o._idx_at(i).alias(I.idx_name(i)) for i in range(n_idx)]
@@ -749,13 +788,14 @@ def concat(objs, axis=0, ignore_index: bool = False):
             *[I.col_name(j) for j in range(len(labels))])
         out = DataFrame(pd.Index((None,)), pd.Index(labels), body)
         out._mid_index = True
-    else:
-        out._mid_index = all(getattr(o, "_mid_index", False) for o in objs)
-        # all-dense parts: every row already carries its own frame's
-        # true position, so the exported index repeats per part
-        # (0..n-1, 0..m-1) — exactly pandas concat semantics
-        out._mid_dense = out._mid_index and all(
-            getattr(o, "_mid_dense", False) for o in objs)
+        out._mid_origin = object()
+    elif any_mid:
+        # parts were densified above: index values are true per-part
+        # positions (duplicated across parts), and pandas row order is
+        # part-major — which IS the plan order (unionAll concatenates
+        # children's partitions, a narrow op).  Export must follow
+        # plan order, not re-sort by the duplicated positional index.
+        out._explicit_order = True
     return out
 
 
@@ -819,6 +859,7 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         out = DataFrame(self._index, pd.Index([label]), self._sdf)
         out._mid_index = self._mid_index
         out._mid_dense = self._mid_dense
+        out._mid_origin = self._mid_origin
         out._rows_reordered = self._rows_reordered
         return out
 
@@ -1046,12 +1087,15 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                 self.name = self.name if self.name == other.name else None
                 return
             o_bool = _is_bool_dtype(other._dtypes()[0])
+            other = self._align_mids_with(other)
             joined, lcol, rcol, idx, idx_names = self._join_idx(other)
             col = app_op(lcol(0), rcol(0), my_bool, o_bool)
             self._sdf = base.BaseFrame(idx_names, None, joined)._project(idx, [col])
             self._index = idx_names
             self._lineage = None
             self._mid_index = self._mid_index and other._mid_index
+            self._mid_dense = self._mid_dense and getattr(
+                other, "_mid_dense", False)
             self._rows_reordered = True
             self.name = self.name if self.name == other.name else None
             return

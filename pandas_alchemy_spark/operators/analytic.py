@@ -209,6 +209,7 @@ class SeriesGroupBy(_WindowVerbs):
                            lineage=(df._sdf, expr))
         out._mid_index = getattr(df, "_mid_index", False)
         out._mid_dense = getattr(df, "_mid_dense", False)
+        out._mid_origin = getattr(df, "_mid_origin", None)
         out._rows_reordered = True
         return out
 

@@ -112,6 +112,7 @@ class GroupBy:
         res = DataFrame(pd.Index((None,)), pd.Index(out_labels),
                         out.select(*sel))
         res._mid_index = True
+        res._mid_origin = object()
         return res
 
     def _simple(self, fn):
@@ -255,6 +256,7 @@ class RelationalMixin:
             out = DataFrame(self._index, self._columns, joined.select(*sel))
             out._mid_index = self._mid_index
             out._mid_dense = getattr(self, "_mid_dense", False)
+            out._mid_origin = getattr(self, "_mid_origin", None)
             out._rows_reordered = True
             return out
         joined = l.crossJoin(r) if how == "cross" else l.join(r, cond, how)
@@ -283,6 +285,7 @@ class RelationalMixin:
         out = DataFrame(pd.Index((None,)), pd.Index(out_labels),
                         joined.select(*sel))
         out._mid_index = True
+        out._mid_origin = object()
         return out
 
     def join(self, other, how="left", lsuffix="", rsuffix=""):
@@ -293,12 +296,7 @@ class RelationalMixin:
         from .core import DataFrame
         if how not in ("left", "inner", "outer", "right"):
             raise ValueError(f"join how={how!r}")
-        this, oth = self, other
-        if (this._mid_index != oth._mid_index
-                or (this._mid_index
-                    and this._mid_dense != getattr(oth, "_mid_dense",
-                                                   False))):
-            this, oth = this._densified(), oth._densified()
+        this, oth = self._mids_aligned(other)
         if this._n_idx() != oth._n_idx():
             raise ValueError(
                 "cannot join frames with different index level counts")
@@ -335,6 +333,14 @@ class RelationalMixin:
         sel = [e.alias(I.idx_name(i)) for i, e in enumerate(idx)]
         sel += [e.alias(I.col_name(k)) for k, e in enumerate(exprs)]
         out = DataFrame(this._index, pd.Index(labels), joined.select(*sel))
+        # _mids_aligned guarantees: if either side is still mid-indexed
+        # here, BOTH are, same flavor (both dense, or same-origin
+        # monotonic) — the output index holds those mid values, so the
+        # flags/origin must ride along or raw mids leak as labels
+        out._mid_index = this._mid_index
+        out._mid_dense = getattr(this, "_mid_dense", False)
+        if out._mid_index and not out._mid_dense:
+            out._mid_origin = this._mid_origin
         out._rows_reordered = True
         return out
 
@@ -573,6 +579,7 @@ class RelationalMixin:
         out = Series(self._index, None, self._sdf.select(*sel), None)
         out._mid_index = getattr(self, "_mid_index", False)
         out._mid_dense = getattr(self, "_mid_dense", False)
+        out._mid_origin = getattr(self, "_mid_origin", None)
         out._rows_reordered = True
         return out
 
@@ -587,6 +594,7 @@ class RelationalMixin:
                              *[I.col_name(i) for i in range(self._n_cols())])
             out = DataFrame(pd.Index((None,)), self._columns, sdf)
             out._mid_index = True
+            out._mid_origin = object()
             return out
         keys = [self._col_at(self._columns.get_loc(s)).alias(f"__k_{j}")
                 for j, s in enumerate(subset)]
@@ -679,6 +687,7 @@ class RelationalMixin:
         out = DataFrame(pd.Index((None,)), pd.Index(idx_labels + list(self._columns)),
                         self._sdf.select(*sel))
         out._mid_index = True
+        out._mid_origin = object()
         return out
 
 
@@ -787,6 +796,7 @@ def get_dummies(ser, prefix=None, categories=None, max_categories=64):
     out = DataFrame(ser._index, pd.Index(labels), ser._project(idx, data))
     out._mid_index = ser._mid_index
     out._mid_dense = getattr(ser, "_mid_dense", False)
+    out._mid_origin = getattr(ser, "_mid_origin", None)
     return out
 
 
@@ -932,6 +942,7 @@ class ReshapeMixin:
         from .core import DataFrame as DF
         out = DF(pd.Index((None,)), pd.Index(labels), un.select(*sel))
         out._mid_index = True
+        out._mid_origin = object()
         return out
 
     def describe(self, percentiles=(0.25, 0.5, 0.75)):

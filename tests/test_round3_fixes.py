@@ -1,0 +1,152 @@
+"""Round-3 regression tests for the ADVICE findings.
+
+Covers: cross-scan provisional-mid alignment (join / assign / mask /
+concat axis=1), mid-flag propagation through DataFrame.join, and
+pandas-true part-major ordering of concat(axis=0).
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import pandas_alchemy_spark as pas
+
+from conftest import assert_frame_equal_sorted
+
+
+def _write_multifile(tmp_path, name, pdf, cuts):
+    """Write pdf into several parquet part files (multi-file scan ->
+    monotonic, NON-dense provisional mid).  ``cuts`` are row-count
+    splits; uneven splits give the two scans different partition
+    layouts so raw monotonic ids disagree between them."""
+    d = tmp_path / name
+    d.mkdir()
+    start = 0
+    for i, n in enumerate(cuts):
+        pdf.iloc[start:start + n].to_parquet(
+            d / f"part-{i:02d}.parquet", index=False)
+        start += n
+    assert start == len(pdf)
+    return str(d)
+
+
+@pytest.fixture()
+def two_scans(spark, tmp_path):
+    n = 90
+    pa_ = pd.DataFrame({"x": [float(i) for i in range(n)]})
+    pb = pd.DataFrame({"y": [i * 10.0 for i in range(n)]})
+    path_a = _write_multifile(tmp_path, "a", pa_, [40, 35, 15])
+    path_b = _write_multifile(tmp_path, "b", pb, [10, 65, 15])
+    a = pas.read_parquet(path_a)
+    b = pas.read_parquet(path_b)
+    assert a._mid_index and not a._mid_dense
+    assert b._mid_index and not b._mid_dense
+    return a, b
+
+
+def test_join_cross_scan_multifile(two_scans):
+    # ADVICE high: join of two default-index multi-file scans must pair
+    # row i of A (in A's export order) with row i of B, and must NOT
+    # leak raw monotonically_increasing_id values as index labels.
+    a, b = two_scans
+    got = a.join(b).to_pandas()
+    want = a.to_pandas().join(b.to_pandas())
+    assert sorted(got.index) == list(range(90))  # no raw-mid labels
+    assert_frame_equal_sorted(got, want)
+
+
+def test_join_same_scan_propagates_mid_flags(spark, tmp_path):
+    # same-origin mids join directly, and the output must keep the mid
+    # flags so export ranks the mids instead of leaking raw ids
+    pdf = pd.DataFrame({"x": [float(i) for i in range(50)],
+                        "y": [i * 2.0 for i in range(50)]})
+    path = _write_multifile(tmp_path, "same", pdf, [20, 30])
+    df = pas.read_parquet(path)
+    j = df[["x"]].join(df[["y"]])
+    assert j._mid_index and not j._mid_dense
+    got = j.to_pandas()
+    assert sorted(got.index) == list(range(50))
+    assert_frame_equal_sorted(got, df.to_pandas())
+
+
+def test_mids_aligned_fast_paths(two_scans, tmp_path):
+    a, b = two_scans
+    # same-object-derived frames share the origin token -> no densify
+    s = a.x
+    t1, t2 = a._mids_aligned(s)
+    assert t1 is a and t2 is s
+    # a re-read of the SAME path has the same file set -> comparable
+    a2 = pas.read_parquet(str(tmp_path / "a"))
+    u1, u2 = a._mids_aligned(a2)
+    assert u1 is a and u2 is a2
+    # different scans are NOT comparable -> both densified
+    v1, v2 = a._mids_aligned(b)
+    assert not v1._mid_index and not v2._mid_index
+
+
+def test_assign_aligned_cross_scan(two_scans):
+    # ADVICE medium: assigning a Series from another multi-file scan
+    # must align by POSITION (densified), not raw monotonic ids
+    a, b = two_scans
+    out = a.assign(y=b.y).to_pandas()
+    want = a.to_pandas().assign(y=b.to_pandas().y)
+    assert_frame_equal_sorted(out, want)
+
+
+def test_filter_mask_cross_scan(two_scans):
+    a, b = two_scans
+    got = a[b.y >= 300.0].to_pandas()
+    want = a.to_pandas()[b.to_pandas().y >= 300.0]
+    assert_frame_equal_sorted(got, want)
+
+
+def test_arith_cross_scan(two_scans):
+    a, b = two_scans
+    got = (a.x + b.y).to_pandas()
+    want = a.to_pandas().x + b.to_pandas().y
+    got.name = None
+    want.name = None
+    pd.testing.assert_series_equal(got.sort_index(), want.sort_index(),
+                                   check_dtype=False)
+
+
+def test_concat_axis1_cross_scan(two_scans):
+    a, b = two_scans
+    got = pas.concat([a, b], axis=1).to_pandas()
+    want = pd.concat([a.to_pandas(), b.to_pandas()], axis=1)
+    assert sorted(got.index) == list(range(90))
+    assert_frame_equal_sorted(got, want)
+
+
+def test_concat_rows_part_major_order(spark, tmp_path):
+    # ADVICE medium: concat(axis=0) of dense frames must come back in
+    # part-major order with each part's own labels (0..n-1, 0..m-1),
+    # not interleaved by a positional re-sort
+    pa_ = pd.DataFrame({"x": [0.0, 1.0, 2.0]})
+    pb = pd.DataFrame({"x": [10.0, 11.0]})
+    (tmp_path / "single_a").mkdir()
+    (tmp_path / "single_b").mkdir()
+    pa_.to_parquet(tmp_path / "single_a" / "f.parquet", index=False)
+    pb.to_parquet(tmp_path / "single_b" / "f.parquet", index=False)
+    a = pas.read_parquet(str(tmp_path / "single_a"))
+    b = pas.read_parquet(str(tmp_path / "single_b"))
+    assert a._mid_dense and b._mid_dense
+    cat = pas.concat([a, b])
+    got = cat.to_pandas()
+    want = pd.concat([pa_, pb])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # duplicate positions must not hit the dense tail() fast path
+    tail = cat.tail(3).to_pandas()
+    pd.testing.assert_frame_equal(tail, want.tail(3), check_dtype=False)
+    head = cat.head(4).to_pandas()
+    pd.testing.assert_frame_equal(head, want.head(4), check_dtype=False)
+
+
+def test_concat_rows_ignore_index_unchanged(spark, tmp_path):
+    pa_ = pd.DataFrame({"x": [0.0, 1.0, 2.0]})
+    pb = pd.DataFrame({"x": [10.0, 11.0]})
+    a = pas.DataFrame.from_pandas(pa_)
+    b = pas.DataFrame.from_pandas(pb)
+    got = pas.concat([a, b], ignore_index=True).to_pandas()
+    want = pd.concat([pa_, pb], ignore_index=True)
+    assert_frame_equal_sorted(got, want)
