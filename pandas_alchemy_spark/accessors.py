@@ -179,21 +179,28 @@ class StringMethods:
             .otherwise(F.upper(ch))), ""))
 
     # character-class predicates (pandas: False for empty strings,
-    # NULL propagates)
+    # NULL propagates).  Unicode-aware Java regex classes to follow
+    # Python's str semantics ('é'.isalpha() is True); remaining
+    # divergence: characters that are digits-by-property but not
+    # category Nd (superscripts like '²') are True in Python but False
+    # here (Java regex exposes no Numeric_Type property), and isalnum
+    # excludes letter-like numerics (Nl/No: 'Ⅷ', '½') that Python
+    # accepts.
     def _cls(self, pat):
         return self._map(lambda c: c.rlike(pat))
 
     def isdigit(self):
-        return self._cls("^[0-9]+$")
+        return self._cls("^\\p{Nd}+$")
 
     def isalpha(self):
-        return self._cls("^[A-Za-z]+$")
+        return self._cls("^\\p{L}+$")
 
     def isalnum(self):
-        return self._cls("^[A-Za-z0-9]+$")
+        return self._cls("^[\\p{L}\\p{Nd}]+$")
 
     def isspace(self):
-        return self._cls("^\\s+$")
+        # (?U) = UNICODE_CHARACTER_CLASS: \s covers Unicode whitespace
+        return self._cls("(?U)^\\s+$")
 
     def islower(self):
         return self._map(

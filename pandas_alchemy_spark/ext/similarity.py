@@ -152,7 +152,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding", dim: int = 32,
                              planes: int = 10, tables: int = 4,
                              threshold: float = 0.95,
-                             bucket_cap: int | None = 2000) -> DataFrame:
+                             bucket_cap: int | None = 2000,
+                             cache: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table sign-bit
     LSH — the same banded candidate generation :func:`lsh_topk` uses.
 
@@ -165,12 +166,23 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     ``bucket_cap`` are dropped with a logged count (a degenerate bucket
     of B identical embeddings would otherwise materialize O(B^2) pairs
     in one task — boilerplate protection, same policy as the MinHash
-    path)."""
+    path).
+
+    ``cache=True`` persists the projected (id, vec, norm, codes) frame
+    so the Arrow-batch code UDF runs once instead of three times
+    (banded explode + both verify-join sides); the cached blocks are
+    released when the RETURNED frame is garbage-collected (weakref
+    finalizer), so repeated calls don't accumulate session-lifetime
+    cache.  Pass ``cache=False`` to skip caching entirely."""
+    import weakref
+
     from .dedup import _cap_buckets
     codes = table_codes_udf(dim, planes, tables)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      norm_expr(vec_col).alias("n"),
-                     codes(F.col(vec_col)).alias("codes")).persist()
+                     codes(F.col(vec_col)).alias("codes"))
+    if cache:
+        base = base.persist()
     banded = base.select("id", F.posexplode("codes").alias("tbl", "code"))
     buckets = (banded.groupBy("tbl", "code")
                .agg(F.array_sort(F.collect_list("id")).alias("ids"))
@@ -188,9 +200,17 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                     F.col("n").alias("nb"))
     dot = _DOT.format(a="va", b="vb")
     cos = F.expr(f"({dot}) / nullif(na * nb, 0.0)")
-    return (pairs.join(a, "id_a").join(b, "id_b")
-            .select("id_a", "id_b", cos.alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+    out = (pairs.join(a, "id_a").join(b, "id_b")
+           .select("id_a", "id_b", cos.alias("cosine"))
+           .filter(F.col("cosine") >= threshold))
+    if cache:
+        def _release(b=base):
+            try:
+                b.unpersist()
+            except Exception:
+                pass  # session already stopped
+        weakref.finalize(out, _release)
+    return out
 
 
 def _assign_cells_udf(centroids, nprobe: int = 1):

@@ -744,7 +744,8 @@ def crosstab(index, columns, values=None, aggfunc="count",
     """pandas.crosstab over two Series from the SAME frame: one
     groupBy().pivot() pass (count by default, or an aggregate of
     ``values``).  Pass ``columns_values`` (the pivot domain) at scale
-    to skip the distinct-values planning job."""
+    to skip the distinct-values planning job; ``index_values``
+    restricts the ROW domain with a pushdown-eligible IN filter."""
     from .core import DataFrame
     root = index._lineage_root
     if root is None or root is not (columns._lineage_root or object()):
@@ -755,6 +756,8 @@ def crosstab(index, columns, values=None, aggfunc="count",
     body = root.select(index._lineage_expr.alias("__xi"),
                        columns._lineage_expr.alias("__xc"),
                        val.alias("__xv"))
+    if index_values is not None:
+        body = body.filter(F.col("__xi").isin(list(index_values)))
     g = body.groupBy("__xi")
     piv = (g.pivot("__xc", columns_values) if columns_values is not None
            else g.pivot("__xc"))

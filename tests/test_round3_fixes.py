@@ -150,3 +150,45 @@ def test_concat_rows_ignore_index_unchanged(spark, tmp_path):
     got = pas.concat([a, b], ignore_index=True).to_pandas()
     want = pd.concat([pa_, pb], ignore_index=True)
     assert_frame_equal_sorted(got, want)
+
+
+def test_unicode_str_predicates(spark):
+    pdf = pd.DataFrame({"s": ["été", "Ωμέγα", "１２３", "a1é", "  ",
+                              "abc", "123", "", None]})
+    df = pas.DataFrame.from_pandas(pdf)
+    for meth in ("isalpha", "isdigit", "isalnum", "isspace"):
+        got = getattr(df.s.str, meth)().to_pandas().sort_index()
+        want = getattr(pdf.s.str, meth)()
+        pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                       check_names=False)
+
+
+def test_crosstab_index_values(spark):
+    pdf = pd.DataFrame({"a": ["x", "x", "y", "z", "z", "z"],
+                        "b": ["p", "q", "p", "p", "q", "q"]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = pas.crosstab(df.a, df.b, index_values=["x", "z"]).to_pandas()
+    want = pd.crosstab(pdf.a, pdf.b)
+    want = want.loc[["x", "z"]]
+    got = got.sort_index()[sorted(got.columns)]
+    want = want.sort_index()[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_names=False,
+                                  check_index_type=False)
+
+
+def test_embedding_near_dup_cache_released(spark):
+    import gc
+    from pandas_alchemy_spark.ext import similarity as S
+    emb = pas.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sdf = emb.to_spark(index=False)
+    out = S.embedding_near_dup_pairs(sdf, id_col="vec_id",
+                                     vec_col="embedding", dim=len(
+                                         sdf.select("embedding").head()[0]))
+    n = out.count()
+    assert n >= 0
+    del out
+    gc.collect()
+    # the persisted base must be gone from the cache manager
+    jspark = pas.get_session()
+    assert jspark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
