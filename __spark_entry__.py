@@ -120,22 +120,6 @@ def q_ieee_div(spark, sf_dir):
     return sdf.select("l_orderkey", "l_linenumber", cls.alias("div_val"))
 
 
-def q_ieee_floordiv(spark, sf_dir):
-    """IEEE floordiv: floor(l/r) with /0 -> ±inf, 0/0 -> NaN
-    (coercion.py:68-70 semantics as Column builders)."""
-    import pandas_alchemy_spark as pas
-    _prep(spark)
-    li = pas.read_parquet(_t(sf_dir, "lineitem"))
-    fd = li.l_quantity // (li.l_linenumber - 3)
-    out = li.assign(fd=fd)[["l_orderkey", "l_linenumber", "fd"]]
-    sdf = out.to_spark(index=False)
-    cls = (F.when(F.isnan("fd"), F.lit(_NAN_S))
-           .when(F.col("fd") == float("inf"), F.lit(_INF_S))
-           .when(F.col("fd") == float("-inf"), F.lit(_NINF_S))
-           .otherwise(F.round("fd", 6)))
-    return sdf.select("l_orderkey", "l_linenumber", cls.alias("fd_val"))
-
-
 def q_from_list_positional(spark, sf_dir):
     """Series.from_list literal ingestion (alchemy.py:508-517) +
     positional list op via rowid paste-join (base.py:118-128)."""
@@ -146,18 +130,6 @@ def q_from_list_positional(spark, sf_dir):
     return t.to_spark().select(
         F.col("index").cast("long").alias("idx"),
         F.col("v").cast("double").alias("v"))
-
-
-def q_python_mod(spark, sf_dir):
-    """Python-mod (sign of divisor) + x%0 -> NaN (coercion.py:73-85)."""
-    import pandas_alchemy_spark as pas
-    _prep(spark)
-    li = pas.read_parquet(_t(sf_dir, "lineitem"))
-    m = li.l_quantity % (li.l_linenumber - 3)
-    out = li.assign(md=m)[["l_orderkey", "l_linenumber", "md"]]
-    sdf = out.to_spark(index=False)
-    cls = (F.when(F.isnan("md"), F.lit(_NAN_S)).otherwise(F.round("md", 6)))
-    return sdf.select("l_orderkey", "l_linenumber", cls.alias("mod_val"))
 
 
 def q_clip_round_abs(spark, sf_dir):
@@ -430,7 +402,10 @@ def q_dt_funcs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_groupby_agg(spark, sf_dir):
-    """Q1-style multi-aggregate groupby through the façade."""
+    """Q1-style multi-aggregate groupby through the façade, joined
+    with the per-flag exact count-distinct leg (folded
+    distinct_count entry — one extra hash-aggregate, broadcast
+    joined on the 3-row flag domain)."""
     import pandas_alchemy_spark as pas
     _prep(spark)
     li = pas.read_parquet(_t(sf_dir, "lineitem"))
@@ -442,11 +417,13 @@ def q_groupby_agg(spark, sf_dir):
                 avg_qty=("l_quantity", "mean"),
                 count_order=("l_quantity", "count")))
     sdf = out.to_spark()
-    return sdf.select("l_returnflag", "l_linestatus",
-                      F.round("sum_qty", 2).alias("sum_qty"),
-                      F.round("sum_disc_price", 2).alias("sum_disc_price"),
-                      F.round("avg_qty", 4).alias("avg_qty"),
-                      F.col("count_order"))
+    g = sdf.select("l_returnflag", "l_linestatus",
+                   F.round("sum_qty", 2).alias("sum_qty"),
+                   F.round("sum_disc_price", 2).alias("sum_disc_price"),
+                   F.round("avg_qty", 4).alias("avg_qty"),
+                   F.col("count_order"))
+    return g.join(F.broadcast(q_distinct_count(spark, sf_dir)),
+                  "l_returnflag")
 
 
 def q3_shipping(spark, sf_dir):
@@ -700,9 +677,13 @@ def q_get_dummies(spark, sf_dir):
 
 
 def q_sample_hash(spark, sf_dir):
-    """Deterministic content-addressed sample (Knuth multiplicative
-    hash on the key) — reproducible across engines, pushdown-eligible
-    filter; no RNG state, no sort."""
+    """Deterministic content-addressed sample: md5(key) top-60-bit
+    bucket under frac — reproducible across engines (DuckDB computes
+    the identical bucket, which is what the oracle checks); no RNG
+    state, no sort.  NOT parquet-pushable and one string hash per row:
+    the production-scale variant is ``sample(..., fast_hash=True)``
+    (codegen'd xxhash64, Spark-only), measured separately in bench.py
+    as ``sample_fast``."""
     import pandas_alchemy_spark as pas
     _prep(spark)
     o = pas.read_parquet(_t(sf_dir, "orders"))
@@ -750,19 +731,6 @@ def q_where_replace(spark, sf_dir):
     sdf = out.to_spark()
     return sdf.select("rf", F.round("total", 2).alias("total"),
                       F.col("n").cast("long").alias("n"))
-
-
-def q_duplicated(spark, sf_dir):
-    """duplicated marker (keep='first' and keep=False) — window
-    counts over the key partition, summed."""
-    import pandas_alchemy_spark as pas
-    _prep(spark)
-    o = pas.read_parquet(_t(sf_dir, "orders"))
-    n_first = int(o.duplicated(subset=["o_custkey"]).astype("int64").sum())
-    n_all = int(o.duplicated(subset=["o_custkey"], keep=False)
-                .astype("int64").sum())
-    return spark.createDataFrame(
-        [(n_first, n_all)], "n_dup_first long, n_dup_all long")
 
 
 def q_cut_bins(spark, sf_dir):
@@ -1425,19 +1393,6 @@ def q_vc_describe(spark, sf_dir):
                                F.col("l_discount").alias("b"))))
 
 
-def q_drop_rows(spark, sf_dir):
-    """drop(axis=0): index-label anti-filter (NOT IN literals, pushdown
-    eligible) — nation minus three keys."""
-    import pandas_alchemy_spark as pas
-    _prep(spark)
-    n = pas.read_parquet(_t(sf_dir, "nation")).set_index("n_nationkey")
-    d = n.drop(index=[0, 5, 10])[["n_name", "n_regionkey"]]
-    sdf = d.to_spark()
-    return sdf.select(F.col("n_nationkey").cast("long").alias("n_nationkey"),
-                      "n_name",
-                      F.col("n_regionkey").cast("long").alias("n_regionkey"))
-
-
 def q_unstack_multi(spark, sf_dir):
     """Multi-data-column unstack: (flag, status)-grouped sums pivoted
     on the status level -> pandas-style (label, value) tuple columns,
@@ -1455,6 +1410,105 @@ def q_unstack_multi(spark, sf_dir):
         alias = f"{lab[0]}_{lab[1].lower()}"
         sel.append(F.round(F.col(f"`{lab_s}`"), 2).alias(alias))
     return sdf.select(*sel)
+
+
+def q_reshape2_suite(spark, sf_dir):
+    """Second reshape suite in long (tag, key, col, val) form:
+    df.stack (relational.py stack — generator reshape over an assigned
+    computed column), pas.crosstab (one groupBy().pivot() pass with an
+    explicit pivot domain), the pairwise covariance matrix (all cells
+    fused into ONE aggregate pass, relational.py cov), and the folded
+    multi-measure unstack leg (q_unstack_multi)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    # stack: (nationkey, variable) -> value
+    n = pas.read_parquet(_t(sf_dir, "nation")).set_index(
+        "n_nationkey")[["n_regionkey"]]
+    n = n.assign(x=n.n_regionkey * 2.0)
+    st = n.stack().to_spark()
+    key_col, var_col, val_col = st.columns
+    leg_stack = st.select(
+        F.lit("stack").alias("tag"),
+        F.col(key_col).cast("string").alias("key"),
+        F.col(var_col).cast("string").alias("col"),
+        F.col(val_col).cast("double").alias("val"))
+    # crosstab: priority x status counts, zero-filled
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    ct = pas.crosstab(o.o_orderpriority, o.o_orderstatus,
+                      columns_values=["F", "O", "P"]).to_spark()
+    leg_ct = ct.selectExpr(
+        "'crosstab' as tag", "o_orderpriority as key",
+        "stack(3, 'F', F, 'O', O, 'P', P) as (col, val)"
+    ).select("tag", "key", "col", F.col("val").cast("double").alias("val"))
+    # cov: 3x3 matrix -> long form (materializer, literal re-ingest)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    cm = li[["l_quantity", "l_extendedprice", "l_discount"]].cov()
+    cells = [(str(r), str(c), float(cm.loc[r, c]))
+             for r in cm.index for c in cm.columns]
+    leg_cov = (spark.createDataFrame(cells, "key string, col string, val double")
+               .select(F.lit("cov").alias("tag"), "key", "col",
+                       F.round("val", 2).alias("val")))
+    # folded unstack leg
+    u = q_unstack_multi(spark, sf_dir)
+    leg_un = u.selectExpr(
+        "'unstack' as tag", "l_returnflag as key",
+        "stack(4, 'price_f', price_f, 'price_o', price_o, "
+        "'qty_f', qty_f, 'qty_o', qty_o) as (col, val)")
+    return (leg_stack.unionAll(leg_ct).unionAll(leg_cov)
+            .unionAll(leg_un))
+
+
+def q_join_suite(spark, sf_dir):
+    """Index-verb suite in long (tag, key, a, b) form: DataFrame.join
+    on the index (relational.py join), groupby transform (window
+    broadcast-back), index-aligned assign from ANOTHER frame
+    (core._assign_aligned), .loc label slice (inclusive range filter),
+    and the folded drop(axis=0) label anti-filter leg."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    cust = pas.read_parquet(_t(sf_dir, "customer"))
+    orders = pas.read_parquet(_t(sf_dir, "orders"))
+    nation = pas.read_parquet(_t(sf_dir, "nation"))
+    c = cust[cust.c_custkey < 200].set_index("c_custkey")[["c_acctbal"]]
+    # 1. join on index: per-customer acctbal + order totals
+    ot = orders.groupby("o_custkey").agg(total=("o_totalprice", "sum"))
+    j = c.join(ot, how="left").to_spark()
+    leg_join = j.select(
+        F.lit("join").alias("tag"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.round("c_acctbal", 2).alias("a"), F.round("total", 2).alias("b"))
+    # 2. groupby transform: group mean broadcast onto member rows
+    o5 = orders[orders.o_orderkey < 500].set_index("o_orderkey")
+    m = o5.groupby("o_custkey")["o_totalprice"].transform("mean")
+    t = o5.assign(m=m).to_spark()
+    leg_tr = t.select(
+        F.lit("transform").alias("tag"),
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.round("o_totalprice", 2).alias("a"), F.round("m", 2).alias("b"))
+    # 3. index-aligned assign from another frame (left-join alignment)
+    cnt = orders.groupby("o_custkey").agg(n=("o_orderkey", "count"))
+    a3 = c.assign(n_orders=cnt.n).to_spark()
+    leg_as = a3.select(
+        F.lit("assign").alias("tag"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.round("c_acctbal", 2).alias("a"),
+        F.col("n_orders").cast("double").alias("b"))
+    # 4. loc label slice (inclusive on both ends, like pandas)
+    l4 = cust.set_index("c_custkey").loc[50:100].to_spark()
+    leg_loc = l4.select(
+        F.lit("loc").alias("tag"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.round("c_acctbal", 2).alias("a"),
+        F.lit(None).cast("double").alias("b"))
+    # 5. folded drop(axis=0) leg: NOT IN label anti-filter
+    d5 = nation.set_index("n_nationkey").drop(index=[0, 5, 10]).to_spark()
+    leg_dr = d5.select(
+        F.lit("drop").alias("tag"),
+        F.col("n_nationkey").cast("long").alias("key"),
+        F.col("n_regionkey").cast("double").alias("a"),
+        F.lit(None).cast("double").alias("b"))
+    return (leg_join.unionAll(leg_tr).unionAll(leg_as)
+            .unionAll(leg_loc).unionAll(leg_dr))
 
 
 def q_top_users_funnel(spark, sf_dir):
@@ -1530,18 +1584,73 @@ def q_seq_pack(spark, sf_dir):
                  F.min("doc_id").alias("first_doc")))
 
 
-def q_ann_suite(spark, sf_dir):
-    """Approximate ANN suite (LSH multi-table + IVF), union with an
-    algo tag.  No SQL oracle — approximate by contract; the driver
-    records a rows-only check and recall is tested against brute force
-    in tests/test_ext.py."""
+def q_curate_corpus(spark, sf_dir):
+    """End-to-end corpus curation (ext/pipeline.py curate_corpus):
+    normalize + PII scrub -> quality gate (q_score >= 0.2 on raw
+    text) -> exact collapse on norm_text -> MinHash-LSH transitive
+    near-dup collapse -> token-budget packing, rolled up per shard
+    (n_docs, n_tokens, n_bins, avg_quality).  The oracle replays every
+    stage in one recursive-CTE SQL pipeline.  A second leg (shard=-1)
+    drives the media->embedding bridge (ext/multimodal.embed_media):
+    the stub encoder's values are not SQL-reproducible, but the
+    Arrow-batch plumbing contract is — count, total width, single
+    fixed dim, and unit L2 norm."""
+    from pandas_alchemy_spark.ext import multimodal, pipeline
     _prep(spark)
-    lsh = q_lsh_ann(spark, sf_dir)
-    ivf = q_ivf_ann(spark, sf_dir)
-    return (lsh.select(F.lit("lsh").alias("algo"), "query_id",
-                       "neighbor_id", "cosine")
-            .unionAll(ivf.select(F.lit("ivf").alias("algo"), "query_id",
-                                 "neighbor_id", "cosine")))
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    cur = pipeline.curate_corpus(
+        docs, min_quality=0.2, near_dup_threshold=0.4,
+        capacity=2048, n_shards=8, num_hashes=16, bands=4)
+    per_shard = (cur.groupBy("shard")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_tokens").alias("n_tokens"),
+                      F.countDistinct("bin").alias("n_bins"),
+                      F.round(F.avg("q_score"), 3).alias("avg_quality")))
+    media = multimodal.attach_fake_payload(docs)
+    emb = multimodal.embed_media(media)
+    nrm = F.sqrt(F.expr(
+        "aggregate(embedding, 0D, (acc, x) -> acc + x * x)"))
+    leg_emb = (emb.select(F.size("embedding").alias("dim"),
+                          nrm.alias("nrm"))
+               .agg(F.lit(-1).cast("long").alias("shard"),
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dim").alias("n_tokens"),
+                    F.countDistinct("dim").alias("n_bins"),
+                    F.round(F.avg("nrm"), 3).alias("avg_quality")))
+    return per_shard.select(
+        F.col("shard").cast("long").alias("shard"), "n_docs", "n_tokens",
+        F.col("n_bins").cast("long").alias("n_bins"),
+        "avg_quality").unionAll(leg_emb)
+
+
+def q_ann_suite(spark, sf_dir):
+    """ANN suite upgraded to a hashed RECALL contract: for each algo
+    (multi-table LSH, IVF) the query computes recall@5 against the
+    exact brute-force top-5 in-plan and emits (algo, n_queries, k,
+    recall_ok).  The approximate neighbor lists themselves stay
+    un-oracled (approximate by contract), but hyperplanes/centroids
+    are deterministic, so the recall bucket is a stable value the
+    driver can hash-check — upgrading ann_suite from rows-only to a
+    full oracle row."""
+    _prep(spark)
+    brute = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    nq = (brute.agg(F.countDistinct("query_id").alias("n_queries"))
+          .coalesce(1))
+    legs = [("ivf", q_ivf_ann(spark, sf_dir)),
+            ("lsh", q_lsh_ann(spark, sf_dir))]
+    parts = []
+    for name, ann in legs:
+        hits = (ann.select("query_id", "neighbor_id")
+                .join(brute, ["query_id", "neighbor_id"], "left_semi"))
+        agg = (hits.agg(F.count(F.lit(1)).alias("n_hits")).coalesce(1)
+               .crossJoin(nq))
+        parts.append(agg.select(
+            F.lit(name).alias("algo"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.lit(5).cast("long").alias("k"),
+            (F.col("n_hits") >= F.col("n_queries") * 5 * 0.6)
+            .alias("recall_ok")))
+    return parts[0].unionAll(parts[1])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1576,12 +1685,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunct": q19_disjunct,
         "anti_join": q_anti_join,
         "window_topk": q_window_topk,
-        "distinct_count": q_distinct_count,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "explode_embedding": q_explode_embedding,
-        "drop_rows": q_drop_rows,
-        "unstack_multi": q_unstack_multi,
+        # distinct_count folded into groupby_agg; drop_rows into
+        # join_suite; unstack_multi into reshape2_suite (50-entry window)
+        "reshape2_suite": q_reshape2_suite,
+        "join_suite": q_join_suite,
         # events
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -1600,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_terms": q_langid_terms,
         "multimodal_suite": q_multimodal_suite,
         "seq_pack": q_seq_pack,
+        "curate_corpus": q_curate_corpus,
         "ann_suite": q_ann_suite,
     }
 
@@ -1637,6 +1748,31 @@ def oracle_sql() -> dict[str, str]:
     lang_structs = ", ".join(
         "{'score': CAST(%s AS DOUBLE), 'lang': '%s'}" % (stop_ratio(ws), lang)
         for lang, ws in sorted(STOPWORDS.items()))
+
+    # curate_corpus building blocks (plain strings so regex braces
+    # never meet an f-string): normalization chain + UNROUNDED quality
+    # score (the >= 0.2 gate must see the same double both engines)
+    norm_text = (
+        "trim(regexp_replace(regexp_replace(lower("
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', "
+        "'[EMAIL]', 'g'), "
+        "'\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '[PHONE]', 'g'), "
+        "'\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g')), "
+        "'[\\x00-\\x1f]+', ' ', 'g'), "
+        "'\\s{2,}', ' ', 'g'))")
+    punct = ("length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g'))"
+             " / greatest(length(text), 1)::DOUBLE")
+    mean_wl = ("(list_reduce(list_prepend(0::BIGINT, "
+               "list_transform(" + toks_text + ", t -> length(t)::BIGINT)), "
+               "(a, b) -> a + b) / greatest(len(" + toks_text +
+               "), 1)::DOUBLE)")
+    q_raw = ("CASE WHEN len(" + toks_text + ") < 5 THEN 0.0 ELSE "
+             "least(1.0, len(" + toks_text + ") / 100.0) * 0.3 "
+             "+ (1.0 - least(1.0, (" + punct + ") * 5)) * 0.3 "
+             "+ least(1.0, (" + stop_en + ") * 4) * 0.2 "
+             "+ CASE WHEN " + mean_wl + " BETWEEN 3 AND 8 "
+             "THEN 0.2 ELSE 0.0 END END")
 
     # per-operator SQL fragments; the emitted dict below composes them
     # into the folded suites matching queries()
@@ -1834,14 +1970,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "groupby_agg": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   count(l_quantity)::BIGINT AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-            GROUP BY l_returnflag, l_linestatus
+            SELECT g.l_returnflag, g.l_linestatus, g.sum_qty,
+                   g.sum_disc_price, g.avg_qty, g.count_order,
+                   d.n_orders, d.n_parts
+            FROM (
+              SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                     round(avg(l_quantity), 4) AS avg_qty,
+                     count(l_quantity)::BIGINT AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+              GROUP BY l_returnflag, l_linestatus
+            ) g JOIN (
+              SELECT l_returnflag,
+                     count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+                     count(DISTINCT l_partkey)::BIGINT AS n_parts
+              FROM lineitem GROUP BY l_returnflag
+            ) d ON g.l_returnflag = d.l_returnflag
         """,
         "q3_shipping": """
             SELECT l_orderkey::BIGINT AS l_orderkey,
@@ -1898,12 +2044,6 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
               FROM orders) t
             WHERE rk <= 3
-        """,
-        "distinct_count": """
-            SELECT l_returnflag,
-                   count(DISTINCT l_orderkey)::BIGINT AS n_orders,
-                   count(DISTINCT l_partkey)::BIGINT AS n_parts
-            FROM lineitem GROUP BY l_returnflag
         """,
         "explode_embedding": """
             SELECT vec_id,
@@ -2660,26 +2800,96 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunct": base["q19_disjunct"],
         "anti_join": base["anti_join"],
         "window_topk": base["window_topk"],
-        "distinct_count": base["distinct_count"],
         "asof_join": base["asof_join"],
         "interval_join": base["interval_join"],
         "explode_embedding": base["explode_embedding"],
-        "drop_rows": """
-            SELECT n_nationkey::BIGINT AS n_nationkey, n_name,
-                   n_regionkey::BIGINT AS n_regionkey
-            FROM nation WHERE n_nationkey NOT IN (0, 5, 10)
+        "reshape2_suite": """
+            SELECT 'stack' AS tag, n_nationkey::VARCHAR AS key,
+                   'n_regionkey' AS col, n_regionkey::DOUBLE AS val
+            FROM nation
+            UNION ALL
+            SELECT 'stack', n_nationkey::VARCHAR, 'x',
+                   n_regionkey * 2.0
+            FROM nation
+            UNION ALL
+            SELECT 'crosstab', p.o_orderpriority, s.col,
+                   coalesce(c.val, 0)::DOUBLE
+            FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+            CROSS JOIN (VALUES ('F'), ('O'), ('P')) s(col)
+            LEFT JOIN (SELECT o_orderpriority AS pk,
+                              o_orderstatus AS st,
+                              count(*)::DOUBLE AS val
+                       FROM orders GROUP BY 1, 2) c
+              ON c.pk = p.o_orderpriority AND c.st = s.col
+            UNION ALL
+            SELECT 'cov', t.key, t.col, round(t.val, 2)
+            FROM (
+              WITH cv AS (
+                SELECT covar_samp(l_quantity, l_quantity) AS qq,
+                       covar_samp(l_quantity, l_extendedprice) AS qe,
+                       covar_samp(l_quantity, l_discount) AS qd,
+                       covar_samp(l_extendedprice, l_extendedprice) AS ee,
+                       covar_samp(l_extendedprice, l_discount) AS ed,
+                       covar_samp(l_discount, l_discount) AS dd
+                FROM lineitem)
+              SELECT 'l_quantity' AS key, 'l_quantity' AS col, qq AS val FROM cv
+              UNION ALL SELECT 'l_quantity', 'l_extendedprice', qe FROM cv
+              UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM cv
+              UNION ALL SELECT 'l_extendedprice', 'l_quantity', qe FROM cv
+              UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', ee FROM cv
+              UNION ALL SELECT 'l_extendedprice', 'l_discount', ed FROM cv
+              UNION ALL SELECT 'l_discount', 'l_quantity', qd FROM cv
+              UNION ALL SELECT 'l_discount', 'l_extendedprice', ed FROM cv
+              UNION ALL SELECT 'l_discount', 'l_discount', dd FROM cv
+            ) t
+            UNION ALL
+            SELECT 'unstack', u.l_returnflag, x.col, x.val
+            FROM (
+              SELECT l_returnflag,
+                     round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2)
+                       AS qty_f,
+                     round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2)
+                       AS qty_o,
+                     round(sum(l_extendedprice)
+                           FILTER (l_linestatus = 'F'), 2) AS price_f,
+                     round(sum(l_extendedprice)
+                           FILTER (l_linestatus = 'O'), 2) AS price_o
+              FROM lineitem GROUP BY l_returnflag
+            ) u, LATERAL (
+              SELECT 'price_f' AS col, u.price_f AS val
+              UNION ALL SELECT 'price_o', u.price_o
+              UNION ALL SELECT 'qty_f', u.qty_f
+              UNION ALL SELECT 'qty_o', u.qty_o
+            ) x
         """,
-        "unstack_multi": """
-            SELECT l_returnflag,
-                   round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2)
-                     AS qty_f,
-                   round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2)
-                     AS qty_o,
-                   round(sum(l_extendedprice)
-                         FILTER (l_linestatus = 'F'), 2) AS price_f,
-                   round(sum(l_extendedprice)
-                         FILTER (l_linestatus = 'O'), 2) AS price_o
-            FROM lineitem GROUP BY l_returnflag
+        "join_suite": """
+            SELECT 'join' AS tag, c_custkey::BIGINT AS key,
+                   round(c_acctbal, 2) AS a, round(t.total, 2) AS b
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, sum(o_totalprice) AS total
+                       FROM orders GROUP BY 1) t ON c_custkey = o_custkey
+            WHERE c_custkey < 200
+            UNION ALL
+            SELECT 'transform', o_orderkey::BIGINT,
+                   round(o_totalprice, 2),
+                   round(avg(o_totalprice)
+                         OVER (PARTITION BY o_custkey), 2)
+            FROM orders WHERE o_orderkey < 500
+            UNION ALL
+            SELECT 'assign', c_custkey::BIGINT, round(c_acctbal, 2),
+                   n.n::DOUBLE
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, count(*) AS n
+                       FROM orders GROUP BY 1) n ON c_custkey = o_custkey
+            WHERE c_custkey < 200
+            UNION ALL
+            SELECT 'loc', c_custkey::BIGINT, round(c_acctbal, 2),
+                   NULL::DOUBLE
+            FROM customer WHERE c_custkey BETWEEN 50 AND 100
+            UNION ALL
+            SELECT 'drop', n_nationkey::BIGINT, n_regionkey::DOUBLE,
+                   NULL::DOUBLE
+            FROM nation WHERE n_nationkey NOT IN (0, 5, 10)
         """,
         "events_hourly": base["events_hourly"],
         "sessionize": base["sessionize"],
@@ -2748,5 +2958,93 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::BIGINT AS first_doc
             FROM p GROUP BY 1, 2
         """,
-        # ann_suite: deliberately no oracle (approximate by contract)
+        "curate_corpus": f"""
+            WITH RECURSIVE nq AS (
+              SELECT doc_id, text, {norm_text} AS norm_text,
+                     {q_raw} AS q_score
+              FROM documents
+            ), kept0 AS (
+              SELECT doc_id, norm_text, q_score FROM nq
+              WHERE q_score >= 0.2
+            ), reps AS (
+              SELECT min(doc_id) AS doc_id FROM kept0
+              GROUP BY md5(norm_text)
+            ), kept1 AS (
+              SELECT k.* FROM kept0 k JOIN reps USING (doc_id)
+            ), sh AS (
+              SELECT doc_id, {_dk_shingles("norm_text", distinct=False)} AS s
+              FROM kept1
+            ), hset AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(s, x -> {_DK_H60.format(s="x")})) AS hs
+              FROM sh WHERE len(s) > 0
+            ), sigs AS (
+              SELECT doc_id, hs,
+                     list_transform(range(0, 16), k ->
+                       list_min(list_transform(hs, x ->
+                         ((2 * k + 1) * (x % 2147483647) + (12345 + k * 7919)) % 2147483647))) AS sig
+              FROM hset
+            ), banded AS (
+              SELECT doc_id, hs, b.band,
+                     array_to_string(sig[b.band * 4 + 1: b.band * 4 + 4], ',') AS bh
+              FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                     l.hs AS sa, r.hs AS sb
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+            ), pairs AS (
+              SELECT id_a, id_b FROM cand
+              WHERE len(list_intersect(sa, sb))
+                    / (len(sa) + len(sb) - len(list_intersect(sa, sb)))::DOUBLE >= 0.4
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+            ), lab AS (
+              SELECT a AS id, min(b) AS mn FROM reach GROUP BY a
+            ), kept2 AS (
+              SELECT k.doc_id, k.norm_text, k.q_score
+              FROM kept1 k LEFT JOIN lab l ON k.doc_id = l.id
+              WHERE coalesce(least(l.mn, k.doc_id), k.doc_id) = k.doc_id
+            ), toks AS (
+              SELECT doc_id, q_score, doc_id % 8 AS shard,
+                     len({_DK_TOKS.format(col="norm_text")}) AS n_tokens
+              FROM kept2
+            ), packed AS (
+              SELECT shard, doc_id, q_score, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard
+                                         ORDER BY doc_id) - n_tokens
+                       AS start_offset
+              FROM toks
+            )
+            SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   count(DISTINCT start_offset // 2048)::BIGINT AS n_bins,
+                   round(avg(q_score), 3) AS avg_quality
+            FROM packed GROUP BY 1
+            UNION ALL
+            SELECT -1, count(*)::BIGINT, (count(*) * 32)::BIGINT,
+                   1::BIGINT, 1.0
+            FROM documents
+        """,
+        # ann_suite: the NEIGHBOR LISTS are approximate by contract and
+        # have no SQL twin; the recall-bucket summary they roll into is
+        # deterministic (seeded hyperplanes/centroids), so THAT is the
+        # oracle: both indexes must keep recall@5 >= 0.6 vs brute force
+        "ann_suite": """
+            SELECT 'ivf' AS algo,
+                   (SELECT count(*) FROM embeddings
+                    WHERE vec_id < 5)::BIGINT AS n_queries,
+                   5::BIGINT AS k, true AS recall_ok
+            UNION ALL
+            SELECT 'lsh',
+                   (SELECT count(*) FROM embeddings
+                    WHERE vec_id < 5)::BIGINT,
+                   5::BIGINT, true
+        """,
     }

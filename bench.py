@@ -51,6 +51,17 @@ def main():
 
     qs = E.queries()
 
+    def sample_fast(spark_, sf_dir_):
+        # production-scale keyed sample (codegen'd xxhash64; the
+        # oracle-checked sample_hash keeps the engine-portable md5)
+        import pandas_alchemy_spark as pas
+        from pyspark.sql import functions as F
+        o = pas.read_parquet(f"{sf_dir_}/orders.parquet")
+        s = o.sample(0.1, key="o_orderkey", fast_hash=True)
+        return s.to_spark(index=False).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"))
+
     def lsh_near_dup(spark_, sf_dir_):
         emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
         dim = len(emb.select("embedding").head(1)[0][0])
@@ -92,6 +103,7 @@ def main():
         "top_terms": E.q_top_terms,
         "repetition": E.q_repetition,
         "sample_hash": E.q_sample_hash,
+        "sample_fast": sample_fast,
         "emb_near_dup_lsh": lsh_near_dup,
         "token_stats": E.q_token_stats,
         "fingerprint": E.q_fingerprint,

@@ -27,7 +27,8 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", min_quality: float = 0.2,
                   near_dup_threshold: float = 0.6,
                   capacity: int = 2048, n_shards: int = 32,
-                  bucket_cap: int | None = 2000) -> DataFrame:
+                  bucket_cap: int | None = 2000,
+                  num_hashes: int = 64, bands: int = 16) -> DataFrame:
     """Curate a raw document corpus for training.
 
     Returns the kept documents with curation metadata:
@@ -52,7 +53,8 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     # 3. transitive near-dup collapse on the survivors
     clusters = dedup.cluster_near_dups(
         kept, text_col="norm_text", id_col=id_col,
-        threshold=near_dup_threshold, bucket_cap=bucket_cap)
+        threshold=near_dup_threshold, bucket_cap=bucket_cap,
+        num_hashes=num_hashes, bands=bands)
     keep_ids = clusters.filter(F.col("keep")).select(
         F.col("id").alias(id_col),
         F.col("component"))

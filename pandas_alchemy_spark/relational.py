@@ -358,26 +358,34 @@ class RelationalMixin:
             new._drop_lineage()
         return new
 
-    def sample(self, frac, key=None, seed=None):
+    def sample(self, frac, key=None, seed=None, fast_hash=False):
         """Row sample.  With ``key``: DETERMINISTIC content-addressed
         sample — md5 the key's string form and keep rows whose top 60
         hash bits fall under ``frac``.  Reproducible across runs AND
-        engines, works for any key type (strings hash as-is, no cast
-        to NULL), and always non-negative (a plain ``%`` on a Spark
-        long keeps the dividend's sign and can overflow for large
-        keys, silently sampling everything — the md5 bucket has
-        neither failure mode).  Cheap: one projection + filter, no RNG
-        state.  Without ``key``: Spark's Bernoulli sample with
-        ``seed``."""
+        engines (DuckDB/Trino compute the identical bucket), works for
+        any key type (strings hash as-is, no cast to NULL), and always
+        non-negative (a plain ``%`` on a Spark long keeps the
+        dividend's sign and can overflow for large keys, silently
+        sampling everything — the md5 bucket has neither failure
+        mode).  The md5 predicate is NOT parquet-pushable and costs a
+        string hash per row; ``fast_hash=True`` swaps in
+        ``pmod(xxhash64(key), 2^32)`` — a whole-stage-codegen'd JVM
+        hash, ~free per row, same determinism across RUNS but
+        Spark-only (mirrors ext.dedup's fast_hash production path).
+        Without ``key``: Spark's Bernoulli sample with ``seed``."""
         new = self._shallow_copy()
         if key is None:
             new._sdf = new._sdf.sample(fraction=frac, seed=seed)
         else:
             c = new._col_at(new._columns.get_loc(key))
-            bucket = F.conv(
-                F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
-            ).cast("long")
-            cond = bucket < F.lit(int(frac * (1 << 60)))
+            if fast_hash:
+                bucket = F.pmod(F.xxhash64(c), F.lit(1 << 32))
+                cond = bucket < F.lit(int(frac * (1 << 32)))
+            else:
+                bucket = F.conv(
+                    F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
+                ).cast("long")
+                cond = bucket < F.lit(int(frac * (1 << 60)))
             new._sdf = new._sdf.filter(cond)
         if hasattr(new, "_drop_lineage"):
             new._drop_lineage()
@@ -1078,15 +1086,20 @@ class SeriesAggMixin:
 
     def mode(self):
         """Most frequent value(s) -> pandas Series (a materializer,
-        like pandas).  One hash-aggregate for the counts; the max-count
-        filter runs on the (already small) distinct-value frame."""
-        from pyspark.sql import Window
+        like pandas).  One hash-aggregate for the counts, then the max
+        count as a SCALAR aggregate broadcast back as a join filter —
+        no unpartitioned window, which would funnel every distinct
+        value through a single task on high-cardinality columns.  The
+        counts frame is persisted for the two passes and released."""
         cnt = (self._sdf.filter(self._the_col.isNotNull())
                .groupBy(self._the_col.alias("v"))
-               .agg(F.count(F.lit(1)).alias("n")))
-        mx = F.max("n").over(Window.partitionBy())
-        rows = (cnt.withColumn("mx", mx).filter(F.col("n") == F.col("mx"))
-                .orderBy("v").select("v").collect())
+               .agg(F.count(F.lit(1)).alias("n"))).persist()
+        try:
+            mx = cnt.agg(F.max("n").alias("mx"))
+            rows = (cnt.join(F.broadcast(mx), F.col("n") == F.col("mx"))
+                    .orderBy("v").select("v").collect())
+        finally:
+            cnt.unpersist()
         return pd.Series([r["v"] for r in rows], name=self.name)
 
     def quantile(self, q=0.5):
@@ -1127,9 +1140,21 @@ class SeriesAggMixin:
     def nunique(self):
         return self._reduce(F.countDistinct)
 
-    def unique(self):
-        return [r[0] for r in
-                self._sdf.select(self._the_col.alias("v")).distinct().collect()]
+    def unique(self, max_values=1_000_000):
+        """Distinct values as a Python list (a materializer, like
+        pandas).  BOUNDED: collects at most ``max_values``+1 distinct
+        rows and raises beyond that instead of silently pulling an
+        unbounded domain to the driver (same policy as get_dummies) —
+        raise the cap explicitly when a wider domain is really wanted."""
+        rows = (self._sdf.select(self._the_col.alias("v")).distinct()
+                .limit(max_values + 1).collect())
+        if len(rows) > max_values:
+            raise ValueError(
+                f"unique(): column has more than {max_values} distinct "
+                "values; pass a larger max_values to materialize a "
+                "wider domain (or stay distributed with "
+                "drop_duplicates)")
+        return [r[0] for r in rows]
 
     def nlargest(self, n=5):
         new = self.sort_values(ascending=False)

@@ -192,3 +192,29 @@ def test_embedding_near_dup_cache_released(spark):
     # the persisted base must be gone from the cache manager
     jspark = pas.get_session()
     assert jspark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_unique_bounded_raise(spark):
+    s = pas.Series.from_list(list(range(50)), name="v")
+    assert sorted(s.unique()) == list(range(50))
+    with pytest.raises(ValueError, match="distinct"):
+        s.unique(max_values=10)
+
+
+def test_sample_fast_hash(spark):
+    o = pas.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    a = o.sample(0.1, key="o_orderkey", fast_hash=True)
+    b = o.sample(0.1, key="o_orderkey", fast_hash=True)
+    na = a.to_spark(index=False).count()
+    nb = b.to_spark(index=False).count()
+    assert na == nb  # deterministic across runs
+    total = o.to_spark(index=False).count()
+    assert 0.05 * total < na < 0.15 * total  # ~frac rate
+
+
+def test_mode_no_global_window(spark):
+    pdf = pd.DataFrame({"v": [1, 2, 2, 3, 3, None]})
+    s = pas.DataFrame.from_pandas(pdf).v
+    got = s.mode()
+    want = pdf.v.mode()
+    assert sorted(got.tolist()) == sorted(want.tolist())
