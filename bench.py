@@ -32,9 +32,14 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # local[N] puts driver AND all executor threads in ONE JVM — the
+    # 1g default heap OOMs sort buffers above sf0.1; size it like a
+    # real executor would be
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("pandas_alchemy_spark_bench")
+             .config("spark.driver.memory", mem)
              .config("spark.sql.shuffle.partitions", cpus)
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

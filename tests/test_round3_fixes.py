@@ -180,8 +180,14 @@ def test_crosstab_index_values(spark):
 def test_embedding_near_dup_cache_released(spark):
     import gc
     from pandas_alchemy_spark.ext import similarity as S
+
+    def n_cached():
+        jsc = pas.get_session().sparkContext._jsc.sc()
+        return jsc.getPersistentRDDs().size()
+
     emb = pas.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
     sdf = emb.to_spark(index=False)
+    before = n_cached()  # other tests may hold session-scoped caches
     out = S.embedding_near_dup_pairs(sdf, id_col="vec_id",
                                      vec_col="embedding", dim=len(
                                          sdf.select("embedding").head()[0]))
@@ -189,9 +195,8 @@ def test_embedding_near_dup_cache_released(spark):
     assert n >= 0
     del out
     gc.collect()
-    # the persisted base must be gone from the cache manager
-    jspark = pas.get_session()
-    assert jspark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    # OUR persisted base must be gone from the cache manager again
+    assert n_cached() == before
 
 
 def test_unique_bounded_raise(spark):
