@@ -1379,10 +1379,27 @@ def q_bins_suite(spark, sf_dir):
 
 
 def q_vc_describe(spark, sf_dir):
-    """value_counts + describe, union with a tag."""
+    """value_counts + describe + categorical codes + JSON extraction,
+    unioned with tags.  The cat leg covers ``Series.cat``
+    (``astype("category")`` -> ``.cat.codes`` assigned back through the
+    index-aligned assign path); the json leg covers
+    ``pas.json_extract`` (Spark ``get_json_object``) on the real JSON
+    column ``events.props``."""
+    import pandas_alchemy_spark as pas
     _prep(spark)
     v = q_value_counts(spark, sf_dir)
     d = q_describe(spark, sf_dir)
+    cust = pas.read_parquet(_t(sf_dir, "customer"))
+    codes = cust.c_mktsegment.astype("category").cat.codes
+    cf = cust[["c_mktsegment"]].assign(code=codes)
+    cat = (cf.groupby("c_mktsegment")
+           .agg(code=("code", "max"), n=("c_mktsegment", "count"))
+           .to_spark())
+    ev = pas.read_parquet(_t(sf_dir, "events"))
+    k = pas.json_extract(ev.props, "$.k").astype("int64")
+    jf = ev[["event_type"]].assign(k=k)
+    js = (jf.groupby("event_type")
+          .agg(sk=("k", "sum"), nk=("k", "count")).to_spark())
     return (v.select(F.lit("vc").alias("tag"),
                      F.col("o_orderpriority").alias("key"),
                      F.col("n").cast("double").alias("a"),
@@ -1390,7 +1407,15 @@ def q_vc_describe(spark, sf_dir):
             .unionAll(d.select(F.lit("describe").alias("tag"),
                                F.col("stat").alias("key"),
                                F.col("l_quantity").alias("a"),
-                               F.col("l_discount").alias("b"))))
+                               F.col("l_discount").alias("b")))
+            .unionAll(cat.select(F.lit("cat").alias("tag"),
+                                 F.col("c_mktsegment").alias("key"),
+                                 F.col("code").cast("double").alias("a"),
+                                 F.col("n").cast("double").alias("b")))
+            .unionAll(js.select(F.lit("json").alias("tag"),
+                                F.col("event_type").alias("key"),
+                                F.col("sk").cast("double").alias("a"),
+                                F.col("nk").cast("double").alias("b"))))
 
 
 def q_unstack_multi(spark, sf_dir):
@@ -2784,6 +2809,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'describe', stat, l_quantity, l_discount
             FROM {sub("describe")}
+            UNION ALL
+            -- cat.codes = position in the sorted distinct domain
+            SELECT 'cat', c_mktsegment,
+                   (dense_rank() OVER (ORDER BY c_mktsegment) - 1)::DOUBLE,
+                   count(*)::DOUBLE
+            FROM customer GROUP BY c_mktsegment
+            UNION ALL
+            SELECT 'json', event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE,
+                   count(json_extract_string(props, '$.k'))::DOUBLE
+            FROM events GROUP BY event_type
         """,
         "melt_unpivot": base["melt_unpivot"],
         "str_funcs": base["str_funcs"],

@@ -13,6 +13,7 @@ Spark-era extensions (read_parquet, the ext.* pipeline operators).
 """
 
 from .core import DataFrame, Series, concat
+from .functions.json import from_json, json_extract, to_json
 from .operators.asof import merge_asof
 from .relational import crosstab, cut, get_dummies, qcut
 from .sources.io import (read_csv, read_json, read_orc, read_table,
@@ -45,6 +46,9 @@ __all__ = [
     "merge_asof",
     "crosstab",
     "get_dummies",
+    "to_json",
+    "from_json",
+    "json_extract",
     "cut",
     "qcut",
     "read_csv",

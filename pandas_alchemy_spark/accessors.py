@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from . import internal as I
+
 
 class StringMethods:
     """Vectorized string functions under ``Series.str``."""
@@ -394,3 +396,186 @@ class DatetimeProperties:
                 i += 1
         flush()
         return self._map(lambda c: F.date_format(c, "".join(out)))
+
+
+def tag_categorical(series, categories, ordered):
+    """Pin a category domain to a Series' CURRENT plan.
+
+    The tag stores the ``_sdf`` object itself; every verb funnels
+    through ``_project``/joins and replaces ``_sdf``, so any
+    transformation invalidates the tag automatically (``Series.cat``
+    checks identity) — no per-verb bookkeeping, and no stale domain can
+    survive a rewrite.  Matches pandas, where most verbs on a
+    categorical return a plain Series."""
+    series._cat_meta = (series._sdf, tuple(categories), bool(ordered))
+    return series
+
+
+class CategoricalMethods:
+    """pandas ``Series.cat`` over a Spark-native categorical.
+
+    Beyond-reference: the reference has no ``.cat`` surface at all
+    (API_COVERAGE.md, `Series.cat.*` all unchecked — SURVEY.md §2.9).
+
+    Spark has no categorical dtype, so ``astype("category")`` tags the
+    Series with a BOUNDED category domain: the sorted distinct values,
+    collected under the same cap policy as ``unique``/``get_dummies``.
+    Pass ``pd.CategoricalDtype(categories, ordered)`` to supply the
+    domain explicitly and skip the distinct job — at 100 TB always do
+    that.  The data column keeps its physical type (the category VALUES
+    stay in the plan, dictionary-encoded by parquet on disk); only the
+    driver-side tag knows the domain/order.
+
+    ``codes`` compiles the domain into the plan: a literal-map lookup
+    (whole-stage codegen, zero extra jobs, zero shuffle) for domains up
+    to ``_MAP_MAX`` values, else a broadcast hash join against the tiny
+    (value, code) table — the data side never shuffles either way.
+    Unknown values and NULL code to -1, like pandas.
+    """
+
+    #: above this many categories the literal create_map expression
+    #: bloats the plan; switch to a broadcast-join lookup
+    _MAP_MAX = 1024
+
+    def __init__(self, series, categories, ordered):
+        self._s = series
+        self._cats = list(categories)
+        self._ordered = bool(ordered)
+
+    # -- introspection -----------------------------------------------------
+
+    @property
+    def categories(self):
+        import pandas as pd
+        return pd.Index(self._cats)
+
+    @property
+    def ordered(self):
+        return self._ordered
+
+    @property
+    def codes(self):
+        cats = self._cats
+        s = self._s
+        if len(cats) <= self._MAP_MAX:
+            if not cats:
+                return s._app(lambda c: F.lit(-1).cast("int"))
+            pairs = []
+            for i, v in enumerate(cats):
+                pairs += [F.lit(v), F.lit(i)]
+            m = F.create_map(*pairs)
+            return s._app(lambda c: F.coalesce(
+                F.element_at(m, c), F.lit(-1)).cast("int"))
+        # broadcast-join path: wide domains stay off the plan text
+        new = s._shallow_copy()
+        spark = new._sdf.sparkSession
+        vt = new._dtypes()[0].simpleString()
+        lut = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(cats)],
+            schema=f"__cat_v {vt}, __cat_code int")
+        joined = new._sdf.join(F.broadcast(lut),
+                               new._the_col == F.col("__cat_v"), "left")
+        sel = [joined[I.idx_name(i)] for i in range(new._n_idx())]
+        sel.append(F.coalesce(F.col("__cat_code"), F.lit(-1))
+                   .cast("int").alias(I.col_name(0)))
+        new._sdf = joined.select(*sel)
+        new._rows_reordered = True
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    # -- domain edits ------------------------------------------------------
+
+    @staticmethod
+    def _check_unique(cats):
+        if len(set(cats)) != len(cats):
+            raise ValueError("Categorical categories must be unique")
+
+    def rename_categories(self, new_categories):
+        """Relabel categories (dict: partial; list: positional, same
+        length).  The data column is rewritten through one literal-map
+        projection — codegen, no join."""
+        cats = self._cats
+        if isinstance(new_categories, dict):
+            new_cats = [new_categories.get(c, c) for c in cats]
+        else:
+            new_cats = list(new_categories)
+            if len(new_cats) != len(cats):
+                raise ValueError(
+                    "new categories need to have the same number of "
+                    "items as the old categories!")
+        self._check_unique(new_cats)
+        changed = {o: n for o, n in zip(cats, new_cats) if o != n}
+        if not changed:
+            out = self._s._shallow_copy()
+        else:
+            pairs = []
+            for o, n in changed.items():
+                pairs += [F.lit(o), F.lit(n)]
+            m = F.create_map(*pairs)
+            out = self._s._app(lambda c: F.coalesce(F.element_at(m, c), c))
+        return tag_categorical(out, new_cats, self._ordered)
+
+    def add_categories(self, new_categories):
+        """Append unused categories (tag-only — zero jobs)."""
+        if not isinstance(new_categories, (list, tuple)):
+            new_categories = [new_categories]
+        overlap = set(new_categories) & set(self._cats)
+        if overlap:
+            raise ValueError(
+                f"new categories must not include old categories: {overlap}")
+        self._check_unique(list(new_categories))
+        out = self._s._shallow_copy()
+        return tag_categorical(out, self._cats + list(new_categories),
+                               self._ordered)
+
+    def remove_categories(self, removals):
+        """Remove categories; rows holding them become NULL (pandas
+        NaN) via one codegen'd CASE projection."""
+        if not isinstance(removals, (list, tuple)):
+            removals = [removals]
+        missing = set(removals) - set(self._cats)
+        if missing:
+            raise ValueError(
+                f"removals must all be in old categories: {missing}")
+        drop = set(removals)
+        keep = [c for c in self._cats if c not in drop]
+        out = self._s._app(lambda c: F.when(~c.isin(list(drop)), c))
+        return tag_categorical(out, keep, self._ordered)
+
+    def remove_unused_categories(self):
+        """Shrink the domain to values actually present — ONE bounded
+        distinct aggregate (the cap policy of ``unique``), data
+        untouched."""
+        present = {v for v in self._s.unique() if v is not None}
+        keep = [c for c in self._cats if c in present]
+        out = self._s._shallow_copy()
+        return tag_categorical(out, keep, self._ordered)
+
+    def set_categories(self, new_categories, ordered=None):
+        """Replace the domain wholesale; values outside the new domain
+        become NULL (pandas semantics)."""
+        new_cats = list(new_categories)
+        self._check_unique(new_cats)
+        out = self._s._app(lambda c: F.when(c.isin(new_cats), c))
+        return tag_categorical(
+            out, new_cats,
+            self._ordered if ordered is None else ordered)
+
+    def reorder_categories(self, new_categories, ordered=None):
+        """Permute the existing domain (tag-only — zero jobs)."""
+        new_cats = list(new_categories)
+        if set(new_cats) != set(self._cats) or len(new_cats) != len(self._cats):
+            raise ValueError(
+                "items in new_categories are not the same as in old "
+                "categories")
+        out = self._s._shallow_copy()
+        return tag_categorical(
+            out, new_cats,
+            self._ordered if ordered is None else ordered)
+
+    def as_ordered(self):
+        return tag_categorical(self._s._shallow_copy(), self._cats, True)
+
+    def as_unordered(self):
+        return tag_categorical(self._s._shallow_copy(), self._cats, False)

@@ -927,6 +927,17 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         from .accessors import DatetimeProperties
         return DatetimeProperties(self)
 
+    @property
+    def cat(self):
+        # the tag is pinned to the exact plan object (set by
+        # astype("category")); any verb that rewrote _sdf invalidated it
+        meta = getattr(self, "_cat_meta", None)
+        if meta is None or meta[0] is not self._sdf:
+            raise AttributeError(
+                "Can only use .cat accessor with a 'category' dtype")
+        from .accessors import CategoricalMethods
+        return CategoricalMethods(self, meta[1], meta[2])
+
     # -- analytic window verbs (beyond-reference; SURVEY.md §2.6) ----------
 
     def _win(self):

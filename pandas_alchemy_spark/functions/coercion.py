@@ -92,7 +92,13 @@ def python_mod(l: Column, r: Column) -> Column:
 
     inf % x -> NaN; NaN % x -> NaN; x % 0 -> NaN; x % ±inf -> x when
     signs agree else the divisor (reference coercion.py:73-85; matches
-    CPython float.__mod__)."""
+    CPython float.__mod__).
+
+    CPython's algorithm is ONE conditional add onto C fmod — NOT the
+    textbook ``((l % r) + r) % r``: at rounding boundaries the two
+    differ.  ``(-5e-324) % 1.0``: fmod is -5e-324, + 1.0 rounds to
+    exactly 1.0 and Python RETURNS the divisor; the double-mod form
+    wraps that 1.0 back to 0.0 (hypothesis-found)."""
     l, r = _d(l), _d(r)
     fmod = l % r  # Spark %: C semantics, sign of dividend
     return (
@@ -101,7 +107,9 @@ def python_mod(l: Column, r: Column) -> Column:
         .when(r == 0.0, _nan())
         .when(F.abs(l) == _inf(), _nan())
         .when(F.abs(r) == _inf(), F.when(F.signum(l) * F.signum(r) >= 0, l).otherwise(r))
-        .otherwise(((fmod + r) % r))
+        .when(fmod == 0.0, _zero_sign(r) * F.lit(0.0))
+        .when((fmod < 0.0) != (r < 0.0), fmod + r)
+        .otherwise(fmod)
     )
 
 

@@ -993,10 +993,31 @@ class SeriesAggMixin:
     """Series reductions (materializing) + value_counts/unique."""
 
     def astype(self, dtype):
+        if str(dtype) == "category" or isinstance(dtype, pd.CategoricalDtype):
+            return self._as_categorical(dtype)
         mapping = {"int64": "long", "int32": "int", "float64": "double",
                    "float32": "float", "str": "string", "string": "string",
                    "bool": "boolean"}
         return self._cast(mapping.get(str(dtype), str(dtype)))
+
+    def _as_categorical(self, dtype, max_categories=65536):
+        """``astype("category")`` — tag the Series with its category
+        domain (accessors.CategoricalMethods holds the semantics).
+
+        Bare ``"category"`` infers the domain with ONE bounded distinct
+        aggregate (sorted ascending, like pandas; cap policy of
+        ``unique``).  A ``pd.CategoricalDtype`` with explicit
+        categories costs ZERO jobs and nulls out out-of-domain values
+        (pandas: they become NaN) — at 100 TB always pass the domain."""
+        from .accessors import tag_categorical
+        if isinstance(dtype, pd.CategoricalDtype) \
+                and dtype.categories is not None:
+            cats = list(dtype.categories)
+            out = self._app(lambda c: F.when(c.isin(cats), c))
+            return tag_categorical(out, cats, bool(dtype.ordered))
+        cats = sorted(v for v in self.unique(max_values=max_categories)
+                      if v is not None)
+        return tag_categorical(self._shallow_copy(), cats, False)
 
     def agg(self, funcs):
         """``s.agg("sum")`` -> scalar; ``s.agg(["sum","mean"])`` ->
