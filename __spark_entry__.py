@@ -1391,13 +1391,16 @@ def q_vc_describe(spark, sf_dir):
     d = q_describe(spark, sf_dir)
     cust = pas.read_parquet(_t(sf_dir, "customer"))
     codes = cust.c_mktsegment.astype("category").cat.codes
-    cf = cust[["c_mktsegment"]].assign(code=codes)
+    # assign onto the lineage ROOT: the codes expression inlines into
+    # the scan projection (no alignment join — tests/test_plans.py
+    # asserts zero exchanges before the aggregate)
+    cf = cust.assign(code=codes)[["c_mktsegment", "code"]]
     cat = (cf.groupby("c_mktsegment")
            .agg(code=("code", "max"), n=("c_mktsegment", "count"))
            .to_spark())
     ev = pas.read_parquet(_t(sf_dir, "events"))
     k = pas.json_extract(ev.props, "$.k").astype("int64")
-    jf = ev[["event_type"]].assign(k=k)
+    jf = ev.assign(k=k)[["event_type", "k"]]
     js = (jf.groupby("event_type")
           .agg(sk=("k", "sum"), nk=("k", "count")).to_spark())
     return (v.select(F.lit("vc").alias("tag"),

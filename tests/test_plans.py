@@ -139,3 +139,80 @@ def test_emb_near_dup_no_cartesian(spark):
     plan = physical_plan(pairs)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cat_codes_literal_map_no_join(spark):
+    # domain <= _MAP_MAX compiles to a literal-map projection: zero
+    # joins, zero exchanges — the scan is the whole plan
+    c = pas.read_parquet(f"{SF_DIR}/customer.parquet")
+    codes = c.c_mktsegment.astype("category").cat.codes
+    plan = physical_plan(codes)
+    assert "Join" not in plan
+    assert exchange_count(codes) == 0
+
+
+def test_cat_codes_wide_domain_broadcasts(spark):
+    # above the threshold the lookup is a BROADCAST hash join — the
+    # data side must not shuffle
+    from pandas_alchemy_spark.accessors import CategoricalMethods
+    c = pas.read_parquet(f"{SF_DIR}/customer.parquet")
+    cat = c.c_mktsegment.astype("category")
+    old = CategoricalMethods._MAP_MAX
+    CategoricalMethods._MAP_MAX = 0
+    try:
+        codes = cat.cat.codes
+    finally:
+        CategoricalMethods._MAP_MAX = old
+    assert broadcast_join_count(codes) == 1
+    assert "SortMergeJoin" not in physical_plan(codes)
+
+
+def test_assign_same_lineage_inlines_no_join(spark):
+    # assigning a Series derived from the SAME frame inlines the
+    # expression into the projection — no alignment join, no shuffle
+    c = pas.read_parquet(f"{SF_DIR}/customer.parquet")
+    codes = c.c_mktsegment.astype("category").cat.codes
+    out = c.assign(code=codes)[["c_mktsegment", "code"]]
+    plan = physical_plan(out)
+    assert "Join" not in plan
+    assert exchange_count(out) == 0
+
+
+def test_json_extract_scan_prunes_columns(spark):
+    # json path extraction is a projection; the scan must read ONLY
+    # props + event_type, not the whole events row
+    import pandas_alchemy_spark as pas_
+    ev = pas_.read_parquet(f"{SF_DIR}/events.parquet")
+    k = pas_.json_extract(ev.props, "$.k")
+    out = ev.assign(k=k)[["event_type", "k"]]
+    schema = physical_plan(out).split("ReadSchema")[-1]
+    assert "props" in schema and "event_type" in schema
+    assert "user_id" not in schema and "value" not in schema
+
+
+def test_stack_is_generator_no_shuffle(spark):
+    # df.stack = one explode generator over the scan — zero exchanges
+    n = pas.read_parquet(f"{SF_DIR}/nation.parquet",
+                         index="n_nationkey")
+    st = n[["n_regionkey"]].stack()
+    assert exchange_count(st) == 0
+    assert "CartesianProduct" not in physical_plan(st)
+
+
+def test_crosstab_single_aggregate_shuffle(spark):
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    ct = pas.crosstab(o.o_orderpriority, o.o_orderstatus)
+    plan = physical_plan(ct)
+    assert "CartesianProduct" not in plan
+    # groupBy+pivot: one shuffle for the group keys (+ AQE reads);
+    # never one job per pivot value
+    assert exchange_count(ct) <= 2
+
+
+def test_curate_corpus_no_quadratic_join(spark):
+    from pandas_alchemy_spark.ext.pipeline import curate_corpus
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = curate_corpus(docs, capacity=512)
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
