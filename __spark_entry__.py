@@ -650,15 +650,29 @@ def q_distinct_count(spark, sf_dir):
 
 
 def q_explode_embedding(spark, sf_dir):
-    """Series.explode — unnest an array column (generator in-stage, no
-    shuffle, no join)."""
+    """Series.explode (generator in-stage, no shuffle, no join) +
+    ``Series.arr`` array-accessor legs (len/get/sum/norm — JVM-side
+    higher-order expressions over the embedding column; the in-order
+    left fold makes the double summation deterministic, so the DuckDB
+    list_transform/list_sum oracle matches exactly)."""
     import pandas_alchemy_spark as pas
     _prep(spark)
     emb = pas.read_parquet(_t(sf_dir, "embeddings")).set_index("vec_id")
-    ex = emb.embedding.explode()
-    return ex.to_spark().select(
-        "vec_id",
+    e = emb.embedding
+    ex = e.explode().to_spark().select(
+        F.lit("explode").alias("tag"), "vec_id",
         F.round(F.col("embedding").cast("double"), 5).alias("val"))
+
+    def leg(tag, series, nd):
+        return series.to_spark().select(
+            F.lit(tag).alias("tag"), "vec_id",
+            F.round(F.col("embedding").cast("double"), nd).alias("val"))
+
+    return (ex
+            .unionAll(leg("len", e.arr.len(), 1))
+            .unionAll(leg("get0", e.arr.get(0), 5))
+            .unionAll(leg("sum", e.arr.sum(), 4))
+            .unionAll(leg("norm", e.arr.norm(), 4)))
 
 
 def q_get_dummies(spark, sf_dir):
@@ -2074,8 +2088,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 3
         """,
         "explode_embedding": """
-            SELECT vec_id,
+            SELECT 'explode' AS tag, vec_id,
                    round(unnest(embedding)::DOUBLE, 5) AS val
+            FROM embeddings
+            UNION ALL
+            SELECT 'len', vec_id, round(len(embedding)::DOUBLE, 1)
+            FROM embeddings
+            UNION ALL
+            SELECT 'get0', vec_id, round(embedding[1]::DOUBLE, 5)
+            FROM embeddings
+            UNION ALL
+            SELECT 'sum', vec_id,
+                   round(list_sum(list_transform(embedding,
+                         x -> x::DOUBLE)), 4)
+            FROM embeddings
+            UNION ALL
+            SELECT 'norm', vec_id,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> x::DOUBLE * x::DOUBLE))), 4)
             FROM embeddings
         """,
         "get_dummies": """

@@ -579,3 +579,103 @@ class CategoricalMethods:
 
     def as_unordered(self):
         return tag_categorical(self._s._shallow_copy(), self._cats, False)
+
+
+class ArrayMethods:
+    """Vectorized array-column operations under ``Series.arr``
+    (beyond-pandas; the natural verbs for ``array<float>`` embedding
+    columns and token lists in a training-data pipeline).
+
+    Everything is a JVM-side expression: ``array_min``/``array_max``/
+    ``size``/``slice`` are whole-stage codegen; ``sum``/``dot``/
+    ``norm``/``cosine`` use higher-order ``aggregate``/``zip_with``
+    lambdas, which Spark interprets per ROW but never leave the
+    executor — for bounded-width arrays (embeddings: 32-4096 elements)
+    that is a projection, not a shuffle, and beats any UDF.  A Series
+    operand to ``dot``/``cosine`` aligns on the index through the same
+    machinery as binary arithmetic."""
+
+    def __init__(self, series):
+        self._s = series
+
+    def _map(self, fn):
+        return self._s._app(fn)
+
+    def len(self):
+        # size(NULL) is -1 under spark.sql.legacy.sizeOfNull (the
+        # default in this build); the engine contract is NULL -> NULL
+        return self._map(lambda c: F.when(c.isNotNull(), F.size(c)))
+
+    def get(self, i: int):
+        """Element at position ``i`` (0-based; negative counts from the
+        end; out-of-bounds -> NULL, like ``.str.get``)."""
+        if i < 0:
+            return self._map(lambda c: F.get(c, F.size(c) + i))
+        return self._map(lambda c: F.get(c, i))
+
+    def contains(self, value):
+        return self._map(lambda c: F.array_contains(c, F.lit(value)))
+
+    def slice(self, start: int, stop: int):
+        """Python-slice [start, stop) with non-negative bounds."""
+        if start < 0 or stop < 0:
+            raise ValueError("arr.slice supports non-negative bounds")
+        return self._map(
+            lambda c: F.slice(c, start + 1, max(stop - start, 0)))
+
+    def min(self):
+        return self._map(F.array_min)
+
+    def max(self):
+        return self._map(F.array_max)
+
+    def distinct(self):
+        return self._map(F.array_distinct)
+
+    def sort(self, ascending: bool = True):
+        return self._map(lambda c: F.sort_array(c, asc=ascending))
+
+    @staticmethod
+    def _sum_expr(c):
+        return F.aggregate(c, F.lit(0.0),
+                           lambda a, x: a + x.cast("double"))
+
+    def sum(self):
+        """Per-row element sum (double).  In-order left fold — the
+        summation order is deterministic, unlike a shuffle-reduce."""
+        return self._map(self._sum_expr)
+
+    def mean(self):
+        return self._map(
+            lambda c: F.when(F.size(c) > 0,
+                             self._sum_expr(c) / F.size(c)))
+
+    @staticmethod
+    def _dot_expr(c, o):
+        return F.aggregate(
+            F.zip_with(c, o, lambda x, y: x.cast("double")
+                       * y.cast("double")),
+            F.lit(0.0), lambda a, x: a + x)
+
+    def _with_other(self, other, fn):
+        from .core import Series
+        if isinstance(other, Series):
+            return self._s._zip_with(other, fn)
+        arr = F.array(*[F.lit(float(v)) for v in other])
+        return self._map(lambda c: fn(c, arr))
+
+    def dot(self, other):
+        """Dot product with another array Series (index-aligned) or a
+        Python list (compiled to a literal array — zero extra jobs)."""
+        return self._with_other(other, self._dot_expr)
+
+    def norm(self):
+        return self._map(lambda c: F.sqrt(self._dot_expr(c, c)))
+
+    def cosine(self, other):
+        """Cosine similarity; NULL when either norm is 0 (pandas-style
+        NA instead of a division error)."""
+        def fn(c, o):
+            nn = F.sqrt(self._dot_expr(c, c)) * F.sqrt(self._dot_expr(o, o))
+            return F.when(nn > 0, self._dot_expr(c, o) / nn)
+        return self._with_other(other, fn)

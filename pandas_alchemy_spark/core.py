@@ -928,6 +928,11 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         return DatetimeProperties(self)
 
     @property
+    def arr(self):
+        from .accessors import ArrayMethods
+        return ArrayMethods(self)
+
+    @property
     def cat(self):
         # the tag is pinned to the exact plan object (set by
         # astype("category")); any verb that rewrote _sdf invalidated it

@@ -133,3 +133,71 @@ def test_dt_calendar_extras(spark):
     got = df.t.dt.day_name().to_pandas().reset_index(drop=True)
     want = pdf["t"].dt.day_name().reset_index(drop=True)
     pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+# -- Series.arr (array accessor; beyond-pandas) ---------------------------
+
+def _arr_series():
+    import pandas_alchemy_spark as pas
+    return pas.Series.from_list(
+        [[1.0, 2.0, 3.0], [4.0, 0.5, -1.0], [], None], name="a")
+
+
+def _nl(xs):
+    """NULL comes back as NaN through pandas float columns; normalize
+    both to None for comparison."""
+    return [None if x is None or x != x else x for x in xs]
+
+
+def test_arr_len_get_contains(spark):
+    s = _arr_series()
+    assert _nl(s.arr.len().to_pandas().tolist()) == [3, 3, 0, None]
+    assert _nl(s.arr.get(0).to_pandas().tolist()) == [1.0, 4.0, None, None]
+    assert _nl(s.arr.get(-1).to_pandas().tolist()) == [3.0, -1.0, None, None]
+    assert _nl(s.arr.contains(2.0).to_pandas().tolist()) == [
+        True, False, False, None]
+
+
+def test_arr_elementwise_stats(spark):
+    s = _arr_series()
+    assert _nl(s.arr.sum().to_pandas().tolist()) == [6.0, 3.5, 0.0, None]
+    got = s.arr.mean().to_pandas().tolist()
+    assert got[0] == 2.0 and abs(got[1] - 3.5 / 3) < 1e-12
+    assert got[2] is None or got[2] != got[2]  # empty -> NA
+    assert _nl(s.arr.min().to_pandas().tolist()) == [1.0, -1.0, None, None]
+    assert _nl(s.arr.max().to_pandas().tolist()) == [3.0, 4.0, None, None]
+    assert list(s.arr.slice(0, 2).to_pandas().tolist()[0]) == [1.0, 2.0]
+    assert list(s.arr.sort(ascending=False).to_pandas().tolist()[1]) == [
+        4.0, 0.5, -1.0]
+
+
+def test_arr_dot_norm_cosine(spark):
+    import math
+    s = _arr_series()
+    dots = s.arr.dot([1.0, 1.0, 1.0]).to_pandas().tolist()
+    assert dots[0] == 6.0 and dots[1] == 3.5
+    norms = s.arr.norm().to_pandas().tolist()
+    assert abs(norms[0] - math.sqrt(14.0)) < 1e-12
+    # self-cosine is exactly 1 for non-degenerate rows, NULL for empty
+    cos = s.arr.cosine(s).to_pandas().tolist()
+    assert abs(cos[0] - 1.0) < 1e-12 and abs(cos[1] - 1.0) < 1e-12
+    assert cos[2] is None or cos[2] != cos[2]
+    # list operand: cos([1,2,3],[3,2,1]) = 10/14
+    c2 = s.arr.cosine([3.0, 2.0, 1.0]).to_pandas().tolist()
+    assert abs(c2[0] - 10.0 / 14.0) < 1e-12
+
+
+def test_arr_real_embeddings(spark):
+    import pandas_alchemy_spark as pas
+    emb = pas.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").set_index("vec_id")
+    e = emb.embedding
+    import pandas as pd
+    pdf = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = pdf.embedding.map(len)
+    got = e.arr.len().to_pandas().sort_index()
+    assert got.tolist() == want.tolist()
+    import numpy as np
+    wn = pdf.embedding.map(lambda v: float(np.sqrt((np.asarray(v, dtype="float64") ** 2).sum())))
+    gn = e.arr.norm().to_pandas().sort_index()
+    assert np.allclose(gn.to_numpy(), wn.to_numpy())
