@@ -382,7 +382,10 @@ def q_str_funcs(spark, sf_dir):
 
 def q_dt_funcs(spark, sf_dir):
     """Series.dt accessor (beyond-reference): calendar components of
-    o_orderdate rolled up per (year, quarter)."""
+    o_orderdate rolled up per (year, quarter), plus a
+    ``df.resample("MS", on=...)`` leg — the bucket expression inlines
+    into the scan projection, so the whole leg is one hash
+    aggregate."""
     import pandas_alchemy_spark as pas
     _prep(spark)
     o = pas.read_parquet(_t(sf_dir, "orders"))
@@ -391,10 +394,21 @@ def q_dt_funcs(spark, sf_dir):
            .groupby(["yr", "qtr"])
            .agg(n=("yr", "count"), dow_sum=("dow", "sum")))
     sdf = out.to_spark()
-    return sdf.select(F.col("yr").cast("long").alias("yr"),
+    base = sdf.select(F.lit("dt").alias("tag"),
+                      F.col("yr").cast("long").alias("yr"),
                       F.col("qtr").cast("long").alias("qtr"),
                       F.col("n").cast("long").alias("n"),
-                      F.col("dow_sum").cast("long").alias("dow_sum"))
+                      F.col("dow_sum").cast("double").alias("v"))
+    rs = (o[["o_orderdate", "o_totalprice"]]
+          .resample("MS", on="o_orderdate")
+          .agg(rev=("o_totalprice", "sum"),
+               n=("o_totalprice", "count"))).to_spark()
+    leg = rs.select(F.lit("resample_ms").alias("tag"),
+                    F.year("o_orderdate").cast("long").alias("yr"),
+                    F.month("o_orderdate").cast("long").alias("qtr"),
+                    F.col("n").cast("long").alias("n"),
+                    F.round("rev", 2).alias("v"))
+    return base.unionAll(leg)
 
 
 # ---------------------------------------------------------------------------
@@ -2004,12 +2018,18 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "dt_funcs": """
-            SELECT year(o_orderdate)::BIGINT AS yr,
+            SELECT 'dt' AS tag, year(o_orderdate)::BIGINT AS yr,
                    quarter(o_orderdate)::BIGINT AS qtr,
                    count(*)::BIGINT AS n,
-                   sum(isodow(o_orderdate) - 1)::BIGINT AS dow_sum
+                   sum(isodow(o_orderdate) - 1)::DOUBLE AS v
             FROM orders
-            GROUP BY 1, 2
+            GROUP BY 2, 3
+            UNION ALL
+            SELECT 'resample_ms', year(b)::BIGINT, month(b)::BIGINT,
+                   count(*)::BIGINT, round(sum(o_totalprice), 2)
+            FROM (SELECT date_trunc('month', o_orderdate) AS b,
+                         o_totalprice FROM orders)
+            GROUP BY 2, 3
         """,
         "groupby_agg": """
             SELECT g.l_returnflag, g.l_linestatus, g.sum_qty,

@@ -149,6 +149,40 @@ class RelationalMixin:
     def groupby(self, by):
         return GroupBy(self, by)
 
+    #: calendar frequencies -> Spark date_trunc unit (period-START
+    #: labels; pandas' default right/end-edge labels for W/M are a
+    #: documented divergence — 'MS'/'W-MON'/'QS'/'YS' match exactly)
+    _CAL_FREQ = {"MS": "month", "M": "month", "W": "week",
+                 "W-MON": "week", "QS": "quarter", "Q": "quarter",
+                 "YS": "year", "Y": "year", "A": "year"}
+
+    def resample(self, rule: str, on: str = None):
+        """pandas ``df.resample(rule, on=col)``: bucket timestamps and
+        return the engine GroupBy over the bucket — every downstream
+        ``.agg``/``.sum``/``.count`` is ONE hash aggregate (map-side
+        partial, single shuffle), because the bucket expression inlines
+        into the scan projection (same-lineage assign).
+
+        Fixed frequencies ('15min', '2h', 'D', ...) truncate epoch
+        microseconds (``dt.floor``); calendar frequencies map to
+        ``date_trunc`` with period-START labels.  A datetime index is
+        not supported — pass ``on=`` (the engine keeps time as ordinary
+        columns; at 100 TB the time column is usually also the
+        partition key, which keeps the shuffle partition-local)."""
+        if on is None:
+            raise NotImplementedError(
+                "resample requires on=<timestamp column>; the engine "
+                "has no datetime index")
+        s = getattr(self, on)
+        unit = self._CAL_FREQ.get(rule)
+        if unit is not None:
+            in_type = s._dtypes()[0].simpleString()
+            bucket = s._app(
+                lambda c: F.date_trunc(unit, c).cast(in_type))
+        else:
+            bucket = s.dt.floor(rule)
+        return self.assign(**{on: bucket}).groupby(on)
+
     # -- pipeline control (thin wrappers over the Spark plan) ----------
 
     def cache(self):
@@ -664,9 +698,33 @@ class RelationalMixin:
         return new
 
     def astype(self, dtype):
+        """Cast every column, or per-column with a ``{label: dtype}``
+        dict (pandas astype) — one projection either way."""
         mapping = {"int64": "long", "int32": "int", "float64": "double",
                    "float32": "float", "str": "string", "string": "string",
                    "bool": "boolean"}
+        if isinstance(dtype, dict):
+            labels = list(self._columns)
+            unknown = [k for k in dtype if k not in labels]
+            if unknown:
+                raise KeyError(
+                    "Only a column name can be used for the key in a "
+                    f"dtype mappings argument. '{unknown[0]}' not found "
+                    "in columns.")
+            if any(str(t) == "category" for t in dtype.values()):
+                raise NotImplementedError(
+                    "category casts are Series-level here: "
+                    "df[col].astype('category')")
+            exprs = []
+            for i, lab in enumerate(labels):
+                c = self._col_at(i)
+                if lab in dtype:
+                    t = str(dtype[lab])
+                    c = c.cast(mapping.get(t, t))
+                exprs.append(c)
+            new = self._shallow_copy()
+            new._sdf = self._project(self._idx_cols(), exprs)
+            return new
         return self._cast(mapping.get(str(dtype), str(dtype)))
 
     def set_index(self, keys):

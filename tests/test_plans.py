@@ -216,3 +216,15 @@ def test_curate_corpus_no_quadratic_join(spark):
     plan = physical_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resample_single_aggregate_shuffle(spark):
+    # the bucket expression inlines into the scan projection (same-
+    # lineage assign), so resample().agg() is ONE hash-aggregate
+    # shuffle — no join, no pre-shuffle for the bucketing itself
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    out = (o[["o_orderdate", "o_totalprice"]]
+           .resample("MS", on="o_orderdate")
+           .agg(rev=("o_totalprice", "sum")))
+    assert "Join" not in physical_plan(out)
+    assert exchange_count(out) == 1

@@ -427,3 +427,56 @@ def test_salted_join_equivalence(spark, orders):
     gs = got.agg(F_col.sum("o_totalprice")).collect()[0][0]
     ws = want.agg(F_col.sum("o_totalprice")).collect()[0][0]
     assert abs(gs - ws) < 1e-6
+
+
+def test_astype_dict_per_column(spark):
+    df = pas.read_parquet(f"{SF_DIR}/customer.parquet")
+    out = df.astype({"c_custkey": "str", "c_acctbal": "int64"})
+    got = out.head(5).to_pandas()
+    assert got["c_custkey"].map(type).eq(str).all()
+    assert str(got["c_acctbal"].dtype) in ("int64", "Int64")
+    # untouched columns keep their type
+    assert got["c_nationkey"].dtype.kind == "i"
+    with pytest.raises(KeyError, match="not found in columns"):
+        df.astype({"nope": "int64"})
+
+
+def test_resample_fixed_freq_vs_pandas(spark):
+    from pandas_alchemy_spark.ext.events import load_events
+    import pandas_alchemy_spark as pas_
+    ev = load_events(pas_.get_session(),
+                     f"{SF_DIR}/events.parquet").select("ts", "value")
+    from pandas_alchemy_spark.core import DataFrame
+    df = DataFrame._from_spark_scan(ev)
+    got = (df.resample("6h", on="ts")
+           .agg(total=("value", "sum"), n=("value", "count"))
+           .to_pandas().sort_index())
+    pdf = ev.toPandas()
+    want = (pdf.resample("6h", on="ts")
+            .agg(total=("value", "sum"), n=("value", "count")))
+    want = want[want["n"] > 0]  # pandas emits empty gap bins; we don't
+    assert got["n"].tolist() == want["n"].tolist()
+    import numpy as np
+    assert np.allclose(got["total"].to_numpy(), want["total"].to_numpy())
+
+
+def test_resample_calendar_freq_vs_pandas(spark):
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = (o[["o_orderdate", "o_totalprice"]]
+           .resample("MS", on="o_orderdate")
+           .agg(rev=("o_totalprice", "sum"), n=("o_totalprice", "count"))
+           .to_pandas().sort_index())
+    pdf = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    pdf["o_orderdate"] = pd.to_datetime(pdf["o_orderdate"])
+    want = (pdf.resample("MS", on="o_orderdate")
+            .agg(rev=("o_totalprice", "sum"), n=("o_totalprice", "count")))
+    want = want[want["n"] > 0]
+    assert got["n"].tolist() == want["n"].tolist()
+    import numpy as np
+    assert np.allclose(got["rev"].to_numpy(), want["rev"].to_numpy())
+
+
+def test_resample_requires_on(spark):
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    with pytest.raises(NotImplementedError, match="on="):
+        o.resample("1h")
