@@ -69,3 +69,27 @@ def dedup_stream(stream: DataFrame, keys: list[str] | None = None,
     keys = list(keys or ["event_id"])
     return (stream.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(keys))
+
+
+def windowed_json_agg(stream: DataFrame, props_schema: str = "k int",
+                      window: str = "6 hours",
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming JSON ingestion: parse the ``props`` JSON column with
+    ``from_json`` (a STATELESS projection — it composes with the
+    watermarked window agg without adding state), then tumbling-window
+    per-type aggregates of the extracted field.
+
+    This is the canonical firehose shape at scale: raw JSON payloads
+    land as strings, get typed executor-side (JVM Jackson parse inside
+    codegen, no Python), and only the small windowed aggregate ever
+    leaves the stage.  Batch twin asserted in tests/test_streaming.py.
+    """
+    parsed = stream.withColumn("__p", F.from_json("props", props_schema))
+    return (parsed
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"),
+                     F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("__p.k")).alias("k_sum"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "k_sum"))

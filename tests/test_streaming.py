@@ -207,3 +207,34 @@ def test_text_operators_stream_transparent(spark, tmp_path):
         assert (got["n"], got["q"]) == (want["n"], want["q"])
     finally:
         query.stop()
+
+
+def test_windowed_json_agg_matches_batch(spark, stream_dir):
+    """Streaming from_json parse + windowed agg == the same expression
+    over a batch read of the identical files."""
+    from pyspark.sql import functions as F
+
+    stream = stream_events.read_event_stream(spark, stream_dir,
+                                             max_files_per_trigger=None)
+    agg = stream_events.windowed_json_agg(stream)
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("t_json_win")
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        got = (spark.table("t_json_win").toPandas()
+               .sort_values(["window_start", "event_type"])
+               .reset_index(drop=True))
+        batch = spark.read.parquet(stream_dir)
+        want = (batch.withColumn("__p", F.from_json("props", "k int"))
+                .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.col("__p.k")).alias("k_sum"))
+                .select(F.col("w.start").alias("window_start"),
+                        "event_type", "n_events", "k_sum")
+                .toPandas()
+                .sort_values(["window_start", "event_type"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    finally:
+        q.stop()
