@@ -212,6 +212,31 @@ class StringMethods:
         return self._map(
             lambda c: (c == F.upper(c)) & (c != F.lower(c)))
 
+    def cat(self, others=None, sep: str = ""):
+        """Elementwise concatenation with another Series (index-
+        aligned) or a scalar string.  The no-``others`` reduction form
+        of pandas (concatenate the whole column into one string) is an
+        unbounded driver-side materialization — not supported; use
+        ``to_pandas().str.cat()`` on a bounded frame instead."""
+        if others is None:
+            raise NotImplementedError(
+                "str.cat() without others= materializes the whole "
+                "column into one string; call .to_pandas().str.cat() "
+                "on a bounded selection instead")
+        from .core import Series
+
+        # F.concat propagates NULL (pandas: NaN in -> NaN out);
+        # concat_ws would silently skip the NULL side
+        def fn(a, b):
+            return F.concat(a, F.lit(sep), b) if sep else F.concat(a, b)
+        if isinstance(others, Series):
+            return self._s._zip_with(others, fn)
+        return self._map(lambda c: fn(c, F.lit(str(others))))
+
+    def join(self, sep: str):
+        """Join array-of-string elements per row (pandas str.join)."""
+        return self._map(lambda c: F.array_join(c, sep))
+
     def zfill(self, width: int):
         return self._map(self._no_trunc(
             lambda c: F.lpad(c, width, "0"), width))

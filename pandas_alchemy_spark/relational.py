@@ -727,6 +727,30 @@ class RelationalMixin:
             return new
         return self._cast(mapping.get(str(dtype), str(dtype)))
 
+    def transpose(self, max_rows: int = 10_000):
+        """pandas ``df.T`` — a MATERIALIZER: the transposed frame has
+        one column per input ROW, which only makes sense for small
+        frames (stats summaries, describe-style outputs).  BOUNDED like
+        ``unique``/``get_dummies``: collects at most ``max_rows``+1
+        rows and raises beyond that instead of silently building an
+        absurdly wide frame; returns a plain pandas DataFrame."""
+        pdf = self._limited_pandas(max_rows)
+        return pdf.T
+
+    @property
+    def T(self):
+        return self.transpose()
+
+    def _limited_pandas(self, max_rows: int):
+        pdf = self.head(max_rows + 1).to_pandas()
+        if len(pdf) > max_rows:
+            raise ValueError(
+                f"transpose: frame has more than {max_rows} rows; a "
+                "transposed frame that wide is driver-side only — pass "
+                "a larger max_rows via .transpose() if you really want "
+                "it")
+        return pdf
+
     def set_index(self, keys):
         """Promote data column(s) to the index (replaces current index,
         like pandas set_index with drop=True)."""

@@ -201,3 +201,26 @@ def test_arr_real_embeddings(spark):
     wn = pdf.embedding.map(lambda v: float(np.sqrt((np.asarray(v, dtype="float64") ** 2).sum())))
     gn = e.arr.norm().to_pandas().sort_index()
     assert np.allclose(gn.to_numpy(), wn.to_numpy())
+
+
+def test_str_cat_elementwise(spark):
+    import pandas_alchemy_spark as pas
+    import pandas as pd
+    import pytest
+    a = pas.Series.from_list(["x", None, "z"], name="a")
+    b = pas.Series.from_list(["1", "2", None], name="b")
+    got = _nl(a.str.cat(b, sep="-").to_pandas().tolist())
+    want = _nl(pd.Series(["x", None, "z"]).str.cat(
+        pd.Series(["1", "2", None]), sep="-").tolist())
+    assert got == want  # NaN propagates, like pandas na_rep=None
+    assert _nl(a.str.cat("!", sep="").to_pandas().tolist()) == [
+        "x!", None, "z!"]
+    with pytest.raises(NotImplementedError, match="bounded"):
+        a.str.cat()
+
+
+def test_str_join_array(spark):
+    import pandas_alchemy_spark as pas
+    s = pas.Series.from_list(["a b c", "d e"], name="t")
+    toks = s.str.split()
+    assert toks.str.join("-").to_pandas().tolist() == ["a-b-c", "d-e"]

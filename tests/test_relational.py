@@ -480,3 +480,12 @@ def test_resample_requires_on(spark):
     o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
     with pytest.raises(NotImplementedError, match="on="):
         o.resample("1h")
+
+
+def test_transpose_bounded(spark):
+    df = pas.read_parquet(f"{SF_DIR}/nation.parquet")
+    t = df.T
+    assert list(t.columns) == list(range(25))
+    assert t.shape[0] == len(df.columns)
+    with pytest.raises(ValueError, match="more than 3 rows"):
+        df.transpose(max_rows=3)
