@@ -173,7 +173,9 @@ class RelationalMixin:
             raise NotImplementedError(
                 "resample requires on=<timestamp column>; the engine "
                 "has no datetime index")
-        s = getattr(self, on)
+        # __getitem__, not getattr: a column named like a frame method
+        # ("count", "sum") must still resolve to the column
+        s = self[on]
         unit = self._CAL_FREQ.get(rule)
         if unit is not None:
             in_type = s._dtypes()[0].simpleString()
