@@ -134,6 +134,24 @@ class GroupBy:
     def count(self):
         return self._simple("count")
 
+    def std(self):
+        return self._simple("std")
+
+    def var(self):
+        return self._simple("var")
+
+    def median(self):
+        return self._simple("median")
+
+    def nunique(self):
+        return self._simple("nunique")
+
+    def first(self):
+        return self._simple("first")
+
+    def last(self):
+        return self._simple("last")
+
     def size(self):
         df = self._df
         keys = [k.alias(I.idx_name(i)) for i, k in enumerate(self._key_cols)]

@@ -489,3 +489,22 @@ def test_transpose_bounded(spark):
     assert t.shape[0] == len(df.columns)
     with pytest.raises(ValueError, match="more than 3 rows"):
         df.transpose(max_rows=3)
+
+
+def test_groupby_method_wrappers_vs_pandas(spark):
+    df = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    sub = df[["o_orderpriority", "o_totalprice", "o_custkey"]]
+    pdf = pd.read_parquet(f"{SF_DIR}/orders.parquet")[
+        ["o_orderpriority", "o_totalprice", "o_custkey"]]
+    for meth in ["std", "var", "median", "nunique", "first", "last"]:
+        got = getattr(sub.groupby("o_orderpriority"), meth)() \
+            .to_pandas().sort_index()
+        want = getattr(pdf.groupby("o_orderpriority"), meth)()
+        if meth in ("first", "last"):
+            # order-dependent in a distributed engine: only the row
+            # COUNT contract holds (pandas takes file order)
+            assert got.shape == want.shape
+            continue
+        import numpy as np
+        assert np.allclose(got["o_totalprice"].to_numpy(),
+                           want["o_totalprice"].to_numpy())
