@@ -270,11 +270,14 @@ class RelationalMixin:
         return self.sort_values(columns, ascending=True).head(n)
 
     def merge(self, right, how="inner", on=None, left_on=None, right_on=None,
-              suffixes=("_x", "_y"), broadcast=False):
+              suffixes=("_x", "_y"), broadcast=False, indicator=False):
         """Relational join on data columns (pandas.merge semantics for
         the label bookkeeping).  ``broadcast=True`` hints the right side
         — use for dimension tables; AQE also auto-broadcasts small
-        sides at runtime."""
+        sides at runtime.  ``indicator=True`` appends a ``_merge``
+        column (``both``/``left_only``/``right_only`` as plain strings,
+        not pandas' categorical) via constant presence flags — robust
+        to NULL join keys, where testing the key columns would lie."""
         from .core import DataFrame
         if how == "cross":
             left_on = right_on = []
@@ -287,6 +290,13 @@ class RelationalMixin:
             right_on = right_on if isinstance(right_on, list) else [right_on]
         l = self._rename_all(self._sdf, "l_")
         r = self._rename_all(right._sdf, "r_")
+        if indicator:
+            if how in ("semi", "anti", "cross"):
+                raise ValueError(
+                    "indicator is not supported for semi/anti/cross "
+                    "merges (the right side never lands in the result)")
+            l = l.withColumn("__l_present", F.lit(1))
+            r = r.withColumn("__r_present", F.lit(1))
         if broadcast:
             r = F.broadcast(r)
         cond = None
@@ -322,13 +332,28 @@ class RelationalMixin:
         for i, lab in enumerate(self._columns):
             name = f"{lab}{suffixes[0]}" if lab in overlap and lab not in drop_right else lab
             out_labels.append(name)
-            out_exprs.append(l[f"l_{I.col_name(i)}"])
+            expr = l[f"l_{I.col_name(i)}"]
+            if lab in drop_right and how in ("outer", "full", "full_outer",
+                                             "right"):
+                # pandas coalesces shared `on` keys: right-only rows
+                # carry the RIGHT key, not NULL
+                j = right._columns.get_loc(lab)
+                expr = F.coalesce(expr, r[f"r_{I.col_name(j)}"])
+            out_exprs.append(expr)
         for j, lab in enumerate(right._columns):
             if lab in drop_right:
                 continue
             name = f"{lab}{suffixes[1]}" if lab in overlap else lab
             out_labels.append(name)
             out_exprs.append(r[f"r_{I.col_name(j)}"])
+        if indicator:
+            out_labels.append("_merge")
+            out_exprs.append(
+                F.when(joined["__l_present"].isNotNull()
+                       & joined["__r_present"].isNotNull(), F.lit("both"))
+                .when(joined["__l_present"].isNotNull(),
+                      F.lit("left_only"))
+                .otherwise(F.lit("right_only")))
         # pandas.merge resets the result index to a RangeIndex — emit a
         # fresh provisional rowid (densified only when observed) instead
         # of passing the left index through: a MultiIndex left frame

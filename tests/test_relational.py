@@ -508,3 +508,24 @@ def test_groupby_method_wrappers_vs_pandas(spark):
         import numpy as np
         assert np.allclose(got["o_totalprice"].to_numpy(),
                            want["o_totalprice"].to_numpy())
+
+
+def test_merge_indicator_vs_pandas(spark):
+    import numpy as np
+    a = pas.DataFrame.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, None], "x": [10.0, 20.0, 30.0, 40.0]}))
+    b = pas.DataFrame.from_pandas(pd.DataFrame(
+        {"k": [2, 3, 5], "y": [1.0, 2.0, 3.0]}))
+    got = (a.merge(b, on="k", how="outer", indicator=True)
+           .to_pandas().sort_values(["k", "x"], na_position="last")
+           .reset_index(drop=True))
+    pa = pd.DataFrame({"k": [1, 2, 3, None], "x": [10.0, 20.0, 30.0, 40.0]})
+    pb = pd.DataFrame({"k": [2, 3, 5], "y": [1.0, 2.0, 3.0]})
+    want = (pa.merge(pb, on="k", how="outer", indicator=True)
+            .sort_values(["k", "x"], na_position="last")
+            .reset_index(drop=True))
+    assert got["_merge"].tolist() == want["_merge"].astype(str).tolist()
+    assert np.allclose(got["x"].to_numpy(), want["x"].to_numpy(),
+                       equal_nan=True)
+    with pytest.raises(ValueError, match="indicator is not supported"):
+        a.merge(b, on="k", how="semi", indicator=True)
