@@ -83,8 +83,29 @@ def ieee_floordiv(l: Column, r: Column) -> Column:
               .otherwise(F.signum(l) * _zero_sign(r) * _inf()))
         .when(F.abs(l) == _inf(), _nan())
         .when(F.abs(r) == _inf(), F.when(F.signum(l) * F.signum(r) < 0, F.lit(-1.0)).otherwise(F.lit(0.0)))
-        .otherwise(F.floor(l / r).cast("double"))
+        .otherwise(_npy_floor_div(l, r))
     )
+
+
+def _npy_floor_div(l: Column, r: Column) -> Column:
+    """NumPy's finite-operand floor_divide — NOT ``floor(l/r)``.
+
+    npy_floor_divide computes ``div = (a - fmod(a,b)) / b``, subtracts
+    1 when the remainder is nonzero with mismatched signs, floors, and
+    nudges up when ``div - floor(div) > 0.5`` (rounding slop).  The
+    naive ``floor(a/b)`` differs at boundaries: ``5e-324 // -1e308``
+    underflows the quotient to -0.0 and floors to -0, where NumPy's
+    remainder arithmetic yields -1.0 (hypothesis-found).  Spark's
+    ``floor`` also returns LONG, which overflows for quotients beyond
+    2^63; doubles at magnitude >= 2^52 are already integral, so they
+    bypass the floor."""
+    fmod = l % r
+    div = (l - fmod) / r
+    adj = (F.when((fmod != 0.0) & ((r < 0.0) != (fmod < 0.0)),
+                  div - 1.0).otherwise(div))
+    fl = (F.when(F.abs(adj) >= F.lit(2.0 ** 52), adj)
+          .otherwise(F.floor(adj).cast("double")))
+    return F.when(adj - fl > 0.5, fl + 1.0).otherwise(fl)
 
 
 def python_mod(l: Column, r: Column) -> Column:
@@ -114,9 +135,17 @@ def python_mod(l: Column, r: Column) -> Column:
 
 
 def ieee_pow(l: Column, r: Column) -> Column:
-    """pandas ``**`` on doubles: Java Math.pow already matches NumPy
-    (0**neg -> inf, NaN**0 -> 1, 1**NaN -> 1)."""
-    return F.pow(_d(l), _d(r))
+    """pandas ``**`` on doubles: Java Math.pow matches NumPy for
+    non-missing operands (0**neg -> inf, NaN**0 -> 1, 1**NaN -> 1) —
+    but the engine's NA model stores NaN as NULL, so the two ABSORBING
+    cases must short-circuit BEFORE null propagation: pandas defines
+    ``NA**0 == 1`` and ``1**NA == 1`` (consistent with NaN**0/1**NaN;
+    hypothesis-found via the NaN->NULL round trip)."""
+    l, r = _d(l), _d(r)
+    return (F.when(r == 0.0, F.lit(1.0))
+            .when(l == 1.0, F.lit(1.0))
+            .when(l.isNull() | r.isNull(), _dnull())
+            .otherwise(F.pow(l, r)))
 
 
 # ---------------------------------------------------------------------------

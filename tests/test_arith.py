@@ -138,3 +138,25 @@ def test_floordiv_int_like(spark):
     _cmp((a // 3).to_pandas().sort_index(), (pa // 3).astype("float64"))
     _cmp((a % 3).to_pandas().sort_index(), (pa % 3).astype("float64"))
     _cmp((a % -3).to_pandas().sort_index(), (pa % -3).astype("float64"))
+
+
+def test_floordiv_mod_pow_boundary_cases(spark):
+    """Denormal/absorbing boundaries found by the deep hypothesis fuzz:
+    NumPy floor_divide is remainder-based (not floor(a/b)); CPython mod
+    is one conditional add; x**0 and 1**x absorb NA."""
+    import numpy as np
+    cases_fd = [(5e-324, -1e308), (-5e-324, 1.0), (7.0, 2.5),
+                (-7.0, 2.5), (1e300, 1e-5), (-1e300, 1e-5)]
+    a = pas.Series.from_list([c[0] for c in cases_fd])
+    b = pas.Series.from_list([c[1] for c in cases_fd])
+    got = (a // b).to_pandas().tolist()
+    want = [np.floor_divide(x, y) for x, y in cases_fd]
+    assert got == want, (got, want)
+    got_mod = (a % b).to_pandas().tolist()
+    want_mod = [np.mod(x, y) for x, y in cases_fd]
+    assert got_mod == want_mod, (got_mod, want_mod)
+    n = pas.Series.from_list([float("nan"), 1.0, float("nan")])
+    e = pas.Series.from_list([0.0, float("nan"), 2.0])
+    got_pow = (n ** e).to_pandas().tolist()
+    assert got_pow[0] == 1.0 and got_pow[1] == 1.0
+    assert got_pow[2] != got_pow[2]  # NaN**2 stays NaN

@@ -38,7 +38,7 @@ def _norm(x):
 
 
 @pytest.mark.parametrize("op", ["add", "sub", "mul", "truediv",
-                                "floordiv", "mod"])
+                                "floordiv", "mod", "pow"])
 def test_series_binop_differential_generated(spark, op):
     @_SLOW
     @given(a=_vals, b=_vals)
