@@ -828,15 +828,17 @@ class RelationalMixin:
 
 def cut(ser, bins, labels=None, right=True):
     """pandas.cut with explicit edges: a CASE ladder per row (codegen,
-    no shuffle).  ``labels`` defaults to pandas' interval strings.
+    no shuffle).  ``labels`` defaults to pandas' interval strings —
+    generated by pandas ITSELF on an empty series, so the precision-3
+    edge formatting matches exactly (pandas prints ``1.9375`` as
+    ``1.938`` in labels even for explicit bins; hypothesis-found).
+    Bucketing always compares against the EXACT edges; only the label
+    text goes through pandas' display rounding.
     Out-of-range values -> NULL, matching pandas NaN."""
     if labels is None:
-        if right:
-            labels = [f"({bins[i]}, {bins[i + 1]}]"
-                      for i in range(len(bins) - 1)]
-        else:
-            labels = [f"[{bins[i]}, {bins[i + 1]})"
-                      for i in range(len(bins) - 1)]
+        cats = pd.cut(pd.Series([], dtype="float64"), bins,
+                      right=right).cat.categories
+        labels = [str(c) for c in cats]
 
     def fn(c):
         out = F.lit(None).cast("string")

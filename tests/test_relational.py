@@ -529,3 +529,14 @@ def test_merge_indicator_vs_pandas(spark):
                        equal_nan=True)
     with pytest.raises(ValueError, match="indicator is not supported"):
         a.merge(b, on="k", how="semi", indicator=True)
+
+
+def test_cut_label_precision_matches_pandas(spark):
+    # pandas rounds label edges for display (precision-3 inference)
+    # even for explicit bins: 1.9375 prints as 1.938
+    p = pd.Series([0.5, 1.0, 1.9])
+    want = [str(v) for v in
+            pd.cut(p, [0.0, 1.9375], right=False).astype(object)]
+    got = pas.cut(pas.Series.from_pandas(p), [0.0, 1.9375],
+                  right=False).to_pandas().tolist()
+    assert got == want == ["[0.0, 1.938)", "[0.0, 1.938)", "[0.0, 1.938)"]
