@@ -1501,9 +1501,11 @@ def q_reshape2_suite(spark, sf_dir):
     cm = li[["l_quantity", "l_extendedprice", "l_discount"]].cov()
     cells = [(str(r), str(c), float(cm.loc[r, c]))
              for r in cm.index for c in cm.columns]
+    # "+ 0.0" collapses IEEE signed zero: cov(discount, quantity) is a
+    # tiny negative that DuckDB rounds to -0.0 while Spark yields +0.0.
     leg_cov = (spark.createDataFrame(cells, "key string, col string, val double")
                .select(F.lit("cov").alias("tag"), "key", "col",
-                       F.round("val", 2).alias("val")))
+                       (F.round("val", 2) + F.lit(0.0)).alias("val")))
     # folded unstack leg
     u = q_unstack_multi(spark, sf_dir)
     leg_un = u.selectExpr(
@@ -1533,9 +1535,13 @@ def q_join_suite(spark, sf_dir):
         F.lit("join").alias("tag"),
         F.col("c_custkey").cast("long").alias("key"),
         F.round("c_acctbal", 2).alias("a"), F.round("total", 2).alias("b"))
-    # 2. groupby transform: group mean broadcast onto member rows
+    # 2. groupby transform: group sum broadcast onto member rows.
+    # "sum" (not "mean") on purpose: group means of 2-decimal money over
+    # size-2 groups land exactly on half-cents, where Spark's round
+    # (shortest-decimal HALF_UP) and DuckDB's (binary) disagree; sums of
+    # 2-decimal values are exact cents, so round(.,2) is engine-stable.
     o5 = orders[orders.o_orderkey < 500].set_index("o_orderkey")
-    m = o5.groupby("o_custkey")["o_totalprice"].transform("mean")
+    m = o5.groupby("o_custkey")["o_totalprice"].transform("sum")
     t = o5.assign(m=m).to_spark()
     leg_tr = t.select(
         F.lit("transform").alias("tag"),
@@ -2911,7 +2917,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM orders GROUP BY 1, 2) c
               ON c.pk = p.o_orderpriority AND c.st = s.col
             UNION ALL
-            SELECT 'cov', t.key, t.col, round(t.val, 2)
+            SELECT 'cov', t.key, t.col, round(t.val, 2) + 0.0
             FROM (
               WITH cv AS (
                 SELECT covar_samp(l_quantity, l_quantity) AS qq,
@@ -2961,7 +2967,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'transform', o_orderkey::BIGINT,
                    round(o_totalprice, 2),
-                   round(avg(o_totalprice)
+                   round(sum(o_totalprice)
                          OVER (PARTITION BY o_custkey), 2)
             FROM orders WHERE o_orderkey < 500
             UNION ALL

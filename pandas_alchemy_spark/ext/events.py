@@ -15,10 +15,16 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     read nanos as long and convert to microsecond timestamps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
         # integer division: float division loses exactness at ns-epoch
         # magnitude (~1.7e18 > 2^53)
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif t == "timestamp_ntz":
+        # parquet timestamp[us] without tz surfaces as TIMESTAMP_NTZ;
+        # unix_micros & friends need TIMESTAMP.  The session runs UTC,
+        # so the cast is value-preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

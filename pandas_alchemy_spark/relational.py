@@ -1337,11 +1337,15 @@ class SeriesAggMixin:
         agged = (body.groupBy(self._the_col.alias(I.idx_name(0)))
                  .agg(F.count(F.lit(1)).alias("__n")))
         if normalize:
-            # window total over the tiny distinct-value frame — no
-            # second scan of the data
-            from pyspark.sql import Window
-            total = F.sum("__n").over(Window.partitionBy())
-            val = (F.col("__n") / total).alias(I.col_name(0))
+            # Scalar total broadcast back as a 1-row cross join — an
+            # unpartitioned window here would funnel every distinct
+            # value through one task on high-cardinality columns (the
+            # same hazard mode() had; fixed the same way).  The counts
+            # frame is tiny relative to the data but unbounded in the
+            # column's cardinality.
+            total = agged.agg(F.sum("__n").alias("__tot"))
+            agged = agged.crossJoin(F.broadcast(total))
+            val = (F.col("__n") / F.col("__tot")).alias(I.col_name(0))
             label = "proportion"
         else:
             val = F.col("__n").alias(I.col_name(0))

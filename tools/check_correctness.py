@@ -24,9 +24,11 @@ def norm_cell(v):
     if v is None or (isinstance(v, float) and v != v):
         return "<NULL>"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        # Full shortest-repr precision, signed zero preserved: the
+        # driver's hash distinguishes -0.0 from 0.0 and last-ulp float
+        # diffs, so the local gate must too (round-3 lesson: %.6g hid
+        # both reshape2_suite failures).
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
