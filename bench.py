@@ -102,6 +102,11 @@ def main():
         "interval_join": qs["interval_join"],
         "q10_returned": qs["q10_returned"],
         "q19_disjunct": qs["q19_disjunct"],
+        "q7_volume": E.q7_volume,
+        "q8_market_share": E.q8_market_share,
+        "q9_profit": E.q9_profit,
+        "q13_distribution": E.q13_distribution,
+        "q17_small_qty": E.q17_small_qty,
         "text_normalize": E.q_text_normalize,
         "funnel": E.q_funnel,
         "cohort_retention": qs["cohort_retention"],

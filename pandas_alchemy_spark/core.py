@@ -985,6 +985,12 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
 
     # -- membership / range predicates (beyond-reference) ------------------
 
+    def fillna(self, value):
+        """Fill NULLs with a scalar — a coalesce projection that stays
+        in-plan (and in-lineage, so masks/assigns on the parent frame
+        keep composing)."""
+        return self._app(lambda c: F.coalesce(c, F.lit(value)))
+
     def isin(self, values):
         """pandas isin: NULL -> False (not NULL).  `IN (...) AND NOT
         NULL` keeps the predicate parquet-pushdown-eligible."""

@@ -228,3 +228,31 @@ def test_resample_single_aggregate_shuffle(spark):
            .agg(rev=("o_totalprice", "sum")))
     assert "Join" not in physical_plan(out)
     assert exchange_count(out) == 1
+
+
+def test_q7_broadcasts_dims_bounded_shuffles(spark):
+    import __spark_entry__ as E
+    out = E.q7_volume(spark, SF_DIR)
+    # filtered supplier + customer dims broadcast into the fact scans;
+    # the lineitem×orders SortMergeJoin (one exchange per side) and the
+    # final groupby are the only HASH shuffles — exchange_count also
+    # counts the two BroadcastExchanges, so subtract them
+    assert broadcast_join_count(out) >= 2
+    assert exchange_count(out) - broadcast_join_count(out) <= 3
+
+
+def test_q17_avg_subquery_broadcasts_back(spark):
+    import __spark_entry__ as E
+    out = E.q17_small_qty(spark, SF_DIR)
+    # brand dim AND the one-row-per-part average frame both broadcast;
+    # no shuffle join against the per-part limits
+    assert broadcast_join_count(out) >= 2
+
+
+def test_q13_left_join_then_single_regroup(spark):
+    import __spark_entry__ as E
+    out = E.q13_distribution(spark, SF_DIR)
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
+    # per-custkey count, left join, per-count regroup: ≤4 exchanges
+    assert exchange_count(out) <= 4

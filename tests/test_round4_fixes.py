@@ -1,0 +1,73 @@
+"""Round-4 additions: Series.fillna, value_counts(normalize=) plan
+shape, NTZ event timestamps, and the adapted TPC-H query block."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import pandas_alchemy_spark as pas
+
+
+def test_series_fillna_scalar(spark):
+    pdf = pd.DataFrame({"v": [1.0, None, 3.0, None]})
+    s = pas.DataFrame.from_pandas(pdf).v.fillna(0.0)
+    assert s.to_pandas().tolist() == [1.0, 0.0, 3.0, 0.0]
+
+
+def test_series_fillna_composes_with_assign(spark):
+    # lineage must survive fillna so assign stays a same-frame projection
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": [10.0, 20.0, 30.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    out = df.assign(c=df.a.fillna(-1.0) + df.b).to_pandas()
+    want = pdf.assign(c=pdf.a.fillna(-1.0) + pdf.b)
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_value_counts_normalize_no_global_window(spark):
+    o = pas.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    s = o.o_orderpriority.value_counts(normalize=True)
+    from pandas_alchemy_spark.plans.audit import physical_plan
+    plan = physical_plan(s.to_spark())
+    assert "Window" not in plan
+    got = s.to_pandas()
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_events_ts_is_tz_timestamp(spark):
+    from pandas_alchemy_spark.ext.events import load_events
+    ev = load_events(spark, "/root/testdata/sf0.001/events.parquet")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # unix_micros consumers (interval/as-of joins) must keep working
+    from pyspark.sql import functions as F
+    assert ev.select(F.unix_micros("ts")).first()[0] is not None
+
+
+@pytest.mark.parametrize("qname", [
+    "q7_volume", "q8_market_share", "q9_profit", "q13_distribution",
+    "q14_promo", "q15_top_supplier", "q17_small_qty",
+    "q22_rich_no_orders"])
+def test_tpch_queries_run_small(spark, qname):
+    import __spark_entry__ as E
+    fn = getattr(E, qname)
+    df = fn(spark, "/root/testdata/sf0.001")
+    assert df.count() >= 0
+
+
+def test_q13_includes_zero_order_customers(spark):
+    import duckdb
+    import __spark_entry__ as E
+    sf = "/root/testdata/sf0.001"
+    got = (E.q13_distribution(spark, sf).toPandas()
+           .sort_values("n_orders").reset_index(drop=True))
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT n_orders, count(*) AS n_custs FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+          FROM read_parquet('{sf}/customer.parquet') c
+          LEFT JOIN read_parquet('{sf}/orders.parquet') o
+            ON c.c_custkey = o.o_custkey
+          GROUP BY 1)
+        GROUP BY 1 ORDER BY 1""").fetchdf()
+    assert got["n_orders"].tolist() == want["n_orders"].tolist()
+    assert got["n_custs"].tolist() == want["n_custs"].tolist()
