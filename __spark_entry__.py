@@ -1583,14 +1583,33 @@ def q_flag_masks(spark, sf_dir):
             .join(qe, "l_returnflag", "full"))
 
 
+def q_ewm_price(spark, sf_dir):
+    """Grouped EWM mean (groupby().ewm().mean() → operators/scan.
+    ewm_mean_grouped): per-customer exponential smoothing of order
+    totals as JVM window running sums, no UDF.  round(2) contract:
+    DuckDB evaluates window sums with a segment tree, so the last ulp
+    differs from Spark's sequential accumulation."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    o = pas.read_parquet(_t(sf_dir, "orders")).set_index("o_orderkey")
+    e = o.groupby("o_custkey")["o_totalprice"].ewm(alpha=0.25).mean()
+    sdf = e.to_spark()
+    val = sdf.columns[-1]
+    return sdf.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round(F.col(val), 2).alias("ewm_price"))
+
+
 def q_window_suite(spark, sf_dir):
     """Analytic-window suite joined on o_orderkey: grouped cumsum,
-    global rolling(3).sum, grouped pct_change."""
+    global rolling(3).sum, grouped pct_change, grouped ewm mean."""
     _prep(spark)
     a = q_grouped_cumsum(spark, sf_dir)
     b = q_rolling_sum(spark, sf_dir)
     c = q_pct_change(spark, sf_dir)
-    return a.join(b, "o_orderkey").join(c, "o_orderkey")
+    d = q_ewm_price(spark, sf_dir)
+    return (a.join(b, "o_orderkey").join(c, "o_orderkey")
+            .join(d, "o_orderkey"))
 
 
 def q_reshape_suite(spark, sf_dir):
@@ -3088,8 +3107,12 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(sum(o_totalprice) OVER wr, 2)
                    END AS roll_sum,
                    round(o_totalprice / lag(o_totalprice) OVER wp - 1,
-                         6) AS pct
-            FROM orders
+                         6) AS pct,
+                   round(sum(o_totalprice * pow(0.75, -rn)) OVER wc
+                         / sum(pow(0.75, -rn)) OVER wc, 2) AS ewm_price
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderkey) AS rn
+                  FROM orders)
             WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND CURRENT ROW),

@@ -983,6 +983,10 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         from .operators.analytic import Expanding
         return Expanding(self, min_periods)
 
+    def ewm(self, alpha: float):
+        from .operators.analytic import Ewm
+        return Ewm(self, alpha)
+
     # -- membership / range predicates (beyond-reference) ------------------
 
     def fillna(self, value):

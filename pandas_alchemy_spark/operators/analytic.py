@@ -213,6 +213,14 @@ class SeriesGroupBy(_WindowVerbs):
         out._rows_reordered = True
         return out
 
+    def ewm(self, alpha: float):
+        """pandas ``groupby(k)[c].ewm(alpha).mean()`` — the JVM window
+        power-trick form (operators/scan.ewm_mean_grouped): one shuffle
+        on the keys, codegen, no UDF.  Bounded group lengths (pow
+        overflow past ~log(DBL_MAX)/-log(1-alpha) rows/group); route
+        through scan.ewm_mean(by=) for unbounded sequences."""
+        return _GroupedEwm(self, alpha)
+
     def transform(self, how):
         """pandas groupby transform: the group aggregate broadcast back
         onto every member row — one unordered window over the keys
@@ -243,6 +251,66 @@ class SeriesGroupBy(_WindowVerbs):
 
     def count(self):
         return self._agg("count")
+
+
+class _GroupedEwm:
+    """``df.groupby(k)[c].ewm(alpha)`` handle (mean only)."""
+
+    def __init__(self, sgb: SeriesGroupBy, alpha: float):
+        self._sgb = sgb
+        self._alpha = float(alpha)
+
+    def mean(self):
+        from .scan import ewm_mean_grouped
+        sgb = self._sgb
+        df = sgb._df
+        n = df._n_idx()
+        idx = [df._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        keys = [k.alias(f"__k_{j}") for j, k in enumerate(sgb._keys())]
+        val = df._col_at(df._columns.get_loc(sgb._label)).alias("__v")
+        tmp = df._sdf.select(*idx, *keys, val)
+        out = ewm_mean_grouped(
+            tmp, "__v", [I.idx_name(i) for i in range(n)],
+            [f"__k_{j}" for j in range(len(keys))], self._alpha,
+            out_col="__ewm")
+        body = out.select(*[F.col(I.idx_name(i)) for i in range(n)],
+                          F.col("__ewm").alias(I.col_name(0)))
+        s = sgb._Series(df._index, None, body, sgb._label)
+        s._mid_index = getattr(df, "_mid_index", False)
+        s._mid_dense = getattr(df, "_mid_dense", False)
+        s._mid_origin = getattr(df, "_mid_origin", None)
+        s._rows_reordered = True
+        return s
+
+
+class Ewm:
+    """``series.ewm(alpha)`` handle (mean only) — the EXACT distributed
+    segmented scan (operators/scan.ewm_mean): range-partitioned on the
+    index order, per-partition recurrence, one scalar carry per
+    partition to the driver, second pass rebuilds the global
+    recurrence.  No single-partition window — unlike the global cum*
+    verbs, this one holds at 100 TB."""
+
+    def __init__(self, series, alpha: float):
+        self._s = series
+        self._alpha = float(alpha)
+
+    def mean(self):
+        from ..core import Series
+        from .scan import ewm_mean
+        s = self._s
+        n = s._n_idx()
+        idx = [s._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        tmp = s._sdf.select(*idx, s._the_col.alias("__v"))
+        out = ewm_mean(tmp, "__v", [I.idx_name(i) for i in range(n)],
+                       self._alpha, out_col="__ewm")
+        body = out.select(*[F.col(I.idx_name(i)) for i in range(n)],
+                          F.col("__ewm").alias(I.col_name(0)))
+        res = Series(s._index, None, body, s.name)
+        res._mid_index = getattr(s, "_mid_index", False)
+        res._mid_dense = getattr(s, "_mid_dense", False)
+        res._mid_origin = getattr(s, "_mid_origin", None)
+        return res
 
 
 class Rolling:

@@ -71,3 +71,35 @@ def test_q13_includes_zero_order_customers(spark):
         GROUP BY 1 ORDER BY 1""").fetchdf()
     assert got["n_orders"].tolist() == want["n_orders"].tolist()
     assert got["n_custs"].tolist() == want["n_custs"].tolist()
+
+
+def test_series_ewm_global_scan_matches_pandas(spark):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"x": rng.normal(10, 3, 5000).round(3)})
+    s = pas.DataFrame.from_pandas(pdf).x.ewm(alpha=0.2).mean()
+    want = pdf.x.ewm(alpha=0.2, adjust=True).mean()
+    got = s.to_pandas()
+    assert np.abs(got.to_numpy() - want.to_numpy()).max() < 1e-10
+
+
+def test_series_ewm_no_single_partition_window(spark):
+    from pandas_alchemy_spark.plans.audit import physical_plan
+    o = pas.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    s = o.set_index("o_orderkey").o_totalprice.ewm(alpha=0.3).mean()
+    # the whole point of the segmented scan: no global Window
+    assert "Window" not in physical_plan(s.to_spark())
+
+
+def test_groupby_ewm_matches_pandas(spark):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({"g": rng.integers(0, 20, 2000),
+                        "x": rng.normal(50, 9, 2000).round(2)})
+    pdf.index.name = "i"
+    df = pas.DataFrame.from_pandas(pdf.reset_index()).set_index("i")
+    got = (df.groupby("g")["x"].ewm(alpha=0.4).mean().to_pandas()
+           .sort_index())
+    want = (pdf.sort_index().groupby("g")["x"]
+            .transform(lambda s: s.ewm(alpha=0.4, adjust=True).mean()))
+    assert np.abs(got.to_numpy() - want.to_numpy()).max() < 1e-9
