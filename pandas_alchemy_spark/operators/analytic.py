@@ -221,6 +221,16 @@ class SeriesGroupBy(_WindowVerbs):
         through scan.ewm_mean(by=) for unbounded sequences."""
         return _GroupedEwm(self, alpha)
 
+    def rolling(self, window: int, min_periods: int | None = None):
+        """pandas ``groupby(k)[c].rolling(n)`` — per-group ordered
+        frame, one shuffle on the keys, per-key bounded state."""
+        return Rolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        """pandas ``groupby(k)[c].expanding()`` — unbounded-preceding
+        frame inside each group."""
+        return Expanding(self, min_periods)
+
     def transform(self, how):
         """pandas groupby transform: the group aggregate broadcast back
         onto every member row — one unordered window over the keys
@@ -314,10 +324,16 @@ class Ewm:
 
 
 class Rolling:
-    """``series.rolling(n)`` handle."""
+    """``series.rolling(n)`` / ``groupby(k)[c].rolling(n)`` handle.
+
+    Accepts either a Series (global order — the single-partition
+    parity path) or an already-built ``_WindowVerbs`` source (the
+    grouped flavor: ``partitionBy(keys)`` windows, one shuffle,
+    per-key bounded — the 100 TB path)."""
 
     def __init__(self, series, window: int, min_periods=None):
-        self._sw = SeriesWindow(series)
+        self._sw = (series if isinstance(series, _WindowVerbs)
+                    else SeriesWindow(series))
         self._window_n = window
         self._min_periods = min_periods
 
@@ -344,11 +360,14 @@ class Rolling:
 
 class Expanding:
     """``series.expanding()`` — cumulative window from the first row
-    (unbounded-preceding frame; same scale caveat as the global
-    cum* verbs: total order = single-partition window)."""
+    (unbounded-preceding frame; the global flavor carries the same
+    scale caveat as the global cum* verbs: total order =
+    single-partition window.  The grouped flavor — built from a
+    SeriesGroupBy — shuffles once on the keys and scales)."""
 
     def __init__(self, series, min_periods: int = 1):
-        self._sw = SeriesWindow(series)
+        self._sw = (series if isinstance(series, _WindowVerbs)
+                    else SeriesWindow(series))
         self._min_periods = min_periods
 
     def _exp(self, agg):

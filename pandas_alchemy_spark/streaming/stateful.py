@@ -68,3 +68,49 @@ def session_windows_stream(stream: DataFrame, gap: str = "30 minutes",
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "n_events", "sum_value"))
+
+
+EWM_SCHEMA = "user_id long, ewm_value double"
+_EWM_STATE_SCHEMA = "num double, den double"
+
+
+def stateful_ewm(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Streaming twin of ``operators/scan.ewm_mean(by=user_id)``:
+    per-user exponentially-weighted mean of ``value``, adjust=True.
+
+    State per user is the (num, den) pair of the unnormalized weighted
+    sums — two doubles, O(1) regardless of how many events a user ever
+    produced, folded exactly like the batch segmented scan folds its
+    per-partition carries: num' = num * w^k + batch_tail.  Events are
+    ordered by ts within each trigger; across triggers arrival order
+    is the stream order (the same contract as every streaming
+    aggregate here)."""
+    w = 1.0 - alpha
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            num, den = state.get
+        else:
+            num, den = 0.0, 0.0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            x = pdf["value"].astype("float64").fillna(0.0)
+            k = len(x)
+            if k == 0:
+                continue
+            mean = x.ewm(alpha=alpha, adjust=True).mean()
+            local_den = (1.0 - w ** k) / (1.0 - w)
+            local_num = float(mean.iloc[-1]) * local_den
+            decay = w ** k
+            num = num * decay + local_num
+            den = den * decay + local_den
+        state.update((num, den))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "ewm_value": [num / den if den else None]})
+
+    return (stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWM_SCHEMA,
+        stateStructType=_EWM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))

@@ -103,3 +103,29 @@ def test_groupby_ewm_matches_pandas(spark):
     want = (pdf.sort_index().groupby("g")["x"]
             .transform(lambda s: s.ewm(alpha=0.4, adjust=True).mean()))
     assert np.abs(got.to_numpy() - want.to_numpy()).max() < 1e-9
+
+
+def test_groupby_rolling_matches_pandas(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({"g": rng.integers(0, 8, 400),
+                        "x": rng.normal(5, 2, 400).round(3)})
+    pdf.index.name = "i"
+    df = pas.DataFrame.from_pandas(pdf.reset_index()).set_index("i")
+    got = df.groupby("g")["x"].rolling(3).mean().to_pandas().sort_index()
+    want = (pdf.sort_index().groupby("g")["x"]
+            .transform(lambda s: s.rolling(3).mean()))
+    pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_groupby_expanding_matches_pandas(spark):
+    import numpy as np
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame({"g": rng.integers(0, 8, 400),
+                        "x": rng.normal(5, 2, 400).round(3)})
+    pdf.index.name = "i"
+    df = pas.DataFrame.from_pandas(pdf.reset_index()).set_index("i")
+    got = df.groupby("g")["x"].expanding().sum().to_pandas().sort_index()
+    want = (pdf.sort_index().groupby("g")["x"]
+            .transform(lambda s: s.expanding().sum()))
+    pd.testing.assert_series_equal(got, want, check_names=False)

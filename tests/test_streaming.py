@@ -238,3 +238,49 @@ def test_windowed_json_agg_matches_batch(spark, stream_dir):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
     finally:
         q.stop()
+
+
+def test_stateful_ewm_matches_batch(spark, tmp_path):
+    """Streaming per-user EWM: after draining a TIME-ORDERED stream
+    (EWM is order-sensitive, unlike the running totals — the fixture
+    writes ts-sorted chunks so file replay order IS event order), each
+    user's last update equals pandas ewm over their ts-ordered
+    events."""
+    import pandas as pd
+
+    from pandas_alchemy_spark.ext import events as ev_mod
+    from pandas_alchemy_spark.streaming import stateful, stream_events
+
+    pdf = (ev_mod.load_events(spark, f"{SF_DIR}/events.parquet")
+           .toPandas().sort_values("ts", kind="mergesort")
+           .reset_index(drop=True))
+    pdf["value"] = pdf["value"].fillna(0.0)
+    d = tmp_path / "ewm_stream"
+    d.mkdir()
+    n = len(pdf)
+    for i in range(4):
+        chunk = pdf.iloc[i * n // 4:(i + 1) * n // 4]
+        chunk.to_parquet(d / f"part-{i:02d}.parquet", index=False,
+                         coerce_timestamps="us",
+                         allow_truncated_timestamps=True)
+
+    stream = stream_events.read_event_stream(spark, str(d),
+                                             max_files_per_trigger=1)
+    ewm = stateful.stateful_ewm(stream, alpha=0.25)
+    q = (ewm.writeStream.outputMode("update")
+         .format("memory").queryName("t_user_ewm")
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        got = spark.table("t_user_ewm").toPandas()
+        final = got.groupby("user_id").last().reset_index()
+        want = (pdf.groupby("user_id")["value"]
+                .apply(lambda s: s.ewm(alpha=0.25, adjust=True)
+                       .mean().iloc[-1])
+                .rename("ewm_b").reset_index())
+        m = final.merge(want, on="user_id")
+        assert len(m) == len(want)
+        assert ((m.ewm_value - m.ewm_b).abs()
+                / m.ewm_b.abs().clip(lower=1e-9)).max() < 1e-9
+    finally:
+        q.stop()
