@@ -14,6 +14,7 @@ Spark-era extensions (read_parquet, the ext.* pipeline operators).
 
 from .core import DataFrame, Series, concat
 from .functions.json import from_json, json_extract, to_json
+from .accessors import to_datetime
 from .operators.asof import merge_asof
 from .relational import crosstab, cut, get_dummies, qcut
 from .sources.io import (read_csv, read_json, read_orc, read_table,
@@ -44,6 +45,7 @@ __all__ = [
     "get_session",
     "read_parquet",
     "merge_asof",
+    "to_datetime",
     "crosstab",
     "get_dummies",
     "to_json",

@@ -386,41 +386,13 @@ class DatetimeProperties:
             return floored.cast(in_type)
         return self._map(fn)
 
-    #: strftime %-code -> java.time pattern letters
-    _STRF = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
-             "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
-             "%f": "SSSSSS", "%j": "DDD", "%a": "EEE", "%A": "EEEE",
-             "%b": "MMM", "%B": "MMMM", "%p": "a", "%%": "'%'"}
-
     def strftime(self, fmt: str):
         """pandas strftime mapped to Spark's java.time pattern.
         Literal text is single-quoted so stray letters (like the T in
         ISO-8601) pass through instead of being parsed as pattern
         letters."""
-        out, lit = [], []
-
-        def flush():
-            if lit:
-                chunk = "".join(lit).replace("'", "''")
-                out.append(f"'{chunk}'" if any(ch.isalpha() or ch == "'"
-                                               for ch in lit)
-                           else chunk)
-                lit.clear()
-
-        i = 0
-        while i < len(fmt):
-            if fmt[i] == "%" and i + 1 < len(fmt):
-                code = fmt[i:i + 2]
-                if code not in self._STRF:
-                    raise NotImplementedError(f"strftime code {code!r}")
-                flush()
-                out.append(self._STRF[code])
-                i += 2
-            else:
-                lit.append(fmt[i])
-                i += 1
-        flush()
-        return self._map(lambda c: F.date_format(c, "".join(out)))
+        pattern = strf_to_java(fmt)
+        return self._map(lambda c: F.date_format(c, pattern))
 
 
 def tag_categorical(series, categories, ordered):
@@ -704,3 +676,62 @@ class ArrayMethods:
             nn = F.sqrt(self._dot_expr(c, c)) * F.sqrt(self._dot_expr(o, o))
             return F.when(nn > 0, self._dot_expr(c, o) / nn)
         return self._with_other(other, fn)
+
+
+#: strftime %-code -> java.time pattern letters (shared by
+#: dt.strftime and pas.to_datetime)
+_STRF = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+         "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
+         "%f": "SSSSSS", "%j": "DDD", "%a": "EEE", "%A": "EEEE",
+         "%b": "MMM", "%B": "MMMM", "%p": "a", "%%": "'%'"}
+
+
+def strf_to_java(fmt: str) -> str:
+    """Translate a pandas strftime format to a java.time pattern,
+    quoting literal runs so stray letters pass through."""
+    out, lit = [], []
+
+    def flush():
+        if lit:
+            chunk = "".join(lit).replace("'", "''")
+            out.append(f"'{chunk}'" if any(ch.isalpha() or ch == "'"
+                                           for ch in lit)
+                       else chunk)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            code = fmt[i:i + 2]
+            if code not in _STRF:
+                raise NotImplementedError(f"strftime code {code!r}")
+            flush()
+            out.append(_STRF[code])
+            i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def to_datetime(arg, format=None, errors="raise"):
+    """pandas.to_datetime for engine Series: a ``to_timestamp``
+    projection (one expression, stays in-plan/in-lineage).
+
+    ``format`` takes pandas strftime codes (translated to java.time).
+    ``errors="coerce"`` maps unparseable values to NaT via
+    ``try_to_timestamp``; the default raises at execution time like
+    Spark's ANSI parser."""
+    if errors not in ("raise", "coerce"):
+        raise ValueError(f"errors must be 'raise' or 'coerce', "
+                         f"got {errors!r}")
+    pattern = strf_to_java(format) if format is not None else None
+    fn = F.try_to_timestamp if errors == "coerce" else F.to_timestamp
+    if pattern is None:
+        return arg._app(lambda c: fn(c))
+    if errors == "coerce":
+        # try_to_timestamp takes the format as a Column (to_timestamp
+        # takes a str) — PySpark API asymmetry
+        return arg._app(lambda c: fn(c, F.lit(pattern)))
+    return arg._app(lambda c: fn(c, pattern))

@@ -31,7 +31,8 @@ from pyspark.sql import types as T
 
 from . import base, generic, internal as I, ops_mixin, utils
 from .functions import coercion
-from .indexer import _iAtIndexer, _iLocIndexer, _LocIndexer
+from .indexer import (_AtIndexer, _iAtIndexer, _iLocIndexer,
+                      _LocIndexer)
 from .operators.rowid import with_rowid
 from .relational import RelationalMixin, ReshapeMixin, SeriesAggMixin
 from .session import get_session
@@ -227,6 +228,10 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                 yield named(*vals[n:])
 
     # -- scalar access -----------------------------------------------------
+
+    @property
+    def at(self):
+        return _AtIndexer(self)
 
     @property
     def iat(self):
@@ -1022,6 +1027,10 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     items = iteritems
 
     # -- scalar access -----------------------------------------------------
+
+    @property
+    def at(self):
+        return _AtIndexer(self)
 
     @property
     def iat(self):

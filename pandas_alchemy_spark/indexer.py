@@ -135,6 +135,34 @@ class _LocIndexer:
         return out
 
 
+class _AtIndexer:
+    """``.at[label]`` / ``.at[label, col]`` — label-scalar access: an
+    index-equality filter (pushdown-eligible) + a bounded take(2); 0
+    matches -> KeyError, >1 -> ValueError, like pandas."""
+
+    def __init__(self, obj):
+        self._obj = obj
+
+    def __getitem__(self, key):
+        obj = self._obj
+        if obj.ndim == 2:
+            if not isinstance(key, tuple) or len(key) != 2:
+                raise ValueError(
+                    "Invalid call for scalar access (getting)!")
+            label, col = key
+            ser = obj[col].loc[[label]]
+        else:
+            label = key
+            ser = obj.loc[[label]]
+        rows = ser._sdf.select(ser._the_col.alias("v")).take(2)
+        if not rows:
+            raise KeyError(label)
+        if len(rows) > 1:
+            raise ValueError(
+                "Invalid call for scalar access (getting)!")
+        return rows[0]["v"]
+
+
 class _iAtIndexer:
     def __init__(self, obj):
         self._obj = obj

@@ -129,3 +129,38 @@ def test_groupby_expanding_matches_pandas(spark):
     want = (pdf.sort_index().groupby("g")["x"]
             .transform(lambda s: s.expanding().sum()))
     pd.testing.assert_series_equal(got, want, check_names=False)
+
+
+def test_to_datetime_formats_and_coerce(spark):
+    pdf = pd.DataFrame({"s": ["2021-03-04 05:06:07", "2022-12-31 23:59:59"],
+                        "f": ["04/03/2021", "31/12/2022"],
+                        "bad": ["2021-01-01 00:00:00", "not a date"]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = pas.to_datetime(df.s).to_pandas()
+    want = pd.to_datetime(pdf.s)
+    assert got.tolist() == want.tolist()
+    got_f = pas.to_datetime(df.f, format="%d/%m/%Y").to_pandas()
+    want_f = pd.to_datetime(pdf.f, format="%d/%m/%Y")
+    assert got_f.tolist() == want_f.tolist()
+    got_c = pas.to_datetime(df.bad, errors="coerce").to_pandas()
+    assert got_c.isna().tolist() == [False, True]
+    got_cf = pas.to_datetime(df.f, format="%d/%m/%Y",
+                             errors="coerce").to_pandas()
+    assert got_cf.isna().tolist() == [False, False]
+    with pytest.raises(ValueError, match="errors"):
+        pas.to_datetime(df.s, errors="ignore")
+
+
+def test_at_label_scalar(spark):
+    pdf = pd.DataFrame({"k": [10, 20, 30], "v": [1.5, 2.5, 3.5]})
+    df = pas.DataFrame.from_pandas(pdf).set_index("k")
+    assert df.at[20, "v"] == 2.5
+    assert df.v.at[30] == 3.5
+    with pytest.raises(KeyError):
+        df.at[99, "v"]
+    with pytest.raises(ValueError, match="scalar access"):
+        df.at[20]
+    dup = pas.DataFrame.from_pandas(
+        pd.DataFrame({"k": [1, 1], "v": [5.0, 6.0]})).set_index("k")
+    with pytest.raises(ValueError, match="scalar access"):
+        dup.at[1, "v"]
