@@ -256,3 +256,13 @@ def test_q13_left_join_then_single_regroup(spark):
     assert "CartesianProduct" not in plan
     # per-custkey count, left join, per-count regroup: ≤4 exchanges
     assert exchange_count(out) <= 4
+
+
+def test_grouped_ewm_jvm_only_single_shuffle(spark):
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet").set_index("o_orderkey")
+    s = o.groupby("o_custkey")["o_totalprice"].ewm(alpha=0.25).mean()
+    plan = physical_plan(s.to_spark())
+    # the power-trick form is pure window expressions: no Python
+    # evaluation anywhere, one key shuffle feeding both window passes
+    assert "Python" not in plan and "FlatMapGroupsInPandas" not in plan
+    assert exchange_count(s.to_spark()) == 1
