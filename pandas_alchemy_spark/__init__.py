@@ -24,6 +24,12 @@ from .session import close_db, get_session, init_db
 __version__ = "0.1.0"
 
 
+def from_spark(sdf, columns=None, index=None):
+    """Engine DataFrame over an existing Spark DataFrame (interop
+    bridge; see DataFrame.from_spark)."""
+    return DataFrame.from_spark(sdf, columns=columns, index=index)
+
+
 def read_parquet(path, columns=None, index=None):
     """Parquet scan as an engine DataFrame (supersedes the reference's
     SQLAlchemy-URL connector surface, SURVEY.md §2.1)."""
@@ -44,6 +50,7 @@ __all__ = [
     "close_db",
     "get_session",
     "read_parquet",
+    "from_spark",
     "merge_asof",
     "to_datetime",
     "crosstab",

@@ -638,6 +638,15 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         return DataFrame._from_spark_scan(sdf, columns=columns, index=index)
 
     @staticmethod
+    def from_spark(sdf, columns=None, index=None):
+        """Wrap an EXISTING Spark DataFrame as an engine frame — the
+        interop bridge for pipelines that start in raw Spark (or
+        Structured Streaming foreachBatch) and want the pandas verbs
+        from there.  Same positional-layout rules as from_table."""
+        return DataFrame._from_spark_scan(sdf, columns=columns,
+                                          index=index)
+
+    @staticmethod
     def _from_spark_scan(sdf, columns=None, index=None):
         """Wrap an arbitrary Spark scan in the positional layout
         (shared by from_table and the sources.io readers)."""

@@ -115,6 +115,44 @@ class GroupBy:
         res._mid_origin = object()
         return res
 
+    def filter(self, fn):
+        """pandas groupby filter: keep the member ROWS of every group
+        for which ``fn(group_pdf)`` is truthy — the same
+        ``applyInPandas`` transport as :meth:`apply` (groups go
+        executor-side, never to the driver); the group either passes
+        through intact or vanishes, preserving the parent schema and
+        the original index columns."""
+        from .core import DataFrame
+        df = self._df
+        n = df._n_idx()
+        idx_names = [I.idx_name(i) for i in range(n)]
+        labels = [str(c) for c in df._columns]
+        named = df._sdf.select(
+            *[F.col(nm) for nm in idx_names],
+            *[df._col_at(i).alias(f"__d_{i}") for i in range(len(labels))])
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in named.schema.fields)
+        data_cols = [f"__d_{i}" for i in range(len(labels))]
+        rename = dict(zip(data_cols, labels))
+
+        def keep(pdf):
+            user = pdf[data_cols].rename(columns=rename)
+            return pdf if fn(user) else pdf.iloc[0:0]
+
+        key_positions = [df._columns.get_loc(b) for b in self._by]
+        out = (named.groupBy(*[f"__d_{p}" for p in key_positions])
+               .applyInPandas(keep, schema))
+        sel = [F.col(nm) for nm in idx_names]
+        sel += [F.col(f"__d_{i}").alias(I.col_name(i))
+                for i in range(len(labels))]
+        res = DataFrame(df._index, df._columns, out.select(*sel))
+        res._mid_index = getattr(df, "_mid_index", False)
+        res._mid_dense = getattr(df, "_mid_dense", False)
+        res._mid_origin = getattr(df, "_mid_origin", None)
+        res._rows_reordered = True
+        return res
+
     def _simple(self, fn):
         labels = [c for c in self._df._columns if c not in self._by]
         return self.agg({c: fn for c in labels})

@@ -164,3 +164,28 @@ def test_at_label_scalar(spark):
         pd.DataFrame({"k": [1, 1], "v": [5.0, 6.0]})).set_index("k")
     with pytest.raises(ValueError, match="scalar access"):
         dup.at[1, "v"]
+
+
+def test_groupby_filter_matches_pandas(spark):
+    pdf = pd.DataFrame({"g": ["a", "a", "b", "c", "c", "c"],
+                        "x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = (df.groupby("g").filter(lambda p: len(p) >= 2)
+           .to_pandas().sort_index())
+    want = pdf.groupby("g").filter(lambda p: len(p) >= 2)
+    pd.testing.assert_frame_equal(got, want)
+    got2 = (df.groupby("g").filter(lambda p: p.x.sum() > 5.0)
+            .to_pandas().sort_index())
+    want2 = pdf.groupby("g").filter(lambda p: p.x.sum() > 5.0)
+    pd.testing.assert_frame_equal(got2, want2)
+
+
+def test_from_spark_bridge(spark):
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}))
+    df = pas.from_spark(sdf)
+    out = df.assign(w=df.v * 2)[df.k > 1].to_pandas()
+    assert out["w"].tolist() == [40.0, 60.0]
+    # with an index column promoted
+    df2 = pas.from_spark(sdf, index=["k"])
+    assert df2.at[2, "v"] == 20.0
