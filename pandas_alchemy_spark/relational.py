@@ -1375,12 +1375,16 @@ class SeriesAggMixin:
         agged = (body.groupBy(self._the_col.alias(I.idx_name(0)))
                  .agg(F.count(F.lit(1)).alias("__n")))
         if normalize:
-            # Scalar total broadcast back as a 1-row cross join — an
-            # unpartitioned window here would funnel every distinct
-            # value through one task on high-cardinality columns (the
-            # same hazard mode() had; fixed the same way).  The counts
-            # frame is tiny relative to the data but unbounded in the
-            # column's cardinality.
+            # Scalar total re-aggregated and broadcast back as a 1-row
+            # cross join.  An unpartitioned window over the counts
+            # frame would funnel every distinct value through ONE task
+            # (the hazard mode() had) — the broadcast form instead pays
+            # one extra single-column scan when exchange reuse doesn't
+            # canonicalize (measured: the metadata-rowid projection
+            # blocks it), which parallelizes at any cardinality.  A
+            # rollup+grouping_id single-pass form was tried and
+            # rejected: its Expand doubles map-side rows and STILL
+            # re-scans per branch.
             total = agged.agg(F.sum("__n").alias("__tot"))
             agged = agged.crossJoin(F.broadcast(total))
             val = (F.col("__n") / F.col("__tot")).alias(I.col_name(0))
