@@ -91,3 +91,43 @@ def test_outer_alignment_differential_generated(spark):
         assert got.index.tolist() == want.index.tolist()
 
     check()
+
+
+def test_ewm_grouped_differential_generated(spark):
+    @_SLOW
+    @given(xs=st.lists(st.floats(min_value=-100, max_value=100,
+                                 allow_nan=False), min_size=2,
+                       max_size=12),
+           gs=st.lists(st.integers(min_value=0, max_value=2),
+                       min_size=2, max_size=12),
+           alpha=st.floats(min_value=0.05, max_value=0.95))
+    def check(xs, gs, alpha):
+        n = min(len(xs), len(gs))
+        pdf = pd.DataFrame({"g": gs[:n], "x": xs[:n]})
+        pdf.index.name = "i"
+        df = pas.DataFrame.from_pandas(pdf.reset_index()).set_index("i")
+        got = (df.groupby("g")["x"].ewm(alpha=alpha).mean()
+               .to_pandas().sort_index())
+        want = (pdf.groupby("g")["x"]
+                .transform(lambda s: s.ewm(alpha=alpha,
+                                           adjust=True).mean()))
+        assert _norm(got.tolist()) == _norm(want.tolist()), (xs, gs,
+                                                             alpha)
+
+    check()
+
+
+def test_series_fillna_differential_generated(spark):
+    opt_float = st.one_of(st.floats(min_value=-50, max_value=50,
+                                    allow_nan=False), st.none())
+
+    @_SLOW
+    @given(xs=st.lists(opt_float, min_size=1, max_size=8),
+           fv=st.floats(min_value=-9, max_value=9, allow_nan=False))
+    def check(xs, fv):
+        ps = pd.Series(xs, dtype="float64")
+        want = ps.fillna(fv)
+        got = pas.Series.from_pandas(ps).fillna(fv).to_pandas()
+        assert _norm(got.tolist()) == _norm(want.tolist()), (xs, fv)
+
+    check()
