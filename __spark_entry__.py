@@ -1882,15 +1882,30 @@ def q_text_suite(spark, sf_dir):
     normalize+PII scrub, 2-gram repetition stats, quality score,
     token stats, fingerprint.  (Folded from the former text_doc +
     text_quality entries to stay inside the driver's 50-entry
-    correctness window.)"""
+    correctness window.)
+
+    The four projection-only legs CHAIN on one frame — every ext.text
+    transform is `select("*", …)` — so the whole scalar side is a
+    single scan + single codegen projection; only the 2-gram
+    repetition agg (explode + hash-agg, the codegen-fast form) needs
+    its own pass.  2 scans of documents total, vs 5 when each leg
+    re-reads (the join-of-subqueries shape the driver legs use
+    individually)."""
+    from pandas_alchemy_spark.ext import text
     _prep(spark)
-    a = q_text_normalize(spark, sf_dir)
-    b = q_repetition(spark, sf_dir)
-    c = q_quality(spark, sf_dir)
-    d = q_token_stats(spark, sf_dir)
-    e = q_fingerprint(spark, sf_dir)
-    return (a.join(b, "doc_id").join(c, "doc_id")
-            .join(d, "doc_id").join(e, "doc_id"))
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    base = text.normalize_text(docs)
+    base = text.quality_score(base)
+    base = text.token_stats(base)
+    base = text.fingerprint(base)
+    scalar = base.select(
+        "doc_id", F.md5("norm_text").alias("h"),
+        F.length("norm_text").alias("n"),
+        "q_n_chars", "q_n_tokens", "q_mean_word_len", "q_punct_ratio",
+        "q_stopword_ratio", "q_score", "n_ws_tokens", "n_bpe_tokens",
+        "fingerprint")
+    rep = q_repetition(spark, sf_dir)
+    return scalar.join(rep, "doc_id")
 
 
 def q_langid_terms(spark, sf_dir):
