@@ -1601,15 +1601,28 @@ def q_ewm_price(spark, sf_dir):
 
 
 def q_window_suite(spark, sf_dir):
-    """Analytic-window suite joined on o_orderkey: grouped cumsum,
-    global rolling(3).sum, grouped pct_change, grouped ewm mean."""
+    """Analytic-window suite on o_orderkey: grouped cumsum, global
+    rolling(3).sum, grouped pct_change, grouped ewm mean.
+
+    The three lineage-carrying window legs ASSIGN onto one frame (the
+    window expressions inline into a single projection over one scan —
+    same values as the standalone bench legs); only the ewm leg, a
+    plan rewrite, joins back.  2 orders scans vs 4 as a
+    join-of-subqueries."""
+    import pandas_alchemy_spark as pas
     _prep(spark)
-    a = q_grouped_cumsum(spark, sf_dir)
-    b = q_rolling_sum(spark, sf_dir)
-    c = q_pct_change(spark, sf_dir)
+    o = pas.read_parquet(_t(sf_dir, "orders")).set_index("o_orderkey")
+    g = o.groupby("o_custkey")["o_totalprice"]
+    combined = o.assign(cum=g.cumsum(),
+                        roll=o["o_totalprice"].rolling(3).sum(),
+                        pct=g.pct_change())
+    core = combined.to_spark().select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round("cum", 2).alias("cum_total"),
+        F.round("roll", 2).alias("roll_sum"),
+        F.round("pct", 6).alias("pct"))
     d = q_ewm_price(spark, sf_dir)
-    return (a.join(b, "o_orderkey").join(c, "o_orderkey")
-            .join(d, "o_orderkey"))
+    return core.join(d, "o_orderkey")
 
 
 def q_reshape_suite(spark, sf_dir):

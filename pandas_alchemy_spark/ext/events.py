@@ -89,26 +89,37 @@ def funnel(df: DataFrame, steps: list[str], ts_col: str = "ts",
            user_col: str = "user_id",
            type_col: str = "event_type") -> DataFrame:
     """Ordered funnel: per user, the earliest completion time of each
-    step GIVEN the previous step was completed earlier (classic
-    product-analytics funnel).  One groupBy(user) with sequential
-    conditional min-aggregates — a single shuffle; no joins, no
-    windows, no driver state.  Returns per-step completion counts.
-    """
-    # stage k time = min ts of step-k events that happen AFTER the
-    # user's stage k-1 time; computed iteratively with one aggregate
-    # per stage over the same grouped frame (Catalyst fuses the
-    # aggregates into one pass per groupBy).
-    base = df.select(F.col(user_col).alias("u"),
-                     F.col(type_col).alias("e"),
-                     F.col(ts_col).alias("t"))
-    per_user = base.groupBy("u").agg(
-        F.min(F.when(F.col("e") == steps[0], F.col("t"))).alias("t0"))
+    step GIVEN the previous step was completed strictly earlier
+    (classic product-analytics funnel).  Returns per-step completion
+    counts.
+
+    ONE shuffle, ONE scan: the sequential stage dependency is encoded
+    as chained running-min windows over the same (user, ts) ordering —
+    ``valid_k(t) = (type == step_k) AND running_min(valid_{k-1}) < t``
+    with a RANGE frame (ties included, strictness via the explicit
+    ``< t``).  Equivalence with the join-per-stage form: a step-k
+    event at time t qualifies iff the user's earliest valid step-(k-1)
+    time t' satisfies t' < t; t' is then visible in the running RANGE
+    window at t, and any running-window value < t bounds t' from
+    above — so the predicates accept exactly the same rows.  The
+    per-user groupBy after the window reuses the window's hash
+    partitioning (no second shuffle); the previous formulation joined
+    the event scan back once per stage (K scans, K shuffles)."""
+    w = (Window.partitionBy("u").orderBy("t")
+         .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    cur = df.select(F.col(user_col).alias("u"),
+                    F.col(type_col).alias("e"),
+                    F.col(ts_col).alias("t"))
+    cur = cur.withColumn(
+        "__v0", F.when(F.col("e") == steps[0], F.col("t")))
     for k in range(1, len(steps)):
-        stage = (base.filter(F.col("e") == steps[k])
-                 .join(per_user, "u")
-                 .filter(F.col("t") > F.col(f"t{k - 1}"))
-                 .groupBy("u").agg(F.min("t").alias(f"t{k}")))
-        per_user = per_user.join(stage, "u", "left")
+        rk = F.min(F.col(f"__v{k - 1}")).over(w)
+        cur = cur.withColumn(
+            f"__v{k}",
+            F.when((F.col("e") == steps[k]) & (rk < F.col("t")),
+                   F.col("t")))
+    per_user = cur.groupBy("u").agg(
+        *[F.min(f"__v{k}").alias(f"t{k}") for k in range(len(steps))])
     aggs = [F.count(F.col(f"t{k}")).alias(f"n_step{k}")
             for k in range(len(steps))]
     return per_user.agg(*aggs)
