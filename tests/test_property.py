@@ -131,3 +131,32 @@ def test_series_fillna_differential_generated(spark):
         assert _norm(got.tolist()) == _norm(want.tolist()), (xs, fv)
 
     check()
+
+
+def test_exact_cents_engine_identical_generated(spark):
+    """The tpch_suite contract: (price*100)*(100 - disc*100) summed is
+    BIT-identical between Spark and DuckDB for 2-decimal money —
+    regardless of row order or grouping."""
+    import duckdb
+
+    cents = st.integers(min_value=0, max_value=10_500_000)
+    disc_c = st.integers(min_value=0, max_value=10)
+
+    @_SLOW
+    @given(rows=st.lists(st.tuples(cents, disc_c), min_size=1,
+                         max_size=40))
+    def check(rows):
+        pdf = pd.DataFrame({"p": [c / 100.0 for c, _ in rows],
+                            "d": [dc / 100.0 for _, dc in rows]})
+        sdf = spark.createDataFrame(pdf)
+        got = (sdf.selectExpr("sum((p*100) * (100 - d*100)) / 10000.0 "
+                              "AS s").collect()[0]["s"])
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = con.execute(
+            "SELECT sum((p*100) * (100 - d*100)) / 10000.0 FROM t"
+        ).fetchone()[0]
+        import struct as _st
+        assert _st.pack("d", got) == _st.pack("d", want), rows
+
+    check()
