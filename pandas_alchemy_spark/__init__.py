@@ -24,6 +24,15 @@ from .session import close_db, get_session, init_db
 __version__ = "0.1.0"
 
 
+def merge(left, right, how="inner", on=None, left_on=None,
+          right_on=None, suffixes=("_x", "_y"), broadcast=False,
+          indicator=False):
+    """Module-level pandas.merge — delegates to DataFrame.merge."""
+    return left.merge(right, how=how, on=on, left_on=left_on,
+                      right_on=right_on, suffixes=suffixes,
+                      broadcast=broadcast, indicator=indicator)
+
+
 def from_spark(sdf, columns=None, index=None):
     """Engine DataFrame over an existing Spark DataFrame (interop
     bridge; see DataFrame.from_spark)."""
@@ -51,6 +60,7 @@ __all__ = [
     "get_session",
     "read_parquet",
     "from_spark",
+    "merge",
     "merge_asof",
     "to_datetime",
     "crosstab",

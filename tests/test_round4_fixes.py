@@ -189,3 +189,14 @@ def test_from_spark_bridge(spark):
     # with an index column promoted
     df2 = pas.from_spark(sdf, index=["k"])
     assert df2.at[2, "v"] == 20.0
+
+
+def test_module_level_merge(spark):
+    a = pas.DataFrame.from_pandas(pd.DataFrame({"k": [1, 2],
+                                                "x": [10, 20]}))
+    b = pas.DataFrame.from_pandas(pd.DataFrame({"k": [1, 3],
+                                                "y": [7, 8]}))
+    got = pas.merge(a, b, on="k").to_pandas()
+    want = pd.merge(pd.DataFrame({"k": [1, 2], "x": [10, 20]}),
+                    pd.DataFrame({"k": [1, 3], "y": [7, 8]}), on="k")
+    pd.testing.assert_frame_equal(got, want)
