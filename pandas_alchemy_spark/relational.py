@@ -1325,7 +1325,15 @@ class SeriesAggMixin:
     def cov(self, other):
         return self._corr_like(other, F.covar_samp)
 
-    def nunique(self):
+    def nunique(self, approx=False, rsd=0.05):
+        """Distinct count.  ``approx=True`` switches to HyperLogLog++
+        (``approx_count_distinct``, relative error ``rsd``) — the
+        100 TB path: exact countDistinct is a two-phase expand
+        aggregate whose intermediate grows with the domain, HLL state
+        is a few KB regardless of cardinality."""
+        if approx:
+            return self._reduce(
+                lambda c: F.approx_count_distinct(c, rsd=rsd))
         return self._reduce(F.countDistinct)
 
     def unique(self, max_values=1_000_000):

@@ -200,3 +200,10 @@ def test_module_level_merge(spark):
     want = pd.merge(pd.DataFrame({"k": [1, 2], "x": [10, 20]}),
                     pd.DataFrame({"k": [1, 3], "y": [7, 8]}), on="k")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_nunique_approx_hll(spark):
+    o = pas.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    exact = o.o_custkey.nunique()
+    approx = o.o_custkey.nunique(approx=True, rsd=0.02)
+    assert abs(approx - exact) / exact < 0.1
