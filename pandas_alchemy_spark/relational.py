@@ -508,6 +508,35 @@ class RelationalMixin:
             new._drop_lineage()
         return new
 
+    def sample_stratified(self, fracs, by, key, fast_hash=False):
+        """Deterministic per-stratum sample: ``fracs`` maps stratum
+        value -> fraction; rows in unlisted strata drop.  Same
+        content-addressed hash predicate as :meth:`sample` (md5 bucket,
+        engine-portable; ``fast_hash`` for the xxhash64 production
+        path), with the threshold chosen per stratum via a CASE over
+        ``by`` — one scan, zero shuffles, no per-stratum branching of
+        the plan.  The training-data rebalancing primitive (e.g.
+        downsample boilerplate-heavy sources, keep rare languages)."""
+        new = self._shallow_copy()
+        k = new._col_at(new._columns.get_loc(key))
+        s = new._col_at(new._columns.get_loc(by))
+        if fast_hash:
+            bucket = F.pmod(F.xxhash64(k), F.lit(1 << 32))
+            scale = 1 << 32
+        else:
+            bucket = F.conv(
+                F.substring(F.md5(k.cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            scale = 1 << 60
+        thr = F.lit(None).cast("long")
+        for v, fr in fracs.items():
+            thr = F.when(s == F.lit(v), F.lit(int(fr * scale))) \
+                .otherwise(thr)
+        new._sdf = new._sdf.filter(bucket < thr)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
     def drop(self, labels=None, axis=1, columns=None, index=None,
              level=None, errors="raise"):
         """Drop columns (axis=1 / columns=...): a metadata update + one

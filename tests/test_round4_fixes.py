@@ -207,3 +207,31 @@ def test_nunique_approx_hll(spark):
     exact = o.o_custkey.nunique()
     approx = o.o_custkey.nunique(approx=True, rsd=0.02)
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_sample_stratified_deterministic_and_oracle(spark):
+    import duckdb
+    o = pas.read_parquet("/root/testdata/sf0.01/orders.parquet")
+    fracs = {"1-URGENT": 0.5, "5-LOW": 0.1}
+    s = o.sample_stratified(fracs, by="o_orderpriority", key="o_orderkey")
+    got = (s.to_spark(index=False).groupBy("o_orderpriority").count()
+           .toPandas().set_index("o_orderpriority")["count"].to_dict())
+    # engine-portable: DuckDB computes the identical md5 buckets
+    con = duckdb.connect()
+    want = con.execute("""
+        SELECT o_orderpriority, count(*) FROM
+          read_parquet('/root/testdata/sf0.01/orders.parquet')
+        WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+              < CASE o_orderpriority
+                  WHEN '1-URGENT' THEN CAST(0.5 * 2**60 AS BIGINT)
+                  WHEN '5-LOW' THEN CAST(0.1 * 2**60 AS BIGINT)
+                END
+        GROUP BY 1""").fetchall()
+    assert got == dict(want)
+    # unlisted strata fully dropped; listed strata near their fracs
+    assert set(got) == {"1-URGENT", "5-LOW"}
+    n_urgent = con.execute("""
+        SELECT count(*) FROM
+        read_parquet('/root/testdata/sf0.01/orders.parquet')
+        WHERE o_orderpriority = '1-URGENT'""").fetchone()[0]
+    assert abs(got["1-URGENT"] / n_urgent - 0.5) < 0.05
