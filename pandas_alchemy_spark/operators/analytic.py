@@ -267,11 +267,19 @@ class _GroupedEwm:
     """``df.groupby(k)[c].ewm(alpha)`` handle (mean only)."""
 
     def __init__(self, sgb: SeriesGroupBy, alpha: float):
+        from .scan import _check_alpha
+        _check_alpha(float(alpha))
         self._sgb = sgb
         self._alpha = float(alpha)
 
-    def mean(self):
-        from .scan import ewm_mean_grouped
+    def mean(self, exact: bool = False):
+        """Grouped EWM mean.  Default: the codegen'd window pow-trick
+        (one shuffle, no UDF) with a runtime guard that RAISES on any
+        group longer than ``scan.pow_trick_max_rows(alpha)`` rather
+        than silently overflowing to NaN.  ``exact=True``: the
+        applyInPandas per-group recurrence (scan.ewm_mean(by=)) —
+        exact for any group length."""
+        from .scan import ewm_mean, ewm_mean_grouped
         sgb = self._sgb
         df = sgb._df
         n = df._n_idx()
@@ -279,10 +287,16 @@ class _GroupedEwm:
         keys = [k.alias(f"__k_{j}") for j, k in enumerate(sgb._keys())]
         val = df._col_at(df._columns.get_loc(sgb._label)).alias("__v")
         tmp = df._sdf.select(*idx, *keys, val)
-        out = ewm_mean_grouped(
-            tmp, "__v", [I.idx_name(i) for i in range(n)],
-            [f"__k_{j}" for j in range(len(keys))], self._alpha,
-            out_col="__ewm")
+        if exact:
+            out = ewm_mean(
+                tmp, "__v", [I.idx_name(i) for i in range(n)],
+                self._alpha, by=[f"__k_{j}" for j in range(len(keys))],
+                out_col="__ewm")
+        else:
+            out = ewm_mean_grouped(
+                tmp, "__v", [I.idx_name(i) for i in range(n)],
+                [f"__k_{j}" for j in range(len(keys))], self._alpha,
+                out_col="__ewm")
         body = out.select(*[F.col(I.idx_name(i)) for i in range(n)],
                           F.col("__ewm").alias(I.col_name(0)))
         s = sgb._Series(df._index, None, body, sgb._label)
@@ -302,6 +316,8 @@ class Ewm:
     verbs, this one holds at 100 TB."""
 
     def __init__(self, series, alpha: float):
+        from .scan import _check_alpha
+        _check_alpha(float(alpha))
         self._s = series
         self._alpha = float(alpha)
 

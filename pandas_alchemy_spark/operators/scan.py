@@ -28,10 +28,37 @@ pandas API contract is the spec.
 
 from __future__ import annotations
 
+import math
+import sys
+
 import pandas as pd
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+
+def _check_alpha(alpha: float) -> None:
+    """pandas contract: ``ewm`` requires ``0 < alpha <= 1`` (outside it
+    the closed-form denominators divide by zero or alternate sign)."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(
+            f"alpha must satisfy 0 < alpha <= 1, got {alpha!r}")
+
+
+# headroom (in nats) reserved for |x| and the 1/(1-w) factor inside the
+# window sums: e^80 ~ 5.5e34 covers any realistic metric magnitude.
+_GUARD_MARGIN_NATS = 80.0
+
+
+def pow_trick_max_rows(alpha: float) -> int:
+    """Largest per-group length the ``pow(w,-rn)`` window form can
+    handle before its running sums overflow double (with margin for
+    value magnitude).  ~615 rows at alpha=0.65, ~8700 at alpha=0.07."""
+    w = 1.0 - alpha
+    if w <= 0.0:
+        return sys.maxsize  # alpha == 1: no pow in the plan at all
+    return max(1, int((math.log(sys.float_info.max) - _GUARD_MARGIN_NATS)
+                      / -math.log(w)))
 
 
 def ewm_mean_grouped(sdf: SparkDF, value_col: str, order_cols,
@@ -41,13 +68,20 @@ def ewm_mean_grouped(sdf: SparkDF, value_col: str, order_cols,
     frame (the common ``pow(w, rn)`` rescale cancels exactly).
 
     One shuffle on the group keys, two window passes over it, fully
-    codegen — the bounded-group fast path (``pow(w,-rn)`` overflows
-    past ``rn > log(DBL_MAX)/-log(w)`` rows per group; use
-    ``ewm_mean(by=...)`` beyond that)."""
+    codegen — the bounded-group fast path.  ``pow(w,-rn)`` overflows
+    past ``rn > log(DBL_MAX)/-log(w)`` rows per group, so a runtime
+    guard RAISES (``raise_error``) on any group longer than
+    :func:`pow_trick_max_rows` instead of silently returning inf/inf =
+    NaN; use ``ewm_mean(by=...)`` beyond that bound."""
+    _check_alpha(alpha)
     w = 1.0 - alpha
     by = [by] if isinstance(by, str) else list(by)
     order_cols = ([order_cols] if isinstance(order_cols, str)
                   else list(order_cols))
+    if w == 0.0:
+        # alpha == 1: adjust=True mean_t == x_t exactly (zero memory)
+        return sdf.withColumn(out_col, F.col(value_col).cast("double"))
+    nmax = pow_trick_max_rows(alpha)
     win = (Window.partitionBy(*by).orderBy(*order_cols)
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     rn = F.row_number().over(
@@ -55,7 +89,15 @@ def ewm_mean_grouped(sdf: SparkDF, value_col: str, order_cols,
     d = sdf.withColumn("__rn", rn)
     num = F.sum(F.col(value_col) * F.pow(F.lit(w), -F.col("__rn"))).over(win)
     den = F.sum(F.pow(F.lit(w), -F.col("__rn"))).over(win)
-    return d.withColumn(out_col, num / den).drop("__rn")
+    guarded = F.when(
+        F.col("__rn") > F.lit(nmax),
+        F.raise_error(F.lit(
+            f"ewm pow-trick overflow: a group exceeds {nmax} rows at "
+            f"alpha={alpha}; use the exact scan path "
+            "(ewm_mean(by=...) / .ewm(alpha).mean(exact=True))"))
+        .cast("double")
+    ).otherwise(num / den)
+    return d.withColumn(out_col, guarded).drop("__rn")
 
 
 def _partition_scan(it, alpha, out):
@@ -91,6 +133,7 @@ def ewm_mean(sdf: SparkDF, value_col: str, order_cols, alpha: float,
     Null values in ``value_col`` are not supported — filter first
     (pandas' ignore_na semantics need a weight channel we don't carry).
     """
+    _check_alpha(alpha)
     order_cols = ([order_cols] if isinstance(order_cols, str)
                   else list(order_cols))
     if by is not None:

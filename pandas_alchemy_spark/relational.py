@@ -35,6 +35,23 @@ _AGG_FUNCS = {
 }
 
 
+def _hash_threshold(frac: float, scale: int) -> int:
+    """Content-addressed sampling threshold, PINNED to the SQL-oracle
+    rule: the DECIMAL numeral of ``frac`` (its shortest repr — the
+    numeral a user writes in SQL) times ``scale``, exactly, rounded to
+    the nearest integer.  This is precisely what DuckDB computes for
+    ``CAST(0.1 * 1152921504606846976 AS BIGINT)`` (``0.1`` parses as
+    DECIMAL, the product is exact, the cast rounds), so the boundary
+    bucket classifies identically across engines.  The previous
+    ``int(frac * scale)`` double-truncation could disagree with the
+    oracle by a few ulps of bucket space at the boundary.  Ties at
+    exactly .5 are unreachable for decimal fracs (``2^60 mod 10 = 6``;
+    a d-digit decimal times 2^60 never has fractional part .5)."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+    prod = Decimal(repr(frac)) * scale
+    return int(prod.quantize(Decimal(1), rounding=ROUND_HALF_EVEN))
+
+
 def _resolve_agg(fn):
     if callable(fn):
         return fn
@@ -121,11 +138,14 @@ class GroupBy:
         ``applyInPandas`` transport as :meth:`apply` (groups go
         executor-side, never to the driver); the group either passes
         through intact or vanishes, preserving the parent schema and
-        the original index columns."""
+        the original index columns.  The frame handed to ``fn``
+        carries the group's ORIGINAL index (pandas parity — predicates
+        over ``p.index`` see the real labels, not a fresh default)."""
         from .core import DataFrame
         df = self._df
         n = df._n_idx()
         idx_names = [I.idx_name(i) for i in range(n)]
+        idx_level_names = list(df._index)
         labels = [str(c) for c in df._columns]
         named = df._sdf.select(
             *[F.col(nm) for nm in idx_names],
@@ -138,6 +158,13 @@ class GroupBy:
 
         def keep(pdf):
             user = pdf[data_cols].rename(columns=rename)
+            if n == 1:
+                user.index = pd.Index(pdf[idx_names[0]].to_numpy(),
+                                      name=idx_level_names[0])
+            else:
+                user.index = pd.MultiIndex.from_arrays(
+                    [pdf[nm].to_numpy() for nm in idx_names],
+                    names=idx_level_names)
             return pdf if fn(user) else pdf.iloc[0:0]
 
         key_positions = [df._columns.get_loc(b) for b in self._by]
@@ -497,12 +524,12 @@ class RelationalMixin:
             c = new._col_at(new._columns.get_loc(key))
             if fast_hash:
                 bucket = F.pmod(F.xxhash64(c), F.lit(1 << 32))
-                cond = bucket < F.lit(int(frac * (1 << 32)))
+                cond = bucket < F.lit(_hash_threshold(frac, 1 << 32))
             else:
                 bucket = F.conv(
                     F.substring(F.md5(c.cast("string")), 1, 15), 16, 10
                 ).cast("long")
-                cond = bucket < F.lit(int(frac * (1 << 60)))
+                cond = bucket < F.lit(_hash_threshold(frac, 1 << 60))
             new._sdf = new._sdf.filter(cond)
         if hasattr(new, "_drop_lineage"):
             new._drop_lineage()
@@ -516,7 +543,11 @@ class RelationalMixin:
         path), with the threshold chosen per stratum via a CASE over
         ``by`` — one scan, zero shuffles, no per-stratum branching of
         the plan.  The training-data rebalancing primitive (e.g.
-        downsample boilerplate-heavy sources, keep rare languages)."""
+        downsample boilerplate-heavy sources, keep rare languages).
+
+        Threshold rounding is PINNED to round-half-even of the double
+        product ``frac * 2^60`` (see :func:`_hash_threshold`) so the
+        boundary bucket classifies identically across engines."""
         new = self._shallow_copy()
         k = new._col_at(new._columns.get_loc(key))
         s = new._col_at(new._columns.get_loc(by))
@@ -530,7 +561,7 @@ class RelationalMixin:
             scale = 1 << 60
         thr = F.lit(None).cast("long")
         for v, fr in fracs.items():
-            thr = F.when(s == F.lit(v), F.lit(int(fr * scale))) \
+            thr = F.when(s == F.lit(v), F.lit(_hash_threshold(fr, scale))) \
                 .otherwise(thr)
         new._sdf = new._sdf.filter(bucket < thr)
         if hasattr(new, "_drop_lineage"):

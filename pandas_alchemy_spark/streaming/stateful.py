@@ -84,7 +84,13 @@ def stateful_ewm(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
     per-partition carries: num' = num * w^k + batch_tail.  Events are
     ordered by ts within each trigger; across triggers arrival order
     is the stream order (the same contract as every streaming
-    aggregate here)."""
+    aggregate here).  Null values are DROPPED — the batch twin
+    declares nulls unsupported (filter first), and dropping keeps the
+    two contracts aligned instead of silently pulling means toward an
+    imputed 0."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(
+            f"alpha must satisfy 0 < alpha <= 1, got {alpha!r}")
     w = 1.0 - alpha
 
     def update(key, pdf_iter, state: GroupState):
@@ -94,7 +100,7 @@ def stateful_ewm(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
             num, den = 0.0, 0.0
         for pdf in pdf_iter:
             pdf = pdf.sort_values("ts", kind="mergesort")
-            x = pdf["value"].astype("float64").fillna(0.0)
+            x = pdf["value"].astype("float64").dropna()
             k = len(x)
             if k == 0:
                 continue

@@ -1,0 +1,176 @@
+"""Round-5 ADVICE fixes.
+
+- alpha validation on every ewm entry point (pandas contract:
+  0 < alpha <= 1).
+- the grouped pow-trick window RAISES on overflow-length groups
+  instead of silently returning NaN; ``mean(exact=True)`` is the
+  unbounded escape hatch.
+- GroupBy.filter hands ``fn`` the group's ORIGINAL index.
+- stateful_ewm drops null values (batch-contract alignment).
+- content-addressed sample thresholds round half-even, matching
+  DuckDB's CAST(frac * 2**60 AS BIGINT) exactly.
+"""
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import pandas_alchemy_spark as pas
+from pandas_alchemy_spark.operators import scan
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- alpha
+
+@pytest.mark.parametrize("alpha", [0.0, -0.5, 1.0001, 2.0])
+def test_ewm_alpha_validation(spark, alpha):
+    s = pas.Series.from_list([1.0, 2.0, 3.0])
+    with pytest.raises(ValueError, match="alpha"):
+        s.ewm(alpha)
+    df = pas.DataFrame.from_pandas(
+        pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]}))
+    with pytest.raises(ValueError, match="alpha"):
+        df.groupby("k")["v"].ewm(alpha)
+    with pytest.raises(ValueError, match="alpha"):
+        scan.ewm_mean(df.to_spark(), "v", "k", alpha)
+
+
+def test_ewm_alpha_one_is_identity(spark):
+    """alpha=1 (w=0): adjust=True mean_t == x_t; the old pow-trick
+    would have produced pow(0,-rn)=inf garbage."""
+    pdf = pd.DataFrame({"k": [1, 1, 1, 2, 2], "v": [3.0, 1.0, 4.0, 1.0, 5.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k")["v"].ewm(1.0).mean().to_pandas()
+    want = pdf.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=1.0, adjust=True).mean())
+    assert (got.sort_index().to_numpy() == want.to_numpy()).all()
+
+
+# ------------------------------------------------- grouped ewm overflow
+
+def test_grouped_ewm_overflow_raises_not_nan(spark):
+    """A group longer than pow_trick_max_rows(alpha) must raise loudly
+    (raise_error in the plan), never return silent NaN."""
+    alpha = 0.9
+    nmax = scan.pow_trick_max_rows(alpha)
+    assert nmax < 500  # the test stays cheap
+    n = nmax + 50
+    pdf = pd.DataFrame({"k": [1] * n, "v": [float(i % 7) for i in range(n)]})
+    df = pas.DataFrame.from_pandas(pdf)
+    with pytest.raises(Exception, match="ewm pow-trick overflow"):
+        df.groupby("k")["v"].ewm(alpha).mean().to_pandas()
+
+
+def test_grouped_ewm_exact_path_unbounded(spark):
+    """mean(exact=True) routes through the applyInPandas recurrence —
+    exact at any group length, including past the pow-trick bound."""
+    alpha = 0.9
+    n = scan.pow_trick_max_rows(alpha) + 50
+    pdf = pd.DataFrame({"k": [1] * n + [2] * 5,
+                        "v": [float(i % 7) for i in range(n + 5)]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k")["v"].ewm(alpha).mean(exact=True).to_pandas()
+    want = pdf.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=alpha, adjust=True).mean())
+    assert ((got.sort_index().to_numpy() - want.to_numpy()) ** 2
+            ).max() < 1e-18
+
+
+def test_grouped_ewm_guard_does_not_change_valid_results(spark):
+    """Groups under the bound produce the same values as before the
+    guard (the CASE only reroutes overflow rows)."""
+    pdf = pd.DataFrame({"k": [1, 1, 1, 2, 2], "v": [3.0, 1.0, 4.0, 1.0, 5.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k")["v"].ewm(0.25).mean().to_pandas()
+    want = pdf.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.25, adjust=True).mean())
+    assert ((got.sort_index().to_numpy() - want.to_numpy()) ** 2
+            ).max() < 1e-18
+
+
+# ------------------------------------------------- GroupBy.filter index
+
+def test_groupby_filter_sees_original_index(spark):
+    """pandas parity: the frame handed to fn carries the group's real
+    index labels, so predicates over p.index work."""
+    pdf = pd.DataFrame({"k": ["a", "a", "b", "b", "b"],
+                        "v": [1.0, 2.0, 3.0, 4.0, 5.0]},
+                       index=[10, 11, 20, 21, 22])
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k").filter(lambda p: p.index.max() > 15).to_pandas()
+    want = pdf.groupby("k").filter(lambda p: p.index.max() > 15)
+    assert sorted(got["v"].tolist()) == sorted(want["v"].tolist())
+    assert sorted(got.index.tolist()) == sorted(want.index.tolist())
+
+
+# ------------------------------------------------ stateful_ewm contract
+
+def test_stateful_ewm_alpha_validation(spark):
+    from pandas_alchemy_spark.streaming import stateful
+    with pytest.raises(ValueError, match="alpha"):
+        stateful.stateful_ewm(None, alpha=0.0)
+
+
+def test_stateful_ewm_drops_nulls(spark, tmp_path):
+    """Null values are dropped, matching the batch twin's 'filter
+    first' precondition — not imputed as 0."""
+    from pandas_alchemy_spark.streaming import stateful, stream_events
+    pdf = pd.DataFrame({
+        "event_id": range(6),
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 01:00:00",
+             "2024-01-01 02:00:00", "2024-01-01 03:00:00",
+             "2024-01-01 04:00:00", "2024-01-01 05:00:00"]),
+        "user_id": [7, 7, 7, 7, 7, 7],
+        "event_type": ["x"] * 6,
+        "value": [10.0, None, 30.0, None, 50.0, 70.0],
+        "props": ["{}"] * 6,
+    })
+    d = tmp_path / "null_stream"
+    d.mkdir()
+    pdf.to_parquet(d / "part-00.parquet", index=False,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+    stream = stream_events.read_event_stream(spark, str(d),
+                                             max_files_per_trigger=None)
+    q = (stateful.stateful_ewm(stream, alpha=0.25)
+         .writeStream.outputMode("update")
+         .format("memory").queryName("t_r5_null_ewm")
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        got = spark.table("t_r5_null_ewm").toPandas()
+        final = float(got.groupby("user_id").last()["ewm_value"].iloc[0])
+        want = float(pdf["value"].dropna()
+                     .ewm(alpha=0.25, adjust=True).mean().iloc[-1])
+        assert abs(final - want) < 1e-12
+    finally:
+        q.stop()
+
+
+# ------------------------------------------- sample threshold rounding
+
+@pytest.mark.parametrize("frac", [0.1, 0.3, 0.5, 0.07, 0.9999])
+def test_hash_threshold_matches_duckdb_cast(frac):
+    from pandas_alchemy_spark.relational import _hash_threshold
+    want = duckdb.sql(
+        f"SELECT CAST({frac!r} * 1152921504606846976 AS BIGINT)"
+    ).fetchone()[0]
+    assert _hash_threshold(frac, 1 << 60) == want
+
+
+def test_sample_threshold_boundary_portable(spark):
+    """End-to-end: the engine's md5-bucket sample and DuckDB's CAST
+    oracle keep identical rows — including any boundary bucket."""
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = (o.sample(0.3, key="o_orderkey").to_spark(index=False)
+           .selectExpr("count(*) AS n", "sum(o_orderkey) AS s")
+           .collect()[0])
+    want = duckdb.sql(f"""
+        SELECT count(*) AS n, sum(o_orderkey) AS s
+        FROM '{SF_DIR}/orders.parquet'
+        WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+              < CAST(0.3 * 1152921504606846976 AS BIGINT)
+    """).fetchone()
+    assert (got["n"], got["s"]) == want
