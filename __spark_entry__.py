@@ -408,7 +408,29 @@ def q_dt_funcs(spark, sf_dir):
                     F.month("o_orderdate").cast("long").alias("qtr"),
                     F.col("n").cast("long").alias("n"),
                     F.round("rev", 2).alias("v"))
-    return base.unionAll(leg)
+    # round-5 fold: pas.to_datetime round-trip (strftime -> parse —
+    # both stay in-plan as one projection; accessors.py to_datetime)
+    s = o.o_orderdate.dt.strftime("%Y-%m-%d")
+    ts = pas.to_datetime(s, format="%Y-%m-%d")
+    o2 = o.assign(pyr=ts.dt.year, pmo=ts.dt.month, pdy=ts.dt.day)
+    td = (o2.groupby(["pyr", "pmo"])
+          .agg(n=("pdy", "count"), v=("pdy", "sum"))).to_spark()
+    leg_td = td.select(F.lit("to_dt").alias("tag"),
+                       F.col("pyr").cast("long").alias("yr"),
+                       F.col("pmo").cast("long").alias("qtr"),
+                       F.col("n").cast("long").alias("n"),
+                       F.col("v").cast("double").alias("v"))
+    # round-5 fold: .at scalar label access (indexer.py) — DataFrame.at
+    # and Series.at each fetch ONE cell driver-side; the values ride
+    # back as literal rows (c_acctbal is 2-decimal, no rounding needed)
+    cust = pas.read_parquet(_t(sf_dir, "customer"))
+    ci = cust.set_index("c_custkey")
+    a1 = float(ci.at[7, "c_acctbal"])
+    a2 = float(ci.c_acctbal.at[11])
+    leg_at = spark.createDataFrame(
+        [("at", 7, None, 1, a1), ("at", 11, None, 1, a2)],
+        "tag string, yr long, qtr long, n long, v double")
+    return base.unionAll(leg).unionAll(leg_td).unionAll(leg_at)
 
 
 # ---------------------------------------------------------------------------
@@ -508,7 +530,14 @@ def q6_forecast(spark, sf_dir):
 def q_groupby_apply(spark, sf_dir):
     """groupby().apply via applyInPandas (grouped-map Arrow UDF): the
     escape hatch for per-group logic the built-ins can't express.
-    Groups go executor-side, never to the driver."""
+    Groups go executor-side, never to the driver.
+
+    Round-5 fold: a ``GroupBy.filter`` leg (relational.py
+    GroupBy.filter — whole-group keep/drop over the same applyInPandas
+    transport) rides in the same tagged union: groups of the
+    orderkey<100 slice whose total quantity clears 3250 survive, then
+    aggregate.  Sum-of-integer-valued quantities is exact, so the
+    HAVING threshold is engine-stable with no rounding contract."""
     import pandas_alchemy_spark as pas
     _prep(spark)
     li = pas.read_parquet(_t(sf_dir, "lineitem"))
@@ -524,7 +553,23 @@ def q_groupby_apply(spark, sf_dir):
            .groupby("l_returnflag")
            .apply(top2, "l_returnflag string, l_orderkey long, "
                         "l_quantity double"))
-    return res.to_spark(index=False)
+    apply_leg = res.to_spark(index=False).select(
+        F.lit("apply").alias("tag"),
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_orderkey").cast("long").alias("k"),
+        F.col("l_quantity").cast("double").alias("v"))
+    small = li[li.l_orderkey < 100][
+        ["l_returnflag", "l_orderkey", "l_quantity"]]
+    kept = small.groupby("l_returnflag").filter(
+        lambda p: p["l_quantity"].sum() > 3250)
+    fl = kept.groupby("l_returnflag").agg(
+        n=("l_orderkey", "count"), qty=("l_quantity", "sum"))
+    filter_leg = fl.to_spark().select(
+        F.lit("filter").alias("tag"),
+        F.col("l_returnflag").alias("rf"),
+        F.col("n").cast("long").alias("k"),
+        F.col("qty").cast("double").alias("v"))
+    return apply_leg.unionAll(filter_leg)
 
 
 def q10_returned(spark, sf_dir):
@@ -982,9 +1027,24 @@ def q_sample_hash(spark, sf_dir):
     _prep(spark)
     o = pas.read_parquet(_t(sf_dir, "orders"))
     s = o.sample(0.1, key="o_orderkey")
-    return s.to_spark(index=False).agg(
+    plain = s.to_spark(index=False).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"))
+        F.round(F.sum("o_totalprice"), 2).alias("total")).select(
+        F.lit("plain").alias("tag"), "n", "total")
+    # round-5 fold: sample_stratified (relational.py) — per-stratum
+    # thresholds via one CASE over the same md5 bucket; thresholds are
+    # the exact decimal products DuckDB's CAST computes (round-5
+    # _hash_threshold pinning), so the boundary bucket agrees.
+    st = o.sample_stratified({"1-URGENT": 0.5, "5-LOW": 0.1},
+                             by="o_orderpriority", key="o_orderkey")
+    strat = (st.to_spark(index=False)
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total"))
+             .select(F.concat(F.lit("strat:"),
+                              F.col("o_orderpriority")).alias("tag"),
+                     "n", "total"))
+    return plain.unionAll(strat)
 
 
 def q_asof_join(spark, sf_dir):
@@ -1677,8 +1737,21 @@ def q_scalar_suite(spark, sf_dir):
         "n_rows", "n_price", "n_cust",
         F.col("sum_price").alias("sum_price_cat"))
     gd = q_get_dummies(spark, sf_dir)
-    sa = q_sample_hash(spark, sf_dir).select(
-        F.col("n").alias("n_sample"), F.col("total").alias("total_sample"))
+    # sample legs (plain + round-5 stratified) pivot into wide columns
+    # via conditional aggregation — one pass over the tagged union
+    sa = q_sample_hash(spark, sf_dir).agg(
+        F.max(F.when(F.col("tag") == "plain", F.col("n")))
+        .alias("n_sample"),
+        F.max(F.when(F.col("tag") == "plain", F.col("total")))
+        .alias("total_sample"),
+        F.max(F.when(F.col("tag") == "strat:1-URGENT", F.col("n")))
+        .alias("n_strat_urgent"),
+        F.max(F.when(F.col("tag") == "strat:1-URGENT", F.col("total")))
+        .alias("total_strat_urgent"),
+        F.max(F.when(F.col("tag") == "strat:5-LOW", F.col("n")))
+        .alias("n_strat_low"),
+        F.max(F.when(F.col("tag") == "strat:5-LOW", F.col("total")))
+        .alias("total_strat_low"))
     ie = q_idx_extrema(spark, sf_dir)
     du = q_dup_stats(spark, sf_dir)
     fr = q_frame_reduce(spark, sf_dir)
@@ -1867,8 +1940,34 @@ def q_join_suite(spark, sf_dir):
         F.col("n_nationkey").cast("long").alias("key"),
         F.col("n_regionkey").cast("double").alias("a"),
         F.lit(None).cast("double").alias("b"))
+    # 6. round-5 fold: module-level pas.merge (inner, asymmetric key
+    # names — __init__.merge delegating to DataFrame.merge)
+    cm = cust[cust.c_custkey < 200][["c_custkey", "c_acctbal"]]
+    cnt6 = (orders.groupby("o_custkey")
+            .agg(n=("o_orderkey", "count")).reset_index())
+    m6 = pas.merge(cm, cnt6, left_on="c_custkey",
+                   right_on="o_custkey", how="inner").to_spark(index=False)
+    leg_mg = m6.select(
+        F.lit("merge").alias("tag"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.round("c_acctbal", 2).alias("a"),
+        F.col("n").cast("double").alias("b"))
+    # 7. round-5 fold: pas.from_spark interop bridge — wrap a raw
+    # Spark DataFrame (with an index column promoted) and run engine
+    # verbs on it
+    raw = (spark.read.parquet(_t(sf_dir, "orders"))
+           .where(F.col("o_orderkey") < 300)
+           .select("o_orderkey", "o_totalprice"))
+    fdf = pas.from_spark(raw, index=["o_orderkey"])
+    f7 = fdf.assign(dbl=fdf.o_totalprice * 2).to_spark()
+    leg_fs = f7.select(
+        F.lit("from_spark").alias("tag"),
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.round("o_totalprice", 2).alias("a"),
+        F.round("dbl", 2).alias("b"))
     return (leg_join.unionAll(leg_tr).unionAll(leg_as)
-            .unionAll(leg_loc).unionAll(leg_dr))
+            .unionAll(leg_loc).unionAll(leg_dr)
+            .unionAll(leg_mg).unionAll(leg_fs))
 
 
 def q_top_users_funnel(spark, sf_dir):
@@ -2347,6 +2446,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT date_trunc('month', o_orderdate) AS b,
                          o_totalprice FROM orders)
             GROUP BY 2, 3
+            UNION ALL
+            SELECT 'to_dt', year(o_orderdate)::BIGINT,
+                   month(o_orderdate)::BIGINT, count(*)::BIGINT,
+                   sum(day(o_orderdate))::DOUBLE
+            FROM orders
+            GROUP BY 2, 3
+            UNION ALL
+            SELECT 'at', c_custkey::BIGINT, NULL::BIGINT, 1::BIGINT,
+                   c_acctbal::DOUBLE
+            FROM customer WHERE c_custkey IN (7, 11)
         """,
         "groupby_agg": """
             SELECT g.l_returnflag, g.l_linestatus, g.sum_qty,
@@ -2452,11 +2561,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "sample_hash": """
-            SELECT count(*)::BIGINT AS n,
+            SELECT 'plain' AS tag, count(*)::BIGINT AS n,
                    round(sum(o_totalprice), 2) AS total
             FROM orders
             WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
                   < CAST(0.1 * 1152921504606846976 AS BIGINT)
+            UNION ALL
+            SELECT 'strat:' || o_orderpriority, count(*)::BIGINT,
+                   round(sum(o_totalprice), 2)
+            FROM orders
+            WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+                  < CASE o_orderpriority
+                      WHEN '1-URGENT'
+                        THEN CAST(0.5 * 1152921504606846976 AS BIGINT)
+                      WHEN '5-LOW'
+                        THEN CAST(0.1 * 1152921504606846976 AS BIGINT)
+                    END
+            GROUP BY o_orderpriority
         """,
         "asof_join": """
             WITH ev AS (SELECT event_id, user_id,
@@ -2482,13 +2603,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "groupby_apply": """
-            SELECT l_returnflag, l_orderkey, l_quantity
+            SELECT 'apply' AS tag, l_returnflag AS rf,
+                   l_orderkey::BIGINT AS k, l_quantity::DOUBLE AS v
             FROM (SELECT l_returnflag, l_orderkey, l_quantity,
                          row_number() OVER (PARTITION BY l_returnflag
                            ORDER BY l_quantity DESC, l_orderkey,
                                     l_linenumber) AS rn
                   FROM lineitem) t
             WHERE rn <= 2
+            UNION ALL
+            SELECT 'filter', l_returnflag, count(*)::BIGINT,
+                   sum(l_quantity)::DOUBLE
+            FROM lineitem
+            WHERE l_orderkey < 100 AND l_returnflag IN
+                  (SELECT l_returnflag FROM lineitem
+                   WHERE l_orderkey < 100
+                   GROUP BY 1 HAVING sum(l_quantity) > 3250)
+            GROUP BY l_returnflag
         """,
         "q10_returned": """
             SELECT c.c_custkey, c.c_name, n.n_name,
@@ -3162,7 +3293,18 @@ def oracle_sql() -> dict[str, str]:
                       sum_price AS sum_price_cat
                FROM {sub("concat_union")}),
               {sub("get_dummies")},
-              (SELECT n AS n_sample, total AS total_sample
+              (SELECT max(CASE WHEN tag = 'plain' THEN n END)
+                        AS n_sample,
+                      max(CASE WHEN tag = 'plain' THEN total END)
+                        AS total_sample,
+                      max(CASE WHEN tag = 'strat:1-URGENT' THEN n END)
+                        AS n_strat_urgent,
+                      max(CASE WHEN tag = 'strat:1-URGENT' THEN total END)
+                        AS total_strat_urgent,
+                      max(CASE WHEN tag = 'strat:5-LOW' THEN n END)
+                        AS n_strat_low,
+                      max(CASE WHEN tag = 'strat:5-LOW' THEN total END)
+                        AS total_strat_low
                FROM {sub("sample_hash")}),
               {sub("idx_extrema")},
               {sub("dup_stats")},
@@ -3300,6 +3442,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'drop', n_nationkey::BIGINT, n_regionkey::DOUBLE,
                    NULL::DOUBLE
             FROM nation WHERE n_nationkey NOT IN (0, 5, 10)
+            UNION ALL
+            SELECT 'merge', c_custkey::BIGINT, round(c_acctbal, 2),
+                   n.n::DOUBLE
+            FROM customer
+            JOIN (SELECT o_custkey, count(*) AS n
+                  FROM orders GROUP BY 1) n ON c_custkey = o_custkey
+            WHERE c_custkey < 200
+            UNION ALL
+            SELECT 'from_spark', o_orderkey::BIGINT,
+                   round(o_totalprice, 2), round(o_totalprice * 2, 2)
+            FROM orders WHERE o_orderkey < 300
         """,
         "events_hourly": base["events_hourly"],
         "sessionize": base["sessionize"],
