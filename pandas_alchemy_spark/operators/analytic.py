@@ -136,10 +136,61 @@ class _WindowVerbs:
 
 
 class SeriesWindow(_WindowVerbs):
-    """Global (whole-series) analytic verbs, ordered by the index."""
+    """Global (whole-series) analytic verbs, ordered by the index.
+
+    cum*/rank route through ``operators.segscan`` — the distributed
+    two-pass segmented scan (range-pinned partitions, one scalar carry
+    per partition, per-partition pandas pass) — so no verb here needs
+    a single-partition window.  shift/diff/pct_change/rolling stay
+    expression-backed (they inline into assign projections via
+    lineage, which a materializing scan cannot; their unpartitioned
+    window remains the documented parity trade)."""
 
     def __init__(self, series):
         self._s = series
+
+    def _scan_series(self, build):
+        """Package a segscan (idx cols + ``__out``) as a Series — the
+        same plan-rewrite shape as Ewm.mean (no lineage: the scan
+        materializes a pinned layout, so assign falls back to the
+        index-aligned join instead of inlining)."""
+        from ..core import Series
+        s = self._s
+        n = s._n_idx()
+        idx = [s._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        tmp = s._sdf.select(*idx, s._the_col.alias("__v"))
+        out = build(tmp, [I.idx_name(i) for i in range(n)])
+        body = out.select(*[F.col(I.idx_name(i)) for i in range(n)],
+                          F.col("__out").alias(I.col_name(0)))
+        res = Series(s._index, None, body, s.name)
+        res._mid_index = getattr(s, "_mid_index", False)
+        res._mid_dense = getattr(s, "_mid_dense", False)
+        res._mid_origin = getattr(s, "_mid_origin", None)
+        res._rows_reordered = True
+        return res
+
+    def _cum_scan(self, op):
+        from .segscan import cum_scan
+        return self._scan_series(
+            lambda tmp, oc: cum_scan(tmp, "__v", oc, op, "__out"))
+
+    def cumsum(self):
+        return self._cum_scan("sum")
+
+    def cumprod(self):
+        return self._cum_scan("prod")
+
+    def cummax(self):
+        return self._cum_scan("max")
+
+    def cummin(self):
+        return self._cum_scan("min")
+
+    def rank(self, method: str = "min", ascending: bool = True):
+        from .segscan import rank_scan
+        return self._scan_series(
+            lambda tmp, oc: rank_scan(tmp, "__v", oc, method,
+                                      ascending, "__out"))
 
     def _window(self):
         return Window.orderBy(*_order_cols(self._s))

@@ -1,0 +1,174 @@
+"""Distributed global scans: cum*/rank without a single-partition window.
+
+pandas' global ``cumsum``/``cummax``/``rank`` need a TOTAL row order;
+the naive Spark form is an unpartitioned window — one task sees every
+row, the known scale cliff of the parity layer.  This module ports the
+``scan.ewm_mean`` two-pass segmented technique to the whole cum*/rank
+family:
+
+- **Pin the layout**: range-partition on the scan order (index for
+  cum*, value for rank), sort within partitions, ``localCheckpoint``
+  so both passes see identical partitions (same trade as
+  ``scan.ewm_mean``: the checkpoint stores partitions on executors; at
+  a real cluster scale point a reliable checkpoint dir instead).
+- **Pass A (JVM)**: one aggregate row per partition (sum/max/count/
+  countDistinct of the partition) — P scalars to the driver, never row
+  data.
+- **Driver fold**: prefix-combine the P carries (associative ops, so
+  the fold order is the partition order).
+- **Pass B (mapInPandas)**: per-partition vectorized pandas
+  cum*/rank + the partition's prefix carry from the closure — no
+  shuffle, no window, rows never leave their partition.
+
+Total movement: ONE range shuffle.  Float caveat: cumsum/cumprod group
+additions as (partition-local scan) ∘ (carry fold), so the last ulp
+can differ from pandas' strictly sequential fold — same contract as
+the EWM scan (≤1e-13 relative on 50k-row differential tests).
+
+Rank correctness depends on range partitioning placing EQUAL values in
+the same partition (RangePartitioner assigns by binary search over
+sampled boundaries — a pure function of the key), so per-partition
+pandas ``rank(method=...)`` plus a row/distinct-count offset is exact
+for every method.  ``method='first'`` additionally range-partitions on
+the positional tiebreak, so duplicate-heavy columns still spread.
+
+No counterpart in the reference (pandas-alchemy has no analytic
+verbs); the pandas API contract is the spec.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame as SparkDF
+from pyspark.sql import functions as F
+
+_CUM_OPS = {
+    "sum": (F.sum, lambda s: s.cumsum(), lambda loc, c: loc + c),
+    "prod": (F.product, lambda s: s.cumprod(), lambda loc, c: loc * c),
+    "max": (F.max, lambda s: s.cummax(),
+            lambda loc, c: loc.clip(lower=c)),
+    "min": (F.min, lambda s: s.cummin(),
+            lambda loc, c: loc.clip(upper=c)),
+}
+
+_CUM_FOLD = {
+    "sum": lambda a, b: a + b,
+    "prod": lambda a, b: a * b,
+    "max": max,
+    "min": min,
+}
+
+
+def _pin(sdf: SparkDF, order_exprs, num_partitions=None) -> SparkDF:
+    """Range-partition + in-partition sort + checkpoint: the pinned
+    layout both passes read (repartitionByRange samples boundaries, so
+    without the checkpoint the two passes could disagree)."""
+    n_part = (num_partitions
+              or sdf.sparkSession.sparkContext.defaultParallelism)
+    return (sdf.repartitionByRange(n_part, *order_exprs)
+            .sortWithinPartitions(*order_exprs)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+
+
+def cum_scan(sdf: SparkDF, value_col: str, order_cols, op: str,
+             out_col: str = "cum", num_partitions=None) -> SparkDF:
+    """Global cumulative ``op`` (sum/prod/max/min) of ``value_col`` in
+    ``order_cols`` order, as a segmented scan (module docstring).
+    pandas NaN-hole semantics: null rows stay null, the running value
+    skips them."""
+    if op not in _CUM_OPS:
+        raise ValueError(f"unknown cum op {op!r}")
+    agg_fn, local_scan, combine = _CUM_OPS[op]
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+
+    partials = base.groupBy("__pid").agg(
+        agg_fn(F.col(value_col)).alias("__agg"))
+    out_type = dict(partials.dtypes)["__agg"]
+    rows = sorted(partials.collect(), key=lambda r: r["__pid"])
+    fold = _CUM_FOLD[op]
+    prefix: dict[int, object] = {}
+    acc = None
+    for r in rows:
+        prefix[r["__pid"]] = acc
+        if r["__agg"] is not None:
+            acc = r["__agg"] if acc is None else fold(acc, r["__agg"])
+
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in sdf.schema.fields)
+    out_fields += f", {out_col} {out_type}"
+
+    integral = out_type in ("bigint", "int", "smallint", "tinyint")
+
+    def pass_b(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            carry = prefix.get(pid)
+            loc = local_scan(pdf[value_col])
+            res = pdf.drop(columns=["__pid"]).copy()
+            out = loc if carry is None else combine(loc, carry)
+            if integral:
+                # a nullable long column arrives as float64 (pandas NaN
+                # promotion); hand Arrow a masked Int64 so the declared
+                # bigint schema round-trips nulls exactly
+                out = out.astype("Int64")
+            res[out_col] = out
+            yield res
+
+    return base.mapInPandas(pass_b, out_fields)
+
+
+def rank_scan(sdf: SparkDF, value_col: str, order_cols, method: str,
+              ascending: bool, out_col: str = "rank",
+              num_partitions=None) -> SparkDF:
+    """Global ``Series.rank`` as a segmented scan: range-partition on
+    the VALUE (ties co-located, so per-partition pandas rank + a
+    non-null row-count prefix — distinct-count for ``dense`` — is
+    exact), nulls rank null like pandas.  ``order_cols`` is the
+    positional tiebreak for ``method='first'``."""
+    if method not in ("average", "min", "max", "first", "dense"):
+        raise ValueError(
+            f"method must be one of 'average', 'min', 'max', "
+            f"'first', 'dense', got {method!r}")
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    v = F.col(value_col)
+    val_order = v.asc_nulls_last() if ascending else v.desc_nulls_last()
+    part_order = [val_order]
+    if method == "first":
+        # ties break by position -> safe (and skew-proof) to spread
+        # them across partitions on the positional tiebreak
+        part_order += [F.col(c) for c in order_cols]
+    base = _pin(sdf, part_order, num_partitions)
+
+    partials = base.groupBy("__pid").agg(
+        F.count(v).alias("__n"),
+        F.count_distinct(v).alias("__nd"))
+    rows = sorted(partials.collect(), key=lambda r: r["__pid"])
+    prefix: dict[int, int] = {}
+    acc = 0
+    use_distinct = method == "dense"
+    for r in rows:
+        prefix[r["__pid"]] = acc
+        acc += r["__nd"] if use_distinct else r["__n"]
+
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in sdf.schema.fields)
+    out_fields += f", {out_col} double"
+
+    def pass_b(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            off = prefix.get(pid, 0)
+            loc = pdf[value_col].rank(method=method, ascending=ascending)
+            res = pdf.drop(columns=["__pid"]).copy()
+            res[out_col] = loc + off
+            yield res
+
+    return base.mapInPandas(pass_b, out_fields)

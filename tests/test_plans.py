@@ -266,3 +266,24 @@ def test_grouped_ewm_jvm_only_single_shuffle(spark):
     # evaluation anywhere, one key shuffle feeding both window passes
     assert "Python" not in plan and "FlatMapGroupsInPandas" not in plan
     assert exchange_count(s.to_spark()) == 1
+
+
+def test_global_cumsum_no_single_partition_window(spark):
+    # round 5: global cum* is a segmented scan (operators/segscan) —
+    # range-pinned partitions + per-partition pass + scalar carries;
+    # the result plan must contain NO window at all and never funnel
+    # through a single partition
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet").set_index("o_orderkey")
+    s = o["o_totalprice"].cumsum()
+    plan = physical_plan(s.to_spark())
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_global_rank_no_single_partition_window(spark):
+    o = pas.read_parquet(f"{SF_DIR}/orders.parquet").set_index("o_orderkey")
+    for method in ("min", "first", "dense", "average", "max"):
+        s = o["o_totalprice"].rank(method=method)
+        plan = physical_plan(s.to_spark())
+        assert "SinglePartition" not in plan, method
+        assert "Window" not in plan, method
