@@ -430,7 +430,22 @@ def q_dt_funcs(spark, sf_dir):
     leg_at = spark.createDataFrame(
         [("at", 7, None, 1, a1), ("at", 11, None, 1, a2)],
         "tag string, yr long, qtr long, n long, v double")
-    return base.unionAll(leg).unionAll(leg_td).unionAll(leg_at)
+    # round-5 fold: time-offset rolling('7D') — RANGE frame on epoch
+    # micros of the date index (operators/analytic._rolling_time).
+    # Exact-cents contract: window sums of LONGs are engine-exact
+    # (no segment-tree last-ulp issue), max per month compresses the
+    # check
+    od = o.set_index("o_orderdate")
+    cents = (od.o_totalprice * 100).round(0).astype("int64")
+    roll = cents.rolling("7D").sum().to_spark()
+    rv = roll.columns[-1]
+    leg_rl = (roll.groupBy(F.year("o_orderdate").cast("long").alias("yr"),
+                           F.month("o_orderdate").cast("long").alias("qtr"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.max(rv).cast("double").alias("v"))
+              .select(F.lit("roll7d").alias("tag"), "yr", "qtr", "n", "v"))
+    return (base.unionAll(leg).unionAll(leg_td).unionAll(leg_at)
+            .unionAll(leg_rl))
 
 
 # ---------------------------------------------------------------------------
@@ -2456,6 +2471,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'at', c_custkey::BIGINT, NULL::BIGINT, 1::BIGINT,
                    c_acctbal::DOUBLE
             FROM customer WHERE c_custkey IN (7, 11)
+            UNION ALL
+            SELECT 'roll7d', year(o_orderdate)::BIGINT,
+                   month(o_orderdate)::BIGINT, count(*)::BIGINT,
+                   max(r)::DOUBLE
+            FROM (SELECT o_orderdate,
+                         sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           OVER (ORDER BY epoch_us(o_orderdate::TIMESTAMP)
+                                 RANGE BETWEEN 604799999999 PRECEDING
+                                 AND CURRENT ROW) AS r
+                  FROM orders)
+            GROUP BY 2, 3
         """,
         "groupby_agg": """
             SELECT g.l_returnflag, g.l_linestatus, g.sum_qty,

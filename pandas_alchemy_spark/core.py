@@ -989,7 +989,10 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def rank(self, method: str = "min", ascending: bool = True):
         return self._win().rank(method, ascending)
 
-    def rolling(self, window: int, min_periods: int | None = None):
+    def rolling(self, window: "int | str",
+                min_periods: int | None = None):
+        """Count-based (``rolling(3)``) or time-offset
+        (``rolling('7D')`` over a datetime index) window handle."""
         from .operators.analytic import Rolling
         return Rolling(self, window, min_periods)
 

@@ -134,6 +134,37 @@ class _WindowVerbs:
             return F.when(n >= min_periods, val)
         return self._wrap(fn)
 
+    def _epoch_order_expr(self, frame):
+        """Epoch-microseconds of the (single, datetime) index level —
+        the numeric ORDER BY a range frame needs.  NTZ parquet
+        timestamps cast through TIMESTAMP (session runs UTC, see
+        accessors.DatetimeMethods)."""
+        n = frame._n_idx()
+        if n != 1:
+            raise ValueError(
+                "time-offset rolling needs a single datetime index "
+                f"level, frame has {n}")
+        dt = frame._sdf.schema[I.idx_name(0)].dataType.simpleString()
+        if not (dt.startswith("timestamp") or dt == "date"):
+            raise ValueError(
+                "time-offset rolling needs a datetime index, got "
+                f"{dt} (set_index a timestamp/date column first)")
+        return F.unix_micros(frame._sdf[I.idx_name(0)].cast("timestamp"))
+
+    def _rolling_time(self, agg, offset_us: int, min_periods: int):
+        """Time-offset rolling: RANGE frame over epoch micros —
+        ``(t - offset, t]`` (lower bound +1us = pandas closed='right').
+        Grouped flavor shuffles once on the keys; global keeps the
+        documented single-partition parity trade."""
+        w = self._time_window().rangeBetween(-(offset_us - 1),
+                                             Window.currentRow)
+
+        def fn(c):
+            val = agg(c).over(w)
+            n = F.count(c).over(w)
+            return F.when(n >= min_periods, val)
+        return self._wrap(fn)
+
 
 class SeriesWindow(_WindowVerbs):
     """Global (whole-series) analytic verbs, ordered by the index.
@@ -195,6 +226,9 @@ class SeriesWindow(_WindowVerbs):
     def _window(self):
         return Window.orderBy(*_order_cols(self._s))
 
+    def _time_window(self):
+        return Window.orderBy(self._epoch_order_expr(self._s))
+
     def _value_window(self, order, tiebreak):
         # pandas rank orders by VALUE (ties broken per method)
         if tiebreak:
@@ -235,6 +269,10 @@ class SeriesGroupBy(_WindowVerbs):
         return Window.partitionBy(*self._keys()).orderBy(
             *_order_cols(self._df))
 
+    def _time_window(self):
+        return Window.partitionBy(*self._keys()).orderBy(
+            self._epoch_order_expr(self._df))
+
     def _value_window(self, order, tiebreak):
         if tiebreak:
             return Window.partitionBy(*self._keys()).orderBy(
@@ -272,9 +310,11 @@ class SeriesGroupBy(_WindowVerbs):
         through scan.ewm_mean(by=) for unbounded sequences."""
         return _GroupedEwm(self, alpha)
 
-    def rolling(self, window: int, min_periods: int | None = None):
+    def rolling(self, window, min_periods: int | None = None):
         """pandas ``groupby(k)[c].rolling(n)`` — per-group ordered
-        frame, one shuffle on the keys, per-key bounded state."""
+        frame, one shuffle on the keys, per-key bounded state.  A str
+        window ('7D') switches to the time-offset RANGE frame over the
+        frame's datetime index."""
         return Rolling(self, window, min_periods)
 
     def expanding(self, min_periods: int = 1):
@@ -390,39 +430,90 @@ class Ewm:
         return res
 
 
+_OFFSET_UNITS_US = {
+    "W": 7 * 86400 * 1_000_000,
+    "D": 86400 * 1_000_000,
+    "d": 86400 * 1_000_000,
+    "H": 3600 * 1_000_000,
+    "h": 3600 * 1_000_000,
+    "T": 60 * 1_000_000,
+    "min": 60 * 1_000_000,
+    "S": 1_000_000,
+    "s": 1_000_000,
+}
+
+
+def parse_offset_us(off: str) -> int:
+    """'7D' / '24H' / '30min' / '10S' -> microseconds.  Fixed-width
+    offsets only — calendar offsets (M/Y) have no constant width and
+    belong to resample, not a sliding range window."""
+    import re
+    m = re.fullmatch(r"(\d*)\s*(W|D|d|H|h|T|min|S|s)", off.strip())
+    if not m:
+        raise ValueError(
+            f"unsupported rolling window offset {off!r} (fixed-width "
+            "W/D/H/min/S offsets only; use resample for calendar rules)")
+    n = int(m.group(1) or 1)
+    return n * _OFFSET_UNITS_US[m.group(2)]
+
+
 class Rolling:
     """``series.rolling(n)`` / ``groupby(k)[c].rolling(n)`` handle.
 
     Accepts either a Series (global order — the single-partition
     parity path) or an already-built ``_WindowVerbs`` source (the
     grouped flavor: ``partitionBy(keys)`` windows, one shuffle,
-    per-key bounded — the 100 TB path)."""
+    per-key bounded — the 100 TB path).
 
-    def __init__(self, series, window: int, min_periods=None):
+    ``window`` may be a time offset string ('7D', '24H', '30min'):
+    the frame becomes ``rangeBetween`` on the epoch-microseconds of
+    the (datetime) index — rows whose timestamp falls in
+    ``(t - offset, t]``, pandas' default ``closed='right'``, and
+    ``min_periods`` defaults to 1 like pandas.  Divergence ON TIED
+    timestamps only: a SQL RANGE frame includes ALL peer rows of the
+    current timestamp, while pandas cuts at the current row position —
+    SQL semantics is what every engine (Spark, DuckDB, Trino) computes
+    and is order-deterministic, so it is the contract here."""
+
+    def __init__(self, series, window, min_periods=None):
         self._sw = (series if isinstance(series, _WindowVerbs)
                     else SeriesWindow(series))
-        self._window_n = window
+        self._by_time = isinstance(window, str)
+        if self._by_time:
+            self._offset_us = parse_offset_us(window)
+            if min_periods is None:
+                min_periods = 1
+        else:
+            self._window_n = window
         self._min_periods = min_periods
 
+    def _agg(self, agg, min_periods=None):
+        mp = min_periods if min_periods is not None else self._min_periods
+        if self._by_time:
+            return self._sw._rolling_time(agg, self._offset_us, mp or 1)
+        return self._sw._rolling(agg, self._window_n, mp)
+
     def sum(self):
+        if self._by_time:
+            return self._agg(F.sum)
         return self._sw.rolling_sum(self._window_n, self._min_periods)
 
     def mean(self):
+        if self._by_time:
+            return self._agg(F.mean)
         return self._sw.rolling_mean(self._window_n, self._min_periods)
 
     def max(self):
-        return self._sw._rolling(F.max, self._window_n, self._min_periods)
+        return self._agg(F.max)
 
     def min(self):
-        return self._sw._rolling(F.min, self._window_n, self._min_periods)
+        return self._agg(F.min)
 
     def std(self):
-        return self._sw._rolling(F.stddev_samp, self._window_n,
-                                 self._min_periods)
+        return self._agg(F.stddev_samp)
 
     def count(self):
-        return self._sw._rolling(F.count, self._window_n,
-                                 self._min_periods or 1)
+        return self._agg(F.count, self._min_periods or 1)
 
 
 class Expanding:

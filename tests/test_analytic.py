@@ -168,3 +168,84 @@ def test_rolling_minmax_expanding(spark):
         pd.testing.assert_series_equal(got.reset_index(drop=True),
                                        want.reset_index(drop=True),
                                        check_dtype=False, check_names=False)
+
+
+# ---------------------------------------------------- time-offset rolling
+
+def _time_pdf(n=2500, seed=5, users=False):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    secs = np.unique(rng.integers(0, 40_000_000, n))
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, unit="s")
+    d = {"v": rng.normal(size=len(ts))}
+    if users:
+        d["u"] = rng.integers(0, 7, size=len(ts))
+    return pd.DataFrame(d, index=pd.Index(ts, name="ts"))
+
+
+def test_rolling_time_offset_global(spark):
+    pdf = _time_pdf()
+    df = pas.DataFrame.from_pandas(pdf)
+    for agg in ("sum", "mean", "max", "count"):
+        got = (getattr(df.v.rolling("7D"), agg)()
+               .to_pandas().sort_index())
+        want = getattr(pdf.v.rolling("7D"), agg)().sort_index()
+        pdt.assert_series_equal(got, want, check_dtype=False,
+                                check_names=False, check_freq=False,
+                                rtol=1e-12)
+
+
+def test_rolling_time_offset_min_periods(spark):
+    pdf = _time_pdf(800, seed=9)
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.v.rolling("24h", min_periods=3).sum().to_pandas().sort_index()
+    want = pdf.v.rolling("24h", min_periods=3).sum().sort_index()
+    pdt.assert_series_equal(got, want, check_dtype=False,
+                            check_names=False, check_freq=False,
+                            rtol=1e-12)
+
+
+def test_rolling_time_offset_grouped(spark):
+    pdf = _time_pdf(users=True)
+    df = pas.DataFrame.from_pandas(pdf)
+    got = (df.groupby("u")["v"].rolling("7D").sum()
+           .to_pandas().sort_index())
+    want = (pdf.groupby("u")["v"].rolling("7D").sum()
+            .reset_index(level=0, drop=True).sort_index())
+    pdt.assert_series_equal(got, want, check_dtype=False,
+                            check_names=False, check_freq=False,
+                            rtol=1e-12)
+
+
+def test_rolling_time_offset_validation(spark):
+    pdf = _time_pdf(50)
+    df = pas.DataFrame.from_pandas(pdf)
+    with pytest.raises(ValueError, match="offset"):
+        df.v.rolling("3M").sum()        # calendar offsets unsupported
+    ints = pas.DataFrame.from_pandas(
+        pd.DataFrame({"v": [1.0, 2.0]}, index=[1, 2]))
+    with pytest.raises(ValueError, match="datetime index"):
+        ints.v.rolling("7D").sum()      # non-datetime index rejected
+
+
+def test_rolling_time_duplicate_ts_sql_semantics(spark):
+    """On TIED timestamps the engine keeps SQL RANGE semantics (all
+    peers in the frame) — the documented, oracle-checkable divergence
+    from pandas' positional cut."""
+    import duckdb
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-02",
+                         "2024-01-05", "2024-01-09"])
+    pdf = pd.DataFrame({"v": [1.0, 2.0, 4.0, 8.0, 16.0]},
+                       index=pd.Index(ts, name="ts"))
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.v.rolling("3D").sum().to_pandas().sort_index()
+    flat = pdf.reset_index()
+    want = duckdb.sql("""
+        SELECT ts, sum(v) OVER (ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 259199999999 PRECEDING AND CURRENT ROW)
+               AS v
+        FROM flat ORDER BY ts
+    """).df().set_index("ts")["v"]
+    assert got.tolist() == want.tolist()
+    # both tied 2024-01-02 rows see BOTH peer values (2+4) in frame
+    assert got.iloc[1] == got.iloc[2] == 7.0
