@@ -355,7 +355,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
-                         max_iters: int = 20) -> DataFrame:
+                         max_iters: int = 20,
+                         on_nonconverged: str = "raise") -> DataFrame:
     """Connected components over a pair graph (near-dup clustering):
     iterative min-label propagation — each vertex repeatedly adopts
     the smallest component id among itself and its neighbors until a
@@ -369,8 +370,19 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     large-graph CC recipe (GraphX/Pregel formulation) expressed in
     plain DataFrame ops.
 
+    ``max_iters`` is a HARD budget: at extreme scale a pathological
+    chain (diameter > budget) would otherwise turn into a silently
+    slow loop — instead the loop stops and, per ``on_nonconverged``,
+    RAISES (default) or warns with partially-propagated labels.  The
+    converged-in-N count is logged to stderr either way so the bench
+    log shows the iteration behavior at every scale.
+
     Returns (id, component) where component = min vertex id reachable.
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"on_nonconverged must be 'raise' or 'warn', "
+            f"got {on_nonconverged!r}")
     edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .union(pairs.select(F.col(dst).alias("a"),
                                  F.col(src).alias("b"))))
@@ -383,7 +395,9 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
               .distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iters):
+    converged_in = None
+    changed = None
+    for i in range(max_iters):
         # neighbor labels: for each edge a->b, b's current component
         nbr = (edges.join(labels.withColumnRenamed("id", "b")
                           .withColumnRenamed("comp", "nbr_comp"), "b")
@@ -397,14 +411,30 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
             F.col("comp") != F.col("old_comp")).count()
         labels = new_labels.drop("old_comp")
         if changed == 0:
+            converged_in = i + 1
             break
+    if converged_in is None:
+        msg = (f"connected_components did not converge within "
+               f"max_iters={max_iters} ({changed} labels still "
+               "changing); the component diameter exceeds the "
+               "iteration budget — raise max_iters or inspect the "
+               "pair graph for pathological chains")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning)
+    else:
+        print(f"[pandas_alchemy_spark] connected_components: converged "
+              f"in {converged_in}/{max_iters} round(s)", file=sys.stderr)
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
 def cluster_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.6,
                       num_hashes: int = 64, bands: int = 16,
-                      bucket_cap: int | None = 2000) -> DataFrame:
+                      bucket_cap: int | None = 2000,
+                      max_iters: int = 20,
+                      on_nonconverged: str = "raise") -> DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidate pairs ->
     Jaccard verify at ``threshold`` -> connected components.  Returns
     (id, component, keep) where keep marks the component
@@ -413,7 +443,9 @@ def cluster_near_dups(df: DataFrame, text_col: str = "text",
     pairs = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col,
                               num_hashes=num_hashes, bands=bands,
                               threshold=threshold, bucket_cap=bucket_cap)
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b",
+                                max_iters=max_iters,
+                                on_nonconverged=on_nonconverged)
     ids = df.select(F.col(id_col).alias("id"))
     all_labels = (ids.join(comp, "id", "left")
                   .select("id", F.coalesce("component", F.col("id"))

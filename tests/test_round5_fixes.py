@@ -174,3 +174,42 @@ def test_sample_threshold_boundary_portable(spark):
               < CAST(0.3 * 1152921504606846976 AS BIGINT)
     """).fetchone()
     assert (got["n"], got["s"]) == want
+
+
+# ------------------------------------- connected_components iteration guard
+
+def _chain_pairs(spark, n):
+    """Path graph 0-1-2-...-n: min-label propagation moves the label
+    one hop per round, so convergence needs ~n rounds — the
+    pathological-diameter shape the guard exists for."""
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+
+
+def test_cc_nonconvergence_raises(spark):
+    from pandas_alchemy_spark.ext import dedup
+    pairs = _chain_pairs(spark, 8)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iters=2).collect()
+
+
+def test_cc_nonconvergence_warn_mode(spark):
+    import warnings
+    from pandas_alchemy_spark.ext import dedup
+    pairs = _chain_pairs(spark, 8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup.connected_components(
+            pairs, max_iters=2, on_nonconverged="warn")
+        assert out.count() == 9  # partial labels still returned
+        assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_cc_converges_within_budget(spark):
+    from pandas_alchemy_spark.ext import dedup
+    pairs = _chain_pairs(spark, 4)
+    out = dedup.connected_components(pairs, max_iters=10).toPandas()
+    assert sorted(out["component"].unique()) == [0]  # one component
+
+    with pytest.raises(ValueError, match="on_nonconverged"):
+        dedup.connected_components(pairs, on_nonconverged="bogus")
