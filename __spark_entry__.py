@@ -1832,7 +1832,26 @@ def q_vc_describe(spark, sf_dir):
             .unionAll(js.select(F.lit("json").alias("tag"),
                                 F.col("event_type").alias("key"),
                                 F.col("sk").cast("double").alias("a"),
-                                F.col("nk").cast("double").alias("b"))))
+                                F.col("nk").cast("double").alias("b")))
+            .unionAll(_hll_error_leg(spark, sf_dir)))
+
+
+def _hll_error_leg(spark, sf_dir):
+    """Round-5 fold: the ``Series.nunique(approx=True)`` HLL path gets
+    a hash-checkable contract the way ann_suite's recall did — the
+    approximate value itself is approximate BY CONTRACT, so the leg
+    emits (exact nunique, error-bucket) where the bucket asserts
+    |approx - exact| / exact < 0.05 (HLL++ at rsd=0.02 is
+    deterministic for fixed data, so the bucket is stable) and the
+    oracle pins the exact count plus the expected bucket."""
+    import pandas_alchemy_spark as pas
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    exact = int(o.o_custkey.nunique())
+    approx = int(o.o_custkey.nunique(approx=True, rsd=0.02))
+    ok = 1.0 if abs(approx - exact) / exact < 0.05 else 0.0
+    return spark.createDataFrame(
+        [("hll", "o_custkey", float(exact), ok)],
+        "tag string, key string, a double, b double")
 
 
 def q_unstack_multi(spark, sf_dir):
@@ -3362,6 +3381,13 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE,
                    count(json_extract_string(props, '$.k'))::DOUBLE
             FROM events GROUP BY event_type
+            UNION ALL
+            -- HLL leg: exact count is oracle-computable; the error
+            -- bucket (|approx-exact|/exact < 0.05 at rsd=0.02) is the
+            -- pinned contract for the approximate path
+            SELECT 'hll', 'o_custkey',
+                   count(DISTINCT o_custkey)::DOUBLE, 1.0::DOUBLE
+            FROM orders
         """,
         "melt_unpivot": base["melt_unpivot"],
         "str_funcs": base["str_funcs"],
