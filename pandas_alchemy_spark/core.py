@@ -441,6 +441,57 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         self._sdf = self._project(
             self._idx_cols(), [app(c) for c in self._data_cols()])
 
+    def apply(self, func, axis=1, dtype: str = "double"):
+        """pandas ``df.apply(func, axis=1)`` — the ROW-WISE escape
+        hatch, as a ``mapInPandas`` pass (Arrow batches, executor-side;
+        ``func`` sees each row as a pandas Series keyed by the column
+        labels) returning a Series typed ``dtype``.
+
+        COST WARNING: this runs ``func`` once per ROW in Python — the
+        slowest path in the engine (~100x slower than a column
+        expression and it defeats codegen, pushdown and pruning).
+        Reach for column expressions / ``assign`` first and
+        ``applymap`` for elementwise transforms; keep ``apply(axis=1)``
+        for genuinely row-entangled logic you cannot express
+        columnwise.  ``axis=0`` (column-wise reductions) is served by
+        the dedicated reductions (sum/mean/...) — not implemented
+        here."""
+        if axis not in (1, "columns"):
+            raise NotImplementedError(
+                "apply(axis=0) — use the column reductions "
+                "(sum/mean/min/max/...) instead; apply implements the "
+                "row-wise axis=1 escape hatch only")
+        n = self._n_idx()
+        idx_names = [I.idx_name(i) for i in range(n)]
+        labels = [str(c) for c in self._columns]
+        named = self._sdf.select(
+            *[F.col(nm) for nm in idx_names],
+            *[self._col_at(i).alias(f"__d_{i}")
+              for i in range(len(labels))])
+        data_cols = [f"__d_{i}" for i in range(len(labels))]
+        rename = dict(zip(data_cols, labels))
+        idx_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in named.schema.fields[:n])
+        out_schema = f"{idx_schema}, {I.col_name(0)} {dtype}"
+
+        def run(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                user = pdf[data_cols].rename(columns=rename)
+                res = pdf[idx_names].copy()
+                res[I.col_name(0)] = user.apply(func, axis=1)
+                yield res
+
+        body = named.mapInPandas(run, out_schema)
+        out = Series(self._index, None, body, None)
+        out._mid_index = getattr(self, "_mid_index", False)
+        out._mid_dense = getattr(self, "_mid_dense", False)
+        out._mid_origin = getattr(self, "_mid_origin", None)
+        out._rows_reordered = True
+        return out
+
     # -- relabeling (metadata-only; reference alchemy.py:277-285) ----------
 
     @utils.copied

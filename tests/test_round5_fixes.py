@@ -213,3 +213,22 @@ def test_cc_converges_within_budget(spark):
 
     with pytest.raises(ValueError, match="on_nonconverged"):
         dedup.connected_components(pairs, on_nonconverged="bogus")
+
+
+# ----------------------------------------------- DataFrame.apply(axis=1)
+
+def test_apply_axis1_matches_pandas(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [10.0, 20.0, 30.0]},
+                       index=[5, 6, 7])
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.apply(lambda r: r["a"] * 2 + r["b"], axis=1).to_pandas()
+    want = pdf.apply(lambda r: r["a"] * 2 + r["b"], axis=1)
+    assert got.sort_index().tolist() == want.tolist()
+    assert got.sort_index().index.tolist() == want.index.tolist()
+
+
+def test_apply_axis0_not_implemented(spark):
+    pdf = pd.DataFrame({"a": [1.0], "b": [2.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    with pytest.raises(NotImplementedError, match="axis=0"):
+        df.apply(sum, axis=0)
