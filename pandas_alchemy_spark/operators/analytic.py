@@ -528,7 +528,16 @@ class Expanding:
                     else SeriesWindow(series))
         self._min_periods = min_periods
 
-    def _exp(self, agg):
+    def _exp(self, agg, name):
+        # global flavor: segmented scan (round 5 — same machinery as
+        # cum*/rank, so no expanding verb needs the single-partition
+        # window anymore); grouped flavor: partitioned window
+        if isinstance(self._sw, SeriesWindow):
+            from .segscan import expanding_scan
+            mp = self._min_periods
+            return self._sw._scan_series(
+                lambda tmp, oc: expanding_scan(tmp, "__v", oc, name,
+                                               mp, "__out"))
         w = self._sw._window().rowsBetween(Window.unboundedPreceding,
                                            Window.currentRow)
         mp = self._min_periods
@@ -540,13 +549,16 @@ class Expanding:
         return self._sw._wrap(fn)
 
     def sum(self):
-        return self._exp(F.sum)
+        return self._exp(F.sum, "sum")
 
     def mean(self):
-        return self._exp(F.mean)
+        return self._exp(F.mean, "mean")
 
     def max(self):
-        return self._exp(F.max)
+        return self._exp(F.max, "max")
 
     def min(self):
-        return self._exp(F.min)
+        return self._exp(F.min, "min")
+
+    def count(self):
+        return self._exp(F.count, "count")

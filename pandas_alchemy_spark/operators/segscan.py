@@ -122,6 +122,88 @@ def cum_scan(sdf: SparkDF, value_col: str, order_cols, op: str,
     return base.mapInPandas(pass_b, out_fields)
 
 
+def expanding_scan(sdf: SparkDF, value_col: str, order_cols, agg: str,
+                   min_periods: int = 1, out_col: str = "exp",
+                   num_partitions=None) -> SparkDF:
+    """Global ``Series.expanding().agg()`` (sum/mean/max/min/count) as
+    a segmented scan.  Unlike cum*, expanding emits a value at EVERY
+    row (null rows included) gated on the running non-null count
+    reaching ``min_periods`` — so the carries are (count, sum) /
+    (count, max) channel pairs and the gate applies after the carry
+    combine."""
+    if agg not in ("sum", "mean", "max", "min", "count"):
+        raise ValueError(f"unsupported expanding agg {agg!r}")
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+
+    v = F.col(value_col)
+    partials = base.groupBy("__pid").agg(
+        F.count(v).alias("__n"), F.count(F.lit(1)).alias("__rows"),
+        F.sum(v).alias("__s"),
+        F.max(v).alias("__mx"), F.min(v).alias("__mn"))
+    rows = sorted(partials.collect(), key=lambda r: r["__pid"])
+    prefix: dict[int, tuple] = {}
+    n_acc, rows_acc, s_acc, mx_acc, mn_acc = 0, 0, None, None, None
+    for r in rows:
+        prefix[r["__pid"]] = (n_acc, rows_acc, s_acc, mx_acc, mn_acc)
+        n_acc += r["__n"]
+        rows_acc += r["__rows"]
+        if r["__s"] is not None:
+            s_acc = r["__s"] if s_acc is None else s_acc + r["__s"]
+        if r["__mx"] is not None:
+            mx_acc = (r["__mx"] if mx_acc is None
+                      else max(mx_acc, r["__mx"]))
+        if r["__mn"] is not None:
+            mn_acc = (r["__mn"] if mn_acc is None
+                      else min(mn_acc, r["__mn"]))
+
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in sdf.schema.fields)
+    out_fields += f", {out_col} double"
+    mp = min_periods
+
+    def pass_b(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            c_n, c_rows, c_s, c_mx, c_mn = prefix.get(
+                pid, (0, 0, None, None, None))
+            x = pdf[value_col].astype("float64")
+            # true running non-null count (expanding().count() gates
+            # itself on min_periods; the carry math needs the raw count)
+            n = x.notna().cumsum().astype("float64") + c_n
+            if agg == "count":
+                # pandas gates count on ROWS SEEN, not non-null obs
+                rows_seen = pd.Series(range(1, len(x) + 1),
+                                      index=x.index) + c_rows
+                res = pdf.drop(columns=["__pid"]).copy()
+                res[out_col] = n.where(rows_seen >= mp)
+                yield res
+                continue
+            elif agg in ("sum", "mean"):
+                # expanding sum is NaN only while the running count is
+                # 0 (leading nulls) -> empty sum is 0 for carry combine
+                s = x.expanding(1).sum().fillna(0.0) + (c_s or 0.0)
+                out = s if agg == "sum" else s / n
+            elif agg == "max":
+                m = x.expanding(1).max()
+                out = m.clip(lower=c_mx) if c_mx is not None else m
+                if c_mx is not None:
+                    out = out.fillna(c_mx)
+            else:
+                m = x.expanding(1).min()
+                out = m.clip(upper=c_mn) if c_mn is not None else m
+                if c_mn is not None:
+                    out = out.fillna(c_mn)
+            res = pdf.drop(columns=["__pid"]).copy()
+            res[out_col] = out.where(n >= mp)
+            yield res
+
+    return base.mapInPandas(pass_b, out_fields)
+
+
 def rank_scan(sdf: SparkDF, value_col: str, order_cols, method: str,
               ascending: bool, out_col: str = "rank",
               num_partitions=None) -> SparkDF:

@@ -91,3 +91,38 @@ def test_rank_with_nulls_multi_partition(spark):
 def test_rank_invalid_method_raises(orders):
     with pytest.raises(ValueError, match="method"):
         orders["o_custkey"].rank(method="bogus")
+
+
+def test_expanding_multi_partition(orders, orders_pdf):
+    for agg in ("sum", "mean", "max", "min", "count"):
+        got = (getattr(orders["o_totalprice"].expanding(), agg)()
+               .to_pandas().sort_index())
+        want = getattr(orders_pdf["o_totalprice"].expanding(), agg)()
+        want.name = got.name
+        pdt.assert_series_equal(got, want.sort_index(),
+                                check_dtype=False,
+                                check_index_type=False, rtol=1e-12)
+
+
+def test_expanding_nulls_and_min_periods(spark):
+    rng = np.random.default_rng(13)
+    v = rng.normal(size=4000)
+    v[rng.integers(0, 4000, 500)] = np.nan
+    v[:7] = np.nan  # leading nulls cross the gate logic
+    pdf = pd.DataFrame({"v": v})
+    df = pas.DataFrame.from_pandas(pdf)
+    for agg in ("sum", "mean", "max", "count"):
+        got = (getattr(df.v.expanding(min_periods=3), agg)()
+               .to_pandas().sort_index())
+        want = getattr(pdf.v.expanding(min_periods=3), agg)()
+        want.name = got.name
+        pdt.assert_series_equal(got, want, check_dtype=False,
+                                check_index_type=False, rtol=1e-12)
+
+
+def test_expanding_no_single_partition_window(spark, orders):
+    from pandas_alchemy_spark.plans import physical_plan
+    s = orders["o_totalprice"].expanding().sum()
+    plan = physical_plan(s.to_spark())
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
