@@ -35,6 +35,7 @@ def main():
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.legacy.parquet.nanosAsLong", "true")
              .config("spark.eventLog.enabled", "true")
+             .config("spark.eventLog.compress", "false")
              .config("spark.eventLog.dir", EVDIR)
              .config("spark.ui.enabled", "false")
              .getOrCreate())
