@@ -43,12 +43,14 @@ from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
 
 _CUM_OPS = {
-    "sum": (F.sum, lambda s: s.cumsum(), lambda loc, c: loc + c),
-    "prod": (F.product, lambda s: s.cumprod(), lambda loc, c: loc * c),
+    "sum": (F.sum, lambda s: s.cumsum(), lambda loc, c: loc + c,
+            lambda s: s.sum(min_count=1)),
+    "prod": (F.product, lambda s: s.cumprod(), lambda loc, c: loc * c,
+             lambda s: s.prod(min_count=1)),
     "max": (F.max, lambda s: s.cummax(),
-            lambda loc, c: loc.clip(lower=c)),
+            lambda loc, c: loc.clip(lower=c), lambda s: s.max()),
     "min": (F.min, lambda s: s.cummin(),
-            lambda loc, c: loc.clip(upper=c)),
+            lambda loc, c: loc.clip(upper=c), lambda s: s.min()),
 }
 
 _CUM_FOLD = {
@@ -79,7 +81,7 @@ def cum_scan(sdf: SparkDF, value_col: str, order_cols, op: str,
     skips them."""
     if op not in _CUM_OPS:
         raise ValueError(f"unknown cum op {op!r}")
-    agg_fn, local_scan, combine = _CUM_OPS[op]
+    agg_fn, local_scan, combine, batch_partial = _CUM_OPS[op]
     order_cols = ([order_cols] if isinstance(order_cols, str)
                   else list(order_cols))
     base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
@@ -103,12 +105,19 @@ def cum_scan(sdf: SparkDF, value_col: str, order_cols, op: str,
     integral = out_type in ("bigint", "int", "smallint", "tinyint")
 
     def pass_b(it):
+        # a partition arrives as MULTIPLE Arrow batches (default 10k
+        # rows each) — the carry must thread through every batch, with
+        # the partition prefix seeding only the first one
+        seeded = False
+        carry = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["__pid"].iloc[0])
-            carry = prefix.get(pid)
-            loc = local_scan(pdf[value_col])
+            if not seeded:
+                carry = prefix.get(int(pdf["__pid"].iloc[0]))
+                seeded = True
+            x = pdf[value_col]
+            loc = local_scan(x)
             res = pdf.drop(columns=["__pid"]).copy()
             out = loc if carry is None else combine(loc, carry)
             if integral:
@@ -117,6 +126,10 @@ def cum_scan(sdf: SparkDF, value_col: str, order_cols, op: str,
                 # bigint schema round-trips nulls exactly
                 out = out.astype("Int64")
             res[out_col] = out
+            part = batch_partial(x)
+            if not pd.isna(part):
+                carry = part if carry is None else _CUM_FOLD[op](carry,
+                                                                 part)
             yield res
 
     return base.mapInPandas(pass_b, out_fields)
@@ -164,12 +177,17 @@ def expanding_scan(sdf: SparkDF, value_col: str, order_cols, agg: str,
     mp = min_periods
 
     def pass_b(it):
+        # thread the channel carries through every Arrow batch of the
+        # partition (the prefix seeds only the first batch)
+        seeded = False
+        c_n, c_rows, c_s, c_mx, c_mn = 0, 0, None, None, None
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["__pid"].iloc[0])
-            c_n, c_rows, c_s, c_mx, c_mn = prefix.get(
-                pid, (0, 0, None, None, None))
+            if not seeded:
+                c_n, c_rows, c_s, c_mx, c_mn = prefix.get(
+                    int(pdf["__pid"].iloc[0]), (0, 0, None, None, None))
+                seeded = True
             x = pdf[value_col].astype("float64")
             # true running non-null count (expanding().count() gates
             # itself on min_periods; the carry math needs the raw count)
@@ -178,27 +196,39 @@ def expanding_scan(sdf: SparkDF, value_col: str, order_cols, agg: str,
                 # pandas gates count on ROWS SEEN, not non-null obs
                 rows_seen = pd.Series(range(1, len(x) + 1),
                                       index=x.index) + c_rows
-                res = pdf.drop(columns=["__pid"]).copy()
-                res[out_col] = n.where(rows_seen >= mp)
-                yield res
-                continue
+                out = n.where(rows_seen >= mp)
             elif agg in ("sum", "mean"):
                 # expanding sum is NaN only while the running count is
                 # 0 (leading nulls) -> empty sum is 0 for carry combine
-                s = x.expanding(1).sum().fillna(0.0) + (c_s or 0.0)
-                out = s if agg == "sum" else s / n
+                s = x.expanding(1).sum().fillna(0.0) + (0.0 if c_s is None
+                                                        else c_s)
+                out = (s if agg == "sum" else s / n).where(n >= mp)
             elif agg == "max":
                 m = x.expanding(1).max()
                 out = m.clip(lower=c_mx) if c_mx is not None else m
                 if c_mx is not None:
                     out = out.fillna(c_mx)
+                out = out.where(n >= mp)
             else:
                 m = x.expanding(1).min()
                 out = m.clip(upper=c_mn) if c_mn is not None else m
                 if c_mn is not None:
                     out = out.fillna(c_mn)
+                out = out.where(n >= mp)
             res = pdf.drop(columns=["__pid"]).copy()
-            res[out_col] = out.where(n >= mp)
+            res[out_col] = out
+            # advance the carries past this batch
+            c_n += int(x.notna().sum())
+            c_rows += len(x)
+            bs = x.sum(min_count=1)
+            if not pd.isna(bs):
+                c_s = bs if c_s is None else c_s + bs
+            bmx = x.max()
+            if not pd.isna(bmx):
+                c_mx = bmx if c_mx is None else max(c_mx, bmx)
+            bmn = x.min()
+            if not pd.isna(bmn):
+                c_mn = bmn if c_mn is None else min(c_mn, bmn)
             yield res
 
     return base.mapInPandas(pass_b, out_fields)
@@ -243,14 +273,21 @@ def rank_scan(sdf: SparkDF, value_col: str, order_cols, method: str,
     out_fields += f", {out_col} double"
 
     def pass_b(it):
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["__pid"].iloc[0])
-            off = prefix.get(pid, 0)
-            loc = pdf[value_col].rank(method=method, ascending=ascending)
-            res = pdf.drop(columns=["__pid"]).copy()
-            res[out_col] = loc + off
-            yield res
+        # rank needs the WHOLE partition at once: a tie group can span
+        # Arrow batch boundaries, and average/max ranks depend on the
+        # full tie group — so concatenate the partition's batches
+        # (memory bound = one partition in pandas form, the same
+        # contract as applyInPandas; size num_partitions accordingly)
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            return
+        pdf = (chunks[0] if len(chunks) == 1
+               else pd.concat(chunks, ignore_index=True))
+        pid = int(pdf["__pid"].iloc[0])
+        off = prefix.get(pid, 0)
+        loc = pdf[value_col].rank(method=method, ascending=ascending)
+        res = pdf.drop(columns=["__pid"]).copy()
+        res[out_col] = loc + off
+        yield res
 
     return base.mapInPandas(pass_b, out_fields)

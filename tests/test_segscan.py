@@ -126,3 +126,49 @@ def test_expanding_no_single_partition_window(spark, orders):
     plan = physical_plan(s.to_spark())
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+@pytest.fixture()
+def tiny_arrow_batches(spark):
+    """Force partitions to span MULTIPLE Arrow batches (default batch =
+    10k rows hid a real bug: pass B restarted the scan at every batch
+    boundary, so any partition over 10k rows came out wrong)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    spark.conf.set(key, "64")
+    yield
+    spark.conf.set(key, old)
+
+
+def test_cum_scans_span_arrow_batches(spark, tiny_arrow_batches):
+    rng = np.random.default_rng(23)
+    v = rng.normal(size=4000)
+    v[rng.integers(0, 4000, 300)] = np.nan
+    pdf = pd.DataFrame({"v": v})
+    df = pas.DataFrame.from_pandas(pdf)
+    # 4000 rows / 32 partitions = 125 rows/partition = 2 batches at 64
+    _eq(df.v.cumsum(), pdf.v.cumsum(), rtol=1e-12)
+    _eq(df.v.cummax(), pdf.v.cummax())
+    _eq(df.v.cummin(), pdf.v.cummin())
+
+
+def test_rank_spans_arrow_batches(spark, tiny_arrow_batches):
+    # duplicate-heavy so tie groups straddle batch boundaries inside a
+    # partition — average/max ranks need the whole tie group
+    rng = np.random.default_rng(29)
+    pdf = pd.DataFrame({"v": rng.integers(0, 40, size=4000)})
+    df = pas.DataFrame.from_pandas(pdf)
+    for method in ("min", "dense", "average", "max", "first"):
+        _eq(df.v.rank(method=method), pdf.v.rank(method=method))
+
+
+def test_expanding_spans_arrow_batches(spark, tiny_arrow_batches):
+    rng = np.random.default_rng(31)
+    v = rng.normal(size=4000)
+    v[rng.integers(0, 4000, 400)] = np.nan
+    pdf = pd.DataFrame({"v": v})
+    df = pas.DataFrame.from_pandas(pdf)
+    for agg in ("sum", "mean", "max", "min", "count"):
+        got = (getattr(pdf.v.expanding(min_periods=2), agg)())
+        _eq(getattr(df.v.expanding(min_periods=2), agg)(), got,
+            rtol=1e-12)
