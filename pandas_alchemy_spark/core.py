@@ -1022,6 +1022,17 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def diff(self, periods: int = 1):
         return self._win().diff(periods)
 
+    def ffill(self):
+        """Forward-fill nulls from the last preceding non-null value
+        (index order) — a one-scalar-carry segmented scan, no
+        single-partition window.  Grouped flavor:
+        ``df.groupby(k)[c].ffill()``."""
+        return self._win().ffill()
+
+    def bfill(self):
+        """Backward-fill nulls from the next following non-null."""
+        return self._win().bfill()
+
     def cumsum(self):
         return self._win().cumsum()
 

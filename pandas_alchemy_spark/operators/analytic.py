@@ -29,6 +29,15 @@ _RANK_METHODS = {
     "dense": F.dense_rank,
 }
 
+_ROLL_FNS = {
+    "sum": F.sum,
+    "mean": F.mean,
+    "max": F.max,
+    "min": F.min,
+    "std": F.stddev_samp,
+    "count": F.count,
+}
+
 
 def _order_cols(frame):
     return [frame._sdf[I.idx_name(i)] for i in range(frame._n_idx())]
@@ -117,20 +126,41 @@ class _WindowVerbs:
                 rank_fn().over(w))
         return self._wrap(fn)
 
+    def ffill(self):
+        """Forward-fill nulls with the last preceding non-null value —
+        one running-last window (grouped flavor shuffles once on the
+        keys, per-key bounded state: the 100 TB path)."""
+        w = self._window().rowsBetween(Window.unboundedPreceding,
+                                       Window.currentRow)
+        return self._wrap(
+            lambda c: F.last(c, ignorenulls=True).over(w))
+
+    def bfill(self):
+        """Backward-fill nulls with the next following non-null."""
+        w = self._window().rowsBetween(Window.currentRow,
+                                       Window.unboundedFollowing)
+        return self._wrap(
+            lambda c: F.first(c, ignorenulls=True).over(w))
+
     def rolling_sum(self, window: int, min_periods: int | None = None):
-        return self._rolling(F.sum, window, min_periods)
+        return self._rolling_named("sum", window, min_periods)
 
     def rolling_mean(self, window: int, min_periods: int | None = None):
-        return self._rolling(F.mean, window, min_periods)
+        return self._rolling_named("mean", window, min_periods)
 
-    def _rolling(self, agg, window: int, min_periods):
+    def _rolling_named(self, name: str, window: int, min_periods):
         if min_periods is None:
             min_periods = window
+        agg = _ROLL_FNS[name]
         w = self._window().rowsBetween(-(window - 1), Window.currentRow)
 
         def fn(c):
             val = agg(c).over(w)
-            n = F.count(c).over(w)
+            # count gates on ROWS in the frame (pandas contract —
+            # rolling(3).count() over an all-null frame is 0, not
+            # null); the other aggs gate on non-null observations
+            n = (F.count(F.lit(1)).over(w) if name == "count"
+                 else F.count(c).over(w))
             return F.when(n >= min_periods, val)
         return self._wrap(fn)
 
@@ -151,17 +181,19 @@ class _WindowVerbs:
                 f"{dt} (set_index a timestamp/date column first)")
         return F.unix_micros(frame._sdf[I.idx_name(0)].cast("timestamp"))
 
-    def _rolling_time(self, agg, offset_us: int, min_periods: int):
+    def _rolling_time_named(self, name: str, offset_us: int,
+                            min_periods: int):
         """Time-offset rolling: RANGE frame over epoch micros —
         ``(t - offset, t]`` (lower bound +1us = pandas closed='right').
-        Grouped flavor shuffles once on the keys; global keeps the
-        documented single-partition parity trade."""
+        Grouped flavor shuffles once on the keys and scales."""
+        agg = _ROLL_FNS[name]
         w = self._time_window().rangeBetween(-(offset_us - 1),
                                              Window.currentRow)
 
         def fn(c):
             val = agg(c).over(w)
-            n = F.count(c).over(w)
+            n = (F.count(F.lit(1)).over(w) if name == "count"
+                 else F.count(c).over(w))
             return F.when(n >= min_periods, val)
         return self._wrap(fn)
 
@@ -169,13 +201,18 @@ class _WindowVerbs:
 class SeriesWindow(_WindowVerbs):
     """Global (whole-series) analytic verbs, ordered by the index.
 
-    cum*/rank route through ``operators.segscan`` — the distributed
-    two-pass segmented scan (range-pinned partitions, one scalar carry
-    per partition, per-partition pandas pass) — so no verb here needs
-    a single-partition window.  shift/diff/pct_change/rolling stay
-    expression-backed (they inline into assign projections via
-    lineage, which a materializing scan cannot; their unpartitioned
-    window remains the documented parity trade)."""
+    EVERY verb here routes through ``operators.segscan`` — the
+    distributed two-pass segmented machinery (range-pinned partitions,
+    scalar or k-row border carries via the driver, per-partition
+    vectorized pandas pass) — so NO global verb needs a
+    single-partition window anymore.  cum*/rank/expanding carry
+    prefix state; shift/diff/pct_change/rolling exchange k-row
+    borders; ffill/bfill carry one non-null scalar per partition.
+    The trade vs the old expression-backed forms: scan results
+    materialize (assign falls back to the index-aligned join instead
+    of inlining the window into one projection) — an extra small join
+    locally, in exchange for plans that survive a 1000-executor
+    cluster."""
 
     def __init__(self, series):
         self._s = series
@@ -222,6 +259,63 @@ class SeriesWindow(_WindowVerbs):
         return self._scan_series(
             lambda tmp, oc: rank_scan(tmp, "__v", oc, method,
                                       ascending, "__out"))
+
+    def shift(self, periods: int = 1, fill_value=None):
+        from .segscan import shift_scan
+        return self._scan_series(
+            lambda tmp, oc: shift_scan(tmp, "__v", oc, periods,
+                                       fill_value, "__out"))
+
+    def diff(self, periods: int = 1):
+        from .segscan import delta_scan
+        return self._scan_series(
+            lambda tmp, oc: delta_scan(tmp, "__v", oc, periods,
+                                       "diff", "__out"))
+
+    def pct_change(self, periods: int = 1):
+        from .segscan import delta_scan
+        return self._scan_series(
+            lambda tmp, oc: delta_scan(tmp, "__v", oc, periods,
+                                       "pct", "__out"))
+
+    def ffill(self):
+        from .segscan import fill_scan
+        return self._scan_series(
+            lambda tmp, oc: fill_scan(tmp, "__v", oc, "ffill",
+                                      "__out"))
+
+    def bfill(self):
+        from .segscan import fill_scan
+        return self._scan_series(
+            lambda tmp, oc: fill_scan(tmp, "__v", oc, "bfill",
+                                      "__out"))
+
+    def _rolling_named(self, name: str, window: int, min_periods):
+        from .segscan import rolling_scan
+        return self._scan_series(
+            lambda tmp, oc: rolling_scan(tmp, "__v", oc, window, name,
+                                         min_periods, "__out"))
+
+    def _rolling_time_named(self, name: str, offset_us: int,
+                            min_periods: int):
+        from ..core import Series
+        from .. import internal as I
+        from .segscan import rolling_time_scan
+        s = self._s
+        ts = self._epoch_order_expr(s)  # validates the datetime index
+        idx = [s._idx_at(0).alias(I.idx_name(0))]
+        tmp = s._sdf.select(*idx, ts.alias("__ts"),
+                            s._the_col.alias("__v"))
+        out = rolling_time_scan(tmp, "__v", "__ts", offset_us, name,
+                                min_periods, "__out")
+        body = out.select(F.col(I.idx_name(0)),
+                          F.col("__out").alias(I.col_name(0)))
+        res = Series(s._index, None, body, s.name)
+        res._mid_index = getattr(s, "_mid_index", False)
+        res._mid_dense = getattr(s, "_mid_dense", False)
+        res._mid_origin = getattr(s, "_mid_origin", None)
+        res._rows_reordered = True
+        return res
 
     def _window(self):
         return Window.orderBy(*_order_cols(self._s))
@@ -487,33 +581,30 @@ class Rolling:
             self._window_n = window
         self._min_periods = min_periods
 
-    def _agg(self, agg, min_periods=None):
+    def _agg(self, name: str, min_periods=None):
         mp = min_periods if min_periods is not None else self._min_periods
         if self._by_time:
-            return self._sw._rolling_time(agg, self._offset_us, mp or 1)
-        return self._sw._rolling(agg, self._window_n, mp)
+            return self._sw._rolling_time_named(name, self._offset_us,
+                                                mp or 1)
+        return self._sw._rolling_named(name, self._window_n, mp)
 
     def sum(self):
-        if self._by_time:
-            return self._agg(F.sum)
-        return self._sw.rolling_sum(self._window_n, self._min_periods)
+        return self._agg("sum")
 
     def mean(self):
-        if self._by_time:
-            return self._agg(F.mean)
-        return self._sw.rolling_mean(self._window_n, self._min_periods)
+        return self._agg("mean")
 
     def max(self):
-        return self._agg(F.max)
+        return self._agg("max")
 
     def min(self):
-        return self._agg(F.min)
+        return self._agg("min")
 
     def std(self):
-        return self._agg(F.stddev_samp)
+        return self._agg("std")
 
     def count(self):
-        return self._agg(F.count, self._min_periods or 1)
+        return self._agg("count", self._min_periods or 1)
 
 
 class Expanding:
@@ -544,7 +635,9 @@ class Expanding:
 
         def fn(c):
             val = agg(c).over(w)
-            n = F.count(c).over(w)
+            # count gates on rows seen (pandas), others on non-null
+            n = (F.count(F.lit(1)).over(w) if name == "count"
+                 else F.count(c).over(w))
             return F.when(n >= mp, val)
         return self._sw._wrap(fn)
 

@@ -32,12 +32,30 @@ pandas ``rank(method=...)`` plus a row/distinct-count offset is exact
 for every method.  ``method='first'`` additionally range-partitions on
 the positional tiebreak, so duplicate-heavy columns still spread.
 
+Round 5 extends the same machinery to the BORDER-STATE verbs —
+shift/diff/pct_change/rolling and ffill/bfill — whose per-row state is
+a k-row window border (or one non-null scalar) rather than a prefix:
+
+- **Border exchange**: each partition emits its first/last k rows of
+  the scan column (one cheap pass over the pinned layout, ~(k·P) rows
+  to the driver — the k-row generalization of the one-scalar carry);
+  the driver chains them so partition j sees exactly the k rows
+  preceding (following) it, and pass B prepends them before a
+  partition-local vectorized pandas computation.  Guarded by
+  ``_MAX_BORDER_ROWS`` so a pathological window cannot turn the driver
+  into the bottleneck.
+- **Time-offset rolling** borders are data-dependent (every preceding
+  row within ``offset`` of a partition's min timestamp), so pass A
+  first collects per-partition min timestamps (P scalars), then a
+  filter pass emits exactly the qualifying border rows.
+
 No counterpart in the reference (pandas-alchemy has no analytic
 verbs); the pandas API contract is the spec.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import functions as F
@@ -291,3 +309,488 @@ def rank_scan(sdf: SparkDF, value_col: str, order_cols, method: str,
         yield res
 
     return base.mapInPandas(pass_b, out_fields)
+
+
+# ---------------------------------------------------------------------------
+# border-exchange scans: shift/diff/pct_change/rolling/ffill/bfill
+# ---------------------------------------------------------------------------
+
+_MAX_BORDER_ROWS = 5_000_000
+
+_INTEGRAL = ("bigint", "int", "smallint", "tinyint")
+
+
+def _out_fields(sdf: SparkDF, out_col: str, out_type: str) -> str:
+    return (", ".join(f"{f.name} {f.dataType.simpleString()}"
+                      for f in sdf.schema.fields)
+            + f", {out_col} {out_type}")
+
+
+def _whole_partition(it):
+    """Concatenate a partition's Arrow batches into one frame (border
+    verbs need the whole partition: a window can straddle batch
+    boundaries).  Memory bound = one partition in pandas form — the
+    applyInPandas contract; size num_partitions accordingly."""
+    chunks = [pdf for pdf in it if len(pdf)]
+    if not chunks:
+        return None
+    return (chunks[0] if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True))
+
+
+def _collect_edges(base: SparkDF, value_col: str, k_head: int,
+                   k_tail: int):
+    """One pass over the pinned layout: each partition emits its first
+    ``k_head`` / last ``k_tail`` values of ``value_col``.  Returns
+    (heads, tails): pid -> list of values in partition order."""
+    n_part = base.rdd.getNumPartitions()
+    need = (k_head + k_tail) * max(n_part, 1)
+    if need > _MAX_BORDER_ROWS:
+        raise ValueError(
+            f"border exchange would collect ~{need} rows "
+            f"({k_head + k_tail} per partition x {n_part} partitions) "
+            f"> {_MAX_BORDER_ROWS}; use the grouped flavor or fewer, "
+            "larger partitions for windows this wide")
+    proj = base.select(value_col, "__pid")
+    schema = (f"{value_col} "
+              f"{base.schema[value_col].dataType.simpleString()}, "
+              "__pid int, __edge string, __ord long")
+
+    def edge_pass(it):
+        head, tail, got_head = [], [], 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if got_head < k_head:
+                take = pdf.iloc[:k_head - got_head]
+                head.append(take)
+                got_head += len(take)
+            if k_tail:
+                tail.append(pdf.iloc[-k_tail:])
+                # drop leading chunks once the rest already covers k
+                while (len(tail) > 1
+                       and sum(map(len, tail[1:])) >= k_tail):
+                    tail.pop(0)
+        out = []
+        if head:
+            h = (head[0] if len(head) == 1
+                 else pd.concat(head, ignore_index=True)).copy()
+            h["__edge"] = "h"
+            out.append(h)
+        if tail:
+            t = (pd.concat(tail, ignore_index=True)
+                 .iloc[-k_tail:].copy())
+            t["__edge"] = "t"
+            out.append(t)
+        if out:
+            res = pd.concat(out, ignore_index=True)
+            res["__ord"] = range(len(res))
+            yield res
+
+    heads: dict[int, list] = {}
+    tails: dict[int, list] = {}
+    rows = proj.mapInPandas(edge_pass, schema).collect()
+    rows.sort(key=lambda r: (r["__pid"], r["__edge"], r["__ord"]))
+    for r in rows:
+        d = heads if r["__edge"] == "h" else tails
+        d.setdefault(r["__pid"], []).append(r[value_col])
+    return heads, tails
+
+
+def _chain_borders(pids, heads, tails, k_before: int, k_after: int):
+    """before[pid] = the last ``k_before`` values of everything
+    preceding pid; after[pid] = the first ``k_after`` values of
+    everything following (chained across short partitions)."""
+    before: dict[int, list] = {}
+    after: dict[int, list] = {}
+    buf: list = []
+    for pid in pids:
+        before[pid] = buf[-k_before:] if k_before else []
+        if k_before:
+            buf = (buf + tails.get(pid, []))[-k_before:]
+    buf = []
+    for pid in reversed(pids):
+        after[pid] = buf[:k_after] if k_after else []
+        if k_after:
+            buf = (heads.get(pid, []) + buf)[:k_after]
+    return before, after
+
+
+def _to_nullable(s: pd.Series, spark_type: str) -> pd.Series:
+    """Convert a pandas result to the masked dtype matching the
+    declared Spark output type, so nulls round-trip through Arrow."""
+    if spark_type in _INTEGRAL:
+        return s.astype("Int64")
+    if spark_type == "boolean":
+        return s.astype("boolean")
+    return s
+
+
+def shift_scan(sdf: SparkDF, value_col: str, order_cols,
+               periods: int = 1, fill_value=None, out_col: str = "sh",
+               num_partitions=None) -> SparkDF:
+    """Global ``Series.shift`` as a border-exchange segmented scan: the
+    |periods| rows each partition needs from its neighbors travel via
+    the driver (k·P values), then pandas shifts partition-locally —
+    ONE range shuffle, no single-partition window.  Keeps the input's
+    Spark type (like ``F.lag``); integers stay exact via masked
+    Int64."""
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    in_type = sdf.schema[value_col].dataType.simpleString()
+    fields = _out_fields(sdf, out_col, in_type)
+    k_before, k_after = max(periods, 0), max(-periods, 0)
+    heads, tails = _collect_edges(base, value_col, k_after, k_before)
+    pids = sorted(set(heads) | set(tails))
+    before, after = _chain_borders(pids, heads, tails, k_before, k_after)
+
+    def pass_b(it):
+        pdf = _whole_partition(it)
+        if pdf is None:
+            return
+        pid = int(pdf["__pid"].iloc[0])
+        x = _to_nullable(pdf[value_col], in_type)
+        b = pd.Series(before.get(pid, []), dtype=x.dtype)
+        a = pd.Series(after.get(pid, []), dtype=x.dtype)
+        ext = pd.concat([b, x, a], ignore_index=True)
+        sh = (ext.shift(periods) if fill_value is None
+              else ext.shift(periods, fill_value=fill_value))
+        out = sh.iloc[len(b):len(b) + len(x)].reset_index(drop=True)
+        res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
+        res[out_col] = _to_nullable(out, in_type)
+        yield res
+
+    return base.mapInPandas(pass_b, fields)
+
+
+def delta_scan(sdf: SparkDF, value_col: str, order_cols,
+               periods: int = 1, kind: str = "diff",
+               out_col: str = "dl", num_partitions=None) -> SparkDF:
+    """Global ``Series.diff`` / ``pct_change`` via the same border
+    exchange as :func:`shift_scan`.  ``diff`` keeps integer inputs
+    exact (masked Int64); ``pct_change`` is always double with IEEE
+    division (x/0 -> inf), matching the engine's truediv contract."""
+    if kind not in ("diff", "pct"):
+        raise ValueError(f"kind must be 'diff' or 'pct', got {kind!r}")
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    in_type = sdf.schema[value_col].dataType.simpleString()
+    out_type = in_type if kind == "diff" else "double"
+    fields = _out_fields(sdf, out_col, out_type)
+    k_before, k_after = max(periods, 0), max(-periods, 0)
+    heads, tails = _collect_edges(base, value_col, k_after, k_before)
+    pids = sorted(set(heads) | set(tails))
+    before, after = _chain_borders(pids, heads, tails, k_before, k_after)
+
+    def pass_b(it):
+        pdf = _whole_partition(it)
+        if pdf is None:
+            return
+        pid = int(pdf["__pid"].iloc[0])
+        if kind == "diff":
+            x = _to_nullable(pdf[value_col], in_type)
+        else:
+            x = pdf[value_col].astype("float64")
+        b = pd.Series(before.get(pid, []), dtype=x.dtype)
+        a = pd.Series(after.get(pid, []), dtype=x.dtype)
+        ext = pd.concat([b, x, a], ignore_index=True)
+        if kind == "diff":
+            out = ext - ext.shift(periods)
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = ext / ext.shift(periods) - 1.0
+        out = out.iloc[len(b):len(b) + len(x)].reset_index(drop=True)
+        res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
+        res[out_col] = _to_nullable(out, out_type)
+        yield res
+
+    return base.mapInPandas(pass_b, fields)
+
+
+_ROLL_AGGS = ("sum", "mean", "max", "min", "count", "std")
+
+
+def _roll_out_type(agg: str, in_type: str) -> str:
+    if agg in ("mean", "std"):
+        return "double"
+    if agg == "count":
+        return "bigint"
+    return in_type  # sum/max/min follow the input like Spark windows
+
+
+def rolling_scan(sdf: SparkDF, value_col: str, order_cols, window: int,
+                 agg: str, min_periods: int | None = None,
+                 out_col: str = "rl", num_partitions=None) -> SparkDF:
+    """Global count-based ``Series.rolling(n).agg()`` as a
+    border-exchange segmented scan: each partition receives the n-1
+    preceding values and computes its windows locally.  Integer sums
+    run exactly in int64 via cumsum differences; max/min/std go
+    through float64 (|x| < 2^53 caveat, same as the cum* scans).
+    ``min_periods`` gates on non-null observations in the frame (the
+    Spark window ``F.count(c) >= mp`` contract == pandas)."""
+    if agg not in _ROLL_AGGS:
+        raise ValueError(f"unsupported rolling agg {agg!r}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    mp = window if min_periods is None else max(int(min_periods), 1)
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    in_type = sdf.schema[value_col].dataType.simpleString()
+    out_type = _roll_out_type(agg, in_type)
+    fields = _out_fields(sdf, out_col, out_type)
+    k = window - 1
+    if k:
+        _, tails = _collect_edges(base, value_col, 0, k)
+        before, _ = _chain_borders(sorted(tails), {}, tails, k, 0)
+    else:
+        before = {}
+    integral = in_type in _INTEGRAL
+
+    def pass_b(it):
+        pdf = _whole_partition(it)
+        if pdf is None:
+            return
+        pid = int(pdf["__pid"].iloc[0])
+        b = pd.Series(before.get(pid, []), dtype="float64")
+        xf = pd.concat([b, pdf[value_col].astype("float64")],
+                       ignore_index=True)
+        nb = len(b)
+        nn = xf.notna().astype("int64").cumsum()
+        nwin = nn - nn.shift(window, fill_value=0)
+        if agg == "count":
+            # pandas gates count on ROWS in the frame, not non-null
+            # obs (same as expanding().count()); with borders chained,
+            # ext position == global position whenever truncated
+            rows_win = pd.Series(
+                np.minimum(np.arange(1, len(xf) + 1), window),
+                index=xf.index)
+            out = nwin.astype("float64").where(rows_win >= mp)
+        elif agg == "sum" and integral:
+            # exact int64 path: null -> 0 contributes nothing, the
+            # nwin gate restores null frames
+            cs = xf.fillna(0.0).astype("int64").cumsum()
+            s = cs - cs.shift(window, fill_value=0)
+            out = s.astype("float64").where(nwin >= mp)
+        elif agg in ("sum", "mean"):
+            s = xf.rolling(window, min_periods=1).sum()
+            out = (s if agg == "sum" else s / nwin).where(nwin >= mp)
+        else:
+            out = getattr(xf.rolling(window, min_periods=mp), agg)()
+        out = out.iloc[nb:].reset_index(drop=True)
+        res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
+        res[out_col] = _to_nullable(out, out_type)
+        yield res
+
+    return base.mapInPandas(pass_b, fields)
+
+
+def rolling_time_scan(sdf: SparkDF, value_col: str, ts_col: str,
+                      offset_us: int, agg: str, min_periods: int = 1,
+                      out_col: str = "rl",
+                      num_partitions=None) -> SparkDF:
+    """Global time-offset rolling (``rolling('7D')``) as a segmented
+    scan.  ``ts_col`` must be epoch-microseconds (int64); the frame is
+    ``(t - offset, t]`` with SQL RANGE semantics on tied timestamps
+    (ALL peer rows in the frame — the documented engine contract,
+    tested against DuckDB).
+
+    Borders are data-dependent: pass A collects per-partition min
+    timestamps (P scalars), then a filter pass ships exactly the rows
+    within ``offset`` of a following partition's start (capped at
+    ``_MAX_BORDER_ROWS``).  sum/mean/count evaluate via prefix sums +
+    searchsorted (integers exact in int64); max/min/std via pandas
+    offset rolling with a per-tie-group 'last' broadcast to restore
+    peer semantics."""
+    if agg not in _ROLL_AGGS:
+        raise ValueError(f"unsupported rolling agg {agg!r}")
+    mp = max(int(min_periods), 1)
+    base = _pin(sdf, [F.col(ts_col)], num_partitions)
+    in_type = sdf.schema[value_col].dataType.simpleString()
+    out_type = _roll_out_type(agg, in_type)
+    fields = _out_fields(sdf, out_col, out_type)
+    integral = in_type in _INTEGRAL
+
+    mins = sorted(base.groupBy("__pid").agg(
+        F.min(ts_col).alias("mn")).collect(), key=lambda r: r["__pid"])
+    pids = [r["__pid"] for r in mins]
+    min_ts = {r["__pid"]: r["mn"] for r in mins}
+    # a row in partition i can serve partition j>i iff
+    # ts > min_ts_j - offset; the easiest to satisfy is j = i+1
+    thr = {pids[i]: min_ts[pids[i + 1]] - offset_us
+           for i in range(len(pids) - 1)}
+
+    proj = base.select(ts_col, value_col, "__pid")
+    proj_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                            for f in proj.schema.fields)
+
+    def cand_pass(it):
+        emitted = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if emitted is None:
+                emitted = thr.get(int(pdf["__pid"].iloc[0]))
+            if emitted is None:
+                return  # last partition: nothing follows
+            sel = pdf[pdf[ts_col] > emitted]
+            if len(sel):
+                yield sel
+
+    cands = proj.mapInPandas(cand_pass, proj_schema).collect()
+    if len(cands) > _MAX_BORDER_ROWS:
+        raise ValueError(
+            f"time-offset border exchange would ship {len(cands)} rows "
+            f"> {_MAX_BORDER_ROWS}; the offset spans too much data per "
+            "partition — use the grouped flavor or a shorter offset")
+    cands.sort(key=lambda r: (r["__pid"], r[ts_col]))
+    c_pid = np.array([r["__pid"] for r in cands], dtype="int64")
+    c_ts = np.array([r[ts_col] for r in cands], dtype="int64")
+    c_v = np.array([(np.nan if r[value_col] is None else r[value_col])
+                    for r in cands], dtype="float64")
+    borders = {}
+    for j in pids:
+        if min_ts[j] is None:
+            continue
+        mask = (c_pid < j) & (c_ts > min_ts[j] - offset_us)
+        if mask.any():
+            borders[j] = (c_ts[mask], c_v[mask])
+
+    def pass_b(it):
+        pdf = _whole_partition(it)
+        if pdf is None:
+            return
+        pid = int(pdf["__pid"].iloc[0])
+        bts, bv = borders.get(pid, (np.empty(0, "int64"),
+                                    np.empty(0, "float64")))
+        nb = len(bts)
+        ts = np.concatenate([bts, pdf[ts_col].to_numpy("int64")])
+        xv = np.concatenate([bv,
+                             pdf[value_col].astype("float64").to_numpy()])
+        right = np.searchsorted(ts, ts, side="right")
+        left = np.searchsorted(ts, ts - offset_us, side="right")
+        ok = ~np.isnan(xv)
+        ncum = np.concatenate([[0], np.cumsum(ok.astype("int64"))])
+        nwin = ncum[right] - ncum[left]
+        # count gates on ROWS in the frame (pandas contract); the
+        # other aggs gate on non-null observations
+        gate = (right - left) if agg == "count" else nwin
+        if agg in ("sum", "mean", "count"):
+            if integral:
+                scum = np.concatenate(
+                    [[0], np.cumsum(np.where(ok, xv, 0.0)
+                                    .astype("int64"))])
+            else:
+                scum = np.concatenate(
+                    [[0], np.cumsum(np.where(ok, xv, 0.0))])
+            swin = (scum[right] - scum[left]).astype("float64")
+            if agg == "count":
+                out = nwin.astype("float64")
+            elif agg == "sum":
+                out = swin
+            else:
+                with np.errstate(invalid="ignore"):
+                    out = swin / nwin
+        else:
+            s = pd.Series(xv, index=pd.to_datetime(ts, unit="us"))
+            r = s.rolling(pd.Timedelta(microseconds=offset_us),
+                          min_periods=1)
+            val = getattr(r, agg)()
+            # pandas cuts a tie group at the current ROW; SQL RANGE
+            # includes all peers — the last row of each tie group sees
+            # the full SQL frame, so broadcast it over the group
+            out = val.groupby(level=0).transform("last").to_numpy()
+        out = pd.Series(out).where(pd.Series(gate >= mp))
+        out = out.iloc[nb:].reset_index(drop=True)
+        res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
+        res[out_col] = _to_nullable(out, out_type)
+        yield res
+
+    return base.mapInPandas(pass_b, fields)
+
+
+def fill_scan(sdf: SparkDF, value_col: str, order_cols,
+              direction: str = "ffill", out_col: str = "fl",
+              num_partitions=None) -> SparkDF:
+    """Global ``Series.ffill``/``bfill`` as a segmented scan: the carry
+    is ONE scalar per partition (its last/first non-null value,
+    positionally exact via a cheap mapInPandas pass), chained on the
+    driver.  ffill streams batch-by-batch; bfill needs the whole
+    partition (the filler can live in a later batch)."""
+    if direction not in ("ffill", "bfill"):
+        raise ValueError(
+            f"direction must be 'ffill' or 'bfill', got {direction!r}")
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    in_type = sdf.schema[value_col].dataType.simpleString()
+    fields = _out_fields(sdf, out_col, in_type)
+    proj = base.select(value_col, "__pid")
+    pschema = (f"__pid int, first_v {in_type}, last_v {in_type}")
+
+    def partials_pass(it):
+        pid, first, last = None, None, None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            nn = pdf[value_col].dropna()
+            if len(nn):
+                if first is None:
+                    first = nn.iloc[0]
+                last = nn.iloc[-1]
+        if pid is not None:
+            yield pd.DataFrame({"__pid": [pid], "first_v": [first],
+                                "last_v": [last]})
+
+    rows = sorted(proj.mapInPandas(partials_pass, pschema).collect(),
+                  key=lambda r: r["__pid"])
+    carry: dict[int, object] = {}
+    if direction == "ffill":
+        acc = None
+        for r in rows:
+            carry[r["__pid"]] = acc
+            if r["last_v"] is not None:
+                acc = r["last_v"]
+    else:
+        acc = None
+        for r in reversed(rows):
+            carry[r["__pid"]] = acc
+            if r["first_v"] is not None:
+                acc = r["first_v"]
+
+    def pass_b(it):
+        if direction == "ffill":
+            seeded, run = False, None
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                if not seeded:
+                    run = carry.get(int(pdf["__pid"].iloc[0]))
+                    seeded = True
+                x = _to_nullable(pdf[value_col], in_type)
+                y = x.ffill()
+                if run is not None:
+                    y = y.fillna(run)
+                nn = x.dropna()
+                if len(nn):
+                    run = nn.iloc[-1]
+                res = pdf.drop(columns=["__pid"]).copy()
+                res[out_col] = _to_nullable(y, in_type)
+                yield res
+        else:
+            pdf = _whole_partition(it)
+            if pdf is None:
+                return
+            fill = carry.get(int(pdf["__pid"].iloc[0]))
+            x = _to_nullable(pdf[value_col], in_type)
+            y = x.bfill()
+            if fill is not None:
+                y = y.fillna(fill)
+            res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
+            res[out_col] = _to_nullable(y, in_type)
+            yield res
+
+    return base.mapInPandas(pass_b, fields)

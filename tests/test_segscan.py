@@ -172,3 +172,134 @@ def test_expanding_spans_arrow_batches(spark, tiny_arrow_batches):
         got = (getattr(pdf.v.expanding(min_periods=2), agg)())
         _eq(getattr(df.v.expanding(min_periods=2), agg)(), got,
             rtol=1e-12)
+
+
+# ------------------------------------------------------------------ borders
+
+
+@pytest.fixture(scope="module")
+def noisy_pdf():
+    rng = np.random.default_rng(41)
+    v = rng.normal(size=6000) * 100
+    v[rng.integers(0, 6000, 500)] = np.nan
+    v[:5] = np.nan  # leading nulls cross the ffill carry logic
+    v[-5:] = np.nan  # trailing nulls cross the bfill carry logic
+    return pd.DataFrame({"v": v})
+
+
+@pytest.fixture(scope="module")
+def noisy(noisy_pdf, spark):
+    return pas.DataFrame.from_pandas(noisy_pdf)
+
+
+@pytest.mark.parametrize("periods", [1, 3, -2, 40])
+def test_shift_multi_partition(noisy, noisy_pdf, periods):
+    # 6000 rows / 32 partitions: every partition needs neighbor rows
+    _eq(noisy.v.shift(periods), noisy_pdf.v.shift(periods))
+
+
+def test_shift_fill_value_multi_partition(noisy, noisy_pdf):
+    _eq(noisy.v.shift(2, fill_value=-1.5),
+        noisy_pdf.v.shift(2, fill_value=-1.5))
+
+
+def test_shift_integer_exact(orders, orders_pdf):
+    _eq(orders["o_custkey"].shift(3), orders_pdf["o_custkey"].shift(3))
+
+
+def test_diff_pct_change_multi_partition(noisy, noisy_pdf):
+    _eq(noisy.v.diff(2), noisy_pdf.v.diff(2))
+    _eq(noisy.v.pct_change(), noisy_pdf.v.pct_change(fill_method=None),
+        rtol=1e-12)
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "max", "min", "std",
+                                 "count"])
+def test_rolling_multi_partition(noisy, noisy_pdf, agg):
+    got = getattr(noisy.v.rolling(7, min_periods=3), agg)()
+    if agg == "count":
+        # pandas gates count on rows-in-frame, not non-null obs
+        want = noisy_pdf.v.rolling(7, min_periods=3).count()
+        want = want.where(pd.Series(range(len(want))) >= 2)
+    else:
+        want = getattr(noisy_pdf.v.rolling(7, min_periods=3), agg)()
+    _eq(got, want, rtol=1e-9)
+
+
+def test_rolling_window_exceeds_partition(spark):
+    # window 150 > rows-per-partition (~31): borders must CHAIN
+    # through several short partitions
+    rng = np.random.default_rng(43)
+    pdf = pd.DataFrame({"v": rng.normal(size=1000)})
+    df = pas.DataFrame.from_pandas(pdf)
+    _eq(df.v.rolling(150).sum(), pdf.v.rolling(150).sum(), rtol=1e-9)
+    _eq(df.v.shift(150), pdf.v.shift(150))
+
+
+def test_ffill_bfill_multi_partition(noisy, noisy_pdf):
+    _eq(noisy.v.ffill(), noisy_pdf.v.ffill())
+    _eq(noisy.v.bfill(), noisy_pdf.v.bfill())
+
+
+def test_ffill_runs_span_partitions(spark):
+    # null runs hundreds long: most partitions have NO non-null value,
+    # so the scalar carries must chain across partitions
+    v = np.full(4000, np.nan)
+    v[::701] = np.arange(len(v[::701]), dtype="float64")
+    pdf = pd.DataFrame({"v": v})
+    df = pas.DataFrame.from_pandas(pdf)
+    _eq(df.v.ffill(), pdf.v.ffill())
+    _eq(df.v.bfill(), pdf.v.bfill())
+
+
+def test_border_verbs_span_arrow_batches(spark, tiny_arrow_batches,
+                                         noisy, noisy_pdf):
+    _eq(noisy.v.shift(5), noisy_pdf.v.shift(5))
+    _eq(noisy.v.rolling(9).mean(), noisy_pdf.v.rolling(9).mean(),
+        rtol=1e-9)
+    _eq(noisy.v.ffill(), noisy_pdf.v.ffill())
+    _eq(noisy.v.bfill(), noisy_pdf.v.bfill())
+
+
+def test_time_rolling_sql_peer_semantics(spark):
+    # tied timestamps: the engine contract is the SQL RANGE frame (all
+    # peers of t in (t - offset, t]) — pandas cuts at the current row,
+    # so the expected values broadcast the tie group's last
+    rng = np.random.default_rng(47)
+    n = 3000
+    secs = np.sort(rng.integers(0, 50_000, n))  # many exact ties
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(secs, unit="s")
+    pt = pd.DataFrame({"t": ts, "x": rng.normal(size=n)}).set_index("t")
+    dt = pas.DataFrame.from_pandas(pt.reset_index()).set_index("t")
+    for agg in ("sum", "max", "count"):
+        got = (getattr(dt.x.rolling("30min"), agg)()
+               .to_pandas().sort_index())
+        r = getattr(pt.x.rolling(pd.Timedelta("30min"),
+                                 min_periods=1), agg)()
+        want = r.groupby(level=0).transform("last")
+        assert np.allclose(got.to_numpy("float64"),
+                           want.to_numpy("float64"), rtol=1e-9,
+                           equal_nan=True)
+
+
+def test_border_verbs_no_single_partition_window(spark, orders):
+    from pandas_alchemy_spark.plans import physical_plan
+    for s in (orders["o_totalprice"].shift(2),
+              orders["o_totalprice"].diff(),
+              orders["o_totalprice"].pct_change(),
+              orders["o_totalprice"].rolling(3).sum(),
+              orders["o_totalprice"].ffill()):
+        plan = physical_plan(s.to_spark())
+        assert "SinglePartition" not in plan
+        assert "Window" not in plan
+
+
+def test_border_cap_raises(spark, orders):
+    from pandas_alchemy_spark.operators import segscan
+    old = segscan._MAX_BORDER_ROWS
+    segscan._MAX_BORDER_ROWS = 10
+    try:
+        with pytest.raises(ValueError, match="border exchange"):
+            orders["o_totalprice"].rolling(500).sum().to_pandas()
+    finally:
+        segscan._MAX_BORDER_ROWS = old
