@@ -1677,25 +1677,34 @@ def q_ewm_price(spark, sf_dir):
 
 def q_window_suite(spark, sf_dir):
     """Analytic-window suite on o_orderkey: grouped cumsum, global
-    rolling(3).sum, grouped pct_change, grouped ewm mean.
+    rolling(3).sum, grouped pct_change, grouped ewm mean, plus the
+    round-5 border-scan legs — global shift(2), diff(3), and
+    masked-price ffill (operators/segscan border exchange; no
+    single-partition window anywhere in the suite).
 
-    The three lineage-carrying window legs ASSIGN onto one frame (the
-    window expressions inline into a single projection over one scan —
-    same values as the standalone bench legs); only the ewm leg, a
-    plan rewrite, joins back.  2 orders scans vs 4 as a
-    join-of-subqueries."""
+    The two lineage-carrying grouped legs inline into one projection;
+    the global legs are segmented scans that join back on the index
+    (the distributed-by-default trade documented in
+    operators/analytic.SeriesWindow)."""
     import pandas_alchemy_spark as pas
     _prep(spark)
     o = pas.read_parquet(_t(sf_dir, "orders")).set_index("o_orderkey")
     g = o.groupby("o_custkey")["o_totalprice"]
+    price = o["o_totalprice"]
     combined = o.assign(cum=g.cumsum(),
-                        roll=o["o_totalprice"].rolling(3).sum(),
-                        pct=g.pct_change())
+                        roll=price.rolling(3).sum(),
+                        pct=g.pct_change(),
+                        sh=price.shift(2),
+                        dif=price.diff(3),
+                        fwd=price.where(price >= 50000.0).ffill())
     core = combined.to_spark().select(
         F.col("o_orderkey").cast("long").alias("o_orderkey"),
         F.round("cum", 2).alias("cum_total"),
         F.round("roll", 2).alias("roll_sum"),
-        F.round("pct", 6).alias("pct"))
+        F.round("pct", 6).alias("pct"),
+        F.round("sh", 2).alias("sh"),
+        F.round("dif", 2).alias("dif"),
+        F.round("fwd", 2).alias("fwd"))
     d = q_ewm_price(spark, sf_dir)
     return core.join(d, "o_orderkey")
 
@@ -3312,6 +3321,13 @@ def oracle_sql() -> dict[str, str]:
                    END AS roll_sum,
                    round(o_totalprice / lag(o_totalprice) OVER wp - 1,
                          6) AS pct,
+                   round(lag(o_totalprice, 2) OVER wg, 2) AS sh,
+                   round(o_totalprice - lag(o_totalprice, 3) OVER wg,
+                         2) AS dif,
+                   round(last_value(
+                             CASE WHEN o_totalprice >= 50000
+                                  THEN o_totalprice END IGNORE NULLS)
+                         OVER wgr, 2) AS fwd,
                    round(sum(o_totalprice * pow(0.75, -rn)) OVER wc
                          / sum(pow(0.75, -rn)) OVER wc, 2) AS ewm_price
             FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
@@ -3322,7 +3338,11 @@ def oracle_sql() -> dict[str, str]:
                           AND CURRENT ROW),
                    wr AS (ORDER BY o_orderkey
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-                   wp AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+                   wp AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+                   wg AS (ORDER BY o_orderkey),
+                   wgr AS (ORDER BY o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
         """,
         "reshape_suite": f"""
             SELECT 'pivot' AS tag, l_linestatus AS key, qty_a AS a,

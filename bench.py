@@ -73,6 +73,15 @@ def main():
         return similarity.embedding_near_dup_pairs(emb, dim=dim, planes=10,
                                                    threshold=0.45)
 
+    def border_scan(spark_, sf_dir_):
+        # round-5 border-exchange segmented scan (global rolling mean
+        # over the full orders index — one range shuffle, k-row border
+        # carries via the driver, no single-partition window)
+        import pandas_alchemy_spark as pas
+        o = pas.read_parquet(f"{sf_dir_}/orders.parquet").set_index(
+            "o_orderkey")
+        return o["o_totalprice"].rolling(5).mean().to_spark()
+
     # per-operator functions are referenced DIRECTLY (several are now
     # folded into combined queries() entries for the driver's 50-entry
     # correctness window) so per-query times stay comparable with
@@ -118,6 +127,7 @@ def main():
         "token_stats": E.q_token_stats,
         "fingerprint": E.q_fingerprint,
         "langid": E.q_langid,
+        "border_scan": border_scan,
     }
 
     # warm the JVM + parquet footers with a trivial action, and the
