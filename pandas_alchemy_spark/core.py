@@ -1033,6 +1033,19 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         """Backward-fill nulls from the next following non-null."""
         return self._win().bfill()
 
+    def interpolate(self, method: str = "linear", limit=None,
+                    limit_direction=None):
+        """Linear interpolation of null holes (pandas
+        ``Series.interpolate()``): interior holes get the straight
+        line between their non-null neighbors, edge holes the nearest
+        value constant, gated by ``limit_direction``
+        ('forward'/'backward'/'both') and ``limit``.  Distributed as a
+        two-(position,value)-scalar-carry segmented scan
+        (operators/segscan.interpolate_scan) — no single-partition
+        window.  Grouped flavor: ``df.groupby(k)[c].interpolate()``
+        (one shuffle, pure JVM windows)."""
+        return self._win().interpolate(method, limit, limit_direction)
+
     def cumsum(self):
         return self._win().cumsum()
 

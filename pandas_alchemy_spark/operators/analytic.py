@@ -43,6 +43,25 @@ def _order_cols(frame):
     return [frame._sdf[I.idx_name(i)] for i in range(frame._n_idx())]
 
 
+def _check_interp_args(method, limit, limit_direction) -> str:
+    """Validate the pandas interpolate contract; returns the resolved
+    limit_direction."""
+    if method != "linear":
+        raise NotImplementedError(
+            f"interpolate method {method!r} is not supported; only "
+            "'linear' (pandas' default equally-spaced interpolation)")
+    ld = limit_direction if limit_direction is not None else "forward"
+    if ld not in ("forward", "backward", "both"):
+        raise ValueError(
+            "limit_direction must be 'forward', 'backward' or 'both', "
+            f"got {limit_direction!r}")
+    if limit is not None and (not isinstance(limit, int)
+                              or isinstance(limit, bool) or limit < 1):
+        raise ValueError(f"limit must be a positive integer, "
+                         f"got {limit!r}")
+    return ld
+
+
 class _WindowVerbs:
     """Shared implementations; subclasses provide ``_window()`` (the
     partitioning) and ``_wrap(expr)`` (packaging into a Series)."""
@@ -141,6 +160,52 @@ class _WindowVerbs:
                                        Window.unboundedFollowing)
         return self._wrap(
             lambda c: F.first(c, ignorenulls=True).over(w))
+
+    def interpolate(self, method: str = "linear", limit=None,
+                    limit_direction=None):
+        """pandas ``Series.interpolate(method='linear')``: null holes
+        get the linear interpolation between their non-null neighbors
+        (equally-spaced positions — pandas' 'linear' ignores the
+        index), edge holes the nearest value constant;
+        ``limit_direction`` gates which holes fill ('forward' leaves
+        leading nulls, 'backward' trailing, 'both' neither) and
+        ``limit`` caps the fill distance.  Output is double (pandas
+        promotes to float).
+
+        Grouped flavor: pure JVM window expressions (running last/
+        first IGNORE NULLS for the neighbor values and their row
+        numbers) — ONE shuffle on the keys, codegen, no UDF.  The
+        fill tree ``pv + (nv - pv) / (np - pp) * (rn - pp)`` is the
+        same expression a SQL oracle evaluates, so results are
+        bit-identical across engines."""
+        ld = _check_interp_args(method, limit, limit_direction)
+        wb = self._window().rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+        wf = self._window().rowsBetween(Window.currentRow,
+                                        Window.unboundedFollowing)
+        wo = self._window()
+
+        def fn(c):
+            v = c.cast("double")
+            rn = F.row_number().over(wo).cast("double")
+            pv = F.last(v, ignorenulls=True).over(wb)
+            pp = F.last(F.when(v.isNotNull(), rn),
+                        ignorenulls=True).over(wb)
+            nv = F.first(v, ignorenulls=True).over(wf)
+            npos = F.first(F.when(v.isNotNull(), rn),
+                           ignorenulls=True).over(wf)
+            interp = pv + (nv - pv) / (npos - pp) * (rn - pp)
+            fill = (F.when(nv.isNull(), pv)
+                    .when(pv.isNull(), nv).otherwise(interp))
+            elig_f = (pv.isNotNull() if limit is None
+                      else pv.isNotNull() & ((rn - pp) <= limit))
+            elig_b = (nv.isNotNull() if limit is None
+                      else nv.isNotNull() & ((npos - rn) <= limit))
+            elig = (elig_f if ld == "forward"
+                    else elig_b if ld == "backward"
+                    else elig_f | elig_b)
+            return F.when(v.isNotNull(), v).when(elig, fill)
+        return self._wrap(fn)
 
     def rolling_sum(self, window: int, min_periods: int | None = None):
         return self._rolling_named("sum", window, min_periods)
@@ -289,6 +354,17 @@ class SeriesWindow(_WindowVerbs):
         return self._scan_series(
             lambda tmp, oc: fill_scan(tmp, "__v", oc, "bfill",
                                       "__out"))
+
+    def interpolate(self, method: str = "linear", limit=None,
+                    limit_direction=None):
+        """Global linear interpolation as a segmented scan — the carry
+        is two (position, value) scalars per partition (segscan
+        .interpolate_scan), no single-partition window."""
+        ld = _check_interp_args(method, limit, limit_direction)
+        from .segscan import interpolate_scan
+        return self._scan_series(
+            lambda tmp, oc: interpolate_scan(tmp, "__v", oc, ld,
+                                             limit, "__out"))
 
     def _rolling_named(self, name: str, window: int, min_periods):
         from .segscan import rolling_scan

@@ -711,6 +711,137 @@ def rolling_time_scan(sdf: SparkDF, value_col: str, ts_col: str,
     return base.mapInPandas(pass_b, fields)
 
 
+def _interp_fill(x: pd.Series, pos: np.ndarray, prev, nxt,
+                 limit_direction: str, limit):
+    """Vectorized linear interpolation of the null holes in ``x``
+    (float64) at abscissae ``pos``, seeded with the cross-partition
+    carries ``prev``/``nxt`` = (position, value) tuples or None.
+
+    The fill expression tree is pinned to
+    ``pv + (nv - pv) / (np - pp) * (p - pp)`` (left-assoc, plain IEEE
+    doubles, no FMA) so a SQL oracle evaluating the same tree is
+    bit-identical — the driver-leg contract."""
+    notna = x.notna().to_numpy()
+    posf = pos.astype("float64")
+    pv = pd.Series(np.where(notna, x, np.nan)).ffill()
+    pp = pd.Series(np.where(notna, posf, np.nan)).ffill()
+    nv = pd.Series(np.where(notna, x, np.nan)).bfill()
+    npos = pd.Series(np.where(notna, posf, np.nan)).bfill()
+    if prev is not None:
+        pp = pp.fillna(float(prev[0]))
+        pv = pv.fillna(float(prev[1]))
+    if nxt is not None:
+        npos = npos.fillna(float(nxt[0]))
+        nv = nv.fillna(float(nxt[1]))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        interp = pv + (nv - pv) / (npos - pp) * (posf - pp)
+    fill = np.where(nv.isna(), pv,
+                    np.where(pv.isna(), nv, interp))
+    dist_f = pd.Series(posf) - pp   # NaN when no prev neighbor
+    dist_b = npos - pd.Series(posf)
+    has_p, has_n = pv.notna(), nv.notna()
+    elig_f = has_p if limit is None else has_p & (dist_f <= limit)
+    elig_b = has_n if limit is None else has_n & (dist_b <= limit)
+    if limit_direction == "forward":
+        elig = elig_f
+    elif limit_direction == "backward":
+        elig = elig_b
+    else:
+        elig = elig_f | elig_b
+    out = np.where(notna, x, np.where(elig, fill, np.nan))
+    return pd.Series(out)
+
+
+def interpolate_scan(sdf: SparkDF, value_col: str, order_cols,
+                     limit_direction: str = "forward", limit=None,
+                     out_col: str = "itp",
+                     num_partitions=None) -> SparkDF:
+    """Global ``Series.interpolate(method='linear')`` as a segmented
+    scan: the carry is TWO (position, value) scalars per partition (its
+    first/last non-null and their global offsets), chained on the
+    driver, so no single-partition window and no k-row border.  Pass B
+    needs the whole partition (a null run's filler can live in a later
+    Arrow batch — the bfill contract).
+
+    pandas semantics (differential-tested): interior holes get the
+    linear interpolation between neighbors, edge holes the nearest
+    value constant; ``limit_direction`` gates which holes fill
+    ('forward' leaves leading nulls, 'backward' trailing, 'both'
+    neither) and ``limit`` caps the fill distance from the allowed
+    direction(s).  Output is always double (pandas promotes)."""
+    if limit_direction not in ("forward", "backward", "both"):
+        raise ValueError(
+            "limit_direction must be 'forward', 'backward' or 'both', "
+            f"got {limit_direction!r}")
+    if limit is not None and (not isinstance(limit, int) or limit < 1):
+        raise ValueError(f"limit must be a positive integer, "
+                         f"got {limit!r}")
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    fields = _out_fields(sdf, out_col, "double")
+
+    # pass A: per-partition row count + first/last non-null (local
+    # offset, value) — five scalars per partition to the driver
+    proj = base.select(value_col, "__pid")
+    pschema = ("__pid int, n_rows long, f_off long, f_v double, "
+               "l_off long, l_v double")
+
+    def partials_pass(it):
+        pid, n, f_off, f_v, l_off, l_v = None, 0, None, None, None, None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            x = pdf[value_col].astype("float64")
+            nn = x.dropna()
+            if len(nn):
+                if f_off is None:
+                    f_off = n + int(nn.index[0])
+                    f_v = float(nn.iloc[0])
+                l_off = n + int(nn.index[-1])
+                l_v = float(nn.iloc[-1])
+            n += len(pdf)
+        if pid is not None:
+            yield pd.DataFrame(
+                {"__pid": [pid], "n_rows": [n], "f_off": [f_off],
+                 "f_v": [f_v], "l_off": [l_off], "l_v": [l_v]})
+
+    rows = sorted(proj.mapInPandas(partials_pass, pschema).collect(),
+                  key=lambda r: r["__pid"])
+    start: dict[int, int] = {}
+    prev: dict[int, tuple] = {}
+    off = 0
+    last_nn = None
+    for r in rows:
+        start[r["__pid"]] = off
+        prev[r["__pid"]] = last_nn
+        if r["l_off"] is not None:
+            last_nn = (off + r["l_off"], r["l_v"])
+        off += r["n_rows"]
+    nxt: dict[int, tuple] = {}
+    next_nn = None
+    for r in reversed(rows):
+        nxt[r["__pid"]] = next_nn
+        if r["f_off"] is not None:
+            next_nn = (start[r["__pid"]] + r["f_off"], r["f_v"])
+
+    def pass_b(it):
+        pdf = _whole_partition(it)
+        if pdf is None:
+            return
+        pid = int(pdf["__pid"].iloc[0])
+        x = pdf[value_col].astype("float64")
+        pos = np.arange(len(x), dtype="int64") + start.get(pid, 0)
+        out = _interp_fill(x, pos, prev.get(pid), nxt.get(pid),
+                           limit_direction, limit)
+        res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
+        res[out_col] = out
+        yield res
+
+    return base.mapInPandas(pass_b, fields)
+
+
 def fill_scan(sdf: SparkDF, value_col: str, order_cols,
               direction: str = "ffill", out_col: str = "fl",
               num_partitions=None) -> SparkDF:

@@ -303,3 +303,105 @@ def test_border_cap_raises(spark, orders):
             orders["o_totalprice"].rolling(500).sum().to_pandas()
     finally:
         segscan._MAX_BORDER_ROWS = old
+
+
+# -------------------------------------------------------------- interpolate
+
+
+@pytest.fixture(scope="module")
+def holey_pdf():
+    """Null holes of every shape: leading run, trailing run, interior
+    runs of mixed lengths — spread over 32 partitions."""
+    rng = np.random.default_rng(53)
+    v = rng.normal(size=6000) * 50
+    for start in rng.integers(10, 5900, 300):
+        v[start:start + rng.integers(1, 9)] = np.nan
+    v[:7] = np.nan
+    v[-6:] = np.nan
+    return pd.DataFrame({"v": v})
+
+
+@pytest.fixture(scope="module")
+def holey(holey_pdf, spark):
+    return pas.DataFrame.from_pandas(holey_pdf)
+
+
+@pytest.mark.parametrize("ld", ["forward", "backward", "both"])
+def test_interpolate_directions(holey, holey_pdf, ld):
+    _eq(holey.v.interpolate(limit_direction=ld),
+        holey_pdf.v.interpolate(limit_direction=ld), rtol=1e-12)
+
+
+@pytest.mark.parametrize("ld,limit", [("forward", 1), ("forward", 3),
+                                      ("backward", 2), ("both", 1),
+                                      ("both", 2)])
+def test_interpolate_limit(holey, holey_pdf, ld, limit):
+    _eq(holey.v.interpolate(limit=limit, limit_direction=ld),
+        holey_pdf.v.interpolate(limit=limit, limit_direction=ld),
+        rtol=1e-12)
+
+
+def test_interpolate_int_input_promotes(orders, orders_pdf):
+    # int column with a mask -> double output like pandas
+    masked = orders["o_custkey"].where(orders["o_custkey"] % 7 != 0)
+    want = (orders_pdf["o_custkey"]
+            .where(orders_pdf["o_custkey"] % 7 != 0)
+            .astype("float64").interpolate())
+    _eq(masked.interpolate(), want, rtol=1e-12)
+
+
+def test_interpolate_spans_arrow_batches(spark, tiny_arrow_batches):
+    # a null run straddling Arrow batch boundaries inside a partition:
+    # the filler lives in a later batch (the bfill-style concat path)
+    rng = np.random.default_rng(59)
+    v = rng.normal(size=4000)
+    for start in rng.integers(0, 3900, 40):
+        v[start:start + 90] = np.nan  # runs wider than the 64-row batch
+    pdf = pd.DataFrame({"v": v})
+    df = pas.DataFrame.from_pandas(pdf)
+    _eq(df.v.interpolate(limit_direction="both"),
+        pdf.v.interpolate(limit_direction="both"), rtol=1e-12)
+
+
+def test_interpolate_all_null_and_single_value(spark):
+    pdf = pd.DataFrame({"a": [np.nan] * 40,
+                        "b": [np.nan] * 17 + [3.5] + [np.nan] * 22})
+    df = pas.DataFrame.from_pandas(pdf)
+    _eq(df.a.interpolate(), pdf.a.interpolate())
+    _eq(df.b.interpolate(), pdf.b.interpolate())
+    _eq(df.b.interpolate(limit_direction="both"),
+        pdf.b.interpolate(limit_direction="both"))
+
+
+def test_interpolate_grouped(spark):
+    rng = np.random.default_rng(61)
+    pdf = pd.DataFrame({"k": rng.integers(0, 12, 3000),
+                        "v": rng.normal(size=3000) * 10})
+    pdf.loc[rng.integers(0, 3000, 700), "v"] = np.nan
+    df = pas.DataFrame.from_pandas(pdf)
+    for kw in ({}, {"limit_direction": "both"},
+               {"limit": 2}, {"limit": 1, "limit_direction": "both"}):
+        got = (df.groupby("k")["v"].interpolate(**kw)
+               .to_pandas().sort_index())
+        want = (pdf.groupby("k")["v"]
+                .transform(lambda s: s.interpolate(**kw)))
+        want.name = got.name
+        pdt.assert_series_equal(got, want, check_dtype=False,
+                                check_index_type=False, rtol=1e-12)
+
+
+def test_interpolate_no_single_partition_window(spark, orders):
+    from pandas_alchemy_spark.plans import physical_plan
+    masked = orders["o_totalprice"].where(orders["o_totalprice"] > 150)
+    plan = physical_plan(masked.interpolate().to_spark())
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_interpolate_arg_validation(orders):
+    with pytest.raises(NotImplementedError, match="linear"):
+        orders["o_totalprice"].interpolate(method="spline")
+    with pytest.raises(ValueError, match="limit_direction"):
+        orders["o_totalprice"].interpolate(limit_direction="sideways")
+    with pytest.raises(ValueError, match="limit"):
+        orders["o_totalprice"].interpolate(limit=0)
