@@ -1061,8 +1061,12 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def pct_change(self, periods: int = 1):
         return self._win().pct_change(periods)
 
-    def rank(self, method: str = "min", ascending: bool = True):
-        return self._win().rank(method, ascending)
+    def rank(self, method: str = "min", ascending: bool = True,
+             pct: bool = False):
+        """Value ranks (pandas semantics; all five methods).
+        ``pct=True`` scales by the non-null count — distinct count for
+        ``dense`` — matching pandas' percentile ranks."""
+        return self._win().rank(method, ascending, pct)
 
     def rolling(self, window: "int | str",
                 min_periods: int | None = None):

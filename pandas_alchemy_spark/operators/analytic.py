@@ -111,39 +111,55 @@ class _WindowVerbs:
         return self._wrap(
             lambda c: F.row_number().over(self._window()) - F.lit(1))
 
-    def rank(self, method: str = "min", ascending: bool = True):
+    def rank(self, method: str = "min", ascending: bool = True,
+             pct: bool = False):
         if method in ("average", "max"):
             # average = min_rank + (ties-1)/2; max = min_rank + ties-1.
             # ties counted with a second window partitioned by the
             # value (plus the group keys) — same shuffle, no join.
-            def fn(c):
+            def raw(c):
                 order = (c.asc_nulls_last() if ascending
                          else c.desc_nulls_last())
                 w = self._value_window(order, False)
                 ties = F.count(c).over(self._tie_window(c))
                 base = F.rank().over(w)
-                expr = (base + (ties - F.lit(1)) / F.lit(2.0)
+                return (base + (ties - F.lit(1)) / F.lit(2.0)
                         if method == "average"
                         else base + ties - F.lit(1))
-                return F.when(c.isNull(), F.lit(None)).otherwise(expr)
-            return self._wrap(fn)
-        if method not in _RANK_METHODS:
-            raise ValueError(
-                f"method must be one of 'average', 'min', 'max', "
-                f"'first', 'dense', got {method!r}")
-        rank_fn = _RANK_METHODS[method]
-        # "first" breaks ties by position (needs the index in the
-        # ordering); min/dense must NOT include it or ties vanish
-        tiebreak = method == "first"
+        else:
+            if method not in _RANK_METHODS:
+                raise ValueError(
+                    f"method must be one of 'average', 'min', 'max', "
+                    f"'first', 'dense', got {method!r}")
+            rank_fn = _RANK_METHODS[method]
+            # "first" breaks ties by position (needs the index in the
+            # ordering); min/dense must NOT include it or ties vanish
+            tiebreak = method == "first"
+
+            def raw(c):
+                order = (c.asc_nulls_last() if ascending
+                         else c.desc_nulls_last())
+                w = self._value_window(order, tiebreak)
+                return rank_fn().over(w)
 
         def fn(c):
             # nulls last so they never shift non-null ranks; pandas
             # gives NaN rank to NaN values (keep_na guard below)
-            order = c.asc_nulls_last() if ascending else c.desc_nulls_last()
-            w = self._value_window(order, tiebreak)
-            return F.when(c.isNull(), F.lit(None)).otherwise(
-                rank_fn().over(w))
+            expr = raw(c)
+            if pct:
+                # pandas pct denominators: non-null count per group;
+                # DISTINCT non-null count for dense (rank/denom both
+                # exact ints -> one double division, engine-exact)
+                expr = expr.cast("double") / self._rank_denom(c, method)
+            return F.when(c.isNull(), F.lit(None)).otherwise(expr)
         return self._wrap(fn)
+
+    def _rank_denom(self, c, method: str):
+        wg = self._window().rowsBetween(Window.unboundedPreceding,
+                                        Window.unboundedFollowing)
+        if method == "dense":
+            return F.size(F.collect_set(c).over(wg)).cast("double")
+        return F.count(c).over(wg).cast("double")
 
     def ffill(self):
         """Forward-fill nulls with the last preceding non-null value —
@@ -319,11 +335,12 @@ class SeriesWindow(_WindowVerbs):
     def cummin(self):
         return self._cum_scan("min")
 
-    def rank(self, method: str = "min", ascending: bool = True):
+    def rank(self, method: str = "min", ascending: bool = True,
+             pct: bool = False):
         from .segscan import rank_scan
         return self._scan_series(
             lambda tmp, oc: rank_scan(tmp, "__v", oc, method,
-                                      ascending, "__out"))
+                                      ascending, "__out", pct=pct))
 
     def shift(self, periods: int = 1, fill_value=None):
         from .segscan import shift_scan

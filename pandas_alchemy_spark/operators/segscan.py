@@ -254,12 +254,14 @@ def expanding_scan(sdf: SparkDF, value_col: str, order_cols, agg: str,
 
 def rank_scan(sdf: SparkDF, value_col: str, order_cols, method: str,
               ascending: bool, out_col: str = "rank",
-              num_partitions=None) -> SparkDF:
+              num_partitions=None, pct: bool = False) -> SparkDF:
     """Global ``Series.rank`` as a segmented scan: range-partition on
     the VALUE (ties co-located, so per-partition pandas rank + a
     non-null row-count prefix — distinct-count for ``dense`` — is
     exact), nulls rank null like pandas.  ``order_cols`` is the
-    positional tiebreak for ``method='first'``."""
+    positional tiebreak for ``method='first'``.  ``pct=True`` divides
+    by the total non-null count (distinct for ``dense``) — conveniently
+    the final prefix accumulator, so it costs nothing extra."""
     if method not in ("average", "min", "max", "first", "dense"):
         raise ValueError(
             f"method must be one of 'average', 'min', 'max', "
@@ -305,7 +307,10 @@ def rank_scan(sdf: SparkDF, value_col: str, order_cols, method: str,
         off = prefix.get(pid, 0)
         loc = pdf[value_col].rank(method=method, ascending=ascending)
         res = pdf.drop(columns=["__pid"]).copy()
-        res[out_col] = loc + off
+        out = loc + off
+        if pct:
+            out = out / float(acc)
+        res[out_col] = out
         yield res
 
     return base.mapInPandas(pass_b, out_fields)

@@ -405,3 +405,32 @@ def test_interpolate_arg_validation(orders):
         orders["o_totalprice"].interpolate(limit_direction="sideways")
     with pytest.raises(ValueError, match="limit"):
         orders["o_totalprice"].interpolate(limit=0)
+
+
+# ---------------------------------------------------------------- rank pct
+
+
+@pytest.mark.parametrize("method", ["min", "dense", "average", "max",
+                                    "first"])
+def test_rank_pct_global(orders, orders_pdf, method):
+    _eq(orders["o_custkey"].rank(method=method, pct=True),
+        orders_pdf["o_custkey"].rank(method=method, pct=True))
+
+
+def test_rank_pct_with_nulls(holey, holey_pdf):
+    _eq(holey.v.rank(pct=True), holey_pdf.v.rank(method="min", pct=True))
+
+
+def test_rank_pct_grouped(spark):
+    rng = np.random.default_rng(67)
+    pdf = pd.DataFrame({"k": rng.integers(0, 9, 2000),
+                        "v": rng.integers(0, 25, 2000).astype("float64")})
+    pdf.loc[rng.integers(0, 2000, 150), "v"] = np.nan
+    df = pas.DataFrame.from_pandas(pdf)
+    for method in ("min", "dense", "average", "max", "first"):
+        got = (df.groupby("k")["v"].rank(method=method, pct=True)
+               .to_pandas().sort_index())
+        want = pdf.groupby("k")["v"].rank(method=method, pct=True)
+        want.name = got.name
+        pdt.assert_series_equal(got, want, check_dtype=False,
+                                check_index_type=False)
