@@ -1691,12 +1691,22 @@ def q_window_suite(spark, sf_dir):
     o = pas.read_parquet(_t(sf_dir, "orders")).set_index("o_orderkey")
     g = o.groupby("o_custkey")["o_totalprice"]
     price = o["o_totalprice"]
+    masked = price.where(price >= 50000.0)
+    # round-5 continuation legs: global + grouped linear interpolation
+    # (raw-double bit-exact contract — the fill expression tree is
+    # pinned to the oracle's) and global percentile rank (exact-int
+    # division, also raw double)
+    m = o.assign(mprice=masked)
+    itpg = m.groupby("o_custkey")["mprice"].interpolate()
     combined = o.assign(cum=g.cumsum(),
                         roll=price.rolling(3).sum(),
                         pct=g.pct_change(),
                         sh=price.shift(2),
                         dif=price.diff(3),
-                        fwd=price.where(price >= 50000.0).ffill())
+                        fwd=masked.ffill(),
+                        itp=masked.interpolate(),
+                        itpg=itpg,
+                        rpct=price.rank(method="min", pct=True))
     core = combined.to_spark().select(
         F.col("o_orderkey").cast("long").alias("o_orderkey"),
         F.round("cum", 2).alias("cum_total"),
@@ -1704,7 +1714,10 @@ def q_window_suite(spark, sf_dir):
         F.round("pct", 6).alias("pct"),
         F.round("sh", 2).alias("sh"),
         F.round("dif", 2).alias("dif"),
-        F.round("fwd", 2).alias("fwd"))
+        F.round("fwd", 2).alias("fwd"),
+        F.col("itp"),
+        F.col("itpg"),
+        F.col("rpct"))
     d = q_ewm_price(spark, sf_dir)
     return core.join(d, "o_orderkey")
 
@@ -3324,25 +3337,81 @@ def oracle_sql() -> dict[str, str]:
                    round(lag(o_totalprice, 2) OVER wg, 2) AS sh,
                    round(o_totalprice - lag(o_totalprice, 3) OVER wg,
                          2) AS dif,
-                   round(last_value(
-                             CASE WHEN o_totalprice >= 50000
-                                  THEN o_totalprice END IGNORE NULLS)
+                   round(last_value(mv IGNORE NULLS)
                          OVER wgr, 2) AS fwd,
+                   -- global linear interpolate, forward direction:
+                   -- same expression tree as the engine's segscan
+                   -- (raw doubles, bit-exact — no rounding contract)
+                   CASE WHEN mv IS NOT NULL THEN mv
+                        WHEN last_value(mv IGNORE NULLS)
+                             OVER wgr IS NULL THEN NULL
+                        WHEN first_value(mv IGNORE NULLS)
+                             OVER wgf IS NULL
+                        THEN last_value(mv IGNORE NULLS) OVER wgr
+                        ELSE last_value(mv IGNORE NULLS) OVER wgr
+                             + (first_value(mv IGNORE NULLS) OVER wgf
+                                - last_value(mv IGNORE NULLS) OVER wgr)
+                               / (first_value(CASE WHEN mv IS NOT NULL
+                                              THEN CAST(grn AS DOUBLE)
+                                              END IGNORE NULLS) OVER wgf
+                                  - last_value(CASE WHEN mv IS NOT NULL
+                                               THEN CAST(grn AS DOUBLE)
+                                               END IGNORE NULLS) OVER wgr)
+                               * (CAST(grn AS DOUBLE)
+                                  - last_value(CASE WHEN mv IS NOT NULL
+                                               THEN CAST(grn AS DOUBLE)
+                                               END IGNORE NULLS) OVER wgr)
+                   END AS itp,
+                   -- grouped interpolate (per o_custkey, positions =
+                   -- the in-group row_number rn)
+                   CASE WHEN mv IS NOT NULL THEN mv
+                        WHEN last_value(mv IGNORE NULLS)
+                             OVER wc IS NULL THEN NULL
+                        WHEN first_value(mv IGNORE NULLS)
+                             OVER wcf IS NULL
+                        THEN last_value(mv IGNORE NULLS) OVER wc
+                        ELSE last_value(mv IGNORE NULLS) OVER wc
+                             + (first_value(mv IGNORE NULLS) OVER wcf
+                                - last_value(mv IGNORE NULLS) OVER wc)
+                               / (first_value(CASE WHEN mv IS NOT NULL
+                                              THEN CAST(rn AS DOUBLE)
+                                              END IGNORE NULLS) OVER wcf
+                                  - last_value(CASE WHEN mv IS NOT NULL
+                                               THEN CAST(rn AS DOUBLE)
+                                               END IGNORE NULLS) OVER wc)
+                               * (CAST(rn AS DOUBLE)
+                                  - last_value(CASE WHEN mv IS NOT NULL
+                                               THEN CAST(rn AS DOUBLE)
+                                               END IGNORE NULLS) OVER wc)
+                   END AS itpg,
+                   -- percentile rank: exact ints, one double division
+                   rank() OVER (ORDER BY o_totalprice)
+                   / CAST(count(o_totalprice) OVER () AS DOUBLE)
+                   AS rpct,
                    round(sum(o_totalprice * pow(0.75, -rn)) OVER wc
                          / sum(pow(0.75, -rn)) OVER wc, 2) AS ewm_price
             FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
-                                               ORDER BY o_orderkey) AS rn
+                                               ORDER BY o_orderkey) AS rn,
+                         row_number() OVER (ORDER BY o_orderkey) AS grn,
+                         CASE WHEN o_totalprice >= 50000
+                              THEN o_totalprice END AS mv
                   FROM orders)
             WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND CURRENT ROW),
+                   wcf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING),
                    wr AS (ORDER BY o_orderkey
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
                    wp AS (PARTITION BY o_custkey ORDER BY o_orderkey),
                    wg AS (ORDER BY o_orderkey),
                    wgr AS (ORDER BY o_orderkey
                            ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW)
+                           AND CURRENT ROW),
+                   wgf AS (ORDER BY o_orderkey
+                           ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING)
         """,
         "reshape_suite": f"""
             SELECT 'pivot' AS tag, l_linestatus AS key, qty_a AS a,
