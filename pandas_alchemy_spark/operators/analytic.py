@@ -35,6 +35,8 @@ _ROLL_FNS = {
     "max": F.max,
     "min": F.min,
     "std": F.stddev_samp,
+    "var": F.var_samp,
+    "median": F.median,
     "count": F.count,
 }
 
@@ -469,6 +471,76 @@ class SeriesGroupBy(_WindowVerbs):
     def _tie_window(self, c):
         return Window.partitionBy(*self._keys(), c)
 
+    def _rolling_named(self, name: str, window: int, min_periods):
+        if name != "median":
+            return super()._rolling_named(name, window, min_periods)
+        # Spark's median aggregate refuses window frames
+        # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so grouped
+        # rolling median runs as one applyInPandas per group — same
+        # single shuffle on the keys, per-group bounded state (the
+        # ewm exact=True pattern)
+        mp = window if min_periods is None else max(int(min_periods), 1)
+        return self._apply_grouped(
+            lambda pdf: pdf["__v"].astype("float64")
+            .rolling(window, min_periods=mp).median())
+
+    def _rolling_time_named(self, name: str, offset_us: int,
+                            min_periods: int):
+        if name != "median":
+            return super()._rolling_time_named(name, offset_us,
+                                               min_periods)
+        # same window-frame restriction as the count-based form; keep
+        # the engine's SQL RANGE tie contract (all peers in the frame)
+        # by broadcasting each tie group's last pandas value
+        self._epoch_order_expr(self._df)  # validates datetime index
+        mp = max(int(min_periods), 1)
+
+        def fn(pdf):
+            import pandas as _pd
+            ts = _pd.to_datetime(pdf[I.idx_name(0)])
+            s = _pd.Series(pdf["__v"].astype("float64").to_numpy(),
+                           index=ts)
+            r = s.rolling(_pd.Timedelta(microseconds=offset_us),
+                          min_periods=mp).median()
+            return (r.groupby(level=0).transform("last")
+                    .to_numpy())
+
+        return self._apply_grouped(fn)
+
+    def _apply_grouped(self, frame_fn, out_type: str = "double"):
+        """Per-group pandas transform over (idx, keys, value) — ONE
+        shuffle on the keys via applyInPandas; ``frame_fn`` receives
+        the group's frame sorted in index order (columns: the idx
+        levels + ``__v``) and returns the aligned output values."""
+        df = self._df
+        n = df._n_idx()
+        idx_names = [I.idx_name(i) for i in range(n)]
+        idx = [df._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        keys = [k.alias(f"__k_{j}") for j, k in enumerate(self._keys())]
+        val = df._col_at(df._columns.get_loc(self._label)).alias("__v")
+        tmp = df._sdf.select(*idx, *keys, val)
+
+        def per_group(pdf):
+            pdf = pdf.sort_values(idx_names, kind="mergesort")
+            out = frame_fn(pdf)
+            pdf["__out"] = (out.to_numpy() if hasattr(out, "to_numpy")
+                            else out)
+            return pdf
+
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in tmp.schema.fields)
+        schema += f", __out {out_type}"
+        out = (tmp.groupBy(*[f"__k_{j}" for j in range(len(keys))])
+               .applyInPandas(per_group, schema))
+        body = out.select(*[F.col(nm) for nm in idx_names],
+                          F.col("__out").alias(I.col_name(0)))
+        s = self._Series(df._index, None, body, self._label)
+        s._mid_index = getattr(df, "_mid_index", False)
+        s._mid_dense = getattr(df, "_mid_dense", False)
+        s._mid_origin = getattr(df, "_mid_origin", None)
+        s._rows_reordered = True
+        return s
+
     def _wrap(self, fn):
         df = self._df
         col = df._col_at(df._columns.get_loc(self._label))
@@ -696,6 +768,12 @@ class Rolling:
     def std(self):
         return self._agg("std")
 
+    def var(self):
+        return self._agg("var")
+
+    def median(self):
+        return self._agg("median")
+
     def count(self):
         return self._agg("count", self._min_periods or 1)
 
@@ -745,6 +823,17 @@ class Expanding:
 
     def min(self):
         return self._exp(F.min, "min")
+
+    def var(self):
+        """Expanding sample variance (ddof=1).  Global flavor: a
+        (count, mean, M2) moment-triple carry with Chan's parallel
+        combine (segscan._expanding_moment_scan) — numerically stable,
+        no single-partition window.  Grouped: ``var_samp`` over the
+        running frame (Spark nulls n==1, matching pandas NaN)."""
+        return self._exp(F.var_samp, "var")
+
+    def std(self):
+        return self._exp(F.stddev_samp, "std")
 
     def count(self):
         return self._exp(F.count, "count")

@@ -162,6 +162,10 @@ def expanding_scan(sdf: SparkDF, value_col: str, order_cols, agg: str,
     reaching ``min_periods`` — so the carries are (count, sum) /
     (count, max) channel pairs and the gate applies after the carry
     combine."""
+    if agg in ("var", "std"):
+        return _expanding_moment_scan(sdf, value_col, order_cols, agg,
+                                      min_periods, out_col,
+                                      num_partitions)
     if agg not in ("sum", "mean", "max", "min", "count"):
         raise ValueError(f"unsupported expanding agg {agg!r}")
     order_cols = ([order_cols] if isinstance(order_cols, str)
@@ -250,6 +254,90 @@ def expanding_scan(sdf: SparkDF, value_col: str, order_cols, agg: str,
             yield res
 
     return base.mapInPandas(pass_b, out_fields)
+
+
+def _chan_combine(n_a, mean_a, m2_a, n_b, mean_b, m2_b):
+    """Chan/Welford parallel combine of (count, mean, M2) moment
+    triples — numerically stable (no raw sum-of-squares), vectorized
+    over the b-side (the per-row expanding stats of a batch combined
+    with one constant prefix carry)."""
+    n = n_a + n_b
+    delta = mean_b - mean_a
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean = np.where(n > 0, mean_a + delta * (n_b / np.where(n, n, 1)),
+                        np.nan)
+        m2 = m2_a + m2_b + delta * delta * (n_a * n_b
+                                            / np.where(n, n, 1))
+    return n, mean, m2
+
+
+def _expanding_moment_scan(sdf: SparkDF, value_col: str, order_cols,
+                           agg: str, min_periods: int, out_col: str,
+                           num_partitions=None) -> SparkDF:
+    """Global ``expanding().var()/.std()`` (ddof=1) as a segmented
+    scan.  The carry is a (count, mean, M2) moment triple per
+    partition — pass A computes it JVM-side (``avg`` + ``var_samp`` ×
+    (n−1)), the driver prefix-folds with Chan's parallel combine, and
+    pass B merges each row's batch-local expanding moments with the
+    constant carry (vectorized, numerically stable — no raw
+    sum-of-squares anywhere).  Gate: non-null count ≥ max(min_periods,
+    2) — a single observation has no sample variance (pandas NaN)."""
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    v = F.col(value_col)
+    partials = base.groupBy("__pid").agg(
+        F.count(v).alias("__n"), F.avg(v).alias("__m"),
+        F.var_samp(v).alias("__v2"))
+    rows = sorted(partials.collect(), key=lambda r: r["__pid"])
+    prefix: dict[int, tuple] = {}
+    n_acc, m_acc, m2_acc = 0, 0.0, 0.0
+    for r in rows:
+        prefix[r["__pid"]] = (n_acc, m_acc, m2_acc)
+        nb = r["__n"]
+        if nb:
+            mb = r["__m"]
+            m2b = (r["__v2"] or 0.0) * (nb - 1)
+            n_acc, m_acc, m2_acc = (
+                x.item() if hasattr(x, "item") else x for x in
+                _chan_combine(n_acc, m_acc, m2_acc,
+                              np.float64(nb), np.float64(mb),
+                              np.float64(m2b)))
+    fields = _out_fields(sdf, out_col, "double")
+    mp = max(int(min_periods), 2)
+
+    def pass_b(it):
+        seeded = False
+        c_n, c_m, c_m2 = 0.0, 0.0, 0.0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if not seeded:
+                c_n, c_m, c_m2 = prefix.get(
+                    int(pdf["__pid"].iloc[0]), (0, 0.0, 0.0))
+                c_n, c_m, c_m2 = float(c_n), float(c_m), float(c_m2)
+                seeded = True
+            x = pdf[value_col].astype("float64")
+            n_b = x.notna().cumsum().to_numpy("float64")
+            mean_b = x.expanding(1).mean().fillna(0.0).to_numpy()
+            m2_b = (x.expanding(1).var()
+                    .fillna(0.0).to_numpy()) * np.maximum(n_b - 1, 0)
+            n, _mean, m2 = _chan_combine(c_n, c_m, c_m2,
+                                         n_b, mean_b, m2_b)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                var = m2 / (n - 1)
+            out = pd.Series(var).where(pd.Series(n >= mp))
+            if agg == "std":
+                out = np.sqrt(out)
+            res = pdf.drop(columns=["__pid"]).copy()
+            res[out_col] = out
+            if n_b[-1] > 0:
+                c_n, c_m, c_m2 = (float(a) for a in _chan_combine(
+                    c_n, c_m, c_m2, np.float64(n_b[-1]),
+                    np.float64(mean_b[-1]), np.float64(m2_b[-1])))
+            yield res
+
+    return base.mapInPandas(pass_b, fields)
 
 
 def rank_scan(sdf: SparkDF, value_col: str, order_cols, method: str,
@@ -514,11 +602,12 @@ def delta_scan(sdf: SparkDF, value_col: str, order_cols,
     return base.mapInPandas(pass_b, fields)
 
 
-_ROLL_AGGS = ("sum", "mean", "max", "min", "count", "std")
+_ROLL_AGGS = ("sum", "mean", "max", "min", "count", "std", "var",
+              "median")
 
 
 def _roll_out_type(agg: str, in_type: str) -> str:
-    if agg in ("mean", "std"):
+    if agg in ("mean", "std", "var", "median"):
         return "double"
     if agg == "count":
         return "bigint"

@@ -434,3 +434,112 @@ def test_rank_pct_grouped(spark):
         want.name = got.name
         pdt.assert_series_equal(got, want, check_dtype=False,
                                 check_index_type=False)
+
+
+# ------------------------------------------------------- var/std/median
+
+
+def test_expanding_var_std_multi_partition(noisy, noisy_pdf):
+    _eq(noisy.v.expanding().var(), noisy_pdf.v.expanding().var(),
+        rtol=1e-9)
+    _eq(noisy.v.expanding(min_periods=5).std(),
+        noisy_pdf.v.expanding(min_periods=5).std(), rtol=1e-9)
+
+
+def test_expanding_var_spans_arrow_batches(spark, tiny_arrow_batches):
+    rng = np.random.default_rng(71)
+    v = rng.normal(size=4000) * 7 + 100
+    v[rng.integers(0, 4000, 350)] = np.nan
+    pdf = pd.DataFrame({"v": v})
+    df = pas.DataFrame.from_pandas(pdf)
+    _eq(df.v.expanding().var(), pdf.v.expanding().var(), rtol=1e-9)
+
+
+def test_expanding_var_grouped(spark):
+    rng = np.random.default_rng(73)
+    pdf = pd.DataFrame({"k": rng.integers(0, 8, 2000),
+                        "v": rng.normal(size=2000)})
+    pdf.loc[rng.integers(0, 2000, 100), "v"] = np.nan
+    df = pas.DataFrame.from_pandas(pdf)
+    got = (df.groupby("k")["v"].expanding().var()
+           .to_pandas().sort_index())
+    want = (pdf.groupby("k")["v"]
+            .transform(lambda s: s.expanding().var()))
+    want.name = got.name
+    pdt.assert_series_equal(got, want, check_dtype=False,
+                            check_index_type=False, rtol=1e-9)
+
+
+def test_rolling_var_median_multi_partition(noisy, noisy_pdf):
+    _eq(noisy.v.rolling(7).var(), noisy_pdf.v.rolling(7).var(),
+        rtol=1e-9)
+    _eq(noisy.v.rolling(5, min_periods=2).median(),
+        noisy_pdf.v.rolling(5, min_periods=2).median())
+
+
+def test_rolling_var_median_grouped(spark):
+    rng = np.random.default_rng(79)
+    pdf = pd.DataFrame({"k": rng.integers(0, 8, 2000),
+                        "v": rng.normal(size=2000)})
+    df = pas.DataFrame.from_pandas(pdf)
+    for agg in ("var", "median"):
+        got = (getattr(df.groupby("k")["v"].rolling(4), agg)()
+               .to_pandas().sort_index())
+        want = (pdf.groupby("k")["v"]
+                .transform(lambda s: getattr(s.rolling(4), agg)()))
+        want.name = got.name
+        pdt.assert_series_equal(got, want, check_dtype=False,
+                                check_index_type=False, rtol=1e-9)
+
+
+def test_rolling_time_var_median(spark):
+    rng = np.random.default_rng(83)
+    n = 2000
+    secs = np.sort(rng.integers(0, 40_000, n))
+    secs = np.unique(secs)  # ties covered elsewhere; pandas parity here
+    ts = pd.to_datetime("2024-05-01") + pd.to_timedelta(secs, unit="s")
+    pt = pd.DataFrame({"t": ts,
+                       "x": rng.normal(size=len(ts))}).set_index("t")
+    dt = pas.DataFrame.from_pandas(pt.reset_index()).set_index("t")
+    for agg in ("var", "median"):
+        got = (getattr(dt.x.rolling("20min"), agg)()
+               .to_pandas().sort_index())
+        want = getattr(pt.x.rolling(pd.Timedelta("20min"),
+                                    min_periods=1), agg)()
+        assert np.allclose(got.to_numpy("float64"),
+                           want.to_numpy("float64"), rtol=1e-9,
+                           equal_nan=True)
+
+
+def test_expanding_var_no_single_partition_window(spark, orders):
+    from pandas_alchemy_spark.plans import physical_plan
+    plan = physical_plan(
+        orders["o_totalprice"].expanding().var().to_spark())
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_rolling_time_median_grouped(spark):
+    rng = np.random.default_rng(89)
+    n = 1500
+    secs = np.sort(rng.integers(0, 30_000, n))
+    ts = pd.to_datetime("2024-06-01") + pd.to_timedelta(secs, unit="s")
+    pt = pd.DataFrame({"t": ts, "k": rng.integers(0, 6, n),
+                       "x": rng.normal(size=n)}).set_index("t")
+    dt = pas.DataFrame.from_pandas(pt.reset_index()).set_index("t")
+    got = dt.groupby("k")["x"].rolling("15min").median().to_pandas()
+    want = (pt.groupby("k")["x"]
+            .transform(lambda s: s.rolling(pd.Timedelta("15min"),
+                                           min_periods=1).median()
+                       .groupby(level=0).transform("last")))
+
+    # timestamps tie ACROSS groups, so index order alone is ambiguous;
+    # compare the (t, value) multisets via a lexsort on both
+    def canon(s):
+        v = s.to_numpy("float64")
+        t = s.index.to_numpy("datetime64[ns]").astype("int64")
+        order = np.lexsort((v, t))
+        return v[order]
+
+    assert np.allclose(canon(got), canon(want), rtol=1e-9,
+                       equal_nan=True)
