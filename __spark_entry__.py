@@ -918,12 +918,210 @@ def q22_rich_no_orders(spark, sf_dir):
         (F.col("bal100") / 100.0).alias("total_bal"))
 
 
+def _li_pairs(pas, sf_dir):
+    """partsupp surrogate: the DISTINCT (l_partkey, l_suppkey) pairs
+    of lineitem — the testdata has no partsupp table, so the four
+    partsupp-based TPC-H queries (Q2/Q11/Q16/Q20) adapt onto the
+    pairs actually traded.  One fact scan + one hash-distinct
+    shuffle; every downstream dim joins broadcast."""
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    return li[["l_partkey", "l_suppkey"]].drop_duplicates()
+
+
+def q2_min_cost_supp(spark, sf_dir):
+    """TPC-H Q2-style (adapted): for SMALL-type size-15 parts, the
+    EUROPE supplier with the minimum account balance (the supplycost
+    surrogate), ties kept like the SQL correlated-min.  Shape under
+    test: correlated min subquery -> groupby + join-back, all dims
+    broadcast."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    pairs = _li_pairs(pas, sf_dir)
+    p = pas.read_parquet(_t(sf_dir, "part"))
+    s = pas.read_parquet(_t(sf_dir, "supplier"))
+    n = pas.read_parquet(_t(sf_dir, "nation"))
+    p2 = p[(p.p_size == 15) & (p.p_type == "SMALL")][["p_partkey"]]
+    sn = s.merge(n[n.n_regionkey == 3][["n_nationkey", "n_name"]],
+                 left_on="s_nationkey", right_on="n_nationkey",
+                 how="inner", broadcast=True)
+    j = (pairs.merge(p2, left_on="l_partkey", right_on="p_partkey",
+                     how="inner", broadcast=True)
+         .merge(sn[["s_suppkey", "s_acctbal", "n_name"]],
+                left_on="l_suppkey", right_on="s_suppkey",
+                how="inner", broadcast=True))
+    mn = (j.groupby("l_partkey").agg(min_bal=("s_acctbal", "min"))
+          .reset_index())
+    out = j.merge(mn, on="l_partkey", how="inner", broadcast=True)
+    out = out[out.s_acctbal == out.min_bal]
+    return out.to_spark(index=False).select(
+        F.col("l_partkey").cast("long").alias("p_partkey"),
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("n_name"),
+        F.col("s_acctbal"))
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11-style (adapted): per-part traded value for nation-1
+    suppliers, keeping parts above 0.1% of the total.  The threshold
+    compares exact integer cents (value100 * 1000 > total100 in
+    int64), so no float contract is needed; the scalar total is one
+    aggregate pushed back as a literal."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    s = pas.read_parquet(_t(sf_dir, "supplier"))
+    ls = li.merge(s[s.s_nationkey == 1][["s_suppkey"]],
+                  left_on="l_suppkey", right_on="s_suppkey",
+                  how="inner", broadcast=True)
+    # round before the int64 cast: price*100 can land a hair under the
+    # integer (double representation), and DuckDB's CAST rounds while
+    # Spark's truncates — round(0) pins both to the same integer
+    ls = ls.assign(p100=(ls.l_extendedprice * 100).round(0)
+                   .astype("int64"))
+    per = (ls.groupby("l_partkey").agg(value100=("p100", "sum"))
+           .reset_index())
+    total100 = int(per.value100.sum())
+    out = per[per.value100 * 1000 > total100]
+    return out.to_spark(index=False).select(
+        F.col("l_partkey").cast("long").alias("p_partkey"),
+        (F.col("value100") / 100.0).alias("value"))
+
+
+def q12_ship_priority(spark, sf_dir):
+    """TPC-H Q12-style (adapted: l_linestatus stands in for shipmode,
+    'late' means shipped more than 90 days after the order date —
+    the testdata has no commit/receipt dates).  Fact×fact join +
+    conditional aggregation, one shuffle."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    f = li[li.l_shipdate >= "1995-01-01"]
+    f = f[f.l_shipdate < "1996-01-01"]
+    j = f.merge(o[["o_orderkey", "o_orderdate", "o_orderpriority"]],
+                left_on="l_orderkey", right_on="o_orderkey",
+                how="inner")
+    late = (j.l_shipdate.dt.epoch_day - j.o_orderdate.dt.epoch_day) > 90
+    high = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"])
+    j = j.assign(high_late=(late & high) * 1,
+                 low_late=(late & ~high) * 1)
+    out = j.groupby("l_linestatus").agg(high_count=("high_late", "sum"),
+                                        low_count=("low_late", "sum"))
+    sdf = out.to_spark()
+    return sdf.select(
+        "l_linestatus",
+        F.col("high_count").cast("long").alias("high_count"),
+        F.col("low_count").cast("long").alias("low_count"))
+
+
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16-style (adapted): distinct-supplier counts per part
+    (brand, type, size) over the traded pairs, excluding one brand,
+    the PROMO type, and negative-balance suppliers (the customer-
+    complaints surrogate).  NOT-IN becomes a broadcast anti join;
+    the count-distinct is the one shuffle."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    pairs = _li_pairs(pas, sf_dir)
+    p = pas.read_parquet(_t(sf_dir, "part"))
+    s = pas.read_parquet(_t(sf_dir, "supplier"))
+    p2 = p[(p.p_brand != "Brand#13") & (p.p_type != "PROMO")
+           & p.p_size.isin([1, 4, 9, 14, 19, 23, 36, 45])][
+               ["p_partkey", "p_brand", "p_type", "p_size"]]
+    bad = s[s.s_acctbal < 0.0][["s_suppkey"]]
+    j = pairs.merge(p2, left_on="l_partkey", right_on="p_partkey",
+                    how="inner", broadcast=True)
+    j = j.merge(bad, left_on="l_suppkey", right_on="s_suppkey",
+                how="anti", broadcast=True)
+    out = (j.groupby(["p_brand", "p_type", "p_size"])
+           .agg(supplier_cnt=("l_suppkey", "nunique")))
+    sdf = out.to_spark()
+    return sdf.select(
+        "p_brand", "p_type",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.col("supplier_cnt").cast("long").alias("supplier_cnt"))
+
+
+def q20_promotable_supp(spark, sf_dir):
+    """TPC-H Q20-style (adapted): suppliers who shipped more than half
+    the per-supplier average 1995 quantity of some 'small%' part —
+    availqty > 0.5*shipped becomes 2*pair_qty*n_pairs > part_total
+    (exact int64, no division).  Nested semi-join shape: qualifying
+    pairs -> distinct suppliers -> supplier dim semi join."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    p = pas.read_parquet(_t(sf_dir, "part"))
+    s = pas.read_parquet(_t(sf_dir, "supplier"))
+    small = p[p.p_name.str.startswith("small")][["p_partkey"]]
+    f = li[li.l_shipdate >= "1995-01-01"]
+    f = f[f.l_shipdate < "1996-01-01"]
+    f = f.merge(small, left_on="l_partkey", right_on="p_partkey",
+                how="inner", broadcast=True)
+    f = f.assign(q=f.l_quantity.astype("int64"))
+    pair = (f.groupby(["l_partkey", "l_suppkey"])
+            .agg(pair_qty=("q", "sum")).reset_index())
+    tot = (pair.groupby("l_partkey")
+           .agg(part_total=("pair_qty", "sum"),
+                n_pairs=("l_suppkey", "count")).reset_index())
+    j = pair.merge(tot, on="l_partkey", how="inner", broadcast=True)
+    qual = j[2 * j.pair_qty * j.n_pairs > j.part_total]
+    out = (qual.groupby("l_suppkey")
+           .agg(n_qual_parts=("l_partkey", "count")))
+    sup = out.reset_index().merge(
+        s[["s_suppkey", "s_nationkey"]], left_on="l_suppkey",
+        right_on="s_suppkey", how="inner", broadcast=True)
+    return sup.to_spark(index=False).select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        F.col("n_qual_parts").cast("long").alias("n_qual_parts"))
+
+
+def q21_waiting_supp(spark, sf_dir):
+    """TPC-H Q21-style (adapted: l_shipdate stands in for the missing
+    commit/receipt dates): in finished multi-supplier orders, the
+    supplier who UNIQUELY shipped last kept the order waiting.  The
+    EXISTS/NOT-EXISTS pair becomes per-order aggregates joined back
+    onto the pair table — two hash aggregates over one fact scan,
+    one shuffle each."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    o = pas.read_parquet(_t(sf_dir, "orders"))
+    # finished orders are a FACT-side slice, not a dim: semi join
+    # (shuffle, AQE may still broadcast at runtime when it is small) —
+    # broadcasting billions of orderkeys would not survive 100 TB
+    fo = o[o.o_orderstatus == "F"][["o_orderkey"]]
+    f = li.merge(fo, left_on="l_orderkey", right_on="o_orderkey",
+                 how="semi")
+    pair = (f.groupby(["l_orderkey", "l_suppkey"])
+            .agg(pair_max=("l_shipdate", "max")).reset_index())
+    per_o = (pair.groupby("l_orderkey")
+             .agg(n_supp=("l_suppkey", "count"),
+                  o_max=("pair_max", "max")).reset_index())
+    j = pair.merge(per_o, on="l_orderkey", how="inner")
+    latest = j[(j.pair_max == j.o_max) & (j.n_supp >= 2)]
+    uniq = (latest.groupby("l_orderkey")
+            .agg(n_latest=("l_suppkey", "count")).reset_index())
+    w = latest.merge(uniq[uniq.n_latest == 1][["l_orderkey"]],
+                     on="l_orderkey", how="inner")
+    out = w.groupby("l_suppkey").agg(numwait=("l_orderkey", "count"))
+    sdf = out.to_spark()
+    return sdf.select(
+        F.col("l_suppkey").cast("long").alias("s_suppkey"),
+        F.col("numwait").cast("long").alias("numwait"))
+
+
 def q_tpch_suite(spark, sf_dir):
-    """Eight adapted TPC-H queries (Q7/Q8/Q9/Q13/Q14/Q15/Q17/Q22 —
-    the subset expressible over the testdata's columns; no partsupp /
-    shipmode / commitdate) in long (tag, k1, k2, a, b) form.  Every
-    money aggregate uses the exact-integer-cents formulation
-    (_assign_rev100), so no leg needs a rounding contract."""
+    """ALL 22 TPC-H queries in adapted form — Q1/3/4/5/6/10/18/19 run
+    as standalone driver rows, the other fourteen fold here in long
+    (tag, k1, k2, a, b) form.  Q2/Q11/Q16/Q20 adapt partsupp onto the
+    DISTINCT traded (part, supplier) pairs and Q12/Q21 adapt the
+    missing commit/receipt dates onto l_shipdate vs o_orderdate, so
+    every join/subquery SHAPE of the official suite is exercised over
+    the columns the testdata has.  Every money aggregate uses the
+    exact-integer-cents formulation (_assign_rev100 or int64 cents),
+    so no leg needs a rounding contract."""
     _prep(spark)
     ns = F.lit(None).cast("double")
 
@@ -962,8 +1160,38 @@ def q_tpch_suite(spark, sf_dir):
         F.col("c_nationkey").cast("string").alias("k2"),
         F.col("total_bal").alias("a"),
         F.col("n_custs").cast("double").alias("b"))
+    q2 = q2_min_cost_supp(spark, sf_dir).select(
+        F.lit("q2").alias("tag"), F.col("n_name").alias("k1"),
+        F.concat_ws("-", F.col("p_partkey").cast("string"),
+                    F.col("s_suppkey").cast("string")).alias("k2"),
+        F.col("s_acctbal").alias("a"), ns.alias("b"))
+    q11 = q11_important_parts(spark, sf_dir).select(
+        F.lit("q11").alias("tag"), F.lit("parts").alias("k1"),
+        F.col("p_partkey").cast("string").alias("k2"),
+        F.col("value").alias("a"), ns.alias("b"))
+    q12 = q12_ship_priority(spark, sf_dir).select(
+        F.lit("q12").alias("tag"), F.col("l_linestatus").alias("k1"),
+        F.lit("late").alias("k2"),
+        F.col("high_count").cast("double").alias("a"),
+        F.col("low_count").cast("double").alias("b"))
+    q16 = q16_supplier_cnt(spark, sf_dir).select(
+        F.lit("q16").alias("tag"), F.col("p_brand").alias("k1"),
+        F.concat_ws("/", F.col("p_type"),
+                    F.col("p_size").cast("string")).alias("k2"),
+        F.col("supplier_cnt").cast("double").alias("a"), ns.alias("b"))
+    q20 = q20_promotable_supp(spark, sf_dir).select(
+        F.lit("q20").alias("tag"), F.lit("supp").alias("k1"),
+        F.col("s_suppkey").cast("string").alias("k2"),
+        F.col("n_qual_parts").cast("double").alias("a"),
+        F.col("s_nationkey").cast("double").alias("b"))
+    q21 = q21_waiting_supp(spark, sf_dir).select(
+        F.lit("q21").alias("tag"), F.lit("wait").alias("k1"),
+        F.col("s_suppkey").cast("string").alias("k2"),
+        F.col("numwait").cast("double").alias("a"), ns.alias("b"))
     return (q7.unionAll(q8).unionAll(q9).unionAll(q13).unionAll(q14)
-            .unionAll(q15).unionAll(q17).unionAll(q22))
+            .unionAll(q15).unionAll(q17).unionAll(q22)
+            .unionAll(q2).unionAll(q11).unionAll(q12).unionAll(q16)
+            .unionAll(q20).unionAll(q21))
 
 
 def q_window_topk(spark, sf_dir):
@@ -3723,6 +3951,150 @@ def oracle_sql() -> dict[str, str]:
                                WHERE c_acctbal > 0.0)
               AND NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1, 2, 3
+            UNION ALL
+            -- Q2 adapted: partsupp = distinct traded pairs; min
+            -- s_acctbal = the supplycost surrogate; ties kept
+            SELECT 'q2', j.n_name,
+                   j.l_partkey::VARCHAR || '-' || j.s_suppkey::VARCHAR,
+                   j.s_acctbal, NULL::DOUBLE
+            FROM (SELECT DISTINCT pr.l_partkey, s.s_suppkey,
+                         s.s_acctbal, n.n_name
+                  FROM (SELECT DISTINCT l_partkey, l_suppkey
+                        FROM lineitem) pr
+                  JOIN part p ON pr.l_partkey = p.p_partkey
+                       AND p.p_size = 15 AND p.p_type = 'SMALL'
+                  JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+                  JOIN nation n ON s.s_nationkey = n.n_nationkey
+                       AND n.n_regionkey = 3) j
+            WHERE j.s_acctbal = (
+                  SELECT min(s2.s_acctbal)
+                  FROM (SELECT DISTINCT l_partkey, l_suppkey
+                        FROM lineitem) pr2
+                  JOIN supplier s2 ON pr2.l_suppkey = s2.s_suppkey
+                  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                       AND n2.n_regionkey = 3
+                  WHERE pr2.l_partkey = j.l_partkey)
+            UNION ALL
+            -- Q11 adapted: per-part value of nation-1 suppliers,
+            -- exact-int threshold (value100 * 1000 > total100)
+            SELECT 'q11', 'parts', l_partkey::VARCHAR,
+                   value100 / 100.0, NULL::DOUBLE
+            FROM (SELECT l.l_partkey,
+                         sum(CAST(l.l_extendedprice*100 AS BIGINT))
+                           AS value100
+                  FROM lineitem l
+                  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND s.s_nationkey = 1
+                  GROUP BY 1)
+            WHERE value100 * 1000 > (
+                  SELECT sum(CAST(l2.l_extendedprice*100 AS BIGINT))
+                  FROM lineitem l2
+                  JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+                       AND s2.s_nationkey = 1)
+            UNION ALL
+            -- Q12 adapted: linestatus for shipmode, late = shipped
+            -- > 90 days after the order date
+            SELECT 'q12', l.l_linestatus, 'late',
+                   sum(CASE WHEN date_diff('day',
+                                CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) > 90
+                            AND o.o_orderpriority IN ('1-URGENT',
+                                                      '2-HIGH')
+                            THEN 1 ELSE 0 END)::DOUBLE,
+                   sum(CASE WHEN date_diff('day',
+                                CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) > 90
+                            AND o.o_orderpriority NOT IN ('1-URGENT',
+                                                          '2-HIGH')
+                            THEN 1 ELSE 0 END)::DOUBLE
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= '1995-01-01'
+              AND l.l_shipdate < '1996-01-01'
+            GROUP BY 1, 2, 3
+            UNION ALL
+            -- Q16 adapted: negative balance = the complaints list
+            SELECT 'q16', p.p_brand,
+                   p.p_type || '/' || p.p_size::VARCHAR,
+                   count(DISTINCT pr.l_suppkey)::DOUBLE, NULL::DOUBLE
+            FROM (SELECT DISTINCT l_partkey, l_suppkey
+                  FROM lineitem) pr
+            JOIN part p ON pr.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND pr.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                       WHERE s_acctbal < 0.0)
+            GROUP BY 1, 2, 3
+            UNION ALL
+            -- Q20 adapted: exact-int 2*pair_qty*n_pairs > part_total
+            SELECT 'q20', 'supp', w.l_suppkey::VARCHAR,
+                   count(*)::DOUBLE, max(s.s_nationkey)::DOUBLE
+            FROM (SELECT pair.l_partkey, pair.l_suppkey
+                  FROM (SELECT l.l_partkey, l.l_suppkey,
+                               sum(CAST(l.l_quantity AS BIGINT))
+                                 AS pair_qty
+                        FROM lineitem l
+                        JOIN part p ON l.l_partkey = p.p_partkey
+                             AND p.p_name LIKE 'small%'
+                        WHERE l.l_shipdate >= '1995-01-01'
+                          AND l.l_shipdate < '1996-01-01'
+                        GROUP BY 1, 2) pair
+                  JOIN (SELECT l_partkey, sum(pq) AS part_total,
+                               count(*) AS n_pairs
+                        FROM (SELECT l.l_partkey, l.l_suppkey,
+                                     sum(CAST(l.l_quantity AS BIGINT))
+                                       AS pq
+                              FROM lineitem l
+                              JOIN part p ON l.l_partkey = p.p_partkey
+                                   AND p.p_name LIKE 'small%'
+                              WHERE l.l_shipdate >= '1995-01-01'
+                                AND l.l_shipdate < '1996-01-01'
+                              GROUP BY 1, 2)
+                        GROUP BY 1) tot
+                       ON pair.l_partkey = tot.l_partkey
+                  WHERE 2 * pair.pair_qty * tot.n_pairs
+                        > tot.part_total) w
+            JOIN supplier s ON w.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2, 3
+            UNION ALL
+            -- Q21 adapted: the unique latest shipper of a finished
+            -- multi-supplier order kept it waiting
+            SELECT 'q21', 'wait', l_suppkey::VARCHAR,
+                   count(*)::DOUBLE, NULL::DOUBLE
+            FROM (SELECT j.l_orderkey, j.l_suppkey
+                  FROM (SELECT pair.*, po.n_supp, po.o_max
+                        FROM (SELECT l.l_orderkey, l.l_suppkey,
+                                     max(l.l_shipdate) AS pair_max
+                              FROM lineitem l
+                              JOIN orders o
+                                   ON l.l_orderkey = o.o_orderkey
+                                   AND o.o_orderstatus = 'F'
+                              GROUP BY 1, 2) pair
+                        JOIN (SELECT l_orderkey,
+                                     count(*) AS n_supp,
+                                     max(pair_max) AS o_max
+                              FROM (SELECT l.l_orderkey, l.l_suppkey,
+                                           max(l.l_shipdate)
+                                             AS pair_max
+                                    FROM lineitem l
+                                    JOIN orders o
+                                         ON l.l_orderkey = o.o_orderkey
+                                         AND o.o_orderstatus = 'F'
+                                    GROUP BY 1, 2)
+                              GROUP BY 1) po
+                             ON pair.l_orderkey = po.l_orderkey) j
+                  WHERE j.pair_max = j.o_max AND j.n_supp >= 2
+                    AND 1 = (SELECT count(*)
+                             FROM (SELECT l.l_orderkey, l.l_suppkey,
+                                          max(l.l_shipdate) AS pm
+                                   FROM lineitem l
+                                   JOIN orders o2
+                                        ON l.l_orderkey = o2.o_orderkey
+                                        AND o2.o_orderstatus = 'F'
+                                   GROUP BY 1, 2) q
+                             WHERE q.l_orderkey = j.l_orderkey
+                               AND q.pm = j.o_max))
             GROUP BY 1, 2, 3
         """,
         "langid_terms": f"""

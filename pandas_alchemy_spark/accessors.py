@@ -328,6 +328,15 @@ class DatetimeProperties:
         return self._map(F.quarter)
 
     @property
+    def epoch_day(self):
+        """Days since 1970-01-01 (``unix_date``) — the engine's date
+        arithmetic handle: ``a.dt.epoch_day - b.dt.epoch_day`` is the
+        day difference two DATE columns can't express directly (no
+        date−date dtype).  Matches SQL ``date1 - date2`` (DuckDB) /
+        ``datediff`` (Spark)."""
+        return self._map(lambda c: F.unix_date(c.cast("date")))
+
+    @property
     def date(self):
         return self._map(F.to_date)
 

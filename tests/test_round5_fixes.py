@@ -232,3 +232,24 @@ def test_apply_axis0_not_implemented(spark):
     df = pas.DataFrame.from_pandas(pdf)
     with pytest.raises(NotImplementedError, match="axis=0"):
         df.apply(sum, axis=0)
+
+
+# ------------------------------------------------------ dt.epoch_day
+
+def test_epoch_day_matches_pandas(spark):
+    ts = pd.to_datetime(["1970-01-01", "1970-01-02", "1995-06-15",
+                         "2024-02-29"])
+    pdf = pd.DataFrame({"t": ts})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.t.dt.epoch_day.to_pandas().sort_index()
+    want = (ts.normalize() - pd.Timestamp("1970-01-01")).days
+    assert got.tolist() == list(want)
+
+
+def test_epoch_day_date_arithmetic(spark):
+    pdf = pd.DataFrame({"a": pd.to_datetime(["1995-01-01", "1995-04-01"]),
+                        "b": pd.to_datetime(["1995-03-15", "1995-04-02"])})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = (df.b.dt.epoch_day - df.a.dt.epoch_day).to_pandas()
+    want = (pdf.b - pdf.a).dt.days
+    assert got.sort_index().tolist() == want.tolist()
