@@ -612,6 +612,15 @@ class SeriesGroupBy(_WindowVerbs):
     def count(self):
         return self._agg("count")
 
+    def median(self):
+        return self._agg("median")
+
+    def quantile(self, q=0.5):
+        q = float(q)
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+        return self._agg(lambda c: F.percentile(c, F.lit(q)))
+
 
 class _GroupedEwm:
     """``df.groupby(k)[c].ewm(alpha)`` handle (mean only)."""

@@ -208,6 +208,17 @@ class GroupBy:
     def median(self):
         return self._simple("median")
 
+    def quantile(self, q=0.5):
+        """Exact per-group quantile (linear interpolation — the pandas
+        default) via Spark's ``percentile`` aggregate: one hash
+        aggregate, map-side partials.  At 100 TB prefer
+        ``agg(x=("col", "approx_nunique"))``-style
+        ``percentile_approx`` when an error bound is acceptable."""
+        q = float(q)
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+        return self._simple(lambda c: F.percentile(c, F.lit(q)))
+
     def nunique(self):
         return self._simple("nunique")
 

@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -253,3 +254,23 @@ def test_epoch_day_date_arithmetic(spark):
     got = (df.b.dt.epoch_day - df.a.dt.epoch_day).to_pandas()
     want = (pdf.b - pdf.a).dt.days
     assert got.sort_index().tolist() == want.tolist()
+
+
+# ------------------------------------------------- GroupBy.quantile
+
+def test_groupby_quantile_matches_pandas(spark):
+    rng = np.random.default_rng(97)
+    pdf = pd.DataFrame({"k": rng.integers(0, 5, 500),
+                        "v": rng.normal(size=500),
+                        "w": rng.uniform(0, 10, 500)})
+    df = pas.DataFrame.from_pandas(pdf)
+    for q in (0.5, 0.25, 0.9):
+        got = df.groupby("k").quantile(q).to_pandas().sort_index()
+        want = pdf.groupby("k")[["v", "w"]].quantile(q)
+        assert np.allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12)
+    sgot = (df.groupby("k")["v"].quantile(0.75)
+            .to_pandas().sort_index())
+    swant = pdf.groupby("k")["v"].quantile(0.75)
+    assert np.allclose(sgot.to_numpy(), swant.to_numpy(), rtol=1e-12)
+    with pytest.raises(ValueError, match="q must be"):
+        df.groupby("k").quantile(1.5)
