@@ -1095,7 +1095,8 @@ def q21_waiting_supp(spark, sf_dir):
     f = li.merge(fo, left_on="l_orderkey", right_on="o_orderkey",
                  how="semi")
     pair = (f.groupby(["l_orderkey", "l_suppkey"])
-            .agg(pair_max=("l_shipdate", "max")).reset_index())
+            .agg(pair_max=("l_shipdate", "max")).reset_index()
+            .cache())  # three downstream branches reuse ONE fact scan
     per_o = (pair.groupby("l_orderkey")
              .agg(n_supp=("l_suppkey", "count"),
                   o_max=("pair_max", "max")).reset_index())
