@@ -120,3 +120,48 @@ def stateful_ewm(stream: DataFrame, alpha: float = 0.25) -> DataFrame:
         stateStructType=_EWM_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+GAP_FILL_SCHEMA = ("event_id long, user_id long, ts timestamp, "
+                   "value_filled double")
+_FILL_STATE_SCHEMA = "last_v double"
+
+
+def stateful_gap_fill(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``df.groupby(user)[value].ffill()``: null
+    values fill with the user's LAST non-null value, across triggers.
+
+    State per user is ONE scalar (the running last non-null) — the
+    same carry the batch segmented scan ships per partition
+    (operators/segscan.fill_scan), so batch and streaming agree row
+    for row on a time-ordered stream.  Rows are emitted as they
+    arrive (append-per-trigger); leading nulls before a user's first
+    observation stay null, exactly like the batch verb."""
+    def update(key, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            x = pdf["value"].astype("float64")
+            y = x.ffill()
+            if last is not None:
+                y = y.fillna(last)
+            nn = x.dropna()
+            if len(nn):
+                last = float(nn.iloc[-1])
+            out.append(pd.DataFrame({
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"],
+                "value_filled": y}))
+        if last is not None:
+            state.update((last,))
+        for f in out:
+            yield f
+
+    return (stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=GAP_FILL_SCHEMA,
+        stateStructType=_FILL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))

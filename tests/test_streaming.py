@@ -284,3 +284,47 @@ def test_stateful_ewm_matches_batch(spark, tmp_path):
                 / m.ewm_b.abs().clip(lower=1e-9)).max() < 1e-9
     finally:
         q.stop()
+
+
+def test_stateful_gap_fill_matches_batch(spark, tmp_path):
+    """Streaming per-user ffill: after draining a ts-ordered stream,
+    every row's filled value equals the batch groupby ffill — the
+    one-scalar state is the same carry the batch segmented scan
+    ships per partition."""
+    import pandas as pd
+
+    from pandas_alchemy_spark.ext import events as ev_mod
+    from pandas_alchemy_spark.streaming import stateful, stream_events
+
+    pdf = (ev_mod.load_events(spark, f"{SF_DIR}/events.parquet")
+           .toPandas().sort_values("ts", kind="mergesort")
+           .reset_index(drop=True))
+    # punch holes so the fill actually engages across chunk borders
+    pdf.loc[pdf.index % 3 == 0, "value"] = None
+    d = tmp_path / "fill_stream"
+    d.mkdir()
+    n = len(pdf)
+    for i in range(4):
+        chunk = pdf.iloc[i * n // 4:(i + 1) * n // 4]
+        chunk.to_parquet(d / f"part-{i:02d}.parquet", index=False,
+                         coerce_timestamps="us",
+                         allow_truncated_timestamps=True)
+
+    stream = stream_events.read_event_stream(spark, str(d),
+                                             max_files_per_trigger=1)
+    filled = stateful.stateful_gap_fill(stream)
+    q = (filled.writeStream.outputMode("update")
+         .format("memory").queryName("t_gap_fill")
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        got = spark.table("t_gap_fill").toPandas()
+        want = pdf.assign(
+            value_b=pdf.groupby("user_id")["value"].ffill())
+        m = got.merge(want[["event_id", "value_b"]], on="event_id")
+        assert len(m) == len(pdf)
+        both_nan = m.value_filled.isna() & m.value_b.isna()
+        close = (m.value_filled - m.value_b).abs() < 1e-12
+        assert (both_nan | close).all()
+    finally:
+        q.stop()
