@@ -208,15 +208,19 @@ class GroupBy:
     def median(self):
         return self._simple("median")
 
-    def quantile(self, q=0.5):
-        """Exact per-group quantile (linear interpolation — the pandas
-        default) via Spark's ``percentile`` aggregate: one hash
-        aggregate, map-side partials.  At 100 TB prefer
-        ``agg(x=("col", "approx_nunique"))``-style
-        ``percentile_approx`` when an error bound is acceptable."""
+    def quantile(self, q=0.5, approx=False, accuracy=10000):
+        """Per-group quantile: one hash aggregate, map-side partials.
+        Default: exact linear interpolation (pandas contract) via
+        Spark's ``percentile``.  ``approx=True``: ``percentile_approx``
+        (Greenwald-Khanna sketch, rank error ≤ 1/``accuracy``) —
+        constant per-group state, the 100 TB path."""
         q = float(q)
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"q must be in [0, 1], got {q}")
+        if approx:
+            return self._simple(
+                lambda c: F.percentile_approx(c, F.lit(q),
+                                              F.lit(int(accuracy))))
         return self._simple(lambda c: F.percentile(c, F.lit(q)))
 
     def nunique(self):
@@ -1361,11 +1365,21 @@ class SeriesAggMixin:
             cnt.unpersist()
         return pd.Series([r["v"] for r in rows], name=self.name)
 
-    def quantile(self, q=0.5):
-        """Exact linear-interpolated quantile (pandas default) via
-        Spark's ``percentile`` aggregate — one JVM-side pass; at scale
-        swap for ``percentile_approx`` when an error bound is OK."""
-        return self._reduce(lambda c: F.percentile(c, F.lit(float(q))))
+    def quantile(self, q=0.5, approx=False, accuracy=10000):
+        """Quantile of the series.  Default: exact linear-interpolated
+        (pandas contract) via Spark's ``percentile`` aggregate — one
+        JVM pass, but its state grows with the value multiset.
+        ``approx=True``: ``percentile_approx`` (Greenwald-Khanna
+        sketch, rank error ≤ 1/``accuracy``) — constant-size state,
+        the 100 TB path (same trade as ``nunique(approx=True)``)."""
+        q = float(q)
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+        if approx:
+            return self._reduce(
+                lambda c: F.percentile_approx(c, F.lit(q),
+                                              F.lit(int(accuracy))))
+        return self._reduce(lambda c: F.percentile(c, F.lit(q)))
 
     def median(self):
         return self.quantile(0.5)

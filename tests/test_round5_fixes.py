@@ -274,3 +274,20 @@ def test_groupby_quantile_matches_pandas(spark):
     assert np.allclose(sgot.to_numpy(), swant.to_numpy(), rtol=1e-12)
     with pytest.raises(ValueError, match="q must be"):
         df.groupby("k").quantile(1.5)
+
+
+def test_quantile_approx_within_rank_error(spark):
+    rng = np.random.default_rng(101)
+    pdf = pd.DataFrame({"v": rng.normal(size=5000)})
+    df = pas.DataFrame.from_pandas(pdf)
+    exact = df.v.quantile(0.9)
+    approx = df.v.quantile(0.9, approx=True, accuracy=10000)
+    # rank error <= 1/accuracy: at 5000 rows the sketch is exact-ish
+    assert abs(approx - pdf.v.quantile(0.9, interpolation="nearest")) \
+        < abs(pdf.v.quantile(0.95) - pdf.v.quantile(0.85))
+    assert abs(exact - pdf.v.quantile(0.9)) < 1e-12
+    gq = (pas.DataFrame.from_pandas(
+        pd.DataFrame({"k": rng.integers(0, 4, 1000),
+                      "v": rng.normal(size=1000)}))
+        .groupby("k").quantile(0.5, approx=True))
+    assert len(gq.to_pandas()) == 4
