@@ -287,3 +287,19 @@ def test_global_rank_no_single_partition_window(spark):
         plan = physical_plan(s.to_spark())
         assert "SinglePartition" not in plan, method
         assert "Window" not in plan, method
+
+
+def test_tpch_adapted_plan_shapes(spark):
+    """The adapted partsupp-surrogate queries keep the plans you'd
+    want at scale: dims broadcast, Q21's cached pair aggregate is
+    reused (InMemoryTableScan), and the finished-order slice joins
+    as a semi join, not a broadcast of a fact-sized key list."""
+    import __spark_entry__ as E
+    sf = "/root/testdata/sf0.001"
+    q16 = E.q16_supplier_cnt(spark, sf)
+    p16 = q16._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p16  # part dim + complaints list
+    q21 = E.q21_waiting_supp(spark, sf)
+    p21 = q21._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in p21  # pair aggregate computed once
+    assert "LeftSemi" in p21           # finished orders: semi join
