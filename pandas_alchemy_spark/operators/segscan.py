@@ -79,16 +79,49 @@ _CUM_FOLD = {
 }
 
 
+_PIN_CACHE: "dict[tuple, SparkDF]" = {}
+_PIN_CACHE_MAX = 4
+
+
 def _pin(sdf: SparkDF, order_exprs, num_partitions=None) -> SparkDF:
     """Range-partition + in-partition sort + checkpoint: the pinned
     layout both passes read (repartitionByRange samples boundaries, so
-    without the checkpoint the two passes could disagree)."""
+    without the checkpoint the two passes could disagree).
+
+    Memoized on (plan semantic hash, order, partition count): several
+    scan verbs over the SAME series in the same order (e.g.
+    ``assign(sh=s.shift(2), dif=s.diff(3))``) reuse ONE shuffle + sort
+    + checkpoint instead of pinning per verb.  Bounded LRU (checkpoint
+    blocks free when the cached frame is garbage-collected); same-plan
+    reuse within a session assumes the underlying files don't change
+    mid-session — the standard Spark caching contract."""
     n_part = (num_partitions
               or sdf.sparkSession.sparkContext.defaultParallelism)
-    return (sdf.repartitionByRange(n_part, *order_exprs)
-            .sortWithinPartitions(*order_exprs)
-            .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint(eager=True))
+    try:
+        # semanticHash covers the literal data of local relations
+        # (verified: different from_pandas data -> different hash);
+        # the analyzed-plan string pins the structure, so a collision
+        # would need both to agree on different inputs
+        plan_str = (sdf._jdf.queryExecution().analyzed()
+                    .canonicalized().toString())
+        key = (sdf.sparkSession.sparkContext.applicationId,
+               sdf.semanticHash(), hash(plan_str),
+               tuple(str(e) for e in order_exprs), n_part)
+    except Exception:
+        key = None
+    if key is not None and key in _PIN_CACHE:
+        hit = _PIN_CACHE.pop(key)
+        _PIN_CACHE[key] = hit  # LRU refresh
+        return hit
+    pinned = (sdf.repartitionByRange(n_part, *order_exprs)
+              .sortWithinPartitions(*order_exprs)
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    if key is not None:
+        _PIN_CACHE[key] = pinned
+        while len(_PIN_CACHE) > _PIN_CACHE_MAX:
+            _PIN_CACHE.pop(next(iter(_PIN_CACHE)))
+    return pinned
 
 
 def cum_scan(sdf: SparkDF, value_col: str, order_cols, op: str,
