@@ -152,14 +152,13 @@ def ewm_mean(sdf: SparkDF, value_col: str, order_cols, alpha: float,
                 .select(*cols, out_col))
 
     w = 1.0 - alpha
-    n_part = num_partitions or sdf.sparkSession.sparkContext.defaultParallelism
     # range-partition on the scan order, then pin the layout so both
     # passes see the same rows per partition (repartitionByRange
-    # samples; localCheckpoint makes the layout a fact)
-    base = (sdf.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
-            .sortWithinPartitions(*order_cols)
-            .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint(eager=True))
+    # samples; localCheckpoint makes the layout a fact).  Shares the
+    # segscan memo: an EWM over the same series/order as other scan
+    # verbs reuses their shuffle+checkpoint.
+    from .segscan import _pin
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
 
     # pass A: one scalar carry per partition — P rows to the driver,
     # never row data
