@@ -728,16 +728,67 @@ class RelationalMixin:
                          for j, (lab, _) in enumerate(pairs)})
         return Series.from_pandas(ser)
 
-    def sum(self, numeric_only=True):
+    def _row_reduce(self, how):
+        """Row-wise (axis=1) reduction over the numeric columns — a
+        pure projection (no shuffle, stays in whole-stage codegen),
+        pandas NaN-skipping semantics: sum of an all-null row is 0.0,
+        mean/min/max are null."""
+        from .core import Series
+        num_types = ("bigint", "int", "smallint", "tinyint", "double",
+                     "float", "boolean")
+        cols = []
+        for i, t in enumerate(self._dtypes()):
+            if t.simpleString() not in num_types:
+                continue
+            c = self._col_at(i).cast("double")
+            cols.append(c)
+        if not cols:
+            raise ValueError("axis=1 reduction needs at least one "
+                             "numeric column")
+        nn = [F.when(c.isNotNull(), 1).otherwise(0) for c in cols]
+        n = sum(nn[1:], nn[0])
+        z = [F.coalesce(c, F.lit(0.0)) for c in cols]
+        total = sum(z[1:], z[0])
+        if how == "sum":
+            expr = total
+        elif how == "mean":
+            expr = F.when(n > 0, total / n)
+        elif how == "min":
+            expr = F.least(*cols) if len(cols) > 1 else cols[0]
+        elif how == "max":
+            expr = F.greatest(*cols) if len(cols) > 1 else cols[0]
+        else:
+            raise ValueError(f"unsupported axis=1 reduction {how!r}")
+        sel = [self._idx_at(i).alias(I.idx_name(i))
+               for i in range(self._n_idx())]
+        sel.append(expr.alias(I.col_name(0)))
+        out = Series(self._index, None, self._sdf.select(*sel), None)
+        out._mid_index = getattr(self, "_mid_index", False)
+        out._mid_dense = getattr(self, "_mid_dense", False)
+        out._mid_origin = getattr(self, "_mid_origin", None)
+        return out
+
+    def sum(self, axis=0, numeric_only=True):
+        """Column sums (axis=0, a one-row aggregate) or row sums
+        (axis=1, an in-plan projection — Spark's least/greatest and
+        coalesce keep pandas' NaN-skipping semantics)."""
+        if axis in (1, "columns"):
+            return self._row_reduce("sum")
         return self._reduce_columns(F.sum, numeric_only)
 
-    def mean(self, numeric_only=True):
+    def mean(self, axis=0, numeric_only=True):
+        if axis in (1, "columns"):
+            return self._row_reduce("mean")
         return self._reduce_columns(F.mean, numeric_only)
 
-    def min(self, numeric_only=True):
+    def min(self, axis=0, numeric_only=True):
+        if axis in (1, "columns"):
+            return self._row_reduce("min")
         return self._reduce_columns(F.min, numeric_only)
 
-    def max(self, numeric_only=True):
+    def max(self, axis=0, numeric_only=True):
+        if axis in (1, "columns"):
+            return self._row_reduce("max")
         return self._reduce_columns(F.max, numeric_only)
 
     def count(self):

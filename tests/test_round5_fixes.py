@@ -291,3 +291,31 @@ def test_quantile_approx_within_rank_error(spark):
                       "v": rng.normal(size=1000)}))
         .groupby("k").quantile(0.5, approx=True))
     assert len(gq.to_pandas()) == 4
+
+
+# ------------------------------------------------ axis=1 reductions
+
+def test_row_reductions_match_pandas(spark):
+    rng = np.random.default_rng(103)
+    pdf = pd.DataFrame({"a": rng.normal(size=300),
+                        "b": rng.normal(size=300),
+                        "c": rng.normal(size=300),
+                        "s": ["x"] * 300})
+    pdf.loc[rng.integers(0, 300, 60), "a"] = np.nan
+    pdf.loc[5, ["a", "b", "c"]] = np.nan  # all-null row
+    df = pas.DataFrame.from_pandas(pdf)
+    for how in ("sum", "mean", "min", "max"):
+        got = getattr(df, how)(axis=1).to_pandas().sort_index()
+        want = getattr(pdf[["a", "b", "c"]], how)(axis=1)
+        want.name = got.name
+        pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                       check_index_type=False,
+                                       rtol=1e-12)
+
+
+def test_row_reduction_stays_in_plan(spark):
+    from pandas_alchemy_spark.plans import physical_plan
+    pdf = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    plan = physical_plan(df.sum(axis=1).to_spark())
+    assert "Exchange" not in plan  # pure projection
