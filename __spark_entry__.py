@@ -1438,12 +1438,18 @@ def q_frame_reduce(spark, sf_dir):
     li = pas.read_parquet(_t(sf_dir, "lineitem"))
     s = li[["l_quantity", "l_extendedprice", "l_discount"]].sum().to_pandas()
     m = li[["l_quantity", "l_extendedprice"]].mean().to_pandas()
+    # round-5: axis=1 row reduction, exact-cents contract — the row
+    # sums are 2-decimal values, so round(rs*100) is an exact int64
+    rs = li[["l_quantity", "l_discount", "l_tax"]].sum(axis=1)
+    row100 = rs.to_spark().agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .alias("rowsum100")).collect()[0]["rowsum100"]
     return spark.createDataFrame(
         [(round(float(s.iloc[0]), 2), round(float(s.iloc[1]), 2),
           round(float(s.iloc[2]), 2), round(float(m.iloc[0]), 3),
-          round(float(m.iloc[1]), 2))],
+          round(float(m.iloc[1]), 2), int(row100))],
         "sum_qty double, sum_price double, sum_disc double, "
-        "avg_qty double, avg_price double")
+        "avg_qty double, avg_price double, rowsum100 bigint")
 
 
 def q_stats_summary(spark, sf_dir):
@@ -2084,7 +2090,29 @@ def q_vc_describe(spark, sf_dir):
                                 F.col("event_type").alias("key"),
                                 F.col("sk").cast("double").alias("a"),
                                 F.col("nk").cast("double").alias("b")))
-            .unionAll(_hll_error_leg(spark, sf_dir)))
+            .unionAll(_hll_error_leg(spark, sf_dir))
+            .unionAll(_grouped_quantile_leg(spark, sf_dir)))
+
+
+def _grouped_quantile_leg(spark, sf_dir):
+    """Round-5 fold: ``GroupBy.quantile`` gets hashed driver rows.
+    q=0.25/0.75 over the INTEGER-valued l_quantity makes the linear
+    interpolation exact regardless of each engine's expression tree
+    (quarter-integers are dyadic — every term is an exact double), so
+    the contract needs no rounding."""
+    import pandas_alchemy_spark as pas
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    sub = li[["l_returnflag", "l_quantity"]]
+    q25 = sub.groupby("l_returnflag").quantile(0.25).to_spark()
+    q75 = sub.groupby("l_returnflag").quantile(0.75).to_spark()
+    return (q25.select("l_returnflag",
+                       F.col("l_quantity").alias("q25"))
+            .join(q75.select("l_returnflag",
+                             F.col("l_quantity").alias("q75")),
+                  "l_returnflag")
+            .select(F.lit("gq").alias("tag"),
+                    F.col("l_returnflag").alias("key"),
+                    F.col("q25").alias("a"), F.col("q75").alias("b")))
 
 
 def _hll_error_leg(spark, sf_dir):
@@ -3024,7 +3052,10 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS sum_price,
                    round(sum(l_discount), 2) AS sum_disc,
                    round(avg(l_quantity), 3) AS avg_qty,
-                   round(avg(l_extendedprice), 2) AS avg_price
+                   round(avg(l_extendedprice), 2) AS avg_price,
+                   CAST(sum(CAST(round((l_quantity + l_discount
+                                        + l_tax) * 100) AS BIGINT))
+                        AS BIGINT) AS rowsum100
             FROM lineitem
         """,
         "where_replace": """
@@ -3706,6 +3737,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'hll', 'o_custkey',
                    count(DISTINCT o_custkey)::DOUBLE, 1.0::DOUBLE
             FROM orders
+            UNION ALL
+            -- grouped quantile: q=0.25/0.75 over integer quantities
+            -- is dyadic-exact in any interpolation tree
+            SELECT 'gq', l_returnflag,
+                   quantile_cont(l_quantity, 0.25),
+                   quantile_cont(l_quantity, 0.75)
+            FROM lineitem GROUP BY l_returnflag
         """,
         "melt_unpivot": base["melt_unpivot"],
         "str_funcs": base["str_funcs"],
