@@ -160,3 +160,42 @@ def test_exact_cents_engine_identical_generated(spark):
         assert _st.pack("d", got) == _st.pack("d", want), rows
 
     check()
+
+
+def test_interpolate_differential_generated(spark):
+    """Generated null patterns through the distributed interpolate:
+    every (values, direction, limit) example must match pandas."""
+    _vals_or_null = st.lists(
+        st.one_of(st.floats(min_value=-1e6, max_value=1e6,
+                            allow_nan=False),
+                  st.none()),
+        min_size=1, max_size=12)
+
+    @_SLOW
+    @given(vals=_vals_or_null,
+           ld=st.sampled_from(["forward", "backward", "both"]),
+           limit=st.sampled_from([None, 1, 2]))
+    def check(vals, ld, limit):
+        pa = pd.Series(vals, dtype="float64")
+        want = pa.interpolate(limit_direction=ld, limit=limit)
+        got = (pas.Series.from_pandas(pa)
+               .interpolate(limit_direction=ld, limit=limit)
+               .to_pandas().sort_index())
+        assert _norm(got.tolist()) == _norm(want.tolist())
+    check()
+
+
+def test_rank_pct_differential_generated(spark):
+    @_SLOW
+    @given(vals=st.lists(st.one_of(
+        st.integers(min_value=-5, max_value=5).map(float),
+        st.none()), min_size=1, max_size=12),
+        method=st.sampled_from(["min", "dense", "average", "max",
+                                "first"]))
+    def check(vals, method):
+        pa = pd.Series(vals, dtype="float64")
+        want = pa.rank(method=method, pct=True)
+        got = (pas.Series.from_pandas(pa).rank(method=method, pct=True)
+               .to_pandas().sort_index())
+        assert _norm(got.tolist()) == _norm(want.tolist())
+    check()
