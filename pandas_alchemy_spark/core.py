@@ -492,6 +492,45 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         out._rows_reordered = True
         return out
 
+    def interpolate(self, method: str = "linear", limit=None,
+                    limit_direction=None):
+        """pandas ``df.interpolate()``: linear interpolation of every
+        NUMERIC column's null holes in index order; non-numeric
+        columns pass through unchanged (pandas 2.x behavior).  All
+        columns run in ONE fused segmented scan
+        (segscan.interpolate_scan_multi) — one range shuffle and one
+        pass regardless of column count; the carry is two (position,
+        value) scalars per column per partition.  Numeric columns
+        come back as double (pandas promotes)."""
+        from .operators.analytic import _check_interp_args
+        from .operators.segscan import interpolate_scan_multi
+        ld = _check_interp_args(method, limit, limit_direction)
+        num_types = ("bigint", "int", "smallint", "tinyint", "double",
+                     "float")
+        n = self._n_idx()
+        idx_names = [I.idx_name(i) for i in range(n)]
+        sel = [self._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        val_names = []
+        for i, t in enumerate(self._dtypes()):
+            sel.append(self._col_at(i).alias(I.col_name(i)))
+            if t.simpleString() in num_types:
+                val_names.append(I.col_name(i))
+        tmp = self._sdf.select(*sel)
+        out_names = {c: f"{c}__o" for c in val_names}
+        scanned = interpolate_scan_multi(tmp, val_names, idx_names,
+                                         ld, limit, out_names)
+        final = scanned.select(
+            *[F.col(nm) for nm in idx_names],
+            *[F.col(out_names.get(I.col_name(i), I.col_name(i)))
+              .alias(I.col_name(i))
+              for i in range(self._n_cols())])
+        out = DataFrame(self._index, self._columns, final)
+        out._mid_index = getattr(self, "_mid_index", False)
+        out._mid_dense = getattr(self, "_mid_dense", False)
+        out._mid_origin = getattr(self, "_mid_origin", None)
+        out._rows_reordered = True
+        return out
+
     # -- relabeling (metadata-only; reference alchemy.py:277-285) ----------
 
     @utils.copied

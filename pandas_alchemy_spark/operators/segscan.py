@@ -884,11 +884,8 @@ def interpolate_scan(sdf: SparkDF, value_col: str, order_cols,
                      out_col: str = "itp",
                      num_partitions=None) -> SparkDF:
     """Global ``Series.interpolate(method='linear')`` as a segmented
-    scan: the carry is TWO (position, value) scalars per partition (its
-    first/last non-null and their global offsets), chained on the
-    driver, so no single-partition window and no k-row border.  Pass B
-    needs the whole partition (a null run's filler can live in a later
-    Arrow batch — the bfill contract).
+    scan — single-column wrapper over :func:`interpolate_scan_multi`
+    (one pin + one pass regardless of column count).
 
     pandas semantics (differential-tested): interior holes get the
     linear interpolation between neighbors, edge holes the nearest
@@ -896,6 +893,22 @@ def interpolate_scan(sdf: SparkDF, value_col: str, order_cols,
     ('forward' leaves leading nulls, 'backward' trailing, 'both'
     neither) and ``limit`` caps the fill distance from the allowed
     direction(s).  Output is always double (pandas promotes)."""
+    return interpolate_scan_multi(sdf, [value_col], order_cols,
+                                  limit_direction, limit,
+                                  {value_col: out_col}, num_partitions)
+
+
+def interpolate_scan_multi(sdf: SparkDF, value_cols, order_cols,
+                           limit_direction: str = "forward",
+                           limit=None, out_names=None,
+                           num_partitions=None) -> SparkDF:
+    """Multi-column linear interpolation in ONE segmented scan: the
+    carry is TWO (position, value) scalars PER COLUMN per partition
+    (first/last non-null + global offsets), chained on the driver —
+    so ``df.interpolate()`` over k columns costs one range shuffle
+    and one pass, not k.  Pass B needs the whole partition (a null
+    run's filler can live in a later Arrow batch — the bfill
+    contract)."""
     if limit_direction not in ("forward", "backward", "both"):
         raise ValueError(
             "limit_direction must be 'forward', 'backward' or 'both', "
@@ -903,67 +916,88 @@ def interpolate_scan(sdf: SparkDF, value_col: str, order_cols,
     if limit is not None and (not isinstance(limit, int) or limit < 1):
         raise ValueError(f"limit must be a positive integer, "
                          f"got {limit!r}")
+    value_cols = list(value_cols)
+    out_names = out_names or {c: f"{c}__itp" for c in value_cols}
     order_cols = ([order_cols] if isinstance(order_cols, str)
                   else list(order_cols))
     base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
-    fields = _out_fields(sdf, out_col, "double")
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in sdf.schema.fields)
+    fields += "".join(f", {out_names[c]} double" for c in value_cols)
 
-    # pass A: per-partition row count + first/last non-null (local
-    # offset, value) — five scalars per partition to the driver
-    proj = base.select(value_col, "__pid")
-    pschema = ("__pid int, n_rows long, f_off long, f_v double, "
-               "l_off long, l_v double")
+    # pass A: per-partition row count + per-column first/last
+    # non-null (local offset, value) — 4k+1 scalars per partition
+    proj = base.select(*value_cols, "__pid")
+    pschema = "__pid int, n_rows long" + "".join(
+        f", f_off_{j} long, f_v_{j} double, l_off_{j} long, "
+        f"l_v_{j} double" for j in range(len(value_cols)))
 
     def partials_pass(it):
-        pid, n, f_off, f_v, l_off, l_v = None, 0, None, None, None, None
+        pid, n = None, 0
+        k = len(value_cols)
+        f_off = [None] * k
+        f_v = [None] * k
+        l_off = [None] * k
+        l_v = [None] * k
         for pdf in it:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["__pid"].iloc[0])
-            x = pdf[value_col].astype("float64")
-            nn = x.dropna()
-            if len(nn):
-                if f_off is None:
-                    f_off = n + int(nn.index[0])
-                    f_v = float(nn.iloc[0])
-                l_off = n + int(nn.index[-1])
-                l_v = float(nn.iloc[-1])
+            for j, c in enumerate(value_cols):
+                x = pdf[c].astype("float64")
+                nn = x.dropna()
+                if len(nn):
+                    if f_off[j] is None:
+                        f_off[j] = n + int(nn.index[0])
+                        f_v[j] = float(nn.iloc[0])
+                    l_off[j] = n + int(nn.index[-1])
+                    l_v[j] = float(nn.iloc[-1])
             n += len(pdf)
         if pid is not None:
-            yield pd.DataFrame(
-                {"__pid": [pid], "n_rows": [n], "f_off": [f_off],
-                 "f_v": [f_v], "l_off": [l_off], "l_v": [l_v]})
+            row = {"__pid": [pid], "n_rows": [n]}
+            for j in range(k):
+                row[f"f_off_{j}"] = [f_off[j]]
+                row[f"f_v_{j}"] = [f_v[j]]
+                row[f"l_off_{j}"] = [l_off[j]]
+                row[f"l_v_{j}"] = [l_v[j]]
+            yield pd.DataFrame(row)
 
     rows = sorted(proj.mapInPandas(partials_pass, pschema).collect(),
                   key=lambda r: r["__pid"])
+    k = len(value_cols)
     start: dict[int, int] = {}
-    prev: dict[int, tuple] = {}
+    prev: dict[int, list] = {}
     off = 0
-    last_nn = None
+    last_nn = [None] * k
     for r in rows:
         start[r["__pid"]] = off
-        prev[r["__pid"]] = last_nn
-        if r["l_off"] is not None:
-            last_nn = (off + r["l_off"], r["l_v"])
+        prev[r["__pid"]] = list(last_nn)
+        for j in range(k):
+            if r[f"l_off_{j}"] is not None:
+                last_nn[j] = (off + r[f"l_off_{j}"], r[f"l_v_{j}"])
         off += r["n_rows"]
-    nxt: dict[int, tuple] = {}
-    next_nn = None
+    nxt: dict[int, list] = {}
+    next_nn = [None] * k
     for r in reversed(rows):
-        nxt[r["__pid"]] = next_nn
-        if r["f_off"] is not None:
-            next_nn = (start[r["__pid"]] + r["f_off"], r["f_v"])
+        nxt[r["__pid"]] = list(next_nn)
+        for j in range(k):
+            if r[f"f_off_{j}"] is not None:
+                next_nn[j] = (start[r["__pid"]] + r[f"f_off_{j}"],
+                              r[f"f_v_{j}"])
 
     def pass_b(it):
         pdf = _whole_partition(it)
         if pdf is None:
             return
         pid = int(pdf["__pid"].iloc[0])
-        x = pdf[value_col].astype("float64")
-        pos = np.arange(len(x), dtype="int64") + start.get(pid, 0)
-        out = _interp_fill(x, pos, prev.get(pid), nxt.get(pid),
-                           limit_direction, limit)
         res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
-        res[out_col] = out
+        pos = np.arange(len(pdf), dtype="int64") + start.get(pid, 0)
+        pv = prev.get(pid, [None] * k)
+        nv = nxt.get(pid, [None] * k)
+        for j, c in enumerate(value_cols):
+            x = pdf[c].astype("float64").reset_index(drop=True)
+            res[out_names[c]] = _interp_fill(x, pos, pv[j], nv[j],
+                                             limit_direction, limit)
         yield res
 
     return base.mapInPandas(pass_b, fields)

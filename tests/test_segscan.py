@@ -543,3 +543,30 @@ def test_rolling_time_median_grouped(spark):
 
     assert np.allclose(canon(got), canon(want), rtol=1e-9,
                        equal_nan=True)
+
+
+def test_frame_interpolate_fused(spark):
+    rng = np.random.default_rng(107)
+    pdf = pd.DataFrame({"a": rng.normal(size=3000),
+                        "b": rng.normal(size=3000) * 10,
+                        "s": ["t"] * 3000,
+                        "i": rng.integers(0, 100, 3000).astype("float64")})
+    for c in ("a", "b", "i"):
+        pdf.loc[rng.integers(0, 3000, 500), c] = np.nan
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.interpolate(limit_direction="both").to_pandas().sort_index()
+    want = pdf.copy()
+    for c in ("a", "b", "i"):
+        want[c] = pdf[c].interpolate(limit_direction="both")
+    pdt.assert_frame_equal(got, want, check_dtype=False,
+                           check_index_type=False, rtol=1e-12)
+
+
+def test_frame_interpolate_one_scan(spark):
+    # the fused form pays ONE range shuffle for all columns
+    from pandas_alchemy_spark.plans import physical_plan
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": [None, 2.0, None]})
+    df = pas.DataFrame.from_pandas(pdf)
+    plan = physical_plan(df.interpolate().to_spark())
+    assert plan.count("RangePartitioning") <= 1
+    assert "SinglePartition" not in plan and "Window" not in plan
