@@ -226,6 +226,25 @@ class GroupBy:
     def nunique(self):
         return self._simple("nunique")
 
+    def idxmax(self):
+        """Per-group index label at each column's maximum —
+        ``max_by`` (one hash aggregate, map-side partials, no sort).
+        Ties: any maximizing label (pandas picks the first by
+        position; at cluster scale that order is what you pay a sort
+        for, so the engine documents the relaxation instead).
+        Single-level index only."""
+        return self._arg_extreme(F.max_by)
+
+    def idxmin(self):
+        return self._arg_extreme(F.min_by)
+
+    def _arg_extreme(self, fn):
+        if self._df._n_idx() != 1:
+            raise NotImplementedError(
+                "GroupBy.idxmax/idxmin need a single-level index")
+        idx0 = self._df._idx_at(0)
+        return self._simple(lambda c: fn(idx0, c))
+
     def first(self):
         return self._simple("first")
 

@@ -319,3 +319,24 @@ def test_row_reduction_stays_in_plan(spark):
     df = pas.DataFrame.from_pandas(pdf)
     plan = physical_plan(df.sum(axis=1).to_spark())
     assert "Exchange" not in plan  # pure projection
+
+
+def test_groupby_idxmax_idxmin(spark):
+    rng = np.random.default_rng(109)
+    n = 400
+    pdf = pd.DataFrame({"k": rng.integers(0, 6, n),
+                        "v": rng.permutation(n).astype("float64"),
+                        "w": rng.permutation(n).astype("float64")},
+                       index=pd.RangeIndex(n))
+    pdf.index.name = "rid"
+    df = pas.DataFrame.from_pandas(pdf.reset_index()).set_index("rid")
+    got = df.groupby("k").idxmax().to_pandas().sort_index()
+    want = pdf.groupby("k")[["v", "w"]].idxmax()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_index_type=False,
+                                  check_names=False)
+    got2 = df.groupby("k").idxmin().to_pandas().sort_index()
+    want2 = pdf.groupby("k")[["v", "w"]].idxmin()
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False,
+                                  check_index_type=False,
+                                  check_names=False)
