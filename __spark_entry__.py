@@ -1527,13 +1527,23 @@ def q_iloc_slice(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_events_hourly(spark, sf_dir):
+    """Hourly tumbling aggregate DENSIFIED onto the gap-free hour
+    grid (ext/events.densify_time, round-5): empty (hour, type)
+    buckets appear as zero rows — pandas resample semantics a plain
+    groupBy cannot produce.  The grid is one exploded F.sequence
+    crossed with the distinct types; the data side left-joins on
+    (bucket, type)."""
     from pandas_alchemy_spark.ext import events
     _prep(spark)
     ev = events.load_events(spark, _t(sf_dir, "events"))
     out = events.tumbling_window_agg(ev)
-    return out.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type", "n_events", "sum_value", "n_users")
+    dense = events.densify_time(
+        out.withColumnRenamed("window_start", "ts"), "ts", 3600,
+        by="event_type", fill="zero")
+    return dense.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events",
+        F.round("sum_value", 4).alias("sum_value"), "n_users")
 
 
 def q_sessionize(spark, sf_dir):
@@ -3138,12 +3148,26 @@ def oracle_sql() -> dict[str, str]:
             FROM orders ORDER BY o_orderkey LIMIT 5 OFFSET 10
         """,
         "events_hourly": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-                   event_type,
-                   count(*)::BIGINT AS n_events,
-                   round(sum(value), 4) AS sum_value,
-                   count(DISTINCT user_id)::BIGINT AS n_users
-            FROM events GROUP BY 1, 2
+            WITH b AS (
+              SELECT date_trunc('hour', ts) AS h, event_type,
+                     count(*)::BIGINT AS n,
+                     round(sum(value), 4) AS sv,
+                     count(DISTINCT user_id)::BIGINT AS nu
+              FROM events GROUP BY 1, 2),
+            g AS (
+              SELECT unnest(generate_series(mn, mx,
+                                            INTERVAL 1 HOUR)) AS h
+              FROM (SELECT min(date_trunc('hour', ts)) AS mn,
+                           max(date_trunc('hour', ts)) AS mx
+                    FROM events)),
+            t AS (SELECT DISTINCT event_type FROM events)
+            SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   t.event_type,
+                   coalesce(b.n, 0)::BIGINT AS n_events,
+                   round(coalesce(b.sv, 0), 4) AS sum_value,
+                   coalesce(b.nu, 0)::BIGINT AS n_users
+            FROM g CROSS JOIN t
+            LEFT JOIN b ON b.h = g.h AND b.event_type = t.event_type
         """,
         "sessionize": """
             WITH marked AS (

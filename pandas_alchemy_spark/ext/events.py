@@ -123,3 +123,52 @@ def funnel(df: DataFrame, steps: list[str], ts_col: str = "ts",
     aggs = [F.count(F.col(f"t{k}")).alias(f"n_step{k}")
             for k in range(len(steps))]
     return per_user.agg(*aggs)
+
+
+def densify_time(df: DataFrame, ts_col: str, freq_seconds: int,
+                 by=None, fill: str | None = None,
+                 num_partitions: int | None = None) -> DataFrame:
+    """Gap-free time grid: left-join an aggregated frame onto the
+    complete ``min(ts)..max(ts)`` bucket sequence (per ``by`` group if
+    given), so empty buckets appear as rows — pandas
+    ``resample().agg().asfreq()`` semantics, which a plain groupBy
+    cannot produce (absent buckets simply never group).
+
+    Scale shape: the grid is ``F.sequence`` over the [min, max] epoch
+    range — ONE row exploded into range/freq bucket rows (a few
+    hundred thousand for years of hourly data, trivially
+    repartitionable), crossed with the distinct keys when ``by`` is
+    set; the data side joins on (bucket, keys).  ``fill='zero'``
+    coalesces the numeric columns to 0 (count-like columns);
+    ``fill=None`` leaves nulls for a downstream
+    ``ffill``/``interpolate``."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    bounds = df.agg(
+        F.min(F.unix_timestamp(ts_col)).alias("mn"),
+        F.max(F.unix_timestamp(ts_col)).alias("mx")).collect()[0]
+    if bounds["mn"] is None:
+        return df
+    step = int(freq_seconds)
+    lo = (bounds["mn"] // step) * step
+    hi = (bounds["mx"] // step) * step
+    spark = df.sparkSession
+    grid = (spark.range(1)
+            .select(F.explode(F.sequence(
+                F.lit(lo), F.lit(hi), F.lit(step))).alias("__epoch"))
+            .select(F.timestamp_seconds(F.col("__epoch"))
+                    .alias(ts_col)))
+    if num_partitions:
+        grid = grid.repartition(num_partitions)
+    if keys:
+        grid = grid.crossJoin(df.select(*keys).distinct())
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(ts_col) / step).cast("long") * step)
+    data = df.withColumn(ts_col, bucket)
+    out = grid.join(data, on=[ts_col] + keys, how="left")
+    if fill == "zero":
+        num = [f.name for f in out.schema.fields
+               if f.dataType.simpleString() in
+               ("bigint", "int", "double", "float")]
+        for c in num:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out

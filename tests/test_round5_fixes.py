@@ -340,3 +340,23 @@ def test_groupby_idxmax_idxmin(spark):
     pd.testing.assert_frame_equal(got2, want2, check_dtype=False,
                                   check_index_type=False,
                                   check_names=False)
+
+
+def test_densify_time_fills_gaps(spark):
+    from pandas_alchemy_spark.ext import events as ev
+    df = ev.load_events(spark, "/root/testdata/sf0.001/events.parquet")
+    agg = ev.tumbling_window_agg(df)
+    dense = ev.densify_time(
+        agg.withColumnRenamed("window_start", "ts"), "ts", 3600,
+        by="event_type", fill="zero")
+    n_types = df.select("event_type").distinct().count()
+    hours = dense.select("ts").distinct().count()
+    # complete grid: every (hour, type) cell exists exactly once
+    assert dense.count() == hours * n_types
+    assert dense.count() > agg.count()  # gaps were filled
+    # zero-filled cells, not nulls
+    assert dense.filter("n_events IS NULL").count() == 0
+    # data cells survive the join unchanged
+    sparse_total = agg.agg({"n_events": "sum"}).collect()[0][0]
+    dense_total = dense.agg({"n_events": "sum"}).collect()[0][0]
+    assert sparse_total == dense_total
