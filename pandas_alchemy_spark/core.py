@@ -1100,6 +1100,38 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def pct_change(self, periods: int = 1):
         return self._win().pct_change(periods)
 
+    def autocorr(self, lag: int = 1):
+        """Lag-N autocorrelation (pandas: Pearson corr of the series
+        with itself shifted) — composes the border-exchange shift with
+        the bivariate corr aggregate; returns a scalar."""
+        return self.corr(self.shift(lag))
+
+    @property
+    def is_monotonic_increasing(self):
+        """True when the series is non-decreasing in index order.
+        Distributed check: ``diff().min() >= 0`` — per-partition
+        sortedness plus the one-row border compare, exactly the state
+        the diff scan already exchanges.  Any null → False (pandas)."""
+        return self._is_monotonic(increasing=True)
+
+    @property
+    def is_monotonic_decreasing(self):
+        return self._is_monotonic(increasing=False)
+
+    def _is_monotonic(self, increasing: bool):
+        row = self._sdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(self._the_col).alias("nn")).collect()[0]
+        if row["n"] != row["nn"]:
+            return False  # pandas: any NaN breaks monotonicity
+        if row["n"] <= 1:
+            return True
+        d = self.diff()
+        ext = d._reduce(F.min if increasing else F.max)
+        if ext is None:
+            return True
+        return ext >= 0 if increasing else ext <= 0
+
     def rank(self, method: str = "min", ascending: bool = True,
              pct: bool = False):
         """Value ranks (pandas semantics; all five methods).

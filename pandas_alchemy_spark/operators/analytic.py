@@ -786,6 +786,32 @@ class Rolling:
     def count(self):
         return self._agg("count", self._min_periods or 1)
 
+    def apply(self, func, raw: bool = True):
+        """pandas ``rolling(n).apply(func)`` — the per-window Python
+        escape hatch.  COST WARNING: ``func`` runs once per WINDOW in
+        Python (inside the executors' Arrow passes, but still ~100x a
+        built-in aggregate); reach for the named aggregates first.
+        Global flavor: the same k-row border exchange as the
+        built-ins, ``func`` evaluated partition-locally; grouped: one
+        applyInPandas per group.  Count-based windows only."""
+        if self._by_time:
+            raise NotImplementedError(
+                "rolling(offset).apply is not supported — use a "
+                "count-based window or a named aggregate")
+        mp = (self._window_n if self._min_periods is None
+              else max(int(self._min_periods), 1))
+        sw = self._sw
+        win = self._window_n
+        if isinstance(sw, SeriesWindow):
+            from .segscan import rolling_scan
+            return sw._scan_series(
+                lambda tmp, oc: rolling_scan(
+                    tmp, "__v", oc, win, "apply", mp, "__out",
+                    apply_fn=func, raw=raw))
+        return sw._apply_grouped(
+            lambda pdf: pdf["__v"].astype("float64")
+            .rolling(win, min_periods=mp).apply(func, raw=raw))
+
 
 class Expanding:
     """``series.expanding()`` — cumulative window from the first row

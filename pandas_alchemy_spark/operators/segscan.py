@@ -649,7 +649,8 @@ def _roll_out_type(agg: str, in_type: str) -> str:
 
 def rolling_scan(sdf: SparkDF, value_col: str, order_cols, window: int,
                  agg: str, min_periods: int | None = None,
-                 out_col: str = "rl", num_partitions=None) -> SparkDF:
+                 out_col: str = "rl", num_partitions=None,
+                 apply_fn=None, raw: bool = True) -> SparkDF:
     """Global count-based ``Series.rolling(n).agg()`` as a
     border-exchange segmented scan: each partition receives the n-1
     preceding values and computes its windows locally.  Integer sums
@@ -657,7 +658,10 @@ def rolling_scan(sdf: SparkDF, value_col: str, order_cols, window: int,
     through float64 (|x| < 2^53 caveat, same as the cum* scans).
     ``min_periods`` gates on non-null observations in the frame (the
     Spark window ``F.count(c) >= mp`` contract == pandas)."""
-    if agg not in _ROLL_AGGS:
+    if agg == "apply":
+        if apply_fn is None:
+            raise ValueError("rolling agg 'apply' needs apply_fn")
+    elif agg not in _ROLL_AGGS:
         raise ValueError(f"unsupported rolling agg {agg!r}")
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
@@ -666,7 +670,8 @@ def rolling_scan(sdf: SparkDF, value_col: str, order_cols, window: int,
                   else list(order_cols))
     base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
     in_type = sdf.schema[value_col].dataType.simpleString()
-    out_type = _roll_out_type(agg, in_type)
+    out_type = "double" if agg == "apply" else _roll_out_type(agg,
+                                                              in_type)
     fields = _out_fields(sdf, out_col, out_type)
     k = window - 1
     if k:
@@ -704,6 +709,9 @@ def rolling_scan(sdf: SparkDF, value_col: str, order_cols, window: int,
         elif agg in ("sum", "mean"):
             s = xf.rolling(window, min_periods=1).sum()
             out = (s if agg == "sum" else s / nwin).where(nwin >= mp)
+        elif agg == "apply":
+            out = xf.rolling(window, min_periods=mp).apply(apply_fn,
+                                                           raw=raw)
         else:
             out = getattr(xf.rolling(window, min_periods=mp), agg)()
         out = out.iloc[nb:].reset_index(drop=True)

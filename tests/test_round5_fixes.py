@@ -360,3 +360,44 @@ def test_densify_time_fills_gaps(spark):
     sparse_total = agg.agg({"n_events": "sum"}).collect()[0][0]
     dense_total = dense.agg({"n_events": "sum"}).collect()[0][0]
     assert sparse_total == dense_total
+
+
+def test_rolling_apply_global_and_grouped(spark):
+    rng = np.random.default_rng(113)
+    pdf = pd.DataFrame({"k": rng.integers(0, 5, 1200),
+                        "v": rng.normal(size=1200)})
+    df = pas.DataFrame.from_pandas(pdf)
+    fn = lambda a: (a.max() - a.min())  # noqa: E731  window range
+    got = df.v.rolling(4).apply(fn).to_pandas().sort_index()
+    want = pdf.v.rolling(4).apply(fn, raw=True)
+    want.name = got.name
+    pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                   check_index_type=False, rtol=1e-12)
+    gg = (df.groupby("k")["v"].rolling(3).apply(fn)
+          .to_pandas().sort_index())
+    gw = pdf.groupby("k")["v"].transform(
+        lambda s: s.rolling(3).apply(fn, raw=True))
+    gw.name = gg.name
+    pd.testing.assert_series_equal(gg, gw, check_dtype=False,
+                                   check_index_type=False, rtol=1e-12)
+
+
+def test_autocorr_matches_pandas(spark):
+    rng = np.random.default_rng(127)
+    s = pd.Series(np.cumsum(rng.normal(size=800)))
+    ours = pas.Series.from_pandas(s)
+    for lag in (1, 3):
+        assert abs(ours.autocorr(lag) - s.autocorr(lag)) < 1e-9
+
+
+def test_is_monotonic(spark):
+    inc = pas.Series.from_list([1.0, 2.0, 2.0, 5.0])
+    dec = pas.Series.from_list([5.0, 3.0, 3.0, 1.0])
+    mix = pas.Series.from_list([1.0, 3.0, 2.0])
+    withnan = pas.Series.from_list([1.0, None, 3.0])
+    assert inc.is_monotonic_increasing and not inc.is_monotonic_decreasing
+    assert dec.is_monotonic_decreasing and not dec.is_monotonic_increasing
+    assert not mix.is_monotonic_increasing
+    assert not withnan.is_monotonic_increasing
+    one = pas.Series.from_list([7.0])
+    assert one.is_monotonic_increasing and one.is_monotonic_decreasing
