@@ -2340,7 +2340,16 @@ def q_text_suite(spark, sf_dir):
         "q_stopword_ratio", "q_score", "n_ws_tokens", "n_bpe_tokens",
         "fingerprint")
     rep = q_repetition(spark, sf_dir)
-    return scalar.join(rep, "doc_id")
+    # round-5 leg: corpus-level exact span dedup (the C4 paragraph
+    # recipe; the synthetic corpus has no newlines, so spans = tokens
+    # with short ones exempt — the PLAN is identical either way)
+    from pandas_alchemy_spark.ext import dedup as dd
+    pdd = dd.dedup_paragraphs(docs, sep=" ", min_chars=4).select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.length("text_deduped").cast("long").alias("ded_len"))
+    return scalar.join(rep, "doc_id").join(pdd, "doc_id")
 
 
 def q_langid_terms(spark, sf_dir):
@@ -3908,15 +3917,38 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": base["cosine_topk"],
         "emb_near_dup": base["emb_near_dup"],
         "text_suite": f"""
+            WITH __parts AS (
+              -- two aligned unnests zip (DuckDB has no ORDINALITY)
+              SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS para,
+                     unnest(range(1, len(string_split(text, ' ')) + 1))
+                       AS pos
+              FROM documents),
+            __marked AS (
+              SELECT doc_id, para, pos,
+                     (length(para) < 4 OR row_number() OVER (
+                         PARTITION BY para ORDER BY doc_id, pos) = 1)
+                       AS keep
+              FROM __parts),
+            __pdd AS (
+              SELECT doc_id, count(*)::BIGINT AS n_paras,
+                     coalesce(count(*) FILTER (keep), 0)::BIGINT
+                       AS n_kept,
+                     coalesce(length(string_agg(para, ' '
+                                  ORDER BY pos) FILTER (keep)),
+                              0)::BIGINT AS ded_len
+              FROM __marked GROUP BY doc_id)
             SELECT a.doc_id, a.h, a.n, b.n_2grams, b.n_distinct_2grams,
                    b.top_2gram_count, b.dup_2gram_frac,
                    c.* EXCLUDE (doc_id),
-                   d.n_ws_tokens, d.n_bpe_tokens, e.fingerprint
+                   d.n_ws_tokens, d.n_bpe_tokens, e.fingerprint,
+                   p.n_paras, p.n_kept, p.ded_len
             FROM {sub("text_normalize")} a
             JOIN {sub("repetition")} b ON a.doc_id = b.doc_id
             JOIN {sub("quality")} c ON a.doc_id = c.doc_id
             JOIN {sub("token_stats")} d ON a.doc_id = d.doc_id
             JOIN {sub("fingerprint")} e ON a.doc_id = e.doc_id
+            JOIN __pdd p ON a.doc_id = p.doc_id
         """,
         "tpch_suite": """
             WITH rev AS (

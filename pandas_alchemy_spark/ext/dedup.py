@@ -452,3 +452,52 @@ def cluster_near_dups(df: DataFrame, text_col: str = "text",
                           .alias("component")))
     return all_labels.withColumn(
         "keep", F.col("id") == F.col("component"))
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n\n",
+                     min_chars: int = 1) -> DataFrame:
+    """Corpus-level EXACT paragraph dedup (the C4/RefinedWeb recipe):
+    each distinct paragraph survives only in the document where it
+    first appears (smallest id, then earliest position) and is
+    dropped everywhere else; documents are reassembled preserving
+    their remaining paragraphs' order.  Paragraphs shorter than
+    ``min_chars`` are exempt (boilerplate fragments like headers
+    would otherwise vanish from all but one document).
+
+    Scale shape: posexplode (in-stage generator, no shuffle) →
+    row_number over a window partitioned by the PARAGRAPH (one
+    shuffle, hash-distributed on content — the corpus-wide dedup
+    decision is per-paragraph-local) → re-aggregate per document
+    (second shuffle).  No self-joins, no driver materialization; the
+    widest state is one paragraph's occurrence list on one reducer.
+
+    Returns (id_col, text_deduped, n_paras, n_kept)."""
+    from pyspark.sql import Window
+
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("__pos", "__para"))
+    w = Window.partitionBy("__para").orderBy(id_col, "__pos")
+    marked = parts.withColumn(
+        "__keep",
+        (F.length("__para") < min_chars)
+        | (F.row_number().over(w) == 1))
+    kept = (marked.filter(F.col("__keep"))
+            .groupBy(id_col)
+            .agg(F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("__pos", "__para"))),
+                    lambda s: s["__para"])).alias("text_deduped"),
+                F.count(F.lit(1)).alias("n_kept")))
+    totals = parts.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"))
+    return (totals.join(kept, id_col, "left")
+            .select(id_col,
+                    F.coalesce("text_deduped", F.lit(""))
+                    .alias("text_deduped"),
+                    "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept")))

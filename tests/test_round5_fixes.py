@@ -401,3 +401,23 @@ def test_is_monotonic(spark):
     assert not withnan.is_monotonic_increasing
     one = pas.Series.from_list([7.0])
     assert one.is_monotonic_increasing and one.is_monotonic_decreasing
+
+
+def test_dedup_paragraphs_semantics(spark):
+    from pandas_alchemy_spark.ext import dedup
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha shared-para unique-one",
+                 "shared-para unique-two x",
+                 "unique-three shared-para shared-para"]})
+    docs = spark.createDataFrame(pdf)
+    out = (dedup.dedup_paragraphs(docs, sep=" ", min_chars=2)
+           .orderBy("doc_id").toPandas())
+    # 'shared-para' survives only in doc 1 (first occurrence);
+    # single-char 'x' is exempt from dedup
+    assert out.text_deduped.tolist() == [
+        "alpha shared-para unique-one",
+        "unique-two x",
+        "unique-three"]
+    assert out.n_paras.tolist() == [3, 3, 3]
+    assert out.n_kept.tolist() == [3, 2, 1]
