@@ -1951,7 +1951,8 @@ def q_window_suite(spark, sf_dir):
                         fwd=masked.ffill(),
                         itp=masked.interpolate(),
                         itpg=itpg,
-                        rpct=price.rank(method="min", pct=True))
+                        rpct=price.rank(method="min", pct=True),
+                        rmed=price.rolling(5).median())
     core = combined.to_spark().select(
         F.col("o_orderkey").cast("long").alias("o_orderkey"),
         F.round("cum", 2).alias("cum_total"),
@@ -1962,7 +1963,9 @@ def q_window_suite(spark, sf_dir):
         F.round("fwd", 2).alias("fwd"),
         F.col("itp"),
         F.col("itpg"),
-        F.col("rpct"))
+        F.col("rpct"),
+        # odd window -> the median IS a data value: raw-double exact
+        F.col("rmed"))
     d = q_ewm_price(spark, sf_dir)
     return core.join(d, "o_orderkey")
 
@@ -3681,6 +3684,11 @@ def oracle_sql() -> dict[str, str]:
                    rank() OVER (ORDER BY o_totalprice)
                    / CAST(count(o_totalprice) OVER () AS DOUBLE)
                    AS rpct,
+                   -- rolling(5).median(): odd window, the median is
+                   -- an actual data value — raw-double exact
+                   CASE WHEN count(*) OVER wm5 >= 5
+                        THEN median(o_totalprice) OVER wm5 END
+                   AS rmed,
                    round(sum(o_totalprice * pow(0.75, -rn)) OVER wc
                          / sum(pow(0.75, -rn)) OVER wc, 2) AS ewm_price
             FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
@@ -3704,7 +3712,9 @@ def oracle_sql() -> dict[str, str]:
                            AND CURRENT ROW),
                    wgf AS (ORDER BY o_orderkey
                            ROWS BETWEEN CURRENT ROW
-                           AND UNBOUNDED FOLLOWING)
+                           AND UNBOUNDED FOLLOWING),
+                   wm5 AS (ORDER BY o_orderkey
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "reshape_suite": f"""
             SELECT 'pivot' AS tag, l_linestatus AS key, qty_a AS a,
