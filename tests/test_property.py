@@ -50,9 +50,37 @@ def test_series_binop_differential_generated(spark, op):
         sa = pas.Series.from_pandas(pa)
         sb = pas.Series.from_pandas(pb)
         got = getattr(sa, op)(sb).to_pandas()
-        assert _norm(got.tolist()) == _norm(want.tolist()), (op, a, b)
+        if op == "pow":
+            # java.lang.Math.pow and C libm pow are each allowed to
+            # miss correct rounding by an ulp, so large-magnitude
+            # results can differ in the last place (hypothesis found
+            # 1e-05 ** -1.8984375: 3105900223.6247044 vs ...48) —
+            # the contract for pow is ~1-ulp RELATIVE, not absolute
+            assert _close(got.tolist(), want.tolist()), (op, a, b)
+        else:
+            assert _norm(got.tolist()) == _norm(want.tolist()), (op, a,
+                                                                 b)
 
     check()
+
+
+def _close(xs, ys, rel=1e-12, ab=1e-9):
+    if len(xs) != len(ys):
+        return False
+    for x, y in zip(xs, ys):
+        nx = x is None or (isinstance(x, float) and math.isnan(x))
+        ny = y is None or (isinstance(y, float) and math.isnan(y))
+        if nx or ny:
+            if nx != ny:
+                return False
+            continue
+        if math.isinf(x) or math.isinf(y):
+            if x != y:
+                return False
+            continue
+        if not math.isclose(x, y, rel_tol=rel, abs_tol=ab):
+            return False
+    return True
 
 
 def test_fill_value_differential_generated(spark):
