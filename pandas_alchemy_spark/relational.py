@@ -362,6 +362,39 @@ class RelationalMixin:
         new._explicit_order = True
         return new
 
+    @staticmethod
+    def _dup_keys_exist(frame, keys) -> bool:
+        cols = [frame._col_at(frame._columns.get_loc(k)) for k in keys]
+        dup = (frame._sdf.groupBy(*cols)
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") > 1).limit(1).count())
+        return dup > 0
+
+    def _validate_merge(self, right, left_on, right_on, validate):
+        try:
+            from pandas.errors import MergeError
+        except ImportError:  # pragma: no cover
+            MergeError = ValueError
+        forms = {"1:1": "one_to_one", "one_to_one": "one_to_one",
+                 "1:m": "one_to_many", "one_to_many": "one_to_many",
+                 "m:1": "many_to_one", "many_to_one": "many_to_one",
+                 "m:m": "many_to_many",
+                 "many_to_many": "many_to_many"}
+        if validate not in forms:
+            raise ValueError(f'Not a valid argument for validate: '
+                             f'"{validate}"')
+        form = forms[validate]
+        if form in ("one_to_one", "one_to_many") \
+                and self._dup_keys_exist(self, left_on):
+            raise MergeError(
+                "Merge keys are not unique in left dataset; not a "
+                f"{form} merge")
+        if form in ("one_to_one", "many_to_one") \
+                and self._dup_keys_exist(right, right_on):
+            raise MergeError(
+                "Merge keys are not unique in right dataset; not a "
+                f"{form} merge")
+
     def nlargest(self, n, columns):
         return self.sort_values(columns, ascending=False).head(n)
 
@@ -369,14 +402,19 @@ class RelationalMixin:
         return self.sort_values(columns, ascending=True).head(n)
 
     def merge(self, right, how="inner", on=None, left_on=None, right_on=None,
-              suffixes=("_x", "_y"), broadcast=False, indicator=False):
+              suffixes=("_x", "_y"), broadcast=False, indicator=False,
+              validate=None):
         """Relational join on data columns (pandas.merge semantics for
         the label bookkeeping).  ``broadcast=True`` hints the right side
         — use for dimension tables; AQE also auto-broadcasts small
         sides at runtime.  ``indicator=True`` appends a ``_merge``
         column (``both``/``left_only``/``right_only`` as plain strings,
         not pandas' categorical) via constant presence flags — robust
-        to NULL join keys, where testing the key columns would lie."""
+        to NULL join keys, where testing the key columns would lie.
+        ``validate='1:1'|'1:m'|'m:1'|'m:m'`` checks join-key
+        cardinality like pandas (MergeError on violation) — an EAGER
+        duplicate probe per constrained side (one aggregate + LIMIT 1,
+        cheap next to the join it guards)."""
         from .core import DataFrame
         if how == "cross":
             left_on = right_on = []
@@ -387,6 +425,8 @@ class RelationalMixin:
                 raise ValueError("must specify on or left_on/right_on")
             left_on = left_on if isinstance(left_on, list) else [left_on]
             right_on = right_on if isinstance(right_on, list) else [right_on]
+        if validate is not None:
+            self._validate_merge(right, left_on, right_on, validate)
         l = self._rename_all(self._sdf, "l_")
         r = self._rename_all(right._sdf, "r_")
         if indicator:

@@ -421,3 +421,21 @@ def test_dedup_paragraphs_semantics(spark):
         "unique-three"]
     assert out.n_paras.tolist() == [3, 3, 3]
     assert out.n_kept.tolist() == [3, 2, 1]
+
+
+def test_merge_validate(spark):
+    from pandas.errors import MergeError
+    left = pas.DataFrame.from_pandas(
+        pd.DataFrame({"k": [1, 2, 2], "a": [1.0, 2.0, 3.0]}))
+    uniq = pas.DataFrame.from_pandas(
+        pd.DataFrame({"k": [1, 2], "b": [9.0, 8.0]}))
+    # m:1 passes (right unique), 1:1 and 1:m fail (left dupes)
+    assert len(left.merge(uniq, on="k", validate="m:1").to_pandas()) == 3
+    with pytest.raises(MergeError, match="left dataset"):
+        left.merge(uniq, on="k", validate="1:1")
+    with pytest.raises(MergeError, match="left dataset"):
+        left.merge(uniq, on="k", validate="one_to_many")
+    with pytest.raises(MergeError, match="right dataset"):
+        uniq.merge(left, on="k", validate="m:1")
+    with pytest.raises(ValueError, match="Not a valid argument"):
+        left.merge(uniq, on="k", validate="bogus")
