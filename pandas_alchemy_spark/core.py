@@ -34,7 +34,8 @@ from .functions import coercion
 from .indexer import (_AtIndexer, _iAtIndexer, _iLocIndexer,
                       _LocIndexer)
 from .operators.rowid import with_rowid
-from .relational import RelationalMixin, ReshapeMixin, SeriesAggMixin
+from .relational import (RelationalMixin, ReshapeMixin,
+                         SeriesAggMixin, SeriesRelationalMixin)
 from .session import get_session
 
 _REPR_ROWS = 10
@@ -904,7 +905,7 @@ def concat(objs, axis=0, ignore_index: bool = False):
 
 
 class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
-             SeriesAggMixin):
+             SeriesAggMixin, SeriesRelationalMixin):
     """1-D labeled array backed by a lazy Spark plan
     (reference Series, alchemy.py:353-517)."""
 

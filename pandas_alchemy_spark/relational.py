@@ -709,14 +709,167 @@ class RelationalMixin:
     def idxmax(self):
         """Index label of each column's max -> pandas Series (max_by
         against the first index level, one pass)."""
+        return self._frame_arg_extreme(F.max_by)
+
+    def idxmin(self):
+        """Index label of each column's min (min_by, one pass)."""
+        return self._frame_arg_extreme(F.min_by)
+
+    def _frame_arg_extreme(self, fn):
         from .core import Series
         idx = self._idx_at(0)
         row = self._sdf.agg(
-            *[F.max_by(idx, self._col_at(i)).alias(f"__r{i}")
+            *[fn(idx, self._col_at(i)).alias(f"__r{i}")
               for i in range(self._n_cols())]).collect()[0]
         ser = pd.Series({self._columns[i]: row[f"__r{i}"]
                          for i in range(self._n_cols())})
         return Series.from_pandas(ser)
+
+    def isin(self, values):
+        """Elementwise membership -> boolean frame (one projection,
+        stays in codegen).  ``values`` is a list (every column) or a
+        dict of column -> list (other columns are all-False, like
+        pandas)."""
+        new = self._shallow_copy()
+        sel = [self._idx_at(i).alias(I.idx_name(i))
+               for i in range(self._n_idx())]
+        for i in range(self._n_cols()):
+            c = self._col_at(i)
+            if isinstance(values, dict):
+                vals = values.get(self._columns[i])
+                expr = (F.lit(False) if vals is None
+                        else c.isin(list(vals)))
+            else:
+                expr = c.isin(list(values))
+            sel.append(F.coalesce(expr, F.lit(False))
+                       .alias(I.col_name(i)))
+        new._sdf = self._sdf.select(*sel)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def select_dtypes(self, include=None, exclude=None):
+        """Column subset by dtype family — metadata-only (no job).
+        Families: 'number', 'integer', 'floating', 'bool', 'object'/
+        'string', 'datetime'."""
+        fams = {
+            "number": ("bigint", "int", "smallint", "tinyint",
+                       "double", "float"),
+            "integer": ("bigint", "int", "smallint", "tinyint"),
+            "floating": ("double", "float"),
+            "bool": ("boolean",),
+            "boolean": ("boolean",),
+            "object": ("string",),
+            "string": ("string",),
+            "datetime": ("timestamp", "timestamp_ntz", "date"),
+        }
+
+        def expand(spec):
+            if spec is None:
+                return None
+            spec = [spec] if isinstance(spec, str) else list(spec)
+            out = set()
+            for s in spec:
+                out.update(fams.get(str(s), (str(s),)))
+            return out
+
+        inc, exc = expand(include), expand(exclude)
+        keep = []
+        for i, t in enumerate(self._dtypes()):
+            ts = t.simpleString()
+            if inc is not None and ts not in inc:
+                continue
+            if exc is not None and ts in exc:
+                continue
+            keep.append(self._columns[i])
+        return self[list(keep)]
+
+    def value_counts(self, ascending=False):
+        """Distinct-row counts (pandas ``df.value_counts()``): one
+        hash aggregate over all columns; the row values become the
+        result's index levels."""
+        return self.groupby(list(self._columns)).size() \
+            .sort_values(ascending=ascending)
+
+    def agg(self, spec):
+        """pandas ``df.agg``: a string/callable (every column, ==
+        the dedicated reductions) or a dict col -> fn | [fns] — ALL
+        requested aggregates fused into ONE Spark pass, returned as
+        a small pandas object (materializer, like pandas)."""
+        if isinstance(spec, str):
+            return getattr(self, spec)()
+        if not isinstance(spec, dict):
+            raise TypeError("agg expects a string or a dict of "
+                            "column -> function(s)")
+        exprs, keys = [], []
+        for col, fns in spec.items():
+            fns = fns if isinstance(fns, list) else [fns]
+            src = self._col_at(self._columns.get_loc(col))
+            for fn in fns:
+                name = fn if isinstance(fn, str) else getattr(
+                    fn, "__name__", str(fn))
+                exprs.append(_resolve_agg(fn)(src)
+                             .alias(f"__a{len(exprs)}"))
+                keys.append((col, name))
+        row = self._sdf.agg(*exprs).collect()[0]
+        multi = any(len(v) > 1 for v in
+                    (s if isinstance(s, list) else [s]
+                     for s in spec.values()))
+        if not multi:
+            from .core import Series
+            ser = pd.Series({c: row[f"__a{j}"]
+                             for j, (c, _) in enumerate(keys)})
+            return Series.from_pandas(ser)
+        out = pd.DataFrame(index=sorted({n for _, n in keys}),
+                           columns=list(spec))
+        for j, (c, n) in enumerate(keys):
+            out.loc[n, c] = row[f"__a{j}"]
+        return out
+
+    def where(self, cond, other=None):
+        """Frame-level ``where`` with a BOOLEAN SERIES row mask
+        (aligned on the index): kept rows pass through, masked rows
+        null out (or take scalar ``other``) in every column — the
+        common pandas idiom.  A boolean FRAME condition (per-cell
+        masks) is not supported; mask columns individually."""
+        from .core import Series
+        if not isinstance(cond, Series):
+            raise NotImplementedError(
+                "DataFrame.where needs a boolean Series row mask "
+                "(per-cell boolean-frame conds: mask each column)")
+        new = self.assign(__cond=cond)
+        flag = new._col_at(new._columns.get_loc("__cond"))
+        sel = [new._idx_at(i).alias(I.idx_name(i))
+               for i in range(new._n_idx())]
+        oth = F.lit(None) if other is None else F.lit(other)
+        for i, lab in enumerate(self._columns):
+            c = new._col_at(new._columns.get_loc(lab))
+            sel.append(F.when(flag, c).otherwise(oth)
+                       .alias(I.col_name(i)))
+        from .core import DataFrame
+        out = DataFrame(self._index, self._columns,
+                        new._sdf.select(*sel))
+        out._mid_index = getattr(new, "_mid_index", False)
+        out._mid_dense = getattr(new, "_mid_dense", False)
+        out._mid_origin = getattr(new, "_mid_origin", None)
+        out._rows_reordered = getattr(new, "_rows_reordered", False)
+        return out
+
+    def pivot(self, index=None, columns=None, values=None):
+        """pandas ``df.pivot``: reshape WITHOUT aggregation — raises
+        like pandas when an (index, columns) cell holds more than one
+        row (checked with one aggregate + LIMIT 1), else delegates to
+        the pivot_table machinery with 'first'."""
+        dup = (self._sdf.groupBy(
+            self._col_at(self._columns.get_loc(index)),
+            self._col_at(self._columns.get_loc(columns)))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "Index contains duplicate entries, cannot reshape")
+        return self.pivot_table(values=values, index=index,
+                                columns=columns, aggfunc="first")
 
     def corr(self):
         """Pairwise correlation matrix of numeric columns — ALL k²/2
@@ -1601,3 +1754,122 @@ class SeriesAggMixin:
         out = Series(pd.Index([self.name]), pd.Index([label]), sdf, label)
         out._explicit_order = True
         return out
+
+
+class SeriesRelationalMixin:
+    """Series row-level verbs that mirror the DataFrame machinery
+    (round-5 surface completion: apply/dropna/sample/sort_index/
+    duplicated/drop_duplicates/align)."""
+
+    def apply(self, func, convert_dtype=True, args=(), **kwargs):
+        """pandas ``Series.apply`` — elementwise, an alias of ``map``
+        (the vectorized Arrow path); args/kwargs forward to
+        ``func``."""
+        if args or kwargs:
+            return self.map(lambda v: func(v, *args, **kwargs))
+        return self.map(func)
+
+    def dropna(self):
+        """Drop null rows — a pure filter (pushdown-eligible)."""
+        new = self._shallow_copy()
+        new._sdf = self._sdf.filter(self._the_col.isNotNull())
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def sort_index(self, ascending: bool = True):
+        order = [self._idx_at(i).asc() if ascending
+                 else self._idx_at(i).desc()
+                 for i in range(self._n_idx())]
+        new = self._shallow_copy()
+        new._sdf = self._sdf.orderBy(*order)
+        new._explicit_order = True
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def sample(self, frac, seed=None):
+        """Bernoulli row sample (Spark's split-deterministic sampler;
+        use the frame-level keyed sample for cross-engine
+        determinism)."""
+        new = self._shallow_copy()
+        new._sdf = self._sdf.sample(fraction=frac, seed=seed)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def duplicated(self, keep="first"):
+        """Boolean mask of repeated VALUES (pandas semantics: the kept
+        occurrence is decided in index order) — one shuffle on the
+        value, same machinery as the frame flavor."""
+        from pyspark.sql import Window
+
+        from .core import Series
+        c = self._the_col
+        if keep == "first":
+            w = Window.partitionBy(c).orderBy(
+                *[self._idx_at(i).asc() for i in range(self._n_idx())])
+            expr = F.row_number().over(w) > 1
+        elif keep == "last":
+            w = Window.partitionBy(c).orderBy(
+                *[self._idx_at(i).desc() for i in range(self._n_idx())])
+            expr = F.row_number().over(w) > 1
+        elif keep is False:
+            expr = F.count(F.lit(1)).over(Window.partitionBy(c)) > 1
+        else:
+            raise ValueError(
+                'keep must be either "first", "last" or False')
+        sel = [self._idx_at(i).alias(I.idx_name(i))
+               for i in range(self._n_idx())]
+        sel.append(expr.alias(I.col_name(0)))
+        out = Series(self._index, None, self._sdf.select(*sel),
+                     self.name)
+        out._mid_index = getattr(self, "_mid_index", False)
+        out._mid_dense = getattr(self, "_mid_dense", False)
+        out._mid_origin = getattr(self, "_mid_origin", None)
+        out._rows_reordered = True
+        return out
+
+    def drop_duplicates(self, keep="first"):
+        """Keep one occurrence per distinct value (first/last in index
+        order, or drop all repeats with ``keep=False``)."""
+        from pyspark.sql import Window
+        c = self._the_col
+        if keep in ("first", "last"):
+            asc = keep == "first"
+            w = Window.partitionBy(c).orderBy(
+                *[self._idx_at(i).asc() if asc else self._idx_at(i).desc()
+                  for i in range(self._n_idx())])
+            cond = F.row_number().over(w) == 1
+        elif keep is False:
+            cond = F.count(F.lit(1)).over(Window.partitionBy(c)) == 1
+        else:
+            raise ValueError(
+                'keep must be either "first", "last" or False')
+        new = self._shallow_copy()
+        new._sdf = (self._sdf.withColumn("__keep", cond)
+                    .filter(F.col("__keep")).drop("__keep"))
+        new._rows_reordered = True
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def align(self, other, join="outer"):
+        """pandas ``Series.align`` (join='outer'): the pair reindexed
+        onto the union index — ONE full-outer index join feeding BOTH
+        results, exactly the alignment machinery binary ops use."""
+        if join != "outer":
+            raise NotImplementedError("align supports join='outer'")
+        from .core import Series
+        joined, lcol, rcol, idx_exprs, names = self._join_idx(other)
+        sel_idx = [e.alias(I.idx_name(i))
+                   for i, e in enumerate(idx_exprs)]
+
+        def side(col_fn, name):
+            body = joined.select(*sel_idx,
+                                 col_fn(0).alias(I.col_name(0)))
+            s = Series(names, None, body, name)
+            s._rows_reordered = True
+            return s
+
+        return side(lcol, self.name), side(rcol, other.name)

@@ -439,3 +439,91 @@ def test_merge_validate(spark):
         uniq.merge(left, on="k", validate="m:1")
     with pytest.raises(ValueError, match="Not a valid argument"):
         left.merge(uniq, on="k", validate="bogus")
+
+
+def test_series_gapfill_verbs(spark):
+    pdf = pd.Series([3.0, 1.0, 3.0, None, 2.0, 1.0],
+                    index=[10, 11, 12, 13, 14, 15], name="v")
+    s = pas.Series.from_pandas(pdf)
+    # apply == map (elementwise)
+    got = s.apply(lambda v: None if v is None else v * 2).to_pandas()
+    assert got.sort_index().tolist()[:3] == [6.0, 2.0, 6.0]
+    # dropna
+    assert len(s.dropna().to_pandas()) == 5
+    # sort_index
+    assert (s.sort_index(ascending=False).to_pandas().index.tolist()
+            == [15, 14, 13, 12, 11, 10])
+    # duplicated / drop_duplicates — pandas parity
+    for keep in ("first", "last", False):
+        got = s.duplicated(keep=keep).to_pandas().sort_index()
+        want = pdf.duplicated(keep=keep)
+        assert got.tolist() == want.tolist(), keep
+        gd = (s.drop_duplicates(keep=keep).to_pandas().sort_index())
+        wd = pdf.drop_duplicates(keep=keep)
+        assert gd.index.tolist() == wd.index.tolist(), keep
+    # sample returns a plausible subset
+    assert 0 <= len(s.sample(0.5, seed=7).to_pandas()) <= 6
+
+
+def test_series_align(spark):
+    a = pd.Series([1.0, 2.0, 3.0], index=[1, 2, 3], name="a")
+    b = pd.Series([10.0, 30.0, 40.0], index=[1, 3, 4], name="b")
+    sa, sb = (pas.Series.from_pandas(a)
+              .align(pas.Series.from_pandas(b)))
+    wa, wb = a.align(b)
+    ga = sa.to_pandas().sort_index()
+    gb = sb.to_pandas().sort_index()
+    assert ga.index.tolist() == wa.index.tolist()
+    assert _nan_eq(ga.tolist(), wa.tolist())
+    assert _nan_eq(gb.tolist(), wb.tolist())
+
+
+def _nan_eq(xs, ys):
+    return all((pd.isna(x) and pd.isna(y)) or x == y
+               for x, y in zip(xs, ys)) and len(xs) == len(ys)
+
+
+def test_frame_surface_completion(spark):
+    pdf = pd.DataFrame({"a": [1.0, 5.0, 3.0], "b": [9.0, 2.0, 7.0],
+                        "s": ["x", "y", "x"]}, index=[10, 11, 12])
+    df = pas.DataFrame.from_pandas(pdf.reset_index()).set_index("index")
+    # idxmin / idxmax
+    assert df[["a", "b"]].idxmin().to_pandas().tolist() == [10, 11]
+    assert df[["a", "b"]].idxmax().to_pandas().tolist() == [11, 10]
+    # isin (list + dict forms)
+    got = df.isin([1.0, 7.0, "x"]).to_pandas().sort_index()
+    want = pdf.isin([1.0, 7.0, "x"])
+    assert got.values.tolist() == want.values.tolist()
+    got = df.isin({"a": [5.0]}).to_pandas().sort_index()
+    want = pdf.isin({"a": [5.0]})
+    assert got.values.tolist() == want.values.tolist()
+    # select_dtypes
+    assert list(df.select_dtypes(include="number").columns) == ["a", "b"]
+    assert list(df.select_dtypes(exclude="number").columns) == ["s"]
+    # agg dict (single + multi fn)
+    one = df.agg({"a": "sum", "b": "max"}).to_pandas()
+    assert one["a"] == 9.0 and one["b"] == 9.0
+    multi = df.agg({"a": ["sum", "min"]})
+    assert multi.loc["sum", "a"] == 9.0 and multi.loc["min", "a"] == 1.0
+    # where with a Series mask
+    m = df.a > 2.0
+    got = df[["a", "b"]].where(m).to_pandas().sort_index()
+    want = pdf[["a", "b"]].where(pdf.a > 2.0)
+    assert got.isna().values.tolist() == want.isna().values.tolist()
+    # value_counts
+    vc = df[["s"]].value_counts().to_pandas()
+    assert sorted(vc.tolist()) == [1, 2]
+
+
+def test_frame_pivot(spark):
+    pdf = pd.DataFrame({"r": [1, 1, 2, 2], "c": ["x", "y", "x", "y"],
+                        "v": [1.0, 2.0, 3.0, 4.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = (df.pivot(index="r", columns="c", values="v")
+           .to_pandas().sort_index())
+    want = pdf.pivot(index="r", columns="c", values="v")
+    assert got.values.tolist() == want.values.tolist()
+    dup = pas.DataFrame.from_pandas(
+        pd.DataFrame({"r": [1, 1], "c": ["x", "x"], "v": [1.0, 2.0]}))
+    with pytest.raises(ValueError, match="duplicate"):
+        dup.pivot(index="r", columns="c", values="v")
