@@ -18,7 +18,8 @@ from .accessors import to_datetime
 from .operators.asof import merge_asof
 from .relational import crosstab, cut, get_dummies, qcut
 from .sources.io import (read_csv, read_json, read_orc, read_table,
-                         to_csv, to_parquet, write_bucketed)
+                         to_csv, to_json, to_orc, to_parquet,
+                         write_bucketed)
 from .session import close_db, get_session, init_db
 
 __version__ = "0.1.0"
@@ -75,6 +76,8 @@ __all__ = [
     "read_orc",
     "read_table",
     "to_csv",
+    "to_json",
+    "to_orc",
     "to_parquet",
     "write_bucketed",
     "use_repr_workaround",

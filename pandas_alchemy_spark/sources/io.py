@@ -92,3 +92,22 @@ def read_table(table: str, columns=None, index=None):
     — the co-located-join fast path)."""
     from ..core import DataFrame
     return DataFrame.from_table(table, columns=columns, index=index)
+
+
+def to_json(df, path, mode: str = "overwrite") -> None:
+    """Write as JSON-lines (one object per row; index levels included
+    under their labels)."""
+    (df.to_spark(index=df._n_idx() > 0 and not df._mid_index)
+     .write.mode(mode).json(path))
+
+
+def to_orc(df, path, mode: str = "overwrite",
+           partition_by=None) -> None:
+    """Write as ORC (same partitioning contract as to_parquet)."""
+    writer = df.to_spark(index=df._n_idx() > 0 and not df._mid_index) \
+        .write.mode(mode)
+    if partition_by:
+        cols = (partition_by if isinstance(partition_by, list)
+                else [partition_by])
+        writer = writer.partitionBy(*cols)
+    writer.orc(path)

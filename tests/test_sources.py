@@ -81,3 +81,16 @@ def test_bucketed_join_no_shuffle(spark, tmpd):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_json_orc_round_trip(spark, tmp_path):
+    import pandas_alchemy_spark as pas
+    df = pas.read_parquet("/root/testdata/sf0.001/region.parquet")
+    jp, op = str(tmp_path / "j"), str(tmp_path / "o")
+    pas.to_json(df, jp)
+    pas.to_orc(df, op)
+    back_j = pas.read_json(jp).to_pandas().sort_values("r_regionkey")
+    back_o = pas.read_orc(op).to_pandas().sort_values("r_regionkey")
+    want = df.to_pandas().sort_values("r_regionkey")
+    assert back_j["r_name"].tolist() == want["r_name"].tolist()
+    assert back_o["r_name"].tolist() == want["r_name"].tolist()
