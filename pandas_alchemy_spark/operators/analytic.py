@@ -786,6 +786,39 @@ class Rolling:
     def count(self):
         return self._agg("count", self._min_periods or 1)
 
+    def quantile(self, q: float = 0.5):
+        """pandas ``rolling(n).quantile(q)`` (linear interpolation).
+        Spark's percentile aggregates refuse window frames, so both
+        flavors evaluate pandas' own rolling quantile inside the
+        Arrow passes — the global form via the k-row border exchange,
+        the grouped form per group.  Count-based windows only."""
+        q = float(q)
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+        if self._by_time:
+            raise NotImplementedError(
+                "rolling(offset).quantile is not supported — use a "
+                "count-based window")
+        mp = (self._window_n if self._min_periods is None
+              else max(int(self._min_periods), 1))
+        sw = self._sw
+        win = self._window_n
+        if isinstance(sw, SeriesWindow):
+            import numpy as np
+
+            def nanq(a):
+                ok = ~np.isnan(a)
+                return np.quantile(a[ok], q) if ok.any() else np.nan
+
+            from .segscan import rolling_scan
+            return sw._scan_series(
+                lambda tmp, oc: rolling_scan(
+                    tmp, "__v", oc, win, "apply", mp, "__out",
+                    apply_fn=nanq, raw=True))
+        return sw._apply_grouped(
+            lambda pdf: pdf["__v"].astype("float64")
+            .rolling(win, min_periods=mp).quantile(q))
+
     def apply(self, func, raw: bool = True):
         """pandas ``rolling(n).apply(func)`` — the per-window Python
         escape hatch.  COST WARNING: ``func`` runs once per WINDOW in

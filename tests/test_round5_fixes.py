@@ -527,3 +527,28 @@ def test_frame_pivot(spark):
         pd.DataFrame({"r": [1, 1], "c": ["x", "x"], "v": [1.0, 2.0]}))
     with pytest.raises(ValueError, match="duplicate"):
         dup.pivot(index="r", columns="c", values="v")
+
+
+def test_rolling_quantile(spark):
+    rng = np.random.default_rng(131)
+    pdf = pd.DataFrame({"k": rng.integers(0, 4, 1000),
+                        "v": rng.normal(size=1000)})
+    pdf.loc[rng.integers(0, 1000, 80), "v"] = np.nan
+    df = pas.DataFrame.from_pandas(pdf)
+    for q in (0.5, 0.25):
+        got = (df.v.rolling(6, min_periods=3).quantile(q)
+               .to_pandas().sort_index())
+        want = pdf.v.rolling(6, min_periods=3).quantile(q)
+        want.name = got.name
+        pd.testing.assert_series_equal(got, want, check_dtype=False,
+                                       check_index_type=False,
+                                       rtol=1e-12)
+    gg = (df.groupby("k")["v"].rolling(4).quantile(0.75)
+          .to_pandas().sort_index())
+    gw = pdf.groupby("k")["v"].transform(
+        lambda s: s.rolling(4).quantile(0.75))
+    gw.name = gg.name
+    pd.testing.assert_series_equal(gg, gw, check_dtype=False,
+                                   check_index_type=False, rtol=1e-12)
+    with pytest.raises(ValueError, match="q must be"):
+        df.v.rolling(3).quantile(1.5)
