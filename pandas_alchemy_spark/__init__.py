@@ -13,16 +13,29 @@ Spark-era extensions (read_parquet, the ext.* pipeline operators).
 """
 
 from .core import DataFrame, Series, concat
-from .functions.json import from_json, json_extract, to_json
+from .functions.json import from_json, json_extract
+from .functions.json import to_json as _to_json_expr
 from .accessors import to_datetime
 from .operators.asof import merge_asof
 from .relational import crosstab, cut, get_dummies, qcut
 from .sources.io import (read_csv, read_json, read_orc, read_table,
-                         to_csv, to_json, to_orc, to_parquet,
-                         write_bucketed)
+                         to_csv, to_orc, to_parquet, write_bucketed)
+from .sources.io import to_json as _to_json_sink
 from .session import close_db, get_session, init_db
 
 __version__ = "0.1.0"
+
+
+def to_json(obj, path=None, mode: str = "overwrite"):
+    """JSON, both directions of the pandas idiom:
+
+    - ``pas.to_json(series)`` — serialize a nested column
+      (struct/array/map) to JSON strings (one projection, codegen).
+    - ``pas.to_json(df, path)`` — write the frame as JSON-lines.
+    """
+    if path is None:
+        return _to_json_expr(obj)
+    return _to_json_sink(obj, path, mode=mode)
 
 
 def merge(left, right, how="inner", on=None, left_on=None,
