@@ -259,6 +259,297 @@ class GroupBy:
         from .core import Series
         return Series(pd.Index(self._by), pd.Index([None]), sdf, None)
 
+    # ---- frame-level grouped transforms (pandas gb.shift() etc.) ----
+
+    def _capture(self, label):
+        """A SeriesGroupBy whose ``_wrap`` returns the raw Column
+        expression instead of packaging a Series — lets the
+        frame-level transforms assemble every column's grouped window
+        expression into ONE select (all windows share
+        partitionBy(keys), so Catalyst fuses them: one shuffle)."""
+        from .operators.analytic import SeriesGroupBy
+
+        class _Cap(SeriesGroupBy):
+            def _wrap(self, fn):
+                col = self._df._col_at(
+                    self._df._columns.get_loc(self._label))
+                return fn(col)
+
+        return _Cap(self._df, self._by, label)
+
+    def _transform_frame(self, verb, *args, **kw):
+        from .core import DataFrame
+        df = self._df
+        labels = [c for c in df._columns if c not in self._by]
+        n = df._n_idx()
+        sel = [df._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        for j, lab in enumerate(labels):
+            expr = getattr(self._capture(lab), verb)(*args, **kw)
+            sel.append(expr.alias(I.col_name(j)))
+        out = DataFrame(df._index, pd.Index(labels),
+                        df._sdf.select(*sel))
+        out._mid_index = getattr(df, "_mid_index", False)
+        out._mid_dense = getattr(df, "_mid_dense", False)
+        out._mid_origin = getattr(df, "_mid_origin", None)
+        out._rows_reordered = True
+        return out
+
+    def shift(self, periods: int = 1, fill_value=None):
+        """pandas gb.shift(): every non-key column lagged within its
+        group — one fused Window over the keys, single shuffle."""
+        return self._transform_frame("shift", periods, fill_value)
+
+    def diff(self, periods: int = 1):
+        return self._transform_frame("diff", periods)
+
+    def pct_change(self, periods: int = 1):
+        return self._transform_frame("pct_change", periods)
+
+    def cumsum(self):
+        return self._transform_frame("cumsum")
+
+    def cumprod(self):
+        return self._transform_frame("cumprod")
+
+    def cummax(self):
+        return self._transform_frame("cummax")
+
+    def cummin(self):
+        return self._transform_frame("cummin")
+
+    def ffill(self):
+        return self._transform_frame("ffill")
+
+    def bfill(self):
+        return self._transform_frame("bfill")
+
+    def rank(self, method: str = "min", ascending: bool = True,
+             pct: bool = False):
+        return self._transform_frame("rank", method, ascending, pct)
+
+    def transform(self, how):
+        """pandas gb.transform('mean'): every non-key column replaced
+        by its group aggregate, broadcast onto the member rows — one
+        unordered window over the keys (single shuffle)."""
+        return self._transform_frame("transform", how)
+
+    def cumcount(self, ascending: bool = True):
+        """0-based position of each row within its group — one
+        row_number window over the keys (single shuffle)."""
+        from pyspark.sql import Window
+
+        from .core import Series
+        from .operators.analytic import _order_cols
+        df = self._df
+        order = ([c.asc() for c in _order_cols(df)] if ascending
+                 else [c.desc() for c in _order_cols(df)])
+        w = Window.partitionBy(*self._key_cols).orderBy(*order)
+        n = df._n_idx()
+        sel = [df._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        sel.append((F.row_number().over(w) - F.lit(1))
+                   .alias(I.col_name(0)))
+        out = Series(df._index, None, df._sdf.select(*sel), None)
+        out._mid_index = getattr(df, "_mid_index", False)
+        out._mid_dense = getattr(df, "_mid_dense", False)
+        out._mid_origin = getattr(df, "_mid_origin", None)
+        out._rows_reordered = True
+        return out
+
+    def ngroup(self):
+        """Group number in sorted-key order (pandas sort=True
+        iteration order): the dense rank of the key, minus 1 — rides
+        the engine's DISTRIBUTED rank scan (range-partition on the
+        value; no single-partition window).  Single grouping key only
+        (a multi-key ngroup would need a struct-ordered range
+        partitioner)."""
+        if len(self._by) > 1:
+            raise NotImplementedError(
+                "ngroup needs a single grouping key; for multi-key "
+                "groups rank a precomputed key column instead")
+        r = self._df[self._by[0]].rank(method="dense")
+        return (r - 1).astype("long")
+
+    # ---- positional row slices per group ----
+
+    def _pos_filter(self, pred):
+        """Keep member rows by their position within the group: one
+        row_number (+count when needed) window over the keys — single
+        shuffle, parent schema preserved."""
+        from pyspark.sql import Window
+
+        from .core import DataFrame
+        from .operators.analytic import _order_cols
+        df = self._df
+        n = df._n_idx()
+        asc = Window.partitionBy(*self._key_cols).orderBy(
+            *[c.asc() for c in _order_cols(df)])
+        cnt_w = Window.partitionBy(*self._key_cols)
+        rn = F.row_number().over(asc)
+        cnt = F.count(F.lit(1)).over(cnt_w)
+        sel = [df._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        sel += [df._col_at(i).alias(I.col_name(i))
+                for i in range(len(df._columns))]
+        sel.append(pred(rn, cnt).alias("__keep"))
+        out = (df._sdf.select(*sel).where(F.col("__keep"))
+               .drop("__keep"))
+        res = DataFrame(df._index, df._columns, out)
+        res._mid_index = getattr(df, "_mid_index", False)
+        res._mid_dense = getattr(df, "_mid_dense", False)
+        res._mid_origin = getattr(df, "_mid_origin", None)
+        res._rows_reordered = True
+        return res
+
+    def head(self, n: int = 5):
+        """First ``n`` member rows of every group (negative ``n``:
+        all but the last |n|, pandas contract)."""
+        if n >= 0:
+            return self._pos_filter(lambda rn, cnt: rn <= n)
+        return self._pos_filter(lambda rn, cnt: rn <= cnt + n)
+
+    def tail(self, n: int = 5):
+        if n >= 0:
+            return self._pos_filter(lambda rn, cnt: rn > cnt - n)
+        return self._pos_filter(lambda rn, cnt: rn > -n)
+
+    def nth(self, n: int):
+        """The ``n``-th member row of every group (0-based; negative
+        counts from the end); groups shorter than |n| drop."""
+        if n >= 0:
+            return self._pos_filter(lambda rn, cnt: rn == n + 1)
+        return self._pos_filter(lambda rn, cnt: rn == cnt + n + 1)
+
+    # ---- extra grouped aggregations ----
+
+    def _numeric_simple(self, fn):
+        """Like ``_simple`` but over numeric non-key columns only
+        (pandas ``numeric_only`` behavior for the moment stats)."""
+        df = self._df
+        num = {"bigint", "int", "smallint", "tinyint", "double",
+               "float"}
+        labels = [c for i, c in enumerate(df._columns)
+                  if c not in self._by
+                  and df._dtypes()[i].simpleString() in num]
+        return self.agg({c: fn for c in labels})
+
+    def prod(self):
+        return self._numeric_simple("prod")
+
+    def any(self):
+        return self._simple(lambda c: F.coalesce(
+            F.max(c.cast("boolean")), F.lit(False)))
+
+    def all(self):
+        return self._simple(lambda c: F.coalesce(
+            F.min(c.cast("boolean")), F.lit(True)))
+
+    def sem(self):
+        """Per-group standard error of the mean (std / sqrt(n)) —
+        fused into the one hash aggregate."""
+        return self._numeric_simple(
+            lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)))
+
+    def skew(self):
+        """pandas bias-corrected sample skewness per group: Spark's
+        population g1 rescaled by sqrt(n(n-1))/(n-2) (n<3 -> NULL,
+        like pandas NaN) — still one aggregate pass."""
+        def fn(c):
+            n = F.count(c)
+            adj = F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2))
+            return F.when(n >= 3, F.skewness(c.cast("double")) * adj)
+        return self._numeric_simple(fn)
+
+    def kurt(self):
+        """pandas bias-corrected excess kurtosis per group from
+        Spark's population excess g2:
+        ((n+1)g2 + 6)(n-1)/((n-2)(n-3))."""
+        def fn(c):
+            n = F.count(c)
+            num = ((n + F.lit(1)) * F.kurtosis(c.cast("double"))
+                   + F.lit(6)) \
+                * (n - F.lit(1))
+            return F.when(n >= 4, num / ((n - F.lit(2))
+                                         * (n - F.lit(3))))
+        return self._numeric_simple(fn)
+
+    kurtosis = kurt
+
+    def describe(self, percentiles=(0.25, 0.5, 0.75)):
+        """Per-group describe: count/mean/std/min/percentiles/max for
+        every numeric non-key column, fused into ONE hash aggregate
+        (map-side partials).  Columns flatten to ``col_stat`` labels
+        (the engine has no MultiIndex columns — documented
+        deviation)."""
+        df = self._df
+        exprs, labels = [], []
+        for lab in [c for c in df._columns if c not in self._by]:
+            c = df._col_at(df._columns.get_loc(lab))
+            t = df._sdf.select(c).schema[0].dataType.simpleString()
+            if t not in ("bigint", "int", "smallint", "tinyint",
+                         "double", "float"):
+                continue
+            stats = [("count", F.count(c)), ("mean", F.mean(c)),
+                     ("std", F.stddev_samp(c)), ("min", F.min(c))]
+            stats += [(f"{int(p * 100)}%", F.percentile(c, F.lit(p)))
+                      for p in percentiles]
+            stats.append(("max", F.max(c)))
+            for nm, e in stats:
+                exprs.append(e)
+                labels.append(f"{lab}_{nm}")
+        keys = [k.alias(I.idx_name(i))
+                for i, k in enumerate(self._key_cols)]
+        sdf = df._sdf.groupBy(*keys).agg(
+            *[e.alias(I.col_name(i)) for i, e in enumerate(exprs)])
+        from .core import DataFrame
+        return DataFrame(pd.Index(self._by), pd.Index(labels), sdf)
+
+    def value_counts(self, normalize: bool = False):
+        """Per-group counts of unique non-key row combinations —
+        keys+values hash aggregate (one shuffle); ``normalize``
+        divides by the group size via a count window on the keys.
+        Row order is engine-undefined (sort afterwards if needed,
+        pandas sorts by count within group)."""
+        from pyspark.sql import Window
+
+        from .core import Series
+        df = self._df
+        labels = [c for c in df._columns if c not in self._by]
+        nk = len(self._by)
+        keys = [k.alias(I.idx_name(i))
+                for i, k in enumerate(self._key_cols)]
+        vals = [df._col_at(df._columns.get_loc(lab))
+                .alias(I.idx_name(nk + j))
+                for j, lab in enumerate(labels)]
+        grouped = df._sdf.groupBy(*keys, *vals).agg(
+            F.count(F.lit(1)).alias("__n"))
+        if normalize:
+            tot = F.sum("__n").over(Window.partitionBy(
+                *[I.idx_name(i) for i in range(nk)]))
+            out = grouped.select(
+                *[I.idx_name(i) for i in range(nk + len(labels))],
+                (F.col("__n") / tot).alias(I.col_name(0)))
+            name = "proportion"
+        else:
+            out = grouped.select(
+                *[I.idx_name(i) for i in range(nk + len(labels))],
+                F.col("__n").alias(I.col_name(0)))
+            name = "count"
+        s = Series(pd.Index(self._by + labels), None, out, name)
+        s._rows_reordered = True
+        return s
+
+    def sample(self, frac: float, key: str = None,
+               fast_hash: bool = False):
+        """Per-group deterministic sample — delegates to the engine's
+        content-addressed :meth:`RelationalMixin.sample_stratified`
+        machinery with the SAME fraction for every group (one CASE-free
+        scan, zero shuffles).  ``key`` defaults to the first grouping
+        column (the hash input must identify a row's stratum
+        deterministically)."""
+        df = self._df
+        if key is None:
+            key = self._by[0]
+        return df.sample(frac, key=key, fast_hash=fast_hash)
+
 
 class RelationalMixin:
     """DataFrame verbs beyond the reference surface."""
