@@ -532,6 +532,113 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         out._rows_reordered = True
         return out
 
+    # -- frame-level global scans (one fused pass for all columns) ---------
+
+    _NUM_TYPES = ("bigint", "int", "smallint", "tinyint", "double",
+                  "float")
+
+    def _named_with_idx(self):
+        """(tmp_sdf, idx_names): every index level and data column
+        aliased to its internal name — the layout the multi-column
+        scans read."""
+        n = self._n_idx()
+        idx_names = [I.idx_name(i) for i in range(n)]
+        sel = [self._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        sel += [self._col_at(i).alias(I.col_name(i))
+                for i in range(self._n_cols())]
+        return self._sdf.select(*sel), idx_names
+
+    def _pack_scanned(self, scanned, idx_names, out_names):
+        final = scanned.select(
+            *[F.col(nm) for nm in idx_names],
+            *[F.col(out_names.get(I.col_name(i), I.col_name(i)))
+              .alias(I.col_name(i))
+              for i in range(self._n_cols())])
+        out = DataFrame(self._index, self._columns, final)
+        out._mid_index = getattr(self, "_mid_index", False)
+        out._mid_dense = getattr(self, "_mid_dense", False)
+        out._mid_origin = getattr(self, "_mid_origin", None)
+        out._rows_reordered = True
+        return out
+
+    def _require_numeric(self, verb):
+        bad = [str(self._columns[i]) for i, t in enumerate(self._dtypes())
+               if t.simpleString() not in self._NUM_TYPES]
+        if bad:
+            raise TypeError(
+                f"DataFrame.{verb} is numeric-only; non-numeric "
+                f"columns {bad} — select the numeric columns first")
+
+    def _frame_cum(self, op):
+        from .operators.segscan import cum_scan_multi
+        self._require_numeric("cum" + op)
+        tmp, idx_names = self._named_with_idx()
+        vals = [I.col_name(i) for i in range(self._n_cols())]
+        out_names = {c: f"{c}__o" for c in vals}
+        scanned = cum_scan_multi(tmp, vals, idx_names, op,
+                                 [out_names[c] for c in vals])
+        return self._pack_scanned(scanned, idx_names, out_names)
+
+    def cumsum(self):
+        """pandas ``df.cumsum()``: every column's global running sum
+        in ONE fused segmented scan (segscan.cum_scan_multi) — one
+        range shuffle and one pass regardless of column count, no
+        single-partition window."""
+        return self._frame_cum("sum")
+
+    def cumprod(self):
+        return self._frame_cum("prod")
+
+    def cummax(self):
+        return self._frame_cum("max")
+
+    def cummin(self):
+        return self._frame_cum("min")
+
+    def _frame_delta(self, kind, periods, fill_value=None, verb=""):
+        from .operators.segscan import shift_delta_scan_multi
+        if kind != "shift":
+            self._require_numeric(verb)
+        tmp, idx_names = self._named_with_idx()
+        vals = [I.col_name(i) for i in range(self._n_cols())]
+        out_names = {c: f"{c}__o" for c in vals}
+        scanned = shift_delta_scan_multi(
+            tmp, vals, idx_names, periods, kind, fill_value,
+            [out_names[c] for c in vals])
+        return self._pack_scanned(scanned, idx_names, out_names)
+
+    def shift(self, periods: int = 1, fill_value=None):
+        """pandas ``df.shift()``: every column (any dtype) lagged in
+        index order — ONE fused border-exchange scan; the k border
+        rows of all columns travel together."""
+        return self._frame_delta("shift", periods, fill_value)
+
+    def diff(self, periods: int = 1):
+        return self._frame_delta("diff", periods, verb="diff")
+
+    def pct_change(self, periods: int = 1):
+        return self._frame_delta("pct", periods, verb="pct_change")
+
+    def rank(self, method: str = "min", ascending: bool = True,
+             pct: bool = False):
+        """pandas ``df.rank()``: each numeric column ranked globally.
+        Ranks of different columns need DIFFERENT value orders, so the
+        fused one-shuffle form cannot exist; this chains one
+        distributed rank scan per column (k columns -> k range
+        shuffles, no single-partition window, no joins — each scan
+        carries the other columns through)."""
+        from .operators.segscan import rank_scan
+        self._require_numeric("rank")
+        tmp, idx_names = self._named_with_idx()
+        out_names = {}
+        cur = tmp
+        for i in range(self._n_cols()):
+            c = I.col_name(i)
+            out_names[c] = f"{c}__o"
+            cur = rank_scan(cur, c, idx_names, method, ascending,
+                            out_col=f"{c}__o", pct=pct)
+        return self._pack_scanned(cur, idx_names, out_names)
+
     # -- relabeling (metadata-only; reference alchemy.py:277-285) ----------
 
     @utils.copied

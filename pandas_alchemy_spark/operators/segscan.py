@@ -1094,3 +1094,195 @@ def fill_scan(sdf: SparkDF, value_col: str, order_cols,
             yield res
 
     return base.mapInPandas(pass_b, fields)
+
+
+def cum_scan_multi(sdf: SparkDF, value_cols, order_cols, op: str,
+                   out_cols=None, num_partitions=None) -> SparkDF:
+    """Frame-level cumulative ``op`` over MANY columns in ONE fused
+    segmented scan: one range shuffle, one partial-aggregate pass (all
+    columns' partials in a single JVM aggregate), one mapInPandas pass
+    with an independent scalar carry per column.  The multi-column
+    sibling of :func:`cum_scan` — k columns cost what one costs, plus
+    k scalars per partition on the driver."""
+    if op not in _CUM_OPS:
+        raise ValueError(f"unknown cum op {op!r}")
+    agg_fn, local_scan, combine, batch_partial = _CUM_OPS[op]
+    value_cols = list(value_cols)
+    out_cols = (list(out_cols) if out_cols is not None
+                else [f"{c}__cum" for c in value_cols])
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+
+    partials = base.groupBy("__pid").agg(
+        *[agg_fn(F.col(c)).alias(f"__agg_{j}")
+          for j, c in enumerate(value_cols)])
+    ptypes = dict(partials.dtypes)
+    out_types = [ptypes[f"__agg_{j}"] for j in range(len(value_cols))]
+    rows = sorted(partials.collect(), key=lambda r: r["__pid"])
+    fold = _CUM_FOLD[op]
+    prefix: dict[int, list] = {}
+    acc: list = [None] * len(value_cols)
+    for r in rows:
+        prefix[r["__pid"]] = list(acc)
+        for j in range(len(value_cols)):
+            v = r[f"__agg_{j}"]
+            if v is not None:
+                acc[j] = v if acc[j] is None else fold(acc[j], v)
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in sdf.schema.fields)
+    fields += "".join(f", {oc} {t}"
+                      for oc, t in zip(out_cols, out_types))
+    integral = [t in _INTEGRAL for t in out_types]
+
+    def pass_b(it):
+        seeded = False
+        carry = [None] * len(value_cols)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if not seeded:
+                carry = list(prefix.get(int(pdf["__pid"].iloc[0]),
+                                        [None] * len(value_cols)))
+                seeded = True
+            res = pdf.drop(columns=["__pid"]).copy()
+            for j, (c, oc) in enumerate(zip(value_cols, out_cols)):
+                x = pdf[c]
+                loc = local_scan(x)
+                out = (loc if carry[j] is None
+                       else combine(loc, carry[j]))
+                if integral[j]:
+                    out = out.astype("Int64")
+                res[oc] = out
+                part = batch_partial(x)
+                if not pd.isna(part):
+                    carry[j] = (part if carry[j] is None
+                                else _CUM_FOLD[op](carry[j], part))
+            yield res
+
+    return base.mapInPandas(pass_b, fields)
+
+
+def _collect_edges_multi(base: SparkDF, value_cols, k_head: int,
+                         k_tail: int):
+    """One pass over the pinned layout emitting every column's
+    first/last k rows together.  Returns
+    ``{col: (heads, tails)}`` keyed like :func:`_collect_edges`."""
+    n_part = base.rdd.getNumPartitions()
+    need = (k_head + k_tail) * max(n_part, 1)
+    if need > _MAX_BORDER_ROWS:
+        raise ValueError(
+            f"border exchange would collect ~{need} rows per column "
+            f"> {_MAX_BORDER_ROWS}; use the grouped flavor or fewer, "
+            "larger partitions for windows this wide")
+    value_cols = list(value_cols)
+    proj = base.select(*value_cols, "__pid")
+    schema = ", ".join(
+        f"{c} {base.schema[c].dataType.simpleString()}"
+        for c in value_cols) + ", __pid int, __edge string, __ord long"
+
+    def edge_pass(it):
+        head, tail, got_head = [], [], 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if got_head < k_head:
+                take = pdf.iloc[:k_head - got_head]
+                head.append(take)
+                got_head += len(take)
+            if k_tail:
+                tail.append(pdf.iloc[-k_tail:])
+                while (len(tail) > 1
+                       and sum(map(len, tail[1:])) >= k_tail):
+                    tail.pop(0)
+        out = []
+        if head:
+            h = (head[0] if len(head) == 1
+                 else pd.concat(head, ignore_index=True)).copy()
+            h["__edge"] = "h"
+            out.append(h)
+        if tail:
+            t = (pd.concat(tail, ignore_index=True)
+                 .iloc[-k_tail:].copy())
+            t["__edge"] = "t"
+            out.append(t)
+        if out:
+            res = pd.concat(out, ignore_index=True)
+            res["__ord"] = range(len(res))
+            yield res
+
+    edges = {c: ({}, {}) for c in value_cols}
+    rows = proj.mapInPandas(edge_pass, schema).collect()
+    rows.sort(key=lambda r: (r["__pid"], r["__edge"], r["__ord"]))
+    for r in rows:
+        for c in value_cols:
+            heads, tails = edges[c]
+            d = heads if r["__edge"] == "h" else tails
+            d.setdefault(r["__pid"], []).append(r[c])
+    return edges
+
+
+def shift_delta_scan_multi(sdf: SparkDF, value_cols, order_cols,
+                           periods: int = 1, kind: str = "shift",
+                           fill_value=None, out_cols=None,
+                           num_partitions=None) -> SparkDF:
+    """Frame-level shift / diff / pct_change over MANY columns in ONE
+    fused border-exchange scan: one range shuffle, one edge pass
+    shipping every column's k border rows together, one mapInPandas
+    pass.  The multi-column sibling of :func:`shift_scan` /
+    :func:`delta_scan`."""
+    if kind not in ("shift", "diff", "pct"):
+        raise ValueError(
+            f"kind must be 'shift', 'diff' or 'pct', got {kind!r}")
+    value_cols = list(value_cols)
+    out_cols = (list(out_cols) if out_cols is not None
+                else [f"{c}__o" for c in value_cols])
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    in_types = [sdf.schema[c].dataType.simpleString()
+                for c in value_cols]
+    out_types = (in_types if kind in ("shift", "diff")
+                 else ["double"] * len(value_cols))
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in sdf.schema.fields)
+    fields += "".join(f", {oc} {t}"
+                      for oc, t in zip(out_cols, out_types))
+    k_before, k_after = max(periods, 0), max(-periods, 0)
+    edges = _collect_edges_multi(base, value_cols, k_after, k_before)
+    pids = sorted({p for hs, ts in edges.values()
+                   for p in set(hs) | set(ts)})
+    chained = {c: _chain_borders(pids, *edges[c], k_before, k_after)
+               for c in value_cols}
+
+    def pass_b(it):
+        pdf = _whole_partition(it)
+        if pdf is None:
+            return
+        pid = int(pdf["__pid"].iloc[0])
+        res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
+        for c, oc, in_t, out_t in zip(value_cols, out_cols,
+                                      in_types, out_types):
+            before, after = chained[c]
+            if kind == "pct":
+                x = pdf[c].astype("float64")
+            else:
+                x = _to_nullable(pdf[c], in_t)
+            b = pd.Series(before.get(pid, []), dtype=x.dtype)
+            a = pd.Series(after.get(pid, []), dtype=x.dtype)
+            ext = pd.concat([b, x, a], ignore_index=True)
+            if kind == "shift":
+                out = (ext.shift(periods) if fill_value is None
+                       else ext.shift(periods, fill_value=fill_value))
+            elif kind == "diff":
+                out = ext - ext.shift(periods)
+            else:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out = ext / ext.shift(periods) - 1.0
+            out = (out.iloc[len(b):len(b) + len(x)]
+                   .reset_index(drop=True))
+            res[oc] = _to_nullable(out, out_t)
+        yield res
+
+    return base.mapInPandas(pass_b, fields)

@@ -1300,6 +1300,65 @@ class RelationalMixin:
     def std(self, numeric_only=True):
         return self._reduce_columns(F.stddev_samp, numeric_only)
 
+    def var(self, numeric_only=True):
+        return self._reduce_columns(F.var_samp, numeric_only)
+
+    def median(self, numeric_only=True):
+        return self._reduce_columns(F.median, numeric_only)
+
+    def prod(self, numeric_only=True):
+        return self._reduce_columns(F.product, numeric_only)
+
+    product = prod
+
+    def quantile(self, q=0.5, numeric_only=True):
+        q = float(q)
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+        return self._reduce_columns(
+            lambda c: F.percentile(c, F.lit(q)), numeric_only)
+
+    def sem(self, numeric_only=True):
+        """Column standard errors of the mean — std and count fused
+        into the one aggregate pass."""
+        return self._reduce_columns(
+            lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
+            numeric_only)
+
+    def skew(self, numeric_only=True):
+        """pandas bias-corrected sample skewness per column (Spark's
+        population g1 rescaled by sqrt(n(n-1))/(n-2), n<3 -> null)."""
+        def fn(c):
+            n = F.count(c)
+            adj = F.sqrt(n * (n - F.lit(1))) / (n - F.lit(2))
+            return F.when(n >= 3, F.skewness(c.cast("double")) * adj)
+        return self._reduce_columns(fn, numeric_only)
+
+    def kurt(self, numeric_only=True):
+        """pandas bias-corrected excess kurtosis per column:
+        ((n+1)g2 + 6)(n-1)/((n-2)(n-3)) over Spark's population g2."""
+        def fn(c):
+            n = F.count(c)
+            num = ((n + F.lit(1)) * F.kurtosis(c.cast("double"))
+                   + F.lit(6)) * (n - F.lit(1))
+            return F.when(n >= 4, num / ((n - F.lit(2))
+                                         * (n - F.lit(3))))
+        return self._reduce_columns(fn, numeric_only)
+
+    kurtosis = kurt
+
+    def any(self):
+        """Column-wise any over the numeric/boolean columns (pandas:
+        NULL skipped, empty -> False)."""
+        return self._reduce_columns(
+            lambda c: F.coalesce(F.max(c.cast("boolean")),
+                                 F.lit(False)))
+
+    def all(self):
+        return self._reduce_columns(
+            lambda c: F.coalesce(F.min(c.cast("boolean")),
+                                 F.lit(True)))
+
     def duplicated(self, subset=None, keep="first"):
         """Boolean Series marking duplicate rows.  ``keep='first'``:
         row_number over a window partitioned by the key columns,
@@ -1491,6 +1550,257 @@ class RelationalMixin:
         out._mid_index = True
         out._mid_origin = object()
         return out
+
+    # -- alignment-based frame verbs (pandas parity batch) -------------
+
+    def combine_first(self, other):
+        """pandas ``df.combine_first(other)``: self's values with
+        other's filling the nulls — outer column alignment (metadata)
+        + ONE full-outer index join, ``coalesce(l, r)`` per column."""
+        from .core import DataFrame
+        joined_labels, lpos, rpos = self._join_cols(self._columns,
+                                                    other._columns)
+        joined, lcol, rcol, idx, idx_names = self._join_idx(other)
+        cols = [F.coalesce(lcol(i), rcol(j))
+                for i, j in zip(lpos, rpos)]
+        from . import base
+        sdf = base.BaseFrame(idx_names, joined_labels,
+                             joined)._project(idx, cols)
+        out = DataFrame(idx_names, joined_labels, sdf)
+        out._rows_reordered = True
+        return out
+
+    def update(self, other):
+        """pandas ``df.update(other)`` (in place): other's non-null
+        values overwrite self's on shared labels/index — LEFT join on
+        the index (self's rows all survive), ``coalesce(r, l)`` on the
+        shared columns.  One shuffle; AQE broadcasts a small other."""
+        shared = [c for c in self._columns if c in other._columns]
+        joined, lcol, rcol, idx, idx_names = self._join_idx(other)
+        # _join_idx is full-outer; keep only self's rows (left side
+        # non-null marker: its index key)
+        l_idx = joined[f"l_{I.idx_name(0)}"]
+        cols = []
+        for i, lab in enumerate(self._columns):
+            if lab in shared:
+                j = other._columns.get_loc(lab)
+                cols.append(F.coalesce(rcol(j), lcol(i)))
+            else:
+                cols.append(lcol(i))
+        from . import base
+        sdf = base.BaseFrame(self._index, self._columns, joined) \
+            ._project([l_idx], cols)
+        # full-outer rows from other-only indexes have a null l_idx;
+        # pandas update keeps exactly self's rows
+        self._sdf = sdf.where(F.col(I.idx_name(0)).isNotNull())
+        self._rows_reordered = True
+        return None
+
+    def equals(self, other):
+        """Exact frame equality (labels, index, values; null == null)
+        — a COUNT of full-outer-join mismatches (one shuffle, one
+        scalar to the driver)."""
+        if list(self._columns) != list(other._columns):
+            return False
+        if self._n_idx() != other._n_idx():
+            return False
+        joined, lcol, rcol, idx, idx_names = self._join_idx(other)
+        lk = joined[f"l_{I.idx_name(0)}"]
+        rk = joined[f"r_{I.idx_name(0)}"]
+        mism = lk.isNull() | rk.isNull()
+        for i, lab in enumerate(self._columns):
+            j = other._columns.get_loc(lab)
+            mism = mism | ~lcol(i).eqNullSafe(rcol(j))
+        n = joined.where(mism).limit(1).count()
+        return n == 0
+
+    def compare(self, other):
+        """pandas ``df.compare(other)``: the differing cells, as
+        ``col_self`` / ``col_other`` columns (the engine has no
+        MultiIndex columns — documented flattening), rows restricted
+        to those with at least one difference.  Columns must match
+        (pandas contract); all-equal column pairs keep their (all
+        null) columns rather than dropping them — dropping would need
+        an eager extra aggregate."""
+        from .core import DataFrame
+        if list(self._columns) != list(other._columns):
+            raise ValueError(
+                "Can only compare identically-labeled DataFrame "
+                "objects")
+        joined, lcol, rcol, idx, idx_names = self._join_idx(other)
+        diffs = [~lcol(i).eqNullSafe(rcol(i))
+                 for i in range(len(self._columns))]
+        any_diff = diffs[0]
+        for d in diffs[1:]:
+            any_diff = any_diff | d
+        cols, labels = [], []
+        for i, lab in enumerate(self._columns):
+            cols.append(F.when(diffs[i], lcol(i)))
+            labels.append(f"{lab}_self")
+            cols.append(F.when(diffs[i], rcol(i)))
+            labels.append(f"{lab}_other")
+        from . import base
+        marked = base.BaseFrame(idx_names, pd.Index(labels), joined) \
+            ._project(idx, cols + [any_diff])
+        # the any-diff flag rides as one extra projected column, then
+        # filters and drops — no second join
+        flag = I.col_name(len(labels))
+        out = DataFrame(idx_names, pd.Index(labels),
+                        marked.where(F.col(flag)).drop(flag))
+        out._rows_reordered = True
+        return out
+
+    def reindex(self, index):
+        """Conform to a new index: LEFT join from the requested labels
+        (a literal frame) onto self — missing labels become all-null
+        rows, unrequested rows drop.  One shuffle on the index (the
+        label side must be row-preserved, so it cannot be the
+        broadcast build side; AQE still picks the cheap plan).
+        ``index`` is a list/pd.Index of labels."""
+        from .core import DataFrame
+        if self._n_idx() != 1:
+            raise NotImplementedError(
+                "reindex needs a single-level index")
+        spark = self._sdf.sparkSession
+        labels = pd.Index(index)
+        lit = spark.createDataFrame(
+            pd.DataFrame({I.idx_name(0): labels}))
+        joined = lit.join(self._sdf, on=I.idx_name(0), how="left")
+        out = DataFrame(self._index, self._columns, joined)
+        out._rows_reordered = True
+        return out
+
+    def rename_axis(self, name):
+        """Rename the index level(s) — metadata only."""
+        names = [name] if not isinstance(name, list) else name
+        if len(names) != self._n_idx():
+            raise ValueError(
+                f"Length of new names must be {self._n_idx()}, "
+                f"got {len(names)}")
+        new = self._shallow_copy()
+        new._index = pd.Index(names)
+        return new
+
+    def squeeze(self):
+        """1-column frame -> Series (1x1 -> scalar), like pandas."""
+        if self._n_cols() == 1:
+            return self[self._columns[0]].squeeze()
+        return self
+
+    def pop(self, label):
+        """Remove column ``label`` from this frame (in place) and
+        return it as a Series — metadata + one projection."""
+        s = self[label]
+        pos = self._columns.get_loc(label)
+        keep = [i for i in range(self._n_cols()) if i != pos]
+        idx = [self._idx_at(i) for i in range(self._n_idx())]
+        cols = [self._col_at(i) for i in keep]
+        from . import base
+        self._sdf = base.BaseFrame(self._index, self._columns,
+                                   self._sdf)._project(idx, cols)
+        self._columns = pd.Index([self._columns[i] for i in keep])
+        return s
+
+    def insert(self, loc, column, value):
+        """Insert a column at position ``loc`` (in place).  ``value``:
+        scalar or Series (aligned by the assign machinery)."""
+        if column in self._columns:
+            raise ValueError(f"cannot insert {column}, already exists")
+        appended = self.assign(**{str(column): value})
+        order = list(self._columns)
+        order.insert(loc, column)
+        reordered = appended[order]
+        self._sdf = reordered._sdf
+        self._columns = reordered._columns
+        self._index = reordered._index
+
+    def to_dict(self, orient="dict"):
+        """Materializer: collect and delegate to pandas."""
+        return self.to_pandas().to_dict(orient)
+
+    def to_csv(self, path, mode: str = "overwrite",
+               header: bool = True):
+        """Write as CSV — delegates to :func:`sources.io.to_csv`."""
+        from .sources.io import to_csv
+        return to_csv(self, path, mode=mode, header=header)
+
+    def first_valid_index(self):
+        """Index label of the first row with any non-null data value
+        (index order) — one filtered min_by aggregate."""
+        return self._valid_index_end(first=True)
+
+    def last_valid_index(self):
+        return self._valid_index_end(first=False)
+
+    def _valid_index_end(self, first: bool):
+        if self._n_idx() != 1:
+            raise NotImplementedError(
+                "first/last_valid_index need a single-level index")
+        some = self._col_at(0).isNotNull()
+        for i in range(1, self._n_cols()):
+            some = some | self._col_at(i).isNotNull()
+        idx0 = self._idx_at(0)
+        fn = F.min_by if first else F.max_by
+        row = self._sdf.where(some).agg(
+            fn(idx0, idx0).alias("v")).collect()
+        return row[0]["v"] if row else None
+
+    def corrwith(self, other):
+        """Pairwise Pearson correlation of the matching numeric
+        columns — one index-align join + ONE fused aggregate (every
+        pair's corr in a single pass); returns a pandas-backed
+        Series, like pandas."""
+        from .core import Series
+        shared = [c for c in self._columns if c in other._columns]
+        joined, lcol, rcol, idx, idx_names = self._join_idx(other)
+        aggs = []
+        for j, lab in enumerate(shared):
+            li = self._columns.get_loc(lab)
+            ri = other._columns.get_loc(lab)
+            aggs.append(F.corr(lcol(li).cast("double"),
+                               rcol(ri).cast("double"))
+                        .alias(f"__r{j}"))
+        row = joined.agg(*aggs).collect()[0]
+        ser = pd.Series({lab: row[f"__r{j}"]
+                         for j, lab in enumerate(shared)})
+        return Series.from_pandas(ser)
+
+    def dot(self, other):
+        """Matrix product with a SMALL right operand (a pandas
+        DataFrame/engine frame that fits the driver): self (n×d) ·
+        other (d×m) -> n×m.  The right side collects once and becomes
+        plain column expressions — pure projection, no shuffle, no
+        UDF; the canonical 100 TB embedding-projection pattern.
+        Labels must align (self.columns == other.index)."""
+        from .core import DataFrame
+        w = other.to_pandas() if hasattr(other, "to_pandas") else other
+        if list(self._columns) != list(w.index):
+            raise ValueError("matrices are not aligned")
+        n = self._n_idx()
+        sel = [self._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        for j, out_lab in enumerate(w.columns):
+            expr = None
+            for i, lab in enumerate(self._columns):
+                term = self._col_at(i) * F.lit(float(w.loc[lab,
+                                                           out_lab]))
+                expr = term if expr is None else expr + term
+            sel.append(expr.alias(I.col_name(j)))
+        out = DataFrame(self._index, pd.Index(list(w.columns)),
+                        self._sdf.select(*sel))
+        out._mid_index = getattr(self, "_mid_index", False)
+        out._mid_dense = getattr(self, "_mid_dense", False)
+        out._mid_origin = getattr(self, "_mid_origin", None)
+        return out
+
+    def mode(self):
+        """Per-column mode(s), pandas-shaped (columns padded with NaN
+        to the longest mode list) — a materializer composed of each
+        column's Series.mode."""
+        outs = {str(lab): self[lab].mode() for lab in self._columns}
+        width = max((len(v) for v in outs.values()), default=0)
+        data = {lab: list(v) + [float("nan")] * (width - len(v))
+                for lab, v in outs.items()}
+        return pd.DataFrame(data)
 
 
 def cut(ser, bins, labels=None, right=True):
@@ -2164,3 +2474,126 @@ class SeriesRelationalMixin:
             return s
 
         return side(lcol, self.name), side(rcol, other.name)
+
+    def rename(self, name):
+        """Set the series name (metadata only).  Index re-labeling via
+        a dict maps labels through a CASE expression (small dicts;
+        codegen)."""
+        from .core import Series
+        if callable(name):
+            raise NotImplementedError(
+                "rename with a callable is not supported; rename the "
+                "index with a dict or set a scalar name")
+        if isinstance(name, dict):
+            idx = self._idx_at(0)
+            expr = None
+            for old, newv in name.items():
+                cond = idx == F.lit(old)
+                expr = (F.when(cond, F.lit(newv)) if expr is None
+                        else expr.when(cond, F.lit(newv)))
+            expr = expr.otherwise(idx) if expr is not None else idx
+            body = self._sdf.select(
+                expr.alias(I.idx_name(0)),
+                self._the_col.alias(I.col_name(0)))
+            out = Series(self._index, None, body, self.name)
+            out._rows_reordered = getattr(self, "_rows_reordered",
+                                          False)
+            return out
+        new = self._shallow_copy()
+        new.name = name
+        return new
+
+    def reset_index(self, drop: bool = False):
+        """Demote the index: ``drop=False`` -> a 2-column DataFrame
+        (index + values, pandas naming); ``drop=True`` -> the same
+        series on a fresh positional index."""
+        frame = self.to_frame(self.name if self.name is not None
+                              else 0).reset_index()
+        if drop:
+            val_lab = frame._columns[-1]
+            out = frame[val_lab]
+            out.name = self.name
+            return out
+        return frame
+
+    def item(self):
+        """The single value of a length-1 series (pandas contract:
+        anything else raises)."""
+        rows = self._sdf.limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError(
+                "can only convert an array of size 1 to a Python "
+                "scalar")
+        return rows[0][I.col_name(0)]
+
+    def squeeze(self):
+        """Length-1 -> scalar, otherwise self (pandas contract)."""
+        rows = self._sdf.limit(2).collect()
+        if len(rows) == 1:
+            return rows[0][I.col_name(0)]
+        return self
+
+    def equals(self, other):
+        """Exact value+index equality (null == null) — one full-outer
+        join mismatch probe, LIMIT 1."""
+        joined, lcol, rcol, idx, names = self._join_idx(other)
+        lk = joined[f"l_{I.idx_name(0)}"]
+        rk = joined[f"r_{I.idx_name(0)}"]
+        mism = (lk.isNull() | rk.isNull()
+                | ~lcol(0).eqNullSafe(rcol(0)))
+        return joined.where(mism).limit(1).count() == 0
+
+    def update(self, other):
+        """pandas ``Series.update`` (in place): other's non-null
+        values overwrite self's at shared labels — LEFT-preserved
+        full-outer join + coalesce(r, l)."""
+        joined, lcol, rcol, idx, names = self._join_idx(other)
+        lk = joined[f"l_{I.idx_name(0)}"]
+        body = joined.select(
+            lk.alias(I.idx_name(0)),
+            F.coalesce(rcol(0), lcol(0)).alias(I.col_name(0))
+        ).where(F.col(I.idx_name(0)).isNotNull())
+        self._sdf = body
+        self._rows_reordered = True
+        return None
+
+    def repeat(self, repeats: int):
+        """Each element repeated ``repeats`` times (index labels
+        repeat with their values) — ``explode(array_repeat(...))``,
+        a pure generator projection, no shuffle."""
+        from .core import Series
+        if not isinstance(repeats, int) or repeats < 0:
+            raise ValueError(
+                f"repeats must be a non-negative int, got {repeats!r}")
+        body = self._sdf.select(
+            F.col(I.idx_name(0)),
+            F.explode(F.array_repeat(self._the_col,
+                                     repeats)).alias(I.col_name(0)))
+        out = Series(self._index, None, body, self.name)
+        out._rows_reordered = True
+        return out
+
+    def searchsorted(self, value, side: str = "left"):
+        """Insertion point(s) that keep a SORTED series sorted:
+        ``side='left'`` counts values strictly below, ``'right'``
+        counts <= — one fused aggregate for any number of probe
+        values, no sort, no collect of data rows."""
+        if side not in ("left", "right"):
+            raise ValueError(f"side must be 'left' or 'right', "
+                             f"got {side!r}")
+        vals = value if isinstance(value, (list, tuple)) else [value]
+        c = self._the_col
+        aggs = [F.count(F.when(c < F.lit(v) if side == "left"
+                               else c <= F.lit(v), 1)).alias(f"__s{j}")
+                for j, v in enumerate(vals)]
+        row = self._sdf.agg(*aggs).collect()[0]
+        out = [row[f"__s{j}"] for j in range(len(vals))]
+        return out[0] if not isinstance(value, (list, tuple)) else out
+
+    def factorize(self):
+        """pandas ``factorize`` — returns (codes ndarray, uniques
+        Index), which is a DRIVER-SIDE materializer by contract (the
+        arrays are the result).  For the distributed analogs use
+        ``rank(method='dense')`` (codes as a lazy column) or
+        ``groupby(...).ngroup()``."""
+        return self.to_pandas().factorize()

@@ -1,0 +1,275 @@
+"""Frame-level scans + the alignment-based DataFrame/Series parity
+batch (combine_first/update/equals/compare/reindex/dot/corrwith/...).
+
+Frame cum*/shift/diff/pct_change run as ONE fused multi-column
+segmented scan (segscan.cum_scan_multi / shift_delta_scan_multi);
+rank chains one distributed value-partitioned scan per column.  All
+differential vs pandas; plan audits assert no single-partition
+window.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandas_alchemy_spark as pas
+
+PDF = pd.DataFrame({
+    "x": [1.0, np.nan, 3.0, 4.0, 2.0, 2.0],
+    "y": [10, 20, 5, 40, 30, 30],
+})
+
+
+def _cmp(got, want):
+    g = got.to_pandas().sort_index()
+    np.testing.assert_allclose(g.to_numpy(dtype=float),
+                               want.to_numpy(dtype=float),
+                               rtol=1e-12, equal_nan=True)
+
+
+# ----------------------------------------------- fused frame scans
+
+@pytest.mark.parametrize("verb,args", [
+    ("cumsum", ()), ("cumprod", ()), ("cummax", ()), ("cummin", ()),
+    ("shift", (2,)), ("shift", (-1,)), ("diff", (1,)), ("diff", (2,)),
+])
+def test_frame_scan_parity(spark, verb, args):
+    df = pas.DataFrame.from_pandas(PDF)
+    _cmp(getattr(df, verb)(*args), getattr(PDF, verb)(*args))
+
+
+def test_frame_pct_change(spark):
+    df = pas.DataFrame.from_pandas(PDF)
+    _cmp(df.pct_change(1), PDF.pct_change(1, fill_method=None))
+
+
+@pytest.mark.parametrize("method", ["min", "dense", "average", "max",
+                                    "first"])
+def test_frame_rank(spark, method):
+    df = pas.DataFrame.from_pandas(PDF)
+    _cmp(df.rank(method), PDF.rank(method=method))
+    _cmp(df.rank(method, pct=True), PDF.rank(method=method, pct=True))
+
+
+def test_frame_scan_no_single_partition(spark):
+    df = pas.DataFrame.from_pandas(PDF)
+    for out in (df.cumsum(), df.shift(1), df.rank("min")):
+        plan = (out._sdf._jdf.queryExecution().executedPlan()
+                .toString())
+        assert "SinglePartition" not in plan
+        assert "Window" not in plan
+
+
+def test_frame_scan_multibatch(spark):
+    """Carries must thread across Arrow batches (regression for the
+    round-5 batch-boundary bug, multi-column flavor)."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 64)
+    try:
+        n = 4000
+        pdf = pd.DataFrame({"a": np.arange(n, dtype=float),
+                            "b": np.arange(n)[::-1].astype(float)})
+        df = pas.DataFrame.from_pandas(pdf)
+        _cmp(df.cumsum(), pdf.cumsum())
+        _cmp(df.shift(3), pdf.shift(3))
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", 10000)
+
+
+def test_frame_diff_numeric_only_raises(spark):
+    df = pas.DataFrame.from_pandas(pd.DataFrame({"x": [1],
+                                                 "s": ["a"]}))
+    with pytest.raises(TypeError, match="numeric-only"):
+        df.diff()
+    with pytest.raises(TypeError, match="numeric-only"):
+        df.cumsum()
+
+
+def test_frame_shift_keeps_strings(spark):
+    pdf = pd.DataFrame({"x": [1, 2, 3], "s": ["a", "b", "c"]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.shift(1).to_pandas().sort_index()
+    want = pdf.shift(1)
+    assert got["s"].fillna("_").tolist() == \
+        want["s"].fillna("_").tolist()
+
+
+# ------------------------------------------------ frame reductions
+
+@pytest.mark.parametrize("verb", ["var", "median", "prod", "sem",
+                                  "skew", "kurt"])
+def test_frame_reductions(spark, verb):
+    df = pas.DataFrame.from_pandas(PDF)
+    got = getattr(df, verb)().to_pandas().sort_index()
+    want = getattr(PDF, verb)(numeric_only=True).sort_index()
+    np.testing.assert_allclose(got.to_numpy(dtype=float),
+                               want.to_numpy(dtype=float),
+                               rtol=1e-12, equal_nan=True)
+
+
+def test_frame_quantile_any_all(spark):
+    df = pas.DataFrame.from_pandas(PDF)
+    got = df.quantile(0.25).to_pandas().sort_index()
+    want = PDF.quantile(0.25, numeric_only=True).sort_index()
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float), rtol=1e-12)
+    pdfb = pd.DataFrame({"a": [0, 0, 1], "b": [0, 0, 0]})
+    dfb = pas.DataFrame.from_pandas(pdfb)
+    assert df is not None
+    assert dfb.any().to_pandas().sort_index().tolist() == \
+        pdfb.any().sort_index().tolist()
+    assert dfb.all().to_pandas().sort_index().tolist() == \
+        pdfb.all().sort_index().tolist()
+
+
+# -------------------------------------------- alignment-based verbs
+
+def test_combine_first(spark):
+    a = pd.DataFrame({"x": [1.0, np.nan], "y": [np.nan, 4.0]},
+                     index=[0, 1])
+    b = pd.DataFrame({"x": [9.0, 9.0, 9.0], "z": [7.0, 7.0, 7.0]},
+                     index=[0, 1, 2])
+    got = (pas.DataFrame.from_pandas(a)
+           .combine_first(pas.DataFrame.from_pandas(b))
+           .to_pandas().sort_index())
+    want = a.combine_first(b).sort_index()
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False, check_names=False)
+
+
+def test_update(spark):
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [1.0, 1.0, 1.0]})
+    b = pd.DataFrame({"x": [np.nan, 20.0]}, index=[1, 2])
+    da = pas.DataFrame.from_pandas(a)
+    da.update(pas.DataFrame.from_pandas(b))
+    wa = a.copy()
+    wa.update(b)
+    pd.testing.assert_frame_equal(da.to_pandas().sort_index(), wa,
+                                  check_dtype=False, check_names=False)
+
+
+def test_equals(spark):
+    a = pas.DataFrame.from_pandas(PDF)
+    b = pas.DataFrame.from_pandas(PDF)
+    c = pas.DataFrame.from_pandas(PDF.assign(y=PDF["y"] + 1))
+    assert a.equals(b)
+    assert not a.equals(c)
+
+
+def test_compare(spark):
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [5.0, 6.0, 7.0]})
+    b = pd.DataFrame({"x": [1.0, 99.0, 3.0], "y": [5.0, 6.0, 70.0]})
+    got = (pas.DataFrame.from_pandas(a)
+           .compare(pas.DataFrame.from_pandas(b))
+           .to_pandas().sort_index())
+    assert len(got) == 2  # rows 1 and 2 differ
+    assert got.loc[1, "x_self"] == 2.0 and got.loc[1, "x_other"] == 99.0
+    assert np.isnan(got.loc[1, "y_self"])
+    assert got.loc[2, "y_other"] == 70.0
+
+
+def test_reindex(spark):
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0]})
+    got = (pas.DataFrame.from_pandas(a).reindex([2, 0, 5])
+           .to_pandas().sort_index())
+    want = a.reindex([2, 0, 5]).sort_index()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_names=False)
+
+
+def test_rename_axis_squeeze_pop_insert(spark):
+    df = pas.DataFrame.from_pandas(PDF)
+    assert list(df.rename_axis("rid")._index) == ["rid"]
+    one = pas.DataFrame.from_pandas(PDF[["x"]])
+    s = one.squeeze()
+    assert s.to_pandas().sort_index().tolist()[2] == 3.0
+    d2 = pas.DataFrame.from_pandas(PDF.copy())
+    popped = d2.pop("x")
+    assert list(d2.columns) == ["y"]
+    assert popped.to_pandas().sort_index().fillna(-1).tolist() == \
+        PDF["x"].fillna(-1).tolist()
+    d2.insert(0, "z", 1.5)
+    assert list(d2.columns) == ["z", "y"]
+    assert d2.to_pandas()["z"].iloc[0] == 1.5
+
+
+def test_to_dict_and_valid_index(spark):
+    df = pas.DataFrame.from_pandas(PDF)
+    assert df.to_dict()["y"][3] == 40
+    holes = pd.DataFrame({"x": [np.nan, 1.0, np.nan, 2.0, np.nan]})
+    dh = pas.DataFrame.from_pandas(holes)
+    assert dh.first_valid_index() == holes.first_valid_index()
+    assert dh.last_valid_index() == holes.last_valid_index()
+
+
+def test_corrwith_dot_mode(spark):
+    a = PDF.fillna(0.0)
+    b = pd.DataFrame({"x": a["x"] * 2 + 1, "y": -a["y"]})
+    got = (pas.DataFrame.from_pandas(a)
+           .corrwith(pas.DataFrame.from_pandas(b))
+           .to_pandas().sort_index())
+    want = a.corrwith(b).sort_index()
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float), rtol=1e-9)
+    w = pd.DataFrame({"p": [1.0, 0.5], "q": [0.0, 2.0]},
+                     index=["x", "y"])
+    gdot = pas.DataFrame.from_pandas(a).dot(w).to_pandas().sort_index()
+    pd.testing.assert_frame_equal(gdot, a.dot(w), check_dtype=False,
+                                  check_names=False)
+    gm = pas.DataFrame.from_pandas(a).mode()
+    wm = a.mode()
+    np.testing.assert_allclose(gm[["x", "y"]].to_numpy(float),
+                               wm.to_numpy(float), equal_nan=True)
+
+
+# -------------------------------------------------- Series batch
+
+def test_series_rename_reset_index(spark):
+    s = pas.Series.from_list([1, 2, 3], name="v")
+    assert s.rename("w").name == "w"
+    ren = s.rename({0: 10}).to_pandas().sort_index()
+    assert 10 in ren.index
+    fr = s.reset_index()
+    assert fr.to_pandas().shape == (3, 2)
+    dropped = s.reset_index(drop=True)
+    assert dropped.to_pandas().sort_index().tolist() == [1, 2, 3]
+
+
+def test_series_item_squeeze_equals(spark):
+    one = pas.Series.from_list([42], name="v")
+    assert one.item() == 42
+    assert one.squeeze() == 42
+    many = pas.Series.from_list([1, 2], name="v")
+    with pytest.raises(ValueError, match="size 1"):
+        many.item()
+    assert many.squeeze() is many
+    assert many.equals(pas.Series.from_list([1, 2]))
+    assert not many.equals(pas.Series.from_list([1, 3]))
+
+
+def test_series_update_repeat(spark):
+    s = pas.Series.from_list([1.0, 2.0, 3.0], name="v")
+    o = pas.Series.from_list([10.0, np.nan, 30.0], name="v")
+    s.update(o)
+    ps = pd.Series([1.0, 2.0, 3.0])
+    ps.update(pd.Series([10.0, np.nan, 30.0]))
+    assert s.to_pandas().sort_index().tolist() == ps.tolist()
+    r = pas.Series.from_list([1, 2], name="v").repeat(3)
+    pr = pd.Series([1, 2]).repeat(3)
+    assert sorted(r.to_pandas().tolist()) == sorted(pr.tolist())
+    assert len(r.to_pandas().index) == 6
+
+
+def test_series_searchsorted_factorize(spark):
+    s = pas.Series.from_list([1, 3, 3, 7], name="v")
+    ps = pd.Series([1, 3, 3, 7])
+    for side in ("left", "right"):
+        assert s.searchsorted(3, side=side) == \
+            ps.searchsorted(3, side=side)
+    assert s.searchsorted([0, 3, 9]) == [0, 1, 4]
+    codes, uniq = s.factorize()
+    pc, pu = ps.factorize()
+    assert list(codes) == list(pc)
+    assert list(uniq) == list(pu)
