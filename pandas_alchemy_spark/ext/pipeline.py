@@ -76,3 +76,67 @@ def curation_stats(curated: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.countDistinct("shard", "bin").alias("n_bins"),
         F.round(F.avg("q_score"), 6).alias("avg_quality"))
+
+
+def mix_corpora(docs: DataFrame, weights: dict, by: str = "source",
+                unit_col: str | None = None,
+                target_units: float | None = None,
+                id_col: str = "doc_id",
+                fast_hash: bool = False) -> DataFrame:
+    """Deterministic mixture sampling: downsample each domain so the
+    sampled corpus matches the requested mixture ``weights`` — the
+    training-data domain-rebalancing step (Pile/DoReMi-style static
+    weights).
+
+    ``weights`` maps domain value (of column ``by``) -> relative
+    weight (normalized internally); domains outside ``weights`` drop.
+    ``unit_col`` is what the mixture is measured in (e.g. a token
+    count column; None = document count).  ``target_units`` caps the
+    total sampled size; by default the mixture is scaled to the
+    LARGEST feasible corpus (no domain oversampled):
+    ``T = min_d(available_d / w_d)``, the epoch-free maximum.
+
+    Plan shape: ONE small aggregate (|domains| rows to the driver)
+    to size the availability, then one content-addressed CASE filter
+    over ``md5(id)`` (xxhash64 with ``fast_hash=True``) — the exact
+    :meth:`~..relational.RelationalMixin.sample_stratified` predicate:
+    zero shuffles on the corpus, reproducible across runs and
+    engines, sampling decision embarrassingly parallel at 100 TB.
+    """
+    from ..relational import _hash_threshold
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    unit = F.col(unit_col) if unit_col else F.lit(1)
+    dom = F.col(by)
+    avail_rows = (docs.filter(dom.isin(list(weights)))
+                  .groupBy(by).agg(F.sum(unit).alias("__avail"))
+                  .collect())
+    avail = {r[by]: float(r["__avail"]) for r in avail_rows}
+    if not avail:
+        raise ValueError(
+            f"no rows match any of the {len(weights)} domains in "
+            f"column {by!r}")
+    wsum = float(sum(weights.values()))
+    w = {d: weights[d] / wsum for d in weights if weights[d] > 0}
+    feasible = min(avail[d] / w[d] for d in w if d in avail)
+    T = (feasible if target_units is None
+         else min(float(target_units), feasible))
+    fracs = {d: min(1.0, round(w[d] * T / avail[d], 9))
+             for d in w if d in avail}
+
+    k = F.col(id_col)
+    if fast_hash:
+        bucket = F.pmod(F.xxhash64(k), F.lit(1 << 32))
+        scale = 1 << 32
+    else:
+        bucket = F.conv(
+            F.substring(F.md5(k.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        scale = 1 << 60
+    thr = F.lit(None).cast("long")
+    for v, fr in fracs.items():
+        thr = F.when(dom == F.lit(v),
+                     F.lit(_hash_threshold(fr, scale))).otherwise(thr)
+    return docs.filter(bucket < thr)

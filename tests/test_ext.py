@@ -364,3 +364,48 @@ def test_fast_hash_minhash_agrees_with_md5_path(spark):
     assert slow and fast
     inter = len(slow & fast)
     assert inter / max(len(slow), len(fast)) >= 0.9
+
+
+# --------------------------------------------------- corpus mixture
+
+def test_mix_corpora_weights(docs):
+    """Equal-weight mixture: every domain's sampled unit total lands
+    near the limiting domain's total; the limiting domain survives
+    whole (frac 1.0)."""
+    from pandas_alchemy_spark.ext.pipeline import mix_corpora
+    weights = {"en": 1, "de": 1, "fr": 1}
+    mixed = mix_corpora(docs, weights, by="lang")
+    counts = {r["lang"]: r["count"]
+              for r in mixed.groupBy("lang").count().collect()}
+    avail = {r["lang"]: r["count"]
+             for r in docs.groupBy("lang").count().collect()}
+    limiting = min(weights, key=lambda d: avail[d])
+    assert counts[limiting] == avail[limiting]
+    target = avail[limiting]
+    for d in weights:
+        assert abs(counts[d] - target) / target < 0.5  # binomial slop
+    # domains outside the mixture drop entirely
+    assert set(counts) == set(weights)
+
+
+def test_mix_corpora_target_and_determinism(docs):
+    from pandas_alchemy_spark.ext.pipeline import mix_corpora
+    a = mix_corpora(docs, {"en": 2, "zh": 1}, by="lang",
+                    unit_col="n_chars", target_units=20000)
+    b = mix_corpora(docs, {"en": 2, "zh": 1}, by="lang",
+                    unit_col="n_chars", target_units=20000)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b
+    total = a.agg(F.sum("n_chars")).collect()[0][0]
+    assert total < 2 * 20000  # capped near the target
+
+
+def test_mix_corpora_validation(docs):
+    from pandas_alchemy_spark.ext.pipeline import mix_corpora
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_corpora(docs, {}, by="lang")
+    with pytest.raises(ValueError, match="non-negative"):
+        mix_corpora(docs, {"en": -1}, by="lang")
+    with pytest.raises(ValueError, match="no rows"):
+        mix_corpora(docs, {"klingon": 1}, by="lang")
