@@ -277,14 +277,23 @@ class GroupBy:
 
         return _Cap(self._df, self._by, label)
 
-    def _transform_frame(self, verb, *args, **kw):
+    def _transform_frame_fn(self, make_col):
+        """``make_col(capture) -> Column`` applied to every non-key
+        column, assembled into ONE select (single fused shuffle)."""
+        from pyspark.sql import Column
+
         from .core import DataFrame
         df = self._df
         labels = [c for c in df._columns if c not in self._by]
         n = df._n_idx()
         sel = [df._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
         for j, lab in enumerate(labels):
-            expr = getattr(self._capture(lab), verb)(*args, **kw)
+            expr = make_col(self._capture(lab))
+            if not isinstance(expr, Column):
+                raise NotImplementedError(
+                    "this verb is not expression-backed in the "
+                    "grouped flavor; use the per-column form "
+                    "gb[col].<verb>() instead")
             sel.append(expr.alias(I.col_name(j)))
         out = DataFrame(df._index, pd.Index(labels),
                         df._sdf.select(*sel))
@@ -293,6 +302,23 @@ class GroupBy:
         out._mid_origin = getattr(df, "_mid_origin", None)
         out._rows_reordered = True
         return out
+
+    def _transform_frame(self, verb, *args, **kw):
+        return self._transform_frame_fn(
+            lambda cap: getattr(cap, verb)(*args, **kw))
+
+    def rolling(self, window, min_periods=None):
+        """Frame-level grouped rolling: every non-key column's
+        rolling aggregate in one fused Window select (single shuffle).
+        A str window ('7D') switches to the time-offset RANGE frame."""
+        from .operators.analytic import Rolling
+        return _FrameGroupedWindow(
+            self, lambda cap: Rolling(cap, window, min_periods))
+
+    def expanding(self, min_periods: int = 1):
+        from .operators.analytic import Expanding
+        return _FrameGroupedWindow(
+            self, lambda cap: Expanding(cap, min_periods))
 
     def shift(self, periods: int = 1, fill_value=None):
         """pandas gb.shift(): every non-key column lagged within its
@@ -549,6 +575,27 @@ class GroupBy:
         if key is None:
             key = self._by[0]
         return df.sample(frac, key=key, fast_hash=fast_hash)
+
+
+class _FrameGroupedWindow:
+    """Frame-flavor grouped rolling/expanding handle: each aggregate
+    fans the per-column window expressions into one fused select."""
+
+    _AGGS = ("sum", "mean", "min", "max", "std", "var", "count",
+             "median", "quantile")
+
+    def __init__(self, gb, make_handle):
+        self._gb = gb
+        self._make = make_handle
+
+    def _agg(self, name, *args):
+        return self._gb._transform_frame_fn(
+            lambda cap: getattr(self._make(cap), name)(*args))
+
+    def __getattr__(self, name):
+        if name in self._AGGS:
+            return lambda *args: self._agg(name, *args)
+        raise AttributeError(name)
 
 
 class RelationalMixin:

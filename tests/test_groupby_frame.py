@@ -199,3 +199,25 @@ def test_sample_deterministic(spark):
     b = df.groupby("k").sample(0.5, key="v").to_pandas()
     pd.testing.assert_frame_equal(a, b)
     assert 0.3 < len(a) / len(pdf) < 0.7
+
+
+# --------------------------------- frame-level rolling / expanding
+
+def test_frame_grouped_rolling_expanding(spark):
+    df = _frame(spark)
+    got = df.groupby("k").rolling(2).sum().to_pandas().sort_index()
+    want = (PDF.groupby("k")[["x", "y"]].rolling(2).sum()
+            .reset_index(level=0, drop=True).sort_index())
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float), equal_nan=True)
+    got = df.groupby("k").expanding().mean().to_pandas().sort_index()
+    want = (PDF.groupby("k")[["x", "y"]].expanding().mean()
+            .reset_index(level=0, drop=True).sort_index())
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float), equal_nan=True)
+
+
+def test_frame_grouped_rolling_median_raises(spark):
+    df = _frame(spark)
+    with pytest.raises(NotImplementedError, match="per-column"):
+        df.groupby("k").rolling(3).median()
