@@ -584,7 +584,33 @@ def q_groupby_apply(spark, sf_dir):
         F.col("l_returnflag").alias("rf"),
         F.col("n").cast("long").alias("k"),
         F.col("qty").cast("double").alias("v"))
-    return apply_leg.unionAll(filter_leg)
+    # round-5 fold: positional GroupBy slices (head/nth — one
+    # row_number window over the keys) and the numbering verbs
+    # (cumcount sum; ngroup sum via the distributed dense-rank scan).
+    # Index = o_orderkey, so "position within group" is deterministic
+    # (the engine's documented index-order contract).
+    o = pas.read_parquet(_t(sf_dir, "orders")).set_index("o_orderkey")
+    osub = o[["o_orderpriority", "o_totalprice"]]
+    gb = osub.groupby("o_orderpriority")
+    hd = gb.head(2).reset_index()
+    head_leg = hd.to_spark(index=False).select(
+        F.lit("h").alias("tag"),
+        F.col("o_orderpriority").alias("rf"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.round("o_totalprice", 2).alias("v"))
+    nt = gb.nth(1).reset_index()
+    nth_leg = nt.to_spark(index=False).select(
+        F.lit("n").alias("tag"),
+        F.col("o_orderpriority").alias("rf"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.lit(None).cast("double").alias("v"))
+    cc_total = int(gb.cumcount().sum())
+    ng_total = int(gb.ngroup().sum())
+    num_leg = spark.createDataFrame(
+        [("c", "*", cc_total, None), ("g", "*", ng_total, None)],
+        "tag string, rf string, k long, v double")
+    return (apply_leg.unionAll(filter_leg).unionAll(head_leg)
+            .unionAll(nth_leg).unionAll(num_leg))
 
 
 def q10_returned(spark, sf_dir):
@@ -1473,6 +1499,30 @@ def q_stats_summary(spark, sf_dir):
         "cov double, sd double")
 
 
+def q_moment_stats(spark, sf_dir):
+    """Round-5 moment reductions: frame skew/kurt/sem with the pandas
+    bias corrections (Spark population g1/g2 rescaled; DuckDB's
+    skewness/kurtosis are ALREADY the sample-corrected forms, so the
+    oracle reads them directly — the correction formulas must agree
+    exactly for the hash to match) + Series.searchsorted (a fused
+    counting aggregate, exact ints)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    fr = li[["l_quantity", "l_extendedprice"]]
+    sk = fr.skew().to_pandas()
+    ku = fr.kurt().to_pandas()
+    se = fr.sem().to_pandas()
+    ssl = li.l_quantity.searchsorted(25.0, side="left")
+    ssr = li.l_quantity.searchsorted(25.0, side="right")
+    return spark.createDataFrame(
+        [(round(float(sk.iloc[0]), 6), round(float(sk.iloc[1]), 6),
+          round(float(ku.iloc[0]), 6), round(float(se.iloc[1]), 4),
+          int(ssl), int(ssr))],
+        "skew_qty double, skew_price double, kurt_qty double, "
+        "sem_price double, ss_left bigint, ss_right bigint")
+
+
 def q_idx_extrema(spark, sf_dir):
     """Series.idxmax/idxmin — max_by/min_by aggregates (one pass,
     map-side partial; no global sort)."""
@@ -1841,10 +1891,38 @@ def q_literal_frames(spark, sf_dir):
 def q_align_suite(spark, sf_dir):
     """Alignment suite (union with a tag): Series+Series full-outer
     index join; DataFrame+DataFrame column-label alignment with NULL
-    columns for unmatched labels."""
+    columns for unmatched labels.
+
+    Round-5 fold: a ``cmb`` leg drives ``DataFrame.combine_first``
+    (full-outer index join + coalesce per column) over two
+    overlapping customer slices, and an ``eq`` leg pins
+    ``DataFrame.equals`` (the mismatch-probe join) — equal rebuild
+    -> 1.0, value-perturbed twin -> 0.0."""
+    import pandas_alchemy_spark as pas
     _prep(spark)
     a = q_align_add_outer(spark, sf_dir)
     b = q_col_align_nulls(spark, sf_dir)
+    c = pas.read_parquet(_t(sf_dir, "customer"))
+    lo = c[c.c_custkey < 1000].set_index("c_custkey")
+    fa = lo.c_acctbal.where(lo.c_acctbal > 0).to_frame("bal")
+    hi = c[c.c_custkey >= 500].set_index("c_custkey")
+    fb = (hi.c_acctbal * 2).to_frame("bal")
+    cmb = fa.combine_first(fb).reset_index()
+    cmb_leg = cmb.to_spark(index=False).select(
+        F.lit("cmb").alias("tag"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.round("bal", 2).alias("x"),
+        F.lit(None).cast("double").alias("y"),
+        F.lit(None).cast("double").alias("z"))
+    lo2 = c[c.c_custkey < 1000].set_index("c_custkey")
+    fa2 = lo2.c_acctbal.where(lo2.c_acctbal > 0).to_frame("bal")
+    perturbed = (lo2.c_acctbal.where(lo2.c_acctbal > 0) + 1) \
+        .to_frame("bal")
+    e1 = fa.equals(fa2)
+    e2 = fa.equals(perturbed)
+    eq_leg = spark.createDataFrame(
+        [("eq", "*", 1.0 if e1 else 0.0, 1.0 if e2 else 0.0, None)],
+        "tag string, key string, x double, y double, z double")
     nd = F.lit(None).cast("double")
     return (a.select(F.lit("idx").alias("tag"),
                      F.col("o_custkey").cast("string").alias("key"),
@@ -1852,17 +1930,37 @@ def q_align_suite(spark, sf_dir):
                      nd.alias("y"), nd.alias("z"))
             .unionAll(b.select(F.lit("col").alias("tag"),
                                F.col("l_returnflag").alias("key"),
-                               "x", "y", "z")))
+                               "x", "y", "z"))
+            .unionAll(cmb_leg).unionAll(eq_leg))
 
 
 def q_positional_suite(spark, sf_dir):
     """Positional-access suite (union with a tag): nlargest+head,
-    sorted tail via rowid predicate, .iat scalar, iloc row slice."""
+    sorted tail via rowid predicate, .iat scalar, iloc row slice.
+
+    Round-5 fold: an ``fscan`` leg drives the FUSED multi-column
+    segmented scans (segscan.cum_scan_multi + shift_delta_scan_multi
+    behind ``DataFrame.cumsum``/``DataFrame.shift``) — exact-cents
+    running total (int64, no float contract needed) and a lagged
+    custkey, sampled every 997th orderkey to keep the row budget."""
+    import pandas_alchemy_spark as pas
     _prep(spark)
     h = q_head_sorted(spark, sf_dir)
     t = q_tail_sorted(spark, sf_dir)
     i = q_iat_scalar(spark, sf_dir)
     s = q_iloc_slice(spark, sf_dir)
+    o = pas.read_parquet(_t(sf_dir, "orders")).set_index("o_orderkey")
+    fr = o[["o_custkey"]].assign(
+        cents=(o.o_totalprice * 100).round(0).astype("long"))
+    cum = fr.cumsum()["cents"]
+    lagged = fr.shift(1)["o_custkey"]
+    combined = cum.to_frame("cum").assign(lagged=lagged).reset_index()
+    sampled = combined[combined["o_orderkey"] % 997 == 0]
+    fs = sampled.to_spark(index=False).select(
+        F.lit("fscan").alias("tag"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("lagged").cast("long").alias("o_custkey"),
+        F.col("cum").cast("double").alias("o_totalprice"))
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     return (h.select(F.lit("head").alias("tag"), F.col("o_orderkey"),
@@ -1874,7 +1972,8 @@ def q_positional_suite(spark, sf_dir):
             .unionAll(i.select(F.lit("iat").alias("tag"), "o_orderkey",
                                nl.alias("o_custkey"), "o_totalprice"))
             .unionAll(s.select(F.lit("iloc").alias("tag"), "o_orderkey",
-                               "o_custkey", "o_totalprice")))
+                               "o_custkey", "o_totalprice"))
+            .unionAll(fs))
 
 
 def q_customer_scalar(spark, sf_dir):
@@ -2041,11 +2140,12 @@ def q_scalar_suite(spark, sf_dir):
     du = q_dup_stats(spark, sf_dir)
     fr = q_frame_reduce(spark, sf_dir)
     st = q_stats_summary(spark, sf_dir)
+    mo = q_moment_stats(spark, sf_dir)
     # every part is a one-row aggregate; coalesce(1) before the cross
     # joins or the product of shuffle partitions fans out into
     # thousands of empty tasks
     out = fi.coalesce(1)
-    for part in (cu, gd, sa, ie, du, fr, st):
+    for part in (cu, gd, sa, ie, du, fr, st, mo):
         out = out.crossJoin(part.coalesce(1))
     return out
 
@@ -2966,6 +3066,33 @@ def oracle_sql() -> dict[str, str]:
                    WHERE l_orderkey < 100
                    GROUP BY 1 HAVING sum(l_quantity) > 3250)
             GROUP BY l_returnflag
+            UNION ALL
+            SELECT 'h', o_orderpriority, o_orderkey,
+                   round(o_totalprice, 2)
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_orderpriority
+                                            ORDER BY o_orderkey) AS rn
+                  FROM orders) t WHERE rn <= 2
+            UNION ALL
+            SELECT 'n', o_orderpriority, o_orderkey, NULL::DOUBLE
+            FROM (SELECT o_orderpriority, o_orderkey,
+                         row_number() OVER (PARTITION BY o_orderpriority
+                                            ORDER BY o_orderkey) AS rn
+                  FROM orders) t WHERE rn = 2
+            UNION ALL
+            -- cumcount sum = sum over groups of n(n-1)/2
+            SELECT 'c', '*',
+                   sum(n * (n - 1) / 2)::BIGINT, NULL::DOUBLE
+            FROM (SELECT count(*) AS n FROM orders
+                  GROUP BY o_orderpriority) t
+            UNION ALL
+            -- ngroup sum = sum of group_size * (dense rank - 1)
+            SELECT 'g', '*',
+                   sum(n * (r - 1))::BIGINT, NULL::DOUBLE
+            FROM (SELECT count(*) AS n,
+                         dense_rank() OVER (ORDER BY o_orderpriority)
+                           AS r
+                  FROM orders GROUP BY o_orderpriority) t
         """,
         "q10_returned": """
             SELECT c.c_custkey, c.c_name, n.n_name,
@@ -3586,6 +3713,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'col', l_returnflag, x, y, z
             FROM {sub("col_align_nulls")}
+            UNION ALL
+            SELECT 'cmb', coalesce(a.c_custkey, b.c_custkey)::VARCHAR,
+                   round(coalesce(a.bal, b.bal), 2),
+                   NULL::DOUBLE, NULL::DOUBLE
+            FROM (SELECT c_custkey,
+                         CASE WHEN c_acctbal > 0 THEN c_acctbal END
+                           AS bal
+                  FROM customer WHERE c_custkey < 1000) a
+            FULL JOIN (SELECT c_custkey, c_acctbal * 2 AS bal
+                       FROM customer WHERE c_custkey >= 500) b
+              ON a.c_custkey = b.c_custkey
+            UNION ALL
+            -- equals contract: equal rebuild -> 1, perturbed -> 0
+            SELECT 'eq', '*', 1.0, 0.0, NULL::DOUBLE
         """,
         "positional_suite": f"""
             SELECT 'head' AS tag, o_orderkey, NULL::BIGINT AS o_custkey,
@@ -3600,6 +3741,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'iloc', o_orderkey, o_custkey, o_totalprice
             FROM {sub("iloc_slice")}
+            UNION ALL
+            -- fused frame scans: exact-cents running sum + lag(1),
+            -- sampled every 997th orderkey (windows run pre-filter)
+            SELECT 'fscan', o_orderkey,
+                   lag(o_custkey) OVER w AS o_custkey,
+                   (sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    OVER w)::DOUBLE AS o_totalprice
+            FROM orders
+            WINDOW w AS (ORDER BY o_orderkey)
+            QUALIFY o_orderkey % 997 = 0
         """,
         "customer_scalar": f"""
             SELECT a.c_custkey, a.bal_clip, a.bal_abs, b.bal_rank
@@ -3746,7 +3897,19 @@ def oracle_sql() -> dict[str, str]:
               {sub("idx_extrema")},
               {sub("dup_stats")},
               {sub("frame_reduce")},
-              {sub("stats_summary")}
+              {sub("stats_summary")},
+              (SELECT round(skewness(l_quantity), 6) AS skew_qty,
+                      round(skewness(l_extendedprice), 6)
+                        AS skew_price,
+                      round(kurtosis(l_quantity), 6) AS kurt_qty,
+                      round(stddev_samp(l_extendedprice)
+                            / sqrt(count(l_extendedprice)), 4)
+                        AS sem_price,
+                      count(CASE WHEN l_quantity < 25.0 THEN 1
+                            END)::BIGINT AS ss_left,
+                      count(CASE WHEN l_quantity <= 25.0 THEN 1
+                            END)::BIGINT AS ss_right
+               FROM lineitem)
         """,
         "bins_suite": f"""
             SELECT 'cut' AS tag, bin, n, avg_price AS metric
