@@ -82,6 +82,14 @@ def main():
             "o_orderkey")
         return o["o_totalprice"].rolling(5).mean().to_spark()
 
+    def frame_scan(spark_, sf_dir_):
+        # round-5 FUSED multi-column scan: frame cumsum over two
+        # columns in one range shuffle + one pass (cum_scan_multi)
+        import pandas_alchemy_spark as pas
+        o = pas.read_parquet(f"{sf_dir_}/orders.parquet").set_index(
+            "o_orderkey")
+        return o[["o_totalprice", "o_custkey"]].cumsum().to_spark()
+
     # per-operator functions are referenced DIRECTLY (several are now
     # folded into combined queries() entries for the driver's 50-entry
     # correctness window) so per-query times stay comparable with
@@ -128,6 +136,7 @@ def main():
         "fingerprint": E.q_fingerprint,
         "langid": E.q_langid,
         "border_scan": border_scan,
+        "frame_scan": frame_scan,
     }
 
     # warm the JVM + parquet footers with a trivial action, and the

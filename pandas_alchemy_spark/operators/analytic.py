@@ -819,6 +819,69 @@ class Rolling:
             lambda pdf: pdf["__v"].astype("float64")
             .rolling(win, min_periods=mp).quantile(q))
 
+    def corr(self, other):
+        """pandas ``x.rolling(n).corr(y)`` — pairwise Pearson over the
+        window; ``min_periods`` gates on complete pairs.  Grouped
+        flavor: ``F.corr`` window expression (one shuffle on the keys,
+        codegen) with ``other`` a column label of the same frame.
+        Global flavor: both columns ride ONE border-exchange scan
+        (segscan.rolling_pair_scan); a foreign-plan ``other`` aligns
+        by index join first."""
+        return self._pair("corr", other)
+
+    def cov(self, other):
+        """pandas ``x.rolling(n).cov(y)`` (ddof=1) — same transports
+        as :meth:`corr`."""
+        return self._pair("cov", other)
+
+    def _pair(self, stat, other):
+        if self._by_time:
+            raise NotImplementedError(
+                f"rolling(offset).{stat} is not supported — use a "
+                "count-based window")
+        mp = (self._window_n if self._min_periods is None
+              else max(int(self._min_periods), 1))
+        sw = self._sw
+        win = self._window_n
+        if isinstance(sw, SeriesWindow):
+            from ..core import Series
+            from .segscan import rolling_pair_scan
+            s = sw._s
+            joined, lcol, rcol, idx_exprs, names = s._join_idx(other)
+            n = len(idx_exprs)
+            tmp = joined.select(
+                *[e.alias(I.idx_name(i))
+                  for i, e in enumerate(idx_exprs)],
+                lcol(0).alias("__x"), rcol(0).alias("__y"))
+            out = rolling_pair_scan(
+                tmp, "__x", "__y", [I.idx_name(i) for i in range(n)],
+                win, stat, mp, "__out")
+            body = out.select(
+                *[F.col(I.idx_name(i)) for i in range(n)],
+                F.col("__out").alias(I.col_name(0)))
+            res = Series(names, None, body, s.name)
+            res._rows_reordered = True
+            return res
+        # grouped: other must name a column of the parent frame
+        label = other if isinstance(other, str) else \
+            getattr(other, "name", None)
+        df = sw._df
+        if label is None or label not in df._columns:
+            raise ValueError(
+                f"grouped rolling {stat} needs `other` to be a column "
+                "label (or a Series named like one) of the grouped "
+                "frame")
+        y = df._col_at(df._columns.get_loc(label)).cast("double")
+        w = sw._window().rowsBetween(-(win - 1), Window.currentRow)
+        agg = F.corr if stat == "corr" else F.covar_samp
+
+        def fn(c):
+            x = c.cast("double")
+            pairs = F.count(F.when(x.isNotNull() & y.isNotNull(),
+                                   F.lit(1))).over(w)
+            return F.when(pairs >= mp, agg(x, y).over(w))
+        return sw._wrap(fn)
+
     def apply(self, func, raw: bool = True):
         """pandas ``rolling(n).apply(func)`` — the per-window Python
         escape hatch.  COST WARNING: ``func`` runs once per WINDOW in
@@ -891,6 +954,44 @@ class Expanding:
 
     def min(self):
         return self._exp(F.min, "min")
+
+    def corr(self, other):
+        """Expanding pairwise Pearson correlation — grouped flavor
+        only (``F.corr`` over the running frame, one shuffle on the
+        keys; ``other`` a column label of the grouped frame).  The
+        global flavor would need a pairwise co-moment carry — use
+        ``rolling(n).corr`` with a wide window or the grouped form."""
+        return self._pair("corr", other)
+
+    def cov(self, other):
+        return self._pair("cov", other)
+
+    def _pair(self, stat, other):
+        sw = self._sw
+        if isinstance(sw, SeriesWindow):
+            raise NotImplementedError(
+                f"global expanding {stat} is not supported — use the "
+                "grouped flavor or rolling(n)." + stat)
+        label = other if isinstance(other, str) else \
+            getattr(other, "name", None)
+        df = sw._df
+        if label is None or label not in df._columns:
+            raise ValueError(
+                f"grouped expanding {stat} needs `other` to be a "
+                "column label (or a Series named like one) of the "
+                "grouped frame")
+        y = df._col_at(df._columns.get_loc(label)).cast("double")
+        w = sw._window().rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow)
+        agg = F.corr if stat == "corr" else F.covar_samp
+        mp = max(int(self._min_periods), 1)
+
+        def fn(c):
+            x = c.cast("double")
+            pairs = F.count(F.when(x.isNotNull() & y.isNotNull(),
+                                   F.lit(1))).over(w)
+            return F.when(pairs >= mp, agg(x, y).over(w))
+        return sw._wrap(fn)
 
     def var(self):
         """Expanding sample variance (ddof=1).  Global flavor: a

@@ -1286,3 +1286,47 @@ def shift_delta_scan_multi(sdf: SparkDF, value_cols, order_cols,
         yield res
 
     return base.mapInPandas(pass_b, fields)
+
+
+def rolling_pair_scan(sdf: SparkDF, xcol: str, ycol: str, order_cols,
+                      window: int, stat: str, min_periods: int,
+                      out_col: str = "pair",
+                      num_partitions=None) -> SparkDF:
+    """Global rolling corr/cov of TWO columns via the border
+    exchange: both columns' k border rows travel together
+    (one edge pass), pandas computes the pairwise statistic
+    partition-locally.  ``min_periods`` gates on complete PAIRS
+    (both sides non-null), the pandas contract."""
+    if stat not in ("corr", "cov"):
+        raise ValueError(f"stat must be 'corr' or 'cov', got {stat!r}")
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    fields = _out_fields(sdf, out_col, "double")
+    k = window - 1
+    edges = _collect_edges_multi(base, [xcol, ycol], 0, k)
+    pids = sorted({p for hs, ts in edges.values()
+                   for p in set(hs) | set(ts)})
+    chained = {c: _chain_borders(pids, *edges[c], k, 0)
+               for c in (xcol, ycol)}
+
+    def pass_b(it):
+        pdf = _whole_partition(it)
+        if pdf is None:
+            return
+        pid = int(pdf["__pid"].iloc[0])
+        bx = pd.Series(chained[xcol][0].get(pid, []), dtype="float64")
+        by = pd.Series(chained[ycol][0].get(pid, []), dtype="float64")
+        x = pd.concat([bx, pdf[xcol].astype("float64")],
+                      ignore_index=True)
+        y = pd.concat([by, pdf[ycol].astype("float64")],
+                      ignore_index=True)
+        r = (x.rolling(window, min_periods=min_periods).corr(y)
+             if stat == "corr"
+             else x.rolling(window, min_periods=min_periods).cov(y))
+        out = r.iloc[len(bx):].reset_index(drop=True)
+        res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
+        res[out_col] = out
+        yield res
+
+    return base.mapInPandas(pass_b, fields)

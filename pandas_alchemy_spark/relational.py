@@ -1039,6 +1039,46 @@ class RelationalMixin:
             new._drop_lineage()
         return new
 
+    def eval(self, expr):
+        """pandas ``df.eval``: an arithmetic/boolean expression over
+        column NAMES, compiled to a Spark SQL expression over a
+        label-named projection (same translator as :meth:`query` —
+        stays in-plan, codegen).  ``'out = a + b'`` returns the frame
+        with the new column appended; a bare expression returns the
+        Series."""
+        import re
+
+        from .core import DataFrame, Series
+        m = re.match(r"^\s*([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", expr,
+                     re.S)
+        rhs = (m.group(2) if m else expr)
+        sql = (rhs.replace(" and ", " AND ").replace(" or ", " OR ")
+               .replace("not ", "NOT ").replace("==", "="))
+        labels = [str(c) for c in self._columns]
+        n = self._n_idx()
+        named = self._sdf.select(
+            *[self._idx_at(i).alias(I.idx_name(i)) for i in range(n)],
+            *[self._col_at(i).alias(lab)
+              for i, lab in enumerate(labels)])
+        val = F.expr(sql)
+        if m is None:
+            body = named.select(
+                *[F.col(I.idx_name(i)) for i in range(n)],
+                val.alias(I.col_name(0)))
+            out = Series(self._index, None, body, None)
+        else:
+            out_labels = labels + [m.group(1)]
+            body = named.select(
+                *[F.col(I.idx_name(i)) for i in range(n)],
+                *[F.col(lab).alias(I.col_name(i))
+                  for i, lab in enumerate(labels)],
+                val.alias(I.col_name(len(labels))))
+            out = DataFrame(self._index, pd.Index(out_labels), body)
+        out._mid_index = getattr(self, "_mid_index", False)
+        out._mid_dense = getattr(self, "_mid_dense", False)
+        out._mid_origin = getattr(self, "_mid_origin", None)
+        return out
+
     def nunique(self):
         """Distinct count per column -> pandas Series (one aggregate
         pass; exact)."""

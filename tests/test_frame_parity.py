@@ -273,3 +273,64 @@ def test_series_searchsorted_factorize(spark):
     pc, pu = ps.factorize()
     assert list(codes) == list(pc)
     assert list(uniq) == list(pu)
+
+
+# ------------------------------------------- rolling pair stats, eval
+
+def test_rolling_corr_cov_global(spark):
+    pdf = pd.DataFrame({"x": [1.0, 2.0, 4.0, 3.0, 5.0, 8.0, 7.0],
+                        "y": [2.0, 1.0, 3.0, 6.0, 4.0, 9.0, 8.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    for stat in ("corr", "cov"):
+        got = getattr(df["x"].rolling(3), stat)(df["y"]) \
+            .to_pandas().sort_index()
+        want = getattr(pdf["x"].rolling(3), stat)(pdf["y"])
+        np.testing.assert_allclose(got.to_numpy(float),
+                                   want.to_numpy(float),
+                                   rtol=1e-9, equal_nan=True)
+
+
+def test_rolling_corr_grouped(spark):
+    pdf = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 5,
+                        "x": [1.0, 2.0, 4.0, 3.0, 5.0] * 2,
+                        "y": [2.0, 1.0, 3.0, 6.0, 4.0] * 2})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k")["x"].rolling(3).corr("y") \
+        .to_pandas().sort_index()
+    want = (pdf.groupby("k")
+            .apply(lambda g: g["x"].rolling(3).corr(g["y"]),
+                   include_groups=False)
+            .reset_index(level=0, drop=True).sort_index())
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float),
+                               rtol=1e-9, equal_nan=True)
+
+
+def test_expanding_corr_grouped(spark):
+    pdf = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 5,
+                        "x": [1.0, 2.0, 4.0, 3.0, 5.0] * 2,
+                        "y": [2.0, 1.0, 3.0, 6.0, 5.0] * 2})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k")["x"].expanding(2).cov("y") \
+        .to_pandas().sort_index()
+    want = (pdf.groupby("k")
+            .apply(lambda g: g["x"].expanding(2).cov(g["y"]),
+                   include_groups=False)
+            .reset_index(level=0, drop=True).sort_index())
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float),
+                               rtol=1e-9, equal_nan=True)
+    with pytest.raises(NotImplementedError, match="global expanding"):
+        df["x"].expanding().corr(df["y"])
+
+
+def test_eval(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [10.0, 20.0, 30.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.eval("c = a * 2 + b").to_pandas().sort_index()
+    want = pdf.eval("c = a * 2 + b")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_names=False)
+    s = df.eval("a + b").to_pandas().sort_index()
+    np.testing.assert_allclose(s.to_numpy(float),
+                               pdf.eval("a + b").to_numpy(float))
