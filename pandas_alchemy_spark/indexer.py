@@ -29,9 +29,20 @@ class _iLocIndexer:
             if isinstance(cols, int):
                 return obj._get_value(key, cols, takeable=True)
             key = slice(key, key + 1 if key != -1 else None)
+        if isinstance(key, list):
+            out = self._take_rows(key)
+            if cols is not None and obj.ndim == 2:
+                if isinstance(cols, int):
+                    out = out._seq_at(cols)
+                elif isinstance(cols, slice):
+                    out = out[list(obj._columns[cols])]
+                else:
+                    out = out[[obj._columns[c] if isinstance(c, int)
+                               else c for c in cols]]
+            return out
         if not isinstance(key, slice):
             raise NotImplementedError(
-                "iloc supports integers and slices")
+                "iloc supports integers, slices and lists")
         if key.step is not None and key.step < 1:
             # a negative step REVERSES row order, which conflicts with
             # the positional export contract (row order is index
@@ -47,6 +58,32 @@ class _iLocIndexer:
                 out = out[[obj._columns[c] if isinstance(c, int) else c
                            for c in cols]]
         return out
+
+    def _take_rows(self, positions: list):
+        """``iloc[[i, j, ...]]`` / ``take`` — a rowid IN filter (one
+        membership predicate, no shuffle).  Rows come back in INDEX
+        order, not list order (the engine's standing row-order
+        contract); negative positions count from the end."""
+        from .operators.rowid import with_rowid
+        obj = self._obj
+        if not all(isinstance(p, int) for p in positions):
+            raise TypeError("iloc list entries must be integers")
+        if any(p < 0 for p in positions):
+            n = len(obj)
+            positions = [p + n if p < 0 else p for p in positions]
+        new = obj._shallow_copy()
+        if obj._positional_reordered():
+            new._sdf = new._sdf.orderBy(F.col(I.idx_name(0)).asc())
+            new._rows_reordered = False
+        if getattr(new, "_mid_index", False):
+            new._densify()
+        rid = with_rowid(new._sdf, I.ROWID)
+        new._sdf = rid.filter(
+            F.col(I.ROWID).isin([int(p) for p in positions])) \
+            .drop(I.ROWID)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
 
     def _slice_rows(self, sl: slice):
         from .operators.rowid import with_rowid

@@ -576,6 +576,66 @@ class GroupBy:
             key = self._by[0]
         return df.sample(frac, key=key, fast_hash=fast_hash)
 
+    def aggregate(self, *args, **kwargs):
+        return self.agg(*args, **kwargs)
+
+    def pipe(self, fn, *args, **kwargs):
+        return fn(self, *args, **kwargs)
+
+    def get_group(self, key):
+        """The member rows of one group — an in-plan, pushdown-eligible
+        equality filter on the key column(s)."""
+        vals = key if isinstance(key, tuple) else (key,)
+        if len(vals) != len(self._by):
+            raise KeyError(
+                f"get_group key must have {len(self._by)} "
+                f"component(s), got {len(vals)}")
+        df = self._df
+        cond = None
+        for k, v in zip(self._key_cols, vals):
+            c = k == F.lit(v)
+            cond = c if cond is None else (cond & c)
+        new = df._shallow_copy()
+        new._sdf = df._sdf.filter(cond)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    @property
+    def ngroups(self):
+        """Number of distinct groups — one countDistinct aggregate."""
+        row = self._df._sdf.agg(
+            F.count_distinct(*self._key_cols).alias("n")).collect()[0]
+        return int(row["n"])
+
+    def ohlc(self):
+        """Per-group open/high/low/close (first/max/min/last in index
+        order) for every numeric non-key column — ONE hash aggregate;
+        flattened ``col_stat`` labels (no MultiIndex columns)."""
+        df = self._df
+        num = {"bigint", "int", "smallint", "tinyint", "double",
+               "float"}
+        exprs, labels = [], []
+        order = [df._idx_at(i) for i in range(df._n_idx())]
+        ostruct = F.struct(*order)
+        for i, lab in enumerate(df._columns):
+            if lab in self._by:
+                continue
+            if df._dtypes()[i].simpleString() not in num:
+                continue
+            c = df._col_at(i)
+            for nm, e in (("open", F.min_by(c, ostruct)),
+                          ("high", F.max(c)), ("low", F.min(c)),
+                          ("close", F.max_by(c, ostruct))):
+                exprs.append(e)
+                labels.append(f"{lab}_{nm}")
+        keys = [k.alias(I.idx_name(i))
+                for i, k in enumerate(self._key_cols)]
+        sdf = df._sdf.groupBy(*keys).agg(
+            *[e.alias(I.col_name(i)) for i, e in enumerate(exprs)])
+        from .core import DataFrame
+        return DataFrame(pd.Index(self._by), pd.Index(labels), sdf)
+
 
 class _FrameGroupedWindow:
     """Frame-flavor grouped rolling/expanding handle: each aggregate
@@ -1889,6 +1949,155 @@ class RelationalMixin:
                 for lab, v in outs.items()}
         return pd.DataFrame(data)
 
+    # -- mechanical pandas-parity batch (aliases + thin wrappers) ------
+
+    def aggregate(self, *args, **kwargs):
+        return self.agg(*args, **kwargs)
+
+    def copy(self, deep=True):
+        """A new frame handle over the same (immutable) plan — plans
+        never mutate, so pandas' deep/shallow distinction vanishes."""
+        return self._shallow_copy()
+
+    def divide(self, other, fill_value=None):
+        return self.div(other, fill_value=fill_value)
+
+    def multiply(self, other, fill_value=None):
+        return self.mul(other, fill_value=fill_value)
+
+    def subtract(self, other, fill_value=None):
+        return self.sub(other, fill_value=fill_value)
+
+    def map(self, func, na_action=None):
+        """pandas 2.1 name for elementwise ``applymap``."""
+        return self.applymap(func, na_action=na_action)
+
+    def keys(self):
+        return self.columns
+
+    def get(self, key, default=None):
+        """Column by label, or ``default`` when absent (metadata
+        check, no job)."""
+        if key in self._columns:
+            return self[key]
+        return default
+
+    def mask(self, cond, other=None):
+        """Inverse of :meth:`where`: replace where ``cond`` IS true."""
+        return self.where(~cond, other)
+
+    def set_axis(self, labels, axis=1):
+        """Relabel columns (axis=1) or index levels (axis=0) —
+        metadata only."""
+        new = self._shallow_copy()
+        if axis in (1, "columns"):
+            if len(labels) != self._n_cols():
+                raise ValueError(
+                    f"Length mismatch: expected {self._n_cols()} "
+                    f"labels, got {len(labels)}")
+            new._columns = pd.Index(labels)
+        elif axis in (0, "index"):
+            raise NotImplementedError(
+                "set_axis(axis=0) would relabel every row; use "
+                "set_index/reset_index or reindex")
+        else:
+            raise ValueError(f"No axis named {axis}")
+        return new
+
+    def reindex_like(self, other):
+        """Conform to ``other``'s index — the reindex LEFT join with
+        the other frame's (distinct) index as the label side; no
+        driver collect."""
+        from .core import DataFrame
+        if self._n_idx() != 1 or other._n_idx() != 1:
+            raise NotImplementedError(
+                "reindex_like needs single-level indexes")
+        labels = other._sdf.select(
+            other._idx_at(0).alias(I.idx_name(0))).distinct()
+        joined = labels.join(self._sdf, on=I.idx_name(0), how="left")
+        out = DataFrame(self._index, self._columns, joined)
+        out._rows_reordered = True
+        return out
+
+    def filter(self, items=None, like=None, regex=None, axis=1):
+        """pandas ``df.filter``: select columns by label (axis=1 —
+        pure metadata, no job) or rows by index label (axis=0 — an
+        in-plan, pushdown-eligible predicate)."""
+        given = sum(x is not None for x in (items, like, regex))
+        if given != 1:
+            raise TypeError(
+                "filter needs exactly one of items, like, regex")
+        if axis in (1, "columns"):
+            if items is not None:
+                keep = [c for c in self._columns if c in set(items)]
+            elif like is not None:
+                keep = [c for c in self._columns if like in str(c)]
+            else:
+                import re
+                pat = re.compile(regex)
+                keep = [c for c in self._columns
+                        if pat.search(str(c))]
+            return self[keep]
+        if axis in (0, "index"):
+            idx = self._idx_at(0)
+            if items is not None:
+                cond = idx.isin(list(items))
+            elif like is not None:
+                cond = idx.cast("string").contains(like)
+            else:
+                cond = idx.cast("string").rlike(regex)
+            new = self._shallow_copy()
+            new._sdf = self._sdf.filter(cond)
+            if hasattr(new, "_drop_lineage"):
+                new._drop_lineage()
+            return new
+        raise ValueError(f"No axis named {axis}")
+
+    def truncate(self, before=None, after=None):
+        """Rows with index label in [before, after] — an in-plan
+        range predicate (parquet-pushable on a sorted index)."""
+        idx = self._idx_at(0)
+        cond = F.lit(True)
+        if before is not None:
+            cond = cond & (idx >= F.lit(before))
+        if after is not None:
+            cond = cond & (idx <= F.lit(after))
+        new = self._shallow_copy()
+        new._sdf = self._sdf.filter(cond)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def convert_dtypes(self):
+        """No-op: the engine is already typed (Spark schema)."""
+        return self
+
+    def infer_objects(self):
+        return self
+
+    def take(self, positions):
+        """Positional row selection — ``iloc[[...]]`` (a rowid IN
+        filter; rows come back in index order, the engine's standing
+        row-order contract)."""
+        return self.iloc[list(positions)]
+
+    def to_numpy(self):
+        """Materializer: collect to a numpy array."""
+        return self.to_pandas().to_numpy()
+
+    @property
+    def values(self):
+        return self.to_numpy()
+
+    def info(self):
+        """Schema summary without collecting data (one count job)."""
+        n = len(self)
+        lines = [f"{type(self).__name__}: {n} rows x "
+                 f"{self._n_cols()} columns"]
+        for lab, t in zip(self._columns, self._dtypes()):
+            lines.append(f"  {lab}: {t.simpleString()}")
+        print("\n".join(lines))
+
 
 def cut(ser, bins, labels=None, right=True):
     """pandas.cut with explicit edges: a CASE ladder per row (codegen,
@@ -2684,3 +2893,255 @@ class SeriesRelationalMixin:
         ``rank(method='dense')`` (codes as a lazy column) or
         ``groupby(...).ngroup()``."""
         return self.to_pandas().factorize()
+
+    # -- mechanical pandas-parity batch (aliases + thin wrappers) ------
+
+    def aggregate(self, *args, **kwargs):
+        return self.agg(*args, **kwargs)
+
+    def copy(self, deep=True):
+        return self._shallow_copy()
+
+    def divide(self, other, fill_value=None):
+        return self.div(other, fill_value=fill_value)
+
+    def multiply(self, other, fill_value=None):
+        return self.mul(other, fill_value=fill_value)
+
+    def subtract(self, other, fill_value=None):
+        return self.sub(other, fill_value=fill_value)
+
+    def pad(self):
+        """pandas alias of ffill."""
+        return self.ffill()
+
+    def backfill(self):
+        return self.bfill()
+
+    def transform(self, func):
+        """Series.transform: elementwise for callables (the Arrow
+        ``map`` path).  Named-string transforms are not supported —
+        call the method directly."""
+        if callable(func):
+            return self.map(func)
+        raise NotImplementedError(
+            "Series.transform supports callables; for named "
+            f"transforms call .{func}() directly")
+
+    @property
+    def dtype(self):
+        """numpy-style dtype of the values (mapped from the Spark
+        type; metadata only)."""
+        import numpy as np
+        m = {"bigint": np.dtype("int64"), "int": np.dtype("int32"),
+             "smallint": np.dtype("int16"), "tinyint": np.dtype("int8"),
+             "double": np.dtype("float64"), "float": np.dtype("float32"),
+             "boolean": np.dtype("bool"), "date": np.dtype("O"),
+             "string": np.dtype("O")}
+        t = self._dtypes()[0].simpleString()
+        if t.startswith("timestamp"):
+            return np.dtype("datetime64[us]")
+        return m.get(t, np.dtype("O"))
+
+    dtypes = dtype
+
+    def dot(self, other):
+        """Inner product with another Series — index alignment + one
+        sum-of-products aggregate; returns a scalar."""
+        return (self * other).sum()
+
+    def drop(self, labels):
+        """Drop rows by index label — an anti-filter (``NOT IN``
+        literals, pushdown-eligible)."""
+        if not isinstance(labels, list):
+            labels = [labels]
+        from .core import Series
+        idx = self._idx_at(0)
+        body = self._sdf.filter(~idx.isin(labels))
+        out = Series(self._index, None,
+                     body.select(
+                         *[F.col(I.idx_name(i))
+                           for i in range(self._n_idx())],
+                         F.col(I.col_name(0))), self.name)
+        out._rows_reordered = getattr(self, "_rows_reordered", False)
+        return out
+
+    def filter(self, items=None, like=None, regex=None):
+        """Rows by index label (in-plan predicate, like the frame's
+        axis=0 filter)."""
+        given = sum(x is not None for x in (items, like, regex))
+        if given != 1:
+            raise TypeError(
+                "filter needs exactly one of items, like, regex")
+        idx = self._idx_at(0)
+        if items is not None:
+            cond = idx.isin(list(items))
+        elif like is not None:
+            cond = idx.cast("string").contains(like)
+        else:
+            cond = idx.cast("string").rlike(regex)
+        new = self._shallow_copy()
+        new._sdf = self._sdf.filter(cond)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def truncate(self, before=None, after=None):
+        idx = self._idx_at(0)
+        cond = F.lit(True)
+        if before is not None:
+            cond = cond & (idx >= F.lit(before))
+        if after is not None:
+            cond = cond & (idx <= F.lit(after))
+        new = self._shallow_copy()
+        new._sdf = self._sdf.filter(cond)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def first_valid_index(self):
+        """Index label of the first non-null value (index order) —
+        one filtered min_by aggregate."""
+        return self._valid_end(first=True)
+
+    def last_valid_index(self):
+        return self._valid_end(first=False)
+
+    def _valid_end(self, first: bool):
+        idx0 = self._idx_at(0)
+        fn = F.min_by if first else F.max_by
+        rows = self._sdf.where(self._the_col.isNotNull()).agg(
+            fn(idx0, idx0).alias("v")).collect()
+        return rows[0]["v"] if rows else None
+
+    def get(self, label, default=None):
+        """Value(s) at an index label, or ``default`` when absent."""
+        try:
+            out = self.loc[label]
+        except KeyError:
+            return default
+        if hasattr(out, "_sdf"):
+            p = out.to_pandas()
+            if len(p) == 0:
+                return default
+            return p.iloc[0] if len(p) == 1 else p
+        return out
+
+    @property
+    def hasnans(self):
+        """True if any value is null — one aggregate."""
+        row = self._sdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(self._the_col).alias("nn")).collect()[0]
+        return row["n"] != row["nn"]
+
+    @property
+    def is_unique(self):
+        """True when no value repeats — count vs distinct (nulls:
+        pandas counts NaN as a value; countDistinct skips them, so
+        null multiplicity is checked separately)."""
+        row = self._sdf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(self._the_col).alias("nn"),
+            F.countDistinct(self._the_col).alias("nd")).collect()[0]
+        n_null = row["n"] - row["nn"]
+        return row["nn"] == row["nd"] and n_null <= 1
+
+    def reindex(self, index):
+        """Conform to new index labels (missing -> null), via the
+        frame reindex join."""
+        name = self.name if self.name is not None else "__v"
+        out = self.to_frame(name).reindex(index)[name]
+        out.name = self.name
+        return out
+
+    def rename_axis(self, name):
+        names = [name] if not isinstance(name, list) else name
+        if len(names) != self._n_idx():
+            raise ValueError(
+                f"Length of new names must be {self._n_idx()}, "
+                f"got {len(names)}")
+        new = self._shallow_copy()
+        new._index = pd.Index(names)
+        return new
+
+    def take(self, positions):
+        return self.iloc[list(positions)]
+
+    def to_dict(self):
+        return self.to_pandas().to_dict()
+
+    def to_list(self):
+        return self.to_pandas().tolist()
+
+    tolist = to_list
+
+    def to_numpy(self):
+        return self.to_pandas().to_numpy()
+
+    @property
+    def values(self):
+        return self.to_numpy()
+
+    def to_csv(self, path, mode: str = "overwrite",
+               header: bool = True):
+        name = self.name if self.name is not None else "0"
+        return self.to_frame(name).to_csv(path, mode=mode,
+                                          header=header)
+
+    def argmax(self):
+        """POSITION of the maximum (pandas argmax) — idxmax over the
+        densified positional index (one count pass + one max_by)."""
+        return self._arg_extreme_pos(first=False)
+
+    def argmin(self):
+        return self._arg_extreme_pos(first=True)
+
+    def _arg_extreme_pos(self, first: bool):
+        s = self.reset_index(drop=True)
+        if getattr(s, "_mid_index", False):
+            s._densify()
+        return int(s.idxmin() if first else s.idxmax())
+
+    def case_when(self, caselist):
+        """pandas 2.2 ``Series.case_when``: replace values where each
+        condition holds (first match wins), else keep self — ONE
+        chained CASE projection over the parent plan (codegen, no
+        shuffle).  Condition/replacement Series must share this
+        series' lineage root (same parent frame); scalars always
+        work."""
+        if not caselist:
+            raise ValueError("caselist must be non-empty")
+        root = self._lineage_root
+        if root is None:
+            raise ValueError(
+                "case_when needs a lineage-backed series (a column "
+                "of a frame); use where/mask chains otherwise")
+
+        def as_expr(x, what):
+            if hasattr(x, "_lineage_root"):
+                if x._lineage_root is not root:
+                    raise ValueError(
+                        f"case_when {what} must share this series' "
+                        "parent frame; align first")
+                return x._lineage_expr
+            return F.lit(x)
+
+        expr = None
+        for cond, val in caselist:
+            c = as_expr(cond, "condition")
+            v = as_expr(val, "replacement")
+            expr = (F.when(c, v) if expr is None
+                    else expr.when(c, v))
+        expr = expr.otherwise(self._lineage_expr)
+        from .core import Series
+        n = self._n_idx()
+        body = root.select(
+            *[F.col(I.idx_name(i)) for i in range(n)],
+            expr.alias(I.col_name(0)))
+        out = Series(self._index, None, body, self.name,
+                     lineage=(root, expr))
+        out._mid_index = getattr(self, "_mid_index", False)
+        out._mid_dense = getattr(self, "_mid_dense", False)
+        out._mid_origin = getattr(self, "_mid_origin", None)
+        return out

@@ -1,0 +1,140 @@
+"""Mechanical pandas-parity batch: aliases, label filters, positional
+take, case_when, GroupBy get_group/ngroups/ohlc.  Differential vs
+pandas where pandas has the verb."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandas_alchemy_spark as pas
+
+PDF = pd.DataFrame({
+    "k": ["a", "a", "b", "b", "c"],
+    "x": [1.0, 4.0, 2.0, 5.0, 3.0],
+    "y": [10, 40, 20, 50, 30],
+})
+
+
+def test_frame_aliases(spark):
+    df = pas.DataFrame.from_pandas(PDF[["x", "y"]])
+    np.testing.assert_allclose(
+        df.divide(2).to_pandas().sort_index().to_numpy(float),
+        (PDF[["x", "y"]] / 2).to_numpy(float))
+    np.testing.assert_allclose(
+        df.multiply(3).to_pandas().sort_index().to_numpy(float),
+        (PDF[["x", "y"]] * 3).to_numpy(float))
+    np.testing.assert_allclose(
+        df.subtract(1).to_pandas().sort_index().to_numpy(float),
+        (PDF[["x", "y"]] - 1).to_numpy(float))
+    assert df.copy() is not df
+    assert list(df.keys()) == ["x", "y"]
+    assert df.get("missing", "dflt") == "dflt"
+    assert df.get("x") is not None
+    assert df.convert_dtypes() is df
+
+
+def test_frame_mask_filter_truncate_take(spark):
+    df = pas.DataFrame.from_pandas(PDF[["x", "y"]])
+    got = df.mask(df.x > 2).to_pandas().sort_index()
+    want = PDF[["x", "y"]].mask(PDF["x"] > 2)
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float), equal_nan=True)
+    assert df.filter(like="x").columns.tolist() == ["x"]
+    assert df.filter(regex="^y$").columns.tolist() == ["y"]
+    assert df.filter(items=["y", "x"]).to_pandas().shape == (5, 2)
+    got = df.filter(items=[1, 3], axis=0).to_pandas().sort_index()
+    want = PDF[["x", "y"]].filter(items=[1, 3], axis=0)
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float))
+    got = df.truncate(1, 3).to_pandas().sort_index()
+    want = PDF[["x", "y"]].truncate(1, 3)
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float))
+    got = df.take([0, 2, -1]).to_pandas().sort_index()
+    want = PDF[["x", "y"]].take([0, 2, -1]).sort_index()
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float))
+
+
+def test_frame_set_axis_reindex_like_values(spark):
+    df = pas.DataFrame.from_pandas(PDF[["x", "y"]])
+    assert df.set_axis(["p", "q"]).columns.tolist() == ["p", "q"]
+    other = pas.DataFrame.from_pandas(PDF[["x"]].iloc[[0, 3]])
+    got = df.reindex_like(other).to_pandas().sort_index()
+    assert sorted(got.index.tolist()) == [0, 3]
+    assert df.to_numpy().shape == (5, 2)
+    assert df.values.shape == (5, 2)
+
+
+def test_series_batch(spark):
+    s = pas.Series.from_list([3.0, 1.0, 4.0, 1.5], name="v")
+    ps = pd.Series([3.0, 1.0, 4.0, 1.5], name="v")
+    assert s.divide(2).to_pandas().sort_index().tolist() == \
+        (ps / 2).tolist()
+    assert s.dtype == np.dtype("float64")
+    assert s.argmax() == ps.argmax()
+    assert s.argmin() == ps.argmin()
+    assert not s.hasnans
+    assert s.is_unique
+    s2 = pas.Series.from_list([1.0, 1.0, None], name="v")
+    assert s2.hasnans
+    assert not s2.is_unique
+    assert s.to_list() == ps.tolist()
+    assert s.to_numpy().shape == (4,)
+    assert s.to_dict() == ps.to_dict()
+    got = s.drop([1, 2]).to_pandas().sort_index()
+    want = ps.drop([1, 2])
+    assert got.tolist() == want.tolist()
+    assert s.truncate(1, 2).to_pandas().sort_index().tolist() == \
+        ps.truncate(1, 2).tolist()
+    assert s.take([0, 3]).to_pandas().sort_index().tolist() == \
+        ps.take([0, 3]).sort_index().tolist()
+    assert s.get(2) == 4.0
+    assert s.get(99, "dflt") == "dflt"
+    # dot: alignment + sum of products
+    assert abs(s.dot(s) - ps.dot(ps)) < 1e-9
+
+
+def test_series_valid_index_filter(spark):
+    ps = pd.Series([np.nan, 2.0, np.nan, 5.0, np.nan])
+    s = pas.Series.from_pandas(ps)
+    assert s.first_valid_index() == ps.first_valid_index()
+    assert s.last_valid_index() == ps.last_valid_index()
+    sf = pas.Series.from_list([10, 20, 30], name="v")
+    assert sf.filter(items=[0, 2]).to_pandas().sort_index().tolist() \
+        == [10, 30]
+
+
+def test_series_case_when(spark):
+    pdf = PDF[["x", "y"]]
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.x.case_when([(df.x > 3, -1.0), (df.y > 15, -2.0)]) \
+        .to_pandas().sort_index()
+    want = pdf["x"].case_when([(pdf["x"] > 3, -1.0),
+                               (pdf["y"] > 15, -2.0)])
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float))
+
+
+def test_groupby_tail_batch(spark):
+    df = pas.DataFrame.from_pandas(PDF)
+    gb = df.groupby("k")
+    assert gb.ngroups == 3
+    got = gb.get_group("b").to_pandas().sort_index()
+    want = PDF.groupby("k").get_group("b")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_names=False)
+    o = gb.ohlc().to_pandas().sort_index()
+    want = PDF.groupby("k")[["x", "y"]].ohlc().sort_index()
+    for col in ("x", "y"):
+        for stat in ("open", "high", "low", "close"):
+            np.testing.assert_allclose(
+                o[f"{col}_{stat}"].to_numpy(float),
+                want[(col, stat)].to_numpy(float),
+                err_msg=f"{col}_{stat}")
+    assert gb.pipe(lambda g: g.ngroups) == 3
+    agg = gb.aggregate({"x": "sum"}).to_pandas().sort_index()
+    np.testing.assert_allclose(
+        agg["x"].to_numpy(float),
+        PDF.groupby("k")["x"].sum().sort_index().to_numpy(float))
