@@ -608,6 +608,38 @@ class GroupBy:
             F.count_distinct(*self._key_cols).alias("n")).collect()[0]
         return int(row["n"])
 
+    def corr(self):
+        """Per-group pairwise Pearson correlation of every numeric
+        column pair — ONE hash aggregate (all pairs fused); columns
+        flatten to ``a__b`` labels (no MultiIndex columns; the
+        diagonal is identically 1 and omitted)."""
+        return self._pairwise(F.corr)
+
+    def cov(self):
+        """Per-group pairwise sample covariance (ddof=1), same
+        flattening as :meth:`corr`."""
+        return self._pairwise(F.covar_samp)
+
+    def _pairwise(self, fn):
+        df = self._df
+        num = {"bigint", "int", "smallint", "tinyint", "double",
+               "float"}
+        cols = [(i, lab) for i, lab in enumerate(df._columns)
+                if lab not in self._by
+                and df._dtypes()[i].simpleString() in num]
+        exprs, labels = [], []
+        for a, (i, la) in enumerate(cols):
+            for j, lb in cols[a + 1:]:
+                exprs.append(fn(df._col_at(i).cast("double"),
+                               df._col_at(j).cast("double")))
+                labels.append(f"{la}__{lb}")
+        keys = [k.alias(I.idx_name(i))
+                for i, k in enumerate(self._key_cols)]
+        sdf = df._sdf.groupBy(*keys).agg(
+            *[e.alias(I.col_name(i)) for i, e in enumerate(exprs)])
+        from .core import DataFrame
+        return DataFrame(pd.Index(self._by), pd.Index(labels), sdf)
+
     def ohlc(self):
         """Per-group open/high/low/close (first/max/min/last in index
         order) for every numeric non-key column — ONE hash aggregate;
@@ -3145,3 +3177,49 @@ class SeriesRelationalMixin:
         out._mid_dense = getattr(self, "_mid_dense", False)
         out._mid_origin = getattr(self, "_mid_origin", None)
         return out
+
+    def groupby(self, by=None, level=None):
+        """``series.groupby(key_series)`` / ``groupby(level=i)`` — the
+        grouped-series handle (same SeriesGroupBy machinery frames
+        use: transforms window over the keys, reductions collapse).
+
+        ``by``: a Series sharing this series' plan (lineage fast path
+        — zero joins) or an index-aligned Series (one join).
+        ``level``: group by an index level (no join at all)."""
+        from .core import DataFrame, Series
+        from .operators.analytic import SeriesGroupBy
+        if (by is None) == (level is None):
+            raise TypeError("groupby needs exactly one of by, level")
+        n = self._n_idx()
+        idx = [self._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        if level is not None:
+            lvl = self._level_of(level)
+            body = self._sdf.select(
+                *idx,
+                self._idx_at(lvl).alias(I.col_name(0)),
+                self._the_col.alias(I.col_name(1)))
+        else:
+            root = self._lineage_root
+            if (root is not None
+                    and getattr(by, "_lineage_root", None) is root):
+                body = root.select(
+                    *[F.col(I.idx_name(i)) for i in range(n)],
+                    by._lineage_expr.alias(I.col_name(0)),
+                    self._lineage_expr.alias(I.col_name(1)))
+            else:
+                aligned = self.to_frame("__v").assign(__by=by)
+                body = aligned._sdf.select(
+                    *[F.col(I.idx_name(i)) for i in range(n)],
+                    aligned._col_at(1).alias(I.col_name(0)),
+                    aligned._col_at(0).alias(I.col_name(1)))
+        if level is not None:
+            key = self._index[self._level_of(level)] or "__key"
+        else:
+            key = getattr(by, "name", None) or "__key"
+        if key == "__v":
+            key = "__key"
+        frame = DataFrame(self._index, pd.Index([key, "__v"]), body)
+        frame._mid_index = getattr(self, "_mid_index", False)
+        frame._mid_dense = getattr(self, "_mid_dense", False)
+        frame._mid_origin = getattr(self, "_mid_origin", None)
+        return SeriesGroupBy(frame, [key], "__v")

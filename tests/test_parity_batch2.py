@@ -138,3 +138,41 @@ def test_groupby_tail_batch(spark):
     np.testing.assert_allclose(
         agg["x"].to_numpy(float),
         PDF.groupby("k")["x"].sum().sort_index().to_numpy(float))
+
+
+def test_series_groupby(spark):
+    pdf = pd.DataFrame({"k": ["a", "b", "a", "b", "a"],
+                        "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.v.groupby(df.k).sum().to_pandas().sort_index()
+    want = pdf["v"].groupby(pdf["k"]).sum().sort_index()
+    assert got.tolist() == want.tolist()
+    assert got.index.name == "k"
+    t = df.v.groupby(df.k).cumsum().to_pandas().sort_index()
+    assert t.tolist() == pdf["v"].groupby(pdf["k"]).cumsum().tolist()
+    df2 = df.set_index("k")
+    gl = df2.v.groupby(level=0).mean().to_pandas().sort_index()
+    wl = pdf.set_index("k")["v"].groupby(level=0).mean().sort_index()
+    np.testing.assert_allclose(gl.to_numpy(float),
+                               wl.to_numpy(float))
+    with pytest.raises(TypeError, match="exactly one"):
+        df.v.groupby()
+
+
+def test_groupby_pairwise_corr_cov(spark):
+    pdf = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 4,
+                        "x": [1.0, 2.0, 4.0, 3.0, 5.0, 8.0, 7.0, 6.0],
+                        "y": [2.0, 1.0, 3.0, 6.0, 4.0, 9.0, 8.0, 5.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k").corr().to_pandas().sort_index()
+    want = pdf.groupby("k").apply(
+        lambda g: g["x"].corr(g["y"]), include_groups=False)
+    np.testing.assert_allclose(got["x__y"].to_numpy(float),
+                               want.sort_index().to_numpy(float),
+                               rtol=1e-12)
+    gotc = df.groupby("k").cov().to_pandas().sort_index()
+    wantc = pdf.groupby("k").apply(
+        lambda g: g["x"].cov(g["y"]), include_groups=False)
+    np.testing.assert_allclose(gotc["x__y"].to_numpy(float),
+                               wantc.sort_index().to_numpy(float),
+                               rtol=1e-12)
