@@ -608,6 +608,20 @@ class GroupBy:
             F.count_distinct(*self._key_cols).alias("n")).collect()[0]
         return int(row["n"])
 
+    def resample(self, rule: str, on: str):
+        """``df.groupby(user).resample('1D', on=ts)`` — the per-entity
+        time-bucketing idiom: buckets the timestamp column (same
+        floor/date_trunc rewrite as frame resample) and regroups on
+        (keys + bucket).  Still ONE hash aggregate downstream.
+
+        SPARSE buckets (same contract as frame resample): periods with
+        no rows don't appear — pandas emits zero-filled gap buckets.
+        Compose with :func:`ext.events.densify_time` for the dense
+        grid (a generate-series explode, the scalable form)."""
+        df = self._df
+        bucketed = df.resample(rule, on=on)  # GroupBy on the bucket
+        return GroupBy(bucketed._df, self._by + [on])
+
     def corr(self):
         """Per-group pairwise Pearson correlation of every numeric
         column pair — ONE hash aggregate (all pairs fused); columns

@@ -176,3 +176,18 @@ def test_groupby_pairwise_corr_cov(spark):
     np.testing.assert_allclose(gotc["x__y"].to_numpy(float),
                                wantc.sort_index().to_numpy(float),
                                rtol=1e-12)
+
+
+def test_groupby_resample(spark):
+    pdf = pd.DataFrame({
+        "u": ["a", "a", "a", "b", "b"],
+        "ts": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 23:00",
+                              "2024-01-02 05:00", "2024-01-01 02:00",
+                              "2024-01-03 04:00"]),
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = (df.groupby("u").resample("D", on="ts")
+           .agg(total=("v", "sum")).to_pandas().sort_index())
+    want = pdf.groupby("u").resample("D", on="ts")["v"].sum()
+    want = want[want != 0]  # engine contract: sparse buckets
+    assert got["total"].tolist() == want.sort_index().tolist()

@@ -227,3 +227,47 @@ def test_rank_pct_differential_generated(spark):
                .to_pandas().sort_index())
         assert _norm(got.tolist()) == _norm(want.tolist())
     check()
+
+
+# ------------------------- fused multi-column scans (round-5) -------
+
+_scan_col = st.lists(
+    st.one_of(st.floats(min_value=-1e3, max_value=1e3,
+                        allow_nan=False),
+              st.none()),
+    min_size=2, max_size=12)
+
+
+@_SLOW
+@given(a=_scan_col, b=_scan_col)
+def _check_frame_scans(spark, a, b):
+    n = min(len(a), len(b))
+    pdf = pd.DataFrame({"a": pd.array(a[:n], dtype="float64"),
+                        "b": pd.array(b[:n], dtype="float64")})
+    df = pas.DataFrame.from_pandas(pdf)
+    for verb, args in (("cumsum", ()), ("cummax", ()),
+                       ("shift", (2,)), ("diff", (1,))):
+        got = getattr(df, verb)(*args).to_pandas().sort_index()
+        want = getattr(pdf, verb)(*args)
+        for c in ("a", "b"):
+            assert _norm(got[c].tolist()) == _norm(want[c].tolist()), \
+                (verb, c, pdf.to_dict())
+
+
+def test_frame_scans_generated(spark):
+    _check_frame_scans(spark)
+
+
+@_SLOW
+@given(a=_scan_col)
+def _check_frame_rank(spark, a):
+    pdf = pd.DataFrame({"a": pd.array(a, dtype="float64")})
+    df = pas.DataFrame.from_pandas(pdf)
+    for m in ("min", "dense", "average", "max", "first"):
+        got = df.rank(m).to_pandas().sort_index()["a"]
+        want = pdf.rank(method=m)["a"]
+        assert _norm(got.tolist()) == _norm(want.tolist()), (m, a)
+
+
+def test_frame_rank_generated(spark):
+    _check_frame_rank(spark)
