@@ -665,6 +665,38 @@ class _GroupedEwm:
         s._rows_reordered = True
         return s
 
+    def var(self, bias: bool = False):
+        """Grouped EWM variance — the exact applyInPandas transport
+        (one shuffle on the keys, bounded per-group state; the
+        pow-trick fast path is mean-only: the bias correction's Σw²
+        channel doubles its overflow surface)."""
+        return self._second_moment(bias, std=False)
+
+    def std(self, bias: bool = False):
+        return self._second_moment(bias, std=True)
+
+    def _second_moment(self, bias: bool, std: bool):
+        from .scan import ewm_var
+        sgb = self._sgb
+        df = sgb._df
+        n = df._n_idx()
+        idx = [df._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        keys = [k.alias(f"__k_{j}") for j, k in enumerate(sgb._keys())]
+        val = df._col_at(df._columns.get_loc(sgb._label)).alias("__v")
+        tmp = df._sdf.select(*idx, *keys, val)
+        out = ewm_var(
+            tmp, "__v", [I.idx_name(i) for i in range(n)],
+            self._alpha, by=[f"__k_{j}" for j in range(len(keys))],
+            out_col="__ewm", std=std, bias=bias)
+        body = out.select(*[F.col(I.idx_name(i)) for i in range(n)],
+                          F.col("__ewm").alias(I.col_name(0)))
+        s = sgb._Series(df._index, None, body, sgb._label)
+        s._mid_index = getattr(df, "_mid_index", False)
+        s._mid_dense = getattr(df, "_mid_dense", False)
+        s._mid_origin = getattr(df, "_mid_origin", None)
+        s._rows_reordered = True
+        return s
+
 
 class Ewm:
     """``series.ewm(alpha)`` handle (mean only) — the EXACT distributed
@@ -689,6 +721,34 @@ class Ewm:
         tmp = s._sdf.select(*idx, s._the_col.alias("__v"))
         out = ewm_mean(tmp, "__v", [I.idx_name(i) for i in range(n)],
                        self._alpha, out_col="__ewm")
+        body = out.select(*[F.col(I.idx_name(i)) for i in range(n)],
+                          F.col("__ewm").alias(I.col_name(0)))
+        res = Series(s._index, None, body, s.name)
+        res._mid_index = getattr(s, "_mid_index", False)
+        res._mid_dense = getattr(s, "_mid_dense", False)
+        res._mid_origin = getattr(s, "_mid_origin", None)
+        return res
+
+    def var(self, bias: bool = False):
+        """pandas ``ewm(alpha).var(bias=)`` — the mean scan's
+        machinery with a SECOND moment channel (operators/scan.
+        ewm_var): 2-scalar carries per partition, closed-form weight
+        sums, no single-partition window."""
+        return self._second_moment(bias, std=False)
+
+    def std(self, bias: bool = False):
+        return self._second_moment(bias, std=True)
+
+    def _second_moment(self, bias: bool, std: bool):
+        from ..core import Series
+        from .scan import ewm_var
+        s = self._s
+        n = s._n_idx()
+        idx = [s._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        tmp = s._sdf.select(*idx, s._the_col.alias("__v"))
+        out = ewm_var(tmp, "__v", [I.idx_name(i) for i in range(n)],
+                      self._alpha, out_col="__ewm", std=std,
+                      bias=bias)
         body = out.select(*[F.col(I.idx_name(i)) for i in range(n)],
                           F.col("__ewm").alias(I.col_name(0)))
         res = Series(s._index, None, body, s.name)

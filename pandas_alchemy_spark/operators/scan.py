@@ -31,6 +31,7 @@ from __future__ import annotations
 import math
 import sys
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame as SparkDF
 from pyspark.sql import Window
@@ -203,6 +204,142 @@ def ewm_mean(sdf: SparkDF, value_col: str, order_cols, alpha: float,
             res = pdf.drop(columns=["__pid"]).copy()
             res[out_col] = num / den
             carry = (num_in * (w ** k) + num_local[-1], t0 + k)
+            yield res
+
+    return base.mapInPandas(pass_b, out_fields)
+
+
+def _partition_scan2(it, alpha):
+    """Per-partition pass A for :func:`ewm_var`: fold every Arrow
+    batch, emitting ONE carry row (pid, n, tail1=Σw^Δ·x, tail2=Σw^Δ·x²)."""
+    w = 1.0 - alpha
+    t1 = t2 = 0.0
+    n = 0
+    pid = None
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        pid = int(pdf["__pid"].iloc[0])
+        x = pdf["__x"].astype("float64")
+        k = len(x)
+        den_end = (1.0 - w ** k) / (1.0 - w) if w != 0.0 else 1.0
+        m1 = x.ewm(alpha=alpha, adjust=True).mean()
+        m2 = (x * x).ewm(alpha=alpha, adjust=True).mean()
+        t1 = t1 * (w ** k) + float(m1.iloc[-1]) * den_end
+        t2 = t2 * (w ** k) + float(m2.iloc[-1]) * den_end
+        n += k
+    if pid is not None:
+        yield pd.DataFrame({"pid": [pid], "n": [n],
+                            "t1": [t1], "t2": [t2]})
+
+
+def ewm_var(sdf: SparkDF, value_col: str, order_cols, alpha: float,
+            by=None, out_col: str = "ewmv", std: bool = False,
+            bias: bool = False,
+            num_partitions: int | None = None) -> SparkDF:
+    """pandas ``ewm(alpha, adjust=True).var(bias=False)`` (or std).
+
+    ``by=`` groups: one applyInPandas per group — exact for any group
+    length, bounded per-group state, one shuffle (the 100 TB path for
+    keyed data).  Global: the mean scan's segmented machinery with a
+    SECOND moment channel — per-partition tails of Σw^Δ·x and
+    Σw^Δ·x², one 2-scalar carry per partition, and the closed-form
+    weight sums den=(1−w^t)/(1−w), den²ᵢ=(1−w^{2t})/(1−w²) (weights
+    are a pure function of the global row position, so only the data
+    channels need carrying).  bias=False applies pandas' reliability
+    correction den²/(den²−Σw²).  Nulls unsupported — filter first
+    (same contract as ewm_mean)."""
+    _check_alpha(alpha)
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    w = 1.0 - alpha
+
+    def _finish(r):
+        return np.sqrt(r) if std else r
+
+    if by is not None:
+        byl = [by] if isinstance(by, str) else list(by)
+        cols = sdf.columns
+
+        def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            x = pdf[value_col].astype("float64")
+            e = x.ewm(alpha=alpha, adjust=True)
+            v = e.var(bias=bias)
+            pdf[out_col] = _finish(v.to_numpy())
+            return pdf
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in sdf.schema.fields) + f", {out_col} double"
+        return sdf.groupBy(*byl).applyInPandas(per_group, schema)
+
+    from .segscan import _pin
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    carries = (base.select("__pid", F.col(value_col).cast("double")
+                           .alias("__x"))
+               .mapInPandas(lambda it: _partition_scan2(it, alpha),
+                            "pid int, n long, t1 double, t2 double")
+               .collect())
+    carries.sort(key=lambda r: r["pid"])
+    pref1: dict[int, float] = {}
+    pref2: dict[int, float] = {}
+    pref_n: dict[int, int] = {}
+    p1 = p2 = 0.0
+    off = 0
+    for r in carries:
+        pref1[r["pid"]] = p1
+        pref2[r["pid"]] = p2
+        pref_n[r["pid"]] = off
+        p1 = p1 * (w ** r["n"]) + r["t1"]
+        p2 = p2 * (w ** r["n"]) + r["t2"]
+        off += r["n"]
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in sdf.schema.fields) + f", {out_col} double"
+
+    def pass_b(it):
+        carry = None  # (tail1, tail2, t_local)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            if carry is None:
+                carry = (pref1.get(pid, 0.0), pref2.get(pid, 0.0), 0)
+            in1, in2, t0 = carry
+            x = pdf[value_col].astype("float64")
+            k = len(x)
+            pos = np.arange(1, k + 1, dtype="float64")
+            den_local = ((1.0 - w ** pos) / (1.0 - w) if w != 0.0
+                         else np.ones(k))
+            m1 = x.ewm(alpha=alpha, adjust=True).mean().to_numpy()
+            m2 = (x * x).ewm(alpha=alpha,
+                             adjust=True).mean().to_numpy()
+            decay = w ** pos
+            num1 = m1 * den_local + in1 * decay
+            num2 = m2 * den_local + in2 * decay
+            gpos = pref_n.get(pid, 0) + t0 + pos
+            if w != 0.0:
+                den = (1.0 - w ** gpos) / (1.0 - w)
+                den2 = (1.0 - (w * w) ** gpos) / (1.0 - w * w) \
+                    if w != 1.0 else gpos
+            else:
+                den = np.ones(k)
+                den2 = np.ones(k)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = num1 / den
+                var_b = num2 / den - mean * mean
+                var_b = np.maximum(var_b, 0.0)  # fp cancellation guard
+                if bias:
+                    out = var_b
+                else:
+                    out = var_b * den * den / (den * den - den2)
+            res = pdf.drop(columns=["__pid"]).copy()
+            res[out_col] = _finish(out)
+            carry = (in1 * (w ** k) + m1[-1] * den_local[-1],
+                     in2 * (w ** k) + m2[-1] * den_local[-1],
+                     t0 + k)
             yield res
 
     return base.mapInPandas(pass_b, out_fields)

@@ -570,3 +570,61 @@ def test_frame_interpolate_one_scan(spark):
     plan = physical_plan(df.interpolate().to_spark())
     assert plan.count("RangePartitioning") <= 1
     assert "SinglePartition" not in plan and "Window" not in plan
+
+
+# --------------------------------------------- EWM var/std (round 5)
+
+def test_ewm_var_global_differential(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    ps = pd.Series(rng.normal(size=400).cumsum())
+    s = pas.Series.from_pandas(ps)
+    for alpha in (0.1, 0.5):
+        for bias in (False, True):
+            got = s.ewm(alpha).var(bias=bias).to_pandas() \
+                .sort_index().to_numpy()
+            want = ps.ewm(alpha=alpha, adjust=True) \
+                .var(bias=bias).to_numpy()
+            np.testing.assert_allclose(got, want, rtol=1e-8,
+                                       equal_nan=True)
+        gs = s.ewm(alpha).std().to_pandas().sort_index().to_numpy()
+        ws = ps.ewm(alpha=alpha, adjust=True).std().to_numpy()
+        np.testing.assert_allclose(gs, ws, rtol=1e-8, equal_nan=True)
+
+
+def test_ewm_var_multibatch(spark):
+    import numpy as np
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 64)
+    try:
+        rng = np.random.default_rng(3)
+        ps = pd.Series(rng.normal(size=1000))
+        s = pas.Series.from_pandas(ps)
+        got = s.ewm(0.2).var().to_pandas().sort_index().to_numpy()
+        want = ps.ewm(alpha=0.2, adjust=True).var().to_numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-8,
+                                   equal_nan=True)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", 10000)
+
+
+def test_ewm_var_grouped_differential(spark):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({"k": rng.integers(0, 4, 200),
+                        "v": rng.normal(size=200)})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k")["v"].ewm(0.3).std().to_pandas() \
+        .sort_index().to_numpy()
+    want = pdf.groupby("k")["v"].transform(
+        lambda g: g.ewm(alpha=0.3, adjust=True).std()).to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-10, equal_nan=True)
+
+
+def test_ewm_var_no_single_partition(spark):
+    import numpy as np
+    s = pas.Series.from_pandas(pd.Series(np.arange(64.0)))
+    plan = (s.ewm(0.4).var()._sdf._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
