@@ -1102,14 +1102,47 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
 
     def where(self, cond, other=None):
         """pandas Series.where: keep values where ``cond`` is True,
-        replace elsewhere (NULL cond counts as False, like pandas NA)."""
+        replace elsewhere (NULL cond counts as False, like pandas NA).
+        ``other`` may be a scalar, or a Series sharing this series'
+        plan (lineage fast path — one three-way CASE projection)."""
+        if isinstance(other, Series):
+            return self._three_way(cond, other, keep_on_true=True)
         o = _scalar_lit(other)
         return self._zip_with(cond, lambda c, m: F.when(m, c).otherwise(o))
 
     def mask(self, cond, other=None):
         """pandas Series.mask: replace values where ``cond`` is True."""
+        if isinstance(other, Series):
+            return self._three_way(cond, other, keep_on_true=False)
         o = _scalar_lit(other)
         return self._zip_with(cond, lambda c, m: F.when(m, o).otherwise(c))
+
+    def _three_way(self, cond, other, keep_on_true: bool):
+        """where/mask with a SERIES replacement: all three operands
+        must share one lineage root (columns of the same frame) — the
+        result is one CASE projection, no joins."""
+        root = self._lineage_root
+        if (root is None
+                or getattr(cond, "_lineage_root", None) is not root
+                or other._lineage_root is not root):
+            raise NotImplementedError(
+                "where/mask with a Series replacement needs all three "
+                "operands on one parent frame; align them into one "
+                "frame first (assign)")
+        c, m, o = (self._lineage_expr, cond._lineage_expr,
+                   other._lineage_expr)
+        expr = (F.when(m, c).otherwise(o) if keep_on_true
+                else F.when(m, o).otherwise(c))
+        n = self._n_idx()
+        body = root.select(
+            *[F.col(I.idx_name(i)) for i in range(n)],
+            expr.alias(I.col_name(0)))
+        out = Series(self._index, None, body, self.name,
+                     lineage=(root, expr))
+        out._mid_index = getattr(self, "_mid_index", False)
+        out._mid_dense = getattr(self, "_mid_dense", False)
+        out._mid_origin = getattr(self, "_mid_origin", None)
+        return out
 
     def combine_first(self, other):
         """pandas combine_first: self's values, with holes filled from

@@ -1985,6 +1985,72 @@ class RelationalMixin:
         out._mid_origin = getattr(self, "_mid_origin", None)
         return out
 
+    def align(self, other, join="outer"):
+        """pandas ``df.align(other)``: both frames conformed onto the
+        union of labels and index — ONE full-outer index join feeding
+        BOTH results (outer column alignment is metadata)."""
+        from .core import DataFrame
+        if join != "outer":
+            raise NotImplementedError("align supports join='outer'")
+        joined_labels, lpos, rpos = self._join_cols(self._columns,
+                                                    other._columns)
+        joined, lcol, rcol, idx, names = self._join_idx(other)
+        from . import base
+
+        def side(col_fn, positions):
+            sdf = base.BaseFrame(names, joined_labels, joined) \
+                ._project(idx, [col_fn(p) for p in positions])
+            out = DataFrame(names, joined_labels, sdf)
+            out._rows_reordered = True
+            return out
+
+        return side(lcol, lpos), side(rcol, rpos)
+
+    def combine(self, other, func, fill_value=None):
+        """pandas ``df.combine(other, func)``: align columns and rows,
+        then ``func(left_series, right_series)`` per column pair —
+        ``func`` must compose ENGINE Series operations (its result
+        stays one projection over the join; arbitrary elementwise
+        Python belongs in applymap).  ``fill_value`` patches each
+        side's nulls before combining."""
+        from . import base
+        from .core import DataFrame
+        joined_labels, lpos, rpos = self._join_cols(self._columns,
+                                                    other._columns)
+        joined, lcol, rcol, idx, names = self._join_idx(other)
+        k = len(joined_labels)
+
+        def patched(e):
+            return (e if fill_value is None
+                    else F.coalesce(e, F.lit(fill_value)))
+
+        # project the join into ONE canonical frame (left columns then
+        # right columns) so func's inputs share a lineage root with
+        # the standard layout — func then composes expressions over it
+        pair_sdf = base.BaseFrame(names, None, joined)._project(
+            idx, [patched(lcol(i)) for i in lpos]
+            + [patched(rcol(j)) for j in rpos])
+        pair_labels = ([f"__l{m}" for m in range(k)]
+                       + [f"__r{m}" for m in range(k)])
+        jdf = DataFrame(names, pd.Index(pair_labels), pair_sdf)
+        cols = []
+        for m in range(k):
+            res = func(jdf[f"__l{m}"], jdf[f"__r{m}"])
+            if (not hasattr(res, "_lineage_root")
+                    or res._lineage_root is not jdf._sdf):
+                raise ValueError(
+                    "combine func must return an expression over its "
+                    "two inputs (engine Series ops); got a foreign "
+                    "plan")
+            cols.append(res._lineage_expr)
+        n = len(idx)
+        sdf = pair_sdf.select(
+            *[F.col(I.idx_name(i)) for i in range(n)],
+            *[e.alias(I.col_name(m)) for m, e in enumerate(cols)])
+        out = DataFrame(names, joined_labels, sdf)
+        out._rows_reordered = True
+        return out
+
     def mode(self):
         """Per-column mode(s), pandas-shaped (columns padded with NaN
         to the longest mode list) — a materializer composed of each
@@ -3237,3 +3303,11 @@ class SeriesRelationalMixin:
         frame._mid_dense = getattr(self, "_mid_dense", False)
         frame._mid_origin = getattr(self, "_mid_origin", None)
         return SeriesGroupBy(frame, [key], "__v")
+
+    def unstack(self, level=-1, agg: str = "first",
+                level_values=None):
+        """Pivot a MultiIndex series level into columns — the frame
+        unstack (groupBy remaining levels + pivot) on a one-column
+        frame."""
+        name = self.name if self.name is not None else "__v"
+        return self.to_frame(name).unstack(level, agg, level_values)

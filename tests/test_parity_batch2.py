@@ -191,3 +191,38 @@ def test_groupby_resample(spark):
     want = pdf.groupby("u").resample("D", on="ts")["v"].sum()
     want = want[want != 0]  # engine contract: sparse buckets
     assert got["total"].tolist() == want.sort_index().tolist()
+
+
+def test_frame_align(spark):
+    a = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]}, index=[0, 1])
+    b = pd.DataFrame({"y": [9.0, 8.0], "z": [7.0, 6.0]}, index=[1, 2])
+    da, db = (pas.DataFrame.from_pandas(a)
+              .align(pas.DataFrame.from_pandas(b)))
+    wa, wb = a.align(b)
+    pd.testing.assert_frame_equal(da.to_pandas().sort_index(), wa,
+                                  check_dtype=False, check_names=False)
+    pd.testing.assert_frame_equal(db.to_pandas().sort_index(), wb,
+                                  check_dtype=False, check_names=False)
+
+
+def test_frame_combine(spark):
+    a = pd.DataFrame({"x": [1.0, 5.0], "y": [3.0, 1.0]})
+    b = pd.DataFrame({"x": [4.0, 2.0], "y": [0.0, 9.0]})
+    got = (pas.DataFrame.from_pandas(a)
+           .combine(pas.DataFrame.from_pandas(b),
+                    lambda s1, s2: s1.where(s1 > s2, s2))
+           .to_pandas().sort_index())
+    want = a.combine(b, lambda s1, s2: s1.where(s1 > s2, s2))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_names=False)
+
+
+def test_series_unstack(spark):
+    pdf = pd.DataFrame({"r": ["a", "a", "b", "b"],
+                        "c": ["p", "q", "p", "q"],
+                        "v": [1.0, 2.0, 3.0, 4.0]})
+    df = pas.DataFrame.from_pandas(pdf).set_index(["r", "c"])
+    got = df.v.unstack().to_pandas().sort_index()
+    want = pdf.set_index(["r", "c"])["v"].unstack().sort_index()
+    np.testing.assert_allclose(got[["p", "q"]].to_numpy(float),
+                               want[["p", "q"]].to_numpy(float))
