@@ -444,6 +444,24 @@ class GroupBy:
             return self._pos_filter(lambda rn, cnt: rn == n + 1)
         return self._pos_filter(lambda rn, cnt: rn == cnt + n + 1)
 
+    def take(self, positions):
+        """Member rows at the given 0-based positions within each
+        group (negative from the end) — one row_number window, a
+        single IN predicate."""
+        pos = [int(p) for p in positions]
+        plus = [p + 1 for p in pos if p >= 0]
+        neg = [p for p in pos if p < 0]
+
+        def pred(rn, cnt):
+            cond = None
+            if plus:
+                cond = rn.isin(plus)
+            for p in neg:
+                c = rn == cnt + p + 1
+                cond = c if cond is None else (cond | c)
+            return cond if cond is not None else F.lit(False)
+        return self._pos_filter(pred)
+
     # ---- extra grouped aggregations ----
 
     def _numeric_simple(self, fn):
@@ -2071,6 +2089,59 @@ class RelationalMixin:
         never mutate, so pandas' deep/shallow distinction vanishes."""
         return self._shallow_copy()
 
+    def at_time(self, time_str: str):
+        """Rows whose (datetime) index is exactly at a time of day —
+        in-plan predicate."""
+        return self._time_of_day_filter(time_str, time_str)
+
+    def between_time(self, start: str, end: str):
+        """Rows whose time-of-day falls in [start, end] (inclusive) —
+        in-plan predicate; a wrapped range (end < start) selects the
+        overnight complement, like pandas."""
+        return self._time_of_day_filter(start, end)
+
+    def _time_of_day_filter(self, start: str, end: str):
+        t = self._idx_dtypes()[0].simpleString()
+        if not t.startswith("timestamp"):
+            raise TypeError(
+                f"at_time/between_time need a DatetimeIndex, got {t}")
+        tod = F.date_format(self._idx_at(0).cast("timestamp"),
+                            "HH:mm:ss")
+
+        def norm(s):
+            parts = s.split(":")
+            while len(parts) < 3:
+                parts.append("00")
+            return ":".join(p.zfill(2) for p in parts)
+
+        lo, hi = norm(start), norm(end)
+        cond = ((tod >= F.lit(lo)) & (tod <= F.lit(hi)) if lo <= hi
+                else (tod >= F.lit(lo)) | (tod <= F.lit(hi)))
+        new = self._shallow_copy()
+        new._sdf = self._sdf.filter(cond)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new
+
+    def xs(self, key, level=0):
+        """Cross-section: rows where MultiIndex ``level`` equals
+        ``key``, with that level dropped — one filter + projection."""
+        from .core import DataFrame
+        p = self._level_of(level)
+        keep = [k for k in range(self._n_idx()) if k != p]
+        if not keep:
+            raise NotImplementedError(
+                "xs on the only index level: use loc")
+        body = self._sdf.filter(self._idx_at(p) == F.lit(key)).select(
+            *[self._idx_at(k).alias(I.idx_name(m))
+              for m, k in enumerate(keep)],
+            *[self._col_at(i).alias(I.col_name(i))
+              for i in range(self._n_cols())])
+        out = DataFrame(pd.Index([self._index[k] for k in keep]),
+                        self._columns, body)
+        out._rows_reordered = getattr(self, "_rows_reordered", False)
+        return out
+
     def divide(self, other, fill_value=None):
         return self.div(other, fill_value=fill_value)
 
@@ -3311,3 +3382,67 @@ class SeriesRelationalMixin:
         frame."""
         name = self.name if self.name is not None else "__v"
         return self.to_frame(name).unstack(level, agg, level_values)
+
+    def combine(self, other, func, fill_value=None):
+        """pandas ``Series.combine``: align with ``other`` and apply
+        ``func(left, right)`` — same canonical-pair projection as the
+        frame combine (func composes engine expressions, one
+        projection, no extra joins)."""
+        name = self.name
+        left = self.to_frame("__v")
+        right = other.to_frame("__v")
+        out = left.combine(right, func, fill_value=fill_value)["__v"]
+        out.name = name
+        return out
+
+    def asof(self, where):
+        """pandas ``Series.asof``: the last non-null value whose index
+        label is <= ``where`` — one filtered ``max_by`` aggregate per
+        probe, ALL probes fused into a single pass (no sort, no
+        collect of data rows).  The series must be sorted by index
+        (pandas precondition)."""
+        probes = where if isinstance(where, (list, tuple)) else [where]
+        idx0 = self._idx_at(0)
+        c = self._the_col
+        aggs = [F.max_by(c, F.when(c.isNotNull()
+                                   & (idx0 <= F.lit(p)), idx0))
+                .alias(f"__a{j}") for j, p in enumerate(probes)]
+        row = self._sdf.agg(*aggs).collect()[0]
+        out = [row[f"__a{j}"] for j in range(len(probes))]
+        if not isinstance(where, (list, tuple)):
+            return out[0]
+        return pd.Series(out, index=pd.Index(probes))
+
+    def at_time(self, time_str: str):
+        """Rows whose (datetime) index label is exactly at the given
+        time of day — an in-plan predicate."""
+        return self._time_of_day_filter(time_str, time_str)
+
+    def between_time(self, start: str, end: str):
+        """Rows whose time-of-day falls in [start, end] (inclusive,
+        like pandas defaults) — an in-plan predicate, no shuffle."""
+        return self._time_of_day_filter(start, end)
+
+    def _time_of_day_filter(self, start: str, end: str):
+        t = self._idx_dtypes()[0].simpleString()
+        if not t.startswith("timestamp"):
+            raise TypeError(
+                "at_time/between_time need a DatetimeIndex, got "
+                f"{t}")
+        tod = F.date_format(self._idx_at(0).cast("timestamp"),
+                            "HH:mm:ss")
+
+        def norm(s):
+            parts = s.split(":")
+            while len(parts) < 3:
+                parts.append("00")
+            return ":".join(p.zfill(2) for p in parts)
+
+        lo, hi = norm(start), norm(end)
+        cond = ((tod >= F.lit(lo)) & (tod <= F.lit(hi)) if lo <= hi
+                else (tod >= F.lit(lo)) | (tod <= F.lit(hi)))
+        new = self._shallow_copy()
+        new._sdf = self._sdf.filter(cond)
+        if hasattr(new, "_drop_lineage"):
+            new._drop_lineage()
+        return new

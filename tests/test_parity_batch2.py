@@ -226,3 +226,49 @@ def test_series_unstack(spark):
     want = pdf.set_index(["r", "c"])["v"].unstack().sort_index()
     np.testing.assert_allclose(got[["p", "q"]].to_numpy(float),
                                want[["p", "q"]].to_numpy(float))
+
+
+def test_series_combine_asof(spark):
+    a = pd.Series([1.0, 5.0, 2.0])
+    b = pd.Series([4.0, 2.0, 9.0])
+    sa, sb = pas.Series.from_pandas(a), pas.Series.from_pandas(b)
+    got = sa.combine(sb, lambda x, y: x.where(x > y, y)) \
+        .to_pandas().sort_index()
+    want = a.combine(b, max)
+    assert got.tolist() == want.tolist()
+    ps = pd.Series([1.0, np.nan, 3.0], index=[10, 20, 30])
+    s = pas.Series.from_pandas(ps)
+    assert s.asof(25) == ps.asof(25)
+    assert s.asof(9) is None and np.isnan(ps.asof(9))
+    got = s.asof([15, 25, 35])
+    want = ps.asof([15, 25, 35])
+    assert got.tolist() == want.tolist()
+
+
+def test_time_of_day_and_xs(spark):
+    idx = pd.date_range("2024-01-01", periods=48, freq="h")
+    pdf = pd.DataFrame({"v": range(48)}, index=idx)
+    df = pas.DataFrame.from_pandas(pdf.reset_index()) \
+        .set_index("index")
+    got = df.at_time("09:00").to_pandas().sort_index()
+    want = pdf.at_time("09:00")
+    assert got["v"].tolist() == want["v"].tolist()
+    got = df.between_time("22:00", "01:00").to_pandas().sort_index()
+    want = pdf.between_time("22:00", "01:00").sort_index()
+    assert got["v"].tolist() == want["v"].tolist()
+    # xs on a MultiIndex frame
+    pm = pd.DataFrame({"r": ["a", "a", "b"], "c": ["p", "q", "p"],
+                       "v": [1, 2, 3]})
+    dm = pas.DataFrame.from_pandas(pm).set_index(["r", "c"])
+    got = dm.xs("a").to_pandas().sort_index()
+    want = pm.set_index(["r", "c"]).xs("a").sort_index()
+    assert got["v"].tolist() == want["v"].tolist()
+
+
+def test_groupby_take(spark):
+    got = (pas.DataFrame.from_pandas(PDF).groupby("k").take([0, -1])
+           .to_pandas().sort_index())
+    # per group: first and last member rows (by index order)
+    want_idx = sorted({g.index[0] for _, g in PDF.groupby("k")}
+                      | {g.index[-1] for _, g in PDF.groupby("k")})
+    assert got.index.tolist() == want_idx
