@@ -619,6 +619,28 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def pct_change(self, periods: int = 1):
         return self._frame_delta("pct", periods, verb="pct_change")
 
+    def rolling(self, window: int, min_periods: int | None = None):
+        """pandas ``df.rolling(n)`` over the NUMERIC columns: every
+        column's windows in ONE fused border-exchange scan
+        (segscan.rolling_scan_multi — all columns' n-1 border rows
+        travel together, one range shuffle).  Count-based windows;
+        for time offsets or other dtypes use the per-column Series
+        form."""
+        if isinstance(window, str):
+            raise NotImplementedError(
+                "frame-level rolling takes a row count; time-offset "
+                "windows: use the per-column series.rolling('7D')")
+        return _FrameRolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        """pandas ``df.expanding()`` over the numeric columns — the
+        rolling machinery is window-bounded, so this raises toward
+        the per-column form (prefix carries differ per aggregate)."""
+        raise NotImplementedError(
+            "frame-level expanding is not supported; use the "
+            "per-column series.expanding() (distributed prefix "
+            "scans) or groupby(...).expanding()")
+
     def rank(self, method: str = "min", ascending: bool = True,
              pct: bool = False):
         """pandas ``df.rank()``: each numeric column ranked globally.
@@ -1585,3 +1607,33 @@ def _nan_to_null(sdf):
             c = F.when(F.isnan(c), F.lit(None)).otherwise(c).alias(f.name)
         exprs.append(c)
     return sdf.select(*exprs)
+
+
+class _FrameRolling:
+    """``df.rolling(n)`` handle: each aggregate runs ONE fused
+    multi-column border-exchange scan over the numeric columns."""
+
+    _AGGS = ("sum", "mean", "min", "max", "count", "std", "var",
+             "median")
+
+    def __init__(self, df, window, min_periods):
+        df._require_numeric("rolling")
+        self._df = df
+        self._window = int(window)
+        self._mp = min_periods
+
+    def _agg(self, name):
+        from .operators.segscan import rolling_scan_multi
+        df = self._df
+        tmp, idx_names = df._named_with_idx()
+        vals = [I.col_name(i) for i in range(df._n_cols())]
+        out_names = {c: f"{c}__o" for c in vals}
+        scanned = rolling_scan_multi(
+            tmp, vals, idx_names, self._window, name, self._mp,
+            [out_names[c] for c in vals])
+        return df._pack_scanned(scanned, idx_names, out_names)
+
+    def __getattr__(self, name):
+        if name in self._AGGS:
+            return lambda: self._agg(name)
+        raise AttributeError(name)

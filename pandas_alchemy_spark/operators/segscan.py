@@ -689,34 +689,95 @@ def rolling_scan(sdf: SparkDF, value_col: str, order_cols, window: int,
         b = pd.Series(before.get(pid, []), dtype="float64")
         xf = pd.concat([b, pdf[value_col].astype("float64")],
                        ignore_index=True)
-        nb = len(b)
-        nn = xf.notna().astype("int64").cumsum()
-        nwin = nn - nn.shift(window, fill_value=0)
-        if agg == "count":
-            # pandas gates count on ROWS in the frame, not non-null
-            # obs (same as expanding().count()); with borders chained,
-            # ext position == global position whenever truncated
-            rows_win = pd.Series(
-                np.minimum(np.arange(1, len(xf) + 1), window),
-                index=xf.index)
-            out = nwin.astype("float64").where(rows_win >= mp)
-        elif agg == "sum" and integral:
-            # exact int64 path: null -> 0 contributes nothing, the
-            # nwin gate restores null frames
-            cs = xf.fillna(0.0).astype("int64").cumsum()
-            s = cs - cs.shift(window, fill_value=0)
-            out = s.astype("float64").where(nwin >= mp)
-        elif agg in ("sum", "mean"):
-            s = xf.rolling(window, min_periods=1).sum()
-            out = (s if agg == "sum" else s / nwin).where(nwin >= mp)
-        elif agg == "apply":
-            out = xf.rolling(window, min_periods=mp).apply(apply_fn,
-                                                           raw=raw)
-        else:
-            out = getattr(xf.rolling(window, min_periods=mp), agg)()
-        out = out.iloc[nb:].reset_index(drop=True)
+        out = _roll_one(xf, agg, window, mp, integral,
+                        apply_fn, raw)
+        out = out.iloc[len(b):].reset_index(drop=True)
         res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
         res[out_col] = _to_nullable(out, out_type)
+        yield res
+
+    return base.mapInPandas(pass_b, fields)
+
+
+def _roll_one(xf: pd.Series, agg: str, window: int, mp: int,
+              integral: bool, apply_fn=None, raw: bool = True):
+    """Vectorized rolling aggregate over a border-extended column
+    (shared by the single- and multi-column scans)."""
+    nn = xf.notna().astype("int64").cumsum()
+    nwin = nn - nn.shift(window, fill_value=0)
+    if agg == "count":
+        # pandas gates count on ROWS in the frame, not non-null
+        # obs (same as expanding().count()); with borders chained,
+        # ext position == global position whenever truncated
+        rows_win = pd.Series(
+            np.minimum(np.arange(1, len(xf) + 1), window),
+            index=xf.index)
+        return nwin.astype("float64").where(rows_win >= mp)
+    if agg == "sum" and integral:
+        # exact int64 path: null -> 0 contributes nothing, the
+        # nwin gate restores null frames
+        cs = xf.fillna(0.0).astype("int64").cumsum()
+        s = cs - cs.shift(window, fill_value=0)
+        return s.astype("float64").where(nwin >= mp)
+    if agg in ("sum", "mean"):
+        s = xf.rolling(window, min_periods=1).sum()
+        return (s if agg == "sum" else s / nwin).where(nwin >= mp)
+    if agg == "apply":
+        return xf.rolling(window, min_periods=mp).apply(apply_fn,
+                                                        raw=raw)
+    return getattr(xf.rolling(window, min_periods=mp), agg)()
+
+
+def rolling_scan_multi(sdf: SparkDF, value_cols, order_cols,
+                       window: int, agg: str,
+                       min_periods: int | None = None,
+                       out_cols=None, num_partitions=None) -> SparkDF:
+    """Frame-level global rolling: every column's windows in ONE
+    border-exchange pass (all columns' n-1 border rows travel
+    together) — the rolling sibling of :func:`cum_scan_multi`."""
+    if agg not in _ROLL_AGGS:
+        raise ValueError(f"unsupported rolling agg {agg!r}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    mp = window if min_periods is None else max(int(min_periods), 1)
+    value_cols = list(value_cols)
+    out_cols = (list(out_cols) if out_cols is not None
+                else [f"{c}__o" for c in value_cols])
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    in_types = [sdf.schema[c].dataType.simpleString()
+                for c in value_cols]
+    out_types = [_roll_out_type(agg, t) for t in in_types]
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in sdf.schema.fields)
+    fields += "".join(f", {oc} {t}"
+                      for oc, t in zip(out_cols, out_types))
+    k = window - 1
+    if k:
+        edges = _collect_edges_multi(base, value_cols, 0, k)
+        pids = sorted({p for hs, ts in edges.values()
+                       for p in set(hs) | set(ts)})
+        before = {c: _chain_borders(pids, *edges[c], k, 0)[0]
+                  for c in value_cols}
+    else:
+        before = {c: {} for c in value_cols}
+    integral = [t in _INTEGRAL for t in in_types]
+
+    def pass_b(it):
+        pdf = _whole_partition(it)
+        if pdf is None:
+            return
+        pid = int(pdf["__pid"].iloc[0])
+        res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
+        for c, oc, intg, out_t in zip(value_cols, out_cols,
+                                      integral, out_types):
+            b = pd.Series(before[c].get(pid, []), dtype="float64")
+            xf = pd.concat([b, pdf[c].astype("float64")],
+                           ignore_index=True)
+            out = _roll_one(xf, agg, window, mp, intg)
+            out = out.iloc[len(b):].reset_index(drop=True)
+            res[oc] = _to_nullable(out, out_t)
         yield res
 
     return base.mapInPandas(pass_b, fields)

@@ -334,3 +334,31 @@ def test_eval(spark):
     s = df.eval("a + b").to_pandas().sort_index()
     np.testing.assert_allclose(s.to_numpy(float),
                                pdf.eval("a + b").to_numpy(float))
+
+
+# --------------------------------------- frame-level global rolling
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "min", "max",
+                                 "count", "std", "var", "median"])
+def test_frame_rolling(spark, agg):
+    df = pas.DataFrame.from_pandas(PDF)
+    got = getattr(df.rolling(3), agg)().to_pandas().sort_index()
+    want = getattr(PDF.rolling(3), agg)()
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float),
+                               rtol=1e-12, equal_nan=True)
+
+
+def test_frame_rolling_min_periods_and_plan(spark):
+    df = pas.DataFrame.from_pandas(PDF)
+    got = df.rolling(3, min_periods=1).sum().to_pandas().sort_index()
+    want = PDF.rolling(3, min_periods=1).sum()
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float), equal_nan=True)
+    plan = (df.rolling(3).mean()._sdf._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "SinglePartition" not in plan and "Window" not in plan
+    with pytest.raises(NotImplementedError, match="per-column"):
+        df.rolling("7D")
+    with pytest.raises(NotImplementedError, match="per-column"):
+        df.expanding()
