@@ -641,6 +641,13 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             "per-column series.expanding() (distributed prefix "
             "scans) or groupby(...).expanding()")
 
+    def ewm(self, alpha: float):
+        """pandas ``df.ewm(alpha)`` (mean only) over the numeric
+        columns: every column's exact recurrence in ONE fused
+        segmented scan (scan.ewm_mean_multi — one carry row per
+        partition holding all columns' weighted tails)."""
+        return _FrameEwm(self, alpha)
+
     def rank(self, method: str = "min", ascending: bool = True,
              pct: bool = False):
         """pandas ``df.rank()``: each numeric column ranked globally.
@@ -1637,3 +1644,25 @@ class _FrameRolling:
         if name in self._AGGS:
             return lambda: self._agg(name)
         raise AttributeError(name)
+
+
+class _FrameEwm:
+    """``df.ewm(alpha)`` handle (mean only) — one fused multi-column
+    exact scan."""
+
+    def __init__(self, df, alpha):
+        from .operators.scan import _check_alpha
+        _check_alpha(float(alpha))
+        df._require_numeric("ewm")
+        self._df = df
+        self._alpha = float(alpha)
+
+    def mean(self):
+        from .operators.scan import ewm_mean_multi
+        df = self._df
+        tmp, idx_names = df._named_with_idx()
+        vals = [I.col_name(i) for i in range(df._n_cols())]
+        out_names = {c: f"{c}__o" for c in vals}
+        scanned = ewm_mean_multi(tmp, vals, idx_names, self._alpha,
+                                 [out_names[c] for c in vals])
+        return df._pack_scanned(scanned, idx_names, out_names)

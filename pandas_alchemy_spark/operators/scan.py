@@ -343,3 +343,102 @@ def ewm_var(sdf: SparkDF, value_col: str, order_cols, alpha: float,
             yield res
 
     return base.mapInPandas(pass_b, out_fields)
+
+
+def _partition_scan_multi(it, alpha, ncols):
+    """Pass A for :func:`ewm_mean_multi`: one carry row per partition
+    with every column's weighted tail."""
+    w = 1.0 - alpha
+    tails = [0.0] * ncols
+    n = 0
+    pid = None
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        pid = int(pdf["__pid"].iloc[0])
+        k = len(pdf)
+        den_end = (1.0 - w ** k) / (1.0 - w) if w != 0.0 else 1.0
+        for j in range(ncols):
+            x = pdf[f"__x{j}"].astype("float64")
+            m = x.ewm(alpha=alpha, adjust=True).mean()
+            tails[j] = (tails[j] * (w ** k)
+                        + float(m.iloc[-1]) * den_end)
+        n += k
+    if pid is not None:
+        out = {"pid": [pid], "n": [n]}
+        out.update({f"t{j}": [tails[j]] for j in range(ncols)})
+        yield pd.DataFrame(out)
+
+
+def ewm_mean_multi(sdf: SparkDF, value_cols, order_cols, alpha: float,
+                   out_cols=None,
+                   num_partitions: int | None = None) -> SparkDF:
+    """Frame-level exact EWM mean: every column's recurrence in ONE
+    segmented scan — per-partition weighted tails for all columns
+    travel in a single carry row (the EWM sibling of
+    :func:`segscan.cum_scan_multi`).  Same null contract as
+    :func:`ewm_mean` (filter nulls first)."""
+    _check_alpha(alpha)
+    w = 1.0 - alpha
+    value_cols = list(value_cols)
+    ncols = len(value_cols)
+    out_cols = (list(out_cols) if out_cols is not None
+                else [f"{c}__o" for c in value_cols])
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    from .segscan import _pin
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    proj = base.select(
+        "__pid", *[F.col(c).cast("double").alias(f"__x{j}")
+                   for j, c in enumerate(value_cols)])
+    schema = ("pid int, n long, "
+              + ", ".join(f"t{j} double" for j in range(ncols)))
+    carries = proj.mapInPandas(
+        lambda it: _partition_scan_multi(it, alpha, ncols),
+        schema).collect()
+    carries.sort(key=lambda r: r["pid"])
+    prefix: dict[int, list] = {}
+    pref_n: dict[int, int] = {}
+    acc = [0.0] * ncols
+    off = 0
+    for r in carries:
+        prefix[r["pid"]] = list(acc)
+        pref_n[r["pid"]] = off
+        for j in range(ncols):
+            acc[j] = acc[j] * (w ** r["n"]) + r[f"t{j}"]
+        off += r["n"]
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in sdf.schema.fields)
+    fields += "".join(f", {oc} double" for oc in out_cols)
+
+    def pass_b(it):
+        carry = None  # (tails list, t_local)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            if carry is None:
+                carry = (list(prefix.get(pid, [0.0] * ncols)), 0)
+            tails, t0 = carry
+            k = len(pdf)
+            pos = np.arange(1, k + 1, dtype="float64")
+            den_local = ((1.0 - w ** pos) / (1.0 - w) if w != 0.0
+                         else np.ones(k))
+            decay = w ** pos
+            gpos = pref_n.get(pid, 0) + t0 + pos
+            den = ((1.0 - w ** gpos) / (1.0 - w) if w != 0.0
+                   else np.ones(k))
+            res = pdf.drop(columns=["__pid"]).copy()
+            new_tails = []
+            for j, (c, oc) in enumerate(zip(value_cols, out_cols)):
+                x = pdf[c].astype("float64")
+                m = x.ewm(alpha=alpha, adjust=True).mean().to_numpy()
+                num = m * den_local + tails[j] * decay
+                res[oc] = num / den
+                new_tails.append(tails[j] * (w ** k)
+                                 + m[-1] * den_local[-1])
+            carry = (new_tails, t0 + k)
+            yield res
+
+    return base.mapInPandas(pass_b, fields)

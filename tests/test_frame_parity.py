@@ -362,3 +362,35 @@ def test_frame_rolling_min_periods_and_plan(spark):
         df.rolling("7D")
     with pytest.raises(NotImplementedError, match="per-column"):
         df.expanding()
+
+
+def test_frame_ewm_mean(spark):
+    rng = np.random.default_rng(9)
+    pdf = pd.DataFrame({"a": rng.normal(size=300),
+                        "b": rng.normal(size=300).cumsum()})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.ewm(0.3).mean().to_pandas().sort_index()
+    want = pdf.ewm(alpha=0.3, adjust=True).mean()
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float), rtol=1e-10)
+    plan = (df.ewm(0.3).mean()._sdf._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "SinglePartition" not in plan and "Window" not in plan
+    with pytest.raises(ValueError, match="alpha"):
+        df.ewm(1.5)
+
+
+def test_frame_ewm_multibatch(spark):
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 64)
+    try:
+        pdf = pd.DataFrame({"a": np.arange(500, dtype="float64"),
+                            "b": np.arange(500)[::-1]
+                            .astype("float64")})
+        df = pas.DataFrame.from_pandas(pdf)
+        got = df.ewm(0.1).mean().to_pandas().sort_index()
+        want = pdf.ewm(alpha=0.1, adjust=True).mean()
+        np.testing.assert_allclose(got.to_numpy(float),
+                                   want.to_numpy(float), rtol=1e-10)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", 10000)
