@@ -619,6 +619,100 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def pct_change(self, periods: int = 1):
         return self._frame_delta("pct", periods, verb="pct_change")
 
+    def ffill(self):
+        """pandas ``df.ffill()``: every column's forward fill in ONE
+        fused scan (segscan.fill_scan_multi — all columns' one-scalar
+        carries travel in a single partials row)."""
+        return self._frame_fill("ffill")
+
+    def bfill(self):
+        return self._frame_fill("bfill")
+
+    def _frame_fill(self, direction):
+        from .operators.segscan import fill_scan_multi
+        tmp, idx_names = self._named_with_idx()
+        vals = [I.col_name(i) for i in range(self._n_cols())]
+        out_names = {c: f"{c}__o" for c in vals}
+        scanned = fill_scan_multi(tmp, vals, idx_names, direction,
+                                  [out_names[c] for c in vals])
+        return self._pack_scanned(scanned, idx_names, out_names)
+
+    def asof(self, where):
+        """pandas ``df.asof(where)``: the last row with NO null values
+        whose index label is <= each probe — every probe fused into
+        one filtered max_by pass; returns a pandas Series (scalar
+        probe) or DataFrame (list), like pandas."""
+        probes = where if isinstance(where, (list, tuple)) else [where]
+        idx0 = self._idx_at(0)
+        ok = self._col_at(0).isNotNull()
+        for i in range(1, self._n_cols()):
+            ok = ok & self._col_at(i).isNotNull()
+        aggs = []
+        for j, p in enumerate(probes):
+            gate = F.when(ok & (idx0 <= F.lit(p)), idx0)
+            for i in range(self._n_cols()):
+                aggs.append(F.max_by(self._col_at(i), gate)
+                            .alias(f"__a{j}_{i}"))
+        row = self._sdf.agg(*aggs).collect()[0]
+        labels = [str(c) for c in self._columns]
+        data = [[row[f"__a{j}_{i}"] for i in range(self._n_cols())]
+                for j in range(len(probes))]
+        out = pd.DataFrame(data, columns=labels,
+                           index=pd.Index(probes))
+        if not isinstance(where, (list, tuple)):
+            return out.iloc[0]
+        return out
+
+    @classmethod
+    def from_dict(cls, data, orient="columns"):
+        """Literal frame from a dict — pandas builds it, the engine
+        ships it (Arrow createDataFrame)."""
+        return cls.from_pandas(pd.DataFrame.from_dict(data,
+                                                      orient=orient))
+
+    @classmethod
+    def from_records(cls, data, columns=None):
+        return cls.from_pandas(pd.DataFrame.from_records(
+            data, columns=columns))
+
+    def to_json(self, path, mode: str = "overwrite"):
+        from .sources.io import to_json
+        return to_json(self, path, mode=mode)
+
+    def to_orc(self, path, mode: str = "overwrite",
+               partition_by=None):
+        from .sources.io import to_orc
+        return to_orc(self, path, mode=mode, partition_by=partition_by)
+
+    def to_string(self, *args, **kwargs):
+        """Materializer: collect and render via pandas."""
+        return self.to_pandas().to_string(*args, **kwargs)
+
+    def transform(self, func):
+        """pandas ``df.transform(func)``: ``func`` applied to every
+        column as an ENGINE Series (compose engine expressions — the
+        result stays ONE projection; arbitrary elementwise Python
+        belongs in applymap)."""
+        from . import base
+        cols = []
+        for lab in self._columns:
+            res = func(self[lab])
+            if (not hasattr(res, "_lineage_root")
+                    or res._lineage_root is not self._sdf):
+                raise ValueError(
+                    "transform func must return an expression over "
+                    "its input column (engine Series ops); for "
+                    "elementwise Python use applymap")
+            cols.append(res._lineage_expr)
+        idx = [self._idx_at(i) for i in range(self._n_idx())]
+        sdf = base.BaseFrame(self._index, self._columns,
+                             self._sdf)._project(idx, cols)
+        out = DataFrame(self._index, self._columns, sdf)
+        out._mid_index = self._mid_index
+        out._mid_dense = self._mid_dense
+        out._mid_origin = self._mid_origin
+        return out
+
     def rolling(self, window: int, min_periods: int | None = None):
         """pandas ``df.rolling(n)`` over the NUMERIC columns: every
         column's windows in ONE fused border-exchange scan
@@ -1046,6 +1140,7 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     (reference Series, alchemy.py:353-517)."""
 
     ndim = 1
+    name = None  # class default; __init__ sets the instance value
     _AXIS_MAPPER = {0: 0, "index": 0, "rows": 0}
 
     def __init__(self, index, columns, sdf, name, lineage=None):

@@ -1391,3 +1391,105 @@ def rolling_pair_scan(sdf: SparkDF, xcol: str, ycol: str, order_cols,
         yield res
 
     return base.mapInPandas(pass_b, fields)
+
+
+def fill_scan_multi(sdf: SparkDF, value_cols, order_cols,
+                    direction: str = "ffill", out_cols=None,
+                    num_partitions=None) -> SparkDF:
+    """Frame-level global ffill/bfill: every column's one-scalar carry
+    travels in a single partials row — the fill sibling of
+    :func:`cum_scan_multi` (one range shuffle, one partials pass, one
+    fill pass for k columns)."""
+    if direction not in ("ffill", "bfill"):
+        raise ValueError(
+            f"direction must be 'ffill' or 'bfill', got {direction!r}")
+    value_cols = list(value_cols)
+    out_cols = (list(out_cols) if out_cols is not None
+                else [f"{c}__o" for c in value_cols])
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    in_types = [sdf.schema[c].dataType.simpleString()
+                for c in value_cols]
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in sdf.schema.fields)
+    fields += "".join(f", {oc} {t}"
+                      for oc, t in zip(out_cols, in_types))
+    proj = base.select(*value_cols, "__pid")
+    pschema = "__pid int" + "".join(
+        f", f{j} {t}, l{j} {t}" for j, t in enumerate(in_types))
+
+    def partials_pass(it):
+        pid = None
+        first = [None] * len(value_cols)
+        last = [None] * len(value_cols)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            for j, c in enumerate(value_cols):
+                nn = pdf[c].dropna()
+                if len(nn):
+                    if first[j] is None:
+                        first[j] = nn.iloc[0]
+                    last[j] = nn.iloc[-1]
+        if pid is not None:
+            row = {"__pid": [pid]}
+            for j in range(len(value_cols)):
+                row[f"f{j}"] = [first[j]]
+                row[f"l{j}"] = [last[j]]
+            yield pd.DataFrame(row)
+
+    rows = sorted(proj.mapInPandas(partials_pass, pschema).collect(),
+                  key=lambda r: r["__pid"])
+    carry: dict[int, list] = {}
+    acc = [None] * len(value_cols)
+    seq = rows if direction == "ffill" else list(reversed(rows))
+    edge = "l" if direction == "ffill" else "f"
+    for r in seq:
+        carry[r["__pid"]] = list(acc)
+        for j in range(len(value_cols)):
+            v = r[f"{edge}{j}"]
+            if v is not None:
+                acc[j] = v
+
+    def pass_b(it):
+        if direction == "ffill":
+            seeded, run = False, [None] * len(value_cols)
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                if not seeded:
+                    run = list(carry.get(int(pdf["__pid"].iloc[0]),
+                                         [None] * len(value_cols)))
+                    seeded = True
+                res = pdf.drop(columns=["__pid"]).copy()
+                for j, (c, oc, t) in enumerate(zip(value_cols,
+                                                   out_cols,
+                                                   in_types)):
+                    x = _to_nullable(pdf[c], t)
+                    y = x.ffill()
+                    if run[j] is not None:
+                        y = y.fillna(run[j])
+                    nn = x.dropna()
+                    if len(nn):
+                        run[j] = nn.iloc[-1]
+                    res[oc] = _to_nullable(y, t)
+                yield res
+        else:
+            pdf = _whole_partition(it)
+            if pdf is None:
+                return
+            fill = carry.get(int(pdf["__pid"].iloc[0]),
+                             [None] * len(value_cols))
+            res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
+            for j, (c, oc, t) in enumerate(zip(value_cols, out_cols,
+                                               in_types)):
+                x = _to_nullable(pdf[c], t)
+                y = x.bfill()
+                if fill[j] is not None:
+                    y = y.fillna(fill[j])
+                res[oc] = _to_nullable(y, t)
+            yield res
+
+    return base.mapInPandas(pass_b, fields)

@@ -320,6 +320,51 @@ class GroupBy:
         return _FrameGroupedWindow(
             self, lambda cap: Expanding(cap, min_periods))
 
+    def ewm(self, alpha: float):
+        """Frame-level grouped EWM (mean only): every non-key column's
+        pow-trick window expression fused into one select — single
+        shuffle on the keys, codegen, the same overflow guard as the
+        per-column form."""
+        from .operators.scan import (_check_alpha,
+                                     pow_trick_max_rows)
+        _check_alpha(float(alpha))
+        gb = self
+
+        class _FrameGroupedEwm:
+            def mean(self):
+                from pyspark.sql import Window
+                w = 1.0 - float(alpha)
+                from .operators.analytic import _order_cols
+                df = gb._df
+                if w == 0.0:
+                    return gb._transform_frame_fn(
+                        lambda cap: df._col_at(
+                            df._columns.get_loc(cap._label))
+                        .cast("double"))
+                nmax = pow_trick_max_rows(float(alpha))
+                keys = gb._key_cols
+                owin = Window.partitionBy(*keys).orderBy(
+                    *_order_cols(df))
+                run = owin.rowsBetween(Window.unboundedPreceding,
+                                       Window.currentRow)
+                rn = F.row_number().over(owin)
+
+                def make(cap):
+                    c = df._col_at(df._columns.get_loc(cap._label))
+                    num = F.sum(c * F.pow(F.lit(w), -rn)).over(run)
+                    den = F.sum(F.pow(F.lit(w), -rn)).over(run)
+                    return F.when(
+                        rn > F.lit(nmax),
+                        F.raise_error(F.lit(
+                            f"ewm pow-trick overflow: a group "
+                            f"exceeds {nmax} rows at alpha={alpha}; "
+                            "use the per-column exact path "
+                            ".ewm(alpha).mean(exact=True)"))
+                        .cast("double")).otherwise(num / den)
+                return gb._transform_frame_fn(make)
+
+        return _FrameGroupedEwm()
+
     def shift(self, periods: int = 1, fill_value=None):
         """pandas gb.shift(): every non-key column lagged within its
         group — one fused Window over the keys, single shuffle."""
@@ -352,6 +397,14 @@ class GroupBy:
     def rank(self, method: str = "min", ascending: bool = True,
              pct: bool = False):
         return self._transform_frame("rank", method, ascending, pct)
+
+    def interpolate(self, method: str = "linear", limit=None,
+                    limit_direction=None):
+        """pandas gb.interpolate(): every non-key column's null holes
+        filled within its group — the pure-JVM window expressions,
+        fused into one select (single shuffle)."""
+        return self._transform_frame("interpolate", method, limit,
+                                     limit_direction)
 
     def transform(self, how):
         """pandas gb.transform('mean'): every non-key column replaced
@@ -651,6 +704,27 @@ class GroupBy:
         """Per-group pairwise sample covariance (ddof=1), same
         flattening as :meth:`corr`."""
         return self._pairwise(F.covar_samp)
+
+    def corrwith(self, other):
+        """Per-group pairwise correlation with ``other``'s matching
+        columns — one index-align join + ONE hash aggregate (every
+        shared column's per-group corr fused)."""
+        df = self._df
+        shared = [c for c in df._columns
+                  if c in other._columns and c not in self._by]
+        joined, lcol, rcol, idx, names = df._join_idx(other)
+        keys = [lcol(df._columns.get_loc(b)).alias(I.idx_name(i))
+                for i, b in enumerate(self._by)]
+        aggs = []
+        for j, lab in enumerate(shared):
+            li = df._columns.get_loc(lab)
+            ri = other._columns.get_loc(lab)
+            aggs.append(F.corr(lcol(li).cast("double"),
+                               rcol(ri).cast("double"))
+                        .alias(I.col_name(j)))
+        sdf = joined.groupBy(*keys).agg(*aggs)
+        from .core import DataFrame
+        return DataFrame(pd.Index(self._by), pd.Index(shared), sdf)
 
     def _pairwise(self, fn):
         df = self._df
@@ -3446,3 +3520,100 @@ class SeriesRelationalMixin:
         if hasattr(new, "_drop_lineage"):
             new._drop_lineage()
         return new
+
+    @property
+    def T(self):
+        """Series transpose is the identity (pandas parity)."""
+        return self
+
+    def transpose(self):
+        return self
+
+    def convert_dtypes(self):
+        """No-op: the engine is already typed."""
+        return self
+
+    def compare(self, other):
+        """pandas ``Series.compare``: the differing value pairs as a
+        (self, other) frame — the frame compare on one column."""
+        out = self.to_frame("v").compare(other.to_frame("v"))
+        return out.set_axis(["self", "other"])
+
+    def info(self):
+        n = len(self)
+        t = self._dtypes()[0].simpleString()
+        print(f"Series: {n} values, dtype {t}, name {self.name!r}")
+
+    def pop(self, label):
+        """Remove the row(s) at an index label (in place), returning
+        the removed value (scalar when unique)."""
+        val = self.get(label)
+        if val is None:
+            raise KeyError(label)
+        idx = self._idx_at(0)
+        self._sdf = self._sdf.filter(~(idx == F.lit(label)))
+        if hasattr(self, "_drop_lineage"):
+            self._drop_lineage()
+        return val
+
+    def reindex_like(self, other):
+        """Conform to another series' index (join-based, no driver
+        collect)."""
+        from .core import Series
+        labels = other._sdf.select(
+            other._idx_at(0).alias(I.idx_name(0))).distinct()
+        joined = labels.join(
+            self._sdf.select(self._idx_at(0).alias(I.idx_name(0)),
+                             self._the_col.alias(I.col_name(0))),
+            on=I.idx_name(0), how="left")
+        out = Series(self._index, None, joined, self.name)
+        out._rows_reordered = True
+        return out
+
+    def set_axis(self, labels):
+        """Replace the index with the given labels, positionally — a
+        rowid paste against a literal label frame (one join on the
+        densified position)."""
+        from .core import Series
+        labels = list(labels)
+        n = len(self)
+        if len(labels) != n:
+            raise ValueError(
+                f"Length mismatch: expected {n} labels, "
+                f"got {len(labels)}")
+        flat = self.reset_index(drop=True)
+        if getattr(flat, "_mid_index", False):
+            flat._densify()
+        spark = self._sdf.sparkSession
+        lit = spark.createDataFrame(
+            pd.DataFrame({"__pos": range(n), "__lab": labels}))
+        body = (flat._sdf
+                .join(F.broadcast(lit),
+                      flat._sdf[I.idx_name(0)] == lit["__pos"],
+                      "inner")
+                .select(F.col("__lab").alias(I.idx_name(0)),
+                        F.col(I.col_name(0))))
+        out = Series(pd.Index([None]), None, body, self.name)
+        out._rows_reordered = True
+        return out
+
+    def xs(self, key, level=0):
+        """Cross-section of a MultiIndex series."""
+        name = self.name if self.name is not None else "__v"
+        out = self.to_frame(name).xs(key, level)[name]
+        out.name = self.name
+        return out
+
+    def to_json(self, path, mode: str = "overwrite"):
+        name = self.name if self.name is not None else "0"
+        return self.to_frame(name).to_json(path, mode=mode)
+
+    def to_string(self, *args, **kwargs):
+        return self.to_pandas().to_string(*args, **kwargs)
+
+    def argsort(self):
+        """Positions that would sort the series — an inherently
+        positional-ARRAY result, so this is a documented MATERIALIZER
+        (collects like pandas' returned ndarray does).  For a
+        distributed sort-position column use ``rank(method='first')``."""
+        return self.to_pandas().argsort()

@@ -221,3 +221,18 @@ def test_frame_grouped_rolling_median_raises(spark):
     df = _frame(spark)
     with pytest.raises(NotImplementedError, match="per-column"):
         df.groupby("k").rolling(3).median()
+
+
+def test_frame_grouped_interpolate(spark):
+    pdf = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 4,
+                        "x": [1.0, np.nan, 3.0, np.nan,
+                              10.0, np.nan, np.nan, 40.0],
+                        "y": [np.nan, 2.0, np.nan, 4.0,
+                              5.0, 6.0, np.nan, 8.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k").interpolate().to_pandas().sort_index()
+    want = pdf.groupby("k")[["x", "y"]].apply(
+        lambda g: g.interpolate()).reset_index(level=0, drop=True) \
+        .sort_index()
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float), equal_nan=True)

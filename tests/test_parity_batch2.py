@@ -272,3 +272,71 @@ def test_groupby_take(spark):
     want_idx = sorted({g.index[0] for _, g in PDF.groupby("k")}
                       | {g.index[-1] for _, g in PDF.groupby("k")})
     assert got.index.tolist() == want_idx
+
+
+def test_frame_fill_asof_transform(spark):
+    pdf = pd.DataFrame({"a": [np.nan, 1.0, np.nan, 3.0],
+                        "b": [10.0, np.nan, np.nan, 40.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    for verb in ("ffill", "bfill"):
+        got = getattr(df, verb)().to_pandas().sort_index()
+        want = getattr(pdf, verb)()
+        np.testing.assert_allclose(got.to_numpy(float),
+                                   want.to_numpy(float),
+                                   equal_nan=True)
+    pdf3 = pd.DataFrame({"p": [1.0, 2.0, np.nan, 4.0],
+                         "q": [1.0, np.nan, 3.0, 4.0]},
+                        index=[10, 20, 30, 40])
+    df3 = pas.DataFrame.from_pandas(pdf3)
+    assert df3.asof(35).tolist() == pdf3.asof(35).tolist()
+    assert df3.asof([15, 45]).values.tolist() == \
+        pdf3.asof([15, 45]).values.tolist()
+    dt = pas.DataFrame.from_pandas(pdf.fillna(0.0))
+    got = dt.transform(lambda s: s * 2 + 1).to_pandas().sort_index()
+    want = pdf.fillna(0.0).transform(lambda s: s * 2 + 1)
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float))
+
+
+def test_groupby_frame_ewm_and_corrwith(spark):
+    pdf = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 5,
+                        "x": np.arange(10, dtype=float),
+                        "y": np.arange(10)[::-1].astype(float)})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k").ewm(0.4).mean().to_pandas().sort_index()
+    want = pdf.groupby("k")[["x", "y"]].transform(
+        lambda s: s.ewm(alpha=0.4, adjust=True).mean())
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.to_numpy(float), rtol=1e-12)
+    other = pas.DataFrame.from_pandas(
+        pd.DataFrame({"x": pdf["x"] * 2 + pdf.index,
+                      "y": -pdf["y"]}))
+    got = df.groupby("k").corrwith(other).to_pandas().sort_index()
+    want = pdf.groupby("k").apply(
+        lambda g: pd.Series({
+            "x": g["x"].corr(g["x"] * 2 + g.index.to_series()),
+            "y": g["y"].corr(-g["y"])}), include_groups=False)
+    np.testing.assert_allclose(got.to_numpy(float),
+                               want.sort_index().to_numpy(float),
+                               rtol=1e-9)
+
+
+def test_series_closure_bits(spark):
+    s = pas.Series.from_list([3, 1, 2], name="v")
+    assert s.T is s and s.transpose() is s
+    assert s.convert_dtypes() is s
+    assert s.set_axis(["a", "b", "c"]).to_pandas().sort_index() \
+        .index.tolist() == ["a", "b", "c"]
+    other = pas.Series.from_list([9, 9], name="v")
+    rl = s.reindex_like(other).to_pandas()
+    assert sorted(rl.index.tolist()) == [0, 1]
+    ps = pd.Series([3, 1, 2])
+    assert list(s.argsort()) == list(ps.argsort())
+    sc = pas.Series.from_list([1.0, 5.0], name="v")
+    oc = pas.Series.from_list([1.0, 7.0], name="v")
+    cmp_out = sc.compare(oc).to_pandas()
+    assert cmp_out["self"].tolist() == [5.0]
+    assert cmp_out["other"].tolist() == [7.0]
+    sp = pas.Series.from_list([10, 20, 30], name="v")
+    assert sp.pop(1) == 20
+    assert sp.to_pandas().sort_index().tolist() == [10, 30]
