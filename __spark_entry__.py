@@ -2042,6 +2042,13 @@ def q_window_suite(spark, sf_dir):
     # division, also raw double)
     m = o.assign(mprice=masked)
     itpg = m.groupby("o_custkey")["mprice"].interpolate()
+    # round-5 third-session leg: grouped rolling PAIR corr
+    # (F.corr window expression, pairwise-complete min_periods gate);
+    # Spark's zero-variance corr is NaN where DuckDB's is NULL, so
+    # the NaN normalizes to NULL below
+    o2 = o.assign(eday=o.o_orderdate.dt.epoch_day)
+    rco = o2.groupby("o_custkey")["o_totalprice"] \
+        .rolling(3).corr("eday")
     combined = o.assign(cum=g.cumsum(),
                         roll=price.rolling(3).sum(),
                         pct=g.pct_change(),
@@ -2051,7 +2058,8 @@ def q_window_suite(spark, sf_dir):
                         itp=masked.interpolate(),
                         itpg=itpg,
                         rpct=price.rank(method="min", pct=True),
-                        rmed=price.rolling(5).median())
+                        rmed=price.rolling(5).median(),
+                        rco=rco)
     core = combined.to_spark().select(
         F.col("o_orderkey").cast("long").alias("o_orderkey"),
         F.round("cum", 2).alias("cum_total"),
@@ -2064,7 +2072,9 @@ def q_window_suite(spark, sf_dir):
         F.col("itpg"),
         F.col("rpct"),
         # odd window -> the median IS a data value: raw-double exact
-        F.col("rmed"))
+        F.col("rmed"),
+        F.when(F.isnan("rco"), F.lit(None).cast("double"))
+        .otherwise(F.round("rco", 6)).alias("rco"))
     d = q_ewm_price(spark, sf_dir)
     return core.join(d, "o_orderkey")
 
@@ -3840,6 +3850,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN count(*) OVER wm5 >= 5
                         THEN median(o_totalprice) OVER wm5 END
                    AS rmed,
+                   -- grouped rolling pair corr (pairs gate = rows:
+                   -- orders has no nulls); zero-variance windows are
+                   -- NULL in DuckDB and NaN in Spark - the engine
+                   -- side normalizes its NaN to NULL
+                   CASE WHEN count(*) OVER wcu >= 3
+                        THEN round(corr(o_totalprice,
+                                        datediff('day',
+                                                 DATE '1970-01-01',
+                                                 o_orderdate))
+                                   OVER wcu, 6) END AS rco,
                    round(sum(o_totalprice * pow(0.75, -rn)) OVER wc
                          / sum(pow(0.75, -rn)) OVER wc, 2) AS ewm_price
             FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
@@ -3865,7 +3885,9 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN CURRENT ROW
                            AND UNBOUNDED FOLLOWING),
                    wm5 AS (ORDER BY o_orderkey
-                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                   wcu AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "reshape_suite": f"""
             SELECT 'pivot' AS tag, l_linestatus AS key, qty_a AS a,

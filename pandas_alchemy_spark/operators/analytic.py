@@ -45,6 +45,22 @@ def _order_cols(frame):
     return [frame._sdf[I.idx_name(i)] for i in range(frame._n_idx())]
 
 
+def safe_corr(x, y, w=None):
+    """Pearson correlation as a zero-variance-gated expression:
+    Spark 4's ANSI mode makes the builtin ``corr`` RAISE
+    DIVIDE_BY_ZERO on a constant window/group; the CASE gate keeps
+    the division unevaluated there and yields NULL (= DuckDB's corr,
+    = pandas' NaN after export).  Pass ``w`` to evaluate the three
+    aggregates over a window frame."""
+    def o(e):
+        return e.over(w) if w is not None else e
+
+    sx = o(F.stddev_samp(x))
+    sy = o(F.stddev_samp(y))
+    return F.when((sx > 0) & (sy > 0),
+                  o(F.covar_samp(x, y)) / (sx * sy))
+
+
 def _check_interp_args(method, limit, limit_direction) -> str:
     """Validate the pandas interpolate contract; returns the resolved
     limit_direction."""
@@ -933,13 +949,14 @@ class Rolling:
                 "frame")
         y = df._col_at(df._columns.get_loc(label)).cast("double")
         w = sw._window().rowsBetween(-(win - 1), Window.currentRow)
-        agg = F.corr if stat == "corr" else F.covar_samp
 
         def fn(c):
             x = c.cast("double")
             pairs = F.count(F.when(x.isNotNull() & y.isNotNull(),
                                    F.lit(1))).over(w)
-            return F.when(pairs >= mp, agg(x, y).over(w))
+            val = (safe_corr(x, y, w) if stat == "corr"
+                   else F.covar_samp(x, y).over(w))
+            return F.when(pairs >= mp, val)
         return sw._wrap(fn)
 
     def apply(self, func, raw: bool = True):
@@ -1043,14 +1060,15 @@ class Expanding:
         y = df._col_at(df._columns.get_loc(label)).cast("double")
         w = sw._window().rowsBetween(Window.unboundedPreceding,
                                      Window.currentRow)
-        agg = F.corr if stat == "corr" else F.covar_samp
         mp = max(int(self._min_periods), 1)
 
         def fn(c):
             x = c.cast("double")
             pairs = F.count(F.when(x.isNotNull() & y.isNotNull(),
                                    F.lit(1))).over(w)
-            return F.when(pairs >= mp, agg(x, y).over(w))
+            val = (safe_corr(x, y, w) if stat == "corr"
+                   else F.covar_samp(x, y).over(w))
+            return F.when(pairs >= mp, val)
         return sw._wrap(fn)
 
     def var(self):

@@ -697,8 +697,10 @@ class GroupBy:
         """Per-group pairwise Pearson correlation of every numeric
         column pair — ONE hash aggregate (all pairs fused); columns
         flatten to ``a__b`` labels (no MultiIndex columns; the
-        diagonal is identically 1 and omitted)."""
-        return self._pairwise(F.corr)
+        diagonal is identically 1 and omitted).  Zero-variance groups
+        yield NULL (ANSI-safe gated form)."""
+        from .operators.analytic import safe_corr
+        return self._pairwise(safe_corr)
 
     def cov(self):
         """Per-group pairwise sample covariance (ddof=1), same
@@ -719,8 +721,9 @@ class GroupBy:
         for j, lab in enumerate(shared):
             li = df._columns.get_loc(lab)
             ri = other._columns.get_loc(lab)
-            aggs.append(F.corr(lcol(li).cast("double"),
-                               rcol(ri).cast("double"))
+            from .operators.analytic import safe_corr
+            aggs.append(safe_corr(lcol(li).cast("double"),
+                                  rcol(ri).cast("double"))
                         .alias(I.col_name(j)))
         sdf = joined.groupBy(*keys).agg(*aggs)
         from .core import DataFrame
@@ -2042,8 +2045,9 @@ class RelationalMixin:
         for j, lab in enumerate(shared):
             li = self._columns.get_loc(lab)
             ri = other._columns.get_loc(lab)
-            aggs.append(F.corr(lcol(li).cast("double"),
-                               rcol(ri).cast("double"))
+            from .operators.analytic import safe_corr
+            aggs.append(safe_corr(lcol(li).cast("double"),
+                                  rcol(ri).cast("double"))
                         .alias(f"__r{j}"))
         row = joined.agg(*aggs).collect()[0]
         ser = pd.Series({lab: row[f"__r{j}"]

@@ -394,3 +394,23 @@ def test_frame_ewm_multibatch(spark):
     finally:
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", 10000)
+
+
+def test_rolling_corr_zero_variance_is_null(spark):
+    """Spark 4 ANSI mode: the builtin corr RAISES DIVIDE_BY_ZERO on a
+    constant window — the engine's gated form must yield null
+    (pandas NaN) instead."""
+    pdf = pd.DataFrame({"k": ["a"] * 4,
+                        "x": [1.0, 2.0, 3.0, 4.0],
+                        "y": [5.0, 5.0, 5.0, 5.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    out = df.groupby("k")["x"].rolling(3).corr("y") \
+        .to_pandas().sort_index()
+    assert out.isna().all()
+    want = (pdf.groupby("k")
+            .apply(lambda g: g["x"].rolling(3).corr(g["y"]),
+                   include_groups=False)
+            .reset_index(level=0, drop=True))
+    assert want.isna().all()  # pandas agrees: all NaN
+    m = df.groupby("k").corr().to_pandas()
+    assert m["x__y"].isna().all()
