@@ -165,3 +165,54 @@ def stateful_gap_fill(stream: DataFrame) -> DataFrame:
         stateStructType=_FILL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+ROLLING_SCHEMA = ("event_id long, user_id long, ts timestamp, "
+                  "roll_mean double")
+_ROLL_STATE_SCHEMA = "tail array<double>"
+
+
+def stateful_rolling_mean(stream: DataFrame, window: int = 3,
+                          min_periods: int | None = None) -> DataFrame:
+    """Streaming twin of
+    ``df.groupby(user)[value].rolling(n).mean()``: each user's last
+    ``n-1`` values persist across triggers, so windows straddle
+    trigger boundaries exactly like the batch border-exchange scan's
+    windows straddle partitions.
+
+    State per user is a BOUNDED array of n-1 doubles (the same k-row
+    border the batch scan ships); a time-ordered stream reproduces
+    the batch verb row for row.  Nulls count as missing observations
+    (min_periods gates on non-null, the pandas contract)."""
+    mp = window if min_periods is None else max(int(min_periods), 1)
+    k = window - 1
+
+    def update(key, pdf_iter, state: GroupState):
+        tail = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            x = pdf["value"].astype("float64")
+            ext = pd.concat([pd.Series(tail, dtype="float64"), x],
+                            ignore_index=True)
+            r = ext.rolling(window, min_periods=mp).mean()
+            vals = r.iloc[len(tail):].reset_index(drop=True)
+            out.append(pd.DataFrame({
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "ts": pdf["ts"],
+                "roll_mean": vals}))
+            if k:
+                tail = ext.iloc[-k:].tolist()
+        if k:
+            state.update(([float("nan") if pd.isna(v) else float(v)
+                           for v in tail],))
+        for f in out:
+            yield f
+
+    return (stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ROLLING_SCHEMA,
+        stateStructType=_ROLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))

@@ -328,3 +328,47 @@ def test_stateful_gap_fill_matches_batch(spark, tmp_path):
         assert (both_nan | close).all()
     finally:
         q.stop()
+
+
+def test_stateful_rolling_matches_batch(spark, tmp_path):
+    """Streaming per-user rolling(3).mean(): after draining a
+    ts-ordered stream split across 4 files, every row equals the
+    batch grouped rolling — the bounded n-1 tail state is the same
+    border the batch scan ships."""
+    import pandas as pd
+
+    from pandas_alchemy_spark.ext import events as ev_mod
+    from pandas_alchemy_spark.streaming import stateful, stream_events
+
+    pdf = (ev_mod.load_events(spark, f"{SF_DIR}/events.parquet")
+           .toPandas().sort_values("ts", kind="mergesort")
+           .reset_index(drop=True))
+    d = tmp_path / "roll_stream"
+    d.mkdir()
+    n = len(pdf)
+    for i in range(4):
+        chunk = pdf.iloc[i * n // 4:(i + 1) * n // 4]
+        chunk.to_parquet(d / f"part-{i:02d}.parquet", index=False,
+                         coerce_timestamps="us",
+                         allow_truncated_timestamps=True)
+
+    stream = stream_events.read_event_stream(spark, str(d),
+                                             max_files_per_trigger=1)
+    rolled = stateful.stateful_rolling_mean(stream, window=3)
+    q = (rolled.writeStream.outputMode("update")
+         .format("memory").queryName("t_roll")
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        got = spark.table("t_roll").toPandas()
+        want = pdf.assign(
+            rb=pdf.sort_values("ts", kind="mergesort")
+            .groupby("user_id")["value"]
+            .transform(lambda s: s.rolling(3).mean()))
+        m = got.merge(want[["event_id", "rb"]], on="event_id")
+        assert len(m) == len(pdf)
+        both_nan = m.roll_mean.isna() & m.rb.isna()
+        close = (m.roll_mean - m.rb).abs() < 1e-9
+        assert (both_nan | close).all()
+    finally:
+        q.stop()
