@@ -1033,11 +1033,13 @@ class Expanding:
         return self._exp(F.min, "min")
 
     def corr(self, other):
-        """Expanding pairwise Pearson correlation — grouped flavor
-        only (``F.corr`` over the running frame, one shuffle on the
-        keys; ``other`` a column label of the grouped frame).  The
-        global flavor would need a pairwise co-moment carry — use
-        ``rolling(n).corr`` with a wide window or the grouped form."""
+        """Expanding pairwise Pearson correlation.  Grouped flavor:
+        the zero-variance-gated corr expression over the running
+        frame (one shuffle on the keys; ``other`` a column label of
+        the grouped frame).  Global flavor: a SIX-scalar co-moment
+        carry per partition (count, means, Cxy, M2x, M2y) with the
+        bivariate Chan combine (segscan.expanding_pair_scan) — no
+        single-partition window, numerically stable."""
         return self._pair("corr", other)
 
     def cov(self, other):
@@ -1046,9 +1048,25 @@ class Expanding:
     def _pair(self, stat, other):
         sw = self._sw
         if isinstance(sw, SeriesWindow):
-            raise NotImplementedError(
-                f"global expanding {stat} is not supported — use the "
-                "grouped flavor or rolling(n)." + stat)
+            from ..core import Series
+            from .segscan import expanding_pair_scan
+            s = sw._s
+            joined, lcol, rcol, idx_exprs, names = s._join_idx(other)
+            n = len(idx_exprs)
+            tmp = joined.select(
+                *[e.alias(I.idx_name(i))
+                  for i, e in enumerate(idx_exprs)],
+                lcol(0).alias("__x"), rcol(0).alias("__y"))
+            out = expanding_pair_scan(
+                tmp, "__x", "__y",
+                [I.idx_name(i) for i in range(n)], stat,
+                self._min_periods, "__out")
+            body = out.select(
+                *[F.col(I.idx_name(i)) for i in range(n)],
+                F.col("__out").alias(I.col_name(0)))
+            res = Series(names, None, body, s.name)
+            res._rows_reordered = True
+            return res
         label = other if isinstance(other, str) else \
             getattr(other, "name", None)
         df = sw._df

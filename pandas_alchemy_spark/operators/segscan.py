@@ -1493,3 +1493,119 @@ def fill_scan_multi(sdf: SparkDF, value_cols, order_cols,
             yield res
 
     return base.mapInPandas(pass_b, fields)
+
+
+def _chan_combine_pair(n_a, mx_a, my_a, cxy_a, m2x_a, m2y_a,
+                       n_b, mx_b, my_b, cxy_b, m2x_b, m2y_b):
+    """Bivariate Chan combine: (count, mean_x, mean_y, co-moment Cxy,
+    M2x, M2y) over pairwise-complete observations — the cross term is
+    ``dx·dy·na·nb/n`` (Bennett's update), vectorized over the b-side."""
+    n = n_a + n_b
+    dx = mx_b - mx_a
+    dy = my_b - my_a
+    with np.errstate(invalid="ignore", divide="ignore"):
+        nz = np.where(n, n, 1)
+        w = n_a * n_b / nz
+        mx = np.where(n > 0, mx_a + dx * (n_b / nz), np.nan)
+        my = np.where(n > 0, my_a + dy * (n_b / nz), np.nan)
+        cxy = cxy_a + cxy_b + dx * dy * w
+        m2x = m2x_a + m2x_b + dx * dx * w
+        m2y = m2y_a + m2y_b + dy * dy * w
+    return n, mx, my, cxy, m2x, m2y
+
+
+def expanding_pair_scan(sdf: SparkDF, xcol: str, ycol: str,
+                        order_cols, stat: str, min_periods: int,
+                        out_col: str = "pair",
+                        num_partitions=None) -> SparkDF:
+    """Global ``expanding().corr/cov(other)`` as a segmented scan: the
+    carry is ONE six-scalar co-moment tuple per partition (count,
+    means, Cxy, M2x, M2y over pairwise-complete rows), JVM partials in
+    pass A, bivariate Chan prefix-fold on the driver, vectorized
+    combine in pass B — no single-partition window, numerically
+    stable (no raw cross-products)."""
+    if stat not in ("corr", "cov"):
+        raise ValueError(f"stat must be 'corr' or 'cov', got {stat!r}")
+    order_cols = ([order_cols] if isinstance(order_cols, str)
+                  else list(order_cols))
+    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
+    x = F.col(xcol).cast("double")
+    y = F.col(ycol).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    xp = F.when(both, x)
+    yp = F.when(both, y)
+    partials = base.groupBy("__pid").agg(
+        F.count(xp).alias("__n"),
+        F.avg(xp).alias("__mx"), F.avg(yp).alias("__my"),
+        F.covar_samp(xp, yp).alias("__cv"),
+        F.var_samp(xp).alias("__vx"), F.var_samp(yp).alias("__vy"))
+    rows = sorted(partials.collect(), key=lambda r: r["__pid"])
+    prefix: dict[int, tuple] = {}
+    acc = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    for r in rows:
+        prefix[r["__pid"]] = acc
+        nb = r["__n"]
+        if nb:
+            scale = max(nb - 1, 0)
+            acc = tuple(
+                float(v.item() if hasattr(v, "item") else v)
+                for v in _chan_combine_pair(
+                    *acc, np.float64(nb),
+                    np.float64(r["__mx"]), np.float64(r["__my"]),
+                    np.float64((r["__cv"] or 0.0) * scale),
+                    np.float64((r["__vx"] or 0.0) * scale),
+                    np.float64((r["__vy"] or 0.0) * scale)))
+    fields = _out_fields(sdf, out_col, "double")
+    mp = max(int(min_periods), 2)
+
+    def pass_b(it):
+        seeded = False
+        carry = (0.0,) * 6
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if not seeded:
+                carry = tuple(float(v) for v in prefix.get(
+                    int(pdf["__pid"].iloc[0]), (0.0,) * 6))
+                seeded = True
+            xv = pdf[xcol].astype("float64")
+            yv = pdf[ycol].astype("float64")
+            pair = xv.notna() & yv.notna()
+            xm = xv.where(pair)
+            ym = yv.where(pair)
+            n_b = pair.cumsum().to_numpy("float64")
+            mx_b = xm.expanding(1).mean().ffill().fillna(0.0) \
+                .to_numpy()
+            my_b = ym.expanding(1).mean().ffill().fillna(0.0) \
+                .to_numpy()
+            scale = np.maximum(n_b - 1, 0)
+            cxy_b = (xm.expanding(2).cov(ym).ffill().fillna(0.0)
+                     .to_numpy()) * scale
+            m2x_b = (xm.expanding(2).var().ffill().fillna(0.0)
+                     .to_numpy()) * scale
+            m2y_b = (ym.expanding(2).var().ffill().fillna(0.0)
+                     .to_numpy()) * scale
+            n, _mx, _my, cxy, m2x, m2y = _chan_combine_pair(
+                *carry, n_b, mx_b, my_b, cxy_b, m2x_b, m2y_b)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                if stat == "cov":
+                    val = cxy / (n - 1)
+                else:
+                    denom = np.sqrt(m2x * m2y)
+                    val = np.where(denom > 0, cxy / denom, np.nan)
+            out = pd.Series(val).where(pd.Series(n >= mp))
+            res = pdf.drop(columns=["__pid"]).copy()
+            res[out_col] = out
+            if n_b[-1] > 0:
+                carry = tuple(float(v.item() if hasattr(v, "item")
+                                    else v)
+                              for v in _chan_combine_pair(
+                                  *carry, np.float64(n_b[-1]),
+                                  np.float64(mx_b[-1]),
+                                  np.float64(my_b[-1]),
+                                  np.float64(cxy_b[-1]),
+                                  np.float64(m2x_b[-1]),
+                                  np.float64(m2y_b[-1])))
+            yield res
+
+    return base.mapInPandas(pass_b, fields)

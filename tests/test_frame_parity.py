@@ -320,8 +320,44 @@ def test_expanding_corr_grouped(spark):
     np.testing.assert_allclose(got.to_numpy(float),
                                want.to_numpy(float),
                                rtol=1e-9, equal_nan=True)
-    with pytest.raises(NotImplementedError, match="global expanding"):
-        df["x"].expanding().corr(df["y"])
+
+
+def test_expanding_corr_cov_global(spark):
+    """Global expanding pair stats: the six-scalar co-moment carry
+    (bivariate Chan combine) must match pandas incl. null-pair
+    handling and the NaN pattern."""
+    rng = np.random.default_rng(13)
+    x = pd.Series(rng.normal(size=300).cumsum())
+    y = pd.Series(rng.normal(size=300) + 0.3 * x)
+    x[::17] = np.nan
+    sx, sy = pas.Series.from_pandas(x), pas.Series.from_pandas(y)
+    for stat in ("corr", "cov"):
+        got = getattr(sx.expanding(3), stat)(sy) \
+            .to_pandas().sort_index().to_numpy()
+        want = getattr(x.expanding(3), stat)(y).to_numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-9,
+                                   equal_nan=True)
+    plan = (sx.expanding(3).corr(sy)._sdf._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "SinglePartition" not in plan and "Window" not in plan
+
+
+def test_expanding_pair_multibatch(spark):
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 64)
+    try:
+        rng = np.random.default_rng(21)
+        x = pd.Series(rng.normal(size=800))
+        y = pd.Series(rng.normal(size=800))
+        sx = pas.Series.from_pandas(x)
+        sy = pas.Series.from_pandas(y)
+        got = sx.expanding(2).cov(sy).to_pandas().sort_index() \
+            .to_numpy()
+        want = x.expanding(2).cov(y).to_numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-9,
+                                   equal_nan=True)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", 10000)
 
 
 def test_eval(spark):
