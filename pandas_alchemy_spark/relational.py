@@ -2384,12 +2384,14 @@ def cut(ser, bins, labels=None, right=True):
     return ser._app(fn)
 
 
-def qcut(ser, q, labels=False):
+def qcut(ser, q, labels=False, duplicates="raise"):
     """Quantile binning (pandas.qcut): exact interpolated quantile
     edges in ONE aggregate pass, then the same CASE ladder as
     :func:`cut`.  ``labels=False`` (default) yields integer bin codes
     0..q-1; pass explicit labels otherwise.  First bin is closed on
-    the left (pandas semantics)."""
+    the left (pandas semantics).  ``duplicates='drop'`` collapses
+    repeated edges on skewed data (pandas contract: fewer bins)
+    instead of raising."""
     qs = ([i / q for i in range(q + 1)] if isinstance(q, int)
           else list(q))
     row = ser._sdf.select(
@@ -2397,6 +2399,23 @@ def qcut(ser, q, labels=False):
                      F.array(*[F.lit(float(x)) for x in qs])).alias("e")
     ).take(1)
     edges = list(row[0]["e"])
+    if len(set(edges)) != len(edges):
+        if duplicates == "drop":
+            seen, dedup = set(), []
+            for e in edges:
+                if e not in seen:
+                    seen.add(e)
+                    dedup.append(e)
+            edges = dedup
+            if labels is not False and labels is not None:
+                labels = list(labels)[:max(len(edges) - 1, 0)]
+        elif duplicates == "raise":
+            raise ValueError(
+                "Bin edges must be unique; set duplicates='drop' for "
+                "skewed data")
+        else:
+            raise ValueError(
+                f"invalid duplicates value {duplicates!r}")
     if labels is False:
         labels = list(range(len(edges) - 1))
 

@@ -111,3 +111,38 @@ def to_orc(df, path, mode: str = "overwrite",
                 else [partition_by])
         writer = writer.partitionBy(*cols)
     writer.orc(path)
+
+
+def read_jdbc(url: str, table: str, columns=None, index=None,
+              partition_column: str | None = None,
+              num_partitions: int | None = None,
+              lower_bound=None, upper_bound=None, **options):
+    """JDBC table scan — the engine analogue of the reference's
+    SQLAlchemy-URL connector surface (reference db.py:12-19 holds a
+    SQLAlchemy engine; here Spark's JDBC source reads the table with
+    filter/column pushdown).  Requires the vendor's JDBC driver jar
+    on the Spark classpath (none ships in this container — the
+    wrapper is surface + contract, exercised against error paths).
+
+    At scale ALWAYS pass ``partition_column``/``num_partitions`` and
+    the bounds: without them the whole table reads through ONE
+    connection; with them Spark issues ``num_partitions`` bounded
+    range queries in parallel."""
+    from ..core import DataFrame
+    from ..session import get_session
+    reader = (get_session().read.format("jdbc")
+              .option("url", url).option("dbtable", table))
+    if partition_column is not None:
+        if num_partitions is None or lower_bound is None \
+                or upper_bound is None:
+            raise ValueError(
+                "partition_column needs num_partitions, lower_bound "
+                "and upper_bound")
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("numPartitions", str(num_partitions))
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return DataFrame.from_spark(reader.load(), columns=columns,
+                                index=index)

@@ -540,3 +540,19 @@ def test_cut_label_precision_matches_pandas(spark):
     got = pas.cut(pas.Series.from_pandas(p), [0.0, 1.9375],
                   right=False).to_pandas().tolist()
     assert got == want == ["[0.0, 1.938)", "[0.0, 1.938)", "[0.0, 1.938)"]
+
+
+def test_qcut_duplicates_drop(spark):
+    import pandas as pd
+
+    import pandas_alchemy_spark as pas
+    # heavily skewed: 90% zeros -> duplicate quantile edges
+    vals = [0.0] * 90 + list(range(10))
+    s = pas.Series.from_list(vals, name="v")
+    with pytest.raises(ValueError, match="unique"):
+        pas.qcut(s, 4)
+    binned = pas.qcut(s, 4, duplicates="drop").to_pandas()
+    want = pd.qcut(pd.Series(vals), 4, labels=False,
+                   duplicates="drop")
+    assert sorted(binned.dropna().unique()) == \
+        sorted(want.dropna().unique())

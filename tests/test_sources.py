@@ -94,3 +94,20 @@ def test_json_orc_round_trip(spark, tmp_path):
     want = df.to_pandas().sort_values("r_regionkey")
     assert back_j["r_name"].tolist() == want["r_name"].tolist()
     assert back_o["r_name"].tolist() == want["r_name"].tolist()
+
+
+def test_read_jdbc_surface(spark):
+    """No JDBC driver jar ships in this container, so the connector
+    is exercised against its contract/error paths: bad partition args
+    raise our ValueError; a driverless URL fails with Spark's
+    driver-resolution error (not silently)."""
+    import pytest
+
+    import pandas_alchemy_spark as pas
+    from pandas_alchemy_spark.sources.io import read_jdbc
+    assert pas is not None
+    with pytest.raises(ValueError, match="num_partitions"):
+        read_jdbc("jdbc:postgresql://h/db", "t",
+                  partition_column="id")
+    with pytest.raises(Exception):
+        read_jdbc("jdbc:postgresql://h/db", "t")
