@@ -3230,13 +3230,24 @@ class SeriesRelationalMixin:
         sum-of-products aggregate; returns a scalar."""
         return (self * other).sum()
 
-    def drop(self, labels):
+    def drop(self, labels, errors: str = "raise"):
         """Drop rows by index label — an anti-filter (``NOT IN``
-        literals, pushdown-eligible)."""
+        literals, pushdown-eligible).  ``errors='raise'`` (pandas
+        default) verifies every label exists with one tiny distinct
+        count; pass ``errors='ignore'`` to skip that job at scale."""
         if not isinstance(labels, list):
             labels = [labels]
         from .core import Series
         idx = self._idx_at(0)
+        if errors == "raise":
+            found = self._sdf.where(idx.isin(labels)).agg(
+                F.countDistinct(idx).alias("n")).collect()[0]["n"]
+            if found != len(set(labels)):
+                raise KeyError(
+                    f"labels {labels} not all found in index")
+        elif errors != "ignore":
+            raise ValueError(
+                f"errors must be 'raise' or 'ignore', got {errors!r}")
         body = self._sdf.filter(~idx.isin(labels))
         out = Series(self._index, None,
                      body.select(
@@ -3596,7 +3607,10 @@ class SeriesRelationalMixin:
     def set_axis(self, labels):
         """Replace the index with the given labels, positionally — a
         rowid paste against a literal label frame (one join on the
-        densified position)."""
+        densified position).  ``labels`` is an in-memory list by
+        definition, so this is inherently a SMALL-DATA verb (the
+        whole label set ships as a broadcast literal); at scale
+        derive the index from data columns (set_index) instead."""
         from .core import Series
         labels = list(labels)
         n = len(self)

@@ -340,3 +340,11 @@ def test_series_closure_bits(spark):
     sp = pas.Series.from_list([10, 20, 30], name="v")
     assert sp.pop(1) == 20
     assert sp.to_pandas().sort_index().tolist() == [10, 30]
+
+
+def test_series_drop_errors(spark):
+    s = pas.Series.from_list([10, 20, 30], name="v")
+    with pytest.raises(KeyError, match="not all found"):
+        s.drop([0, 99])
+    out = s.drop([0, 99], errors="ignore").to_pandas().sort_index()
+    assert out.tolist() == [20, 30]
