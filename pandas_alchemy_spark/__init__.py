@@ -17,9 +17,12 @@ from .functions.json import from_json, json_extract
 from .functions.json import to_json as _to_json_expr
 from .accessors import to_datetime
 from .operators.asof import merge_asof
-from .relational import crosstab, cut, get_dummies, qcut
-from .sources.io import (read_csv, read_json, read_orc, read_table,
-                         to_csv, to_orc, to_parquet, write_bucketed)
+from .relational import (crosstab, cut, date_range, get_dummies,
+                         json_normalize, merge_ordered, qcut,
+                         to_numeric, wide_to_long)
+from .sources.io import (read_csv, read_jdbc, read_json, read_orc,
+                         read_table, to_csv, to_orc, to_parquet,
+                         write_bucketed)
 from .sources.io import to_json as _to_json_sink
 from .session import close_db, get_session, init_db
 

@@ -3654,3 +3654,113 @@ class SeriesRelationalMixin:
         (collects like pandas' returned ndarray does).  For a
         distributed sort-position column use ``rank(method='first')``."""
         return self.to_pandas().argsort()
+
+
+def merge_ordered(left, right, on=None, left_on=None, right_on=None,
+                  how: str = "outer", fill_method=None,
+                  suffixes=("_x", "_y")):
+    """pandas ``merge_ordered``: an ordered outer merge for time-series
+    frames — the engine composes merge + (optional) forward fill.
+    ``fill_method='ffill'`` fills every column's holes in merged key
+    order via the fused multi-column fill scan."""
+    out = left.merge(right, how=how, on=on, left_on=left_on,
+                     right_on=right_on, suffixes=suffixes)
+    key = on if on is not None else left_on
+    if key is None:
+        raise ValueError("merge_ordered needs on= or left_on=")
+    out = out.sort_values(key)
+    if fill_method is None:
+        return out
+    if fill_method != "ffill":
+        raise ValueError(
+            f"fill_method must be None or 'ffill', got {fill_method!r}")
+    filled = out.set_index(key).ffill().reset_index()
+    return filled
+
+
+def json_normalize(ser, schema: str):
+    """Flatten a JSON-string Series into a DataFrame of columns — the
+    training-pipeline idiom for semi-structured metadata (events
+    ``props``).  ``schema`` is a Spark DDL struct ("a INT, b STRING");
+    one ``from_json`` + struct expansion, codegen, no UDF."""
+    from .core import DataFrame
+    from .functions.json import from_json
+    parsed = from_json(ser, schema)
+    n = parsed._n_idx()
+    fields = parsed._sdf.select(
+        parsed._the_col.alias("__s")).schema[0].dataType.fieldNames()
+    sel = [parsed._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+    sel += [parsed._the_col.getField(f).alias(I.col_name(j))
+            for j, f in enumerate(fields)]
+    out = DataFrame(parsed._index, pd.Index(list(fields)),
+                    parsed._sdf.select(*sel))
+    out._mid_index = getattr(ser, "_mid_index", False)
+    out._mid_dense = getattr(ser, "_mid_dense", False)
+    out._mid_origin = getattr(ser, "_mid_origin", None)
+    return out
+
+
+def to_numeric(ser, errors: str = "raise"):
+    """pandas ``to_numeric``: parse strings to doubles.
+    ``errors='coerce'`` nulls unparseable values (Spark try_cast);
+    'raise' verifies with one bounded probe first (LIMIT 1 on
+    unparseable rows) so the error is eager and names an offender."""
+    if errors not in ("raise", "coerce"):
+        raise ValueError(f"errors must be 'raise' or 'coerce', "
+                         f"got {errors!r}")
+    parsed = ser._app(lambda c: c.try_cast("double"))
+    if errors == "raise":
+        bad = parsed._sdf.where(
+            F.col(I.col_name(0)).isNull()
+            & ser._the_col.isNotNull()).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"Unable to parse value at index "
+                f"{bad[0][I.idx_name(0)]}")
+    return parsed
+
+
+def date_range(start, end=None, periods=None, freq="D", name=None):
+    """pandas ``date_range`` as an engine Series — pandas generates
+    the (driver-side, bounded) label sequence, Arrow ships it.  For
+    data-derived dense grids at scale use ``ext.events.densify_time``
+    (a generate-series explode, no driver data)."""
+    from .core import Series
+    idx = pd.date_range(start, end, periods=periods, freq=freq,
+                        name=name)
+    return Series.from_pandas(pd.Series(idx, name=name))
+
+
+def wide_to_long(df, stubnames, i: str, j: str, sep: str = ""):
+    """pandas ``wide_to_long``: stacked reshape of ``stub<suffix>``
+    columns — one explode over a struct array (a generator projection,
+    no shuffle), the same machinery as melt."""
+    from .core import DataFrame
+    stubs = ([stubnames] if isinstance(stubnames, str)
+             else list(stubnames))
+    suffixes = sorted({str(c)[len(s) + len(sep):]
+                       for c in df._columns for s in stubs
+                       if str(c).startswith(s + sep)
+                       and len(str(c)) > len(s)})
+    if not suffixes:
+        raise ValueError("no stub columns found")
+    ic = df._col_at(df._columns.get_loc(i))
+    rows = []
+    for suf in suffixes:
+        entry = [F.lit(suf).alias("__j")]
+        for s in stubs:
+            lab = f"{s}{sep}{suf}"
+            entry.append(
+                (df._col_at(df._columns.get_loc(lab))
+                 if lab in df._columns else F.lit(None)).alias(s))
+        rows.append(F.struct(*entry))
+    exploded = df._sdf.select(
+        ic.alias("__i"), F.explode(F.array(*rows)).alias("__e"))
+    sel = [F.col("__i").alias(I.idx_name(0)),
+           F.col("__e.__j").alias(I.idx_name(1))]
+    sel += [F.col(f"__e.{s}").alias(I.col_name(k))
+            for k, s in enumerate(stubs)]
+    out = DataFrame(pd.Index([i, j]), pd.Index(stubs),
+                    exploded.select(*sel))
+    out._rows_reordered = True
+    return out

@@ -1,0 +1,65 @@
+"""Module-level pandas functions added late in round 5:
+merge_ordered, json_normalize, to_numeric, date_range, wide_to_long."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import pandas_alchemy_spark as pas
+
+
+def test_merge_ordered(spark):
+    a = pd.DataFrame({"t": [1, 3, 5], "x": [10.0, 30.0, 50.0]})
+    b = pd.DataFrame({"t": [2, 3, 6], "y": [0.2, 0.3, 0.6]})
+    got = pas.merge_ordered(pas.DataFrame.from_pandas(a),
+                            pas.DataFrame.from_pandas(b), on="t",
+                            fill_method="ffill").to_pandas()
+    want = pd.merge_ordered(a, b, on="t", fill_method="ffill")
+    g = got.sort_values("t").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[["t", "x", "y"]],
+                                  want[["t", "x", "y"]],
+                                  check_dtype=False, check_names=False)
+
+
+def test_json_normalize(spark):
+    rows = ['{"a": 1, "b": "p"}', '{"a": 2, "b": "q"}', "not json"]
+    s = pas.Series.from_list(rows, name="j")
+    out = pas.json_normalize(s, "a INT, b STRING") \
+        .to_pandas().sort_index()
+    assert out["a"].fillna(-1).tolist() == [1, 2, -1]
+    assert out["b"].fillna("_").tolist() == ["p", "q", "_"]
+
+
+def test_to_numeric(spark):
+    s = pas.Series.from_list(["1.5", "2", "oops"], name="v")
+    out = pas.to_numeric(s, errors="coerce").to_pandas().sort_index()
+    assert out.fillna(-1).tolist() == [1.5, 2.0, -1.0]
+    with pytest.raises(ValueError, match="Unable to parse"):
+        pas.to_numeric(s)
+    clean = pas.Series.from_list(["1", "2"], name="v")
+    assert pas.to_numeric(clean).to_pandas().sort_index().tolist() \
+        == [1.0, 2.0]
+
+
+def test_date_range(spark):
+    out = pas.date_range("2024-01-01", periods=5, freq="D") \
+        .to_pandas().sort_index()
+    want = pd.Series(pd.date_range("2024-01-01", periods=5,
+                                   freq="D"))
+    assert list(out) == list(want)
+
+
+def test_wide_to_long(spark):
+    pdf = pd.DataFrame({"id": [1, 2], "A1970": [10.0, 20.0],
+                        "A1980": [11.0, 21.0], "B1970": [5.0, 6.0],
+                        "B1980": [7.0, 8.0]})
+    got = pas.wide_to_long(pas.DataFrame.from_pandas(pdf),
+                           ["A", "B"], i="id", j="year") \
+        .to_pandas().sort_index()
+    want = pd.wide_to_long(pdf, ["A", "B"], i="id", j="year")
+    want.index = pd.MultiIndex.from_tuples(
+        [(i, str(y)) for i, y in want.index], names=["id", "year"])
+    pd.testing.assert_frame_equal(got.sort_index(),
+                                  want.sort_index(),
+                                  check_dtype=False, check_names=False)
