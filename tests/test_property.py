@@ -271,3 +271,31 @@ def _check_frame_rank(spark, a):
 
 def test_frame_rank_generated(spark):
     _check_frame_rank(spark)
+
+
+@_SLOW
+@given(a=_scan_col, b=_scan_col)
+def _check_pair_scans(spark, a, b):
+    n = min(len(a), len(b))
+    if n < 3:
+        return
+    x = pd.Series(pd.array(a[:n], dtype="float64"), dtype="float64")
+    y = pd.Series(pd.array(b[:n], dtype="float64"), dtype="float64")
+    sx, sy = pas.Series.from_pandas(x), pas.Series.from_pandas(y)
+    got_r = sx.rolling(3).corr(sy).to_pandas().sort_index()
+    want_r = x.rolling(3).corr(y)
+    got_e = sx.expanding(2).cov(sy).to_pandas().sort_index()
+    want_e = x.expanding(2).cov(y)
+    for g, w in ((got_r, want_r), (got_e, want_e)):
+        gn, wn = _norm(g.tolist()), _norm(w.tolist())
+        for gi, wi in zip(gn, wn):
+            if isinstance(gi, float) and isinstance(wi, float):
+                assert abs(gi - wi) <= 1e-6 * max(abs(wi), 1.0), \
+                    (a, b, gn, wn)
+            else:
+                # inf/-inf can't arise; NaN-pattern must agree
+                assert gi == wi, (a, b, gn, wn)
+
+
+def test_pair_scans_generated(spark):
+    _check_pair_scans(spark)
