@@ -83,6 +83,26 @@ _PIN_CACHE: "dict[tuple, SparkDF]" = {}
 _PIN_CACHE_MAX = 4
 
 
+_FLOATING = ("double", "float")
+
+
+def _nan_as_null(sdf: SparkDF, cols) -> SparkDF:
+    """pandas treats IEEE NaN as MISSING for cum*/rank/expanding/pair
+    stats; Spark treats NaN as a non-null value that poisons sums
+    (NaN-propagating aggregates), counts, and value ordering (NaN
+    sorts after +inf).  Normalize NaN -> NULL on the floating value
+    columns BEFORE pinning, so every downstream partial, carry fold
+    and pandas pass sees pandas missing-data semantics.  Callers only
+    project the index + output columns, so mutating the value columns
+    is invisible outside the scan."""
+    out = sdf
+    for c in cols:
+        if sdf.schema[c].dataType.simpleString() in _FLOATING:
+            col = F.col(c)
+            out = out.withColumn(c, F.when(~F.isnan(col), col))
+    return out
+
+
 def _pin(sdf: SparkDF, order_exprs, num_partitions=None) -> SparkDF:
     """Range-partition + in-partition sort + checkpoint: the pinned
     layout both passes read (repartitionByRange samples boundaries, so
@@ -127,63 +147,12 @@ def _pin(sdf: SparkDF, order_exprs, num_partitions=None) -> SparkDF:
 def cum_scan(sdf: SparkDF, value_col: str, order_cols, op: str,
              out_col: str = "cum", num_partitions=None) -> SparkDF:
     """Global cumulative ``op`` (sum/prod/max/min) of ``value_col`` in
-    ``order_cols`` order, as a segmented scan (module docstring).
+    ``order_cols`` order — single-column wrapper over
+    :func:`cum_scan_multi` (one pin, one partials pass, one carry).
     pandas NaN-hole semantics: null rows stay null, the running value
     skips them."""
-    if op not in _CUM_OPS:
-        raise ValueError(f"unknown cum op {op!r}")
-    agg_fn, local_scan, combine, batch_partial = _CUM_OPS[op]
-    order_cols = ([order_cols] if isinstance(order_cols, str)
-                  else list(order_cols))
-    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
-
-    partials = base.groupBy("__pid").agg(
-        agg_fn(F.col(value_col)).alias("__agg"))
-    out_type = dict(partials.dtypes)["__agg"]
-    rows = sorted(partials.collect(), key=lambda r: r["__pid"])
-    fold = _CUM_FOLD[op]
-    prefix: dict[int, object] = {}
-    acc = None
-    for r in rows:
-        prefix[r["__pid"]] = acc
-        if r["__agg"] is not None:
-            acc = r["__agg"] if acc is None else fold(acc, r["__agg"])
-
-    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                           for f in sdf.schema.fields)
-    out_fields += f", {out_col} {out_type}"
-
-    integral = out_type in ("bigint", "int", "smallint", "tinyint")
-
-    def pass_b(it):
-        # a partition arrives as MULTIPLE Arrow batches (default 10k
-        # rows each) — the carry must thread through every batch, with
-        # the partition prefix seeding only the first one
-        seeded = False
-        carry = None
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            if not seeded:
-                carry = prefix.get(int(pdf["__pid"].iloc[0]))
-                seeded = True
-            x = pdf[value_col]
-            loc = local_scan(x)
-            res = pdf.drop(columns=["__pid"]).copy()
-            out = loc if carry is None else combine(loc, carry)
-            if integral:
-                # a nullable long column arrives as float64 (pandas NaN
-                # promotion); hand Arrow a masked Int64 so the declared
-                # bigint schema round-trips nulls exactly
-                out = out.astype("Int64")
-            res[out_col] = out
-            part = batch_partial(x)
-            if not pd.isna(part):
-                carry = part if carry is None else _CUM_FOLD[op](carry,
-                                                                 part)
-            yield res
-
-    return base.mapInPandas(pass_b, out_fields)
+    return cum_scan_multi(sdf, [value_col], order_cols, op,
+                          [out_col], num_partitions)
 
 
 def expanding_scan(sdf: SparkDF, value_col: str, order_cols, agg: str,
@@ -203,6 +172,7 @@ def expanding_scan(sdf: SparkDF, value_col: str, order_cols, agg: str,
         raise ValueError(f"unsupported expanding agg {agg!r}")
     order_cols = ([order_cols] if isinstance(order_cols, str)
                   else list(order_cols))
+    sdf = _nan_as_null(sdf, [value_col])
     base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
 
     v = F.col(value_col)
@@ -317,6 +287,7 @@ def _expanding_moment_scan(sdf: SparkDF, value_col: str, order_cols,
     2) — a single observation has no sample variance (pandas NaN)."""
     order_cols = ([order_cols] if isinstance(order_cols, str)
                   else list(order_cols))
+    sdf = _nan_as_null(sdf, [value_col])
     base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
     v = F.col(value_col)
     partials = base.groupBy("__pid").agg(
@@ -389,6 +360,7 @@ def rank_scan(sdf: SparkDF, value_col: str, order_cols, method: str,
             f"'first', 'dense', got {method!r}")
     order_cols = ([order_cols] if isinstance(order_cols, str)
                   else list(order_cols))
+    sdf = _nan_as_null(sdf, [value_col])
     v = F.col(value_col)
     val_order = v.asc_nulls_last() if ascending else v.desc_nulls_last()
     part_order = [val_order]
@@ -398,16 +370,17 @@ def rank_scan(sdf: SparkDF, value_col: str, order_cols, method: str,
         part_order += [F.col(c) for c in order_cols]
     base = _pin(sdf, part_order, num_partitions)
 
-    partials = base.groupBy("__pid").agg(
-        F.count(v).alias("__n"),
-        F.count_distinct(v).alias("__nd"))
+    use_distinct = method == "dense"
+    # only 'dense' needs the per-partition distinct count — don't pay
+    # a hash set per partition for the other four methods
+    cnt = (F.count_distinct(v) if use_distinct else F.count(v))
+    partials = base.groupBy("__pid").agg(cnt.alias("__n"))
     rows = sorted(partials.collect(), key=lambda r: r["__pid"])
     prefix: dict[int, int] = {}
     acc = 0
-    use_distinct = method == "dense"
     for r in rows:
         prefix[r["__pid"]] = acc
-        acc += r["__nd"] if use_distinct else r["__n"]
+        acc += r["__n"]
 
     out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                            for f in sdf.schema.fields)
@@ -466,61 +439,11 @@ def _whole_partition(it):
 
 def _collect_edges(base: SparkDF, value_col: str, k_head: int,
                    k_tail: int):
-    """One pass over the pinned layout: each partition emits its first
-    ``k_head`` / last ``k_tail`` values of ``value_col``.  Returns
-    (heads, tails): pid -> list of values in partition order."""
-    n_part = base.rdd.getNumPartitions()
-    need = (k_head + k_tail) * max(n_part, 1)
-    if need > _MAX_BORDER_ROWS:
-        raise ValueError(
-            f"border exchange would collect ~{need} rows "
-            f"({k_head + k_tail} per partition x {n_part} partitions) "
-            f"> {_MAX_BORDER_ROWS}; use the grouped flavor or fewer, "
-            "larger partitions for windows this wide")
-    proj = base.select(value_col, "__pid")
-    schema = (f"{value_col} "
-              f"{base.schema[value_col].dataType.simpleString()}, "
-              "__pid int, __edge string, __ord long")
-
-    def edge_pass(it):
-        head, tail, got_head = [], [], 0
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            if got_head < k_head:
-                take = pdf.iloc[:k_head - got_head]
-                head.append(take)
-                got_head += len(take)
-            if k_tail:
-                tail.append(pdf.iloc[-k_tail:])
-                # drop leading chunks once the rest already covers k
-                while (len(tail) > 1
-                       and sum(map(len, tail[1:])) >= k_tail):
-                    tail.pop(0)
-        out = []
-        if head:
-            h = (head[0] if len(head) == 1
-                 else pd.concat(head, ignore_index=True)).copy()
-            h["__edge"] = "h"
-            out.append(h)
-        if tail:
-            t = (pd.concat(tail, ignore_index=True)
-                 .iloc[-k_tail:].copy())
-            t["__edge"] = "t"
-            out.append(t)
-        if out:
-            res = pd.concat(out, ignore_index=True)
-            res["__ord"] = range(len(res))
-            yield res
-
-    heads: dict[int, list] = {}
-    tails: dict[int, list] = {}
-    rows = proj.mapInPandas(edge_pass, schema).collect()
-    rows.sort(key=lambda r: (r["__pid"], r["__edge"], r["__ord"]))
-    for r in rows:
-        d = heads if r["__edge"] == "h" else tails
-        d.setdefault(r["__pid"], []).append(r[value_col])
-    return heads, tails
+    """Single-column wrapper over :func:`_collect_edges_multi` —
+    returns (heads, tails): pid -> list of values in partition
+    order."""
+    return _collect_edges_multi(base, [value_col], k_head,
+                                k_tail)[value_col]
 
 
 def _chain_borders(pids, heads, tails, k_before: int, k_after: int):
@@ -555,84 +478,26 @@ def _to_nullable(s: pd.Series, spark_type: str) -> pd.Series:
 def shift_scan(sdf: SparkDF, value_col: str, order_cols,
                periods: int = 1, fill_value=None, out_col: str = "sh",
                num_partitions=None) -> SparkDF:
-    """Global ``Series.shift`` as a border-exchange segmented scan: the
-    |periods| rows each partition needs from its neighbors travel via
-    the driver (k·P values), then pandas shifts partition-locally —
-    ONE range shuffle, no single-partition window.  Keeps the input's
-    Spark type (like ``F.lag``); integers stay exact via masked
-    Int64."""
-    order_cols = ([order_cols] if isinstance(order_cols, str)
-                  else list(order_cols))
-    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
-    in_type = sdf.schema[value_col].dataType.simpleString()
-    fields = _out_fields(sdf, out_col, in_type)
-    k_before, k_after = max(periods, 0), max(-periods, 0)
-    heads, tails = _collect_edges(base, value_col, k_after, k_before)
-    pids = sorted(set(heads) | set(tails))
-    before, after = _chain_borders(pids, heads, tails, k_before, k_after)
-
-    def pass_b(it):
-        pdf = _whole_partition(it)
-        if pdf is None:
-            return
-        pid = int(pdf["__pid"].iloc[0])
-        x = _to_nullable(pdf[value_col], in_type)
-        b = pd.Series(before.get(pid, []), dtype=x.dtype)
-        a = pd.Series(after.get(pid, []), dtype=x.dtype)
-        ext = pd.concat([b, x, a], ignore_index=True)
-        sh = (ext.shift(periods) if fill_value is None
-              else ext.shift(periods, fill_value=fill_value))
-        out = sh.iloc[len(b):len(b) + len(x)].reset_index(drop=True)
-        res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
-        res[out_col] = _to_nullable(out, in_type)
-        yield res
-
-    return base.mapInPandas(pass_b, fields)
+    """Global ``Series.shift`` as a border-exchange segmented scan —
+    single-column wrapper over :func:`shift_delta_scan_multi`."""
+    return shift_delta_scan_multi(sdf, [value_col], order_cols,
+                                  periods, "shift", fill_value,
+                                  [out_col], num_partitions)
 
 
 def delta_scan(sdf: SparkDF, value_col: str, order_cols,
                periods: int = 1, kind: str = "diff",
                out_col: str = "dl", num_partitions=None) -> SparkDF:
-    """Global ``Series.diff`` / ``pct_change`` via the same border
-    exchange as :func:`shift_scan`.  ``diff`` keeps integer inputs
+    """Global ``Series.diff`` / ``pct_change`` via the border
+    exchange — single-column wrapper over
+    :func:`shift_delta_scan_multi`.  ``diff`` keeps integer inputs
     exact (masked Int64); ``pct_change`` is always double with IEEE
     division (x/0 -> inf), matching the engine's truediv contract."""
     if kind not in ("diff", "pct"):
         raise ValueError(f"kind must be 'diff' or 'pct', got {kind!r}")
-    order_cols = ([order_cols] if isinstance(order_cols, str)
-                  else list(order_cols))
-    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
-    in_type = sdf.schema[value_col].dataType.simpleString()
-    out_type = in_type if kind == "diff" else "double"
-    fields = _out_fields(sdf, out_col, out_type)
-    k_before, k_after = max(periods, 0), max(-periods, 0)
-    heads, tails = _collect_edges(base, value_col, k_after, k_before)
-    pids = sorted(set(heads) | set(tails))
-    before, after = _chain_borders(pids, heads, tails, k_before, k_after)
-
-    def pass_b(it):
-        pdf = _whole_partition(it)
-        if pdf is None:
-            return
-        pid = int(pdf["__pid"].iloc[0])
-        if kind == "diff":
-            x = _to_nullable(pdf[value_col], in_type)
-        else:
-            x = pdf[value_col].astype("float64")
-        b = pd.Series(before.get(pid, []), dtype=x.dtype)
-        a = pd.Series(after.get(pid, []), dtype=x.dtype)
-        ext = pd.concat([b, x, a], ignore_index=True)
-        if kind == "diff":
-            out = ext - ext.shift(periods)
-        else:
-            with np.errstate(divide="ignore", invalid="ignore"):
-                out = ext / ext.shift(periods) - 1.0
-        out = out.iloc[len(b):len(b) + len(x)].reset_index(drop=True)
-        res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
-        res[out_col] = _to_nullable(out, out_type)
-        yield res
-
-    return base.mapInPandas(pass_b, fields)
+    return shift_delta_scan_multi(sdf, [value_col], order_cols,
+                                  periods, kind, None, [out_col],
+                                  num_partitions)
 
 
 _ROLL_AGGS = ("sum", "mean", "max", "min", "count", "std", "var",
@@ -665,7 +530,7 @@ def rolling_scan(sdf: SparkDF, value_col: str, order_cols, window: int,
         raise ValueError(f"unsupported rolling agg {agg!r}")
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    mp = window if min_periods is None else max(int(min_periods), 1)
+    mp = window if min_periods is None else max(int(min_periods), 0)
     order_cols = ([order_cols] if isinstance(order_cols, str)
                   else list(order_cols))
     base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
@@ -702,7 +567,9 @@ def rolling_scan(sdf: SparkDF, value_col: str, order_cols, window: int,
 def _roll_one(xf: pd.Series, agg: str, window: int, mp: int,
               integral: bool, apply_fn=None, raw: bool = True):
     """Vectorized rolling aggregate over a border-extended column
-    (shared by the single- and multi-column scans)."""
+    (shared by the single- and multi-column scans).  ``mp`` may be 0
+    (pandas ``min_periods=0``): sum/count then emit 0 over windows
+    with no valid observations instead of null."""
     nn = xf.notna().astype("int64").cumsum()
     nwin = nn - nn.shift(window, fill_value=0)
     if agg == "count":
@@ -718,14 +585,19 @@ def _roll_one(xf: pd.Series, agg: str, window: int, mp: int,
         # nwin gate restores null frames
         cs = xf.fillna(0.0).astype("int64").cumsum()
         s = cs - cs.shift(window, fill_value=0)
-        return s.astype("float64").where(nwin >= mp)
+        return s.astype("float64").where(nwin >= max(mp, 1),
+                                         0.0 if mp == 0 else np.nan)
     if agg in ("sum", "mean"):
         s = xf.rolling(window, min_periods=1).sum()
-        return (s if agg == "sum" else s / nwin).where(nwin >= mp)
+        if agg == "sum":
+            return s.where(nwin >= max(mp, 1),
+                           0.0 if mp == 0 else np.nan)
+        return (s / nwin).where(nwin >= max(mp, 1))
     if agg == "apply":
-        return xf.rolling(window, min_periods=mp).apply(apply_fn,
-                                                        raw=raw)
-    return getattr(xf.rolling(window, min_periods=mp), agg)()
+        return xf.rolling(window, min_periods=max(mp, 1)) \
+            .apply(apply_fn, raw=raw)
+    return getattr(xf.rolling(window, min_periods=max(mp, 1)),
+                   agg)()
 
 
 def rolling_scan_multi(sdf: SparkDF, value_cols, order_cols,
@@ -739,7 +611,7 @@ def rolling_scan_multi(sdf: SparkDF, value_cols, order_cols,
         raise ValueError(f"unsupported rolling agg {agg!r}")
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    mp = window if min_periods is None else max(int(min_periods), 1)
+    mp = window if min_periods is None else max(int(min_periods), 0)
     value_cols = list(value_cols)
     out_cols = (list(out_cols) if out_cols is not None
                 else [f"{c}__o" for c in value_cols])
@@ -1075,86 +947,11 @@ def interpolate_scan_multi(sdf: SparkDF, value_cols, order_cols,
 def fill_scan(sdf: SparkDF, value_col: str, order_cols,
               direction: str = "ffill", out_col: str = "fl",
               num_partitions=None) -> SparkDF:
-    """Global ``Series.ffill``/``bfill`` as a segmented scan: the carry
-    is ONE scalar per partition (its last/first non-null value,
-    positionally exact via a cheap mapInPandas pass), chained on the
-    driver.  ffill streams batch-by-batch; bfill needs the whole
-    partition (the filler can live in a later batch)."""
-    if direction not in ("ffill", "bfill"):
-        raise ValueError(
-            f"direction must be 'ffill' or 'bfill', got {direction!r}")
-    order_cols = ([order_cols] if isinstance(order_cols, str)
-                  else list(order_cols))
-    base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
-    in_type = sdf.schema[value_col].dataType.simpleString()
-    fields = _out_fields(sdf, out_col, in_type)
-    proj = base.select(value_col, "__pid")
-    pschema = (f"__pid int, first_v {in_type}, last_v {in_type}")
-
-    def partials_pass(it):
-        pid, first, last = None, None, None
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["__pid"].iloc[0])
-            nn = pdf[value_col].dropna()
-            if len(nn):
-                if first is None:
-                    first = nn.iloc[0]
-                last = nn.iloc[-1]
-        if pid is not None:
-            yield pd.DataFrame({"__pid": [pid], "first_v": [first],
-                                "last_v": [last]})
-
-    rows = sorted(proj.mapInPandas(partials_pass, pschema).collect(),
-                  key=lambda r: r["__pid"])
-    carry: dict[int, object] = {}
-    if direction == "ffill":
-        acc = None
-        for r in rows:
-            carry[r["__pid"]] = acc
-            if r["last_v"] is not None:
-                acc = r["last_v"]
-    else:
-        acc = None
-        for r in reversed(rows):
-            carry[r["__pid"]] = acc
-            if r["first_v"] is not None:
-                acc = r["first_v"]
-
-    def pass_b(it):
-        if direction == "ffill":
-            seeded, run = False, None
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                if not seeded:
-                    run = carry.get(int(pdf["__pid"].iloc[0]))
-                    seeded = True
-                x = _to_nullable(pdf[value_col], in_type)
-                y = x.ffill()
-                if run is not None:
-                    y = y.fillna(run)
-                nn = x.dropna()
-                if len(nn):
-                    run = nn.iloc[-1]
-                res = pdf.drop(columns=["__pid"]).copy()
-                res[out_col] = _to_nullable(y, in_type)
-                yield res
-        else:
-            pdf = _whole_partition(it)
-            if pdf is None:
-                return
-            fill = carry.get(int(pdf["__pid"].iloc[0]))
-            x = _to_nullable(pdf[value_col], in_type)
-            y = x.bfill()
-            if fill is not None:
-                y = y.fillna(fill)
-            res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
-            res[out_col] = _to_nullable(y, in_type)
-            yield res
-
-    return base.mapInPandas(pass_b, fields)
+    """Global ``Series.ffill``/``bfill`` as a segmented scan (ONE
+    non-null scalar carry per partition) — single-column wrapper over
+    :func:`fill_scan_multi`."""
+    return fill_scan_multi(sdf, [value_col], order_cols, direction,
+                           [out_col], num_partitions)
 
 
 def cum_scan_multi(sdf: SparkDF, value_cols, order_cols, op: str,
@@ -1173,6 +970,7 @@ def cum_scan_multi(sdf: SparkDF, value_cols, order_cols, op: str,
                 else [f"{c}__cum" for c in value_cols])
     order_cols = ([order_cols] if isinstance(order_cols, str)
                   else list(order_cols))
+    sdf = _nan_as_null(sdf, value_cols)
     base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
 
     partials = base.groupBy("__pid").agg(
@@ -1233,10 +1031,17 @@ def _collect_edges_multi(base: SparkDF, value_cols, k_head: int,
     n_part = base.rdd.getNumPartitions()
     need = (k_head + k_tail) * max(n_part, 1)
     if need > _MAX_BORDER_ROWS:
-        raise ValueError(
-            f"border exchange would collect ~{need} rows per column "
-            f"> {_MAX_BORDER_ROWS}; use the grouped flavor or fewer, "
-            "larger partitions for windows this wide")
+        # the estimate over-counts when partitions hold fewer than k
+        # rows (a huge shift on a small frame is all-null in pandas,
+        # not an error) — fall back to the ACTUAL row count before
+        # refusing
+        total = base.count()
+        if total > _MAX_BORDER_ROWS:
+            raise ValueError(
+                f"border exchange would collect ~{need} rows per "
+                f"column > {_MAX_BORDER_ROWS}; use the grouped "
+                "flavor or fewer, larger partitions for windows "
+                "this wide")
     value_cols = list(value_cols)
     proj = base.select(*value_cols, "__pid")
     schema = ", ".join(
@@ -1337,7 +1142,9 @@ def shift_delta_scan_multi(sdf: SparkDF, value_cols, order_cols,
                 out = (ext.shift(periods) if fill_value is None
                        else ext.shift(periods, fill_value=fill_value))
             elif kind == "diff":
-                out = ext - ext.shift(periods)
+                # Series.diff, not ext - ext.shift(): subtraction
+                # raises on boolean dtypes where pandas diff XORs
+                out = ext.diff(periods)
             else:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     out = ext / ext.shift(periods) - 1.0
@@ -1528,6 +1335,7 @@ def expanding_pair_scan(sdf: SparkDF, xcol: str, ycol: str,
         raise ValueError(f"stat must be 'corr' or 'cov', got {stat!r}")
     order_cols = ([order_cols] if isinstance(order_cols, str)
                   else list(order_cols))
+    sdf = _nan_as_null(sdf, [xcol, ycol])
     base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
     x = F.col(xcol).cast("double")
     y = F.col(ycol).cast("double")

@@ -628,3 +628,79 @@ def test_ewm_var_no_single_partition(spark):
             .executedPlan().toString())
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+# -------------------- round-5 review findings (NaN/boolean/mp=0)
+
+def test_cumsum_skips_arithmetic_nan(spark):
+    """An IEEE NaN produced by 0/0 arithmetic must behave as missing
+    (pandas) — the old JVM partial let it poison every later
+    partition's carry."""
+    import numpy as np
+    a = pas.Series.from_list([0.0, 1.0, 2.0, 3.0], name="a")
+    b = pas.Series.from_list([0.0, 1.0, 1.0, 1.0], name="b")
+    s = a / b  # first element 0/0 -> NaN
+    got = s.cumsum().to_pandas().sort_index()
+    want = (pd.Series([0.0, 1.0, 2.0, 3.0])
+            / pd.Series([0.0, 1.0, 1.0, 1.0])).cumsum()
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               equal_nan=True)
+
+
+def test_rank_treats_nan_as_missing(spark):
+    import numpy as np
+    a = pas.Series.from_list([0.0, 4.0, 3.0, 1.0], name="a")
+    b = pas.Series.from_list([0.0, 1.0, 1.0, 1.0], name="b")
+    s = a / b
+    ps = pd.Series([0.0, 4.0, 3.0, 1.0]) / pd.Series([0.0, 1.0,
+                                                      1.0, 1.0])
+    for asc in (True, False):
+        got = s.rank(method="min", ascending=asc) \
+            .to_pandas().sort_index()
+        want = ps.rank(method="min", ascending=asc)
+        np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                                   equal_nan=True)
+    got = s.rank(method="dense", pct=True).to_pandas().sort_index()
+    want = ps.rank(method="dense", pct=True)
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               equal_nan=True)
+
+
+def test_expanding_var_skips_nan(spark):
+    import numpy as np
+    a = pas.Series.from_list([0.0, 1.0, 2.0, 4.0, 8.0], name="a")
+    b = pas.Series.from_list([0.0, 1.0, 1.0, 1.0, 1.0], name="b")
+    s = a / b
+    ps = pd.Series([0.0, 1.0, 2.0, 4.0, 8.0]) \
+        / pd.Series([0.0, 1.0, 1.0, 1.0, 1.0])
+    got = s.expanding(2).var().to_pandas().sort_index()
+    want = ps.expanding(2).var()
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               rtol=1e-9, equal_nan=True)
+
+
+def test_boolean_diff(spark):
+    s = pas.Series.from_list([False, True, False, False], name="f")
+    got = s.diff().to_pandas().sort_index()
+    want = pd.Series([False, True, False, False]).diff()
+    assert got.isna().tolist() == want.isna().tolist()
+    assert got.dropna().tolist() == want.dropna().tolist()
+
+
+def test_rolling_min_periods_zero(spark):
+    import numpy as np
+    ps = pd.Series([None, None, 1.0, 2.0], dtype="float64")
+    s = pas.Series.from_pandas(ps)
+    got = s.rolling(2, min_periods=0).sum().to_pandas().sort_index()
+    want = ps.rolling(2, min_periods=0).sum()
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               equal_nan=True)
+
+
+def test_huge_shift_small_frame(spark):
+    """shift(periods) far beyond the row count: all-null result (the
+    pandas contract), not a border-guard ValueError — the guard now
+    falls back to the actual row count."""
+    s = pas.Series.from_list(list(range(100)), name="v")
+    out = s.shift(6_000_000).to_pandas().sort_index()
+    assert out.isna().all()
