@@ -176,10 +176,16 @@ def expanding_scan(sdf: SparkDF, value_col: str, order_cols, agg: str,
     base = _pin(sdf, [F.col(c) for c in order_cols], num_partitions)
 
     v = F.col(value_col)
-    partials = base.groupBy("__pid").agg(
-        F.count(v).alias("__n"), F.count(F.lit(1)).alias("__rows"),
-        F.sum(v).alias("__s"),
-        F.max(v).alias("__mx"), F.min(v).alias("__mn"))
+    # only the channels this agg consumes (sum/mean share __s;
+    # max/min each their own; count needs none beyond the counts)
+    chans = [F.count(v).alias("__n"), F.count(F.lit(1)).alias("__rows")]
+    chans.append((F.sum(v) if agg in ("sum", "mean")
+                  else F.lit(None).cast("double")).alias("__s"))
+    chans.append((F.max(v) if agg == "max"
+                  else F.lit(None).cast("double")).alias("__mx"))
+    chans.append((F.min(v) if agg == "min"
+                  else F.lit(None).cast("double")).alias("__mn"))
+    partials = base.groupBy("__pid").agg(*chans)
     rows = sorted(partials.collect(), key=lambda r: r["__pid"])
     prefix: dict[int, tuple] = {}
     n_acc, rows_acc, s_acc, mx_acc, mn_acc = 0, 0, None, None, None
@@ -389,14 +395,10 @@ def rank_scan(sdf: SparkDF, value_col: str, order_cols, method: str,
     def pass_b(it):
         # rank needs the WHOLE partition at once: a tie group can span
         # Arrow batch boundaries, and average/max ranks depend on the
-        # full tie group — so concatenate the partition's batches
-        # (memory bound = one partition in pandas form, the same
-        # contract as applyInPandas; size num_partitions accordingly)
-        chunks = [pdf for pdf in it if len(pdf)]
-        if not chunks:
+        # full tie group (the applyInPandas memory contract)
+        pdf = _whole_partition(it)
+        if pdf is None:
             return
-        pdf = (chunks[0] if len(chunks) == 1
-               else pd.concat(chunks, ignore_index=True))
         pid = int(pdf["__pid"].iloc[0])
         off = prefix.get(pid, 0)
         loc = pdf[value_col].rank(method=method, ascending=ascending)
