@@ -35,6 +35,39 @@ _AGG_FUNCS = {
 }
 
 
+_NUMERIC_TYPES = ("bigint", "int", "smallint", "tinyint", "double",
+                  "float")
+
+
+def _py_expr_to_sql(expr: str) -> str:
+    """Translate Python boolean operators (and/or/not/==) to SQL,
+    QUOTE-AWARE: segments inside single- or double-quoted string
+    literals pass through untouched (a blind replace would corrupt
+    literals like 'rock and roll')."""
+    import re
+    out, i, n = [], 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and expr[j] != ch:
+                j += 1
+            out.append(expr[i:j + 1])
+            i = j + 1
+            continue
+        j = i
+        while j < n and expr[j] not in ("'", '"'):
+            j += 1
+        seg = expr[i:j]
+        seg = re.sub(r"\band\b", "AND", seg)
+        seg = re.sub(r"\bor\b", "OR", seg)
+        seg = re.sub(r"\bnot\b", "NOT", seg)
+        seg = seg.replace("==", "=")
+        out.append(seg)
+        i = j
+    return "".join(out)
+
+
 def _hash_threshold(frac: float, scale: int) -> int:
     """Content-addressed sampling threshold, PINNED to the SQL-oracle
     rule: the DECIMAL numeral of ``frac`` (its shortest repr — the
@@ -578,11 +611,11 @@ class GroupBy:
         deviation)."""
         df = self._df
         exprs, labels = [], []
+        dtypes = df._dtypes()
         for lab in [c for c in df._columns if c not in self._by]:
-            c = df._col_at(df._columns.get_loc(lab))
-            t = df._sdf.select(c).schema[0].dataType.simpleString()
-            if t not in ("bigint", "int", "smallint", "tinyint",
-                         "double", "float"):
+            pos = df._columns.get_loc(lab)
+            c = df._col_at(pos)
+            if dtypes[pos].simpleString() not in _NUMERIC_TYPES:
                 continue
             stats = [("count", F.count(c)), ("mean", F.mean(c)),
                      ("std", F.stddev_samp(c)), ("min", F.min(c))]
@@ -644,7 +677,24 @@ class GroupBy:
         deterministically)."""
         df = self._df
         if key is None:
-            key = self._by[0]
+            # hash the INDEX (row identity): hashing the grouping
+            # column would keep/drop whole GROUPS as units
+            from decimal import ROUND_HALF_EVEN  # noqa: F401
+            k = df._idx_at(0)
+            if fast_hash:
+                bucket = F.pmod(F.xxhash64(k), F.lit(1 << 32))
+                scale = 1 << 32
+            else:
+                bucket = F.conv(
+                    F.substring(F.md5(k.cast("string")), 1, 15),
+                    16, 10).cast("long")
+                scale = 1 << 60
+            new = df._shallow_copy()
+            new._sdf = df._sdf.filter(
+                bucket < F.lit(_hash_threshold(frac, scale)))
+            if hasattr(new, "_drop_lineage"):
+                new._drop_lineage()
+            return new
         return df.sample(frac, key=key, fast_hash=fast_hash)
 
     def aggregate(self, *args, **kwargs):
@@ -712,8 +762,9 @@ class GroupBy:
         columns — one index-align join + ONE hash aggregate (every
         shared column's per-group corr fused)."""
         df = self._df
-        shared = [c for c in df._columns
-                  if c in other._columns and c not in self._by]
+        shared = [c for i, c in enumerate(df._columns)
+                  if c in other._columns and c not in self._by
+                  and df._dtypes()[i].simpleString() in _NUMERIC_TYPES]
         joined, lcol, rcol, idx, names = df._join_idx(other)
         keys = [lcol(df._columns.get_loc(b)).alias(I.idx_name(i))
                 for i, b in enumerate(self._by)]
@@ -1223,8 +1274,7 @@ class RelationalMixin:
         label-named projection — stays in-plan and pushdown-eligible.
         Python operators (`and/or/not/==`) are accepted and mapped to
         SQL."""
-        sql = (expr.replace(" and ", " AND ").replace(" or ", " OR ")
-               .replace("not ", "NOT ").replace("==", "="))
+        sql = _py_expr_to_sql(expr)
         labels = [str(c) for c in self._columns]
         named = self._sdf.select(
             *[self._idx_at(i) for i in range(self._n_idx())],
@@ -1253,8 +1303,7 @@ class RelationalMixin:
         m = re.match(r"^\s*([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", expr,
                      re.S)
         rhs = (m.group(2) if m else expr)
-        sql = (rhs.replace(" and ", " AND ").replace(" or ", " OR ")
-               .replace("not ", "NOT ").replace("==", "="))
+        sql = _py_expr_to_sql(rhs)
         labels = [str(c) for c in self._columns]
         n = self._n_idx()
         named = self._sdf.select(
@@ -1268,12 +1317,19 @@ class RelationalMixin:
                 val.alias(I.col_name(0)))
             out = Series(self._index, None, body, None)
         else:
-            out_labels = labels + [m.group(1)]
+            # pandas eval REPLACES an existing target column
+            target = m.group(1)
+            exprs = [F.col(lab) for lab in labels]
+            out_labels = list(labels)
+            if target in labels:
+                exprs[labels.index(target)] = val
+            else:
+                out_labels.append(target)
+                exprs.append(val)
             body = named.select(
                 *[F.col(I.idx_name(i)) for i in range(n)],
-                *[F.col(lab).alias(I.col_name(i))
-                  for i, lab in enumerate(labels)],
-                val.alias(I.col_name(len(labels))))
+                *[e.alias(I.col_name(i))
+                  for i, e in enumerate(exprs)])
             out = DataFrame(self._index, pd.Index(out_labels), body)
         out._mid_index = getattr(self, "_mid_index", False)
         out._mid_dense = getattr(self, "_mid_dense", False)
@@ -1438,7 +1494,17 @@ class RelationalMixin:
         """pandas ``df.pivot``: reshape WITHOUT aggregation — raises
         like pandas when an (index, columns) cell holds more than one
         row (checked with one aggregate + LIMIT 1), else delegates to
-        the pivot_table machinery with 'first'."""
+        the pivot_table machinery with 'first'.  ``values=None``
+        infers the single remaining column (pandas contract); several
+        remaining columns raise toward an explicit choice."""
+        if values is None:
+            rest = [c for c in self._columns
+                    if c not in (index, columns)]
+            if len(rest) != 1:
+                raise NotImplementedError(
+                    f"pivot with values=None needs exactly one "
+                    f"remaining column, found {rest}; pass values=")
+            values = rest[0]
         dup = (self._sdf.groupBy(
             self._col_at(self._columns.get_loc(index)),
             self._col_at(self._columns.get_loc(columns)))
@@ -1489,13 +1555,6 @@ class RelationalMixin:
         data = [[row[f"__c{min(i, j)}_{max(i, j)}"]
                  for j in range(len(cols))] for i in range(len(cols))]
         return pd.DataFrame(data, index=labels, columns=labels)
-
-    @property
-    def T(self):
-        """Transpose — a MATERIALIZER (like pandas semantics demand:
-        columns become rows).  Only sane for small/aggregated frames;
-        collects via to_pandas."""
-        return self.to_pandas().T
 
     def _reduce_columns(self, fn, numeric_only=True):
         """Column-wise reduction to a pandas-style Series (one Spark
@@ -1863,24 +1922,31 @@ class RelationalMixin:
         values overwrite self's on shared labels/index — LEFT join on
         the index (self's rows all survive), ``coalesce(r, l)`` on the
         shared columns.  One shuffle; AQE broadcasts a small other."""
+        if self._is_mindex or other._is_mindex:
+            raise NotImplementedError(
+                "update needs single-level indexes on both sides")
         shared = [c for c in self._columns if c in other._columns]
-        joined, lcol, rcol, idx, idx_names = self._join_idx(other)
-        # _join_idx is full-outer; keep only self's rows (left side
-        # non-null marker: its index key)
-        l_idx = joined[f"l_{I.idx_name(0)}"]
+        # LEFT join (not the full-outer alignment): pandas update
+        # keeps EXACTLY self's rows — including null index labels,
+        # which an isNotNull filter would silently drop
+        l = self._rename_all(self._sdf, "l_")
+        r = self._rename_all(other._sdf, "r_")
+        lk, rk = f"l_{I.idx_name(0)}", f"r_{I.idx_name(0)}"
+        joined = l.join(r, l[lk].eqNullSafe(r[rk]) & l[lk].isNotNull(),
+                        "left")
         cols = []
         for i, lab in enumerate(self._columns):
+            lc = joined[f"l_{I.col_name(i)}"]
             if lab in shared:
                 j = other._columns.get_loc(lab)
-                cols.append(F.coalesce(rcol(j), lcol(i)))
+                cols.append(F.coalesce(joined[f"r_{I.col_name(j)}"],
+                                       lc))
             else:
-                cols.append(lcol(i))
+                cols.append(lc)
         from . import base
-        sdf = base.BaseFrame(self._index, self._columns, joined) \
-            ._project([l_idx], cols)
-        # full-outer rows from other-only indexes have a null l_idx;
-        # pandas update keeps exactly self's rows
-        self._sdf = sdf.where(F.col(I.idx_name(0)).isNotNull())
+        self._sdf = base.BaseFrame(self._index, self._columns,
+                                   joined)._project([joined[lk]],
+                                                    cols)
         self._rows_reordered = True
         return None
 
@@ -2039,7 +2105,10 @@ class RelationalMixin:
         pair's corr in a single pass); returns a pandas-backed
         Series, like pandas."""
         from .core import Series
-        shared = [c for c in self._columns if c in other._columns]
+        shared = [c for i, c in enumerate(self._columns)
+                  if c in other._columns
+                  and self._dtypes()[i].simpleString()
+                  in _NUMERIC_TYPES]
         joined, lcol, rcol, idx, idx_names = self._join_idx(other)
         aggs = []
         for j, lab in enumerate(shared):
@@ -2418,6 +2487,12 @@ def qcut(ser, q, labels=False, duplicates="raise"):
                 f"invalid duplicates value {duplicates!r}")
     if labels is False:
         labels = list(range(len(edges) - 1))
+    elif labels is None:
+        # pandas' own interval strings for the computed edges (same
+        # display-rounding trick as cut)
+        cats = pd.cut(pd.Series([], dtype="float64"), edges,
+                      right=True, include_lowest=True).cat.categories
+        labels = [str(c) for c in cats]
 
     def fn(c):
         out = F.lit(None)
@@ -3123,12 +3198,19 @@ class SeriesRelationalMixin:
         """pandas ``Series.update`` (in place): other's non-null
         values overwrite self's at shared labels — LEFT-preserved
         full-outer join + coalesce(r, l)."""
-        joined, lcol, rcol, idx, names = self._join_idx(other)
-        lk = joined[f"l_{I.idx_name(0)}"]
+        if self._is_mindex or other._is_mindex:
+            raise NotImplementedError(
+                "update needs single-level indexes on both sides")
+        l = self._rename_all(self._sdf, "l_")
+        r = self._rename_all(other._sdf, "r_")
+        lk, rk = f"l_{I.idx_name(0)}", f"r_{I.idx_name(0)}"
+        joined = l.join(r, l[lk].eqNullSafe(r[rk]) & l[lk].isNotNull(),
+                        "left")
         body = joined.select(
-            lk.alias(I.idx_name(0)),
-            F.coalesce(rcol(0), lcol(0)).alias(I.col_name(0))
-        ).where(F.col(I.idx_name(0)).isNotNull())
+            joined[lk].alias(I.idx_name(0)),
+            F.coalesce(joined[f"r_{I.col_name(0)}"],
+                       joined[f"l_{I.col_name(0)}"])
+            .alias(I.col_name(0)))
         self._sdf = body
         self._rows_reordered = True
         return None
@@ -3580,11 +3662,15 @@ class SeriesRelationalMixin:
 
     def pop(self, label):
         """Remove the row(s) at an index label (in place), returning
-        the removed value (scalar when unique)."""
-        val = self.get(label)
-        if val is None:
-            raise KeyError(label)
+        the removed value (scalar when unique; None values are values,
+        not missing labels — existence is probed separately)."""
         idx = self._idx_at(0)
+        rows = self._sdf.where(idx == F.lit(label)) \
+            .select(F.col(I.col_name(0))).limit(2).collect()
+        if not rows:
+            raise KeyError(label)
+        val = (rows[0][I.col_name(0)] if len(rows) == 1
+               else self.get(label))
         self._sdf = self._sdf.filter(~(idx == F.lit(label)))
         if hasattr(self, "_drop_lineage"):
             self._drop_lineage()

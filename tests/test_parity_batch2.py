@@ -348,3 +348,89 @@ def test_series_drop_errors(spark):
         s.drop([0, 99])
     out = s.drop([0, 99], errors="ignore").to_pandas().sort_index()
     assert out.tolist() == [20, 30]
+
+
+# ----------------------- round-5 relational review findings
+
+
+def test_query_eval_quoted_literals(spark):
+    pdf = pd.DataFrame({"genre": ["rock and roll", "jazz"],
+                        "n": [1, 2]})
+    df = pas.DataFrame.from_pandas(pdf)
+    out = df.query("genre == 'rock and roll'").to_pandas()
+    assert out["n"].tolist() == [1]
+    s = df.eval("'rock and roll' == genre").to_pandas().sort_index()
+    assert s.tolist() == [True, False]
+
+
+def test_eval_replaces_existing_column(spark):
+    pdf = pd.DataFrame({"a": [1.0, 2.0], "b": [10.0, 20.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.eval("a = a * 2").to_pandas().sort_index()
+    want = pdf.eval("a = a * 2")
+    assert list(got.columns) == ["a", "b"]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_names=False)
+
+
+def test_groupby_sample_is_row_level(spark):
+    """Hashing the group key would keep/drop whole groups; the
+    default must sample rows WITHIN groups (index hash)."""
+    pdf = pd.DataFrame({"k": ["a"] * 200 + ["b"] * 200,
+                        "v": range(400)})
+    df = pas.DataFrame.from_pandas(pdf)
+    out = df.groupby("k").sample(0.5).to_pandas()
+    kept = out.groupby("k").size()
+    assert set(kept.index) == {"a", "b"}  # both groups survive
+    for g in ("a", "b"):
+        assert 0.25 < kept[g] / 200 < 0.75  # partial within group
+
+
+def test_corrwith_skips_non_numeric(spark):
+    a = pd.DataFrame({"name": ["x", "y", "z"],
+                      "v": [1.0, 2.0, 3.0]})
+    b = pd.DataFrame({"name": ["x", "y", "z"],
+                      "v": [2.0, 4.0, 6.0]})
+    got = (pas.DataFrame.from_pandas(a)
+           .corrwith(pas.DataFrame.from_pandas(b))
+           .to_pandas())
+    assert list(got.index) == ["v"]
+    np.testing.assert_allclose(got["v"], 1.0)
+
+
+def test_qcut_default_labels(spark):
+    vals = [float(x) for x in range(20)]
+    s = pas.Series.from_list(vals, name="v")
+    got = pas.qcut(s, 4, labels=None).to_pandas().sort_index()
+    want = pd.qcut(pd.Series(vals), 4).astype(str)
+    assert got.tolist() == want.tolist()
+
+
+def test_pivot_infers_values(spark):
+    pdf = pd.DataFrame({"r": ["a", "a", "b"], "c": ["p", "q", "p"],
+                        "v": [1.0, 2.0, 3.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.pivot(index="r", columns="c").to_pandas().sort_index()
+    want = pdf.pivot(index="r", columns="c", values="v").sort_index()
+    np.testing.assert_allclose(got[["p", "q"]].to_numpy(float),
+                               want[["p", "q"]].to_numpy(float),
+                               equal_nan=True)
+
+
+def test_series_pop_null_value(spark):
+    s = pas.Series.from_pandas(pd.Series([1.0, np.nan, 3.0]))
+    v = s.pop(1)
+    assert v is None or (isinstance(v, float) and np.isnan(v))
+    assert s.to_pandas().sort_index().tolist() == [1.0, 3.0]
+    with pytest.raises(KeyError):
+        s.pop(99)
+
+
+def test_update_keeps_null_index_rows(spark):
+    a = pd.DataFrame({"x": [1.0, 2.0]}, index=[0.0, np.nan])
+    b = pd.DataFrame({"x": [10.0]}, index=[0.0])
+    da = pas.DataFrame.from_pandas(a)
+    da.update(pas.DataFrame.from_pandas(b))
+    out = da.to_pandas()
+    assert len(out) == 2  # the null-label row survives
+    assert sorted(out["x"].tolist()) == [2.0, 10.0]
