@@ -619,13 +619,25 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def pct_change(self, periods: int = 1):
         return self._frame_delta("pct", periods, verb="pct_change")
 
-    def ffill(self):
+    def ffill(self, limit=None):
         """pandas ``df.ffill()``: every column's forward fill in ONE
         fused scan (segscan.fill_scan_multi — all columns' one-scalar
-        carries travel in a single partials row)."""
+        carries travel in a single partials row).  Fills in INDEX
+        order (the engine's global-scan contract; sort_values affects
+        export order only).  ``limit=`` would need a run-length carry
+        — use the grouped flavor, which supports it as a bounded
+        window."""
+        if limit is not None:
+            raise NotImplementedError(
+                "global ffill(limit=) is not supported; the grouped "
+                "flavor df.groupby(k)[c].ffill(limit=n) is")
         return self._frame_fill("ffill")
 
-    def bfill(self):
+    def bfill(self, limit=None):
+        if limit is not None:
+            raise NotImplementedError(
+                "global bfill(limit=) is not supported; the grouped "
+                "flavor df.groupby(k)[c].bfill(limit=n) is")
         return self._frame_fill("bfill")
 
     def _frame_fill(self, direction):
@@ -638,15 +650,32 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         return self._pack_scanned(scanned, idx_names, out_names)
 
     def asof(self, where):
-        """pandas ``df.asof(where)``: the last row with NO null values
-        whose index label is <= each probe — every probe fused into
-        one filtered max_by pass; returns a pandas Series (scalar
-        probe) or DataFrame (list), like pandas."""
-        probes = where if isinstance(where, (list, tuple)) else [where]
+        """pandas ``df.asof(where)``: the last row with NO missing
+        values (null OR IEEE NaN) whose index label is <= each probe
+        — every probe fused into one filtered max_by pass; returns a
+        pandas Series (scalar probe) or DataFrame (list-like), like
+        pandas.  Duplicate index labels at the cutoff: ANY fully-valid
+        row with the max label (pandas picks the last by position —
+        that order is what a sort costs at scale; same documented
+        relaxation as idxmax)."""
+        listlike = pd.api.types.is_list_like(where)
+        probes = list(where) if listlike else [where]
+        labels = [str(c) for c in self._columns]
+        if not probes:
+            return pd.DataFrame(columns=labels)
         idx0 = self._idx_at(0)
-        ok = self._col_at(0).isNotNull()
+
+        def valid(i):
+            c = self._col_at(i)
+            v = c.isNotNull()
+            if self._dtypes()[i].simpleString() in ("double",
+                                                    "float"):
+                v = v & ~F.isnan(c)
+            return v
+
+        ok = valid(0)
         for i in range(1, self._n_cols()):
-            ok = ok & self._col_at(i).isNotNull()
+            ok = ok & valid(i)
         aggs = []
         for j, p in enumerate(probes):
             gate = F.when(ok & (idx0 <= F.lit(p)), idx0)
@@ -654,12 +683,11 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                 aggs.append(F.max_by(self._col_at(i), gate)
                             .alias(f"__a{j}_{i}"))
         row = self._sdf.agg(*aggs).collect()[0]
-        labels = [str(c) for c in self._columns]
         data = [[row[f"__a{j}_{i}"] for i in range(self._n_cols())]
                 for j in range(len(probes))]
         out = pd.DataFrame(data, columns=labels,
                            index=pd.Index(probes))
-        if not isinstance(where, (list, tuple)):
+        if not listlike:
             return out.iloc[0]
         return out
 
@@ -693,7 +721,6 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         column as an ENGINE Series (compose engine expressions — the
         result stays ONE projection; arbitrary elementwise Python
         belongs in applymap)."""
-        from . import base
         cols = []
         for lab in self._columns:
             res = func(self[lab])
@@ -705,12 +732,13 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
                     "elementwise Python use applymap")
             cols.append(res._lineage_expr)
         idx = [self._idx_at(i) for i in range(self._n_idx())]
-        sdf = base.BaseFrame(self._index, self._columns,
-                             self._sdf)._project(idx, cols)
-        out = DataFrame(self._index, self._columns, sdf)
-        out._mid_index = self._mid_index
-        out._mid_dense = self._mid_dense
-        out._mid_origin = self._mid_origin
+        # _shallow_copy keeps every order/mid flag (a hand-built
+        # DataFrame here silently dropped _explicit_order and
+        # _rows_reordered, un-sorting sorted inputs on export)
+        out = self._shallow_copy()
+        out._sdf = self._project(idx, cols)
+        if hasattr(out, "_drop_lineage"):
+            out._drop_lineage()
         return out
 
     def rolling(self, window: int, min_periods: int | None = None):
@@ -1326,16 +1354,16 @@ class Series(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
     def diff(self, periods: int = 1):
         return self._win().diff(periods)
 
-    def ffill(self):
+    def ffill(self, limit=None):
         """Forward-fill nulls from the last preceding non-null value
         (index order) — a one-scalar-carry segmented scan, no
         single-partition window.  Grouped flavor:
-        ``df.groupby(k)[c].ffill()``."""
-        return self._win().ffill()
+        ``df.groupby(k)[c].ffill()`` (which also supports limit=)."""
+        return self._win().ffill(limit)
 
-    def bfill(self):
+    def bfill(self, limit=None):
         """Backward-fill nulls from the next following non-null."""
-        return self._win().bfill()
+        return self._win().bfill(limit)
 
     def interpolate(self, method: str = "linear", limit=None,
                     limit_direction=None):

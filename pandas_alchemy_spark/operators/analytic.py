@@ -179,19 +179,23 @@ class _WindowVerbs:
             return F.size(F.collect_set(c).over(wg)).cast("double")
         return F.count(c).over(wg).cast("double")
 
-    def ffill(self):
+    def ffill(self, limit=None):
         """Forward-fill nulls with the last preceding non-null value —
         one running-last window (grouped flavor shuffles once on the
-        keys, per-key bounded state: the 100 TB path)."""
-        w = self._window().rowsBetween(Window.unboundedPreceding,
-                                       Window.currentRow)
+        keys, per-key bounded state: the 100 TB path).  ``limit=n``
+        bounds the frame to the previous n rows — pandas' cap on the
+        fill distance, still one window."""
+        lo = (Window.unboundedPreceding if limit is None
+              else -int(limit))
+        w = self._window().rowsBetween(lo, Window.currentRow)
         return self._wrap(
             lambda c: F.last(c, ignorenulls=True).over(w))
 
-    def bfill(self):
+    def bfill(self, limit=None):
         """Backward-fill nulls with the next following non-null."""
-        w = self._window().rowsBetween(Window.currentRow,
-                                       Window.unboundedFollowing)
+        hi = (Window.unboundedFollowing if limit is None
+              else int(limit))
+        w = self._window().rowsBetween(Window.currentRow, hi)
         return self._wrap(
             lambda c: F.first(c, ignorenulls=True).over(w))
 
@@ -378,13 +382,22 @@ class SeriesWindow(_WindowVerbs):
             lambda tmp, oc: delta_scan(tmp, "__v", oc, periods,
                                        "pct", "__out"))
 
-    def ffill(self):
+    def ffill(self, limit=None):
+        if limit is not None:
+            raise NotImplementedError(
+                "global ffill(limit=) is not supported (a run-length "
+                "carry); the grouped flavor supports limit= as a "
+                "bounded window")
         from .segscan import fill_scan
         return self._scan_series(
             lambda tmp, oc: fill_scan(tmp, "__v", oc, "ffill",
                                       "__out"))
 
-    def bfill(self):
+    def bfill(self, limit=None):
+        if limit is not None:
+            raise NotImplementedError(
+                "global bfill(limit=) is not supported; the grouped "
+                "flavor supports limit= as a bounded window")
         from .segscan import fill_scan
         return self._scan_series(
             lambda tmp, oc: fill_scan(tmp, "__v", oc, "bfill",

@@ -447,3 +447,43 @@ def test_rolling_corr_zero_variance_is_null(spark):
     assert bool(np.all(want.isna()))  # pandas agrees: all NaN
     m = df.groupby("k").corr().to_pandas()
     assert m["x__y"].isna().all()
+
+
+# ------------------------- core.py review-finding regressions
+
+
+def test_transform_preserves_sorted_order(spark):
+    pdf = pd.DataFrame({"a": [3.0, 1.0, 2.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.sort_values("a").transform(lambda s: s + 1).to_pandas()
+    want = pdf.sort_values("a").transform(lambda s: s + 1)
+    assert got["a"].tolist() == want["a"].tolist()
+
+
+def test_asof_nan_and_listlike(spark):
+    a = pas.Series.from_list([0.0, 1.0, 2.0], name="a")
+    b = pas.Series.from_list([0.0, 1.0, 1.0], name="b")
+    fr = (a / b).to_frame("v")  # first row 0/0 -> NaN
+    assert fr.asof(10)["v"] == 2.0  # NaN row skipped
+    pdf = pd.DataFrame({"v": [1.0, 2.0]}, index=[10, 20])
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.asof(np.array([15, 25]))
+    want = pdf.asof(np.array([15, 25]))
+    assert got["v"].tolist() == want["v"].tolist()
+    got = df.asof(pd.Index([15]))
+    assert got["v"].tolist() == [1.0]
+    empty = df.asof([])
+    assert len(empty) == 0
+
+
+def test_grouped_ffill_limit(spark):
+    pdf = pd.DataFrame({"k": ["a"] * 5,
+                        "v": [1.0, None, None, None, 5.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k")["v"].ffill(limit=1).to_pandas().sort_index()
+    want = pdf.groupby("k")["v"].ffill(limit=1)
+    assert got.fillna(-1).tolist() == want.fillna(-1).tolist()
+    with pytest.raises(NotImplementedError, match="limit"):
+        df["v"].ffill(limit=1)
+    with pytest.raises(NotImplementedError, match="limit"):
+        df.ffill(limit=2)
