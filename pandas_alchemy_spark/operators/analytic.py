@@ -50,15 +50,20 @@ def safe_corr(x, y, w=None):
     Spark 4's ANSI mode makes the builtin ``corr`` RAISE
     DIVIDE_BY_ZERO on a constant window/group; the CASE gate keeps
     the division unevaluated there and yields NULL (= DuckDB's corr,
-    = pandas' NaN after export).  Pass ``w`` to evaluate the three
-    aggregates over a window frame."""
+    = pandas' NaN after export).  All three aggregates run over
+    PAIRWISE-COMPLETE observations (pandas deletion rule — stddev
+    over all non-null x with covar over pairs can produce |corr|>1).
+    Pass ``w`` to evaluate over a window frame."""
     def o(e):
         return e.over(w) if w is not None else e
 
-    sx = o(F.stddev_samp(x))
-    sy = o(F.stddev_samp(y))
+    both = x.isNotNull() & y.isNotNull()
+    xp = F.when(both, x)
+    yp = F.when(both, y)
+    sx = o(F.stddev_samp(xp))
+    sy = o(F.stddev_samp(yp))
     return F.when((sx > 0) & (sy > 0),
-                  o(F.covar_samp(x, y)) / (sx * sy))
+                  o(F.covar_samp(xp, yp)) / (sx * sy))
 
 
 def _check_interp_args(method, limit, limit_direction) -> str:
@@ -88,13 +93,35 @@ class _WindowVerbs:
         def fn(c):
             e = F.lag(c, periods).over(self._window())
             if fill_value is not None:
-                e = F.coalesce(e, F.lit(fill_value))
+                # fill ONLY the shifted-in edge slots: coalesce would
+                # also fabricate values where a pre-existing null was
+                # lagged into place (pandas keeps those missing)
+                rn = F.row_number().over(self._window())
+                if periods >= 0:
+                    edge = rn <= periods
+                else:
+                    wg = self._window().rowsBetween(
+                        Window.unboundedPreceding,
+                        Window.unboundedFollowing)
+                    edge = rn > F.count(F.lit(1)).over(wg) + periods
+                e = F.when(edge, F.lit(fill_value)).otherwise(e)
             return e
         return self._wrap(fn)
 
     def diff(self, periods: int = 1):
+        if self._col_dtype() == "boolean":
+            # pandas GroupBy.diff on booleans subtracts as ints
+            # (-1/0/1) — Series.diff XORs, GroupBy.diff casts; match
+            # each flavor's own pandas behavior (plain subtraction on
+            # Spark booleans raises)
+            return self._wrap(
+                lambda c: c.cast("int")
+                - F.lag(c.cast("int"), periods).over(self._window()))
         return self._wrap(
             lambda c: c - F.lag(c, periods).over(self._window()))
+
+    def _col_dtype(self) -> str:
+        return ""  # subclasses with a known column override
 
     def _cum(self, agg):
         w = self._window().rowsBetween(Window.unboundedPreceding,
@@ -113,10 +140,15 @@ class _WindowVerbs:
 
     def pct_change(self, periods: int = 1):
         """Fractional change vs the previous (periods-th prior) row —
-        lag + divide in one window pass."""
+        lag + IEEE divide (x/0 -> signed inf, the engine's truediv
+        contract; plain Spark division would yield NULL) in one
+        window pass."""
+        from ..functions.coercion import ieee_truediv
         return self._wrap(
-            lambda c: c / F.lag(c, periods).over(self._window())
-            - F.lit(1.0))
+            lambda c: ieee_truediv(
+                c.cast("double"),
+                F.lag(c, periods).over(self._window())
+                .cast("double")) - F.lit(1.0))
 
     def cummax(self):
         return self._cum(F.max)
@@ -185,6 +217,11 @@ class _WindowVerbs:
         keys, per-key bounded state: the 100 TB path).  ``limit=n``
         bounds the frame to the previous n rows — pandas' cap on the
         fill distance, still one window."""
+        if limit is not None and (not isinstance(limit, int)
+                                  or isinstance(limit, bool)
+                                  or limit < 1):
+            raise ValueError(
+                f"Limit must be a positive integer, got {limit!r}")
         lo = (Window.unboundedPreceding if limit is None
               else -int(limit))
         w = self._window().rowsBetween(lo, Window.currentRow)
@@ -193,6 +230,11 @@ class _WindowVerbs:
 
     def bfill(self, limit=None):
         """Backward-fill nulls with the next following non-null."""
+        if limit is not None and (not isinstance(limit, int)
+                                  or isinstance(limit, bool)
+                                  or limit < 1):
+            raise ValueError(
+                f"Limit must be a positive integer, got {limit!r}")
         hi = (Window.unboundedFollowing if limit is None
               else int(limit))
         w = self._window().rowsBetween(Window.currentRow, hi)
@@ -252,6 +294,8 @@ class _WindowVerbs:
         return self._rolling_named("mean", window, min_periods)
 
     def _rolling_named(self, name: str, window: int, min_periods):
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
         if min_periods is None:
             min_periods = window
         agg = _ROLL_FNS[name]
@@ -264,7 +308,11 @@ class _WindowVerbs:
             # null); the other aggs gate on non-null observations
             n = (F.count(F.lit(1)).over(w) if name == "count"
                  else F.count(c).over(w))
-            return F.when(n >= min_periods, val)
+            gated = F.when(n >= min_periods, val)
+            if min_periods == 0 and name in ("sum", "count"):
+                # pandas min_periods=0: the empty sum/count is 0
+                gated = F.coalesce(gated, F.lit(0.0))
+            return gated
         return self._wrap(fn)
 
     def _epoch_order_expr(self, frame):
@@ -441,28 +489,20 @@ class SeriesWindow(_WindowVerbs):
         res._rows_reordered = True
         return res
 
-    def _window(self):
-        return Window.orderBy(*_order_cols(self._s))
+    def _window(self, *_):
+        # every public global verb is overridden with a segmented
+        # scan; reaching this would re-open the single-partition
+        # window the module docstring promises is gone — enforce the
+        # invariant instead of silently violating it
+        raise NotImplementedError(
+            "no global verb may use an unpartitioned window; add a "
+            "segscan form instead")
 
-    def _time_window(self):
-        return Window.orderBy(self._epoch_order_expr(self._s))
-
-    def _value_window(self, order, tiebreak):
-        # pandas rank orders by VALUE (ties broken per method)
-        if tiebreak:
-            return Window.orderBy(order, *_order_cols(self._s))
-        return Window.orderBy(order)
-
-    def _tie_window(self, c):
-        return Window.partitionBy(c)
+    _time_window = _window
+    _value_window = _window
+    _tie_window = _window
 
     def _wrap(self, fn):
-        # window evaluation reorders rows in the PLAN (rank sorts by
-        # value, grouped windows cluster by key); no plan-level re-sort
-        # is added — positional frames re-establish index order client-
-        # side at export (base._fetch_pandas), costing nothing cluster-
-        # side at scale.  _rows_reordered tells positional accessors
-        # (head/iloc/iat) to re-sort plan-side before slicing.
         out = self._s._app(fn)
         out._rows_reordered = True
         return out
@@ -482,6 +522,10 @@ class SeriesGroupBy(_WindowVerbs):
     def _keys(self):
         return [self._df._col_at(self._df._columns.get_loc(b))
                 for b in self._by]
+
+    def _col_dtype(self) -> str:
+        pos = self._df._columns.get_loc(self._label)
+        return self._df._dtypes()[pos].simpleString()
 
     def _window(self):
         return Window.partitionBy(*self._keys()).orderBy(
@@ -838,9 +882,15 @@ class Rolling:
         self._by_time = isinstance(window, str)
         if self._by_time:
             self._offset_us = parse_offset_us(window)
+            if self._offset_us < 1:
+                raise ValueError(
+                    f"window offset must be positive, got {window!r}")
             if min_periods is None:
                 min_periods = 1
         else:
+            if window < 1:
+                raise ValueError(
+                    f"window must be >= 1, got {window}")
             self._window_n = window
         self._min_periods = min_periods
 

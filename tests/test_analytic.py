@@ -249,3 +249,67 @@ def test_rolling_time_duplicate_ts_sql_semantics(spark):
     assert got.tolist() == want.tolist()
     # both tied 2024-01-02 rows see BOTH peer values (2+4) in frame
     assert got.iloc[1] == got.iloc[2] == 7.0
+
+
+# ------------------- round-5 analytic review-finding regressions
+
+
+def test_grouped_shift_fill_value_edge_only(spark):
+    pdf = pd.DataFrame({"k": ["a", "a"], "v": [None, 5.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k")["v"].shift(1, fill_value=0) \
+        .to_pandas().sort_index()
+    want = pdf.groupby("k")["v"].shift(1, fill_value=0)
+    assert got.fillna(-9).tolist() == want.fillna(-9).tolist()
+    gotn = df.groupby("k")["v"].shift(-1, fill_value=7) \
+        .to_pandas().sort_index()
+    wantn = pdf.groupby("k")["v"].shift(-1, fill_value=7)
+    assert gotn.fillna(-9).tolist() == wantn.fillna(-9).tolist()
+
+
+def test_safe_corr_pairwise_deletion(spark):
+    """stddev over all non-null x with covar over pairs can exceed
+    |1|; the mask must be pairwise for all three aggregates."""
+    pdf = pd.DataFrame({"k": ["a"] * 3, "x": [1.0, 2.0, 3.0],
+                        "y": [1.0, None, 3.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    out = df.groupby("k")["x"].rolling(3, min_periods=2).corr("y") \
+        .to_pandas().sort_index()
+    assert abs(out.iloc[-1] - 1.0) < 1e-9  # not 1.414
+
+
+def test_grouped_pct_change_ieee(spark):
+    pdf = pd.DataFrame({"k": ["a", "a"], "v": [0.0, 5.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    out = df.groupby("k")["v"].pct_change().to_pandas().sort_index()
+    assert out.iloc[-1] == float("inf")
+
+
+def test_grouped_bool_diff(spark):
+    """pandas GroupBy.diff subtracts booleans as ints (-1/0/1) —
+    distinct from Series.diff's XOR; each flavor matches its own
+    pandas behavior."""
+    pdf = pd.DataFrame({"k": ["a"] * 3, "f": [True, False, False]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k")["f"].diff().to_pandas().sort_index()
+    want = pdf.groupby("k")["f"].diff()
+    assert got.isna().tolist() == want.isna().tolist()
+    assert got.dropna().tolist() == [int(v) for v in want.dropna()]
+
+
+def test_grouped_rolling_mp0_sum(spark):
+    pdf = pd.DataFrame({"k": ["a"] * 3, "v": [None, None, 1.0]})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.groupby("k")["v"].rolling(2, min_periods=0).sum() \
+        .to_pandas().sort_index()
+    want = pdf.groupby("k")["v"].rolling(2, min_periods=0).sum() \
+        .reset_index(level=0, drop=True)
+    assert got.tolist() == want.tolist()
+
+
+def test_rolling_window_validation(spark):
+    s = pas.Series.from_list([1.0, 2.0], name="v")
+    with pytest.raises(ValueError, match="window"):
+        s.rolling(0)
+    with pytest.raises(ValueError, match="Limit"):
+        s.to_frame("v").groupby("v")["v"].ffill(limit=0)
