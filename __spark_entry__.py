@@ -3435,14 +3435,14 @@ def oracle_sql() -> dict[str, str]:
             ), bits AS (
               SELECT doc_id, b.b,
                      sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-              FROM th, (SELECT unnest(range(0, 64)) AS b) b
+              FROM th, (SELECT unnest(range(0, 60)) AS b) b
               GROUP BY doc_id, b.b
             ), sig AS (
               SELECT doc_id,
                      sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
               FROM bits GROUP BY doc_id
             ), chunked AS (
-              SELECT doc_id, sh, c.c AS chunk, (sh >> (c.c * 16)) & 65535 AS ch
+              SELECT doc_id, sh, c.c AS chunk, (sh >> (c.c * 15)) & 32767 AS ch
               FROM sig, (SELECT unnest(range(0, 4)) AS c) c
             ), cand AS (
               SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,

@@ -98,6 +98,12 @@ _BAD_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
 
 
 def _tune(df: DataFrame) -> DataFrame:
+    """Exclude InferFiltersFromGenerate for this session (the rule
+    re-inlines the shingle generator into pushed filters — O(n²)
+    re-evaluation).  DELIBERATELY sticky: the plan executes lazily
+    after this function returns, so a set/restore scope would undo
+    the exclusion before the query ever runs.  The engine's own
+    ``init_db`` applies the same exclusion at session build."""
     conf = df.sparkSession.conf
     current = conf.get("spark.sql.optimizer.excludedRules", None)
     if not current:
@@ -131,18 +137,15 @@ def shingles_expr(col: str, n: int = 3, distinct: bool = True):
     into O(len^2) per document."""
     raw = (f"transform(sequence(0, greatest(size({col}) - {n}, 0)),"
            f" i -> concat_ws(' ', slice({col}, i + 1, {n})))")
-    return F.expr(f"array_distinct({raw})" if distinct else raw)
-
-
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a narrow-but-CPU-heavy pipeline across the cluster when
-    the source has fewer partitions than cores (common for one small
-    parquet file; on a real cluster the scan already has thousands of
-    splits, making this a no-op)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # a token-less doc (e.g. non-Latin text under the ASCII
+    # tokenizer, or pure punctuation) must yield NO shingles — the
+    # bare expression would emit [''] and every such doc would
+    # minhash/Jaccard as an exact near-duplicate of every other,
+    # silently destroying unrelated documents in cluster_near_dups
+    guarded = (f"case when size({col}) = 0 "
+               f"then array() else {raw} end")
+    return F.expr(f"array_distinct({guarded})" if distinct
+                  else guarded)
 
 
 def with_shingles(df: DataFrame, text_col: str, out: str = "__sh",
@@ -187,6 +190,16 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     explode + plain aggregates keeps everything in whole-stage codegen
     with map-side partial MIN — ~20x faster and shuffle-light (the
     partial agg reduces each partition to one row per doc)."""
+    return _minhash_base(df, text_col, id_col, num_hashes,
+                         shingle_n, fast_hash)
+
+
+def _minhash_base(df, text_col, id_col, num_hashes, shingle_n,
+                  fast_hash) -> DataFrame:
+    """The shared shingle→hash→K-MIN-aggregate pipeline behind
+    :func:`minhash_signature` and :func:`minhash_lsh_pairs` — ONE
+    implementation so the hash family can never drift between the
+    signature API and the LSH path."""
     sh = with_shingles(_tune(df), text_col, "__shraw", shingle_n, distinct=False)
     ex = sh.select(F.col(id_col), F.explode("__shraw").alias("s"))
     hashed = ex.select(id_col, F.expr(_h60("s", fast_hash)).alias("h"))
@@ -228,20 +241,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
       explode of a degenerate boilerplate bucket would otherwise pin
       one task; pre-collapse exact dups to keep recall.
     """
+    if bands < 1 or num_hashes < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple "
+            f"of bands ({bands}); bands > num_hashes would collapse "
+            "every document into one empty-key bucket, and a "
+            "non-divisible split silently discards signature rows")
     rows = num_hashes // bands
-    sh = with_shingles(_tune(df), text_col, "__shraw", shingle_n, distinct=False)
-    ex = sh.select(F.col(id_col), F.explode("__shraw").alias("s"))
-    hashed = ex.select(id_col, F.expr(_h60("s", fast_hash)).alias("h"))
-    # ONE aggregate produces both the K minhash values (over h mod
-    # 2^31-1; min over the multiset == min over the set) and the
-    # distinct hashed-shingle set for the exact-Jaccard verify.
-    aggs = [F.min(F.expr(
-        f"pmod((2 * {k} + 1) * (h % {_P31}) + (12345 + {k} * 7919), {_P31})")).alias(f"__m{k}")
-        for k in range(num_hashes)]
-    aggs.append(F.collect_set("h").alias("hs"))
-    base = hashed.groupBy(id_col).agg(*aggs).select(
-        F.col(id_col), F.col("hs"),
-        F.array(*[F.col(f"__m{k}") for k in range(num_hashes)]).alias("signature"))
+    # ONE aggregate (shared _minhash_base) produces both the K
+    # minhash values (over h mod 2^31-1; min over the multiset ==
+    # min over the set) and the distinct hashed-shingle set for the
+    # exact-Jaccard verify.
+    base = _minhash_base(df, text_col, id_col, num_hashes,
+                         shingle_n, fast_hash)
     base = base.persist()
     banded = (base.select(
         id_col,
@@ -269,9 +281,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_signature(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", bits: int = 64,
+                      id_col: str = "doc_id", bits: int = 60,
                       fast_hash: bool = False) -> DataFrame:
-    """(id, sh) 64-bit SimHash of the token multiset.
+    """(id, sh) 60-bit SimHash of the token multiset (the underlying
+    token hash is 60-bit, so bits above 59 would be constant zero —
+    a "64-bit" signature here was 60 effective bits with 4 dead
+    aggregates).
 
     Formulation chosen for whole-stage codegen: explode tokens, ONE md5
     per token, then ``bits`` plain SUM(CASE ...) aggregates (vectorized
@@ -295,18 +310,21 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   bucket_cap: int | None = 2000,
                   fast_hash: bool = False) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4
-    16-bit chunks (pigeonhole: hamming<=3 -> >=1 chunk equal), join on
+    """Near-dup pairs by SimHash: band the 60-bit signature into 4
+    15-bit chunks (pigeonhole: hamming<=3 -> >=1 chunk equal), join on
     chunk equality, verify with bit_count(a XOR b).  Chunk buckets
     larger than ``bucket_cap`` are dropped with a logged count
     (:func:`_cap_buckets`) — degenerate boilerplate protection."""
     sig = simhash_signature(df, text_col, id_col,
                             fast_hash=fast_hash)
+    # 4 chunks x 15 bits cover the full 60-bit signature: a 16-bit
+    # chunking left chunk 3 with only 12 effective bits (16x larger
+    # buckets than designed — inflated false candidates + cap drops)
     chunked = sig.select(
         id_col, "sh",
         F.explode(F.expr(
             "transform(sequence(0, 3), c -> "
-            "struct(c as chunk, (shiftright(sh, c * 16) & 65535) as ch))"
+            "struct(c as chunk, (shiftright(sh, c * 15) & 32767) as ch))"
         )).alias("cc")).select(id_col, "sh", "cc.chunk", "cc.ch")
     # bucket-local combinations instead of a self-join: one shuffle on
     # (chunk, ch); the 64-bit signatures ride along in the buckets so
@@ -348,7 +366,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-    return (inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    # no forced broadcast: the size tables are one row PER DOCUMENT
+    # (corpus-sized at 100 TB — a forced broadcast would OOM the
+    # driver); AQE broadcasts them at runtime when they are actually
+    # small, and the shuffle join on the id keys is safe otherwise
+    return (inter.join(sa, "id_a").join(sb, "id_b")
             .select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
@@ -475,15 +497,24 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
     Returns (id_col, text_deduped, n_paras, n_kept)."""
     from pyspark.sql import Window
 
+    # \Q..\E quotes the separator: F.split takes a JAVA REGEX, so a
+    # metacharacter separator ('|', '...') would otherwise shatter
+    # the text per character while concat_ws reassembles literally
     parts = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep))
+        F.posexplode(F.split(F.col(text_col),
+                             "\\Q" + sep + "\\E"))
         .alias("__pos", "__para"))
+    # exempt (short) paragraphs skip the content window entirely:
+    # running row_number over them anyway would concentrate every
+    # blank/boilerplate fragment in the corpus onto single reducers
+    # (the empty-paragraph partition is the classic skew key)
+    exempt = F.length("__para") < min_chars
     w = Window.partitionBy("__para").orderBy(id_col, "__pos")
-    marked = parts.withColumn(
-        "__keep",
-        (F.length("__para") < min_chars)
-        | (F.row_number().over(w) == 1))
+    dedupable = (parts.filter(~exempt).withColumn(
+        "__keep", F.row_number().over(w) == 1))
+    marked = dedupable.unionByName(
+        parts.filter(exempt).withColumn("__keep", F.lit(True)))
     kept = (marked.filter(F.col("__keep"))
             .groupBy(id_col)
             .agg(F.concat_ws(

@@ -409,3 +409,51 @@ def test_mix_corpora_validation(docs):
         mix_corpora(docs, {"en": -1}, by="lang")
     with pytest.raises(ValueError, match="no rows"):
         mix_corpora(docs, {"klingon": 1}, by="lang")
+
+
+# --------------------------- round-5 dedup review regressions
+
+
+def test_tokenless_docs_never_near_dup(spark):
+    """Token-less docs (non-Latin under the ASCII tokenizer, pure
+    punctuation) must produce NO shingles — the bare expression
+    emitted [''] and unrelated docs verified at jaccard 1.0."""
+    pdf = __import__("pandas").DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["你好世界 这是文本", "!!! ???", "hello world foo",
+                 "hello world foo"]})
+    sdf = spark.createDataFrame(pdf)
+    pairs = dedup.minhash_lsh_pairs(sdf, num_hashes=16, bands=4,
+                                    shingle_n=2, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(3, 4)}  # only the real duplicates
+    jac = dedup.ngram_jaccard_pairs(sdf, n=2, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in jac.collect()}
+    assert got == {(3, 4)}
+
+
+def test_minhash_band_validation(spark, docs):
+    import pytest
+    with pytest.raises(ValueError, match="multiple"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="multiple"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=10)
+
+
+def test_dedup_paragraphs_regex_sep(spark):
+    pdf = __import__("pandas").DataFrame({
+        "doc_id": [1, 2],
+        "text": ["alpha beta|shared para", "gamma delta|shared para"]})
+    sdf = spark.createDataFrame(pdf)
+    out = {r["doc_id"]: r["text_deduped"]
+           for r in dedup.dedup_paragraphs(sdf, sep="|").collect()}
+    # '|' must split LITERALLY (it is a regex metachar); the shared
+    # paragraph survives only in doc 1
+    assert out[1] == "alpha beta|shared para"
+    assert out[2] == "gamma delta"
+
+
+def test_simhash_60_bit_chunks(spark, docs):
+    sig = dedup.simhash_signature(docs.limit(20))
+    vals = [r["sh"] for r in sig.collect()]
+    assert all(0 <= v < (1 << 60) for v in vals)
