@@ -58,6 +58,27 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+_CACHE_RING: "list" = []
+_CACHE_RING_MAX = 4
+
+
+def _register_cache(sdf) -> None:
+    """Bounded ring of persisted similarity frames: a finalizer on the
+    RETURNED handle fired as soon as callers chained off it (the
+    common ``pairs.filter(...)`` usage), unpersisting before any
+    action ran.  The ring keeps the last N cached bases alive across
+    chaining and releases the oldest deterministically; registration
+    happens right after persist so a builder exception cannot leak
+    the entry."""
+    _CACHE_RING.append(sdf)
+    while len(_CACHE_RING) > _CACHE_RING_MAX:
+        old = _CACHE_RING.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
 def _hyperplane_component(table: int, plane: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
     first 8 hex chars of md5("{table}#{plane}_{d}") scaled.  Computed
@@ -116,6 +137,12 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     corpus explodes to ``tables`` rows (narrow); the join shuffles on
     (table, code) buckets; exact cosine re-rank at the end.  Multi-probe
     (1-bit flips) widens query buckets without touching the corpus."""
+    # NULL embeddings cannot be searched and would crash the Arrow
+    # matmul with a ragged batch — drop them up front (the brute-force
+    # SQL path tolerates them as NULL cosine; this keeps the ANN
+    # paths consistent and un-crashable)
+    df = df.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     codes = table_codes_udf(dim, planes, tables)
     c = (df.select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("cv"),
@@ -171,18 +198,23 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     ``cache=True`` persists the projected (id, vec, norm, codes) frame
     so the Arrow-batch code UDF runs once instead of three times
     (banded explode + both verify-join sides); the cached blocks are
-    released when the RETURNED frame is garbage-collected (weakref
-    finalizer), so repeated calls don't accumulate session-lifetime
+    released through a bounded module ring (oldest of 4 unpersists —
+    a per-result finalizer fired as soon as the caller chained off
+    the handle), so repeated calls don't accumulate session-lifetime
     cache.  Pass ``cache=False`` to skip caching entirely."""
-    import weakref
-
     from .dedup import _cap_buckets
+    # NULL embeddings cannot be searched and would crash the Arrow
+    # matmul with a ragged batch — drop them up front (the brute-force
+    # SQL path tolerates them as NULL cosine; this keeps the ANN
+    # paths consistent and un-crashable)
+    df = df.filter(F.col(vec_col).isNotNull())
     codes = table_codes_udf(dim, planes, tables)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      norm_expr(vec_col).alias("n"),
                      codes(F.col(vec_col)).alias("codes"))
     if cache:
         base = base.persist()
+        _register_cache(base)
     banded = base.select("id", F.posexplode("codes").alias("tbl", "code"))
     buckets = (banded.groupBy("tbl", "code")
                .agg(F.array_sort(F.collect_list("id")).alias("ids"))
@@ -204,12 +236,7 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
            .select("id_a", "id_b", cos.alias("cosine"))
            .filter(F.col("cosine") >= threshold))
     if cache:
-        def _release(b=base):
-            try:
-                b.unpersist()
-            except Exception:
-                pass  # session already stopped
-        weakref.finalize(out, _release)
+        _register_cache(base)
     return out
 
 
@@ -251,10 +278,20 @@ def train_ivf_centroids(df: DataFrame, dim: int, nlist: int = 16,
         body = body.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000000))
             < F.lit(int(train_fraction * 1000000)))
-    seeds = (body.select(F.col(vec_col).alias("v"),
-                         F.xxhash64(F.col(id_col)).alias("h"))
+    seeds = (body.filter(F.col(vec_col).isNotNull())
+             .select(F.col(vec_col).alias("v"),
+                     F.xxhash64(F.col(id_col)).alias("h"))
              .orderBy("h").limit(nlist).collect())
     centroids = [list(r["v"]) for r in seeds]
+    if not centroids:
+        raise ValueError(
+            "no training vectors: the input (after train_fraction "
+            "sampling and null filtering) is empty")
+    width = len(centroids[0])
+    if dim != width:
+        raise ValueError(
+            f"dim={dim} does not match the data's vector length "
+            f"{width}")
     for _ in range(refine_iters):
         cells = _assign_cells_udf(centroids, nprobe=1)
         assigned = body.select(
@@ -266,7 +303,7 @@ def train_ivf_centroids(df: DataFrame, dim: int, nlist: int = 16,
         for r in means:
             by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
         centroids = [
-            [by_cell[c][p] for p in range(dim)] if c in by_cell
+            [by_cell[c][p] for p in range(width)] if c in by_cell
             else centroids[c]
             for c in range(len(centroids))]
     return centroids
@@ -284,6 +321,12 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     cosine re-rank.  All data-sized work is Arrow matmuls and one
     bucket equi-join; centroids (nlist x dim doubles) are the only
     driver-side state.  Approximate: compare by recall, not equality."""
+    # NULL embeddings cannot be searched and would crash the Arrow
+    # matmul with a ragged batch — drop them up front (the brute-force
+    # SQL path tolerates them as NULL cosine; this keeps the ANN
+    # paths consistent and un-crashable)
+    df = df.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     if centroids is None:
         centroids = train_ivf_centroids(df, dim=dim, nlist=nlist,
                                         id_col=id_col, vec_col=vec_col,

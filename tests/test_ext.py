@@ -457,3 +457,34 @@ def test_simhash_60_bit_chunks(spark, docs):
     sig = dedup.simhash_signature(docs.limit(20))
     vals = [r["sh"] for r in sig.collect()]
     assert all(0 <= v < (1 << 60) for v in vals)
+
+
+# ------------------------ round-5 similarity review regressions
+
+
+def test_ann_tolerates_null_embeddings(spark, emb):
+    from pyspark.sql import functions as F
+    dim = len(emb.select("embedding").head()[0])
+    withnull = emb.limit(50).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("embedding")))
+    q = withnull.filter("vec_id % 11 = 1").limit(3)
+    out = similarity.lsh_topk(withnull, q, k=3, dim=dim)
+    assert out.count() >= 0  # no ragged-batch crash
+    pairs = similarity.embedding_near_dup_pairs(
+        withnull, dim=dim, planes=8, threshold=0.2)
+    assert pairs.count() >= 0
+    out2 = similarity.ivf_topk(withnull, q, k=3, dim=dim, nlist=4)
+    assert out2.count() >= 0
+
+
+def test_ivf_training_validation(spark, emb):
+    import pytest
+    dim = len(emb.select("embedding").head()[0])
+    with pytest.raises(ValueError, match="does not match"):
+        similarity.train_ivf_centroids(emb.limit(20), dim=dim // 2,
+                                       nlist=4)
+    with pytest.raises(ValueError, match="no training vectors"):
+        similarity.train_ivf_centroids(emb.limit(0), dim=dim,
+                                       nlist=4)

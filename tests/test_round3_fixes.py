@@ -177,8 +177,11 @@ def test_crosstab_index_values(spark):
                                   check_index_type=False)
 
 
-def test_embedding_near_dup_cache_released(spark):
-    import gc
+def test_embedding_near_dup_cache_bounded(spark):
+    """Round-5 revision: a finalizer on the returned handle released
+    the cache the moment callers chained off it (before any action!),
+    so the release is now a BOUNDED ring — repeated calls must not
+    grow the cache manager beyond the ring size."""
     from pandas_alchemy_spark.ext import similarity as S
 
     def n_cached():
@@ -187,16 +190,18 @@ def test_embedding_near_dup_cache_released(spark):
 
     emb = pas.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
     sdf = emb.to_spark(index=False)
+    dim = len(sdf.select("embedding").head()[0])
     before = n_cached()  # other tests may hold session-scoped caches
+    for _ in range(S._CACHE_RING_MAX + 2):
+        out = S.embedding_near_dup_pairs(sdf, id_col="vec_id",
+                                         vec_col="embedding", dim=dim)
+        assert out.count() >= 0
+    assert n_cached() - before <= S._CACHE_RING_MAX
+    # chained-derivation usage keeps the cache alive for the action
     out = S.embedding_near_dup_pairs(sdf, id_col="vec_id",
-                                     vec_col="embedding", dim=len(
-                                         sdf.select("embedding").head()[0]))
-    n = out.count()
-    assert n >= 0
-    del out
-    gc.collect()
-    # OUR persisted base must be gone from the cache manager again
-    assert n_cached() == before
+                                     vec_col="embedding", dim=dim)
+    derived = out.filter("cosine > -2")
+    assert derived.count() >= 0
 
 
 def test_unique_bounded_raise(spark):
