@@ -2674,7 +2674,7 @@ def oracle_sql() -> dict[str, str]:
         "regexp_replace(regexp_replace(regexp_replace(text, "
         "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', "
         "'[EMAIL]', 'g'), "
-        "'\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '[PHONE]', 'g'), "
+        "'(\\+\\d{1,3}[\\s.-]?)?\\(?\\d{3}\\)?[\\s.-]?\\d{3}[\\s.-]?\\d{4}\\b|\\+\\d{7,15}', '[PHONE]', 'g'), "
         "'\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g')), "
         "'[\\x00-\\x1f]+', ' ', 'g'), "
         "'\\s{2,}', ' ', 'g'))")
@@ -3547,7 +3547,7 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(regexp_replace(regexp_replace(text,
                          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
                          '[EMAIL]', 'g'),
-                         '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '[PHONE]', 'g'),
+                         '(\\+\\d{1,3}[\\s.-]?)?\\(?\\d{3}\\)?[\\s.-]?\\d{3}[\\s.-]?\\d{4}\\b|\\+\\d{7,15}', '[PHONE]', 'g'),
                          '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g')),
                        '[\\x00-\\x1f]+', ' ', 'g'),
                        '\\s{2,}', ' ', 'g')) AS norm_text

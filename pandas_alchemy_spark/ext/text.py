@@ -24,7 +24,11 @@ STOPWORDS = {
            "como", "mas", "pero", "sus", "le", "ha", "si", "sin", "sobre"],
 }
 
-_TOKENS = "filter(split(lower(regexp_replace({col}, '[^a-zA-Z0-9]+', ' ')), ' '), t -> t != '')"
+# ONE tokenizer definition for the whole pipeline: dedup keys,
+# fingerprints and token budgets must agree on tokenization, so the
+# expression lives in dedup and is imported here (a drifted copy
+# would silently desynchronize them)
+from .dedup import _TOKENS
 
 
 def _tok(col: str) -> str:
@@ -85,7 +89,7 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens and BPE-ish subword count
     (word chars in runs of <=4 plus punctuation marks — a deterministic
     proxy for BPE token count usable for budget estimates)."""
-    ws = F.expr(f"size({_tok(text_col)})")
+    ws = F.expr(f"greatest(size({_tok(text_col)}), 0)")
     # BPE-ish: ceil(len(word)/4) per word + count of non-space punctuation
     bpe = F.expr(
         f"aggregate({_tok(text_col)}, cast(0 as bigint), (s, t) -> s + cast(ceil(length(t) / 4.0) as bigint))"
@@ -107,7 +111,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 # plumbing, not NER-grade recall.
 PII_PATTERNS = [
     ("[EMAIL]", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
-    ("[PHONE]", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+    # 3-3-4 shapes (optionally +CC) or a +international run - the
+    # old any-9-digitish-run pattern redacted ISO dates and spaced
+    # digit sequences as [PHONE], destroying legitimate content
+    ("[PHONE]",
+     r"(\+\d{1,3}[\s.-]?)?\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}\b"
+     r"|\+\d{7,15}"),
     ("[IP]", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"),
 ]
 
@@ -144,9 +153,18 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     avoidance here; gram rows are narrow (key, string) and partial
     aggregation collapses them map-side."""
     if id_col is None:
-        body = df.withColumn("__rid", F.monotonically_increasing_id())
+        # PIN the synthesized ids: monotonically_increasing_id is
+        # nondeterministic across re-evaluations, and `body` feeds
+        # both sides of the join below — without the checkpoint the
+        # two subtrees could assign DIFFERENT ids to the same row
+        # (dropped rows / stats attached to the wrong document)
+        body = (df.withColumn("__rid",
+                              F.monotonically_increasing_id())
+                .localCheckpoint(eager=False))
         key = "__rid"
     else:
+        # NB: id_col must uniquely identify documents — same-id rows
+        # would pool their grams into one merged stat set
         body = df
         key = id_col
     # stage tokens as a REAL column before referencing them inside the
@@ -165,7 +183,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     c = e.groupBy(key, "__g").agg(F.count("__g").alias("__cnt"))
     s = (c.groupBy(key)
          .agg(F.sum("__cnt").alias("__n"),
-              F.count(F.when(F.col("__g").isNotNull(), 1)).alias("__nd"),
+              F.count("__g").alias("__nd"),
               F.max("__cnt").alias("__top")))
     joined = body.join(s, key)
     out = joined.select(
@@ -215,8 +233,13 @@ def pack_sequences(df: DataFrame, capacity: int = 2048,
     base = df.select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
-        F.expr(f"size({_tok(text_col)})").cast("long").alias("n_tokens"))
-    w = Window.partitionBy("shard").orderBy(id_col)
+        F.expr(f"greatest(size({_tok(text_col)}), 0)")
+        .cast("long").alias("n_tokens"))
+    # ROWS frame: the default RANGE frame sums ORDER-BY PEERS, so
+    # duplicate ids would each absorb all peers' tokens (overlapping
+    # offsets); ROWS sums strictly preceding rows plus self
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     packed = base.withColumn(
         "start_offset",
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"))

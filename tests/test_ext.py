@@ -488,3 +488,46 @@ def test_ivf_training_validation(spark, emb):
     with pytest.raises(ValueError, match="no training vectors"):
         similarity.train_ivf_centroids(emb.limit(0), dim=dim,
                                        nlist=4)
+
+
+# ------------------------- round-5 text review regressions
+
+
+def test_phone_pattern_spares_dates(spark):
+    pdf = __import__("pandas").DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["meeting on 2026-08-14 07:53 in room 4",
+                 "pi digits 3 1 4 1 5 9 2 6 5",
+                 "call 202-555-0147 or +14155550123 now"]})
+    out = {r["doc_id"]: r["norm_text"]
+           for r in text.normalize_text(
+               spark.createDataFrame(pdf)).collect()}
+    assert "2026-08-14" in out[1] and "[phone]" not in out[1]
+    assert "[phone]" not in out[2]
+    assert out[3].count("[phone]") == 2
+
+
+def test_pack_sequences_null_and_duplicate_ids(spark):
+    pdf = __import__("pandas").DataFrame({
+        "doc_id": [0, 1, 2], "text": ["a b c", None, "d e f g"]})
+    out = {r["doc_id"]: (r["n_tokens"], r["start_offset"])
+           for r in text.pack_sequences(
+               spark.createDataFrame(pdf), capacity=4,
+               n_shards=1).collect()}
+    assert out[1][0] == 0          # null text = 0 tokens, not -1
+    assert out[2][1] == 3          # offsets never decremented
+    dup = __import__("pandas").DataFrame({
+        "doc_id": [1, 1, 2], "text": ["a b", "c d e", "f"]})
+    rows = text.pack_sequences(spark.createDataFrame(dup),
+                               capacity=4, n_shards=1).collect()
+    offs = sorted(r["start_offset"] for r in rows)
+    assert offs == [0, 2, 5]       # ROWS frame: no peer absorption
+
+
+def test_token_stats_null_text(spark):
+    pdf = __import__("pandas").DataFrame({
+        "doc_id": [1, 2], "text": ["two words", None]})
+    out = {r["doc_id"]: r["n_ws_tokens"]
+           for r in text.token_stats(
+               spark.createDataFrame(pdf)).collect()}
+    assert out[2] == 0  # not -1
