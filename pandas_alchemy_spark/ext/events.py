@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 def load_events(spark: SparkSession, path: str) -> DataFrame:
     """Read the events table.  The driver's parquet uses nanosecond
     timestamps, which Spark rejects by default (PARQUET_TYPE_ILLEGAL);
-    read nanos as long and convert to microsecond timestamps."""
+    read nanos as long and convert to microsecond timestamps.
+
+    NB the nanosAsLong conf is session-wide and DELIBERATELY left
+    set (the lazy read consumes it at execution, after this function
+    returns); the engine's own init_db applies the same setting."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     t = dict(df.dtypes).get("ts")
@@ -33,8 +37,25 @@ def tumbling_window_agg(df: DataFrame, ts_col: str = "ts",
     """Per-hour (or arbitrary-width) tumbling window aggregate.
     date_trunc keeps the result SQL-oracle-comparable; the streaming
     twin uses F.window + watermark."""
-    unit = {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}[window]
-    return (df.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("window_start"),
+    units = {"1 hour": "hour", "1 day": "day", "1 minute": "minute"}
+    if window in units:
+        start = F.date_trunc(units[window], F.col(ts_col))
+    else:
+        # arbitrary fixed widths: epoch floor-bucketing (calendar
+        # widths like '1 month' have no constant seconds and raise)
+        import re
+        m = re.fullmatch(
+            r"(\d+)\s*(second|minute|hour|day)s?", window.strip())
+        if not m:
+            raise ValueError(
+                f"unsupported window {window!r}: N second/minute/"
+                "hour/day widths only (calendar rules belong to "
+                "resample)")
+        step = int(m.group(1)) * {"second": 1, "minute": 60,
+                                  "hour": 3600, "day": 86400}[m.group(2)]
+        start = F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step)
+    return (df.groupBy(start.alias("window_start"),
                        F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 4).alias("sum_value"),
@@ -46,10 +67,16 @@ def sessionize(df: DataFrame, ts_col: str = "ts", gap_minutes: int = 30) -> Data
     inter-event gap exceeds ``gap_minutes``.  One shuffle (partition by
     user), per-user window sort — the standard scalable formulation."""
     w = Window.partitionBy("user_id").orderBy(ts_col)
-    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+    # microsecond gap: unix_timestamp TRUNCATES to whole seconds, so a
+    # sub-second overshoot of the gap (1800.5 s) would be classified
+    # as the same session while the microsecond-precision oracle
+    # starts a new one
+    gap = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+           - F.unix_micros(F.lag(ts_col).over(w).cast("timestamp")))
     marked = df.withColumn(
         "__new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0))
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000),
+               1).otherwise(0))
     sess = marked.withColumn("session_seq", F.sum("__new_session").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
     return (sess.groupBy("user_id", "session_seq")
@@ -65,9 +92,14 @@ def top_users_by_value(df: DataFrame, k: int = 10) -> DataFrame:
     totals = (df.groupBy("user_id")
               .agg(F.round(F.sum("value"), 4).alias("total_value"),
                    F.count(F.lit(1)).alias("n_events")))
-    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-    return (totals.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    # TakeOrderedAndProject first (no global window over every user's
+    # total — that shuffles the whole user dimension into one task),
+    # then rank the k survivors
+    top = totals.orderBy(F.col("total_value").desc(),
+                         F.col("user_id").asc()).limit(k)
+    w = Window.orderBy(F.col("total_value").desc(),
+                       F.col("user_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def cohort_retention(df: DataFrame, ts_col: str = "ts",
@@ -162,9 +194,26 @@ def densify_time(df: DataFrame, ts_col: str, freq_seconds: int,
     if keys:
         grid = grid.crossJoin(df.select(*keys).distinct())
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp(ts_col) / step).cast("long") * step)
+        F.floor(F.unix_timestamp(ts_col) / F.lit(step)) * step)
     data = df.withColumn(ts_col, bucket)
-    out = grid.join(data, on=[ts_col] + keys, how="left")
+    if keys:
+        # null-safe key equality: a plain equi-join never matches a
+        # NULL group key, so NULL-key rows would silently vanish
+        # behind their zero-filled grid slice.  Alias both sides:
+        # grid and data share df's lineage (self-join ambiguity).
+        g = grid.alias("__g")
+        d = data.alias("__d")
+        cond = F.col(f"__g.{ts_col}") == F.col(f"__d.{ts_col}")
+        for k in keys:
+            cond = cond & F.col(f"__g.{k}").eqNullSafe(
+                F.col(f"__d.{k}"))
+        out = g.join(d, cond, "left").select(
+            F.col(f"__g.{ts_col}").alias(ts_col),
+            *[F.col(f"__g.{k}").alias(k) for k in keys],
+            *[F.col(f"__d.{c}") for c in data.columns
+              if c != ts_col and c not in keys])
+    else:
+        out = grid.join(data, on=[ts_col], how="left")
     if fill == "zero":
         num = [f.name for f in out.schema.fields
                if f.dataType.simpleString() in

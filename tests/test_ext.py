@@ -531,3 +531,43 @@ def test_token_stats_null_text(spark):
            for r in text.token_stats(
                spark.createDataFrame(pdf)).collect()}
     assert out[2] == 0  # not -1
+
+
+# ---------------------- round-5 events review regressions
+
+
+def test_sessionize_subsecond_gap(spark):
+    import pandas as _pd
+    pdf = _pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": _pd.to_datetime(["2024-01-01 00:00:00.000000",
+                               "2024-01-01 00:30:00.500000"]),
+        "event_type": ["a", "a"], "value": [1.0, 1.0],
+        "event_id": [1, 2], "props": ["{}", "{}"]})
+    out = events.sessionize(spark.createDataFrame(pdf))
+    # gap is 1800.5s > 30min -> TWO sessions (whole-second
+    # truncation said 1800 and merged them)
+    assert out.count() == 2
+
+
+def test_densify_time_pre_epoch_and_null_keys(spark):
+    import pandas as _pd
+    pdf = _pd.DataFrame({
+        "ts": _pd.to_datetime(["1969-12-31 23:59:59",
+                               "1970-01-01 00:30:00"]),
+        "k": [None, "a"], "v": [1, 2]})
+    out = events.densify_time(spark.createDataFrame(pdf), "ts", 3600,
+                              by="k").collect()
+    vals = {(str(r["ts"]), r["k"]): r["v"] for r in out}
+    # pre-epoch row buckets to its floor hour (not truncated-to-zero)
+    assert vals[("1969-12-31 23:00:00", None)] == 1
+    # NULL group key survives the null-safe join
+    assert vals[("1970-01-01 00:00:00", "a")] == 2
+
+
+def test_tumbling_arbitrary_width(spark, ev):
+    out = events.tumbling_window_agg(ev, window="15 minutes")
+    assert out.count() > 0
+    import pytest
+    with pytest.raises(ValueError, match="unsupported window"):
+        events.tumbling_window_agg(ev, window="1 month")
