@@ -135,7 +135,9 @@ def stateful_gap_fill(stream: DataFrame) -> DataFrame:
     same carry the batch segmented scan ships per partition
     (operators/segscan.fill_scan), so batch and streaming agree row
     for row on a time-ordered stream.  Rows are emitted as they
-    arrive (append-per-trigger); leading nulls before a user's first
+    arrive, once each (the update-mode declaration is what
+    applyInPandasWithState requires for per-trigger emission; rows
+    are never revised); leading nulls before a user's first
     observation stay null, exactly like the batch verb."""
     def update(key, pdf_iter, state: GroupState):
         last = state.get[0] if state.exists else None
@@ -184,6 +186,10 @@ def stateful_rolling_mean(stream: DataFrame, window: int = 3,
     border the batch scan ships); a time-ordered stream reproduces
     the batch verb row for row.  Nulls count as missing observations
     (min_periods gates on non-null, the pandas contract)."""
+    if not isinstance(window, int) or isinstance(window, bool) \
+            or window < 1:
+        raise ValueError(f"window must be a positive int, "
+                         f"got {window!r}")
     mp = window if min_periods is None else max(int(min_periods), 1)
     k = window - 1
 
@@ -196,17 +202,21 @@ def stateful_rolling_mean(stream: DataFrame, window: int = 3,
             ext = pd.concat([pd.Series(tail, dtype="float64"), x],
                             ignore_index=True)
             r = ext.rolling(window, min_periods=mp).mean()
-            vals = r.iloc[len(tail):].reset_index(drop=True)
+            # numpy arrays, NOT Series: pdf's index is the post-sort
+            # permutation while the rolling result has a fresh range
+            # index — the DataFrame constructor would align the two
+            # indexes and pair sorted-order means with original-order
+            # event_ids (silently swapped rows on any out-of-ts-order
+            # batch)
             out.append(pd.DataFrame({
-                "event_id": pdf["event_id"],
-                "user_id": pdf["user_id"],
-                "ts": pdf["ts"],
-                "roll_mean": vals}))
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "roll_mean": r.iloc[len(tail):].to_numpy()}))
             if k:
                 tail = ext.iloc[-k:].tolist()
         if k:
-            state.update(([float("nan") if pd.isna(v) else float(v)
-                           for v in tail],))
+            state.update((tail,))
         for f in out:
             yield f
 

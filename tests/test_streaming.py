@@ -372,3 +372,39 @@ def test_stateful_rolling_matches_batch(spark, tmp_path):
         assert (both_nan | close).all()
     finally:
         q.stop()
+
+
+def test_stateful_rolling_out_of_order_batch(spark, tmp_path):
+    """An out-of-ts-order trigger batch must still pair each event
+    with ITS rolling value (index alignment swapped rows before)."""
+    import pandas as pd
+
+    from pandas_alchemy_spark.streaming import stateful, stream_events
+
+    pdf = pd.DataFrame({
+        "event_id": [10, 11],
+        "user_id": [1, 1],
+        "ts": pd.to_datetime(["2024-01-01 00:02",
+                              "2024-01-01 00:01"]),
+        "event_type": ["a", "a"], "value": [5.0, 1.0],
+        "props": ["{}", "{}"]})
+    d = tmp_path / "ooo_stream"
+    d.mkdir()
+    pdf.to_parquet(d / "part-00.parquet", index=False,
+                   coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+    stream = stream_events.read_event_stream(spark, str(d))
+    rolled = stateful.stateful_rolling_mean(stream, window=1)
+    q = (rolled.writeStream.outputMode("update")
+         .format("memory").queryName("t_ooo")
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(60)
+        got = {r["event_id"]: r["roll_mean"]
+               for r in spark.table("t_ooo").collect()}
+        assert got[10] == 5.0 and got[11] == 1.0
+    finally:
+        q.stop()
+    import pytest
+    with pytest.raises(ValueError, match="positive int"):
+        stateful.stateful_rolling_mean(stream, window=0)
