@@ -42,7 +42,7 @@ class StringMethods:
         # alpha boundaries (zero-width lookarounds keep delimiters),
         # capitalize each run, re-join.
         return self._map(lambda c: F.array_join(F.transform(
-            F.split(c, "(?<=[^A-Za-z])|(?=[^A-Za-z])"),
+            F.split(c, "(?<=[^\\p{L}])|(?=[^\\p{L}])"),
             lambda t: F.concat(F.upper(F.substring(t, 1, 1)),
                                F.lower(F.substring(t, 2, 2147483647)))), ""))
 
@@ -137,7 +137,13 @@ class StringMethods:
         return self._map(
             lambda c: F.when(F.length(c) > i, F.substring(c, i + 1, 1)))
 
-    def split(self, pat: str = r"\s+", regex: bool = True):
+    def split(self, pat: str | None = None, regex: bool = True):
+        if pat is None:
+            # pandas pat=None = Python str.split(): whitespace runs,
+            # NO leading/trailing empty tokens (Spark's split keeps
+            # them) — trim first
+            return self._map(
+                lambda c: F.split(F.trim(c), r"\s+"))
         if not regex:
             pat = "".join(f"\\{ch}" if not ch.isalnum() else ch
                           for ch in pat)
@@ -153,13 +159,21 @@ class StringMethods:
 
     def extract(self, pat: str, group: int = 1):
         """First regex capture group (pandas str.extract with one
-        group; NULL when no match, like pandas NaN)."""
-        return self._map(lambda c: F.when(
-            c.rlike(pat), F.regexp_extract(c, pat, group)))
+        group; NULL when no match, like pandas NaN).  A pattern match
+        whose GROUP did not participate ('a(b)?' on 'a') is NULL too
+        — regexp_extract cannot distinguish that from a participating
+        empty match, so the (pathological) empty-participating case
+        also maps to NULL (documented deviation)."""
+        return self._map(lambda c: F.nullif(F.when(
+            c.rlike(pat), F.regexp_extract(c, pat, group)),
+            F.lit("")))
 
     def count(self, pat: str):
-        """Count non-overlapping regex matches."""
-        return self._map(lambda c: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))))
+        """Count non-overlapping regex matches (NULL in -> NULL out;
+        bare size() would emit the legacy size(NULL) = -1)."""
+        return self._map(lambda c: F.when(
+            c.isNotNull(),
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))))
 
     def find(self, sub: str):
         """Position of first occurrence, -1 if absent (pandas find)."""
@@ -230,7 +244,25 @@ class StringMethods:
         def fn(a, b):
             return F.concat(a, F.lit(sep), b) if sep else F.concat(a, b)
         if isinstance(others, Series):
-            return self._s._zip_with(others, fn)
+            # pandas str.cat defaults to join='left': SELF's rows
+            # survive, labels only in `others` do NOT appear (the
+            # arithmetic _zip_with is full-outer — wrong here)
+            from . import internal as I
+            s = self._s
+            l = s._rename_all(s._sdf, "l_")
+            r = s._rename_all(others._sdf, "r_")
+            lk = f"l_{I.idx_name(0)}"
+            rk = f"r_{I.idx_name(0)}"
+            joined = l.join(r, F.col(lk).eqNullSafe(F.col(rk)),
+                            "left")
+            body = joined.select(
+                F.col(lk).alias(I.idx_name(0)),
+                fn(F.col(f"l_{I.col_name(0)}"),
+                   F.col(f"r_{I.col_name(0)}"))
+                .alias(I.col_name(0)))
+            out = type(s)(s._index, None, body, s.name)
+            out._rows_reordered = True
+            return out
         return self._map(lambda c: fn(c, F.lit(str(others))))
 
     def join(self, sep: str):
@@ -238,8 +270,16 @@ class StringMethods:
         return self._map(lambda c: F.array_join(c, sep))
 
     def zfill(self, width: int):
-        return self._map(self._no_trunc(
-            lambda c: F.lpad(c, width, "0"), width))
+        # pandas/Python zfill pads AFTER a leading sign: '-1' -> '-0001'
+        def pad(c):
+            sign = F.substring(c, 1, 1)
+            signed = sign.isin("-", "+")
+            rest = c.substr(F.lit(2), F.length(c))
+            return F.when(
+                signed,
+                F.concat(sign, F.lpad(rest, width - 1, "0"))
+            ).otherwise(F.lpad(c, width, "0"))
+        return self._map(self._no_trunc(pad, width))
 
     def pad(self, width: int, side: str = "left", fillchar: str = " "):
         if side == "left":
@@ -283,10 +323,6 @@ class DatetimeProperties:
     @property
     def second(self):
         return self._map(F.second)
-
-    @property
-    def weekday(self):
-        return self.dayofweek
 
     @property
     def is_quarter_start(self):
@@ -658,10 +694,20 @@ class ArrayMethods:
 
     @staticmethod
     def _dot_expr(c, o):
-        return F.aggregate(
+        # LOUD on length mismatch: zip_with pads the shorter side
+        # with NULLs, so a dimension bug would otherwise surface as
+        # silent NULL dot products indistinguishable from NULL input
+        dot = F.aggregate(
             F.zip_with(c, o, lambda x, y: x.cast("double")
                        * y.cast("double")),
             F.lit(0.0), lambda a, x: a + x)
+        return (F.when((F.size(c) <= 0) | (F.size(o) <= 0),
+                        F.lit(None).cast("double"))
+                .when(F.size(c) != F.size(o),
+                      F.raise_error(F.lit(
+                          "arr.dot/cosine: array lengths differ"))
+                      .cast("double"))
+                .otherwise(dot))
 
     def _with_other(self, other, fn):
         from .core import Series
@@ -692,7 +738,7 @@ class ArrayMethods:
 _STRF = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
          "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss",
          "%f": "SSSSSS", "%j": "DDD", "%a": "EEE", "%A": "EEEE",
-         "%b": "MMM", "%B": "MMMM", "%p": "a", "%%": "'%'"}
+         "%b": "MMM", "%B": "MMMM", "%p": "a"}
 
 
 def strf_to_java(fmt: str) -> str:
@@ -702,16 +748,24 @@ def strf_to_java(fmt: str) -> str:
 
     def flush():
         if lit:
+            # quote EVERY literal run: java.time reserves '#', '{',
+            # '}' even outside alpha runs, so an unquoted literal
+            # like '%Y#%j' -> 'yyyy#DDD' fails pattern compilation
             chunk = "".join(lit).replace("'", "''")
-            out.append(f"'{chunk}'" if any(ch.isalpha() or ch == "'"
-                                           for ch in lit)
-                       else chunk)
+            out.append(f"'{chunk}'")
             lit.clear()
 
     i = 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             code = fmt[i:i + 2]
+            if code == "%%":
+                # literal % joins the surrounding literal run — a
+                # separately-quoted "'%'" next to another quoted run
+                # would produce '' escape artifacts ("'100''%'")
+                lit.append("%")
+                i += 2
+                continue
             if code not in _STRF:
                 raise NotImplementedError(f"strftime code {code!r}")
             flush()
@@ -729,18 +783,29 @@ def to_datetime(arg, format=None, errors="raise"):
     projection (one expression, stays in-plan/in-lineage).
 
     ``format`` takes pandas strftime codes (translated to java.time).
-    ``errors="coerce"`` maps unparseable values to NaT via
-    ``try_to_timestamp``; the default raises at execution time like
-    Spark's ANSI parser."""
+    ``errors="coerce"`` maps unparseable values to NaT;
+    ``errors="raise"`` (default) verifies EAGERLY with one bounded
+    LIMIT-1 probe naming an offending value — the engine session
+    disables ANSI, so Spark's non-ANSI parser would otherwise null
+    bad input silently and 'raise' would behave like 'coerce'."""
     if errors not in ("raise", "coerce"):
         raise ValueError(f"errors must be 'raise' or 'coerce', "
                          f"got {errors!r}")
     pattern = strf_to_java(format) if format is not None else None
-    fn = F.try_to_timestamp if errors == "coerce" else F.to_timestamp
-    if pattern is None:
-        return arg._app(lambda c: fn(c))
-    if errors == "coerce":
-        # try_to_timestamp takes the format as a Column (to_timestamp
-        # takes a str) — PySpark API asymmetry
-        return arg._app(lambda c: fn(c, F.lit(pattern)))
-    return arg._app(lambda c: fn(c, pattern))
+
+    def parse(c):
+        if pattern is None:
+            return F.try_to_timestamp(c)
+        return F.try_to_timestamp(c, F.lit(pattern))
+
+    parsed = arg._app(parse)
+    if errors == "raise":
+        from . import internal as I
+        bad = parsed._sdf.where(
+            F.col(I.col_name(0)).isNull()
+            & arg._the_col.isNotNull()).limit(1).collect()
+        if bad:
+            raise ValueError(
+                "time data doesn't match format; first offending "
+                f"index: {bad[0][I.idx_name(0)]}")
+    return parsed

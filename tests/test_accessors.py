@@ -224,3 +224,70 @@ def test_str_join_array(spark):
     s = pas.Series.from_list(["a b c", "d e"], name="t")
     toks = s.str.split()
     assert toks.str.join("-").to_pandas().tolist() == ["a-b-c", "d-e"]
+
+
+# -------------------- round-5 accessor review regressions
+
+
+def test_str_review_fixes(spark):
+    import pandas as pd
+
+    import pandas_alchemy_spark as pas
+    s = pas.Series.from_pandas(pd.Series([" a b ", "x", None]))
+    ps = pd.Series([" a b ", "x", None])
+    got = s.str.split().to_pandas().sort_index()
+    want = ps.str.split()
+    assert list(got.iloc[0]) == list(want.iloc[0]) == ["a", "b"]
+    # count: NULL -> NULL, not -1
+    cnt = s.str.count("a").to_pandas().sort_index()
+    assert pd.isna(cnt.iloc[2])
+    # extract: non-participating optional group -> NULL
+    e = pas.Series.from_pandas(pd.Series(["a", "ab"]))
+    ext = e.str.extract("a(b)?").to_pandas().sort_index()
+    assert pd.isna(ext.iloc[0]) and ext.iloc[1] == "b"
+    # zfill: sign-aware
+    z = pas.Series.from_pandas(pd.Series(["-1", "+2", "3"]))
+    assert z.str.zfill(5).to_pandas().sort_index().tolist() == \
+        pd.Series(["-1", "+2", "3"]).str.zfill(5).tolist()
+    # title: unicode word boundaries
+    t = pas.Series.from_pandas(pd.Series(["héllo wörld", "a-b"]))
+    assert t.str.title().to_pandas().sort_index().tolist() == \
+        pd.Series(["héllo wörld", "a-b"]).str.title().tolist()
+    # cat: left join (labels only in others don't appear)
+    a = pas.Series.from_pandas(pd.Series(["x", "y"], index=[0, 1]))
+    b = pas.Series.from_pandas(pd.Series(["p", "q"], index=[1, 2]))
+    c = a.str.cat(b, sep="-").to_pandas().sort_index()
+    assert c.index.tolist() == [0, 1]
+    assert pd.isna(c.iloc[0]) and c.iloc[1] == "y-p"
+
+
+def test_to_datetime_raise_probe(spark):
+    import pandas as pd
+    import pytest
+
+    import pandas_alchemy_spark as pas
+    s = pas.Series.from_pandas(pd.Series(["2024-01-01", "garbage"]))
+    with pytest.raises(ValueError, match="offending"):
+        pas.to_datetime(s, format="%Y-%m-%d")
+    ok = pas.to_datetime(s, format="%Y-%m-%d", errors="coerce")
+    assert ok.to_pandas().sort_index().isna().tolist() == [False, True]
+
+
+def test_strftime_reserved_literals(spark):
+    import pandas as pd
+
+    import pandas_alchemy_spark as pas
+    s = pas.Series.from_pandas(
+        pd.Series(pd.to_datetime(["2024-02-03"])))
+    out = s.dt.strftime("%Y#%j").to_pandas().tolist()
+    assert out == ["2024#034"]
+
+
+def test_arr_dot_length_mismatch_raises(spark):
+    import pandas as pd
+    import pytest
+
+    import pandas_alchemy_spark as pas
+    s = pas.Series.from_pandas(pd.Series([[1.0, 2.0, 3.0]]))
+    with pytest.raises(Exception, match="lengths differ"):
+        s.arr.dot([1.0, 2.0]).to_pandas()
