@@ -444,8 +444,21 @@ def q_dt_funcs(spark, sf_dir):
               .agg(F.count(F.lit(1)).alias("n"),
                    F.max(rv).cast("double").alias("v"))
               .select(F.lit("roll7d").alias("tag"), "yr", "qtr", "n", "v"))
+    # round-6 fold: pas.date_range (relational.py date_range — driver
+    # generates the bounded label sequence, Arrow ships it).  40 daily
+    # points spanning a non-leap February month boundary, rolled up
+    # per month through the dt accessor.
+    dr = pas.date_range("1997-02-25", periods=40, freq="D", name="d")
+    drs = dr.to_spark()
+    dv = drs.columns[-1]
+    leg_dg = (drs.groupBy(F.year(dv).cast("long").alias("yr"),
+                          F.month(dv).cast("long").alias("qtr"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.dayofmonth(dv)).cast("double").alias("v"))
+              .select(F.lit("drange").alias("tag"), "yr", "qtr",
+                      "n", "v"))
     return (base.unionAll(leg).unionAll(leg_td).unionAll(leg_at)
-            .unionAll(leg_rl))
+            .unionAll(leg_rl).unionAll(leg_dg))
 
 
 # ---------------------------------------------------------------------------
@@ -1523,6 +1536,31 @@ def q_moment_stats(spark, sf_dir):
         "sem_price double, ss_left bigint, ss_right bigint")
 
 
+def q_corr_scalars(spark, sf_dir):
+    """Round-6 fold: DataFrame.corrwith (relational.py corrwith — one
+    full-outer index-align join + ONE fused corr aggregate over every
+    matching numeric column pair) and Series.autocorr (core.py autocorr
+    — border-exchange shift composed with the bivariate corr
+    aggregate).  Line-1 vs line-2 lineitem slices share the l_orderkey
+    index but not its row set, so the outer alignment's NULL side is
+    exercised (corr skips pairwise-incomplete rows in both engines)."""
+    import pandas_alchemy_spark as pas
+    _prep(spark)
+    li = pas.read_parquet(_t(sf_dir, "lineitem"))
+    a = li[li.l_linenumber == 1].set_index(
+        "l_orderkey")[["l_quantity", "l_extendedprice"]]
+    b = li[li.l_linenumber == 2].set_index(
+        "l_orderkey")[["l_quantity", "l_extendedprice"]]
+    cw = a.corrwith(b).to_pandas()
+    o = pas.read_parquet(_t(sf_dir, "orders")).set_index("o_orderkey")
+    ac = float(o.o_totalprice.autocorr(1))
+    return spark.createDataFrame(
+        [(round(float(cw["l_quantity"]), 6),
+          round(float(cw["l_extendedprice"]), 6),
+          round(ac, 6))],
+        "cw_qty double, cw_price double, ac1 double")
+
+
 def q_idx_extrema(spark, sf_dir):
     """Series.idxmax/idxmin — max_by/min_by aggregates (one pass,
     map-side partial; no global sort)."""
@@ -2151,11 +2189,12 @@ def q_scalar_suite(spark, sf_dir):
     fr = q_frame_reduce(spark, sf_dir)
     st = q_stats_summary(spark, sf_dir)
     mo = q_moment_stats(spark, sf_dir)
+    cs = q_corr_scalars(spark, sf_dir)
     # every part is a one-row aggregate; coalesce(1) before the cross
     # joins or the product of shuffle partitions fans out into
     # thousands of empty tasks
     out = fi.coalesce(1)
-    for part in (cu, gd, sa, ie, du, fr, st, mo):
+    for part in (cu, gd, sa, ie, du, fr, st, mo, cs):
         out = out.crossJoin(part.coalesce(1))
     return out
 
@@ -2197,6 +2236,30 @@ def q_vc_describe(spark, sf_dir):
     jf = ev.assign(k=k)[["event_type", "k"]]
     js = (jf.groupby("event_type")
           .agg(sk=("k", "sum"), nk=("k", "count")).to_spark())
+    # round-6 fold: pas.to_numeric (relational.py to_numeric — one
+    # try_cast projection; 'raise' adds a bounded LIMIT-1 probe).
+    # Priority first-digits all parse; order statuses never do, so
+    # the coerce -> NULL path shows up as count 0.
+    o6 = pas.read_parquet(_t(sf_dir, "orders"))
+    d6 = pas.to_numeric(o6.o_orderpriority.str.slice(0, 1))
+    c6 = pas.to_numeric(o6.o_orderstatus, errors="coerce")
+    f6 = o6.assign(d=d6, c=c6)
+    tn = (f6.groupby("o_orderpriority")
+          .agg(a=("d", "sum"), nc=("c", "count")).to_spark())
+    leg_tn = tn.select(F.lit("tonum").alias("tag"),
+                       F.col("o_orderpriority").alias("key"),
+                       F.col("a").cast("double").alias("a"),
+                       F.col("nc").cast("double").alias("b"))
+    # round-6 fold: Series.factorize (relational.py factorize — the
+    # documented driver-side materializer).  codes follow first
+    # appearance in index order, so code(segment) = rank of
+    # min(c_custkey) per segment; the literal rows re-ingest.
+    codes6, uniq6 = cust.set_index("c_custkey").c_mktsegment.factorize()
+    rows6 = [("fact", str(u), float(c),
+              float(int((codes6 == c).sum())))
+             for c, u in enumerate(uniq6)]
+    leg_fc = spark.createDataFrame(
+        rows6, "tag string, key string, a double, b double")
     return (v.select(F.lit("vc").alias("tag"),
                      F.col("o_orderpriority").alias("key"),
                      F.col("n").cast("double").alias("a"),
@@ -2214,7 +2277,8 @@ def q_vc_describe(spark, sf_dir):
                                 F.col("sk").cast("double").alias("a"),
                                 F.col("nk").cast("double").alias("b")))
             .unionAll(_hll_error_leg(spark, sf_dir))
-            .unionAll(_grouped_quantile_leg(spark, sf_dir)))
+            .unionAll(_grouped_quantile_leg(spark, sf_dir))
+            .unionAll(leg_tn).unionAll(leg_fc))
 
 
 def _grouped_quantile_leg(spark, sf_dir):
@@ -2319,8 +2383,29 @@ def q_reshape2_suite(spark, sf_dir):
         "'unstack' as tag", "l_returnflag as key",
         "stack(4, 'price_f', price_f, 'price_o', price_o, "
         "'qty_f', qty_f, 'qty_o', qty_o) as (col, val)")
+    # round-6 fold: pas.json_normalize (relational.py json_normalize —
+    # one from_json + struct expansion, codegen, no UDF) on the real
+    # events.props JSON column.  'm' is deliberately absent from the
+    # documents so the missing-field -> NULL path is covered.
+    ev = pas.read_parquet(_t(sf_dir, "events"))
+    sub9 = ev[ev.event_id < 50].set_index("event_id")
+    jn = pas.json_normalize(sub9.props, "k INT, m STRING").to_spark()
+    leg_jn = jn.selectExpr(
+        "'jsonn' as tag", "CAST(event_id AS STRING) as key",
+        "stack(2, 'k', CAST(k AS DOUBLE), 'm', CAST(m AS DOUBLE)) "
+        "as (col, val)")
+    # round-6 fold: pas.wide_to_long (relational.py wide_to_long —
+    # one explode over a struct array, no shuffle) applied to the
+    # unstack leg's wide frame through the from_spark bridge.
+    wide = pas.from_spark(u)
+    w2l = pas.wide_to_long(wide, ["qty", "price"], i="l_returnflag",
+                           j="status", sep="_").to_spark()
+    leg_w2 = w2l.selectExpr(
+        "'w2l' as tag", "l_returnflag as key",
+        "stack(2, 'qty_' || status, qty, 'price_' || status, price) "
+        "as (col, val)")
     return (leg_stack.unionAll(leg_ct).unionAll(leg_cov)
-            .unionAll(leg_un))
+            .unionAll(leg_un).unionAll(leg_jn).unionAll(leg_w2))
 
 
 def q_join_suite(spark, sf_dir):
@@ -2401,9 +2486,28 @@ def q_join_suite(spark, sf_dir):
         F.col("o_orderkey").cast("long").alias("key"),
         F.round("o_totalprice", 2).alias("a"),
         F.round("dbl", 2).alias("b"))
+    # 8. round-6 fold: pas.merge_ordered (relational.py merge_ordered
+    # — ordered outer merge + fused multi-column ffill in merged key
+    # order).  Left = orders < 400; right = the line-3 rows < 800,
+    # so each side has keys the other lacks and the ffill crosses
+    # both hole patterns.  Keys are unique per side (ffill over
+    # duplicate keys would be order-ambiguous).
+    li8 = pas.read_parquet(_t(sf_dir, "lineitem"))
+    l8 = orders[orders.o_orderkey < 400][["o_orderkey", "o_totalprice"]]
+    r8 = (li8[(li8.l_linenumber == 3) & (li8.l_orderkey < 800)]
+          .groupby("l_orderkey").agg(l_quantity=("l_quantity", "max"))
+          .reset_index()
+          .rename(columns={"l_orderkey": "o_orderkey"}))
+    m8 = pas.merge_ordered(l8, r8, on="o_orderkey", how="outer",
+                           fill_method="ffill").to_spark(index=False)
+    leg_mo = m8.select(
+        F.lit("mord").alias("tag"),
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.round("o_totalprice", 2).alias("a"),
+        F.round("l_quantity", 2).alias("b"))
     return (leg_join.unionAll(leg_tr).unionAll(leg_as)
             .unionAll(leg_loc).unionAll(leg_dr)
-            .unionAll(leg_mg).unionAll(leg_fs))
+            .unionAll(leg_mg).unionAll(leg_fs).unionAll(leg_mo))
 
 
 def q_top_users_funnel(spark, sf_dir):
@@ -2534,10 +2638,35 @@ def q_curate_corpus(spark, sf_dir):
                     F.sum("dim").alias("n_tokens"),
                     F.countDistinct("dim").alias("n_bins"),
                     F.round(F.avg("nrm"), 3).alias("avg_quality")))
+    # round-6 fold: mix_corpora (ext/pipeline.py:81) — DoReMi-style
+    # static-weight domain mixture.  Power-of-two weights sum EXACTLY
+    # in any order, so the oracle replays the availability -> T ->
+    # frac -> md5-threshold arithmetic in SQL with bit-identical
+    # doubles; per-lang kept counts / char sums are exact ints.
+    # Shard codes en=-2 de=-3 fr=-4 zh=-5; 'es' stays outside the
+    # weights on purpose (domains not in the mixture must drop).
+    mix_w = {"en": 0.5, "de": 0.25, "fr": 0.125, "zh": 0.125}
+    codes = {"en": -2, "de": -3, "fr": -4, "zh": -5}
+    mixed = pipeline.mix_corpora(docs, mix_w, by="lang")
+    avail = (docs.filter(F.col("lang").isin(list(mix_w)))
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("avail")))
+    code_col = F.create_map(
+        *[F.lit(x) for kv in sorted(codes.items()) for x in kv]
+    )[F.col("lang")]
+    leg_mix = (mixed.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chars").alias("n_tokens"))
+               .join(avail, "lang")
+               .select(code_col.cast("long").alias("shard"),
+                       F.col("n_docs").cast("long").alias("n_docs"),
+                       F.col("n_tokens").cast("long").alias("n_tokens"),
+                       F.col("avail").cast("long").alias("n_bins"),
+                       F.round(F.col("n_docs") / F.col("avail"), 6)
+                       .alias("avg_quality")))
     return per_shard.select(
         F.col("shard").cast("long").alias("shard"), "n_docs", "n_tokens",
         F.col("n_bins").cast("long").alias("n_bins"),
-        "avg_quality").unionAll(leg_emb)
+        "avg_quality").unionAll(leg_emb).unionAll(leg_mix)
 
 
 def q_ann_suite(spark, sf_dir):
@@ -2911,6 +3040,14 @@ def oracle_sql() -> dict[str, str]:
                                  RANGE BETWEEN 604799999999 PRECEDING
                                  AND CURRENT ROW) AS r
                   FROM orders)
+            GROUP BY 2, 3
+            UNION ALL
+            SELECT 'drange', year(d)::BIGINT, month(d)::BIGINT,
+                   count(*)::BIGINT, sum(day(d))::DOUBLE
+            FROM (SELECT unnest(generate_series(
+                           DATE '1997-02-25',
+                           DATE '1997-02-25' + INTERVAL 39 DAY,
+                           INTERVAL 1 DAY)) AS d)
             GROUP BY 2, 3
         """,
         "groupby_agg": """
@@ -3931,7 +4068,26 @@ def oracle_sql() -> dict[str, str]:
                             END)::BIGINT AS ss_left,
                       count(CASE WHEN l_quantity <= 25.0 THEN 1
                             END)::BIGINT AS ss_right
-               FROM lineitem)
+               FROM lineitem),
+              -- corrwith: full-outer index join, corr skips
+              -- pairwise-incomplete rows in both engines
+              (SELECT round(corr(a.l_quantity, b.l_quantity), 6)
+                        AS cw_qty,
+                      round(corr(a.l_extendedprice,
+                                 b.l_extendedprice), 6) AS cw_price
+               FROM (SELECT l_orderkey, l_quantity, l_extendedprice
+                     FROM lineitem WHERE l_linenumber = 1) a
+               FULL JOIN (SELECT l_orderkey, l_quantity,
+                                 l_extendedprice
+                          FROM lineitem WHERE l_linenumber = 2) b
+                 ON a.l_orderkey = b.l_orderkey),
+              -- Series.autocorr(1): corr of the series with its
+              -- index-order lag-1 shift
+              (SELECT round(corr(x, xs), 6) AS ac1
+               FROM (SELECT o_totalprice AS x,
+                            lag(o_totalprice)
+                              OVER (ORDER BY o_orderkey) AS xs
+                     FROM orders))
         """,
         "bins_suite": f"""
             SELECT 'cut' AS tag, bin, n, avg_price AS metric
@@ -3972,6 +4128,20 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_quantity, 0.25),
                    quantile_cont(l_quantity, 0.75)
             FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            -- to_numeric: parsed priority digits sum; coerced order
+            -- statuses are never numeric, so their count is 0
+            SELECT 'tonum', o_orderpriority,
+                   sum(TRY_CAST(substr(o_orderpriority, 1, 1)
+                                AS DOUBLE)),
+                   count(TRY_CAST(o_orderstatus AS DOUBLE))::DOUBLE
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            -- factorize: code = first-appearance rank in index order
+            SELECT 'fact', c_mktsegment,
+                   (rank() OVER (ORDER BY min(c_custkey)) - 1)::DOUBLE,
+                   count(*)::DOUBLE
+            FROM customer GROUP BY c_mktsegment
         """,
         "melt_unpivot": base["melt_unpivot"],
         "str_funcs": base["str_funcs"],
@@ -4049,6 +4219,37 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'qty_f', u.qty_f
               UNION ALL SELECT 'qty_o', u.qty_o
             ) x
+            UNION ALL
+            -- json_normalize: props has only 'k'; 'm' -> NULL
+            SELECT 'jsonn', event_id::VARCHAR, j.col, j.val
+            FROM events, LATERAL (
+              SELECT 'k' AS col,
+                     CAST(json_extract_string(props, '$.k')
+                          AS DOUBLE) AS val
+              UNION ALL SELECT 'm', NULL::DOUBLE
+            ) j
+            WHERE event_id < 50
+            UNION ALL
+            -- wide_to_long over the same wide matrix as the unstack
+            -- leg (tag differs; the stacked values are identical)
+            SELECT 'w2l', u2.l_returnflag, x2.col, x2.val
+            FROM (
+              SELECT l_returnflag,
+                     round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2)
+                       AS qty_f,
+                     round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2)
+                       AS qty_o,
+                     round(sum(l_extendedprice)
+                           FILTER (l_linestatus = 'F'), 2) AS price_f,
+                     round(sum(l_extendedprice)
+                           FILTER (l_linestatus = 'O'), 2) AS price_o
+              FROM lineitem GROUP BY l_returnflag
+            ) u2, LATERAL (
+              SELECT 'price_f' AS col, u2.price_f AS val
+              UNION ALL SELECT 'price_o', u2.price_o
+              UNION ALL SELECT 'qty_f', u2.qty_f
+              UNION ALL SELECT 'qty_o', u2.qty_o
+            ) x2
         """,
         "join_suite": """
             SELECT 'join' AS tag, c_custkey::BIGINT AS key,
@@ -4089,6 +4290,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'from_spark', o_orderkey::BIGINT,
                    round(o_totalprice, 2), round(o_totalprice * 2, 2)
             FROM orders WHERE o_orderkey < 300
+            UNION ALL
+            -- merge_ordered: outer merge + ffill in merged key order
+            SELECT 'mord', k::BIGINT,
+                   round(last_value(tp IGNORE NULLS)
+                         OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW), 2),
+                   round(last_value(q IGNORE NULLS)
+                         OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW), 2)
+            FROM (
+              SELECT coalesce(l.o_orderkey, r.o_orderkey) AS k,
+                     l.o_totalprice AS tp, r.l_quantity AS q
+              FROM (SELECT o_orderkey, o_totalprice FROM orders
+                    WHERE o_orderkey < 400) l
+              FULL JOIN (SELECT l_orderkey AS o_orderkey,
+                                max(l_quantity) AS l_quantity
+                         FROM lineitem
+                         WHERE l_linenumber = 3 AND l_orderkey < 800
+                         GROUP BY 1) r
+                ON l.o_orderkey = r.o_orderkey)
         """,
         "events_hourly": base["events_hourly"],
         "sessionize": base["sessionize"],
@@ -4484,6 +4705,24 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY doc_id) - n_tokens
                        AS start_offset
               FROM toks
+            ), mixw AS (
+              SELECT * FROM (VALUES ('en', CAST(0.5 AS DOUBLE), -2),
+                                    ('de', CAST(0.25 AS DOUBLE), -3),
+                                    ('fr', CAST(0.125 AS DOUBLE), -4),
+                                    ('zh', CAST(0.125 AS DOUBLE), -5))
+                   w(lang, wt, code)
+            ), mixavail AS (
+              SELECT lang, count(*)::DOUBLE AS a FROM documents
+              WHERE lang IN (SELECT lang FROM mixw) GROUP BY 1
+            ), mixt AS (
+              SELECT min(a / wt) AS T
+              FROM mixavail JOIN mixw USING (lang)
+            ), mixthr AS (
+              SELECT lang, code, a,
+                     CAST(CAST(least(1.0, round(wt * T / a, 9))
+                               AS DECIMAL(18,9))
+                          * 1152921504606846976 AS BIGINT) AS thr
+              FROM mixavail JOIN mixw USING (lang) CROSS JOIN mixt
             )
             SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
                    sum(n_tokens)::BIGINT AS n_tokens,
@@ -4494,6 +4733,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT -1, count(*)::BIGINT, (count(*) * 32)::BIGINT,
                    1::BIGINT, 1.0
             FROM documents
+            UNION ALL
+            -- mix_corpora replay: availability -> T = min(avail/w) ->
+            -- frac = least(1, round(w*T/avail, 9)) -> threshold =
+            -- round(DECIMAL(frac) * 2^60) over the md5-60bit bucket
+            -- (the mix* CTEs above).  Weights are powers of two so
+            -- every double matches the engine's bit-for-bit.
+            SELECT mt.code::BIGINT, mk.n, mk.nch, mt.a::BIGINT,
+                   round(mk.n / mt.a, 6)
+            FROM mixthr mt JOIN (
+              SELECT t2.lang, count(*)::BIGINT AS n,
+                     sum(d.n_chars)::BIGINT AS nch
+              FROM documents d JOIN mixthr t2 ON d.lang = t2.lang
+              WHERE {_DK_H60.format(s="CAST(d.doc_id AS VARCHAR)")}
+                    < t2.thr
+              GROUP BY 1
+            ) mk ON mt.lang = mk.lang
         """,
         # ann_suite: the NEIGHBOR LISTS are approximate by contract and
         # have no SQL twin; the recall-bucket summary they roll into is
