@@ -439,6 +439,93 @@ class DatetimeProperties:
         pattern = strf_to_java(fmt)
         return self._map(lambda c: F.date_format(c, pattern))
 
+    # -- timezone subset (round 6) --------------------------------------
+    #
+    # Representation: tz-aware series store WALL-CLOCK values plus a
+    # tz tag (the same plan-identity tagging as Series.cat, so any
+    # rewrite drops the tag — documented subset, not full pandas tz
+    # propagation).  Because pandas dt components of an aware series
+    # are its wall components, every accessor above is automatically
+    # correct for aware series; the instant arithmetic happens only in
+    # tz_convert, via Spark's native to_utc_timestamp /
+    # from_utc_timestamp (JVM tzdb: IANA areas incl. DST rules, fixed
+    # offsets like '+05:30', and 'UTC').
+
+    @property
+    def tz(self):
+        """The series' timezone tag, or None when tz-naive (pandas
+        ``Series.dt.tz``)."""
+        meta = getattr(self._s, "_tz_meta", None)
+        if meta is not None and meta[0] is self._s._sdf:
+            return meta[1]
+        return None
+
+    @staticmethod
+    def _check_tz(tz: str):
+        import re as _re
+        if _re.fullmatch(r"[+-]\d{2}:\d{2}", tz) or tz in ("UTC", "GMT"):
+            return
+        try:
+            from zoneinfo import ZoneInfo
+            ZoneInfo(tz)
+        except Exception:
+            raise ValueError(f"unknown timezone {tz!r} (IANA name, "
+                             "'UTC', or fixed offset '+HH:MM')")
+
+    def tz_localize(self, tz):
+        """pandas ``dt.tz_localize``: interpret naive wall times as
+        being in ``tz`` (values unchanged, tag attached);
+        ``tz_localize(None)`` drops the tag, keeping the current wall
+        time.  DST-ambiguous/nonexistent wall times are resolved by
+        the JVM rules at the first ``tz_convert`` (pandas
+        ``ambiguous='infer'``-ish; pandas' raise-on-ambiguous knob is
+        not replicated)."""
+        cur = self.tz
+        if tz is None:
+            if cur is None:
+                raise TypeError(
+                    "Already tz-naive, use tz_localize to localize")
+            out = self._s._app(lambda c: c)
+            return out
+        if cur is not None:
+            raise TypeError(
+                "Already tz-aware, use tz_convert to convert")
+        self._check_tz(tz)
+        out = self._s._app(lambda c: c)
+        tag_tz(out, tz)
+        return out
+
+    def tz_convert(self, tz):
+        """pandas ``dt.tz_convert``: same instant, new wall rendering
+        — ONE to_utc_timestamp/from_utc_timestamp projection (codegen,
+        no UDF).  ``tz_convert(None)`` re-renders in UTC and drops the
+        tag, like pandas."""
+        cur = self.tz
+        if cur is None:
+            raise TypeError(
+                "Cannot convert tz-naive timestamps, use tz_localize "
+                "to localize")
+        target = "UTC" if tz is None else tz
+        if tz is not None:
+            self._check_tz(tz)
+        in_type = self._s._dtypes()[0].simpleString()
+
+        def fn(c):
+            utc = F.to_utc_timestamp(c.cast("timestamp"), cur)
+            return F.from_utc_timestamp(utc, target).cast(in_type)
+        out = self._s._app(fn)
+        if tz is not None:
+            tag_tz(out, tz)
+        return out
+
+
+def tag_tz(series, tz: str):
+    """Pin a timezone tag to a Series' CURRENT plan (same identity
+    mechanics as :func:`tag_categorical`: any verb that replaces
+    ``_sdf`` invalidates the tag)."""
+    series._tz_meta = (series._sdf, str(tz))
+    return series
+
 
 def tag_categorical(series, categories, ordered):
     """Pin a category domain to a Series' CURRENT plan.

@@ -621,32 +621,25 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
 
     def ffill(self, limit=None):
         """pandas ``df.ffill()``: every column's forward fill in ONE
-        fused scan (segscan.fill_scan_multi — all columns' one-scalar
-        carries travel in a single partials row).  Fills in INDEX
-        order (the engine's global-scan contract; sort_values affects
-        export order only).  ``limit=`` would need a run-length carry
-        — use the grouped flavor, which supports it as a bounded
-        window."""
-        if limit is not None:
-            raise NotImplementedError(
-                "global ffill(limit=) is not supported; the grouped "
-                "flavor df.groupby(k)[c].ffill(limit=n) is")
-        return self._frame_fill("ffill")
+        fused scan (segscan.fill_scan_multi — all columns' carries
+        travel in a single partials row).  Fills in INDEX order (the
+        engine's global-scan contract; sort_values affects export
+        order only).  ``limit=`` rides a (value, age) carry, so a
+        null run spanning partitions fills exactly its first
+        ``limit`` positions."""
+        return self._frame_fill("ffill", limit)
 
     def bfill(self, limit=None):
-        if limit is not None:
-            raise NotImplementedError(
-                "global bfill(limit=) is not supported; the grouped "
-                "flavor df.groupby(k)[c].bfill(limit=n) is")
-        return self._frame_fill("bfill")
+        return self._frame_fill("bfill", limit)
 
-    def _frame_fill(self, direction):
+    def _frame_fill(self, direction, limit=None):
         from .operators.segscan import fill_scan_multi
         tmp, idx_names = self._named_with_idx()
         vals = [I.col_name(i) for i in range(self._n_cols())]
         out_names = {c: f"{c}__o" for c in vals}
         scanned = fill_scan_multi(tmp, vals, idx_names, direction,
-                                  [out_names[c] for c in vals])
+                                  [out_names[c] for c in vals],
+                                  limit=limit)
         return self._pack_scanned(scanned, idx_names, out_names)
 
     def asof(self, where):

@@ -431,25 +431,19 @@ class SeriesWindow(_WindowVerbs):
                                        "pct", "__out"))
 
     def ffill(self, limit=None):
-        if limit is not None:
-            raise NotImplementedError(
-                "global ffill(limit=) is not supported (a run-length "
-                "carry); the grouped flavor supports limit= as a "
-                "bounded window")
+        """Global forward fill — a (value, age) carry per partition
+        (segscan.fill_scan), so ``limit=`` holds across partition
+        borders exactly as single-node pandas."""
         from .segscan import fill_scan
         return self._scan_series(
             lambda tmp, oc: fill_scan(tmp, "__v", oc, "ffill",
-                                      "__out"))
+                                      "__out", limit=limit))
 
     def bfill(self, limit=None):
-        if limit is not None:
-            raise NotImplementedError(
-                "global bfill(limit=) is not supported; the grouped "
-                "flavor supports limit= as a bounded window")
         from .segscan import fill_scan
         return self._scan_series(
             lambda tmp, oc: fill_scan(tmp, "__v", oc, "bfill",
-                                      "__out"))
+                                      "__out", limit=limit))
 
     def interpolate(self, method: str = "linear", limit=None,
                     limit_direction=None):

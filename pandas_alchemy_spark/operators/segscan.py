@@ -55,6 +55,10 @@ verbs); the pandas API contract is the spec.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame as SparkDF
@@ -79,8 +83,17 @@ _CUM_FOLD = {
 }
 
 
-_PIN_CACHE: "dict[tuple, SparkDF]" = {}
+_PIN_CACHE: "dict[tuple, tuple]" = {}  # key -> (pinned, count|None)
 _PIN_CACHE_MAX = 4
+
+# Opt-in belt-and-braces for the pin cache: when true, every cache hit
+# re-counts the INPUT frame and compares against the count recorded at
+# pin time, so even a same-schema key collision (which would need a
+# sha256(plan JSON) + semanticHash double collision) fails loud instead
+# of serving the wrong layout.  Off by default — the count is a real
+# Spark job per hit; the always-on schema guard plus the
+# cryptographic key already cover every plausible collision class.
+PIN_VERIFY_COUNT = os.environ.get("PAS_PIN_VERIFY_COUNT", "") == "1"
 
 
 _FLOATING = ("double", "float")
@@ -103,6 +116,24 @@ def _nan_as_null(sdf: SparkDF, cols) -> SparkDF:
     return out
 
 
+def _pin_key(sdf: SparkDF, order_exprs, n_part: int) -> tuple:
+    """Cache key for :func:`_pin`: sha256 of the FULL canonicalized
+    plan JSON (toString truncates past spark.sql.debug
+    .maxToStringFields, so wide frames would alias under a string
+    key; the JSON is complete) + semanticHash (the JSON elides
+    LogicalRDD / LocalRelation payloads, but the hash covers the
+    backing RDD identity — verified: different from_pandas data ->
+    different hash).  A false hit therefore needs a sha256 collision
+    AND a 32-bit semanticHash collision on the same key; the hit-time
+    guards in _pin catch even that."""
+    plan_json = (sdf._jdf.queryExecution().analyzed()
+                 .canonicalized().toJSON())
+    return (sdf.sparkSession.sparkContext.applicationId,
+            sdf.semanticHash(),
+            hashlib.sha256(plan_json.encode()).hexdigest(),
+            tuple(str(e) for e in order_exprs), n_part)
+
+
 def _pin(sdf: SparkDF, order_exprs, num_partitions=None) -> SparkDF:
     """Range-partition + in-partition sort + checkpoint: the pinned
     layout both passes read (repartitionByRange samples boundaries, so
@@ -118,27 +149,46 @@ def _pin(sdf: SparkDF, order_exprs, num_partitions=None) -> SparkDF:
     n_part = (num_partitions
               or sdf.sparkSession.sparkContext.defaultParallelism)
     try:
-        # semanticHash covers the literal data of local relations
-        # (verified: different from_pandas data -> different hash);
-        # the analyzed-plan string pins the structure, so a collision
-        # would need both to agree on different inputs
-        plan_str = (sdf._jdf.queryExecution().analyzed()
-                    .canonicalized().toString())
-        key = (sdf.sparkSession.sparkContext.applicationId,
-               sdf.semanticHash(), hash(plan_str),
-               tuple(str(e) for e in order_exprs), n_part)
+        key = _pin_key(sdf, order_exprs, n_part)
     except Exception:
         key = None
     if key is not None and key in _PIN_CACHE:
-        hit = _PIN_CACHE.pop(key)
-        _PIN_CACHE[key] = hit  # LRU refresh
-        return hit
+        hit, hit_count = _PIN_CACHE[key]
+        # Runtime self-check: a hit must have EXACTLY the layout this
+        # input would pin to (same fields, names AND types, plus the
+        # __pid column the pin appends).  Schema mismatch -> the entry
+        # cannot be this plan's pin; drop it and re-pin (loudly)
+        # instead of silently serving the wrong columns.
+        hit_fields = [(f.name, f.dataType) for f in hit.schema.fields]
+        want_fields = [(f.name, f.dataType) for f in sdf.schema.fields]
+        if hit_fields[:-1] != want_fields or \
+                not hit_fields or hit_fields[-1][0] != "__pid":
+            warnings.warn(
+                "segscan pin-cache entry schema mismatch (key "
+                "collision?) — discarding cached layout and re-pinning",
+                RuntimeWarning, stacklevel=2)
+            _PIN_CACHE.pop(key, None)
+        elif PIN_VERIFY_COUNT and hit_count is not None \
+                and sdf.count() != hit_count:
+            raise RuntimeError(
+                "segscan pin-cache count mismatch: the cached layout "
+                f"has {hit_count} rows but the input frame does not — "
+                "cache key collision; unset PAS_PIN_VERIFY_COUNT only "
+                "if you accept the (cryptographically negligible) "
+                "collision risk")
+        else:
+            _PIN_CACHE.pop(key)
+            _PIN_CACHE[key] = (hit, hit_count)  # LRU refresh
+            return hit
     pinned = (sdf.repartitionByRange(n_part, *order_exprs)
               .sortWithinPartitions(*order_exprs)
               .withColumn("__pid", F.spark_partition_id())
               .localCheckpoint(eager=True))
     if key is not None:
-        _PIN_CACHE[key] = pinned
+        # the checkpoint is already materialized, so the count is a
+        # cheap cached-block scan; it arms the opt-in hit-time check
+        _PIN_CACHE[key] = (pinned,
+                           pinned.count() if PIN_VERIFY_COUNT else None)
         while len(_PIN_CACHE) > _PIN_CACHE_MAX:
             _PIN_CACHE.pop(next(iter(_PIN_CACHE)))
     return pinned
@@ -948,12 +998,12 @@ def interpolate_scan_multi(sdf: SparkDF, value_cols, order_cols,
 
 def fill_scan(sdf: SparkDF, value_col: str, order_cols,
               direction: str = "ffill", out_col: str = "fl",
-              num_partitions=None) -> SparkDF:
-    """Global ``Series.ffill``/``bfill`` as a segmented scan (ONE
-    non-null scalar carry per partition) — single-column wrapper over
-    :func:`fill_scan_multi`."""
+              num_partitions=None, limit=None) -> SparkDF:
+    """Global ``Series.ffill``/``bfill`` as a segmented scan (a
+    (value, age) scalar carry per partition) — single-column wrapper
+    over :func:`fill_scan_multi`."""
     return fill_scan_multi(sdf, [value_col], order_cols, direction,
-                           [out_col], num_partitions)
+                           [out_col], num_partitions, limit=limit)
 
 
 def cum_scan_multi(sdf: SparkDF, value_cols, order_cols, op: str,
@@ -1204,14 +1254,24 @@ def rolling_pair_scan(sdf: SparkDF, xcol: str, ycol: str, order_cols,
 
 def fill_scan_multi(sdf: SparkDF, value_cols, order_cols,
                     direction: str = "ffill", out_cols=None,
-                    num_partitions=None) -> SparkDF:
+                    num_partitions=None, limit=None) -> SparkDF:
     """Frame-level global ffill/bfill: every column's one-scalar carry
     travels in a single partials row — the fill sibling of
     :func:`cum_scan_multi` (one range shuffle, one partials pass, one
-    fill pass for k columns)."""
+    fill pass for k columns).
+
+    ``limit=`` (pandas: cap on consecutive fills) extends the carry to
+    (value, age) per column, where age = rows between the carried
+    valid value and the partition border — so a null run spanning
+    partitions fills exactly its first ``limit`` positions, same as
+    single-node pandas."""
     if direction not in ("ffill", "bfill"):
         raise ValueError(
             f"direction must be 'ffill' or 'bfill', got {direction!r}")
+    if limit is not None and (not isinstance(limit, int)
+                              or isinstance(limit, bool) or limit < 1):
+        raise ValueError(
+            f"Limit must be a positive integer, got {limit!r}")
     value_cols = list(value_cols)
     out_cols = (list(out_cols) if out_cols is not None
                 else [f"{c}__o" for c in value_cols])
@@ -1225,64 +1285,97 @@ def fill_scan_multi(sdf: SparkDF, value_cols, order_cols,
     fields += "".join(f", {oc} {t}"
                       for oc, t in zip(out_cols, in_types))
     proj = base.select(*value_cols, "__pid")
-    pschema = "__pid int" + "".join(
-        f", f{j} {t}, l{j} {t}" for j, t in enumerate(in_types))
+    pschema = "__pid int, n bigint" + "".join(
+        f", f{j} {t}, l{j} {t}, lead{j} bigint, trail{j} bigint"
+        for j, t in enumerate(in_types))
 
     def partials_pass(it):
         pid = None
+        n = 0
         first = [None] * len(value_cols)
         last = [None] * len(value_cols)
+        lead = [0] * len(value_cols)   # nulls before the first valid
+        trail = [0] * len(value_cols)  # nulls after the last valid
         for pdf in it:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["__pid"].iloc[0])
+            n += len(pdf)
             for j, c in enumerate(value_cols):
-                nn = pdf[c].dropna()
-                if len(nn):
+                mask = pdf[c].notna().to_numpy()
+                nz = np.flatnonzero(mask)
+                if len(nz):
+                    vals = pdf[c].iloc[nz]
                     if first[j] is None:
-                        first[j] = nn.iloc[0]
-                    last[j] = nn.iloc[-1]
+                        first[j] = vals.iloc[0]
+                        lead[j] += int(nz[0])
+                    last[j] = vals.iloc[-1]
+                    trail[j] = len(pdf) - int(nz[-1]) - 1
+                else:
+                    if first[j] is None:
+                        lead[j] += len(pdf)
+                    trail[j] += len(pdf)
         if pid is not None:
-            row = {"__pid": [pid]}
+            row = {"__pid": [pid], "n": [n]}
             for j in range(len(value_cols)):
                 row[f"f{j}"] = [first[j]]
                 row[f"l{j}"] = [last[j]]
+                row[f"lead{j}"] = [lead[j]]
+                row[f"trail{j}"] = [trail[j]]
             yield pd.DataFrame(row)
 
     rows = sorted(proj.mapInPandas(partials_pass, pschema).collect(),
                   key=lambda r: r["__pid"])
+    # carry[pid][j] = (value, age): value = nearest valid beyond the
+    # border in fill direction, age = rows between it and the border
     carry: dict[int, list] = {}
-    acc = [None] * len(value_cols)
+    acc = [(None, 0)] * len(value_cols)
     seq = rows if direction == "ffill" else list(reversed(rows))
     edge = "l" if direction == "ffill" else "f"
+    run = "trail" if direction == "ffill" else "lead"
     for r in seq:
         carry[r["__pid"]] = list(acc)
         for j in range(len(value_cols)):
             v = r[f"{edge}{j}"]
             if v is not None:
-                acc[j] = v
+                acc[j] = (v, int(r[f"{run}{j}"]))
+            else:
+                acc[j] = (acc[j][0], acc[j][1] + int(r["n"]))
 
     def pass_b(it):
         if direction == "ffill":
-            seeded, run = False, [None] * len(value_cols)
+            seeded = False
+            run = [(None, 0)] * len(value_cols)
             for pdf in it:
                 if len(pdf) == 0:
                     continue
                 if not seeded:
                     run = list(carry.get(int(pdf["__pid"].iloc[0]),
-                                         [None] * len(value_cols)))
+                                         [(None, 0)] * len(value_cols)))
                     seeded = True
                 res = pdf.drop(columns=["__pid"]).copy()
                 for j, (c, oc, t) in enumerate(zip(value_cols,
                                                    out_cols,
                                                    in_types)):
                     x = _to_nullable(pdf[c], t)
-                    y = x.ffill()
-                    if run[j] is not None:
-                        y = y.fillna(run[j])
-                    nn = x.dropna()
-                    if len(nn):
-                        run[j] = nn.iloc[-1]
+                    y = x.ffill(limit=limit)
+                    rv, age = run[j]
+                    mask = x.notna().to_numpy()
+                    nz = np.flatnonzero(mask)
+                    head = int(nz[0]) if len(nz) else len(x)
+                    if rv is not None and head:
+                        # the null run governing the batch head began
+                        # `age` rows before this batch; only its first
+                        # `limit` positions fill
+                        k = (head if limit is None
+                             else max(0, min(head, limit - age)))
+                        if k:
+                            y.iloc[:k] = rv
+                    if len(nz):
+                        run[j] = (x.iloc[nz[-1]],
+                                  len(x) - int(nz[-1]) - 1)
+                    else:
+                        run[j] = (rv, age + len(x))
                     res[oc] = _to_nullable(y, t)
                 yield res
         else:
@@ -1290,14 +1383,22 @@ def fill_scan_multi(sdf: SparkDF, value_cols, order_cols,
             if pdf is None:
                 return
             fill = carry.get(int(pdf["__pid"].iloc[0]),
-                             [None] * len(value_cols))
+                             [(None, 0)] * len(value_cols))
             res = pdf.drop(columns=["__pid"]).reset_index(drop=True)
             for j, (c, oc, t) in enumerate(zip(value_cols, out_cols,
                                                in_types)):
                 x = _to_nullable(pdf[c], t)
-                y = x.bfill()
-                if fill[j] is not None:
-                    y = y.fillna(fill[j])
+                y = x.bfill(limit=limit)
+                rv, age = fill[j]
+                mask = x.notna().to_numpy()
+                nz = np.flatnonzero(mask)
+                tail = (len(x) - int(nz[-1]) - 1 if len(nz)
+                        else len(x))
+                if rv is not None and tail:
+                    k = (tail if limit is None
+                         else max(0, min(tail, limit - age)))
+                    if k:
+                        y.iloc[len(x) - k:] = rv
                 res[oc] = _to_nullable(y, t)
             yield res
 

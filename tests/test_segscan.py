@@ -704,3 +704,163 @@ def test_huge_shift_small_frame(spark):
     s = pas.Series.from_list(list(range(100)), name="v")
     out = s.shift(6_000_000).to_pandas().sort_index()
     assert out.isna().all()
+
+
+# ---------------------------------------------------------------------------
+# pin-cache collision guards (round 6)
+# ---------------------------------------------------------------------------
+
+def _forced_key(monkeypatch):
+    """Make every _pin call compute the SAME cache key, simulating a
+    full sha256+semanticHash collision."""
+    from pandas_alchemy_spark.operators import segscan
+    monkeypatch.setattr(
+        segscan, "_pin_key",
+        lambda sdf, order_exprs, n_part: ("collision",))
+
+
+def test_pin_cache_schema_guard_trips(spark, monkeypatch):
+    """Forced key collision between two frames with DIFFERENT pinned
+    schemas (long vs double value column): the hit-time schema guard
+    must discard the poisoned entry (with a warning) and both scans
+    must still produce correct results."""
+    import warnings as _w
+
+    from pandas_alchemy_spark.operators import segscan
+    segscan._PIN_CACHE.clear()
+    _forced_key(monkeypatch)
+    a = pas.Series.from_list([3, 1, 2], name="a")
+    got_a = a.cumsum().to_pandas().sort_index().tolist()
+    assert got_a == [3, 4, 6]
+    # double value column -> different pinned field type
+    b = pas.Series.from_list([10.0, 20.5], name="a")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got_b = b.cumsum().to_pandas().sort_index().tolist()
+    assert got_b == [10.0, 30.5]
+    assert any("pin-cache entry schema mismatch" in str(w.message)
+               for w in rec), [str(w.message) for w in rec]
+    segscan._PIN_CACHE.clear()
+
+
+def test_pin_cache_count_guard_trips(spark, monkeypatch):
+    """Forced key collision between SAME-schema frames of different
+    length with PAS_PIN_VERIFY_COUNT armed: the hit-time count check
+    must raise rather than serve the wrong rows."""
+    from pandas_alchemy_spark.operators import segscan
+    segscan._PIN_CACHE.clear()
+    _forced_key(monkeypatch)
+    monkeypatch.setattr(segscan, "PIN_VERIFY_COUNT", True)
+    a = pas.Series.from_list([1.0, 2.0, 3.0], name="v")
+    assert a.cumsum().to_pandas().sort_index().tolist() == \
+        [1.0, 3.0, 6.0]
+    b = pas.Series.from_list([5.0, 5.0], name="v")
+    with pytest.raises(RuntimeError, match="pin-cache count mismatch"):
+        b.cumsum().to_pandas()
+    segscan._PIN_CACHE.clear()
+
+
+def test_pin_cache_reuse_still_works(spark):
+    """No collision forced: two scans of the same frame in the same
+    order reuse one pinned layout (the memoization contract)."""
+    from pandas_alchemy_spark.operators import segscan
+    segscan._PIN_CACHE.clear()
+    s = pas.read_parquet(f"{SF_DIR}/orders.parquet").set_index(
+        "o_orderkey").o_totalprice
+    _ = s.shift(2).to_pandas()
+    n_after_first = len(segscan._PIN_CACHE)
+    _ = s.diff(3).to_pandas()
+    assert len(segscan._PIN_CACHE) == n_after_first  # hit, not re-pin
+    segscan._PIN_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# global ffill/bfill with limit= (round 6: (value, age) carry)
+# ---------------------------------------------------------------------------
+
+def _holey(n=500, run=37, seed=7):
+    """A float series whose null runs are long enough (up to `run`)
+    to span 4-partition borders AND 64-row Arrow batches."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=n)
+    s = pd.Series(v)
+    i = 0
+    while i < n:
+        gap = int(rng.integers(1, run))
+        keep = int(rng.integers(1, 9))
+        s.iloc[i:i + gap] = np.nan
+        i += gap + keep
+    return s
+
+
+@pytest.mark.parametrize("limit", [1, 3, 17, 80])
+def test_ffill_limit_global(spark, limit):
+    ps = _holey()
+    s = pas.Series.from_pandas(ps)
+    got = s.ffill(limit=limit).to_pandas().sort_index()
+    want = ps.ffill(limit=limit)
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               equal_nan=True)
+
+
+@pytest.mark.parametrize("limit", [1, 3, 17, 80])
+def test_bfill_limit_global(spark, limit):
+    ps = _holey(seed=11)
+    s = pas.Series.from_pandas(ps)
+    got = s.bfill(limit=limit).to_pandas().sort_index()
+    want = ps.bfill(limit=limit)
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               equal_nan=True)
+
+
+def test_fill_limit_multibatch(spark):
+    """64-row Arrow batches force null runs to cross batch borders
+    inside a partition — the streaming run-carry must keep counting."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 64)
+    try:
+        ps = _holey(n=1200, run=90, seed=3)
+        s = pas.Series.from_pandas(ps)
+        for lim in (5, 40):
+            got = s.ffill(limit=lim).to_pandas().sort_index()
+            np.testing.assert_allclose(
+                got.to_numpy(), ps.ffill(limit=lim).to_numpy(),
+                equal_nan=True)
+            got = s.bfill(limit=lim).to_pandas().sort_index()
+            np.testing.assert_allclose(
+                got.to_numpy(), ps.bfill(limit=lim).to_numpy(),
+                equal_nan=True)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", 10000)
+
+
+def test_frame_fill_limit(spark):
+    """DataFrame-level fused multi-column fill honors per-column null
+    geometry under one shared limit."""
+    pdf = pd.DataFrame({"a": _holey(300, seed=1),
+                        "b": _holey(300, run=60, seed=2)})
+    df = pas.DataFrame.from_pandas(pdf)
+    got = df.ffill(limit=4).to_pandas().sort_index()
+    want = pdf.ffill(limit=4)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_index_type=False)
+    got = df.bfill(limit=4).to_pandas().sort_index()
+    want = pdf.bfill(limit=4)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_index_type=False)
+
+
+def test_fill_no_limit_unchanged(spark):
+    ps = _holey(200, seed=5)
+    s = pas.Series.from_pandas(ps)
+    got = s.ffill().to_pandas().sort_index()
+    np.testing.assert_allclose(got.to_numpy(), ps.ffill().to_numpy(),
+                               equal_nan=True)
+
+
+def test_fill_limit_validation(spark):
+    s = pas.Series.from_list([1.0, None, 2.0], name="v")
+    with pytest.raises(ValueError, match="positive integer"):
+        s.ffill(limit=0).to_pandas()
+    with pytest.raises(ValueError, match="positive integer"):
+        s.bfill(limit=-2).to_pandas()
