@@ -27,10 +27,33 @@ def _materialize(df):
     df.sparkSession.catalog.clearCache()
 
 
+def _gate_on_load(max_load: float, wait_s: float) -> dict:
+    """Quiet-by-construction: if the box is already busy (another
+    tenant), poll the 1-min loadavg for up to ``wait_s`` before
+    starting, so the run measures THIS code, not neighbors.  Returns
+    the gate telemetry to embed in the output JSON (three of round 5's
+    five apparent regressions were tenant noise that cost a session of
+    post-hoc A/B adjudication)."""
+    start_load = os.getloadavg()[0]
+    waited = 0.0
+    while os.getloadavg()[0] > max_load and waited < wait_s:
+        time.sleep(10.0)
+        waited += 10.0
+    final = os.getloadavg()[0]
+    return {"load_at_launch": round(start_load, 2),
+            "load_at_start": round(final, 2),
+            "load_gate_max": max_load,
+            "load_gate_waited_s": waited,
+            "load_gate_timed_out": final > max_load}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    gate = _gate_on_load(
+        float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0")),
+        float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300")))
 
     # local[N] puts driver AND all executor threads in ONE JVM — the
     # 1g default heap OOMs sort buffers above sf0.1; size it like a
@@ -151,7 +174,13 @@ def main():
      .mode("overwrite").save())
 
     times = {}
+    loads = {}
     for name, fn in bench_queries.items():
+        # per-query pre-load annotation (NOTE: mid-run load1 includes
+        # this process' own previous queries; the clean tenant signal
+        # is load_at_start plus each query's value relative to its
+        # neighbors — recorded so no post-hoc A/B is needed)
+        loads[name] = round(os.getloadavg()[0], 2)
         t0 = time.time()
         try:
             _materialize(fn(spark, sf_dir))
@@ -166,6 +195,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "loadavg1": loads,
+        **gate,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "n_queries": len(times),

@@ -47,10 +47,11 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text",
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """STUB decoder: a real deployment replaces this with PIL/ffmpeg.
-    Deterministic dimensions/features from the byte content so tests
-    and oracles are stable.  Raises NotImplementedError for media the
-    stub does not model (none today)."""
+    """STUB decoder — the documented FALLBACK kernel (the sandbox has
+    no media codecs): deterministic dimensions/features from the byte
+    content so tests and oracles are stable.  Real deployments select
+    a real kernel from the registry below (``kernel="png"`` is a real
+    stdlib decoder; ``kernel="pil"`` wraps PIL when installed)."""
     h = hashlib.md5(payload).digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
@@ -59,18 +60,155 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, channels, feature
 
 
+# ---------------------------------------------------------------------------
+# kernel registry (round 6): decode is pluggable; the stub is the
+# documented fallback, not the only path.
+# ---------------------------------------------------------------------------
+
+def _png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG decoder on the stdlib alone (zlib): parses IHDR,
+    inflates IDAT and undoes the per-scanline filters for 8-bit
+    non-interlaced gray/RGB/gray+A/RGBA — enough to certify the
+    pipeline decodes actual image bytes without PIL in the container.
+    Returns (width, height, channels, raw pixel bytes)."""
+    import struct
+    import zlib
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = color_type = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", chunk)
+            if depth != 8 or interlace:
+                raise NotImplementedError(
+                    "png kernel handles 8-bit non-interlaced PNGs")
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if nch is None:
+        raise NotImplementedError(
+            f"png kernel does not handle color type {color_type}")
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    for _ in range(h):
+        f = raw[i]
+        i += 1
+        line = bytearray(raw[i:i + stride])
+        i += stride
+        if f == 1:    # Sub
+            for x in range(nch, stride):
+                line[x] = (line[x] + line[x - nch]) & 255
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 255
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 255
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out += line
+        prev = line
+    return w, h, nch, bytes(out)
+
+
+def _stub_kernel(payload: bytes, media_type: str):
+    return _fake_decode(payload)
+
+
+def _png_kernel(payload: bytes, media_type: str):
+    if media_type is not None and media_type != "image/png":
+        raise NotImplementedError(
+            f"png kernel cannot decode {media_type!r}")
+    w, h, nch, pix = _png_decode(payload)
+    total = w * h * 255.0
+    means = [sum(pix[c::nch]) / total for c in range(nch)]
+    feature = (means + [0.0] * 8)[:8]
+    return w, h, nch, feature
+
+
+def _pil_kernel(payload: bytes, media_type: str):
+    try:
+        import io
+        from PIL import Image
+    except ImportError as ex:
+        raise NotImplementedError(
+            "pil kernel needs Pillow installed") from ex
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    nch = len(img.getbands())
+    import numpy as np
+    arr = np.asarray(img, dtype="float64") / 255.0
+    means = list(arr.reshape(-1, nch).mean(axis=0)) if arr.size else []
+    feature = ([float(m) for m in means] + [0.0] * 8)[:8]
+    return img.width, img.height, nch, feature
+
+
+#: name -> decode(payload, media_type) -> (w, h, channels, feature).
+#: Resolved at the DRIVER and captured in the UDF closure: built-in
+#: kernels pickle by reference, register_decode_kernel functions ship
+#: by value via cloudpickle — so dynamic registrations reach executors
+#: without any module-state synchronization.
+DECODE_KERNELS = {
+    "stub": _stub_kernel,
+    "png": _png_kernel,
+    "pil": _pil_kernel,
+}
+
+
+def register_decode_kernel(name: str, fn) -> None:
+    """Plug in a real decoder: ``fn(payload: bytes, media_type: str)
+    -> (width, height, channels, feature list)``."""
+    DECODE_KERNELS[str(name)] = fn
+
+
 def decode_media(df: DataFrame, payload_col: str = "payload",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 kernel: str = "stub") -> DataFrame:
     """Partition-wise decode via mapInPandas (Arrow batches).  The
     iterator signature keeps memory bounded: one pandas batch in, one
-    out; no per-row Python overhead beyond the batch loop."""
+    out; no per-row Python overhead beyond the batch loop.
+
+    ``kernel`` names a DECODE_KERNELS entry: 'stub' (fallback fake,
+    sandbox default), 'png' (real stdlib decoder), 'pil' (Pillow when
+    installed), or anything registered via
+    :func:`register_decode_kernel`."""
+    if kernel not in DECODE_KERNELS:
+        raise ValueError(
+            f"unknown decode kernel {kernel!r}; registered: "
+            f"{sorted(DECODE_KERNELS)}")
+
+    k = DECODE_KERNELS[kernel]
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
                 payload = row[payload_col]
-                w, h, c, feat = _fake_decode(bytes(payload))
+                w, h, c, feat = k(bytes(payload), row["media_type"])
                 rows.append((row[id_col], row["media_type"],
                              len(payload), w, h, c, feat))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])

@@ -2216,11 +2216,12 @@ class RelationalMixin:
         out._rows_reordered = True
         return out
 
-    def mode(self):
+    def mode(self, max_modes=10_000):
         """Per-column mode(s), pandas-shaped (columns padded with NaN
         to the longest mode list) — a materializer composed of each
-        column's Series.mode."""
-        outs = {str(lab): self[lab].mode() for lab in self._columns}
+        column's Series.mode (each bounded by ``max_modes``)."""
+        outs = {str(lab): self[lab].mode(max_modes=max_modes)
+                for lab in self._columns}
         width = max((len(v) for v in outs.values()), default=0)
         data = {lab: list(v) + [float("nan")] * (width - len(v))
                 for lab, v in outs.items()}
@@ -2862,22 +2863,34 @@ class SeriesAggMixin:
 
     kurtosis = kurt
 
-    def mode(self):
+    def mode(self, max_modes=10_000):
         """Most frequent value(s) -> pandas Series (a materializer,
         like pandas).  One hash-aggregate for the counts, then the max
         count as a SCALAR aggregate broadcast back as a join filter —
         no unpartitioned window, which would funnel every distinct
         value through a single task on high-cardinality columns.  The
-        counts frame is persisted for the two passes and released."""
+        counts frame is persisted for the two passes and released.
+
+        BOUNDED like ``unique``/``get_dummies``: an all-distinct
+        column makes EVERY value a mode, so the collect is capped at
+        ``max_modes`` tied values and raises beyond that instead of
+        OOMing the driver — raise the cap explicitly if a wider tie
+        set is really wanted."""
         cnt = (self._sdf.filter(self._the_col.isNotNull())
                .groupBy(self._the_col.alias("v"))
                .agg(F.count(F.lit(1)).alias("n"))).persist()
         try:
             mx = cnt.agg(F.max("n").alias("mx"))
             rows = (cnt.join(F.broadcast(mx), F.col("n") == F.col("mx"))
-                    .orderBy("v").select("v").collect())
+                    .orderBy("v").select("v")
+                    .limit(int(max_modes) + 1).collect())
         finally:
             cnt.unpersist()
+        if len(rows) > max_modes:
+            raise ValueError(
+                f"mode(): more than {max_modes} values tie for the "
+                "max count (near-distinct column?); pass a larger "
+                "max_modes to materialize a wider tie set")
         return pd.Series([r["v"] for r in rows], name=self.name)
 
     def quantile(self, q=0.5, approx=False, accuracy=10000):
@@ -3248,12 +3261,21 @@ class SeriesRelationalMixin:
         out = [row[f"__s{j}"] for j in range(len(vals))]
         return out[0] if not isinstance(value, (list, tuple)) else out
 
-    def factorize(self):
+    def factorize(self, max_rows=10_000_000):
         """pandas ``factorize`` — returns (codes ndarray, uniques
         Index), which is a DRIVER-SIDE materializer by contract (the
-        arrays are the result).  For the distributed analogs use
+        codes array is row-length).  BOUNDED: counts first and raises
+        past ``max_rows`` so 100 TB misuse fails loud instead of
+        OOMing the driver.  For the distributed analogs use
         ``rank(method='dense')`` (codes as a lazy column) or
         ``groupby(...).ngroup()``."""
+        n = self._sdf.count()
+        if n > max_rows:
+            raise ValueError(
+                f"factorize(): {n} rows exceed max_rows={max_rows}; "
+                "the codes array is driver-side by contract — use "
+                "rank(method='dense') or groupby(...).ngroup() to "
+                "stay distributed, or raise max_rows explicitly")
         return self.to_pandas().factorize()
 
     # -- mechanical pandas-parity batch (aliases + thin wrappers) ------

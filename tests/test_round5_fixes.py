@@ -552,3 +552,36 @@ def test_rolling_quantile(spark):
                                    check_index_type=False, rtol=1e-12)
     with pytest.raises(ValueError, match="q must be"):
         df.v.rolling(3).quantile(1.5)
+
+
+# ---------------------------------------------------------------------------
+# round 6: bounded driver-side materializers (mode / factorize caps)
+# ---------------------------------------------------------------------------
+
+def test_mode_cap_raises_on_distinct_ties(spark):
+    import pandas_alchemy_spark as pas
+    s = pas.Series.from_list(list(range(50)), name="v")
+    with pytest.raises(ValueError, match="tie for the max count"):
+        s.mode(max_modes=10)
+    # explicit wider cap materializes the full tie set
+    assert len(s.mode(max_modes=64)) == 50
+
+
+def test_mode_still_correct_under_cap(spark):
+    import pandas as pd
+
+    import pandas_alchemy_spark as pas
+    ps = pd.Series([1, 2, 2, 3, 3, None])
+    s = pas.Series.from_pandas(ps)
+    got = sorted(s.mode())
+    assert got == [2.0, 3.0]
+
+
+def test_factorize_cap_raises(spark):
+    import pandas_alchemy_spark as pas
+    s = pas.read_parquet(f"{SF_DIR}/orders.parquet").set_index(
+        "o_orderkey").o_orderpriority
+    with pytest.raises(ValueError, match="exceed max_rows"):
+        s.factorize(max_rows=100)
+    codes, uniq = s.factorize()
+    assert len(uniq) == 5
