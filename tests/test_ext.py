@@ -571,3 +571,20 @@ def test_tumbling_arbitrary_width(spark, ev):
     import pytest
     with pytest.raises(ValueError, match="unsupported window"):
         events.tumbling_window_agg(ev, window="1 month")
+
+
+def test_emb_near_dup_auto_planes(spark):
+    """planes='auto' sizes the bucket count to the corpus and keeps
+    the same pair semantics (recall may differ per LSH contract; the
+    exact-cosine verify keeps precision at 1)."""
+    from pandas_alchemy_spark.ext import similarity
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").head(1)[0][0])
+    out = similarity.embedding_near_dup_pairs(
+        emb, dim=dim, planes="auto", threshold=0.9)
+    rows = out.collect()
+    # exact verify: every emitted pair really is >= threshold
+    assert all(r["cosine"] >= 0.9 for r in rows)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="positive int or 'auto'"):
+        similarity.embedding_near_dup_pairs(emb, dim=dim, planes=0)
