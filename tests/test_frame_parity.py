@@ -483,7 +483,11 @@ def test_grouped_ffill_limit(spark):
     got = df.groupby("k")["v"].ffill(limit=1).to_pandas().sort_index()
     want = pdf.groupby("k")["v"].ffill(limit=1)
     assert got.fillna(-1).tolist() == want.fillna(-1).tolist()
-    with pytest.raises(NotImplementedError, match="limit"):
-        df["v"].ffill(limit=1)
-    with pytest.raises(NotImplementedError, match="limit"):
-        df.ffill(limit=2)
+    # round 6: the GLOBAL flavors support limit= too ((value, age)
+    # carry — tests/test_segscan.py covers the partition-border cases)
+    g1 = df["v"].ffill(limit=1).to_pandas().sort_index()
+    assert g1.fillna(-1).tolist() == \
+        pdf["v"].ffill(limit=1).fillna(-1).tolist()
+    g2 = df.ffill(limit=2).to_pandas().sort_index()
+    assert g2["v"].fillna(-1).tolist() == \
+        pdf.ffill(limit=2)["v"].fillna(-1).tolist()
