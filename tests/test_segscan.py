@@ -864,3 +864,16 @@ def test_fill_limit_validation(spark):
         s.ffill(limit=0).to_pandas()
     with pytest.raises(ValueError, match="positive integer"):
         s.bfill(limit=-2).to_pandas()
+
+
+def test_fill_limit_integer_dtype(spark):
+    """limit= fill over nullable Int64 round-trips the masked dtype."""
+    ps = pd.Series([None, 3, None, None, None, 7, None],
+                   dtype="Int64")
+    s = pas.Series.from_pandas(ps)
+    got = s.ffill(limit=2).to_pandas().sort_index()
+    want = ps.ffill(limit=2)
+    assert got.fillna(-9).tolist() == want.fillna(-9).tolist()
+    got = s.bfill(limit=1).to_pandas().sort_index()
+    want = ps.bfill(limit=1)
+    assert got.fillna(-9).tolist() == want.fillna(-9).tolist()
