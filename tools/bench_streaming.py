@@ -1,0 +1,124 @@
+"""Streaming throughput bench: drain a 2M-event parquet stream (20
+user-shifted replicas of sf0.1 events, written as 32 files) through
+each Structured Streaming operator with trigger(availableNow) and
+record events/sec plus micro-batch counts — the streaming block's
+first recorded scale signal (the tests are correctness-only).
+
+State stays bounded by design: watermarks for the windowed agg /
+dedup, per-key scalar or bounded-deque state for the
+applyInPandasWithState operators (30k distinct users here).
+
+Prints one JSON line -> BENCH_r06_streaming.json.
+
+Usage: python tools/bench_streaming.py [events_dir]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1/events.parquet"
+OFFSET = 10_000_000
+
+
+def ensure_stream_dir(spark, path: str, k: int = 20) -> None:
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet(SRC)
+    parts = []
+    for r in range(k):
+        parts.append(ev.withColumn("event_id",
+                                   F.col("event_id") + F.lit(r * OFFSET))
+                     .withColumn("user_id",
+                                 F.col("user_id") + F.lit(r * OFFSET)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(path)
+
+
+def main():
+    events_dir = (sys.argv[1] if len(sys.argv) > 1
+                  else "/root/repo/.scratch/stream_events")
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[32]")
+             .appName("streaming_bench")
+             .config("spark.driver.memory", "24g")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pandas_alchemy_spark.streaming import stateful, stream_events
+
+    ensure_stream_dir(spark, events_dir)
+    n_events = spark.read.parquet(events_dir).count()
+
+    def drain(make, files_per_trigger, mode):
+        """Build the streaming frame, drain with availableNow into a
+        noop sink, return (seconds, n_batches, rows_in)."""
+        stream = stream_events.read_event_stream(
+            spark, events_dir, max_files_per_trigger=files_per_trigger)
+        out = make(stream)
+        t0 = time.time()
+        q = (out.writeStream.format("noop")
+             .option("checkpointLocation",
+                     f"/root/repo/.scratch/ckpt_{int(time.time()*1e6)}")
+             .outputMode(mode)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        sec = time.time() - t0
+        prog = q.recentProgress
+        rows = sum(p["numInputRows"] for p in prog)
+        return round(sec, 2), len(prog), rows
+
+    ops = {
+        # (builder, maxFilesPerTrigger, sinkOutputMode):
+        # 8 files/batch = 4 micro-batches; modes mirror the tests'
+        "windowed_counts": (lambda s: stream_events.windowed_counts(
+            s, window="1 hour", watermark="2 hours"), 8, "update"),
+        "dedup_stream": (lambda s: stream_events.dedup_stream(s), 8,
+                         "append"),
+        "stateful_user_totals": (stateful.stateful_user_totals, 8,
+                                 "update"),
+        "stateful_ewm": (lambda s: stateful.stateful_ewm(s, 0.25), 8,
+                         "update"),
+        "session_windows": (lambda s: stateful.session_windows_stream(
+            s, gap="30 minutes"), 8, "append"),
+        "stateful_rolling_mean": (lambda s: stateful.
+                                  stateful_rolling_mean(s, 3), 8,
+                                  "update"),
+    }
+
+    results, detail = {}, {}
+    for name, (make, fpt, mode) in ops.items():
+        try:
+            sec, nb, rows = drain(make, fpt, mode)
+            results[name] = sec
+            detail[name] = {"sec": sec, "micro_batches": nb,
+                            "rows_in": rows,
+                            "events_per_sec": int(rows / sec)}
+            print(f"{name}: {sec}s, {nb} batches, "
+                  f"{int(rows / sec)} ev/s", file=sys.stderr)
+        except Exception as ex:
+            results[name] = -1.0
+            detail[name] = {"error": str(ex)[:200]}
+            print(f"{name}: ERROR {str(ex)[:200]}", file=sys.stderr)
+
+    total = round(sum(t for t in results.values() if t >= 0), 2)
+    print(json.dumps({
+        "metric": "streaming_drain_total", "value": total,
+        "unit": "sec", "n_events": n_events, "queries": results,
+        "detail": detail,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }))
+
+
+if __name__ == "__main__":
+    main()
