@@ -2582,7 +2582,18 @@ def q_text_suite(spark, sf_dir):
         F.col("n_paras").cast("long").alias("n_paras"),
         F.col("n_kept").cast("long").alias("n_kept"),
         F.length("text_deduped").cast("long").alias("ded_len"))
-    return scalar.join(rep, "doc_id").join(pdd, "doc_id")
+    # round-6 leg: benchmark decontamination (ext/dedup.decontaminate
+    # — broadcast eval-gram semi-count, the GPT-3 13-gram recipe at
+    # n=5).  Eval slice = doc_id % 97 == 0 from the same table, so
+    # those docs are trivially fully contaminated and the rest catch
+    # real boilerplate overlap.
+    ev6 = docs.filter("doc_id % 97 = 0")
+    ct = (dd.decontaminate(docs, ev6, n=5)
+          .select("doc_id",
+                  F.col("n_contam_ngrams").cast("long")
+                  .alias("n_contam")))
+    return (scalar.join(rep, "doc_id").join(pdd, "doc_id")
+            .join(ct, "doc_id"))
 
 
 def q_langid_terms(spark, sf_dir):
@@ -4375,18 +4386,36 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(length(string_agg(para, ' '
                                   ORDER BY pos) FILTER (keep)),
                               0)::BIGINT AS ded_len
-              FROM __marked GROUP BY doc_id)
+              FROM __marked GROUP BY doc_id),
+            -- decontamination: distinct 5-grams colliding with the
+            -- doc_id % 97 == 0 eval slice.  g <> '' guards the
+            -- token-less docs (the engine's shingle expr emits no
+            -- gram there; the raw DuckDB slice would emit '')
+            __evg AS (
+              SELECT DISTINCT unnest({_dk_shingles("text", 5, False)})
+                       AS g
+              FROM documents WHERE doc_id % 97 = 0),
+            __contam AS (
+              SELECT t.doc_id, count(DISTINCT t.g)::BIGINT AS n_contam
+              FROM (SELECT doc_id,
+                           unnest({_dk_shingles("text", 5, False)})
+                             AS g
+                    FROM documents) t
+              JOIN __evg e ON t.g = e.g AND t.g <> ''
+              GROUP BY 1)
             SELECT a.doc_id, a.h, a.n, b.n_2grams, b.n_distinct_2grams,
                    b.top_2gram_count, b.dup_2gram_frac,
                    c.* EXCLUDE (doc_id),
                    d.n_ws_tokens, d.n_bpe_tokens, e.fingerprint,
-                   p.n_paras, p.n_kept, p.ded_len
+                   p.n_paras, p.n_kept, p.ded_len,
+                   coalesce(ct.n_contam, 0)::BIGINT AS n_contam
             FROM {sub("text_normalize")} a
             JOIN {sub("repetition")} b ON a.doc_id = b.doc_id
             JOIN {sub("quality")} c ON a.doc_id = c.doc_id
             JOIN {sub("token_stats")} d ON a.doc_id = d.doc_id
             JOIN {sub("fingerprint")} e ON a.doc_id = e.doc_id
             JOIN __pdd p ON a.doc_id = p.doc_id
+            LEFT JOIN __contam ct ON a.doc_id = ct.doc_id
         """,
         "tpch_suite": """
             WITH rev AS (

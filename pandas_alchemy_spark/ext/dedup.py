@@ -532,3 +532,51 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
                     .alias("text_deduped"),
                     "n_paras",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
+def decontaminate(df: DataFrame, eval_df: DataFrame, n: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  mode: str = "mark", min_hits: int = 1,
+                  fast_hash: bool = False) -> DataFrame:
+    """Benchmark decontamination: find training documents that share
+    any word ``n``-gram with an EVALUATION set (the GPT-3 appendix-C
+    recipe, 13-gram collision; Dolma/FineWeb use 8-32).  Removing them
+    prevents eval answers from leaking into training data.
+
+    Plan shape (100 TB design): the eval side reduces to its DISTINCT
+    n-gram hashes — benchmarks are tiny next to a training corpus, so
+    that side BROADCASTS; the training side explodes its shingles ONCE
+    and inner-joins the broadcast (no shuffle of the corpus into the
+    join), then one hash-aggregate counts distinct colliding grams per
+    doc — the only shuffles are over the COLLIDING subset (the hit
+    aggregate and the final mark join, which AQE broadcasts when the
+    hit set is small).  No self-join; cost is one corpus scan +
+    explode.
+
+    ``mode='mark'`` returns every input row plus ``n_contam_ngrams``
+    (0 for clean docs); ``mode='drop'`` filters out docs with >=
+    ``min_hits`` colliding n-grams.  60-bit md5 shingle hashes keep
+    the broadcast compact and the oracle reproducible
+    (``fast_hash=True`` switches to xxhash64 for production runs)."""
+    if mode not in ("mark", "drop"):
+        raise ValueError(f"mode must be 'mark' or 'drop', got {mode!r}")
+    if not isinstance(n, int) or n < 1:
+        raise ValueError(f"n must be a positive integer, got {n!r}")
+    ev = with_shingles(_tune(eval_df), text_col, "__sh", n,
+                       distinct=False)
+    ev_grams = (ev.select(F.explode("__sh").alias("s"))
+                .select(F.expr(_h60("s", fast_hash)).alias("g"))
+                .distinct())
+    tr = with_shingles(_tune(df), text_col, "__sh", n, distinct=False)
+    ex = (tr.select(F.col(id_col), F.explode("__sh").alias("s"))
+          .select(id_col, F.expr(_h60("s", fast_hash)).alias("g")))
+    hits = (ex.join(F.broadcast(ev_grams), "g")
+            .groupBy(id_col)
+            .agg(F.countDistinct("g").alias("n_contam_ngrams")))
+    marked = (df.join(hits, id_col, "left")
+              .withColumn("n_contam_ngrams",
+                          F.coalesce("n_contam_ngrams", F.lit(0))))
+    if mode == "mark":
+        return marked
+    return (marked.filter(F.col("n_contam_ngrams") < min_hits)
+            .drop("n_contam_ngrams"))

@@ -588,3 +588,60 @@ def test_emb_near_dup_auto_planes(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="positive int or 'auto'"):
         similarity.embedding_near_dup_pairs(emb, dim=dim, planes=0)
+
+
+def test_decontaminate_mark_and_drop(spark):
+    """decontaminate vs a hand-computed pure-pandas oracle: per-doc
+    count of distinct n-grams shared with the eval set, and the drop
+    mode's min_hits gate."""
+    import re as _re
+
+    from pandas_alchemy_spark.ext import dedup as dd
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick brown fox sleeps all day long"),
+        (4, "completely unrelated text about spark engines"),
+        (5, ""),  # token-less: must never match anything
+    ]
+    ev_rows = [(100, "the quick brown fox jumps far"),
+               (101, "five dozen liquor jugs")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+
+    def grams(t, n=3):
+        toks = [w for w in _re.split(r"[^a-zA-Z0-9]+", t.lower()) if w]
+        if not toks:
+            return set()
+        return {" ".join(toks[i:i + n])
+                for i in range(max(len(toks) - n, 0) + 1)}
+
+    evg = set().union(*(grams(t) for _, t in ev_rows))
+    want = {i: len(grams(t) & evg) for i, t in rows}
+
+    got = {r["doc_id"]: r["n_contam_ngrams"]
+           for r in dd.decontaminate(docs, ev, n=3).collect()}
+    assert got == want, (got, want)
+    kept = {r["doc_id"]
+            for r in dd.decontaminate(docs, ev, n=3,
+                                      mode="drop").collect()}
+    assert kept == {i for i, w in want.items() if w == 0}
+    kept2 = {r["doc_id"]
+             for r in dd.decontaminate(docs, ev, n=3, mode="drop",
+                                       min_hits=3).collect()}
+    assert kept2 == {i for i, w in want.items() if w < 3}
+    with pytest.raises(ValueError, match="mode must be"):
+        dd.decontaminate(docs, ev, mode="purge")
+    with pytest.raises(ValueError, match="positive integer"):
+        dd.decontaminate(docs, ev, n=0)
+
+
+def test_decontaminate_broadcasts_eval(spark):
+    """The eval-gram side must reach the join as a broadcast (the
+    corpus is never shuffled into the candidate join)."""
+    from pandas_alchemy_spark.ext import dedup as dd
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.filter("doc_id % 97 = 0")
+    plan = (dd.decontaminate(docs, ev, n=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
