@@ -2267,10 +2267,14 @@ def q_vc_describe(spark, sf_dir):
                        F.col("a").cast("double").alias("a"),
                        F.col("nc").cast("double").alias("b"))
     # round-6 fold: Series.factorize (relational.py factorize — the
-    # documented driver-side materializer).  codes follow first
-    # appearance in index order, so code(segment) = rank of
-    # min(c_custkey) per segment; the literal rows re-ingest.
-    codes6, uniq6 = cust.set_index("c_custkey").c_mktsegment.factorize()
+    # documented driver-side materializer).  sort_index() pins the
+    # export order (named-index frames are NOT client-sorted at
+    # fetch, so without it first-appearance order would be scan
+    # order — nondeterministic under repartitioning); codes then
+    # follow c_custkey order, so code(segment) = rank of
+    # min(c_custkey) per segment and the literal rows re-ingest.
+    codes6, uniq6 = (cust.set_index("c_custkey").c_mktsegment
+                     .sort_index().factorize())
     rows6 = [("fact", str(u), float(c),
               float(int((codes6 == c).sum())))
              for c, u in enumerate(uniq6)]

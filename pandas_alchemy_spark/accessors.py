@@ -462,13 +462,23 @@ class DatetimeProperties:
 
     @staticmethod
     def _check_tz(tz: str):
+        """Best-effort eager validation: execution uses the JVM tzdb,
+        so Python's zoneinfo is only consulted to fail FAST on typos —
+        when the Python tz database itself is unavailable (no tzdata
+        package), validation defers to the JVM at action time rather
+        than rejecting every IANA name."""
         import re as _re
         if _re.fullmatch(r"[+-]\d{2}:\d{2}", tz) or tz in ("UTC", "GMT"):
             return
         try:
             from zoneinfo import ZoneInfo
             ZoneInfo(tz)
+            return
         except Exception:
+            try:
+                ZoneInfo("America/New_York")
+            except Exception:
+                return  # no Python tzdb at all — let the JVM decide
             raise ValueError(f"unknown timezone {tz!r} (IANA name, "
                              "'UTC', or fixed offset '+HH:MM')")
 

@@ -562,6 +562,15 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, n: int = 8,
         raise ValueError(f"mode must be 'mark' or 'drop', got {mode!r}")
     if not isinstance(n, int) or n < 1:
         raise ValueError(f"n must be a positive integer, got {n!r}")
+    if not isinstance(min_hits, int) or min_hits < 1:
+        # min_hits=0 would make the drop filter `count < 0` and
+        # silently delete the ENTIRE corpus
+        raise ValueError(
+            f"min_hits must be a positive integer, got {min_hits!r}")
+    if "n_contam_ngrams" in df.columns:
+        # idempotent re-mark: replace a stale count instead of
+        # producing an ambiguous duplicate column in the join below
+        df = df.drop("n_contam_ngrams")
     ev = with_shingles(_tune(eval_df), text_col, "__sh", n,
                        distinct=False)
     ev_grams = (ev.select(F.explode("__sh").alias("s"))

@@ -100,6 +100,10 @@ def _png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             f"png kernel does not handle color type {color_type}")
     raw = zlib.decompress(idat)
     stride = w * nch
+    if len(raw) < h * (1 + stride):
+        raise ValueError(
+            f"truncated PNG pixel data: {len(raw)} bytes for "
+            f"{h}x{w}x{nch} ({h * (1 + stride)} expected)")
     out = bytearray()
     prev = bytearray(stride)
     i = 0
@@ -159,6 +163,11 @@ def _pil_kernel(payload: bytes, media_type: str):
             "pil kernel needs Pillow installed") from ex
     img = Image.open(io.BytesIO(payload))
     img.load()
+    # normalize to an 8-bit mode first: 16-bit ('I;16'), float ('F')
+    # and palette ('P') images would otherwise feed raw values /
+    # palette indices into the /255 normalization
+    if img.mode not in ("L", "LA", "RGB", "RGBA"):
+        img = img.convert("RGBA" if "A" in img.mode else "RGB")
     nch = len(img.getbands())
     import numpy as np
     arr = np.asarray(img, dtype="float64") / 255.0
@@ -187,7 +196,8 @@ def register_decode_kernel(name: str, fn) -> None:
 
 def decode_media(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "doc_id",
-                 kernel: str = "stub") -> DataFrame:
+                 kernel: str = "stub",
+                 on_error: str = "raise") -> DataFrame:
     """Partition-wise decode via mapInPandas (Arrow batches).  The
     iterator signature keeps memory bounded: one pandas batch in, one
     out; no per-row Python overhead beyond the batch loop.
@@ -195,11 +205,20 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
     ``kernel`` names a DECODE_KERNELS entry: 'stub' (fallback fake,
     sandbox default), 'png' (real stdlib decoder), 'pil' (Pillow when
     installed), or anything registered via
-    :func:`register_decode_kernel`."""
+    :func:`register_decode_kernel`.
+
+    ``on_error`` is the per-row isolation policy — at corpus scale ONE
+    corrupt or off-type payload must not kill the job: 'raise'
+    (default, debugging), 'skip' (drop undecodable rows), or 'null'
+    (keep the row with NULL width/height/channels/feature so the
+    failure count is queryable downstream)."""
     if kernel not in DECODE_KERNELS:
         raise ValueError(
             f"unknown decode kernel {kernel!r}; registered: "
             f"{sorted(DECODE_KERNELS)}")
+    if on_error not in ("raise", "skip", "null"):
+        raise ValueError(f"on_error must be 'raise', 'skip' or "
+                         f"'null', got {on_error!r}")
 
     k = DECODE_KERNELS[kernel]
 
@@ -208,7 +227,15 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
             rows = []
             for _, row in pdf.iterrows():
                 payload = row[payload_col]
-                w, h, c, feat = k(bytes(payload), row["media_type"])
+                try:
+                    w, h, c, feat = k(bytes(payload),
+                                      row["media_type"])
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    w = h = c = feat = None
                 rows.append((row[id_col], row["media_type"],
                              len(payload), w, h, c, feat))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])

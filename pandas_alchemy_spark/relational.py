@@ -3269,10 +3269,12 @@ class SeriesRelationalMixin:
         OOMing the driver.  For the distributed analogs use
         ``rank(method='dense')`` (codes as a lazy column) or
         ``groupby(...).ngroup()``."""
-        n = self._sdf.count()
+        # LIMIT-bounded probe: scans at most max_rows+1 rows instead
+        # of a full count pass over the source
+        n = self._sdf.limit(int(max_rows) + 1).count()
         if n > max_rows:
             raise ValueError(
-                f"factorize(): {n} rows exceed max_rows={max_rows}; "
+                f"factorize(): more than {max_rows} rows (max_rows); "
                 "the codes array is driver-side by contract — use "
                 "rank(method='dense') or groupby(...).ngroup() to "
                 "stay distributed, or raise max_rows explicitly")

@@ -645,3 +645,19 @@ def test_decontaminate_broadcasts_eval(spark):
     plan = (dd.decontaminate(docs, ev, n=5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_decontaminate_idempotent_and_min_hits_guard(spark):
+    from pandas_alchemy_spark.ext import dedup as dd
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "omega psi chi phi")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "alpha beta gamma")],
+                               "doc_id long, text string")
+    once = dd.decontaminate(docs, ev, n=3)
+    twice = dd.decontaminate(once, ev, n=3)  # re-mark: no dup column
+    assert twice.columns.count("n_contam_ngrams") == 1
+    got = {r["doc_id"]: r["n_contam_ngrams"] for r in twice.collect()}
+    assert got == {1: 1, 2: 0}
+    with pytest.raises(ValueError, match="min_hits must be"):
+        dd.decontaminate(docs, ev, mode="drop", min_hits=0)

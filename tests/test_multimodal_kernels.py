@@ -137,3 +137,39 @@ def test_stub_kernel_is_default(spark):
     assert (r["width"], r["height"], r["channels"]) == (w, h, c)
     for a, b in zip(r["feature"], feat):  # float32 array column
         assert abs(a - b) < 1e-6
+
+
+def test_decode_on_error_isolation(spark):
+    """One bad payload must not kill the job: 'skip' drops it, 'null'
+    keeps it with NULL decode fields, 'raise' (default) propagates."""
+    rows = [(1, bytearray(_png_encode(_gradient(4, 4, 3), 4, 4, 3)),
+             "image/png"),
+            (2, bytearray(b"not a png"), "image/png"),
+            (3, bytearray(b"RIFF"), "audio/wav")]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string")
+    skip = mm.decode_media(sdf, kernel="png", on_error="skip").collect()
+    assert {r["doc_id"] for r in skip} == {1}
+    nul = {r["doc_id"]: r["width"]
+           for r in mm.decode_media(sdf, kernel="png",
+                                    on_error="null").collect()}
+    assert nul[1] == 4 and nul[2] is None and nul[3] is None
+    with pytest.raises(Exception):
+        mm.decode_media(sdf, kernel="png").collect()
+    with pytest.raises(ValueError, match="on_error must be"):
+        mm.decode_media(sdf, kernel="png", on_error="ignore")
+
+
+def test_png_truncated_raises_cleanly():
+    data = _png_encode(_gradient(6, 5, 3), 6, 5, 3)
+    # corrupt: re-deflate a shortened pixel stream under the same IHDR
+    w, h, nch, px = mm._png_decode(data)
+    short = _png_encode(px[:len(px) // 2], w, h // 2, nch)
+    # splice the short IDAT under the ORIGINAL (larger) IHDR
+    import struct
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[nch],
+                       0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + short[short.index(b"IDAT") - 4:])
+    with pytest.raises(ValueError, match="truncated PNG"):
+        mm._png_decode(bad)

@@ -581,7 +581,7 @@ def test_factorize_cap_raises(spark):
     import pandas_alchemy_spark as pas
     s = pas.read_parquet(f"{SF_DIR}/orders.parquet").set_index(
         "o_orderkey").o_orderpriority
-    with pytest.raises(ValueError, match="exceed max_rows"):
+    with pytest.raises(ValueError, match="max_rows"):
         s.factorize(max_rows=100)
     codes, uniq = s.factorize()
     assert len(uniq) == 5

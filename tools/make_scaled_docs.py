@@ -48,6 +48,22 @@ def main():
     os.makedirs(dst, exist_ok=True)
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
+    # Decorrelation audit: a token using ONLY characters outside
+    # SET_A+SET_B is invariant under both rotations, so its shingles
+    # would collide across replicas and break the linear-truth claim
+    # (pairs(K x sf) = K * pairs(sf)).  Fail loud rather than emit a
+    # silently-correlated corpus.  (The recorded sf0.1 corpus has 0
+    # such tokens — verified; this guards arbitrary inputs.)
+    inv = (docs.select(F.explode(F.expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+    )).alias("t"))
+        .filter(~F.col("t").rlike(f"[{SET_A}{SET_B}]")).limit(1)
+        .count())
+    if inv:
+        raise SystemExit(
+            "corpus has tokens with no characters in the rotation "
+            "sets; extend SET_A/SET_B or switch to per-token suffix "
+            "decorrelation before scaling this corpus")
     parts = []
     for r in range(k):
         rep = (docs
