@@ -2525,9 +2525,24 @@ def q_join_suite(spark, sf_dir):
         F.col("o_orderkey").cast("long").alias("key"),
         F.round("o_totalprice", 2).alias("a"),
         F.round("l_quantity", 2).alias("b"))
+    # 9. round-6 fold: pas.sql — the raw-SQL escape hatch
+    # (__init__.sql: engine frames register as temp views, the query
+    # plans through Catalyst, the result wraps back into the façade)
+    s9 = pas.sql(
+        "SELECT o.o_custkey AS key, count(*) AS n, "
+        "round(sum(o.o_totalprice), 2) AS total "
+        "FROM osql o JOIN csql c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_custkey < 120 GROUP BY o.o_custkey",
+        osql=orders, csql=cust)
+    leg_sq = s9.to_spark(index=False).select(
+        F.lit("sqlq").alias("tag"),
+        F.col("key").cast("long").alias("key"),
+        F.col("total").alias("a"),
+        F.col("n").cast("double").alias("b"))
     return (leg_join.unionAll(leg_tr).unionAll(leg_as)
             .unionAll(leg_loc).unionAll(leg_dr)
-            .unionAll(leg_mg).unionAll(leg_fs).unionAll(leg_mo))
+            .unionAll(leg_mg).unionAll(leg_fs).unionAll(leg_mo)
+            .unionAll(leg_sq))
 
 
 def q_top_users_funnel(spark, sf_dir):
@@ -4347,6 +4362,13 @@ def oracle_sql() -> dict[str, str]:
                          WHERE l_linenumber = 3 AND l_orderkey < 800
                          GROUP BY 1) r
                 ON l.o_orderkey = r.o_orderkey)
+            UNION ALL
+            -- pas.sql escape hatch: same query, DuckDB dialect
+            SELECT 'sqlq', o_custkey::BIGINT,
+                   round(sum(o_totalprice), 2), count(*)::DOUBLE
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_custkey < 120
+            GROUP BY o_custkey
         """,
         "events_hourly": base["events_hourly"],
         "sessionize": base["sessionize"],

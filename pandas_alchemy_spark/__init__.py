@@ -56,6 +56,27 @@ def from_spark(sdf, columns=None, index=None):
     return DataFrame.from_spark(sdf, columns=columns, index=index)
 
 
+def sql(query: str, index=None, **frames):
+    """Run Spark SQL over engine frames — the raw-SQL escape hatch the
+    reference inherits from SQLAlchemy (any query its engine could
+    express), re-expressed Spark-first: each ``name=frame`` kwarg
+    registers a TEMP VIEW (user-facing column names; index levels
+    included under their level names), the query plans through
+    Catalyst like any other, and the result wraps back into an engine
+    DataFrame (``index=`` promotes result columns to the index, like
+    ``from_spark``).
+
+    The views are plan-backed, not materialized — ``pas.sql`` composes
+    with the lazy façade at zero extra cost, and catalog tables
+    already registered in the session remain addressable alongside
+    the kwarg views."""
+    spark = get_session()
+    for name, df in frames.items():
+        sdf = df.to_spark() if hasattr(df, "to_spark") else df
+        sdf.createOrReplaceTempView(name)
+    return DataFrame.from_spark(spark.sql(query), index=index)
+
+
 def read_parquet(path, columns=None, index=None):
     """Parquet scan as an engine DataFrame (supersedes the reference's
     SQLAlchemy-URL connector surface, SURVEY.md §2.1)."""
@@ -77,6 +98,7 @@ __all__ = [
     "get_session",
     "read_parquet",
     "from_spark",
+    "sql",
     "merge",
     "merge_asof",
     "to_datetime",

@@ -63,3 +63,54 @@ def test_wide_to_long(spark):
     pd.testing.assert_frame_equal(got.sort_index(),
                                   want.sort_index(),
                                   check_dtype=False, check_names=False)
+
+
+# ---------------------------------------------------------------------------
+SF_DIR = "/root/testdata/sf0.001"
+
+# round 6: pas.sql — the raw-SQL escape hatch
+# ---------------------------------------------------------------------------
+
+def test_sql_over_engine_frames(spark):
+    """pas.sql registers engine frames as temp views and wraps the
+    result: a join of two façade frames matches the verb twin."""
+    cust = pas.read_parquet(f"{SF_DIR}/customer.parquet")
+    orders = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    out = pas.sql("""
+        SELECT c.c_mktsegment AS seg,
+               count(*) AS n,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM o JOIN c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """, c=cust, o=orders).to_pandas().sort_values("seg")
+    want = (orders.merge(cust, left_on="o_custkey",
+                         right_on="c_custkey")
+            .groupby("c_mktsegment")
+            .agg(n=("o_orderkey", "count"),
+                 total=("o_totalprice", "sum"))
+            .to_pandas().sort_index())
+    assert list(out.seg) == list(want.index)
+    assert list(out.n) == list(want.n)
+    import numpy as np
+    np.testing.assert_allclose(out.total.to_numpy(),
+                               want.total.round(2).to_numpy())
+
+
+def test_sql_index_promotion_and_composition(spark):
+    """index= promotes result columns; the wrapped frame composes
+    with engine verbs (filter + assign on the SQL result)."""
+    orders = pas.read_parquet(f"{SF_DIR}/orders.parquet")
+    f = pas.sql("SELECT o_orderkey, o_totalprice FROM t "
+                "WHERE o_orderkey < 100",
+                index=["o_orderkey"], t=orders)
+    g = f.assign(dbl=f.o_totalprice * 2)
+    got = g.to_pandas()
+    assert got.index.name == "o_orderkey"
+    assert (got.dbl == got.o_totalprice * 2).all()
+
+
+def test_sql_raw_spark_frame_kwarg(spark):
+    """Raw Spark DataFrames register too (interop path)."""
+    raw = spark.range(5)
+    out = pas.sql("SELECT sum(id) AS s FROM r", r=raw).to_pandas()
+    assert int(out.s.iloc[0]) == 10
