@@ -28,7 +28,10 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
                   near_dup_threshold: float = 0.6,
                   capacity: int = 2048, n_shards: int = 32,
                   bucket_cap: int | None = 2000,
-                  num_hashes: int = 64, bands: int = 16) -> DataFrame:
+                  num_hashes: int = 64, bands: int = 16,
+                  eval_df: DataFrame | None = None,
+                  decontam_n: int = 8,
+                  decontam_min_hits: int = 1) -> DataFrame:
     """Curate a raw document corpus for training.
 
     Returns the kept documents with curation metadata:
@@ -38,7 +41,16 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     pass, and near-dup clustering runs on exact-dedup representatives —
     which is also what keeps LSH buckets non-degenerate (identical
     docs are the pathological bucket case; see dedup._cap_buckets).
-    """
+
+    ``eval_df`` switches on benchmark decontamination
+    (:func:`..dedup.decontaminate`, drop mode at ``decontam_n``-gram /
+    ``decontam_min_hits``) as the FIRST gate — the broadcast n-gram
+    probe is the cheapest filter in the pipeline, so contaminated docs
+    never reach the quality/minhash stages."""
+    if eval_df is not None:
+        docs = dedup.decontaminate(
+            docs, eval_df, n=decontam_n, text_col=text_col,
+            id_col=id_col, mode="drop", min_hits=decontam_min_hits)
     # 1. normalize (adds norm_text), score quality on the RAW text
     normalized = text.normalize_text(docs, text_col=text_col)
     scored = text.quality_score(normalized, text_col=text_col)

@@ -661,3 +661,30 @@ def test_decontaminate_idempotent_and_min_hits_guard(spark):
     assert got == {1: 1, 2: 0}
     with pytest.raises(ValueError, match="min_hits must be"):
         dd.decontaminate(docs, ev, mode="drop", min_hits=0)
+
+
+def test_curate_corpus_decontaminate_stage(spark, docs):
+    """eval_df= switches on the decontamination gate first: every doc
+    sharing an n-gram with the eval slice drops before curation, and
+    the default (eval_df=None) plan is unchanged."""
+    from pandas_alchemy_spark.ext import dedup, pipeline
+    ev = docs.filter("doc_id % 101 = 0")
+    base = pipeline.curate_corpus(
+        docs, min_quality=0.2, near_dup_threshold=0.4,
+        capacity=2048, n_shards=8, num_hashes=16, bands=4)
+    dec = pipeline.curate_corpus(
+        docs, min_quality=0.2, near_dup_threshold=0.4,
+        capacity=2048, n_shards=8, num_hashes=16, bands=4,
+        eval_df=ev, decontam_n=5)
+    contaminated = {
+        r["doc_id"]
+        for r in dedup.decontaminate(docs, ev, n=5)
+        .filter("n_contam_ngrams >= 1").select("doc_id").collect()}
+    kept_dec = {r["doc_id"] for r in dec.select("doc_id").collect()}
+    kept_base = {r["doc_id"] for r in base.select("doc_id").collect()}
+    assert kept_dec.isdisjoint(contaminated)
+    # the decon gate only ever REMOVES docs relative to the baseline
+    # (up to near-dup representative reshuffling within components;
+    # the doc count can only shrink)
+    assert len(kept_dec) <= len(kept_base)
+    assert kept_dec  # something survives
