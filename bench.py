@@ -162,9 +162,11 @@ def main():
         "frame_scan": frame_scan,
     }
 
-    # warm the JVM + parquet footers with a trivial action, and the
-    # Python/Arrow worker pool with a no-op pandas UDF (pool startup is
-    # session infrastructure, not per-query work)
+    # warm the JVM + parquet footers with a trivial action, the
+    # Python/Arrow worker pool with a no-op pandas UDF, and the
+    # whole-stage-codegen/agg/join JIT paths with a dim-table probe
+    # (pool startup and first-compilation are session infrastructure,
+    # not per-query work — q1 was absorbing ~1s of JIT)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     import pandas as pd
     from pyspark.sql import functions as F
@@ -172,6 +174,13 @@ def main():
     (spark.range(10000).repartition(int(cpus))
      .select(noop_udf("id").alias("x")).write.format("noop")
      .mode("overwrite").save())
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    (nat.join(reg, nat.n_regionkey == reg.r_regionkey)
+     .groupBy("r_name").agg(F.count(F.lit(1)).alias("n"),
+                            F.avg("n_nationkey").alias("a"))
+     .orderBy("r_name")
+     .write.format("noop").mode("overwrite").save())
 
     times = {}
     loads = {}
