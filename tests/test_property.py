@@ -299,3 +299,29 @@ def _check_pair_scans(spark, a, b):
 
 def test_pair_scans_generated(spark):
     _check_pair_scans(spark)
+
+
+def test_fill_limit_differential_generated(spark):
+    """Generated null geometries through the (value, age)-carry fill
+    scan: ffill/bfill with random limits vs pandas.  Series are long
+    enough to span the 4 test partitions so the cross-border carry
+    engages on most examples."""
+    @_SLOW
+    @given(holes=st.lists(st.booleans(), min_size=8, max_size=80),
+           limit=st.one_of(st.none(), st.integers(1, 6)),
+           seed=st.integers(0, 2**16))
+    def check(holes, limit, seed):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        vals = [None if h else float(rng.integers(-50, 50))
+                for h in holes]
+        ps = pd.Series(vals, dtype="float64")
+        s = pas.Series.from_pandas(ps)
+        got_f = s.ffill(limit=limit).to_pandas().sort_index()
+        want_f = ps.ffill(limit=limit)
+        assert _norm(got_f.tolist()) == _norm(want_f.tolist())
+        got_b = s.bfill(limit=limit).to_pandas().sort_index()
+        want_b = ps.bfill(limit=limit)
+        assert _norm(got_b.tolist()) == _norm(want_b.tolist())
+
+    check()
