@@ -3768,22 +3768,52 @@ class SeriesRelationalMixin:
 
 def merge_ordered(left, right, on=None, left_on=None, right_on=None,
                   how: str = "outer", fill_method=None,
-                  suffixes=("_x", "_y")):
+                  suffixes=("_x", "_y"), left_by=None):
     """pandas ``merge_ordered``: an ordered outer merge for time-series
     frames — the engine composes merge + (optional) forward fill.
     ``fill_method='ffill'`` fills every column's holes in merged key
-    order via the fused multi-column fill scan."""
-    out = left.merge(right, how=how, on=on, left_on=left_on,
-                     right_on=right_on, suffixes=suffixes)
+    order via the fused multi-column fill scan.
+
+    ``left_by`` replays pandas' group-wise form (the per-ticker
+    idiom): the right frame merges into EVERY left group — expressed
+    as one distinct-groups × right expansion (broadcast: the group
+    list is small by construction) followed by a single merge on
+    (groups + key) and a GROUPED fill, so no per-group Python loop
+    and one shuffle for the whole verb."""
     key = on if on is not None else left_on
     if key is None:
         raise ValueError("merge_ordered needs on= or left_on=")
+    if fill_method not in (None, "ffill"):
+        raise ValueError(
+            f"fill_method must be None or 'ffill', got {fill_method!r}")
+    if left_by is not None:
+        by = [left_by] if isinstance(left_by, str) else list(left_by)
+        if left_on is not None or right_on is not None:
+            raise NotImplementedError(
+                "merge_ordered(left_by=) supports the on= form")
+        groups = left[by].drop_duplicates()
+        # replicate right into every left group (pandas semantics:
+        # each group merges against the WHOLE right frame)
+        rx = groups.merge(right, how="cross", broadcast=True)
+        out = left.merge(rx, how=how, on=by + [on],
+                         suffixes=suffixes).sort_values(by + [on])
+        if fill_method is None:
+            return out
+        # grouped fill orders by the frame INDEX, so promote the key
+        # first — fills then run in key order within each group
+        keyed = out.set_index(on)
+        filled = keyed
+        for c in keyed.columns:
+            if c in by:
+                continue
+            filled = filled.assign(
+                **{str(c): filled.groupby(by)[c].ffill()})
+        return filled.reset_index().sort_values(by + [on])
+    out = left.merge(right, how=how, on=on, left_on=left_on,
+                     right_on=right_on, suffixes=suffixes)
     out = out.sort_values(key)
     if fill_method is None:
         return out
-    if fill_method != "ffill":
-        raise ValueError(
-            f"fill_method must be None or 'ffill', got {fill_method!r}")
     filled = out.set_index(key).ffill().reset_index()
     return filled
 

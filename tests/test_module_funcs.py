@@ -114,3 +114,36 @@ def test_sql_raw_spark_frame_kwarg(spark):
     raw = spark.range(5)
     out = pas.sql("SELECT sum(id) AS s FROM r", r=raw).to_pandas()
     assert int(out.s.iloc[0]) == 10
+
+
+def test_merge_ordered_left_by(spark):
+    """Group-wise merge_ordered (pandas left_by): the right frame
+    merges into every left group; ffill runs within each group in key
+    order."""
+    lp = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                       "k": [1, 3, 1, 4],
+                       "lv": [10.0, 30.0, 100.0, 400.0]})
+    rp = pd.DataFrame({"k": [2, 3], "rv": [0.2, 0.3]})
+    want = pd.merge_ordered(lp, rp, on="k", left_by="g",
+                            fill_method="ffill")
+    got = pas.merge_ordered(
+        pas.DataFrame.from_pandas(lp), pas.DataFrame.from_pandas(rp),
+        on="k", left_by="g", fill_method="ffill"
+    ).to_pandas().reset_index(drop=True).sort_values(["g", "k"]).reset_index(drop=True)
+    want = want.sort_values(["g", "k"]).reset_index(drop=True)
+    got = got[want.columns]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_merge_ordered_left_by_no_fill(spark):
+    lp = pd.DataFrame({"g": ["x", "y"], "k": [1, 2],
+                       "lv": [1.0, 2.0]})
+    rp = pd.DataFrame({"k": [1, 3], "rv": [9.0, 7.0]})
+    want = pd.merge_ordered(lp, rp, on="k", left_by="g")
+    got = pas.merge_ordered(
+        pas.DataFrame.from_pandas(lp), pas.DataFrame.from_pandas(rp),
+        on="k", left_by="g"
+    ).to_pandas().reset_index(drop=True).sort_values(["g", "k"]).reset_index(drop=True)
+    want = want.sort_values(["g", "k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=False)
