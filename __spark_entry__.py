@@ -1283,14 +1283,19 @@ def q_explode_embedding(spark, sf_dir):
     _prep(spark)
     emb = pas.read_parquet(_t(sf_dir, "embeddings")).set_index("vec_id")
     e = emb.embedding
+    # "+ 0.0" collapses IEEE signed zero everywhere a tiny negative
+    # rounds to zero (Spark emits +0.0 where DuckDB keeps -0.0; first
+    # seen on a sf0.1 element — same normalization as the cov leg)
     ex = e.explode().to_spark().select(
         F.lit("explode").alias("tag"), "vec_id",
-        F.round(F.col("embedding").cast("double"), 5).alias("val"))
+        (F.round(F.col("embedding").cast("double"), 5)
+         + F.lit(0.0)).alias("val"))
 
     def leg(tag, series, nd):
         return series.to_spark().select(
             F.lit(tag).alias("tag"), "vec_id",
-            F.round(F.col("embedding").cast("double"), nd).alias("val"))
+            (F.round(F.col("embedding").cast("double"), nd)
+             + F.lit(0.0)).alias("val"))
 
     return (ex
             .unionAll(leg("len", e.arr.len(), 1))
@@ -3180,23 +3185,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "explode_embedding": """
             SELECT 'explode' AS tag, vec_id,
-                   round(unnest(embedding)::DOUBLE, 5) AS val
+                   round(unnest(embedding)::DOUBLE, 5) + 0.0 AS val
             FROM embeddings
             UNION ALL
-            SELECT 'len', vec_id, round(len(embedding)::DOUBLE, 1)
+            SELECT 'len', vec_id,
+                   round(len(embedding)::DOUBLE, 1) + 0.0
             FROM embeddings
             UNION ALL
-            SELECT 'get0', vec_id, round(embedding[1]::DOUBLE, 5)
+            SELECT 'get0', vec_id,
+                   round(embedding[1]::DOUBLE, 5) + 0.0
             FROM embeddings
             UNION ALL
             SELECT 'sum', vec_id,
                    round(list_sum(list_transform(embedding,
-                         x -> x::DOUBLE)), 4)
+                         x -> x::DOUBLE)), 4) + 0.0
             FROM embeddings
             UNION ALL
             SELECT 'norm', vec_id,
                    round(sqrt(list_sum(list_transform(embedding,
-                         x -> x::DOUBLE * x::DOUBLE))), 4)
+                         x -> x::DOUBLE * x::DOUBLE))), 4) + 0.0
             FROM embeddings
         """,
         "get_dummies": """
