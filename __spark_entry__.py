@@ -1035,7 +1035,10 @@ def q11_important_parts(spark, sf_dir):
                    .astype("int64"))
     per = (ls.groupby("l_partkey").agg(value100=("p100", "sum"))
            .reset_index())
-    total100 = int(per.value100.sum())
+    # sum() of an EMPTY series is None (at sf0.001 no supplier has
+    # nationkey 1) — the threshold degrades to 0 and Q11 is empty,
+    # matching the oracle's no-rows result
+    total100 = int(per.value100.sum() or 0)
     out = per[per.value100 * 1000 > total100]
     return out.to_spark(index=False).select(
         F.col("l_partkey").cast("long").alias("p_partkey"),
