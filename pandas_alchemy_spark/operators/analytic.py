@@ -539,17 +539,20 @@ class SeriesGroupBy(_WindowVerbs):
         return Window.partitionBy(*self._keys(), c)
 
     def _rolling_named(self, name: str, window: int, min_periods):
-        if name != "median":
+        if name not in ("median", "sem", "skew", "kurt", "rank"):
             return super()._rolling_named(name, window, min_periods)
         # Spark's median aggregate refuses window frames
-        # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so grouped
-        # rolling median runs as one applyInPandas per group — same
+        # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), and
+        # sem/skew/kurt/rank have no direct pandas-corrected window
+        # expression — all five run as one applyInPandas per group
+        # through pandas' own vectorized rolling (parity-exact): same
         # single shuffle on the keys, per-group bounded state (the
         # ewm exact=True pattern)
         mp = window if min_periods is None else max(int(min_periods), 1)
         return self._apply_grouped(
-            lambda pdf: pdf["__v"].astype("float64")
-            .rolling(window, min_periods=mp).median())
+            lambda pdf: getattr(pdf["__v"].astype("float64")
+                                .rolling(window, min_periods=mp),
+                                name)())
 
     def _rolling_time_named(self, name: str, offset_us: int,
                             min_periods: int):
@@ -919,6 +922,64 @@ class Rolling:
     def count(self):
         return self._agg("count", self._min_periods or 1)
 
+    def _named_pandas(self, name: str):
+        """Count-based-only aggregates evaluated by pandas' own
+        vectorized rolling inside the Arrow passes (global: k-row
+        border exchange; grouped: per group)."""
+        if self._by_time:
+            raise NotImplementedError(
+                f"rolling(offset).{name} is not supported — use a "
+                "count-based window")
+        return self._agg(name)
+
+    def sem(self):
+        """pandas ``rolling(n).sem()``: std(ddof=1)/sqrt(non-null)."""
+        return self._named_pandas("sem")
+
+    def skew(self):
+        """pandas ``rolling(n).skew()`` (sample-adjusted G1)."""
+        return self._named_pandas("skew")
+
+    def kurt(self):
+        """pandas ``rolling(n).kurt()`` (sample-adjusted excess G2)."""
+        return self._named_pandas("kurt")
+
+    kurtosis = kurt
+
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False):
+        """pandas ``rolling(n).rank()`` — rank of the current value
+        within its window.  Default args only (the pandas kernel runs
+        inside the Arrow passes; other method/pct combinations would
+        need a per-window Python apply — use :meth:`apply`)."""
+        if (method, ascending, pct) != ("average", True, False):
+            raise NotImplementedError(
+                "rolling.rank supports the pandas defaults "
+                "(method='average', ascending=True, pct=False); "
+                "for other combinations use rolling.apply")
+        return self._named_pandas("rank")
+
+    def agg(self, func):
+        """``rolling.agg("mean")`` dispatches to the named aggregate;
+        a callable routes to :meth:`apply`.  List-of-aggs (pandas
+        returns a frame) is not modeled — call the methods and
+        ``assign`` the results."""
+        if isinstance(func, str):
+            allowed = ("sum", "mean", "max", "min", "std", "var",
+                       "median", "count", "sem", "skew", "kurt",
+                       "rank", "quantile")
+            if func not in allowed:
+                raise ValueError(
+                    f"unknown rolling aggregate {func!r}")
+            return getattr(self, func)()
+        if callable(func):
+            return self.apply(func)
+        raise NotImplementedError(
+            "rolling.agg with a list returns a multi-column frame in "
+            "pandas — call the aggregates and assign() them instead")
+
+    aggregate = agg
+
     def quantile(self, q: float = 0.5):
         """pandas ``rolling(n).quantile(q)`` (linear interpolation).
         Spark's percentile aggregates refuse window frames, so both
@@ -1159,3 +1220,99 @@ class Expanding:
 
     def count(self):
         return self._exp(F.count, "count")
+
+    def sem(self):
+        """pandas ``expanding().sem()``: std(ddof=1)/sqrt(count-1)
+        (the WINDOW sem divides by count - ddof, unlike Series.sem).
+        Global flavor rides the same (count, mean, M2) moment carry
+        as var/std; grouped is one window expression."""
+        if isinstance(self._sw, SeriesWindow):
+            from .segscan import expanding_scan
+            mp = self._min_periods
+            return self._sw._scan_series(
+                lambda tmp, oc: expanding_scan(tmp, "__v", oc, "sem",
+                                               mp, "__out"))
+        w = self._sw._window().rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+        mp = max(self._min_periods, 2)
+
+        def fn(c):
+            n = F.count(c).over(w)
+            # pandas WINDOW sem: std / sqrt(count - ddof)
+            return F.when(n >= mp,
+                          F.stddev_samp(c).over(w) / F.sqrt(n - 1))
+        return self._sw._wrap(fn)
+
+    def _grouped_pandas(self, name: str, *args, **kw):
+        """Grouped-only pandas expanding kernels (median/quantile/
+        skew/kurt/rank/apply): per-group state is bounded, so one
+        applyInPandas per group is the honest transport.  The GLOBAL
+        flavors are refused loudly — an expanding <name> at row i
+        needs the whole history [0, i] (no O(1) carry exists), which
+        is exactly the unbounded state this engine never hides."""
+        sw = self._sw
+        if isinstance(sw, SeriesWindow):
+            raise NotImplementedError(
+                f"global expanding().{name} has no bounded carry "
+                "(each row needs its full prefix); use the grouped "
+                f"flavor groupby(k)[c].expanding().{name}(...) or a "
+                "bounded rolling(n) window")
+        mp = max(self._min_periods, 1)
+        return sw._apply_grouped(
+            lambda pdf: getattr(pdf["__v"].astype("float64")
+                                .expanding(mp), name)(*args, **kw))
+
+    def median(self):
+        return self._grouped_pandas("median")
+
+    def quantile(self, q: float = 0.5):
+        q = float(q)
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+        return self._grouped_pandas("quantile", q)
+
+    def skew(self):
+        return self._grouped_pandas("skew")
+
+    def kurt(self):
+        return self._grouped_pandas("kurt")
+
+    kurtosis = kurt
+
+    def rank(self, method: str = "average", ascending: bool = True,
+             pct: bool = False):
+        if (method, ascending, pct) != ("average", True, False):
+            raise NotImplementedError(
+                "expanding.rank supports the pandas defaults only")
+        return self._grouped_pandas("rank")
+
+    def apply(self, func, raw: bool = True):
+        """Per-window Python escape hatch (grouped flavor only — see
+        :meth:`_grouped_pandas` for why the global form refuses)."""
+        sw = self._sw
+        if isinstance(sw, SeriesWindow):
+            raise NotImplementedError(
+                "global expanding().apply has no bounded carry; use "
+                "the grouped flavor or rolling(n).apply")
+        mp = max(self._min_periods, 1)
+        return sw._apply_grouped(
+            lambda pdf: pdf["__v"].astype("float64")
+            .expanding(mp).apply(func, raw=raw))
+
+    def agg(self, func):
+        """String/callable dispatch (see ``Rolling.agg``)."""
+        if isinstance(func, str):
+            allowed = ("sum", "mean", "max", "min", "std", "var",
+                       "count", "sem", "median", "quantile", "skew",
+                       "kurt", "rank")
+            if func not in allowed:
+                raise ValueError(
+                    f"unknown expanding aggregate {func!r}")
+            return getattr(self, func)()
+        if callable(func):
+            return self.apply(func)
+        raise NotImplementedError(
+            "expanding.agg with a list returns a multi-column frame "
+            "in pandas — call the aggregates and assign() them")
+
+    aggregate = agg

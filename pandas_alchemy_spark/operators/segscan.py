@@ -214,7 +214,7 @@ def expanding_scan(sdf: SparkDF, value_col: str, order_cols, agg: str,
     reaching ``min_periods`` — so the carries are (count, sum) /
     (count, max) channel pairs and the gate applies after the carry
     combine."""
-    if agg in ("var", "std"):
+    if agg in ("var", "std", "sem"):
         return _expanding_moment_scan(sdf, value_col, order_cols, agg,
                                       min_periods, out_col,
                                       num_partitions)
@@ -389,6 +389,11 @@ def _expanding_moment_scan(sdf: SparkDF, value_col: str, order_cols,
             out = pd.Series(var).where(pd.Series(n >= mp))
             if agg == "std":
                 out = np.sqrt(out)
+            elif agg == "sem":
+                # pandas WINDOW sem divides by sqrt(count - ddof)
+                # (rolling.py: std / (count - ddof)**0.5), unlike
+                # Series.sem's sqrt(count)
+                out = np.sqrt(out) / np.sqrt(n - 1)
             res = pdf.drop(columns=["__pid"]).copy()
             res[out_col] = out
             if n_b[-1] > 0:
@@ -553,11 +558,12 @@ def delta_scan(sdf: SparkDF, value_col: str, order_cols,
 
 
 _ROLL_AGGS = ("sum", "mean", "max", "min", "count", "std", "var",
-              "median")
+              "median", "sem", "skew", "kurt", "rank")
 
 
 def _roll_out_type(agg: str, in_type: str) -> str:
-    if agg in ("mean", "std", "var", "median"):
+    if agg in ("mean", "std", "var", "median", "sem", "skew",
+               "kurt", "rank"):
         return "double"
     if agg == "count":
         return "bigint"
