@@ -52,13 +52,27 @@ def audit(pd_cls, eng_cls, name, extra_oos=()):
     return have, missing, oos
 
 
+#: window sub-object attrs that are config/introspection state, not
+#: verbs (plus validate/is_datetimelike internals)
+WINDOW_OOS = {"axis", "center", "closed", "exclusions", "method",
+              "min_periods", "ndim", "obj", "on", "step", "win_type",
+              "window", "validate", "is_datetimelike"}
+
+
 def main():
     import pandas_alchemy_spark as pas
+    from pandas_alchemy_spark.operators.analytic import (Expanding,
+                                                         Rolling)
     from pandas_alchemy_spark.relational import GroupBy
     audit(pd.DataFrame, pas.DataFrame, "DataFrame")
     audit(pd.Series, pas.Series, "Series")
     audit(pd.core.groupby.DataFrameGroupBy, GroupBy,
           "DataFrameGroupBy", extra_oos={"fillna"})
+    # round 6: the top-level walk never saw the window sub-objects
+    audit(pd.core.window.Rolling, Rolling, "Rolling",
+          extra_oos=WINDOW_OOS)
+    audit(pd.core.window.Expanding, Expanding, "Expanding",
+          extra_oos=WINDOW_OOS)
 
 
 if __name__ == "__main__":
