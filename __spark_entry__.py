@@ -2121,7 +2121,11 @@ def q_window_suite(spark, sf_dir):
                         itpg=itpg,
                         rpct=price.rank(method="min", pct=True),
                         rmed=price.rolling(5).median(),
-                        rco=rco)
+                        rco=rco,
+                        # round-6 legs: the window sub-surface verbs
+                        # (border-exchange scans with pandas kernels)
+                        rsem=price.rolling(5).sem(),
+                        rskw=price.rolling(7).skew())
     core = combined.to_spark().select(
         F.col("o_orderkey").cast("long").alias("o_orderkey"),
         F.round("cum", 2).alias("cum_total"),
@@ -2136,7 +2140,12 @@ def q_window_suite(spark, sf_dir):
         # odd window -> the median IS a data value: raw-double exact
         F.col("rmed"),
         F.when(F.isnan("rco"), F.lit(None).cast("double"))
-        .otherwise(F.round("rco", 6)).alias("rco"))
+        .otherwise(F.round("rco", 6)).alias("rco"),
+        # sem is O(price): round(2) keeps 7 significant digits while
+        # staying clear of the last-ulp accumulation divergence that
+        # round(6) exposed at sf0.1 (97 boundary rows)
+        F.round("rsem", 2).alias("rsem"),
+        F.round("rskw", 6).alias("rskw"))
     d = q_ewm_price(spark, sf_dir)
     return core.join(d, "o_orderkey")
 
@@ -4059,6 +4068,17 @@ def oracle_sql() -> dict[str, str]:
                                                  DATE '1970-01-01',
                                                  o_orderdate))
                                    OVER wcu, 6) END AS rco,
+                   -- rolling sem: pandas WINDOW sem = std/sqrt(n-1)
+                   CASE WHEN count(*) OVER wm5 >= 5
+                        THEN round(stddev_samp(o_totalprice) OVER wm5
+                                   / sqrt(count(o_totalprice)
+                                          OVER wm5 - 1), 2)
+                   END AS rsem,
+                   -- rolling skew: DuckDB skewness is already the
+                   -- sample-adjusted G1 pandas computes
+                   CASE WHEN count(*) OVER wm7 >= 7
+                        THEN round(skewness(o_totalprice) OVER wm7, 6)
+                   END AS rskw,
                    round(sum(o_totalprice * pow(0.75, -rn)) OVER wc
                          / sum(pow(0.75, -rn)) OVER wc, 2) AS ewm_price
             FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
@@ -4075,6 +4095,8 @@ def oracle_sql() -> dict[str, str]:
                            AND UNBOUNDED FOLLOWING),
                    wr AS (ORDER BY o_orderkey
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                   wm7 AS (ORDER BY o_orderkey
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
                    wp AS (PARTITION BY o_custkey ORDER BY o_orderkey),
                    wg AS (ORDER BY o_orderkey),
                    wgr AS (ORDER BY o_orderkey
