@@ -735,6 +735,30 @@ class _GroupedEwm:
         s._rows_reordered = True
         return s
 
+    def sum(self):
+        """Grouped EWM weighted sum — the exact per-group recurrence
+        (scan.ewm_mean(by=, stat='sum'))."""
+        from .scan import ewm_mean
+        sgb = self._sgb
+        df = sgb._df
+        n = df._n_idx()
+        idx = [df._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
+        keys = [k.alias(f"__k_{j}") for j, k in enumerate(sgb._keys())]
+        val = df._col_at(df._columns.get_loc(sgb._label)).alias("__v")
+        tmp = df._sdf.select(*idx, *keys, val)
+        out = ewm_mean(
+            tmp, "__v", [I.idx_name(i) for i in range(n)],
+            self._alpha, by=[f"__k_{j}" for j in range(len(keys))],
+            out_col="__ewm", stat="sum")
+        body = out.select(*[F.col(I.idx_name(i)) for i in range(n)],
+                          F.col("__ewm").alias(I.col_name(0)))
+        s = sgb._Series(df._index, None, body, sgb._label)
+        s._mid_index = getattr(df, "_mid_index", False)
+        s._mid_dense = getattr(df, "_mid_dense", False)
+        s._mid_origin = getattr(df, "_mid_origin", None)
+        s._rows_reordered = True
+        return s
+
     def var(self, bias: bool = False):
         """Grouped EWM variance — the exact applyInPandas transport
         (one shuffle on the keys, bounded per-group state; the
@@ -808,6 +832,42 @@ class Ewm:
 
     def std(self, bias: bool = False):
         return self._second_moment(bias, std=True)
+
+    def sum(self):
+        """pandas ``ewm(alpha, adjust=True).sum()`` — the weighted sum
+        is the mean times its closed-form weight total
+        Σ_{k<t} (1−α)^k = (1 − (1−α)^t)/α, with t the 1-based row
+        position from the expanding-count scan: two segmented scans +
+        one index-aligned projection, still no single-partition
+        window.  (α=1 collapses to the identity: sum == mean.)"""
+        m = self.mean()
+        if self._alpha == 1.0:
+            return m
+        rn = self._s.expanding(1).count()
+        w = 1.0 - self._alpha
+        den = (1.0 - (w ** rn)) / self._alpha
+        return m * den
+
+    def corr(self, other=None, bias: bool = False):
+        raise NotImplementedError(
+            "ewm.corr is not supported (weighted pairwise co-moments "
+            "need a dedicated carry); use rolling(n).corr or "
+            "expanding().corr")
+
+    def cov(self, other=None, bias: bool = False):
+        raise NotImplementedError(
+            "ewm.cov is not supported; use rolling(n).cov or "
+            "expanding().cov")
+
+    def agg(self, func):
+        if isinstance(func, str):
+            if func not in ("mean", "sum", "var", "std"):
+                raise ValueError(f"unknown ewm aggregate {func!r}")
+            return getattr(self, func)()
+        raise NotImplementedError(
+            "ewm.agg supports a named aggregate string")
+
+    aggregate = agg
 
     def _second_moment(self, bias: bool, std: bool):
         from ..core import Series

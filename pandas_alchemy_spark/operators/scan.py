@@ -126,15 +126,24 @@ def _partition_scan(it, alpha, out):
 
 def ewm_mean(sdf: SparkDF, value_col: str, order_cols, alpha: float,
              by=None, out_col: str = "ewm",
-             num_partitions: int | None = None) -> SparkDF:
+             num_partitions: int | None = None,
+             stat: str = "mean") -> SparkDF:
     """pandas ``ewm(alpha, adjust=True).mean()`` over ``order_col``.
 
     ``by=`` groups: one applyInPandas per group (exact for any group
-    length).  Global: exact segmented scan (see module docstring).
-    Null values in ``value_col`` are not supported — filter first
-    (pandas' ignore_na semantics need a weight channel we don't carry).
+    length; ``stat`` may also be "sum" there — same recurrence minus
+    the weight normalization).  Global: exact segmented scan (see
+    module docstring; mean only — Ewm.sum composes it with the
+    closed-form weight total).  Null values in ``value_col`` are not
+    supported — filter first (pandas' ignore_na semantics need a
+    weight channel we don't carry).
     """
     _check_alpha(alpha)
+    if stat not in ("mean", "sum"):
+        raise ValueError(f"stat must be 'mean' or 'sum', got {stat!r}")
+    if stat != "mean" and by is None:
+        raise ValueError("global ewm stat 'sum' composes at the Ewm "
+                         "level; the scan computes the mean")
     order_cols = ([order_cols] if isinstance(order_cols, str)
                   else list(order_cols))
     if by is not None:
@@ -143,8 +152,9 @@ def ewm_mean(sdf: SparkDF, value_col: str, order_cols, alpha: float,
 
         def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(order_cols, kind="mergesort")
-            pdf[out_col] = (pdf[value_col].astype("float64")
-                            .ewm(alpha=alpha, adjust=True).mean())
+            pdf[out_col] = getattr(
+                pdf[value_col].astype("float64")
+                .ewm(alpha=alpha, adjust=True), stat)()
             return pdf
 
         schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"

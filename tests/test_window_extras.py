@@ -129,3 +129,48 @@ def test_expanding_agg_dispatch(noisy, noisy_pdf):
         noisy_pdf.v.expanding(2).agg("sum"), rtol=1e-12)
     with pytest.raises(ValueError, match="unknown expanding"):
         noisy.v.expanding().agg("huh")
+
+
+# ------------------------------------------------------------------ ewm
+
+def test_ewm_sum_global(spark):
+    rng = np.random.default_rng(77)
+    ps = pd.Series(rng.normal(size=2000) * 5)
+    s = pas.Series.from_pandas(ps)
+    got = s.ewm(alpha=0.3).sum().to_pandas().sort_index()
+    want = ps.ewm(alpha=0.3, adjust=True).sum()
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               rtol=1e-9)
+    # alpha=1 identity short-circuit
+    got1 = s.ewm(alpha=1.0).sum().to_pandas().sort_index()
+    np.testing.assert_allclose(
+        got1.to_numpy(), ps.ewm(alpha=1.0, adjust=True).sum()
+        .to_numpy(), rtol=1e-12)
+
+
+def test_ewm_sum_grouped(spark):
+    pdf = pd.read_parquet(f"{SF_DIR}/orders.parquet").sort_values(
+        "o_orderkey").set_index("o_orderkey")
+    df = pas.read_parquet(f"{SF_DIR}/orders.parquet").set_index(
+        "o_orderkey")
+    got = (df.groupby("o_custkey")["o_totalprice"].ewm(0.4).sum()
+           .to_pandas().sort_index())
+    want = (pdf.groupby("o_custkey")["o_totalprice"]
+            .apply(lambda g: g.ewm(alpha=0.4, adjust=True).sum())
+            .reset_index(level=0, drop=True).sort_index())
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               rtol=1e-9)
+
+
+def test_ewm_agg_and_refusals(spark):
+    s = pas.Series.from_list([1.0, 2.0, 3.0], name="v")
+    got = s.ewm(alpha=0.5).agg("mean").to_pandas().sort_index()
+    want = pd.Series([1.0, 2.0, 3.0]).ewm(alpha=0.5).mean()
+    np.testing.assert_allclose(got.to_numpy(), want.to_numpy(),
+                               rtol=1e-12)
+    with pytest.raises(ValueError, match="unknown ewm"):
+        s.ewm(alpha=0.5).agg("median")
+    with pytest.raises(NotImplementedError, match="rolling"):
+        s.ewm(alpha=0.5).corr(s)
+    with pytest.raises(NotImplementedError, match="rolling"):
+        s.ewm(alpha=0.5).cov(s)
