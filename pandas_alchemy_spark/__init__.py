@@ -69,12 +69,33 @@ def sql(query: str, index=None, **frames):
     The views are plan-backed, not materialized — ``pas.sql`` composes
     with the lazy façade at zero extra cost, and catalog tables
     already registered in the session remain addressable alongside
-    the kwarg views."""
+    the kwarg views.  Session hygiene: the kwarg views are SCOPED to
+    this call — Spark binds the plan during analysis (spark.sql
+    returns an analyzed frame), so the views are dropped afterwards
+    and any same-named pre-existing temp view is restored rather than
+    silently clobbered."""
     spark = get_session()
-    for name, df in frames.items():
-        sdf = df.to_spark() if hasattr(df, "to_spark") else df
-        sdf.createOrReplaceTempView(name)
-    return DataFrame.from_spark(spark.sql(query), index=index)
+    replaced = {}
+    for name in frames:
+        try:
+            if any(v.name == name and v.isTemporary
+                   for v in spark.catalog.listTables()):
+                replaced[name] = spark.table(name)
+        except Exception:
+            pass
+    try:
+        for name, df in frames.items():
+            sdf = df.to_spark() if hasattr(df, "to_spark") else df
+            sdf.createOrReplaceTempView(name)
+        out = spark.sql(query)
+    finally:
+        for name in frames:
+            old = replaced.get(name)
+            if old is not None:
+                old.createOrReplaceTempView(name)
+            else:
+                spark.catalog.dropTempView(name)
+    return DataFrame.from_spark(out, index=index)
 
 
 def read_parquet(path, columns=None, index=None):

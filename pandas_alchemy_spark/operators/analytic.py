@@ -701,14 +701,10 @@ class _GroupedEwm:
         self._sgb = sgb
         self._alpha = float(alpha)
 
-    def mean(self, exact: bool = False):
-        """Grouped EWM mean.  Default: the codegen'd window pow-trick
-        (one shuffle, no UDF) with a runtime guard that RAISES on any
-        group longer than ``scan.pow_trick_max_rows(alpha)`` rather
-        than silently overflowing to NaN.  ``exact=True``: the
-        applyInPandas per-group recurrence (scan.ewm_mean(by=)) —
-        exact for any group length."""
-        from .scan import ewm_mean, ewm_mean_grouped
+    def _scan(self, builder):
+        """Shared plumbing: project (index, keys, value), run the
+        scan ``builder(tmp, order_cols, by_cols)``, and wrap the
+        result Series (lineage flags copied once, here)."""
         sgb = self._sgb
         df = sgb._df
         n = df._n_idx()
@@ -716,16 +712,8 @@ class _GroupedEwm:
         keys = [k.alias(f"__k_{j}") for j, k in enumerate(sgb._keys())]
         val = df._col_at(df._columns.get_loc(sgb._label)).alias("__v")
         tmp = df._sdf.select(*idx, *keys, val)
-        if exact:
-            out = ewm_mean(
-                tmp, "__v", [I.idx_name(i) for i in range(n)],
-                self._alpha, by=[f"__k_{j}" for j in range(len(keys))],
-                out_col="__ewm")
-        else:
-            out = ewm_mean_grouped(
-                tmp, "__v", [I.idx_name(i) for i in range(n)],
-                [f"__k_{j}" for j in range(len(keys))], self._alpha,
-                out_col="__ewm")
+        out = builder(tmp, [I.idx_name(i) for i in range(n)],
+                      [f"__k_{j}" for j in range(len(keys))])
         body = out.select(*[F.col(I.idx_name(i)) for i in range(n)],
                           F.col("__ewm").alias(I.col_name(0)))
         s = sgb._Series(df._index, None, body, sgb._label)
@@ -735,29 +723,31 @@ class _GroupedEwm:
         s._rows_reordered = True
         return s
 
+    def mean(self, exact: bool = False):
+        """Grouped EWM mean.  Default: the codegen'd window pow-trick
+        (one shuffle, no UDF) with a runtime guard that RAISES on any
+        group longer than ``scan.pow_trick_max_rows(alpha)`` rather
+        than silently overflowing to NaN.  ``exact=True``: the
+        applyInPandas per-group recurrence (scan.ewm_mean(by=)) —
+        exact for any group length."""
+        from .scan import ewm_mean, ewm_mean_grouped
+        if exact:
+            return self._scan(
+                lambda tmp, order, by: ewm_mean(
+                    tmp, "__v", order, self._alpha, by=by,
+                    out_col="__ewm"))
+        return self._scan(
+            lambda tmp, order, by: ewm_mean_grouped(
+                tmp, "__v", order, by, self._alpha, out_col="__ewm"))
+
     def sum(self):
         """Grouped EWM weighted sum — the exact per-group recurrence
         (scan.ewm_mean(by=, stat='sum'))."""
         from .scan import ewm_mean
-        sgb = self._sgb
-        df = sgb._df
-        n = df._n_idx()
-        idx = [df._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
-        keys = [k.alias(f"__k_{j}") for j, k in enumerate(sgb._keys())]
-        val = df._col_at(df._columns.get_loc(sgb._label)).alias("__v")
-        tmp = df._sdf.select(*idx, *keys, val)
-        out = ewm_mean(
-            tmp, "__v", [I.idx_name(i) for i in range(n)],
-            self._alpha, by=[f"__k_{j}" for j in range(len(keys))],
-            out_col="__ewm", stat="sum")
-        body = out.select(*[F.col(I.idx_name(i)) for i in range(n)],
-                          F.col("__ewm").alias(I.col_name(0)))
-        s = sgb._Series(df._index, None, body, sgb._label)
-        s._mid_index = getattr(df, "_mid_index", False)
-        s._mid_dense = getattr(df, "_mid_dense", False)
-        s._mid_origin = getattr(df, "_mid_origin", None)
-        s._rows_reordered = True
-        return s
+        return self._scan(
+            lambda tmp, order, by: ewm_mean(
+                tmp, "__v", order, self._alpha, by=by,
+                out_col="__ewm", stat="sum"))
 
     def var(self, bias: bool = False):
         """Grouped EWM variance — the exact applyInPandas transport
@@ -771,25 +761,10 @@ class _GroupedEwm:
 
     def _second_moment(self, bias: bool, std: bool):
         from .scan import ewm_var
-        sgb = self._sgb
-        df = sgb._df
-        n = df._n_idx()
-        idx = [df._idx_at(i).alias(I.idx_name(i)) for i in range(n)]
-        keys = [k.alias(f"__k_{j}") for j, k in enumerate(sgb._keys())]
-        val = df._col_at(df._columns.get_loc(sgb._label)).alias("__v")
-        tmp = df._sdf.select(*idx, *keys, val)
-        out = ewm_var(
-            tmp, "__v", [I.idx_name(i) for i in range(n)],
-            self._alpha, by=[f"__k_{j}" for j in range(len(keys))],
-            out_col="__ewm", std=std, bias=bias)
-        body = out.select(*[F.col(I.idx_name(i)) for i in range(n)],
-                          F.col("__ewm").alias(I.col_name(0)))
-        s = sgb._Series(df._index, None, body, sgb._label)
-        s._mid_index = getattr(df, "_mid_index", False)
-        s._mid_dense = getattr(df, "_mid_dense", False)
-        s._mid_origin = getattr(df, "_mid_origin", None)
-        s._rows_reordered = True
-        return s
+        return self._scan(
+            lambda tmp, order, by: ewm_var(
+                tmp, "__v", order, self._alpha, by=by,
+                out_col="__ewm", std=std, bias=bias))
 
 
 class Ewm:
@@ -993,7 +968,9 @@ class Rolling:
         return self._agg(name)
 
     def sem(self):
-        """pandas ``rolling(n).sem()``: std(ddof=1)/sqrt(non-null)."""
+        """pandas ``rolling(n).sem()``: std(ddof=1)/sqrt(count−ddof)
+        (the WINDOW sem divides by count − ddof, unlike Series.sem —
+        same note as Expanding.sem)."""
         return self._named_pandas("sem")
 
     def skew(self):
@@ -1025,9 +1002,11 @@ class Rolling:
         returns a frame) is not modeled — call the methods and
         ``assign`` the results."""
         if isinstance(func, str):
+            # no "quantile": pandas agg("quantile") raises (q is
+            # required) — silently defaulting q=0.5 would diverge
             allowed = ("sum", "mean", "max", "min", "std", "var",
                        "median", "count", "sem", "skew", "kurt",
-                       "rank", "quantile")
+                       "rank")
             if func not in allowed:
                 raise ValueError(
                     f"unknown rolling aggregate {func!r}")
@@ -1363,7 +1342,7 @@ class Expanding:
         """String/callable dispatch (see ``Rolling.agg``)."""
         if isinstance(func, str):
             allowed = ("sum", "mean", "max", "min", "std", "var",
-                       "count", "sem", "median", "quantile", "skew",
+                       "count", "sem", "median", "skew",
                        "kurt", "rank")
             if func not in allowed:
                 raise ValueError(

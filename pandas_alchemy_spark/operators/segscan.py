@@ -713,6 +713,9 @@ def rolling_scan_multi(sdf: SparkDF, value_cols, order_cols,
     return base.mapInPandas(pass_b, fields)
 
 
+_TIME_ROLL_UNSAFE = ("rank", "sem", "skew", "kurt")
+
+
 def rolling_time_scan(sdf: SparkDF, value_col: str, ts_col: str,
                       offset_us: int, agg: str, min_periods: int = 1,
                       out_col: str = "rl",
@@ -732,6 +735,16 @@ def rolling_time_scan(sdf: SparkDF, value_col: str, ts_col: str,
     peer semantics."""
     if agg not in _ROLL_AGGS:
         raise ValueError(f"unsupported rolling agg {agg!r}")
+    if agg in _TIME_ROLL_UNSAFE:
+        # rank is a per-ROW statistic: the tie-group 'last' broadcast
+        # that restores RANGE peer semantics would silently overwrite
+        # per-row ranks on tied timestamps.  sem/skew/kurt would
+        # broadcast correctly (per-frame stats) but are refused at
+        # the API level and untested here — fail loud rather than
+        # silently accept an unexercised path
+        raise NotImplementedError(
+            f"time-offset rolling {agg!r} is not supported — use a "
+            "count-based window")
     mp = max(int(min_periods), 1)
     base = _pin(sdf, [F.col(ts_col)], num_partitions)
     in_type = sdf.schema[value_col].dataType.simpleString()

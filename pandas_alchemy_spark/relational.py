@@ -3788,6 +3788,7 @@ def merge_ordered(left, right, on=None, left_on=None, right_on=None,
             f"fill_method must be None or 'ffill', got {fill_method!r}")
     if left_by is not None:
         by = [left_by] if isinstance(left_by, str) else list(left_by)
+        ons = [on] if isinstance(on, str) else list(on)
         if left_on is not None or right_on is not None:
             raise NotImplementedError(
                 "merge_ordered(left_by=) supports the on= form")
@@ -3795,20 +3796,24 @@ def merge_ordered(left, right, on=None, left_on=None, right_on=None,
         # replicate right into every left group (pandas semantics:
         # each group merges against the WHOLE right frame)
         rx = groups.merge(right, how="cross", broadcast=True)
-        out = left.merge(rx, how=how, on=by + [on],
-                         suffixes=suffixes).sort_values(by + [on])
+        out = left.merge(rx, how=how, on=by + ons,
+                         suffixes=suffixes).sort_values(by + ons)
         if fill_method is None:
             return out
-        # grouped fill orders by the frame INDEX, so promote the key
+        # grouped fill orders by the frame INDEX, so promote the keys
         # first — fills then run in key order within each group
-        keyed = out.set_index(on)
+        keyed = out.set_index(ons)
+        if any(not isinstance(c, str) for c in keyed.columns):
+            raise NotImplementedError(
+                "merge_ordered(left_by=, fill_method=) needs string "
+                "column labels (the grouped fill reassigns by name)")
         filled = keyed
         for c in keyed.columns:
             if c in by:
                 continue
             filled = filled.assign(
                 **{str(c): filled.groupby(by)[c].ffill()})
-        return filled.reset_index().sort_values(by + [on])
+        return filled.reset_index().sort_values(by + ons)
     out = left.merge(right, how=how, on=on, left_on=left_on,
                      right_on=right_on, suffixes=suffixes)
     out = out.sort_values(key)

@@ -174,3 +174,51 @@ def test_ewm_agg_and_refusals(spark):
         s.ewm(alpha=0.5).corr(s)
     with pytest.raises(NotImplementedError, match="rolling"):
         s.ewm(alpha=0.5).cov(s)
+
+
+def test_merge_ordered_left_by_list_on(spark):
+    """left_by with a LIST on= key (review fix: by + [on] nested)."""
+    lp = pd.DataFrame({"g": ["a", "a", "b"], "k1": [1, 2, 1],
+                       "k2": [0, 0, 1], "lv": [10.0, 20.0, 30.0]})
+    rp = pd.DataFrame({"k1": [1, 2], "k2": [0, 0],
+                       "rv": [0.1, 0.2]})
+    want = pd.merge_ordered(lp, rp, on=["k1", "k2"], left_by="g")
+    got = (pas.merge_ordered(
+        pas.DataFrame.from_pandas(lp), pas.DataFrame.from_pandas(rp),
+        on=["k1", "k2"], left_by="g")
+        .to_pandas().reset_index(drop=True)
+        .sort_values(["g", "k1", "k2"]).reset_index(drop=True))
+    want = want.sort_values(["g", "k1", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=False)
+
+
+def test_sql_view_hygiene(spark):
+    """pas.sql must not clobber or leak temp views (review fix)."""
+    pre = spark.range(3).withColumnRenamed("id", "x")
+    pre.createOrReplaceTempView("hyg_t")
+    out = pas.sql("SELECT count(*) AS n FROM hyg_t",
+                  hyg_t=spark.range(7)).to_pandas()
+    assert int(out.n.iloc[0]) == 7
+    # the pre-existing view is restored, not clobbered
+    assert spark.sql("SELECT count(*) AS n FROM hyg_t") \
+        .collect()[0]["n"] == 3
+    spark.catalog.dropTempView("hyg_t")
+    # a view created only for the call is dropped afterwards
+    pas.sql("SELECT 1 AS one FROM fresh_v", fresh_v=spark.range(2))
+    assert not any(v.name == "fresh_v"
+                   for v in spark.catalog.listTables())
+
+
+def test_rolling_agg_quantile_refused(spark):
+    s = pas.Series.from_list([1.0, 2.0, 3.0], name="v")
+    with pytest.raises(ValueError, match="unknown rolling"):
+        s.rolling(2).agg("quantile")
+
+
+def test_time_rolling_rank_refused(spark):
+    from pandas_alchemy_spark.operators import segscan
+    with pytest.raises(NotImplementedError, match="time-offset"):
+        segscan.rolling_time_scan(
+            spark.range(3).selectExpr("id", "id * 1000000 AS ts"),
+            "id", "ts", 1000000, "rank")
