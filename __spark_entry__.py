@@ -2117,6 +2117,7 @@ def q_window_suite(spark, sf_dir):
                         sh=price.shift(2),
                         dif=price.diff(3),
                         fwd=masked.ffill(),
+                        fwdl=masked.ffill(limit=2),
                         itp=masked.interpolate(),
                         itpg=itpg,
                         rpct=price.rank(method="min", pct=True),
@@ -2134,6 +2135,9 @@ def q_window_suite(spark, sf_dir):
         F.round("sh", 2).alias("sh"),
         F.round("dif", 2).alias("dif"),
         F.round("fwd", 2).alias("fwd"),
+        # round-6 leg: global fill with limit= ((value, age) carry);
+        # the SQL twin for limit=2 is coalesce over two lags
+        F.round("fwdl", 2).alias("fwdl"),
         F.col("itp"),
         F.col("itpg"),
         F.col("rpct"),
@@ -4004,6 +4008,8 @@ def oracle_sql() -> dict[str, str]:
                          2) AS dif,
                    round(last_value(mv IGNORE NULLS)
                          OVER wgr, 2) AS fwd,
+                   round(coalesce(mv, lag(mv, 1) OVER wg,
+                                  lag(mv, 2) OVER wg), 2) AS fwdl,
                    -- global linear interpolate, forward direction:
                    -- same expression tree as the engine's segscan
                    -- (raw doubles, bit-exact — no rounding contract)
