@@ -2151,6 +2151,11 @@ def q_window_suite(spark, sf_dir):
         F.round("rsem", 2).alias("rsem"),
         F.round("rskw", 6).alias("rskw"))
     d = q_ewm_price(spark, sf_dir)
+    # (ewm.sum stays differential-tested rather than driver-folded:
+    # the pow-trick SQL twin's accumulation error (~1e-8 relative at
+    # 1e5 magnitudes) makes every rounding contract flaky for the
+    # SUM, where the weight constants don't cancel as they do in the
+    # mean — measured 20/1500 last-cent flips at round(2))
     return core.join(d, "o_orderkey")
 
 
