@@ -26,6 +26,12 @@ from .sources.io import (read_csv, read_jdbc, read_json, read_orc,
 from .sources.io import to_json as _to_json_sink
 from .session import close_db, get_session, init_db
 
+import threading as _threading
+
+# pas.sql serializes on this: temp-view registration + spark.sql must be
+# atomic per call when threads share one session.
+_SQL_LOCK = _threading.Lock()
+
 __version__ = "0.1.0"
 
 
@@ -72,29 +78,35 @@ def sql(query: str, index=None, **frames):
     the kwarg views.  Session hygiene: the kwarg views are SCOPED to
     this call — Spark binds the plan during analysis (spark.sql
     returns an analyzed frame), so the views are dropped afterwards
-    and any same-named pre-existing temp view is restored rather than
-    silently clobbered."""
+    and any same-named pre-existing LOCAL temp view is restored
+    rather than silently clobbered (``global_temp`` views live in
+    their own namespace and are out of scope — a kwarg never shadows
+    ``global_temp.name``).  Concurrency: calls serialize on a module
+    lock, so two threads sharing the session cannot race between a
+    view registration and the query that reads it; the probe below is
+    deliberately un-guarded — if the catalog cannot be listed the
+    call FAILS rather than risk dropping a user's pre-existing view."""
     spark = get_session()
-    replaced = {}
-    for name in frames:
+    with _SQL_LOCK:
+        # No blanket except here: a failed probe must surface, else the
+        # finally block would dropTempView() a same-named pre-existing
+        # view instead of restoring it.
+        existing = {v.name for v in spark.catalog.listTables()
+                    if v.isTemporary}
+        replaced = {name: spark.table(name)
+                    for name in frames if name in existing}
         try:
-            if any(v.name == name and v.isTemporary
-                   for v in spark.catalog.listTables()):
-                replaced[name] = spark.table(name)
-        except Exception:
-            pass
-    try:
-        for name, df in frames.items():
-            sdf = df.to_spark() if hasattr(df, "to_spark") else df
-            sdf.createOrReplaceTempView(name)
-        out = spark.sql(query)
-    finally:
-        for name in frames:
-            old = replaced.get(name)
-            if old is not None:
-                old.createOrReplaceTempView(name)
-            else:
-                spark.catalog.dropTempView(name)
+            for name, df in frames.items():
+                sdf = df.to_spark() if hasattr(df, "to_spark") else df
+                sdf.createOrReplaceTempView(name)
+            out = spark.sql(query)
+        finally:
+            for name in frames:
+                old = replaced.get(name)
+                if old is not None:
+                    old.createOrReplaceTempView(name)
+                else:
+                    spark.catalog.dropTempView(name)
     return DataFrame.from_spark(out, index=index)
 
 

@@ -160,6 +160,7 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
         s._mid_dense = self._mid_dense
         s._mid_origin = self._mid_origin
         s._rows_reordered = self._rows_reordered
+        s._explicit_order = self._explicit_order
         return s
 
     def __getitem__(self, key):
@@ -178,6 +179,9 @@ class DataFrame(base.BaseFrame, generic.GenericMixin, ops_mixin.OpsMixin,
             out._mid_dense = self._mid_dense
             out._mid_origin = self._mid_origin
             out._rows_reordered = self._rows_reordered
+            # a projection never reorders rows: a sorted frame stays
+            # sorted through df[cols] (and through drop(columns=))
+            out._explicit_order = self._explicit_order
             return out
         return self._seq_at(self._columns.get_loc(key))
 

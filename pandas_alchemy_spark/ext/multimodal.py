@@ -227,7 +227,11 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
             rows = []
             for _, row in pdf.iterrows():
                 payload = row[payload_col]
+                # A NULL payload must flow through the on_error policy
+                # like any other corrupt input — so the length probe and
+                # the decode both live inside the try.
                 try:
+                    plen = len(payload)
                     w, h, c, feat = k(bytes(payload),
                                       row["media_type"])
                 except Exception:
@@ -235,9 +239,10 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
                         raise
                     if on_error == "skip":
                         continue
+                    plen = len(payload) if payload is not None else 0
                     w = h = c = feat = None
                 rows.append((row[id_col], row["media_type"],
-                             len(payload), w, h, c, feat))
+                             plen, w, h, c, feat))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])
 
     return df.mapInPandas(decode_batches, MEDIA_META_SCHEMA)

@@ -175,10 +175,48 @@ def lsh_topk(df: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def lsh_collision_prob(threshold: float) -> float:
+    """Per-hyperplane sign-agreement probability for two vectors at
+    cosine ``threshold``: p = 1 - acos(s)/pi (Goemans-Williamson /
+    Charikar sign-LSH).  Public-literature formula; drives the
+    recall-aware geometry below."""
+    import math
+    s = max(-1.0, min(1.0, float(threshold)))
+    return 1.0 - math.acos(s) / math.pi
+
+
+def _auto_tables(planes: int, threshold: float,
+                 target_recall: float = 0.9,
+                 max_tables: int = 32) -> int:
+    """Smallest L with 1-(1-p^planes)^L >= target_recall, capped at
+    ``max_tables``.  When the cap binds the achievable recall is
+    logged LOUDLY — sign-LSH cannot cheaply catch low-cosine pairs,
+    and silence here is how recall regressions ship."""
+    import math
+    import sys
+    p = lsh_collision_prob(threshold)
+    per_table = p ** planes
+    if per_table >= 1.0:
+        return 1
+    need = math.log(1.0 - target_recall) / math.log(1.0 - per_table)
+    L = max(1, math.ceil(need))
+    if L > max_tables:
+        reach = 1.0 - (1.0 - per_table) ** max_tables
+        print(f"embedding_near_dup_pairs: tables='auto' capped at "
+              f"{max_tables} (needed {L} for recall "
+              f"{target_recall:.2f} at threshold {threshold}); "
+              f"expected recall ~{reach:.2f}. Raise threshold, lower "
+              f"planes (bigger buckets), or accept the recall.",
+              file=sys.stderr)
+        return max_tables
+    return L
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding", dim: int = 32,
-                             planes=10, tables: int = 4,
+                             planes=10, tables=4,
                              threshold: float = 0.95,
+                             target_recall: float = 0.9,
                              bucket_cap: int | None = 2000,
                              cache: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table sign-bit
@@ -220,11 +258,34 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     if planes == "auto":
         import math
         n_vec = df.count()
-        planes = max(6, min(24, math.ceil(
+        planes_cost = max(6, min(24, math.ceil(
             math.log2(max(n_vec, 1) / 32 or 1))))
+        # recall bound: the largest planes for which max_tables=32
+        # tables can still reach target_recall at this threshold —
+        # cost-only sizing silently destroys recall as n grows (the
+        # round-6 geometry fix was time-verified only; this is the
+        # recall half of that trade)
+        p = lsh_collision_prob(threshold)
+        per_needed = 1.0 - (1.0 - target_recall) ** (1.0 / 32)
+        planes_recall = (24 if p >= 1.0 else max(4, math.floor(
+            math.log(per_needed) / math.log(p))))
+        planes = min(planes_cost, planes_recall)
+        if planes < planes_cost:
+            import sys
+            print(f"embedding_near_dup_pairs: recall target "
+                  f"{target_recall:.2f} at threshold {threshold} "
+                  f"limits planes to {planes} (cost sizing wanted "
+                  f"{planes_cost}); expect ~{max(n_vec, 1) / 2 ** planes:.0f}"
+                  f"-row buckets and bucket_cap drops at scale",
+                  file=sys.stderr)
     elif not isinstance(planes, int) or planes < 1:
         raise ValueError(f"planes must be a positive int or 'auto', "
                          f"got {planes!r}")
+    if tables == "auto":
+        tables = _auto_tables(planes, threshold, target_recall)
+    elif not isinstance(tables, int) or tables < 1:
+        raise ValueError(f"tables must be a positive int or 'auto', "
+                         f"got {tables!r}")
     codes = table_codes_udf(dim, planes, tables)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      norm_expr(vec_col).alias("n"),

@@ -766,6 +766,18 @@ class _GroupedEwm:
                 tmp, "__v", order, self._alpha, by=by,
                 out_col="__ewm", std=std, bias=bias))
 
+    def agg(self, func):
+        """Same string dispatch as the global ``Ewm.agg`` — the
+        grouped and global handles expose one surface for the verb."""
+        if isinstance(func, str):
+            if func not in ("mean", "sum", "var", "std"):
+                raise ValueError(f"unknown ewm aggregate {func!r}")
+            return getattr(self, func)()
+        raise NotImplementedError(
+            "ewm.agg supports a named aggregate string")
+
+    aggregate = agg
+
 
 class Ewm:
     """``series.ewm(alpha)`` handle (mean only) — the EXACT distributed

@@ -3779,7 +3779,10 @@ def merge_ordered(left, right, on=None, left_on=None, right_on=None,
     as one distinct-groups × right expansion (broadcast: the group
     list is small by construction) followed by a single merge on
     (groups + key) and a GROUPED fill, so no per-group Python loop
-    and one shuffle for the whole verb."""
+    and one shuffle for the whole verb.  Groups come out in the LEFT
+    frame's appearance order (pandas semantics), recovered as one
+    O(#groups) min-position aggregate over the scalable
+    partition-offset rowid and broadcast back onto the result."""
     key = on if on is not None else left_on
     if key is None:
         raise ValueError("merge_ordered needs on= or left_on=")
@@ -3792,14 +3795,35 @@ def merge_ordered(left, right, on=None, left_on=None, right_on=None,
         if left_on is not None or right_on is not None:
             raise NotImplementedError(
                 "merge_ordered(left_by=) supports the on= form")
+        if any(not isinstance(b, str) for b in by):
+            raise NotImplementedError(
+                "merge_ordered(left_by=) needs string group labels")
         groups = left[by].drop_duplicates()
+        # pandas keeps groups in the LEFT frame's appearance order,
+        # not lexicographic: one min(position) per group over the
+        # partition-offset rowid, broadcast back for the final sort.
+        from .core import DataFrame as _DF
+        from .operators.rowid import with_rowid
+        gsel = [left._col_at(left._columns.get_loc(b)).alias(b)
+                for b in by]
+        pos = with_rowid(left._sdf, "__pa_gpos").select(*gsel,
+                                                        "__pa_gpos")
+        gord = pos.groupBy(*by).agg(
+            F.min("__pa_gpos").alias("__pa_gord"))
+        gord_df = _DF.from_spark(gord)
+
+        def _order(frame):
+            o = frame.merge(gord_df, how="left", on=by,
+                            broadcast=True)
+            o = o.sort_values(["__pa_gord"] + ons)
+            return o.drop(columns=["__pa_gord"])
+
         # replicate right into every left group (pandas semantics:
         # each group merges against the WHOLE right frame)
         rx = groups.merge(right, how="cross", broadcast=True)
-        out = left.merge(rx, how=how, on=by + ons,
-                         suffixes=suffixes).sort_values(by + ons)
+        out = left.merge(rx, how=how, on=by + ons, suffixes=suffixes)
         if fill_method is None:
-            return out
+            return _order(out)
         # grouped fill orders by the frame INDEX, so promote the keys
         # first — fills then run in key order within each group
         keyed = out.set_index(ons)
@@ -3813,7 +3837,7 @@ def merge_ordered(left, right, on=None, left_on=None, right_on=None,
                 continue
             filled = filled.assign(
                 **{str(c): filled.groupby(by)[c].ffill()})
-        return filled.reset_index().sort_values(by + ons)
+        return _order(filled.reset_index())
     out = left.merge(right, how=how, on=on, left_on=left_on,
                      right_on=right_on, suffixes=suffixes)
     out = out.sort_values(key)

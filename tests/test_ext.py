@@ -588,6 +588,56 @@ def test_emb_near_dup_auto_planes(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="positive int or 'auto'"):
         similarity.embedding_near_dup_pairs(emb, dim=dim, planes=0)
+    with _pt.raises(ValueError, match="positive int or 'auto'"):
+        similarity.embedding_near_dup_pairs(emb, dim=dim, tables=0)
+
+
+def test_lsh_auto_tables_geometry():
+    """tables='auto' sizes L for the target recall from the public
+    sign-LSH collision model p = 1 - acos(s)/pi; the cap binds (and
+    warns) when the threshold is too low to reach cheaply."""
+    import math
+
+    from pandas_alchemy_spark.ext import similarity as sim
+    p95 = sim.lsh_collision_prob(0.95)
+    assert abs(p95 - (1 - math.acos(0.95) / math.pi)) < 1e-12
+    L = sim._auto_tables(13, 0.95, target_recall=0.9)
+    # the chosen L actually achieves the target
+    assert 1 - (1 - p95 ** 13) ** L >= 0.9
+    # and L-1 would not (minimality)
+    assert 1 - (1 - p95 ** 13) ** (L - 1) < 0.9
+    # low threshold + many planes -> cap binds
+    assert sim._auto_tables(13, 0.45, target_recall=0.9) == 32
+
+
+def test_emb_near_dup_auto_tables_recall(spark):
+    """planes='auto', tables='auto' at a high threshold must actually
+    recall planted near-duplicates (the r6 geometry was time-verified
+    only; this pins the recall half on a live corpus)."""
+    import pyspark.sql.functions as F
+
+    from pandas_alchemy_spark.ext import similarity
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").head(1)[0][0])
+    # plant perturbed copies of every 10th vector at cosine ~0.97
+    noise = (f"transform(embedding, (x, i) -> CAST(x + 0.25 * "
+             f"sqrt(aggregate(embedding, cast(0.0 as double), "
+             f"(s, v) -> s + v * v) / {dim}) * sqrt(3.0) * "
+             f"(pmod(xxhash64(vec_id, i), 1000003) / 1000003.0 * 2.0 "
+             f"- 1.0) AS FLOAT))")
+    planted = (emb.filter(F.col("vec_id") % 10 == 0)
+               .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+               .withColumn("embedding", F.expr(noise)))
+    truth = {(r[0], r[0] + 1_000_000)
+             for r in planted.select(F.col("vec_id") - 1_000_000)
+             .collect()}
+    out = similarity.embedding_near_dup_pairs(
+        emb.unionAll(planted), dim=dim, planes="auto", tables="auto",
+        threshold=0.93)
+    found = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+             for r in out.collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.85, f"planted-pair recall {recall}"
 
 
 def test_decontaminate_mark_and_drop(spark):

@@ -97,10 +97,37 @@ def main():
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
+    # --- planted near-duplicates with a truth sidecar.  The source
+    # embeddings are near-random (sf0.1: zero pairs at cosine >= 0.7),
+    # so near-dup RECALL at the operator's design threshold (0.95) is
+    # unmeasurable on replicas alone.  Plant a perturbed copy of 1% of
+    # vectors: v' = v + 0.25*||v||/sqrt(d) * u, u deterministic
+    # uniform[-1,1]*sqrt(3) per (id, dim) via xxhash64 — E[cos] =
+    # 1/sqrt(1+0.0625) ~ 0.970, concentrated at dim >= 32.  Truth
+    # pairs -> planted_pairs.parquet for tools/bench_dedup_sf10.py.
+    scale = 0.25
+    noise = (f"transform(embedding, (x, i) -> CAST(x + {scale} * "
+             f"sqrt(aggregate(embedding, cast(0.0 as double), "
+             f"(s, v) -> s + v * v) / {dim}) * sqrt(3.0) * "
+             f"(pmod(xxhash64(vec_id, i), 1000003) / 1000003.0 * 2.0 "
+             f"- 1.0) AS FLOAT))")
+    seeds = out.filter(F.pmod(F.col("vec_id"), F.lit(97)) == 0)
+    planted = (seeds
+               .withColumn("pair_id", F.col("vec_id"))
+               .withColumn("vec_id",
+                           F.col("vec_id") + F.lit(k * OFFSET))
+               .withColumn("embedding", F.expr(noise)))
+    (planted.select(F.col("pair_id").alias("id_a"),
+                    F.col("vec_id").alias("id_b"))
+     .repartition(4)
+     .write.mode("overwrite").parquet(f"{dst}/planted_pairs.parquet"))
+    out = out.unionAll(planted.drop("pair_id"))
     (out.repartition(32)
      .write.mode("overwrite").parquet(f"{dst}/embeddings.parquet"))
     print("embeddings",
           spark.read.parquet(f"{dst}/embeddings.parquet").count())
+    print("planted",
+          spark.read.parquet(f"{dst}/planted_pairs.parquet").count())
 
 
 if __name__ == "__main__":
