@@ -447,22 +447,80 @@ def rank_scan(sdf: SparkDF, value_col: str, order_cols, method: str,
                            for f in sdf.schema.fields)
     out_fields += f", {out_col} double"
 
+    buffer_methods = method in ("average", "max")
+    denom = float(acc)
+
     def pass_b(it):
-        # rank needs the WHOLE partition at once: a tie group can span
-        # Arrow batch boundaries, and average/max ranks depend on the
-        # full tie group (the applyInPandas memory contract)
-        pdf = _whole_partition(it)
-        if pdf is None:
-            return
-        pid = int(pdf["__pid"].iloc[0])
-        off = prefix.get(pid, 0)
-        loc = pdf[value_col].rank(method=method, ascending=ascending)
-        res = pdf.drop(columns=["__pid"]).copy()
-        out = loc + off
-        if pct:
-            out = out / float(acc)
-        res[out_col] = out
-        yield res
+        # STREAMING pass B (r7; the old form concatenated the whole
+        # partition).  The partition arrives value-sorted (_pin does
+        # an in-partition sort), so per-batch pandas rank + running
+        # counters is exact, with two boundary repairs:
+        #   - 'average'/'max' depend on the FULL tie group, so the
+        #     trailing (possibly batch-spanning) tie group is held
+        #     back until its value changes — memory bound = one tie
+        #     group, not one partition;
+        #   - 'min'/'dense' only need the group START: carry the last
+        #     value's assigned rank forward and override/shift rows
+        #     continuing it ('first' is positional — no repair).
+        # Nulls sort last and rank NaN, so a null anywhere in a batch
+        # means every non-null group in it is already complete.
+        carry = None          # trailing tie-group rows (average/max)
+        nn_seen = 0.0         # non-null rows emitted before this slab
+        dd_seen = 0.0         # distinct non-null values emitted
+        prev_val = None       # last emitted non-null value
+        prev_rank = None      # its global rank (min) / dense rank
+        off = 0.0
+
+        def finish(slab):
+            nonlocal nn_seen, dd_seen, prev_val, prev_rank
+            vals = slab[value_col]
+            loc = vals.rank(method=method, ascending=ascending)
+            if method == "dense":
+                base_off = dd_seen
+                if prev_val is not None and len(vals) \
+                        and vals.iloc[0] == prev_val:
+                    base_off -= 1.0  # value already counted
+                out = loc + base_off
+                nonnull = vals.dropna()
+                dd_seen = base_off + (nonnull.nunique() or 0)
+            else:
+                out = loc + nn_seen
+                if method == "min" and prev_val is not None \
+                        and len(vals) and vals.iloc[0] == prev_val:
+                    out = out.where(vals != prev_val, prev_rank)
+                nn_seen += float(vals.notna().sum())
+            nonnull = vals.dropna()
+            if len(nonnull):
+                prev_val = nonnull.iloc[-1]
+                if method == "dense":
+                    prev_rank = dd_seen
+                else:
+                    prev_rank = float(
+                        out[vals == prev_val].iloc[0])
+            res = slab.drop(columns=["__pid"]).copy()
+            res[out_col] = ((out + off) / denom if pct
+                            else out + off)
+            return res
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            if not off:
+                off = float(prefix.get(int(pdf["__pid"].iloc[0]), 0))
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            vals = pdf[value_col]
+            if buffer_methods and pd.notna(vals.iloc[-1]):
+                pending = vals == vals.iloc[-1]
+                if pending.all():
+                    carry = pdf  # one giant tie group: keep holding
+                    continue
+                carry = pdf[pending]
+                pdf = pdf[~pending]
+            yield finish(pdf)
+        if carry is not None and len(carry):
+            yield finish(carry)
 
     return base.mapInPandas(pass_b, out_fields)
 

@@ -162,6 +162,31 @@ def test_rank_spans_arrow_batches(spark, tiny_arrow_batches):
         _eq(df.v.rank(method=method), pdf.v.rank(method=method))
 
 
+def test_rank_streaming_pass_b_variants(spark, tiny_arrow_batches):
+    """The r7 streaming pass B (tie-group buffering instead of
+    whole-partition concat): descending, nulls, pct, and a GIANT tie
+    group spanning many batches all stay exact."""
+    rng = np.random.default_rng(37)
+    v = rng.integers(0, 8, size=4000).astype("float64")
+    v[rng.integers(0, 4000, 500)] = np.nan  # nulls sort last
+    pdf = pd.DataFrame({"v": v})
+    df = pas.DataFrame.from_pandas(pdf)
+    for method in ("min", "dense", "average", "max", "first"):
+        _eq(df.v.rank(method=method), pdf.v.rank(method=method))
+        _eq(df.v.rank(method=method, ascending=False),
+            pdf.v.rank(method=method, ascending=False))
+        _eq(df.v.rank(method=method, pct=True),
+            pdf.v.rank(method=method, pct=True), rtol=1e-12)
+    # one value holding 60% of rows: the tie group spans dozens of
+    # 64-row batches — the buffer holds a tie group, never explodes
+    w = rng.integers(0, 5, size=4000).astype("float64")
+    w[rng.random(4000) < 0.6] = 2.0
+    pdf2 = pd.DataFrame({"v": w})
+    df2 = pas.DataFrame.from_pandas(pdf2)
+    for method in ("average", "max", "min", "dense"):
+        _eq(df2.v.rank(method=method), pdf2.v.rank(method=method))
+
+
 def test_expanding_spans_arrow_batches(spark, tiny_arrow_batches):
     rng = np.random.default_rng(31)
     v = rng.normal(size=4000)
