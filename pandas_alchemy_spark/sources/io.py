@@ -121,8 +121,9 @@ def read_jdbc(url: str, table: str, columns=None, index=None,
     SQLAlchemy-URL connector surface (reference db.py:12-19 holds a
     SQLAlchemy engine; here Spark's JDBC source reads the table with
     filter/column pushdown).  Requires the vendor's JDBC driver jar
-    on the Spark classpath (none ships in this container — the
-    wrapper is surface + contract, exercised against error paths).
+    on the Spark classpath.  Live-tested against embedded Derby (the
+    jar Spark ships for its Hive metastore): plain, partitioned and
+    projected reads — tests/test_sources.py::test_read_jdbc_live_derby.
 
     At scale ALWAYS pass ``partition_column``/``num_partitions`` and
     the bounds: without them the whole table reads through ONE

@@ -111,3 +111,57 @@ def test_read_jdbc_surface(spark):
                   partition_column="id")
     with pytest.raises(Exception):
         read_jdbc("jdbc:postgresql://h/db", "t")
+
+
+def test_read_jdbc_live_derby(spark):
+    """LIVE JDBC integration (VERDICT r6 item 8): Derby ships on the
+    Spark classpath (the Hive-metastore dependency), so an in-memory
+    Derby database exercises the real read path — plain scan,
+    partitioned scan (bounded range queries), and column projection
+    with pushdown all against actual JDBC."""
+    from pandas_alchemy_spark.sources.io import read_jdbc
+
+    url = "jdbc:derby:memory:pas_jdbc_test;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.execute("DROP TABLE items")
+        except Exception:
+            pass
+        st.execute("CREATE TABLE items "
+                   "(id INT PRIMARY KEY, name VARCHAR(20), "
+                   "qty DOUBLE)")
+        for i in range(20):
+            st.execute(f"INSERT INTO items VALUES "
+                       f"({i}, 'item{i}', {i * 1.5})")
+        st.close()
+
+        df = read_jdbc(url, "items")
+        pdf = df.to_pandas().sort_values("ID").reset_index(drop=True)
+        assert len(pdf) == 20
+        assert pdf.QTY.iloc[3] == 4.5 and pdf.NAME.iloc[7] == "item7"
+
+        # partitioned read: 4 bounded range queries, same multiset
+        dfp = read_jdbc(url, "items", partition_column="id",
+                        num_partitions=4, lower_bound=0,
+                        upper_bound=20)
+        # index=False export: the densify pass would re-layout the
+        # partitions, the raw plan keeps the 4 JDBC range queries
+        assert dfp.to_spark(index=False).rdd.getNumPartitions() == 4
+        pdp = dfp.to_pandas()
+        assert sorted(pdp.ID.tolist()) == list(range(20))
+
+        # projection reaches the JDBC source (column pruning)
+        dfc = read_jdbc(url, "items", columns=["ID", "QTY"])
+        assert list(dfc.to_pandas().columns) == ["ID", "QTY"]
+        assert float(dfc.to_pandas().QTY.sum()) == sum(
+            i * 1.5 for i in range(20))
+    finally:
+        conn.close()
+        try:
+            jvm.java.sql.DriverManager.getConnection(
+                "jdbc:derby:memory:pas_jdbc_test;drop=true")
+        except Exception:
+            pass  # drop "succeeds" by raising SQLException 08006
