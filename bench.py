@@ -93,7 +93,17 @@ def main():
     def lsh_near_dup(spark_, sf_dir_):
         emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
         dim = len(emb.select("embedding").head(1)[0][0])
-        return similarity.embedding_near_dup_pairs(emb, dim=dim, planes=10,
+        # cost-only auto sizing: fixed planes=10 measured 21.9x time
+        # for 10x data at sf10 (quadratic within-bucket pairs), while
+        # recall-aware auto at this synthetic 0.45 threshold is
+        # degenerate (30 tables of 64-bucket codes).  This bench leg
+        # measures the bucketed candidate-generation plan's
+        # throughput; the recall contract lives in the design-
+        # threshold dedup bench (tools/bench_dedup_sf10.py).
+        return similarity.embedding_near_dup_pairs(emb, dim=dim,
+                                                   planes="auto",
+                                                   tables=4,
+                                                   target_recall=None,
                                                    threshold=0.45)
 
     def border_scan(spark_, sf_dir_):

@@ -240,7 +240,10 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     vectors, planes=10 (1024 buckets, ~195 vectors each) costs 149x
     the 2k-vector run for 100x the data, while auto (13 planes) keeps
     candidate generation linear.  At 100 TB, always auto or size
-    planes ~ log2(n).
+    planes ~ log2(n).  With ``target_recall=None`` the auto sizing is
+    cost-only (no recall clamp) and ``tables`` must be a fixed int —
+    the throughput mode for low-threshold screening where sign-LSH
+    has no recall-honest geometry (see the in-body note).
 
     ``cache=True`` persists the projected (id, vec, norm, codes) frame
     so the Arrow-batch code UDF runs once instead of three times
@@ -260,28 +263,43 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         n_vec = df.count()
         planes_cost = max(6, min(24, math.ceil(
             math.log2(max(n_vec, 1) / 32 or 1))))
-        # recall bound: the largest planes for which max_tables=32
-        # tables can still reach target_recall at this threshold —
-        # cost-only sizing silently destroys recall as n grows (the
-        # round-6 geometry fix was time-verified only; this is the
-        # recall half of that trade)
-        p = lsh_collision_prob(threshold)
-        per_needed = 1.0 - (1.0 - target_recall) ** (1.0 / 32)
-        planes_recall = (24 if p >= 1.0 else max(4, math.floor(
-            math.log(per_needed) / math.log(p))))
-        planes = min(planes_cost, planes_recall)
-        if planes < planes_cost:
-            import sys
-            print(f"embedding_near_dup_pairs: recall target "
-                  f"{target_recall:.2f} at threshold {threshold} "
-                  f"limits planes to {planes} (cost sizing wanted "
-                  f"{planes_cost}); expect ~{max(n_vec, 1) / 2 ** planes:.0f}"
-                  f"-row buckets and bucket_cap drops at scale",
-                  file=sys.stderr)
+        if target_recall is None:
+            # cost-only sizing: ~32-row buckets, candidate generation
+            # linear in n.  Recall is whatever the fixed `tables`
+            # buys (1-(1-p^planes)^tables) — the throughput mode for
+            # low-threshold screening where a recall-honest geometry
+            # does not exist (at threshold 0.45, recall 0.9 needs ~30
+            # tables of 6-plane/64-bucket codes: measured 124 s on
+            # 20k vectors with 1597 capped buckets — degenerate).
+            planes = planes_cost
+        else:
+            # recall bound: the largest planes for which max_tables=32
+            # tables can still reach target_recall at this threshold —
+            # cost-only sizing silently destroys recall as n grows (the
+            # round-6 geometry fix was time-verified only; this is the
+            # recall half of that trade)
+            p = lsh_collision_prob(threshold)
+            per_needed = 1.0 - (1.0 - target_recall) ** (1.0 / 32)
+            planes_recall = (24 if p >= 1.0 else max(4, math.floor(
+                math.log(per_needed) / math.log(p))))
+            planes = min(planes_cost, planes_recall)
+            if planes < planes_cost:
+                import sys
+                print(f"embedding_near_dup_pairs: recall target "
+                      f"{target_recall:.2f} at threshold {threshold} "
+                      f"limits planes to {planes} (cost sizing wanted "
+                      f"{planes_cost}); expect "
+                      f"~{max(n_vec, 1) / 2 ** planes:.0f}"
+                      f"-row buckets and bucket_cap drops at scale",
+                      file=sys.stderr)
     elif not isinstance(planes, int) or planes < 1:
         raise ValueError(f"planes must be a positive int or 'auto', "
                          f"got {planes!r}")
     if tables == "auto":
+        if target_recall is None:
+            raise ValueError(
+                "tables='auto' sizes L from target_recall; pass a "
+                "numeric target_recall or a fixed tables count")
         tables = _auto_tables(planes, threshold, target_recall)
     elif not isinstance(tables, int) or tables < 1:
         raise ValueError(f"tables must be a positive int or 'auto', "

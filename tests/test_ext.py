@@ -592,6 +592,27 @@ def test_emb_near_dup_auto_planes(spark):
         similarity.embedding_near_dup_pairs(emb, dim=dim, tables=0)
 
 
+def test_emb_near_dup_cost_only_auto(spark):
+    """target_recall=None selects cost-only auto planes (throughput
+    mode for low-threshold screening): no recall clamp, fixed tables
+    required, exact-cosine verify still guarantees precision 1."""
+    import pytest as _pt
+
+    from pandas_alchemy_spark.ext import similarity
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").head(1)[0][0])
+    out = similarity.embedding_near_dup_pairs(
+        emb, dim=dim, planes="auto", tables=2, target_recall=None,
+        threshold=0.45)
+    rows = out.collect()
+    assert all(r["cosine"] >= 0.45 for r in rows)
+    # tables='auto' has no L without a recall target
+    with _pt.raises(ValueError, match="target_recall"):
+        similarity.embedding_near_dup_pairs(
+            emb, dim=dim, planes="auto", tables="auto",
+            target_recall=None)
+
+
 def test_lsh_auto_tables_geometry():
     """tables='auto' sizes L for the target recall from the public
     sign-LSH collision model p = 1 - acos(s)/pi; the cap binds (and
