@@ -257,10 +257,16 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     # matmul with a ragged batch — drop them up front (the brute-force
     # SQL path tolerates them as NULL cosine; this keeps the ANN
     # paths consistent and un-crashable)
+    if planes == "auto":
+        import math
+        # count BEFORE the isNotNull filter: a filterless count-star
+        # on a parquet scan is answered from footer metadata (no data
+        # scan); nulls only pad n upward, which for bucket sizing is
+        # harmless
+        n_vec = df.count()
     df = df.filter(F.col(vec_col).isNotNull())
     if planes == "auto":
         import math
-        n_vec = df.count()
         planes_cost = max(6, min(24, math.ceil(
             math.log2(max(n_vec, 1) / 32 or 1))))
         if target_recall is None:
