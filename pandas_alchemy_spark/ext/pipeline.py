@@ -55,6 +55,20 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
     normalized = text.normalize_text(docs, text_col=text_col)
     scored = text.quality_score(normalized, text_col=text_col)
     kept = scored.filter(F.col("q_score") >= F.lit(min_quality))
+    # PERSIST the gate survivors: every downstream stage (exact-dedup
+    # reps join, minhash clustering, final join + packing) re-derives
+    # `kept`, and Catalyst neither de-duplicates common subtrees nor
+    # keeps pushed-down filters cheap — PushDownPredicate INLINES the
+    # quality expression into the Filter, re-tokenizing 8x per row,
+    # and the whole scan+normalize+score subtree then appears 8x in
+    # the optimized plan.  One persist runs the scan/score once; the
+    # similarity cache ring releases it deterministically.  At 100 TB
+    # this is the standard persist-after-expensive-gate checkpoint
+    # (MEMORY_AND_DISK spill; the survivors are a fraction of the
+    # raw corpus by construction).
+    from .similarity import _register_cache
+    kept = kept.persist()
+    _register_cache(kept)
 
     # 2. exact collapse on the normalized form: boilerplate and
     # whitespace/case variants fold together; keep the min-id copy
