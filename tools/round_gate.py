@@ -6,7 +6,9 @@ evidence gate in sequence and emits a single JSON artifact.
      scale has caught a real latent bug);
   2. adversarial-config sweep (tools/check_stress — 3 shuffle
      partitions + 64-row Arrow batches);
-  3. loadavg-gated bench at sf0.1 (bench.py — its own JSON line is
+  3. expression-reuse plan audit (tools/audit_expr_reuse — repeated
+     non-cheap expressions per optimized-plan node, 0 required);
+  4. loadavg-gated bench at sf0.1 (bench.py — its own JSON line is
      captured verbatim under "bench").
 
 Each stage runs as a subprocess so one JVM's state can't leak into
@@ -72,7 +74,20 @@ def main():
     print(f"stress: {g['pass']} pass, {g['fail']} fail ({secs}s)",
           file=sys.stderr)
 
-    # 3. load-gated bench (bench.py prints one JSON line on stdout)
+    # 3. expression-reuse plan audit (all 50 driver queries)
+    p, secs = run([sys.executable, "tools/audit_expr_reuse.py"],
+                  timeout=1800)
+    m = re.search(r"(OK|FAIL): (\d+) repeated-expression", p.stdout)
+    g = {"sec": secs,
+         "findings": int(m.group(2)) if m else None,
+         "detail": [ln for ln in p.stdout.splitlines()
+                    if "REPEATED" in ln or "ERR" in ln][:10]}
+    ok &= bool(m) and g["findings"] == 0
+    art["gates"]["expr_reuse"] = g
+    print(f"expr_reuse: {g['findings']} finding(s) ({secs}s)",
+          file=sys.stderr)
+
+    # 4. load-gated bench (bench.py prints one JSON line on stdout)
     p, secs = run([sys.executable, "bench.py"], timeout=3600)
     bench = None
     for ln in reversed(p.stdout.splitlines()):
