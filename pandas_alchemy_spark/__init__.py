@@ -21,8 +21,8 @@ from .relational import (crosstab, cut, date_range, get_dummies,
                          json_normalize, merge_ordered, qcut,
                          to_numeric, wide_to_long)
 from .sources.io import (read_csv, read_jdbc, read_json, read_orc,
-                         read_table, to_csv, to_orc, to_parquet,
-                         write_bucketed)
+                         read_table, read_text, to_csv, to_orc,
+                         to_parquet, write_bucketed)
 from .sources.io import to_json as _to_json_sink
 from .session import close_db, get_session, init_db
 
@@ -146,6 +146,7 @@ __all__ = [
     "read_json",
     "read_orc",
     "read_table",
+    "read_text",
     "to_csv",
     "to_json",
     "to_orc",

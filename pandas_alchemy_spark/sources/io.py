@@ -44,6 +44,26 @@ def read_json(path, schema: str | None = None, columns=None, index=None):
     return DataFrame._from_spark_scan(sdf, columns=columns, index=index)
 
 
+def read_text(path, wholetext: bool = False, line_col: str = "text",
+              columns=None, index=None):
+    """Raw text scan — one row per LINE (or per FILE with
+    ``wholetext=True``), the standard first step for an un-structured
+    training corpus (plain .txt shards; for .jsonl use
+    :func:`read_json`).  The single string column is named
+    ``line_col`` so the text operators' default ``text_col="text"``
+    works unmodified.  ``wholetext=True`` materializes each file as
+    one value — fine for many small documents, NOT for multi-GB
+    files (one row must fit in executor memory; shard large corpora
+    at write time)."""
+    from ..core import DataFrame
+    spark = get_session()
+    # NB: the reader KWARG, not .option("wholetext", ...) — the text
+    # source ignores the option form (verified on pyspark 4.x)
+    sdf = (spark.read.text(path, wholetext=wholetext)
+           .withColumnRenamed("value", line_col))
+    return DataFrame._from_spark_scan(sdf, columns=columns, index=index)
+
+
 def read_orc(path, columns=None, index=None):
     from ..core import DataFrame
     spark = get_session()

@@ -165,3 +165,28 @@ def test_read_jdbc_live_derby(spark):
                 "jdbc:derby:memory:pas_jdbc_test;drop=true")
         except Exception:
             pass  # drop "succeeds" by raising SQLException 08006
+
+
+def test_read_text_lines_and_wholetext(spark, tmpd):
+    """read_text: one row per line (default) or per file (wholetext);
+    the column is named text_col so ext.text operators run unchanged."""
+    import os
+    d = f"{tmpd}/txt_corpus"
+    os.makedirs(d, exist_ok=True)
+    with open(f"{d}/a.txt", "w") as fh:
+        fh.write("the quick brown fox\njumps over the dog\n")
+    with open(f"{d}/b.txt", "w") as fh:
+        fh.write("une ligne en francais\n")
+    lines = pio.read_text(d)
+    got = sorted(lines.to_pandas()["text"].tolist())
+    assert got == ["jumps over the dog", "the quick brown fox",
+                   "une ligne en francais"]
+    whole = pio.read_text(d, wholetext=True)
+    vals = sorted(whole.to_pandas()["text"].tolist())
+    assert len(vals) == 2 and vals[0].startswith("the quick")
+    # the text operators accept the frame as-is
+    from pandas_alchemy_spark.ext import text as T
+    out = T.token_stats(lines.to_spark(index=False)).toPandas()
+    assert sorted(out["n_ws_tokens"].tolist()) == [4, 4, 4]
+    # public API re-export
+    assert pas.read_text is pio.read_text
