@@ -93,3 +93,32 @@ def windowed_json_agg(stream: DataFrame, props_schema: str = "k int",
                  F.sum(F.col("__p.k")).alias("k_sum"))
             .select(F.col("w.start").alias("window_start"),
                     "event_type", "n_events", "k_sum"))
+
+
+def read_text_stream(spark: SparkSession, path: str,
+                     line_col: str = "text",
+                     max_files_per_trigger: int | None = 1) -> DataFrame:
+    """File-source stream over a directory of raw text shards — the
+    streaming twin of :func:`..sources.io.read_text` (one row per
+    line; new files picked up per micro-batch).  The column is named
+    ``line_col`` so the batch text operators' expressions apply
+    unchanged to the streaming frame."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.text(path).withColumnRenamed("value", line_col)
+
+
+def streaming_token_totals(stream: DataFrame,
+                           line_col: str = "text") -> DataFrame:
+    """Running corpus token/char totals over a text stream: the
+    ingest-side budget counter for a training-data pipeline.  Pure
+    built-in aggregates (complete-mode single row) — state is O(1)."""
+    from ..ext.dedup import _TOKENS
+    toks = F.expr(_TOKENS.format(col=line_col))
+    return (stream
+            .select(F.size(toks).alias("__n_tok"),
+                    F.length(F.col(line_col)).alias("__n_chars"))
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum("__n_tok").alias("n_tokens"),
+                 F.sum("__n_chars").alias("n_chars")))

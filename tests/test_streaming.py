@@ -495,3 +495,29 @@ def test_stateful_checkpoint_restart_recovers(spark, stream_dir,
     assert len(m) == len(want)
     assert (m.n_events == m.n_events_b).all()
     assert (m.total_value - m.total_value_b).abs().max() < 1e-6
+
+
+def test_read_text_stream_token_totals_match_batch(spark, tmp_path):
+    """Streaming raw-text ingest (read_text_stream) + running token
+    totals == the same aggregate over a batch read_text of the
+    identical shards."""
+    from pandas_alchemy_spark.sources import io as pio
+    from pandas_alchemy_spark.streaming.stream_events import (
+        read_text_stream, streaming_token_totals)
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("the quick brown fox\njumps over the dog\n")
+    (d / "b.txt").write_text("plus une ligne\n")
+    stream = read_text_stream(spark, str(d))
+    q = (streaming_token_totals(stream)
+         .writeStream.format("memory").queryName("txt_totals")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM txt_totals").collect()[0]
+        batch = pio.read_text(str(d)).to_spark(index=False)
+        want = streaming_token_totals(batch).collect()[0]
+        assert got.asDict() == want.asDict()
+        assert got["n_lines"] == 3 and got["n_tokens"] == 11
+    finally:
+        q.stop()
