@@ -72,12 +72,29 @@ def read_orc(path, columns=None, index=None):
 
 
 def to_parquet(df, path, mode: str = "overwrite",
-               partition_by=None) -> None:
+               partition_by=None, sort_by=None,
+               max_records_per_file: int | None = None) -> None:
     """Write the frame as parquet.  ``partition_by`` produces
     hive-style directory partitioning — the scan-side partition-pruning
-    handle for time/tenant-sliced 100 TB layouts."""
-    writer = df.to_spark(index=df._n_idx() > 0 and not df._mid_index) \
-        .write.mode(mode)
+    handle for time/tenant-sliced 100 TB layouts.
+
+    ``sort_by`` clusters rows WITHIN each output task
+    (``sortWithinPartitions`` — no extra shuffle), which narrows the
+    parquet row-group min/max statistics on those columns so later
+    filtered scans skip whole row groups (data skipping — verified
+    against the written footer stats in tests/test_sources.py).
+
+    ``max_records_per_file`` caps output file size — the operational
+    knob that keeps a skewed write task from emitting one multi-GB
+    file (downstream scan parallelism is bounded by file splits)."""
+    sdf = df.to_spark(index=df._n_idx() > 0 and not df._mid_index)
+    if sort_by:
+        cols = sort_by if isinstance(sort_by, list) else [sort_by]
+        sdf = sdf.sortWithinPartitions(*cols)
+    writer = sdf.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile",
+                               int(max_records_per_file))
     if partition_by:
         cols = (partition_by if isinstance(partition_by, list)
                 else [partition_by])

@@ -190,3 +190,62 @@ def test_read_text_lines_and_wholetext(spark, tmpd):
     assert sorted(out["n_ws_tokens"].tolist()) == [4, 4, 4]
     # public API re-export
     assert pas.read_text is pio.read_text
+
+
+def test_to_parquet_sort_by_narrows_rowgroup_stats(spark, tmpd):
+    """sort_by clusters rows within output tasks, so the written
+    parquet row-group min/max stats on that column are narrow and a
+    filtered re-scan can skip row groups (data skipping).  Verified
+    against the actual footer statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    li = pas.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    small_rg = {"parquet.block.size": str(64 * 1024)}
+    # unsorted control vs sorted write (force several row groups via a
+    # tiny block size written through the hadoop conf)
+    hc = pas.get_session()._jsc.hadoopConfiguration()
+    old = hc.get("parquet.block.size")
+    hc.set("parquet.block.size", small_rg["parquet.block.size"])
+    try:
+        pio.to_parquet(li, f"{tmpd}/li_unsorted")
+        pio.to_parquet(li, f"{tmpd}/li_sorted", sort_by="l_orderkey",
+                       max_records_per_file=3000)
+    finally:
+        if old is None:
+            hc.unset("parquet.block.size")
+        else:
+            hc.set("parquet.block.size", old)
+
+    def spans(d):
+        out = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                col = next(md.row_group(rg).column(i)
+                           for i in range(md.row_group(rg).num_columns)
+                           if md.row_group(rg).column(i).path_in_schema
+                           == "l_orderkey")
+                st = col.statistics
+                out.append(st.max - st.min)
+        return out
+
+    sorted_spans = spans(f"{tmpd}/li_sorted")
+    unsorted_spans = spans(f"{tmpd}/li_unsorted")
+    assert len(sorted_spans) > 1, "need multiple row groups/files"
+    # sorted row groups cover disjoint narrow key ranges; unsorted
+    # ones each span nearly the whole key domain
+    assert max(sorted_spans) < min(unsorted_spans) / 2, (
+        sorted_spans, unsorted_spans)
+    # max_records_per_file bounds file sizes
+    files = glob.glob(f"{tmpd}/li_sorted/*.parquet")
+    assert all(pq.ParquetFile(f).metadata.num_rows <= 3000
+               for f in files)
+    # and the data round-trips
+    assert (pas.read_parquet(f"{tmpd}/li_sorted").to_pandas()
+            .sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True)
+            .equals(li.to_pandas()
+                    .sort_values(["l_orderkey", "l_linenumber"])
+                    .reset_index(drop=True)))
