@@ -759,3 +759,30 @@ def test_curate_corpus_decontaminate_stage(spark, docs):
     # the doc count can only shrink)
     assert len(kept_dec) <= len(kept_base)
     assert kept_dec  # something survives
+
+
+def test_curate_from_raw_text_shards(spark, tmp_path):
+    """The raw-corpus user story end-to-end: .txt shards ->
+    read_text(wholetext) -> content-addressed ids -> curate_corpus.
+    Near-dup whitespace/case variants collapse; the short junk shard
+    fails the quality gate."""
+    import pyspark.sql.functions as F
+
+    from pandas_alchemy_spark.ext import pipeline
+    from pandas_alchemy_spark.sources import io as pio
+    d = tmp_path / "shards"
+    d.mkdir()
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the hills where it rests for a while "
+            "before it returns to the farm for the night")
+    (d / "a.txt").write_text(base)
+    (d / "b.txt").write_text(base.upper())      # exact dup after normalize
+    (d / "junk.txt").write_text("x")            # fails the quality gate
+    docs = (pio.read_text(str(d), wholetext=True).to_spark(index=False)
+            .withColumn("doc_id", F.xxhash64("text")))
+    curated = pipeline.curate_corpus(docs, min_quality=0.2,
+                                     capacity=64, n_shards=2)
+    rows = curated.collect()
+    # the two case-variants fold to ONE representative; junk is gone
+    assert len(rows) == 1
+    assert rows[0]["n_tokens"] > 20
