@@ -12,5 +12,6 @@ from .audit import (  # noqa: F401
     exchange_count,
     has_pushed_filters,
     physical_plan,
+    scale_report,
     uses_take_ordered,
 )

@@ -321,3 +321,37 @@ def test_text_ops_tokenize_once(spark):
         # rendered plan, so match the call structure)
         n = plan.count("split(lower(regexp_replace(")
         assert n == 1, f"{op.__name__}: {n} tokenizer mentions in plan"
+
+
+def test_scale_report_flags_and_clean(spark):
+    """scale_report: flags the known red flags on crafted plans and
+    stays empty on a plan we'd ship."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from pandas_alchemy_spark.ext import text
+    from pandas_alchemy_spark.plans import scale_report
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # clean: pushed filter + projection
+    clean = li.filter("l_quantity < 24").select("l_orderkey", "l_quantity")
+    assert scale_report(clean)["flags"] == []
+    # single-partition global window
+    w = li.withColumn("rn", SF.row_number().over(
+        Window.orderBy("l_orderkey")))
+    assert any(k == "single_partition"
+               for k, _ in scale_report(w)["flags"])
+    # cartesian
+    cart = li.limit(3).crossJoin(li.limit(3).select(
+        SF.col("l_orderkey").alias("b")))
+    assert any(k == "cartesian" for k, _ in scale_report(cart)["flags"])
+    # repeated expensive expression (the pre-fix language_id shape)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tok = "filter(split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ')), ' '), t -> t != '')"
+    rep = docs.select(SF.expr(f"size({tok})").alias("a"),
+                      SF.expr(f"size(slice({tok}, 1, 2))").alias("b"))
+    assert any(k == "repeated_expensive_exprs"
+               for k, _ in scale_report(rep)["flags"])
+    # the fixed operators stay clean of that flag
+    assert not any(k == "repeated_expensive_exprs"
+                   for k, _ in scale_report(text.language_id(docs))["flags"])
