@@ -25,6 +25,7 @@ from .sources.io import (read_csv, read_jdbc, read_json, read_orc,
                          to_parquet, write_bucketed)
 from .sources.io import to_json as _to_json_sink
 from .session import close_db, get_session, init_db
+from .plans import scale_report
 
 import threading as _threading
 
@@ -131,6 +132,7 @@ __all__ = [
     "get_session",
     "read_parquet",
     "from_spark",
+    "scale_report",
     "sql",
     "merge",
     "merge_asof",
