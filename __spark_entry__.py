@@ -2666,15 +2666,38 @@ def q_multimodal_suite(spark, sf_dir):
 def q_seq_pack(spark, sf_dir):
     """Sequence packing for training batches (ext/text.py
     pack_sequences): shard-local offset packing into 2048-token bins,
-    rolled up per (shard, bin)."""
+    rolled up per (shard, bin).
+
+    Round-7 fold: context-window chunking (ext/text.py
+    chunk_documents, 64-token windows / 16-token overlap) — shard=-1
+    rolls chunks up per chunk index (exact window arithmetic), and
+    shard=-2 buckets the md5-60bit hash of every chunk's TEXT mod 8
+    (content-addressed: any off-by-one in a slice bound flips
+    buckets), both hashed against the DuckDB window replay."""
     from pandas_alchemy_spark.ext import text
     _prep(spark)
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     packed = text.pack_sequences(docs, capacity=2048, n_shards=8)
-    return (packed.groupBy("shard", "bin")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_tokens").alias("n_tokens"),
-                 F.min("doc_id").alias("first_doc")))
+    pack_leg = (packed.groupBy("shard", "bin")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("n_tokens"),
+                     F.min("doc_id").alias("first_doc")))
+    ch = text.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    leg_idx = (ch.groupBy(F.col("chunk_idx").alias("bin"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chunk_tokens").alias("n_tokens"),
+                    F.min("doc_id").alias("first_doc"))
+               .select(F.lit(-1).cast("long").alias("shard"),
+                       "bin", "n_docs", "n_tokens", "first_doc"))
+    h60 = F.expr(
+        "cast(conv(substr(md5(chunk_text), 1, 15), 16, 10) as bigint)")
+    leg_txt = (ch.groupBy(F.pmod(h60, F.lit(8)).cast("long").alias("bin"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chunk_tokens").alias("n_tokens"),
+                    F.min("doc_id").alias("first_doc"))
+               .select(F.lit(-2).cast("long").alias("shard"),
+                       "bin", "n_docs", "n_tokens", "first_doc"))
+    return pack_leg.unionAll(leg_idx).unionAll(leg_txt)
 
 
 def q_curate_corpus(spark, sf_dir):
@@ -4755,12 +4778,37 @@ def oracle_sql() -> dict[str, str]:
                        AS start_offset
               FROM t
             )
+            , tk AS (
+              SELECT doc_id, {toks_text} AS toks FROM documents
+            ), ck AS (
+              SELECT doc_id,
+                     unnest(range(0, greatest(len(toks) - 17, 0) + 1, 48))
+                       AS s,
+                     toks
+              FROM tk WHERE len(toks) >= 1
+            ), ckp AS (
+              SELECT doc_id, s // 48 AS chunk_idx,
+                     toks[s + 1: s + 64] AS piece
+              FROM ck
+            )
             SELECT shard::BIGINT AS shard,
                    (start_offset // 2048)::BIGINT AS bin,
                    count(*)::BIGINT AS n_docs,
                    sum(n_tokens)::BIGINT AS n_tokens,
                    min(doc_id)::BIGINT AS first_doc
             FROM p GROUP BY 1, 2
+            UNION ALL
+            SELECT (-1)::BIGINT, chunk_idx::BIGINT,
+                   count(*)::BIGINT, sum(len(piece))::BIGINT,
+                   min(doc_id)::BIGINT
+            FROM ckp GROUP BY 2
+            UNION ALL
+            SELECT (-2)::BIGINT,
+                   ({_DK_H60.format(s="array_to_string(piece, ' ')")}
+                    % 8)::BIGINT,
+                   count(*)::BIGINT, sum(len(piece))::BIGINT,
+                   min(doc_id)::BIGINT
+            FROM ckp GROUP BY 2
         """,
         "curate_corpus": f"""
             WITH RECURSIVE nq AS (

@@ -261,3 +261,48 @@ def pack_sequences(df: DataFrame, capacity: int = 2048,
     return packed.withColumn(
         "bin", F.floor(F.col("start_offset") / F.lit(capacity))
         .cast("long"))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 256,
+                    overlap: int = 32) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    context-window chunking step of training-data / RAG ingestion.
+
+    Window ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; starts are generated
+    while ``start < n_tokens - overlap`` (plus start 0), so every
+    token lands in at least one chunk, the tail chunk may be short,
+    and no chunk is fully contained in its predecessor.  A document
+    shorter than one window yields exactly one chunk; a token-less
+    document yields none.
+
+    Scale: tokenize ONCE into a materialized column (Catalyst does not
+    CSE the regex tokenizer across lambdas — see
+    :func:`_stop_ratio_over`), then ``posexplode`` over the start
+    offsets and ``slice`` — narrow built-in expressions only, no
+    shuffle, whole-stage codegen end to end; output rows ≈
+    ``n_tokens / stride`` per document regardless of cluster size.
+
+    Returns ``(id_col, chunk_idx, chunk_start, n_chunk_tokens,
+    chunk_text)``.
+    """
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_tokens "
+            f"(got overlap={overlap}, chunk_tokens={chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
+    starts = F.expr(
+        f"sequence(0, greatest(size(__pas_toks) - {overlap} - 1, 0), "
+        f"{stride})")
+    ex = (toked.filter(F.expr("size(__pas_toks) >= 1"))
+          .select(F.col(id_col), F.col("__pas_toks"),
+                  F.posexplode(starts).alias("chunk_idx", "chunk_start")))
+    chunk = F.expr(f"slice(__pas_toks, chunk_start + 1, {chunk_tokens})")
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))

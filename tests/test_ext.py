@@ -786,3 +786,68 @@ def test_curate_from_raw_text_shards(spark, tmp_path):
     # the two case-variants fold to ONE representative; junk is gone
     assert len(rows) == 1
     assert rows[0]["n_tokens"] > 20
+
+
+# ------------------------- round-7: context-window chunking
+
+
+def _py_chunks(text_s, chunk, overlap):
+    import re
+    toks = [t for t in re.sub(r"[^a-zA-Z0-9]+", " ", text_s or "")
+            .lower().split(" ") if t]
+    n, stride, out, start, i = len(toks), chunk - overlap, [], 0, 0
+    if n == 0:
+        return out
+    while True:
+        piece = toks[start:start + chunk]
+        out.append((i, start, len(piece), " ".join(piece)))
+        i += 1
+        start += stride
+        if start > max(n - overlap - 1, 0):
+            break
+    return out
+
+
+def test_chunk_documents_matches_python(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["w" + " x" * 99,                  # 100 tokens
+                 "solo",                           # 1 token < window
+                 "",                               # 0 tokens -> none
+                 " ".join(f"t{i}" for i in range(53))]})
+    out = (text.chunk_documents(spark.createDataFrame(pdf),
+                                chunk_tokens=50, overlap=10)
+           .orderBy("doc_id", "chunk_idx").collect())
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["n_chunk_tokens"],
+             r["chunk_text"]))
+    for did in (1, 2, 4):
+        assert got[did] == _py_chunks(pdf.text[pdf.doc_id == did].iloc[0],
+                                      50, 10), did
+    assert 3 not in got                      # token-less doc drops
+    # coverage: every token index of doc 1 is inside some chunk
+    spans = [(s, s + n) for _, s, n, _ in got[1]]
+    assert all(any(a <= i < b for a, b in spans) for i in range(100))
+
+
+def test_chunk_documents_corpus_no_token_loss(spark, docs):
+    """sum of chunk tokens == n_tokens + overlap*(n_chunks-1) per doc."""
+    ch = text.chunk_documents(docs.limit(200), chunk_tokens=40, overlap=8)
+    per = (ch.groupBy("doc_id")
+           .agg(F.sum("n_chunk_tokens").alias("s"),
+                F.count(F.lit(1)).alias("c")).toPandas())
+    base = (docs.limit(200)
+            .select("doc_id", F.expr(
+                "size(" + text._tok("text") + ")").alias("n"))
+            .toPandas())
+    m = per.merge(base, on="doc_id")
+    assert ((m.s == m.n + 8 * (m.c - 1)).all())
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        text.chunk_documents(spark.range(1).withColumn(
+            "text", F.lit("a")).withColumnRenamed("id", "doc_id"),
+            chunk_tokens=10, overlap=10)
