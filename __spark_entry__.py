@@ -2758,10 +2758,34 @@ def q_curate_corpus(spark, sf_dir):
                        F.col("avail").cast("long").alias("n_bins"),
                        F.round(F.col("n_docs") / F.col("avail"), 6)
                        .alias("avg_quality")))
-    return per_shard.select(
+    # round-7 fold: split_corpus (ext/pipeline.py) — deterministic
+    # train/val/test assignment from disjoint md5-60bit hash
+    # intervals (exact-decimal cumulative thresholds, same boundary
+    # rule as the mix leg).  Codes train=-6 val=-7 test=-8; fractions
+    # sum to 1 so the legs must partition the corpus exactly —
+    # n_docs/n_tokens are exact ints the oracle replays.
+    sp = pipeline.split_corpus(
+        docs, {"train": 0.75, "val": 0.125, "test": 0.125})
+    tot = docs.agg(F.count(F.lit(1)).alias("__tot")).coalesce(1)
+    sp_code = F.create_map(
+        F.lit("train"), F.lit(-6), F.lit("val"), F.lit(-7),
+        F.lit("test"), F.lit(-8))[F.col("split")]
+    leg_split = (sp.groupBy("split")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_chars").alias("n_tokens"),
+                      F.countDistinct("lang").alias("n_bins"))
+                 .crossJoin(tot)
+                 .select(sp_code.cast("long").alias("shard"),
+                         F.col("n_docs").cast("long").alias("n_docs"),
+                         F.col("n_tokens").cast("long").alias("n_tokens"),
+                         F.col("n_bins").cast("long").alias("n_bins"),
+                         F.round(F.col("n_docs") / F.col("__tot"), 6)
+                         .alias("avg_quality")))
+    return (per_shard.select(
         F.col("shard").cast("long").alias("shard"), "n_docs", "n_tokens",
         F.col("n_bins").cast("long").alias("n_bins"),
         "avg_quality").unionAll(leg_emb).unionAll(leg_mix)
+        .unionAll(leg_split))
 
 
 def q_ann_suite(spark, sf_dir):
@@ -2886,6 +2910,16 @@ def oracle_sql() -> dict[str, str]:
                 f" / greatest(len({toks_text}), 1)::DOUBLE")
 
     from pandas_alchemy_spark.ext.text import STOPWORDS
+    # split_corpus leg: cumulative thresholds as exact BIGINT literals
+    # (computed by the SAME library helper the Spark side uses, so the
+    # two engines share the boundary integers by construction)
+    from pandas_alchemy_spark.ext.pipeline import split_thresholds
+    _spb = split_thresholds({"train": 0.75, "val": 0.125, "test": 0.125})
+    _spbkt = _DK_H60.format(s="CAST(doc_id AS VARCHAR)")
+    split_case = (f"CASE WHEN {_spbkt} < {_spb[0][1]} THEN -6 "
+                  f"WHEN {_spbkt} < {_spb[1][1]} THEN -7 "
+                  f"WHEN {_spbkt} < {_spb[2][1]} THEN -8 END")
+
     lang_structs = ", ".join(
         "{'score': CAST(%s AS DOUBLE), 'lang': '%s'}" % (stop_ratio(ws), lang)
         for lang, ws in sorted(STOPWORDS.items()))
@@ -4917,6 +4951,19 @@ def oracle_sql() -> dict[str, str]:
                     < t2.thr
               GROUP BY 1
             ) mk ON mt.lang = mk.lang
+            UNION ALL
+            -- split_corpus replay: disjoint cumulative md5-60bit
+            -- intervals (thresholds are exact-decimal literals from
+            -- ext.pipeline.split_thresholds; fractions sum to 1 so
+            -- the three legs partition the corpus exactly)
+            SELECT code::BIGINT, count(*)::BIGINT,
+                   sum(n_chars)::BIGINT,
+                   count(DISTINCT lang)::BIGINT,
+                   round(count(*) / (SELECT count(*)::DOUBLE
+                                     FROM documents), 6)
+            FROM (SELECT doc_id, n_chars, lang, {split_case} AS code
+                  FROM documents) spc
+            GROUP BY 1
         """,
         # ann_suite: the NEIGHBOR LISTS are approximate by contract and
         # have no SQL twin; the recall-bucket summary they roll into is

@@ -166,3 +166,65 @@ def mix_corpora(docs: DataFrame, weights: dict, by: str = "source",
         thr = F.when(dom == F.lit(v),
                      F.lit(_hash_threshold(fr, scale))).otherwise(thr)
     return docs.filter(bucket < thr)
+
+
+def split_thresholds(fractions: dict, scale: int = 1 << 60) -> list:
+    """Cumulative content-addressed split boundaries, exact decimal
+    arithmetic (same boundary rule as
+    :func:`~..relational._hash_threshold`: the DECIMAL numeral of the
+    fraction times ``scale``, rounded half-even — what DuckDB computes
+    for ``CAST(0.98 * 2^60 AS BIGINT)``, so the boundary bucket
+    classifies identically across engines).  Returns
+    ``[(name, upper_bound_exclusive), ...]`` in dict order."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+    if not fractions:
+        raise ValueError("fractions must be a non-empty dict")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    cum = Decimal(0)
+    out = []
+    for name, frac in fractions.items():
+        cum += Decimal(repr(frac))
+        out.append((name, int((cum * scale).quantize(
+            Decimal(1), rounding=ROUND_HALF_EVEN))))
+    if cum > 1:
+        raise ValueError(f"fractions sum to {cum} > 1")
+    return out
+
+
+def split_corpus(docs: DataFrame, fractions: dict | None = None,
+                 id_col: str = "doc_id", split_col: str = "split",
+                 fast_hash: bool = False) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-split
+    step every training pipeline needs before writing shards.
+
+    Each row gets exactly ONE split label from disjoint hash-bucket
+    intervals over a content-addressed hash of ``id_col`` (md5-60bit
+    by default — reproducible in any engine; ``fast_hash=True`` uses
+    xxhash64 for the JVM fast path).  Assignment is a pure projected
+    CASE expression: zero shuffles, independent of partitioning and
+    cluster size, stable across runs — a document can never migrate
+    between train and test when the corpus is re-read, appended to,
+    or repartitioned, because the decision depends only on the id.
+
+    ``fractions`` (default ``{"train": .98, "val": .01, "test": .01}``)
+    must sum to at most 1; if the sum is below 1 the remaining hash
+    space is a holdout and those rows are DROPPED (documented
+    contract).  Returns ``docs`` plus ``split_col``.
+    """
+    if fractions is None:
+        fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
+    scale = (1 << 32) if fast_hash else (1 << 60)
+    bounds = split_thresholds(fractions, scale)
+    k = F.col(id_col)
+    if fast_hash:
+        bucket = F.pmod(F.xxhash64(k), F.lit(1 << 32))
+    else:
+        bucket = F.conv(
+            F.substring(F.md5(k.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    expr = F.lit(None).cast("string")
+    for name, ub in reversed(bounds):
+        expr = F.when(bucket < F.lit(ub), F.lit(name)).otherwise(expr)
+    return (docs.withColumn(split_col, expr)
+            .filter(F.col(split_col).isNotNull()))

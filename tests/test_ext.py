@@ -851,3 +851,43 @@ def test_chunk_documents_rejects_bad_overlap(spark):
         text.chunk_documents(spark.range(1).withColumn(
             "text", F.lit("a")).withColumnRenamed("id", "doc_id"),
             chunk_tokens=10, overlap=10)
+
+
+# ------------------------- round-7: deterministic corpus splits
+
+
+def test_split_corpus_disjoint_exhaustive_and_stable(spark, docs):
+    from pandas_alchemy_spark.ext import pipeline
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = pipeline.split_corpus(docs, fr).select("doc_id", "split").toPandas()
+    # exhaustive (sum == 1) and one label per row
+    assert len(a) == docs.count()
+    assert a.doc_id.is_unique
+    # stable across a re-read AND a repartition
+    b = (pipeline.split_corpus(docs.repartition(7), fr)
+         .select("doc_id", "split").toPandas())
+    m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (m.split_a == m.split_b).all()
+    # roughly the requested proportions (md5 is uniform)
+    frac = a.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    # append-stability: adding rows never flips existing assignments
+    c = (pipeline.split_corpus(docs.limit(100), fr)
+         .select("doc_id", "split").toPandas())
+    m2 = c.merge(a, on="doc_id", suffixes=("_c", "_a"))
+    assert (m2.split_c == m2.split_a).all()
+
+
+def test_split_corpus_holdout_drops_and_validates(spark, docs):
+    from pandas_alchemy_spark.ext import pipeline
+    kept = pipeline.split_corpus(docs, {"train": 0.5}).count()
+    n = docs.count()
+    assert 0 < kept < n
+    with pytest.raises(ValueError):
+        pipeline.split_thresholds({"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError):
+        pipeline.split_thresholds({})
+    # fast-hash path agrees with itself and is exhaustive at sum=1
+    f = pipeline.split_corpus(docs, {"x": 0.25, "y": 0.75},
+                              fast_hash=True)
+    assert f.count() == n
