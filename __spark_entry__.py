@@ -2815,7 +2815,47 @@ def q_ann_suite(spark, sf_dir):
             F.lit(5).cast("long").alias("k"),
             (F.col("n_hits") >= F.col("n_queries") * 5 * 0.6)
             .alias("recall_ok")))
-    return parts[0].unionAll(parts[1])
+    # round-7 fold: SemDeDup (ext/similarity.semantic_dedup) —
+    # cluster-then-prune semantic dedup.  k-means is not
+    # SQL-replayable, so the hashed fields are the SQL-computable
+    # input count and an in-plan INVARIANT conjunction: (a) no
+    # candidate pair survives with both endpoints kept, (b) kept
+    # rows == distinct components (exactly one representative each),
+    # (c) every input row is labeled, (d) min-label rule holds
+    # (component <= id).  Semantic quality (planted-duplicate
+    # collapse) is pinned in tests/test_ext.py.
+    from pandas_alchemy_spark.ext import similarity as _sim
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    dim = len(emb.select("embedding").head(1)[0][0])
+    cents = _sim.train_ivf_centroids(emb, dim=dim, nlist=8)
+    sd_pairs = _sim.semantic_dedup_pairs(
+        emb, dim=dim, nlist=8, threshold=0.3, centroids=cents)
+    sd_lab = _sim.semantic_dedup(
+        emb, dim=dim, nlist=8, threshold=0.3, centroids=cents)
+    sd_kept = sd_lab.filter("keep").select("id")
+    sd_bad = (sd_pairs
+              .join(sd_kept.withColumnRenamed("id", "id_a"), "id_a",
+                    "left_semi")
+              .join(sd_kept.withColumnRenamed("id", "id_b"), "id_b",
+                    "left_semi")
+              .agg(F.count(F.lit(1)).alias("n_bad")).coalesce(1))
+    sd_stats = (sd_lab.agg(
+        F.count(F.lit(1)).alias("n_labels"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.countDistinct("component").alias("n_comp"),
+        F.sum((F.col("component") > F.col("id")).cast("long"))
+        .alias("n_minviol")).coalesce(1))
+    n_in = (emb.filter(F.col("embedding").isNotNull())
+            .agg(F.count(F.lit(1)).alias("n_in")).coalesce(1))
+    sd = (n_in.crossJoin(sd_bad).crossJoin(sd_stats)
+          .select(F.lit("semdedup").alias("algo"),
+                  F.col("n_in").cast("long").alias("n_queries"),
+                  F.lit(8).cast("long").alias("k"),
+                  ((F.col("n_bad") == 0)
+                   & (F.col("n_labels") == F.col("n_in"))
+                   & (F.col("n_kept") == F.col("n_comp"))
+                   & (F.col("n_minviol") == 0)).alias("recall_ok")))
+    return parts[0].unionAll(parts[1]).unionAll(sd)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4979,5 +5019,10 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM embeddings
                     WHERE vec_id < 5)::BIGINT,
                    5::BIGINT, true
+            UNION ALL
+            SELECT 'semdedup',
+                   (SELECT count(*) FROM embeddings
+                    WHERE embedding IS NOT NULL)::BIGINT,
+                   8::BIGINT, true
         """,
     }

@@ -454,3 +454,112 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding", dim: int = 32,
+                         nlist: int = 16, threshold: float = 0.9,
+                         refine_iters: int = 1,
+                         train_fraction: float | None = None,
+                         centroids=None,
+                         cell_cap: int | None = 200_000) -> DataFrame:
+    """Intra-cluster near-duplicate candidate pairs — the pair stage of
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, compare vectors ONLY within their cluster, keep
+    pairs with cosine >= ``threshold``.
+
+    Scale shape: centroid training samples the corpus
+    (``train_fraction``) and holds only nlist×dim doubles on the
+    driver; assignment is one Arrow-batch matmul per partition (narrow,
+    no shuffle); pairing is a cell-key self-join so candidate volume is
+    sum(cell²) instead of n² — at 100 TB size ``nlist`` so the average
+    cell stays bounded (nlist ≈ n / target_cell_size; cells are the
+    unit of parallelism, so more cells = more, smaller join tasks) and
+    leave AQE on: the self-join shuffles by cell and a hot cell is
+    exactly the skew-split case AQE handles.  Cells larger than
+    ``cell_cap`` are EXCLUDED from pairing with a logged count (the
+    degenerate-bucket rule — see dedup._cap_buckets): an over-cap cell
+    means nlist is undersized for the corpus; fix the geometry rather
+    than paying O(cell²).
+    """
+    df = df.filter(F.col(vec_col).isNotNull())
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, dim=dim, nlist=nlist, id_col=id_col, vec_col=vec_col,
+            refine_iters=refine_iters, train_fraction=train_fraction)
+    one = _assign_cells_udf(centroids, nprobe=1)
+    assigned = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        norm_expr(vec_col).alias("nrm"),
+        one(F.col(vec_col)).getItem(0).alias("cell"))
+    if cell_cap is not None:
+        import sys as _sys
+        import threading as _threading
+
+        from pyspark.sql import Observation
+        sizes = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("__cn"))
+        obs = Observation()
+        sizes = sizes.observe(
+            obs, F.sum((F.col("__cn") > cell_cap).cast("long"))
+            .alias("n_over"))
+
+        def _log():
+            try:
+                n = obs.get.get("n_over")
+                if n:
+                    print(f"[pandas_alchemy_spark] semantic_dedup: "
+                          f"excluded {n} oversized cell(s) "
+                          f"(> {cell_cap} members) from pairing; "
+                          "nlist is undersized for this corpus",
+                          file=_sys.stderr)
+            except Exception:
+                pass
+
+        _threading.Thread(target=_log, daemon=True).start()
+        assigned = assigned.join(
+            F.broadcast(sizes.filter(F.col("__cn") <= cell_cap)
+                        .select("cell")), "cell")
+    a = assigned.select(F.col("cell"), F.col("id").alias("id_a"),
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = assigned.select(F.col("cell"), F.col("id").alias("id_b"),
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = _DOT.format(a="va", b="vb")
+    cos = F.expr(f"({dot}) / nullif(na * nb, 0.0)")
+    return (a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", dim: int = 32,
+                   nlist: int = 16, threshold: float = 0.9,
+                   refine_iters: int = 1,
+                   train_fraction: float | None = None,
+                   centroids=None, cell_cap: int | None = 200_000,
+                   max_iters: int = 20,
+                   on_nonconverged: str = "raise") -> DataFrame:
+    """SemDeDup semantic deduplication: cluster-then-prune.  Returns
+    ``(id, component, keep)`` like
+    :func:`~.dedup.cluster_near_dups` — ``keep`` marks the min-id
+    representative of each transitive intra-cluster duplicate group;
+    filter on it to deduplicate.  Deterministic end to end (seeded
+    centroids, exact cosine verify, min-label components), so the kept
+    set reproduces across runs, engines and partitionings."""
+    from . import dedup as _dd
+    pairs = semantic_dedup_pairs(
+        df, id_col=id_col, vec_col=vec_col, dim=dim, nlist=nlist,
+        threshold=threshold, refine_iters=refine_iters,
+        train_fraction=train_fraction, centroids=centroids,
+        cell_cap=cell_cap)
+    comp = _dd.connected_components(pairs, src="id_a", dst="id_b",
+                                    max_iters=max_iters,
+                                    on_nonconverged=on_nonconverged)
+    ids = (df.filter(F.col(vec_col).isNotNull())
+           .select(F.col(id_col).alias("id")))
+    all_labels = (ids.join(comp, "id", "left")
+                  .select("id", F.coalesce("component", F.col("id"))
+                          .alias("component")))
+    return all_labels.withColumn(
+        "keep", F.col("id") == F.col("component"))

@@ -891,3 +891,64 @@ def test_split_corpus_holdout_drops_and_validates(spark, docs):
     f = pipeline.split_corpus(docs, {"x": 0.25, "y": 0.75},
                               fast_hash=True)
     assert f.count() == n
+
+
+# ------------------------- round-7: SemDeDup semantic dedup
+
+
+def _semdedup_frame(spark, n_base=60, groups=(3, 7, 11), copies=4):
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(n_base, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].astype(np.float32).tolist()) for i in range(n_base)]
+    nid = n_base
+    planted = {}
+    for g in groups:
+        planted[g] = [g]
+        for _ in range(copies):
+            v = base[g] + rng.normal(scale=0.01, size=16)
+            v /= np.linalg.norm(v)
+            rows.append((nid, v.astype(np.float32).tolist()))
+            planted[g].append(nid)
+            nid += 1
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return sdf, planted, nid
+
+
+def test_semantic_dedup_collapses_planted_groups(spark):
+    sdf, planted, n_total = _semdedup_frame(spark)
+    lab = similarity.semantic_dedup(sdf, dim=16, nlist=4,
+                                    threshold=0.9).toPandas()
+    assert len(lab) == n_total
+    by_id = dict(zip(lab.id, lab.component))
+    keep = set(lab[lab.keep].id)
+    for g, members in planted.items():
+        comps = {by_id[m] for m in members}
+        assert comps == {g}, (g, comps)      # one transitive group
+        assert set(members) & keep == {g}    # min-id representative
+    # determinism across partitionings
+    lab2 = similarity.semantic_dedup(sdf.repartition(5), dim=16,
+                                     nlist=4, threshold=0.9).toPandas()
+    assert set(lab2[lab2.keep].id) == keep
+
+
+def test_semantic_dedup_kept_pairwise_invariant(spark):
+    sdf, planted, n_total = _semdedup_frame(spark)
+    cents = similarity.train_ivf_centroids(sdf, dim=16, nlist=4)
+    pairs = similarity.semantic_dedup_pairs(
+        sdf, dim=16, nlist=4, threshold=0.9, centroids=cents)
+    lab = similarity.semantic_dedup(
+        sdf, dim=16, nlist=4, threshold=0.9, centroids=cents)
+    kept = lab.filter("keep").select(F.col("id"))
+    bad = (pairs.join(kept.withColumnRenamed("id", "id_a"), "id_a",
+                      "left_semi")
+           .join(kept.withColumnRenamed("id", "id_b"), "id_b",
+                 "left_semi").count())
+    assert bad == 0
+
+
+def test_semantic_dedup_cell_cap_excludes(spark):
+    sdf, planted, n_total = _semdedup_frame(spark)
+    lab = similarity.semantic_dedup(sdf, dim=16, nlist=4,
+                                    threshold=0.9, cell_cap=1).toPandas()
+    assert lab.keep.all()            # no pairing possible -> all kept
