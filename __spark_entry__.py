@@ -2642,17 +2642,31 @@ def q_text_suite(spark, sf_dir):
 
 
 def q_langid_terms(spark, sf_dir):
-    """language-ID rollup + corpus top-k terms (union with a tag)."""
+    """language-ID rollup + corpus top-k terms (union with a tag).
+
+    Round-7 fold: unigram_logprob (ext/text.py) — per-doc
+    corpus-trained unigram LM score, tag='uni'.  Bit-stable across
+    runs/partitionings by the sorted-fold contract; rounded to 6
+    decimals for the cross-engine hash (JVM Math.log vs libm log are
+    each <=1 ulp, not the same ulp)."""
+    from pandas_alchemy_spark.ext import text
     _prep(spark)
     la = q_langid(spark, sf_dir)
     tt = q_top_terms(spark, sf_dir)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    uni = text.unigram_logprob(docs)
     return (la.select(F.lit("lang").alias("tag"),
                       F.col("lang_pred").alias("key"), F.col("n"),
                       F.col("avg_score").alias("score"))
             .unionAll(tt.select(F.lit("term").alias("tag"),
                                 F.col("term").alias("key"),
                                 F.col("tf").alias("n"),
-                                F.lit(None).cast("double").alias("score"))))
+                                F.lit(None).cast("double").alias("score")))
+            .unionAll(uni.select(
+                F.lit("uni").alias("tag"),
+                F.col("doc_id").cast("string").alias("key"),
+                F.col("n_lm_tokens").cast("long").alias("n"),
+                F.round("logprob", 6).alias("score"))))
 
 
 def q_multimodal_suite(spark, sf_dir):
@@ -4832,6 +4846,34 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'term', term, tf, NULL::DOUBLE
             FROM {sub("top_terms")}
+            UNION ALL
+            -- unigram_logprob replay: per-doc fold of ln(count) over
+            -- the SORTED count list (exact ints), minus n*ln(total),
+            -- over n.  Rounded to 6 decimals: JVM Math.log and libm
+            -- log are each <=1 ulp but not the same ulp (see
+            -- ext/text.unigram_logprob contract).
+            SELECT 'uni', CAST(u.doc_id AS VARCHAR), u.n,
+                   round((list_reduce(
+                            list_prepend(0.0::DOUBLE,
+                              list_transform(u.cs,
+                                c -> ln(c::DOUBLE))),
+                            (a, b) -> a + b)
+                          - u.n * ln((SELECT sum(c)::DOUBLE FROM (
+                              SELECT count(*) AS c
+                              FROM (SELECT unnest({toks_text}) AS term
+                                    FROM documents) GROUP BY term)))
+                         ) / u.n, 6)
+            FROM (
+              SELECT tkx.doc_id, list_sort(list(ct.c)) AS cs,
+                     count(*)::BIGINT AS n
+              FROM (SELECT doc_id, unnest({toks_text}) AS term
+                    FROM documents) tkx
+              JOIN (SELECT term, count(*)::BIGINT AS c
+                    FROM (SELECT unnest({toks_text}) AS term
+                          FROM documents) GROUP BY term) ct
+                USING (term)
+              GROUP BY tkx.doc_id
+            ) u
         """,
         "multimodal_suite": f"""
             SELECT a.media_type, a.n_items, a.total_bytes, a.avg_width,

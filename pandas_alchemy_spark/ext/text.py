@@ -306,3 +306,49 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         F.col("chunk_start").cast("long").alias("chunk_start"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    vocab: DataFrame | None = None) -> DataFrame:
+    """Corpus-trained unigram language-model score per document — the
+    classic perplexity-style quality filter (CCNet-style, with the
+    n-gram LM reduced to unigrams so the whole thing stays in exact
+    JVM expressions): ``score = avg_t ln P(t)`` with
+    ``P(t) = count(t) / total`` estimated from the corpus itself (or
+    from ``vocab``: a (term, cnt) frame from a reference corpus —
+    score one corpus under another's model).  More-negative scores =
+    rarer vocabulary; gibberish and boilerplate sit at the two ends.
+
+    Determinism contract: the per-document sum folds ``ln(count)``
+    over the SORTED count list (counts are exact ints from one hash
+    aggregate), so the float result is bit-identical across runs and
+    partitionings — no groupBy-order float drift.  Across ENGINES the
+    last ulp can differ (JVM ``Math.log`` vs C libm ``log`` are each
+    correctly-rounded to within 1 ulp, not to the same ulp), so
+    cross-engine comparisons must round (the driver leg rounds to 6
+    decimals; a 1-ulp input diff crosses that boundary with
+    probability ~1e-10 per row).
+
+    Plan shape at 100 TB: one explode + hash-aggregate for the vocab
+    (map-side partials), one token→vocab join (AQE picks
+    broadcast vs shuffle by vocab size), one per-doc aggregate.
+    Returns ``(id_col, n_lm_tokens, logprob)``.
+    """
+    toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
+    ex = toked.select(F.col(id_col),
+                      F.explode("__pas_toks").alias("term"))
+    if vocab is None:
+        vocab = ex.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("__tot")).coalesce(1)
+    per = (ex.join(vocab, "term")
+           .groupBy(id_col)
+           .agg(F.sort_array(F.collect_list("cnt")).alias("__cs"),
+                F.count(F.lit(1)).alias("n_lm_tokens")))
+    fold = F.expr(
+        "aggregate(__cs, cast(0.0 as double), (s, c) -> s + ln(c))")
+    return (per.crossJoin(total)
+            .select(F.col(id_col), F.col("n_lm_tokens"),
+                    ((fold - F.col("n_lm_tokens")
+                      * F.log(F.col("__tot")))
+                     / F.col("n_lm_tokens")).alias("logprob")))

@@ -952,3 +952,53 @@ def test_semantic_dedup_cell_cap_excludes(spark):
     lab = similarity.semantic_dedup(sdf, dim=16, nlist=4,
                                     threshold=0.9, cell_cap=1).toPandas()
     assert lab.keep.all()            # no pairing possible -> all kept
+
+
+# ------------------------- round-7: unigram LM scoring
+
+
+def test_unigram_logprob_matches_numpy(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat sat", "the the the", "dog", ""]})
+    out = {r["doc_id"]: (r["n_lm_tokens"], r["logprob"])
+           for r in text.unigram_logprob(
+               spark.createDataFrame(pdf)).collect()}
+    from collections import Counter
+    toks = {1: ["the", "cat", "sat"], 2: ["the", "the", "the"],
+            3: ["dog"]}
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    tot = sum(cnt.values())
+    for did, ts in toks.items():
+        cs = sorted(cnt[t] for t in ts)
+        s = 0.0
+        for c in cs:
+            s += math.log(c)
+        want = (s - len(ts) * math.log(tot)) / len(ts)
+        n, got = out[did]
+        assert n == len(ts)
+        # bit-exact across runs/partitionings; vs CPython's libm the
+        # last ulp may differ (JVM Math.log) -- allow exactly that
+        assert abs(got - want) < 5e-15, (did, got, want)
+    assert 4 not in out                        # token-less doc drops
+    # the common-word doc scores higher than the rare-word doc
+    assert out[2][1] > out[3][1]
+
+
+def test_unigram_logprob_external_vocab_drops_oov(spark):
+    pdf = pd.DataFrame({"doc_id": [1], "text": ["aa bb zz"]})
+    vocab = spark.createDataFrame(
+        pd.DataFrame({"term": ["aa", "bb"], "cnt": [3, 1]}))
+    r = text.unigram_logprob(
+        spark.createDataFrame(pdf), vocab=vocab).collect()[0]
+    assert r["n_lm_tokens"] == 2               # zz is OOV, dropped
+    want = (math.log(3) + math.log(1) - 2 * math.log(4)) / 2
+    assert abs(r["logprob"] - want) < 5e-15
+
+
+def test_unigram_logprob_deterministic_across_partitionings(spark, docs):
+    a = (text.unigram_logprob(docs.limit(300)).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (text.unigram_logprob(docs.limit(300).repartition(13))
+         .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert (a.logprob.values == b.logprob.values).all()
