@@ -123,6 +123,35 @@ def main():
             "o_orderkey")
         return o[["o_totalprice", "o_custkey"]].cumsum().to_spark()
 
+    def chunk_docs(spark_, sf_dir_):
+        # round-7: overlapping token-window chunking (narrow, no
+        # shuffle — posexplode+slice over one materialized tokenize)
+        from pandas_alchemy_spark.ext import text
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        return text.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+    def split_shards(spark_, sf_dir_):
+        # round-7: deterministic train/val/test hash assignment (pure
+        # projected CASE, zero shuffles)
+        from pandas_alchemy_spark.ext import pipeline
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        return pipeline.split_corpus(docs)
+
+    def semdedup(spark_, sf_dir_):
+        # round-7: SemDeDup cluster-then-prune semantic dedup
+        from pandas_alchemy_spark.ext import similarity
+        emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+        dim = len(emb.select("embedding").head(1)[0][0])
+        return similarity.semantic_dedup(emb, dim=dim, nlist=8,
+                                         threshold=0.3)
+
+    def unigram_lm(spark_, sf_dir_):
+        # round-7: corpus-trained unigram LM scoring (vocab agg +
+        # token join + per-doc sorted fold)
+        from pandas_alchemy_spark.ext import text
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        return text.unigram_logprob(docs)
+
     # per-operator functions are referenced DIRECTLY (several are now
     # folded into combined queries() entries for the driver's 50-entry
     # correctness window) so per-query times stay comparable with
@@ -170,6 +199,12 @@ def main():
         "langid": E.q_langid,
         "border_scan": border_scan,
         "frame_scan": frame_scan,
+        # round-7 additions (appended so the 42 shared queries stay
+        # comparable round-over-round)
+        "chunk_docs": chunk_docs,
+        "split_shards": split_shards,
+        "semdedup": semdedup,
+        "unigram_lm": unigram_lm,
     }
 
     # warm the JVM + parquet footers with a trivial action, the
