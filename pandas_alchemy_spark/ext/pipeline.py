@@ -223,8 +223,17 @@ def split_corpus(docs: DataFrame, fractions: dict | None = None,
         bucket = F.conv(
             F.substring(F.md5(k.cast("string")), 1, 15), 16, 10
         ).cast("long")
+    # materialize the hash ONCE: Catalyst does not CSE the md5 chain
+    # across the CASE branches (a 3-way split would pay 3 hashes per
+    # row — tools/audit_expr_reuse.py catches exactly this), and the
+    # holdout filter tests the BUCKET (one mention, inlined once by
+    # PushDownPredicate) rather than the CASE result (which would
+    # inline the whole 3-mention CASE into the pushed filter)
+    out = docs.withColumn("__pas_bucket", bucket)
+    if bounds[-1][1] < scale:
+        out = out.filter(F.col("__pas_bucket") < F.lit(bounds[-1][1]))
     expr = F.lit(None).cast("string")
     for name, ub in reversed(bounds):
-        expr = F.when(bucket < F.lit(ub), F.lit(name)).otherwise(expr)
-    return (docs.withColumn(split_col, expr)
-            .filter(F.col(split_col).isNotNull()))
+        expr = F.when(F.col("__pas_bucket") < F.lit(ub),
+                      F.lit(name)).otherwise(expr)
+    return out.withColumn(split_col, expr).drop("__pas_bucket")

@@ -330,16 +330,35 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     decimals; a 1-ulp input diff crosses that boundary with
     probability ~1e-10 per row).
 
-    Plan shape at 100 TB: one explode + hash-aggregate for the vocab
-    (map-side partials), one token→vocab join (AQE picks
-    broadcast vs shuffle by vocab size), one per-doc aggregate.
+    Plan shape at 100 TB: one corpus pass builds the vocab (explode +
+    hash-aggregate with map-side partials), PERSISTED — the vocab is
+    reused by both the token join and the total (without the persist
+    the whole scan+aggregate subtree re-derives per use: measured 3
+    corpus scans, each tokenizing twice).  A second corpus pass joins
+    tokens to it (AQE picks broadcast vs shuffle by vocab size), then
+    one per-doc aggregate.  Two passes is the floor: the model must
+    be complete before any document can be scored.  The persist is
+    spill-safe (vocab is corpus-vocabulary-sized, not corpus-sized)
+    and sticky like curate_corpus's gate checkpoint — call
+    ``.unpersist()`` on a kept reference to release it early.
+    Self-training also excludes ``InferFiltersFromGenerate`` for the
+    session (the rule re-inlines the tokenizer into a pushed filter —
+    one extra tokenization per row per scan; same exclusion
+    ``init_db`` and the dedup ops apply).
     Returns ``(id_col, n_lm_tokens, logprob)``.
     """
+    from .dedup import _tune
+    _tune(df)
     toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
     ex = toked.select(F.col(id_col),
                       F.explode("__pas_toks").alias("term"))
     if vocab is None:
-        vocab = ex.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        vocab = (ex.groupBy("term")
+                 .agg(F.count(F.lit(1)).alias("cnt")).persist())
+    else:
+        # an external model may carry zero/negative counts; ln() of
+        # those is -inf/NaN — treat them as OOV (dropped by the join)
+        vocab = vocab.filter(F.col("cnt") > 0)
     total = vocab.agg(F.sum("cnt").alias("__tot")).coalesce(1)
     per = (ex.join(vocab, "term")
            .groupBy(id_col)
