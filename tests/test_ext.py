@@ -1002,3 +1002,17 @@ def test_unigram_logprob_deterministic_across_partitionings(spark, docs):
     b = (text.unigram_logprob(docs.limit(300).repartition(13))
          .toPandas().sort_values("doc_id").reset_index(drop=True))
     assert (a.logprob.values == b.logprob.values).all()
+
+
+def test_semantic_dedup_nprobe_superset_no_dup_pairs(spark):
+    sdf, planted, n_total = _semdedup_frame(spark)
+    cents = similarity.train_ivf_centroids(sdf, dim=16, nlist=4)
+    p1 = similarity.semantic_dedup_pairs(
+        sdf, dim=16, nlist=4, threshold=0.9, centroids=cents).toPandas()
+    p2 = similarity.semantic_dedup_pairs(
+        sdf, dim=16, nlist=4, threshold=0.9, centroids=cents,
+        nprobe=2).toPandas()
+    s1 = set(zip(p1.id_a, p1.id_b))
+    s2 = set(zip(p2.id_a, p2.id_b))
+    assert s1 <= s2                       # soft assignment only adds
+    assert len(p2) == len(s2)             # multi-cell hits collapsed
