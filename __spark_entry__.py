@@ -2711,7 +2711,27 @@ def q_seq_pack(spark, sf_dir):
                     F.min("doc_id").alias("first_doc"))
                .select(F.lit(-2).cast("long").alias("shard"),
                        "bin", "n_docs", "n_tokens", "first_doc"))
-    return pack_leg.unionAll(leg_idx).unionAll(leg_txt)
+    # round-7 fold: shuffle_corpus (ext/pipeline.py) — deterministic
+    # global corpus shuffle.  shard=-3 pins the FULL permutation:
+    # n_tokens is the order-binding checksum sum(pos * (doc_id % 97))
+    # (any transposition changes it) and first_doc is the document at
+    # position 1 of each shard.
+    from pandas_alchemy_spark.ext import pipeline as _pl
+    sh = _pl.shuffle_corpus(docs, n_shards=8)
+    leg_shuf = (sh.groupBy(F.col("shard").alias("bin"))
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.col("shard_pos")
+                           * F.pmod(F.col("doc_id"), F.lit(97)))
+                     .alias("n_tokens"),
+                     F.min(F.when(F.col("shard_pos") == 1,
+                                  F.col("doc_id"))).alias("first_doc"))
+                .select(F.lit(-3).cast("long").alias("shard"),
+                        F.col("bin").cast("long").alias("bin"),
+                        "n_docs",
+                        F.col("n_tokens").cast("long").alias("n_tokens"),
+                        "first_doc"))
+    return (pack_leg.unionAll(leg_idx).unionAll(leg_txt)
+            .unionAll(leg_shuf))
 
 
 def q_curate_corpus(spark, sf_dir):
@@ -4925,6 +4945,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT, sum(len(piece))::BIGINT,
                    min(doc_id)::BIGINT
             FROM ckp GROUP BY 2
+            UNION ALL
+            -- shuffle_corpus replay: md5-60bit hash -> shard, rank
+            -- within shard by (hash, id); the weighted position sum
+            -- pins the whole permutation
+            SELECT (-3)::BIGINT, shard::BIGINT, count(*)::BIGINT,
+                   sum(pos * (doc_id % 97))::BIGINT,
+                   min(CASE WHEN pos = 1 THEN doc_id END)::BIGINT
+            FROM (
+              SELECT doc_id, h % 8 AS shard,
+                     row_number() OVER (PARTITION BY h % 8
+                                        ORDER BY h, doc_id) AS pos
+              FROM (SELECT doc_id,
+                           {_DK_H60.format(s="CAST(doc_id AS VARCHAR)")}
+                             AS h
+                    FROM documents)
+            ) GROUP BY 2
         """,
         "curate_corpus": f"""
             WITH RECURSIVE nq AS (

@@ -145,6 +145,13 @@ def main():
         return similarity.semantic_dedup(emb, dim=dim, nlist=8,
                                          threshold=0.3)
 
+    def shuffle_shards(spark_, sf_dir_):
+        # round-7: deterministic global corpus shuffle (hash shard +
+        # in-shard hash rank; shards are the parallelism unit)
+        from pandas_alchemy_spark.ext import pipeline
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        return pipeline.shuffle_corpus(docs, n_shards=64)
+
     def unigram_lm(spark_, sf_dir_):
         # round-7: corpus-trained unigram LM scoring (vocab agg +
         # token join + per-doc sorted fold)
@@ -205,6 +212,7 @@ def main():
         "split_shards": split_shards,
         "semdedup": semdedup,
         "unigram_lm": unigram_lm,
+        "shuffle_shards": shuffle_shards,
     }
 
     # warm the JVM + parquet footers with a trivial action, the

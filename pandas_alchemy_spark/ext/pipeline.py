@@ -237,3 +237,47 @@ def split_corpus(docs: DataFrame, fractions: dict | None = None,
         expr = F.when(F.col("__pas_bucket") < F.lit(ub),
                       F.lit(name)).otherwise(expr)
     return out.withColumn(split_col, expr).drop("__pas_bucket")
+
+
+def shuffle_corpus(df: DataFrame, n_shards: int = 1024,
+                   id_col: str = "doc_id",
+                   fast_hash: bool = False) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards — the
+    last step before writing training data: sequential readers of any
+    shard see a pseudo-random document order, yet the permutation is
+    fully reproducible (content-addressed, no RNG state).
+
+    Each row hashes to a shard (``pmod(h, n_shards)``) and to a
+    position within it (rank of the hash inside the shard, ties
+    broken by id).  One shuffle on the shard key + one per-shard
+    window sort — shards are the parallelism unit, so size
+    ``n_shards`` to keep a shard's rows within an executor's sort
+    budget (at 100 TB: thousands of shards, not dozens).  Appending
+    documents changes positions only WITHIN affected shards; shard
+    membership never changes.
+
+    Returns ``df`` plus ``shard`` and ``shard_pos`` (1-based).  To
+    materialize, write partitioned by ``shard`` sorted by
+    ``shard_pos`` (``to_parquet(..., sort_by=...)``).
+    """
+    from pyspark.sql import Window
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    k = F.col(id_col)
+    if fast_hash:
+        bucket = F.pmod(F.xxhash64(k), F.lit(1 << 32))
+    else:
+        bucket = F.conv(
+            F.substring(F.md5(k.cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    # hash materialized once (Catalyst does not CSE it between the
+    # shard key and the window order)
+    out = df.withColumn("__pas_h", bucket)
+    w = (Window.partitionBy(F.pmod(F.col("__pas_h"), F.lit(n_shards)))
+         .orderBy(F.col("__pas_h").asc(), k.asc()))
+    return (out.withColumn(
+        "shard", F.pmod(F.col("__pas_h"), F.lit(n_shards))
+        .cast("long"))
+        .withColumn("shard_pos",
+                    F.row_number().over(w).cast("long"))
+        .drop("__pas_h"))

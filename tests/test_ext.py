@@ -1016,3 +1016,36 @@ def test_semantic_dedup_nprobe_superset_no_dup_pairs(spark):
     s2 = set(zip(p2.id_a, p2.id_b))
     assert s1 <= s2                       # soft assignment only adds
     assert len(p2) == len(s2)             # multi-cell hits collapsed
+
+
+# ------------------------- round-7: deterministic corpus shuffle
+
+
+def test_shuffle_corpus_positions_and_determinism(spark, docs):
+    from pandas_alchemy_spark.ext import pipeline
+    a = (pipeline.shuffle_corpus(docs, n_shards=8)
+         .select("doc_id", "shard", "shard_pos").toPandas())
+    assert len(a) == docs.count() and a.doc_id.is_unique
+    # positions are 1..m contiguous per shard
+    for s, g in a.groupby("shard"):
+        assert sorted(g.shard_pos) == list(range(1, len(g) + 1))
+    # deterministic under repartition
+    b = (pipeline.shuffle_corpus(docs.repartition(11), n_shards=8)
+         .select("doc_id", "shard", "shard_pos").toPandas())
+    m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (m.shard_a == m.shard_b).all()
+    assert (m.shard_pos_a == m.shard_pos_b).all()
+    # the permutation is not the identity order (it shuffles)
+    g0 = a[a.shard == a.shard.iloc[0]].sort_values("shard_pos")
+    assert not g0.doc_id.is_monotonic_increasing
+    # shard membership is append-stable
+    c = (pipeline.shuffle_corpus(docs.limit(100), n_shards=8)
+         .select("doc_id", "shard").toPandas())
+    m2 = c.merge(a, on="doc_id")
+    assert (m2.shard_x == m2.shard_y).all()
+
+
+def test_shuffle_corpus_validates(spark, docs):
+    from pandas_alchemy_spark.ext import pipeline
+    with pytest.raises(ValueError):
+        pipeline.shuffle_corpus(docs, n_shards=0)
