@@ -355,3 +355,35 @@ def test_scale_report_flags_and_clean(spark):
     # the fixed operators stay clean of that flag
     assert not any(k == "repeated_expensive_exprs"
                    for k, _ in scale_report(text.language_id(docs))["flags"])
+
+
+def test_round7_ops_plan_shapes(spark):
+    """Plan regressions for the round-7 operators:
+
+    - split_corpus / shuffle_corpus evaluate the md5 hash chain ONCE
+      (the 3-branch CASE previously paid 3 hashes per row —
+      tools/audit_expr_reuse.py finding);
+    - chunk_documents is shuffle-free (narrow posexplode+slice);
+    - shuffle_corpus has exactly one exchange (the shard key);
+    - unigram_logprob carries no repeated expensive expressions
+      (the vocab persist collapses the triple scan)."""
+    from pandas_alchemy_spark.ext import pipeline, text
+    from pandas_alchemy_spark.plans import scale_report
+    from pandas_alchemy_spark.plans.audit import exchange_count
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    for name, df in (
+            ("split", pipeline.split_corpus(docs)),
+            ("split_holdout", pipeline.split_corpus(docs, {"a": 0.5})),
+            ("shuffle", pipeline.shuffle_corpus(docs, n_shards=8))):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for ln in plan.splitlines():
+            assert ln.count("md5(") <= 1, (name, ln[:160])
+
+    ch = text.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    assert exchange_count(ch) == 0
+    assert exchange_count(
+        pipeline.shuffle_corpus(docs, n_shards=8)) == 1
+    flags = scale_report(text.unigram_logprob(docs))["flags"]
+    assert not any(k == "repeated_expensive_exprs" for k, _ in flags)

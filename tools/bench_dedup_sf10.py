@@ -115,6 +115,8 @@ def main():
                                           overlap=16)))
     run("split_shards",
         lambda: noop(pipeline.split_corpus(docs)))
+    run("shuffle_shards",
+        lambda: noop(pipeline.shuffle_corpus(docs, n_shards=256)))
     run("unigram_lm",
         lambda: noop(text.unigram_logprob(docs)))
     # SemDeDup at 200k vectors: nlist sized so the average cell stays
