@@ -2815,11 +2815,46 @@ def q_curate_corpus(spark, sf_dir):
                          F.col("n_bins").cast("long").alias("n_bins"),
                          F.round(F.col("n_docs") / F.col("__tot"), 6)
                          .alias("avg_quality")))
+    # round-7 fold: DSIR importance resampling (ext/pipeline.py
+    # importance_weights + resample_corpus).  Shard -9 pins EVERY
+    # per-doc weight through an order-independent exact checksum
+    # (sum of round(logw*1e6) BIGINTs — float-sum order can differ
+    # across engines, a sum of exact ints cannot); shard -10 pins the
+    # Gumbel-top-k selected SET (k, id-sum, min id) plus the same
+    # checksum over the selection keys.  ln() is <=1 ulp per engine,
+    # ~1e-14 accumulated per doc — five orders below the 1e-6
+    # checksum grid and the ~1e-2 top-k boundary gaps.
+    iw = pipeline.importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), buckets=4096)
+    wchk = F.round(F.col("logw") * F.lit(1e6), 0).cast("long")
+    leg_dsir = (iw.select(wchk.alias("__c"), "n_grams")
+                .agg(F.count(F.lit(1)).alias("__n"),
+                     F.sum("n_grams").alias("__g"),
+                     F.sum("__c").alias("__s"))
+                .select(F.lit(-9).cast("long").alias("shard"),
+                        F.col("__n").cast("long").alias("n_docs"),
+                        F.col("__g").cast("long").alias("n_tokens"),
+                        F.col("__s").cast("long").alias("n_bins"),
+                        F.round(F.col("__s") / F.col("__n") / F.lit(1e6),
+                                3).alias("avg_quality")))
+    sel = pipeline.resample_corpus(iw, k=40)
+    kchk = F.round(F.col("sample_key") * F.lit(1e6), 0).cast("long")
+    leg_sel = (sel.select("doc_id", kchk.alias("__c"))
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.sum("doc_id").alias("__ids"),
+                    F.min("doc_id").alias("__mn"),
+                    F.sum("__c").alias("__s"))
+               .select(F.lit(-10).cast("long").alias("shard"),
+                       F.col("__n").cast("long").alias("n_docs"),
+                       F.col("__ids").cast("long").alias("n_tokens"),
+                       F.col("__mn").cast("long").alias("n_bins"),
+                       F.round(F.col("__s") / F.col("__n") / F.lit(1e6),
+                               3).alias("avg_quality")))
     return (per_shard.select(
         F.col("shard").cast("long").alias("shard"), "n_docs", "n_tokens",
         F.col("n_bins").cast("long").alias("n_bins"),
         "avg_quality").unionAll(leg_emb).unionAll(leg_mix)
-        .unionAll(leg_split))
+        .unionAll(leg_split).unionAll(leg_dsir).unionAll(leg_sel))
 
 
 def q_ann_suite(spark, sf_dir):
@@ -5043,6 +5078,55 @@ def oracle_sql() -> dict[str, str]:
                                AS DECIMAL(18,9))
                           * 1152921504606846976 AS BIGINT) AS thr
               FROM mixavail JOIN mixw USING (lang) CROSS JOIN mixt
+            ), dtk AS (
+              SELECT doc_id, {toks_text} AS t FROM documents
+            ), dgr AS (
+              -- DSIR featurization: unigrams + bigrams
+              SELECT doc_id,
+                     unnest(list_concat(t,
+                       CASE WHEN len(t) >= 2 THEN
+                         list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i + 1])
+                       ELSE [] END)) AS g
+              FROM dtk
+            ), dbk AS (
+              SELECT doc_id, {_DK_H60.format(s="g")} % 4096 AS b
+              FROM dgr
+            ), drc AS (
+              SELECT b, count(*)::BIGINT AS rc FROM dbk GROUP BY b
+            ), dtc AS (
+              SELECT dbk.b, count(*)::BIGINT AS tc
+              FROM dbk JOIN documents USING (doc_id)
+              WHERE lang = 'en' GROUP BY 1
+            ), dmodel AS (
+              SELECT coalesce(r.b, t.b) AS b,
+                     coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc
+              FROM drc r FULL OUTER JOIN dtc t ON r.b = t.b
+            ), dpd AS (
+              SELECT doc_id, b, count(*)::BIGINT AS c
+              FROM dbk GROUP BY 1, 2
+            ), dw AS (
+              -- add-one-smoothed log-likelihood ratio, folded over
+              -- the bucket list SORTED by bucket id (the engine's
+              -- bit-stability contract)
+              SELECT doc_id, sum(c)::BIGINT AS n_grams,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(list_sort(list([b, c, tc, rc])),
+                         x -> x[2] * (ln(x[3] + 1) - ln(x[4] + 1)))),
+                       (acc, v) -> acc + v)
+                     + sum(c) * (ln((SELECT sum(rc) FROM drc) + 4096)
+                                 - ln((SELECT sum(tc) FROM dtc) + 4096))
+                       AS logw
+              FROM dpd JOIN dmodel USING (b) GROUP BY doc_id
+            ), dsel AS (
+              -- Gumbel-top-k with content-addressed noise:
+              -- u = (h60(id || ':pas') + 1) / (2^60 + 2)
+              SELECT doc_id,
+                     logw - ln(-ln(
+                       ({_DK_H60.format(s="doc_id::VARCHAR || ':pas'")} + 1)::DOUBLE
+                       / 1152921504606846978.0)) AS skey
+              FROM dw
+              ORDER BY skey DESC, doc_id ASC LIMIT 40
             )
             SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
                    sum(n_tokens)::BIGINT AS n_tokens,
@@ -5082,6 +5166,24 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, n_chars, lang, {split_case} AS code
                   FROM documents) spc
             GROUP BY 1
+            UNION ALL
+            -- DSIR weights replay (shard -9): exact-int checksum of
+            -- every per-doc weight (sum of round(logw*1e6) BIGINTs
+            -- is order-independent where a float sum is not)
+            SELECT (-9)::BIGINT, count(*)::BIGINT,
+                   sum(n_grams)::BIGINT,
+                   sum(round(logw * 1e6)::BIGINT)::BIGINT,
+                   round(sum(round(logw * 1e6)::BIGINT)
+                         / count(*) / 1e6, 3)
+            FROM dw
+            UNION ALL
+            -- Gumbel-top-k selection replay (shard -10): the chosen
+            -- SET (k, id-sum, min id) + selection-key checksum
+            SELECT (-10)::BIGINT, count(*)::BIGINT,
+                   sum(doc_id)::BIGINT, min(doc_id)::BIGINT,
+                   round(sum(round(skey * 1e6)::BIGINT)
+                         / count(*) / 1e6, 3)
+            FROM dsel
         """,
         # ann_suite: the NEIGHBOR LISTS are approximate by contract and
         # have no SQL twin; the recall-bucket summary they roll into is

@@ -281,3 +281,143 @@ def shuffle_corpus(df: DataFrame, n_shards: int = 1024,
         .withColumn("shard_pos",
                     F.row_number().over(w).cast("long"))
         .drop("__pas_h"))
+
+
+def _grams_expr(toks: str) -> str:
+    """Unigram+bigram feature list over an already-tokenized array
+    column (the DSIR featurization: Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", §3 — hashed
+    n-gram features with n<=2).  The size guard matters: Spark's
+    ``sequence(1, 0)`` infers step -1 and yields ``[1, 0]`` instead
+    of the empty series DuckDB's ``generate_series`` produces."""
+    bi = (f"case when size({toks}) >= 2 then "
+          f"transform(sequence(1, size({toks}) - 1), "
+          f"i -> concat(element_at({toks}, i), ' ', "
+          f"element_at({toks}, i + 1))) "
+          f"else array() end")
+    return f"concat({toks}, {bi})"
+
+
+def importance_weights(docs: DataFrame, target: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       buckets: int = 1 << 16,
+                       fast_hash: bool = False) -> DataFrame:
+    """DSIR-style importance weights: score every raw document by how
+    target-like its hashed n-gram distribution is (Xie et al. 2023 —
+    the data-selection recipe behind most curated pretraining mixes).
+
+    Features are unigrams+bigrams hashed into ``buckets`` buckets
+    (md5-60bit by default so any engine reproduces the bucketing;
+    ``fast_hash=True`` switches to xxhash64 for production runs).
+    Two bucket-count models are estimated — the ``target`` corpus
+    (what you want more of) and the raw corpus itself — and each
+    document's log importance weight is the add-one-smoothed
+    log-likelihood ratio of its features:
+
+        logw(d) = sum_b c_db * [ln(tc_b + 1) - ln(rc_b + 1)]
+                  + n_d * [ln(T_r + B) - ln(T_t + B)]
+
+    with exact BIGINT counts everywhere and the float fold applied
+    over the per-document bucket list SORTED by bucket id — the same
+    bit-stability contract as :func:`~.text.unigram_logprob` (across
+    engines the last ulp of ``ln`` can differ; round for comparison).
+
+    Plan shape at 100 TB: the two models are hash aggregates bounded
+    by ``buckets`` rows (map-side partials; the target corpus is
+    typically small anyway), PERSISTED and joined to each other once
+    — a <=2^16-row table that Spark then BROADCASTS to the scoring
+    pass.  Scoring is one more corpus pass: explode grams, one
+    (doc, bucket) partial aggregate, broadcast-join the model table,
+    one per-doc aggregate.  Two corpus passes is the floor (the raw
+    model must be complete before any document can be scored); no
+    corpus-sized shuffle beyond the per-doc aggregates.
+
+    Returns ``(id_col, n_grams, logw)``; feed to
+    :func:`resample_corpus` to select.
+    """
+    from .dedup import _h60, _tune
+    from .text import _tok
+    _tune(docs)
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+
+    def bucketed(df, with_id):
+        toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
+        cols = ([F.col(id_col)] if with_id else []) + [
+            F.explode(F.expr(_grams_expr("__pas_toks"))).alias("g")]
+        ex = toked.select(*cols)
+        return ex.select(
+            *([F.col(id_col)] if with_id else []),
+            F.pmod(F.expr(_h60("g", fast_hash)),
+                   F.lit(buckets)).alias("b"))
+
+    tcnt = (bucketed(target, False).groupBy("b")
+            .agg(F.count(F.lit(1)).alias("tc")).persist())
+    rcnt = (bucketed(docs, False).groupBy("b")
+            .agg(F.count(F.lit(1)).alias("rc")).persist())
+    # model table: every bucket seen in EITHER corpus, zero-filled
+    # (add-one smoothing makes absent buckets well-defined); bounded
+    # by `buckets` rows, so the scoring join broadcasts it
+    model = (rcnt.join(tcnt, "b", "full_outer")
+             .select(F.col("b"),
+                     F.coalesce("tc", F.lit(0)).alias("tc"),
+                     F.coalesce("rc", F.lit(0)).alias("rc")))
+    totals = (tcnt.agg(F.sum("tc").alias("__tt")).coalesce(1)
+              .crossJoin(rcnt.agg(F.sum("rc").alias("__tr"))
+                         .coalesce(1)))
+    per_doc = (bucketed(docs, True).groupBy(id_col, "b")
+               .agg(F.count(F.lit(1)).alias("c")))
+    joined = per_doc.join(F.broadcast(model), "b")
+    per = (joined.groupBy(id_col)
+           .agg(F.sort_array(F.collect_list(
+                    F.struct("b", "c", "tc", "rc"))).alias("__xs"),
+                F.sum("c").alias("n_grams")))
+    fold = F.expr(
+        "aggregate(__xs, cast(0.0 as double), (s, x) -> "
+        "s + x.c * (ln(x.tc + 1) - ln(x.rc + 1)))")
+    const = (F.log(F.col("__tr") + F.lit(buckets))
+             - F.log(F.col("__tt") + F.lit(buckets)))
+    return (per.crossJoin(totals)
+            .select(F.col(id_col),
+                    F.col("n_grams").cast("long").alias("n_grams"),
+                    (fold + F.col("n_grams") * const).alias("logw")))
+
+
+def resample_corpus(weighted: DataFrame, k: int,
+                    weight_col: str = "logw", id_col: str = "doc_id",
+                    temperature: float = 1.0, seed: str = "pas",
+                    fast_hash: bool = False) -> DataFrame:
+    """Deterministic importance resampling: draw ``k`` documents
+    without replacement with probability proportional to
+    ``exp(weight / temperature)`` — the Gumbel-top-k trick (Vieira
+    2014; Kool et al. 2019), with the Gumbel noise CONTENT-ADDRESSED:
+    ``u = (h60(id || ':' || seed) + 1) / (2^60 + 2)`` in (0, 1),
+    ``g = -ln(-ln(u))``, key ``= weight / temperature + g``.  No RNG
+    state — the same (corpus, seed) always selects the same set, on
+    any cluster, under any partitioning; change ``seed`` to redraw.
+
+    ``temperature`` interpolates between greedy top-k by weight
+    (→ 0) and uniform sampling (→ inf).
+
+    Plan shape: one global top-k (``TakeOrderedAndProject`` — each
+    partition keeps its top ``k``, the driver merges O(P·k)), so
+    ``k`` is the driver-memory bound: fine up to ~millions of ids.
+    For billion-row selections, filter on a key threshold from a
+    quantile sketch instead of an exact top-k.  Ties (exactly equal
+    keys) break by id.
+    """
+    from .dedup import _h60
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    tagged = f"concat(cast(`{id_col}` as string), ':{seed}')"
+    u = ((F.expr(_h60(tagged, fast_hash)) + F.lit(1)).cast("double")
+         / F.lit(float((1 << 60) + 2)))
+    key = (F.col(weight_col) / F.lit(float(temperature))
+           - F.log(-F.log(u)))
+    return (weighted
+            .withColumn("__pas_key", key)
+            .orderBy(F.col("__pas_key").desc(), F.col(id_col).asc())
+            .limit(k)
+            .withColumnRenamed("__pas_key", "sample_key"))

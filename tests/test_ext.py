@@ -1049,3 +1049,75 @@ def test_shuffle_corpus_validates(spark, docs):
     from pandas_alchemy_spark.ext import pipeline
     with pytest.raises(ValueError):
         pipeline.shuffle_corpus(docs, n_shards=0)
+
+
+# ------------------------- round-7: DSIR importance resampling
+
+
+def test_importance_weights_favor_target_like_docs(spark, docs):
+    from pandas_alchemy_spark.ext import pipeline
+    target = docs.filter("doc_id % 7 = 0")
+    w = pipeline.importance_weights(docs, target, buckets=4096)
+    pdf = w.toPandas()
+    # every doc with at least one token is scored (token-less docs
+    # have no grams and are dropped by the explode, like unigram)
+    from pandas_alchemy_spark.ext.text import _tok
+    n_tok = docs.filter(F.expr(f"size({_tok('text')}) >= 1")).count()
+    assert len(pdf) == n_tok
+    assert pdf.doc_id.is_unique
+    # docs IN the target should on average look more target-like
+    # than the rest (they contributed their own grams to the model)
+    pdf["in_t"] = pdf.doc_id % 7 == 0
+    per_gram = pdf.logw / pdf.n_grams
+    assert per_gram[pdf.in_t].mean() > per_gram[~pdf.in_t].mean()
+    # partitioning-invariant, bit-stable (sorted fold contract)
+    w2 = pipeline.importance_weights(
+        docs.repartition(13), target.repartition(5), buckets=4096)
+    m = pdf.merge(w2.toPandas(), on="doc_id", suffixes=("", "_b"))
+    assert (m.logw == m.logw_b).all()
+    assert (m.n_grams == m.n_grams_b).all()
+
+
+def test_importance_weights_validation_and_fast_hash(spark, docs):
+    import pytest as _pt
+    from pandas_alchemy_spark.ext import pipeline
+    with _pt.raises(ValueError):
+        pipeline.importance_weights(docs, docs, buckets=1)
+    target = docs.filter("doc_id % 11 = 0")
+    w = pipeline.importance_weights(docs, target, buckets=1024,
+                                    fast_hash=True)
+    assert w.columns == ["doc_id", "n_grams", "logw"]
+    assert w.count() > 0
+
+
+def test_resample_corpus_gumbel_topk(spark, docs):
+    import pytest as _pt
+    from pandas_alchemy_spark.ext import pipeline
+    target = docs.filter("doc_id % 7 = 0")
+    w = pipeline.importance_weights(docs, target, buckets=4096)
+    sel = pipeline.resample_corpus(w, k=25)
+    a = sorted(r.doc_id for r in sel.collect())
+    assert len(a) == 25
+    # deterministic under repartitioning
+    b = sorted(r.doc_id for r in
+               pipeline.resample_corpus(w.repartition(9), k=25)
+               .collect())
+    assert a == b
+    # a different seed draws a different set
+    c = sorted(r.doc_id for r in
+               pipeline.resample_corpus(w, k=25, seed="other")
+               .collect())
+    assert a != c
+    # temperature -> 0 approaches greedy top-k by weight
+    greedy = sorted(
+        r.doc_id for r in
+        w.orderBy(F.col("logw").desc(), F.col("doc_id")).limit(25)
+        .collect())
+    cold = sorted(r.doc_id for r in
+                  pipeline.resample_corpus(w, k=25, temperature=1e-9)
+                  .collect())
+    assert cold == greedy
+    with _pt.raises(ValueError):
+        pipeline.resample_corpus(w, k=0)
+    with _pt.raises(ValueError):
+        pipeline.resample_corpus(w, k=5, temperature=0)
