@@ -2637,8 +2637,30 @@ def q_text_suite(spark, sf_dir):
           .select("doc_id",
                   F.col("n_contam_ngrams").cast("long")
                   .alias("n_contam")))
+    # round-7 leg: cross-corpus incremental dedup
+    # (ext/dedup.cross_dedup_pairs) — the doc_id % 3 == 0 slice is
+    # the "new crawl", the rest the existing corpus; per new doc the
+    # leg pins the count of verified reference matches and the max
+    # exact Jaccard (an exact rational — bit-stable).  Reference-side
+    # docs carry -1 sentinels.  bucket_cap=None so the oracle needs
+    # no cap replay (the capped path is pytest-covered).
+    new_sl = docs.filter("doc_id % 3 = 0")
+    ref_sl = docs.filter("doc_id % 3 <> 0")
+    xp = dd.cross_dedup_pairs(new_sl, ref_sl, num_hashes=16, bands=4,
+                              threshold=0.4, bucket_cap=None)
+    xagg = (xp.groupBy("id_new")
+            .agg(F.count(F.lit(1)).alias("__nx"),
+                 F.max("jaccard").alias("__xj")))
+    xleg = (docs.select("doc_id")
+            .join(xagg.withColumnRenamed("id_new", "doc_id"),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.expr("doc_id % 3 = 0"),
+                           F.coalesce("__nx", F.lit(0)))
+                    .otherwise(F.lit(-1)).cast("long").alias("n_xdup"),
+                    F.coalesce("__xj", F.lit(-1.0)).alias("xjac")))
     return (scalar.join(rep, "doc_id").join(pdd, "doc_id")
-            .join(ct, "doc_id"))
+            .join(ct, "doc_id").join(xleg, "doc_id"))
 
 
 def q_langid_terms(spark, sf_dir):
@@ -4638,12 +4660,55 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents) t
               JOIN __evg e ON t.g = e.g AND t.g <> ''
               GROUP BY 1)
+            -- cross-corpus incremental dedup replay
+            -- (ext/dedup.cross_dedup_pairs): shared MinHash family
+            -- (16 hashes / 4 bands), new slice = doc_id % 3 == 0
+            , __xsh AS (
+              SELECT doc_id, {_dk_shingles("text", distinct=False)} AS s
+              FROM documents),
+            __xhs AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(s,
+                       x -> {_DK_H60.format(s="x")})) AS hs
+              FROM __xsh WHERE len(s) > 0),
+            __xsig AS (
+              SELECT doc_id, hs,
+                     list_transform(range(0, 16), k ->
+                       list_min(list_transform(hs, x ->
+                         ((2 * k + 1) * (x % 2147483647)
+                          + (12345 + k * 7919)) % 2147483647))) AS sig
+              FROM __xhs),
+            __xband AS (
+              SELECT doc_id, hs, b.band,
+                     array_to_string(
+                       sig[b.band * 4 + 1: b.band * 4 + 4], ',') AS bh
+              FROM __xsig, (SELECT unnest(range(0, 4)) AS band) b),
+            __xcand AS (
+              SELECT DISTINCT n.doc_id AS id_new, r.doc_id AS id_ref,
+                     n.hs AS ha, r.hs AS hb
+              FROM __xband n JOIN __xband r
+                ON n.band = r.band AND n.bh = r.bh
+              WHERE n.doc_id % 3 = 0 AND r.doc_id % 3 <> 0),
+            __xpair AS (
+              SELECT id_new, id_ref,
+                     len(list_intersect(ha, hb))
+                     / (len(ha) + len(hb)
+                        - len(list_intersect(ha, hb)))::DOUBLE AS jac
+              FROM __xcand),
+            __xagg AS (
+              SELECT id_new AS doc_id, count(*)::BIGINT AS nx,
+                     max(jac) AS xj
+              FROM __xpair WHERE jac >= 0.4 GROUP BY 1)
             SELECT a.doc_id, a.h, a.n, b.n_2grams, b.n_distinct_2grams,
                    b.top_2gram_count, b.dup_2gram_frac,
                    c.* EXCLUDE (doc_id),
                    d.n_ws_tokens, d.n_bpe_tokens, e.fingerprint,
                    p.n_paras, p.n_kept, p.ded_len,
-                   coalesce(ct.n_contam, 0)::BIGINT AS n_contam
+                   coalesce(ct.n_contam, 0)::BIGINT AS n_contam,
+                   (CASE WHEN a.doc_id % 3 = 0
+                         THEN coalesce(x.nx, 0)
+                         ELSE -1 END)::BIGINT AS n_xdup,
+                   coalesce(x.xj, -1.0) AS xjac
             FROM {sub("text_normalize")} a
             JOIN {sub("repetition")} b ON a.doc_id = b.doc_id
             JOIN {sub("quality")} c ON a.doc_id = c.doc_id
@@ -4651,6 +4716,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN {sub("fingerprint")} e ON a.doc_id = e.doc_id
             JOIN __pdd p ON a.doc_id = p.doc_id
             LEFT JOIN __contam ct ON a.doc_id = ct.doc_id
+            LEFT JOIN __xagg x ON a.doc_id = x.doc_id
         """,
         "tpch_suite": """
             WITH rev AS (

@@ -589,3 +589,91 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, n: int = 8,
         return marked
     return (marked.filter(F.col("n_contam_ngrams") < min_hits)
             .drop("n_contam_ngrams"))
+
+
+def cross_dedup_pairs(new: DataFrame, reference: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 32, bands: int = 8,
+                      shingle_n: int = 3, threshold: float = 0.5,
+                      bucket_cap: int | None = 2000,
+                      fast_hash: bool = False) -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora — the incremental-
+    ingestion shape :func:`minhash_lsh_pairs` cannot express without
+    waste: a new crawl arrives and must be deduplicated against the
+    training set you already have, without re-pairing the existing
+    corpus against itself (its internal pairs are already resolved,
+    and at 100 TB re-deriving them dominates the whole job).
+
+    Both sides run the SAME shared ``_minhash_base`` pipeline (one
+    hash family — a drifted family would silently zero the recall),
+    band identically, and candidates come from an inner JOIN of the
+    new side's band rows against the reference side's band BUCKETS
+    (grouped ids, ``bucket_cap``-capped with a logged drop like every
+    LSH path here).  Only cross pairs exist by construction — the
+    join's two inputs are distinct corpora — so the shuffle carries
+    band keys and ids, never a second copy of either corpus, and the
+    reference side's internal O(B^2) pair explosion never happens.
+    Candidates are verified with exact shingle Jaccard.
+
+    Returns ``(id_new, id_ref, jaccard)`` with ``jaccard >=
+    threshold``.  Ids may collide across corpora (they are different
+    tables); the output columns keep the sides apart.
+    """
+    if bands < 1 or num_hashes < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple "
+            f"of bands ({bands})")
+    rows = num_hashes // bands
+    bn = _minhash_base(new, text_col, id_col, num_hashes,
+                       shingle_n, fast_hash).persist()
+    br = _minhash_base(reference, text_col, id_col, num_hashes,
+                       shingle_n, fast_hash).persist()
+
+    def banded(base, out_id):
+        return (base.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f" struct(b as band, concat_ws(',', "
+                f"slice(signature, b * {rows} + 1, {rows})) as bh))"
+            )).alias("bb"))
+            .select(out_id, "bb.band", "bb.bh"))
+
+    ref_buckets = (banded(br, "id_ref").groupBy("band", "bh")
+                   .agg(F.array_sort(F.collect_list("id_ref"))
+                        .alias("ids")))
+    ref_buckets = _cap_buckets(ref_buckets, "ids", bucket_cap,
+                               "cross_dedup_pairs")
+    cand = (banded(bn, "id_new").join(ref_buckets, ["band", "bh"])
+            .select("id_new", F.explode("ids").alias("id_ref"))
+            .dropDuplicates())
+    sha = bn.select(F.col(id_col).alias("id_new"),
+                    F.col("hs").alias("hs_n"))
+    shb = br.select(F.col(id_col).alias("id_ref"),
+                    F.col("hs").alias("hs_r"))
+    jac = (F.size(F.array_intersect("hs_n", "hs_r"))
+           / F.size(F.array_union("hs_n", "hs_r")))
+    return (cand.join(sha, "id_new").join(shb, "id_ref")
+            .select("id_new", "id_ref", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def dedup_against(new: DataFrame, reference: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_hashes: int = 32, bands: int = 8,
+                  shingle_n: int = 3, threshold: float = 0.5,
+                  bucket_cap: int | None = 2000,
+                  fast_hash: bool = False) -> DataFrame:
+    """Keep only the ``new`` documents that are NOT near-duplicates
+    of anything in ``reference`` (see :func:`cross_dedup_pairs` for
+    the candidate/verify machinery and its 100 TB shape).  One
+    LEFT ANTI join on the distinct matched ids — AQE broadcasts the
+    matched-id set when it is small, which is the common case for an
+    incremental crawl against a deduplicated corpus."""
+    pairs = cross_dedup_pairs(
+        new, reference, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        threshold=threshold, bucket_cap=bucket_cap,
+        fast_hash=fast_hash)
+    hit = (pairs.select(F.col("id_new").alias(id_col)).distinct())
+    return new.join(hit, id_col, "left_anti")

@@ -194,7 +194,8 @@ def split_thresholds(fractions: dict, scale: int = 1 << 60) -> list:
 
 def split_corpus(docs: DataFrame, fractions: dict | None = None,
                  id_col: str = "doc_id", split_col: str = "split",
-                 fast_hash: bool = False) -> DataFrame:
+                 fast_hash: bool = False,
+                 by: str | None = None) -> DataFrame:
     """Deterministic train/val/test assignment — the dataset-split
     step every training pipeline needs before writing shards.
 
@@ -211,12 +212,28 @@ def split_corpus(docs: DataFrame, fractions: dict | None = None,
     must sum to at most 1; if the sum is below 1 the remaining hash
     space is a holdout and those rows are DROPPED (documented
     contract).  Returns ``docs`` plus ``split_col``.
+
+    ``by=`` makes the split LEAKAGE-SAFE at a coarser grain: hash a
+    grouping column (url host, source domain, dedup-cluster label)
+    instead of the id, so every document of a group lands in the SAME
+    split — near-duplicates from one source can never straddle
+    train/test.  Still a pure projection: no shuffle, no group
+    materialization; NULL group keys raise on evaluation rather than
+    silently pooling into one giant pseudo-group (hash of NULL is one
+    value — that would put every keyless doc in the same split).
     """
     if fractions is None:
         fractions = {"train": 0.98, "val": 0.01, "test": 0.01}
     scale = (1 << 32) if fast_hash else (1 << 60)
     bounds = split_thresholds(fractions, scale)
-    k = F.col(id_col)
+    if by is not None:
+        k = F.when(F.col(by).isNull(),
+                   F.raise_error(F.lit(
+                       f"split_corpus(by={by!r}): NULL group key - "
+                       "fill or drop keyless rows first"))
+                   ).otherwise(F.col(by).cast("string"))
+    else:
+        k = F.col(id_col)
     if fast_hash:
         bucket = F.pmod(F.xxhash64(k), F.lit(1 << 32))
     else:

@@ -1121,3 +1121,78 @@ def test_resample_corpus_gumbel_topk(spark, docs):
         pipeline.resample_corpus(w, k=0)
     with _pt.raises(ValueError):
         pipeline.resample_corpus(w, k=5, temperature=0)
+
+
+# ------------------------- round-7: cross-corpus incremental dedup
+
+
+def test_cross_dedup_pairs_finds_cross_matches_only(spark, docs):
+    n = docs.count()
+    new = docs.filter(f"doc_id < {n // 3}")
+    # reference: disjoint ids; seed EXACT copies of 5 new docs under
+    # shifted ids so known cross pairs exist
+    ref = docs.filter(f"doc_id >= {n // 3}").select("doc_id", "text")
+    copies = (new.filter("doc_id % 20 = 0").limit(5)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      "text"))
+    ref = ref.select("doc_id", "text").unionAll(copies)
+    pairs = dedup.cross_dedup_pairs(
+        new.select("doc_id", "text"), ref, threshold=0.9)
+    got = {(r.id_new, r.id_ref) for r in pairs.collect()}
+    planted = {(r.doc_id, r.doc_id + 1000000)
+               for r in new.filter("doc_id % 20 = 0").limit(5)
+               .select("doc_id").collect()}
+    assert planted <= got
+    # every verified pair is genuinely cross (new ids on the left)
+    assert all(a < n // 3 and (b >= n // 3 or b >= 1000000)
+               for a, b in got)
+    # exact copies verify at jaccard 1.0
+    ones = {(r.id_new, r.id_ref) for r in
+            pairs.filter("jaccard = 1.0").collect()}
+    assert planted <= ones
+
+
+def test_dedup_against_drops_matches_keeps_rest(spark, docs):
+    n = docs.count()
+    new = docs.filter(f"doc_id < {n // 3}").select("doc_id", "text")
+    ref = (new.filter("doc_id % 10 = 0")
+           .select((F.col("doc_id") + 5000000).alias("doc_id"),
+                   "text"))
+    kept = dedup.dedup_against(new, ref, threshold=0.9)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    dropped = {r.doc_id for r in
+               new.filter("doc_id % 10 = 0").select("doc_id")
+               .collect()}
+    assert kept_ids.isdisjoint(dropped)
+    all_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    # nothing else disappears beyond near-dups of the planted docs;
+    # at 0.9 jaccard on this corpus the planted set is exactly the
+    # drop set unless the corpus itself contains >=0.9 cross matches
+    extra = all_ids - kept_ids - dropped
+    pairs = dedup.cross_dedup_pairs(new, ref, threshold=0.9)
+    verified = {r.id_new for r in pairs.collect()}
+    assert extra <= verified
+    with pytest.raises(ValueError):
+        dedup.cross_dedup_pairs(new, ref, num_hashes=10, bands=4)
+
+
+def test_split_corpus_by_group_is_leakage_safe(spark, docs):
+    from pandas_alchemy_spark.ext import pipeline
+    g = docs.withColumn("src", F.expr("concat('h', doc_id % 13)"))
+    out = (pipeline.split_corpus(g, {"train": 0.6, "test": 0.4},
+                                 by="src")
+           .select("doc_id", "src", "split").toPandas())
+    # a group never straddles splits
+    assert (out.groupby("src").split.nunique() == 1).all()
+    # and the assignment matches hashing the group key directly
+    direct = (pipeline.split_corpus(
+        g.select(F.col("src").alias("doc_id")).distinct(),
+        {"train": 0.6, "test": 0.4})
+        .toPandas().rename(columns={"doc_id": "src"}))
+    m = out.merge(direct, on="src", suffixes=("", "_d"))
+    assert (m.split == m.split_d).all()
+    # NULL group key raises instead of pooling
+    withnull = g.withColumn(
+        "src", F.expr("CASE WHEN doc_id = 0 THEN NULL ELSE src END"))
+    with pytest.raises(Exception, match="NULL group key"):
+        pipeline.split_corpus(withnull, {"a": 1.0}, by="src").collect()
