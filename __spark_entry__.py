@@ -2688,7 +2688,31 @@ def q_langid_terms(spark, sf_dir):
                 F.lit("uni").alias("tag"),
                 F.col("doc_id").cast("string").alias("key"),
                 F.col("n_lm_tokens").cast("long").alias("n"),
-                F.round("logprob", 6).alias("score"))))
+                F.round("logprob", 6).alias("score")))
+            .unionAll(_bm25_leg(spark, docs)))
+
+
+#: fixed audit queries for the bm25 driver leg (mid-frequency corpus
+#: vocabulary so every scale has hits)
+_BM25_QUERIES = [("q0", "hash join filter"),
+                 ("q1", "vector stream window")]
+
+
+def _bm25_leg(spark, docs):
+    """Round-7 fold: BM25 search (ext/text.bm25_search) — top-5 docs
+    per fixed audit query, tag='bm25'.  key = query:rank, n = the
+    retrieved doc id (pins the ranking itself), score rounded to 6
+    (ln-in-the-formula; same cross-engine ulp contract as 'uni')."""
+    from pandas_alchemy_spark.ext import text
+    qs = spark.createDataFrame(_BM25_QUERIES,
+                               "query_id string, query string")
+    bm = text.bm25_search(docs, qs, k=5)
+    return bm.select(
+        F.lit("bm25").alias("tag"),
+        F.concat_ws(":", "query_id",
+                    F.col("rank").cast("string")).alias("key"),
+        F.col("doc_id").cast("long").alias("n"),
+        F.round("score", 6).alias("score"))
 
 
 def q_multimodal_suite(spark, sf_dir):
@@ -4995,6 +5019,71 @@ def oracle_sql() -> dict[str, str]:
                 USING (term)
               GROUP BY tkx.doc_id
             ) u
+            UNION ALL
+            -- bm25_search replay: exact BIGINT tf/df/dl/N stats,
+            -- Lucene idf, per-pair fold ORDER BY term (matches the
+            -- engine's sort_array(struct(term, ...)) — term is
+            -- unique within a pair), row_number top-5 per query
+            SELECT 'bm25', sc.query_id || ':' || sc.rnk::VARCHAR,
+                   sc.doc_id, round(sc.score, 6)
+            FROM (
+              SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id)
+                       AS rnk
+              FROM (
+                SELECT p.query_id, p.doc_id,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                         list_transform(p.xs, x ->
+                           ln((st.nn - x[2] + 0.5) / (x[2] + 0.5)
+                              + 1.0)
+                           * x[1] / (x[1] + 1.2 * (1.0 - 0.75
+                               + 0.75 * x[3]
+                               / (st.dls / st.nn::DOUBLE))))),
+                         (a, s) -> a + s) AS score
+                FROM (SELECT count(*)::BIGINT AS nn,
+                             sum(len({toks_text}))::BIGINT AS dls
+                      FROM documents) st
+                CROSS JOIN (
+                  SELECT qt.query_id, tf.doc_id,
+                         list([tf.tf, df.df, tf.dl]
+                              ORDER BY tf.term) AS xs
+                  FROM (
+                    SELECT e.doc_id, e.term,
+                           count(*)::BIGINT AS tf,
+                           any_value(e.dl)::BIGINT AS dl
+                    FROM (SELECT doc_id, len({toks_text}) AS dl,
+                                 unnest({toks_text}) AS term
+                          FROM documents) e
+                    JOIN (SELECT DISTINCT unnest({_DK_TOKS.format(col="query")}) AS term
+                          FROM (VALUES ('q0', 'hash join filter'),
+                                       ('q1', 'vector stream window'))
+                               q(query_id, query)) qx
+                      USING (term)
+                    GROUP BY 1, 2
+                  ) tf
+                  JOIN (SELECT term, count(*)::BIGINT AS df
+                        FROM (SELECT doc_id, term, count(*) AS tf
+                              FROM (SELECT doc_id,
+                                           unnest({toks_text}) AS term
+                                    FROM documents)
+                              GROUP BY 1, 2) tfq
+                        JOIN (SELECT DISTINCT unnest({_DK_TOKS.format(col="query")}) AS term
+                              FROM (VALUES ('q0', 'hash join filter'),
+                                           ('q1', 'vector stream window'))
+                                   q(query_id, query)) qy USING (term)
+                        GROUP BY 1) df ON tf.term = df.term
+                  JOIN (SELECT DISTINCT query_id,
+                               unnest({_DK_TOKS.format(col="query")}) AS term
+                        FROM (VALUES ('q0', 'hash join filter'),
+                                     ('q1', 'vector stream window'))
+                             q(query_id, query)) qt
+                    ON tf.term = qt.term
+                  GROUP BY 1, 2
+                ) p
+              ) s0
+            ) sc
+            WHERE sc.rnk <= 5
         """,
         "multimodal_suite": f"""
             SELECT a.media_type, a.n_items, a.total_bytes, a.avg_width,

@@ -371,3 +371,73 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                     ((fold - F.col("n_lm_tokens")
                       * F.log(F.col("__tot")))
                      / F.col("n_lm_tokens")).alias("logprob")))
+
+
+def bm25_search(df: DataFrame, queries: DataFrame, k: int = 10,
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Distributed BM25 keyword search over the corpus (Robertson &
+    Zaragoza 2009, the Okapi/Lucene formulation) — the retrieval
+    primitive a curation pipeline needs for targeted audits ("show me
+    the docs about X") and for building retrieval eval sets.
+
+    ``queries`` is a frame of ``(query_id, query)``.  Per (query,
+    doc) score:
+
+        sum_t idf(t) * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+        idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)   [Lucene: >= 0]
+
+    with N, df, tf, dl all exact BIGINT corpus statistics and the
+    float sum folded over the per-pair term list SORTED by term (the
+    module's bit-stability contract).  Returns the top ``k`` docs per
+    query: ``(query_id, doc_id, rank, score)``.
+
+    Plan shape at 100 TB: query terms are a broadcast-sized set, so
+    the corpus explodes its tokens ONCE and inner-joins the broadcast
+    — only matching (doc, term) rows survive into the tf aggregate
+    (the shuffle carries the MATCHING subset, never the corpus).  df
+    is a |query terms|-row aggregate over that same subset; N and
+    avgdl are one tiny corpus aggregate cross-joined in.  Per-query
+    top-k is one window over docs-with-hits, partitioned by query —
+    bounded by hit counts, not corpus size.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .dedup import _tune
+    _tune(df)
+    from pyspark.sql import Window
+
+    toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
+    # dl must count EVERY doc (BM25 normalizes against the full
+    # corpus average, not the matching subset)
+    stats = (toked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.size("__pas_toks")).alias("__dl_sum")).coalesce(1))
+    qterms = (queries
+              .withColumn("__qt", F.expr(_tok("query")))
+              .select("query_id", F.explode("__qt").alias("term"))
+              .distinct())
+    ex = (toked.select(F.col(id_col), F.size("__pas_toks").alias("dl"),
+                       F.explode("__pas_toks").alias("term")))
+    tf = (ex.join(F.broadcast(qterms.select("term").distinct()), "term")
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    per_term = (tf.join(F.broadcast(dfreq), "term")
+                .join(F.broadcast(qterms), "term"))
+    pairs = (per_term.groupBy("query_id", id_col)
+             .agg(F.sort_array(F.collect_list(
+                      F.struct("term", "tf", "df", "dl"))).alias("__ts")))
+    fold = F.expr(
+        f"aggregate(__ts, cast(0.0 as double), (s, x) -> s + "
+        f"ln((__n - x.df + 0.5) / (x.df + 0.5) + 1.0) * x.tf / "
+        f"(x.tf + {k1!r} * (1.0 - {b!r} + {b!r} * x.dl "
+        f" / (__dl_sum / cast(__n as double)))))")
+    scored = (pairs.crossJoin(F.broadcast(stats))
+              .select("query_id", id_col, fold.alias("score")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col,
+                    F.col("rank").cast("long").alias("rank"), "score"))

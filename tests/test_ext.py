@@ -1196,3 +1196,71 @@ def test_split_corpus_by_group_is_leakage_safe(spark, docs):
         "src", F.expr("CASE WHEN doc_id = 0 THEN NULL ELSE src END"))
     with pytest.raises(Exception, match="NULL group key"):
         pipeline.split_corpus(withnull, {"a": 1.0}, by="src").collect()
+
+
+# ------------------------- round-7: BM25 keyword search
+
+
+def test_bm25_search_matches_reference_formula(spark, docs):
+    queries = spark.createDataFrame(
+        [("q0", "data model training"), ("q1", "the of and")],
+        "query_id string, query string")
+    got = text.bm25_search(docs, queries, k=8).toPandas()
+    # reference BM25 in pure python on the same tokenizer
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def tok(t):
+        return [w for w in "".join(
+            c.lower() if c.isalnum() else " " for c in t).split() if w]
+
+    toks = {r.doc_id: tok(r.text) for r in pdf.itertuples()}
+    N = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    import collections
+    want_rows = []
+    for qid, q in [("q0", "data model training"), ("q1", "the of and")]:
+        qt = sorted(set(tok(q)))
+        dfreq = {t: sum(1 for v in toks.values() if t in v) for t in qt}
+        scores = []
+        for d, v in toks.items():
+            cnt = collections.Counter(v)
+            s = 0.0
+            hit = False
+            for t in qt:
+                tf = cnt.get(t, 0)
+                if tf == 0 or dfreq[t] == 0:
+                    continue
+                hit = True
+                idf = math.log((N - dfreq[t] + 0.5)
+                               / (dfreq[t] + 0.5) + 1.0)
+                s += idf * tf / (tf + 1.2 * (1 - 0.75
+                                             + 0.75 * len(v) / avgdl))
+            if hit:
+                scores.append((d, s))
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(scores[:8], 1):
+            want_rows.append((qid, d, r, s))
+    want = pd.DataFrame(want_rows,
+                        columns=["query_id", "doc_id", "rank", "score"])
+    m = (got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+         .merge(want, on=["query_id", "rank"], suffixes=("", "_w")))
+    assert len(m) == len(want)
+    assert (m.doc_id == m.doc_id_w).all()
+    assert np.allclose(m.score, m.score_w, rtol=1e-9)
+
+
+def test_bm25_search_edge_cases(spark, docs):
+    # no-hit query yields zero rows; k validation raises
+    q = spark.createDataFrame([("qz", "zzzqqqxxx notaword")],
+                              "query_id string, query string")
+    assert text.bm25_search(docs, q, k=5).count() == 0
+    with pytest.raises(ValueError):
+        text.bm25_search(docs, q, k=0)
+    # deterministic under repartitioning
+    q2 = spark.createDataFrame([("q0", "data model")],
+                               "query_id string, query string")
+    a = text.bm25_search(docs, q2, k=10).toPandas()
+    bdf = text.bm25_search(docs.repartition(17), q2, k=10).toPandas()
+    m = a.merge(bdf, on=["query_id", "rank"], suffixes=("", "_b"))
+    assert (m.doc_id == m.doc_id_b).all()
+    assert (m.score == m.score_b).all()

@@ -387,3 +387,45 @@ def test_round7_ops_plan_shapes(spark):
         pipeline.shuffle_corpus(docs, n_shards=8)) == 1
     flags = scale_report(text.unigram_logprob(docs))["flags"]
     assert not any(k == "repeated_expensive_exprs" for k, _ in flags)
+
+
+def test_plans_round7_session4_ops(spark):
+    """Plan regressions for the session-4 operators:
+
+    - bm25_search: the query-term join is a BROADCAST (the corpus
+      must never shuffle into it) and the plan carries no repeated
+      expensive expressions (tokenize-once discipline);
+    - importance_weights: the model join broadcasts (bounded bucket
+      table), and the md5 gram hash appears at most once per plan
+      line (hash-once discipline);
+    - cross_dedup_pairs: no cartesian product (candidates come from
+      the band-key equi-join), scale_report raises no red flags.
+    """
+    from pandas_alchemy_spark.ext import dedup, pipeline, text
+    from pandas_alchemy_spark.plans import scale_report
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    qs = spark.createDataFrame([("q0", "hash join filter")],
+                               "query_id string, query string")
+    bm = text.bm25_search(docs, qs, k=5)
+    phys = bm._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+    assert "CartesianProduct" not in phys
+    flags = scale_report(bm)["flags"]
+    assert not any(k == "repeated_expensive_exprs" for k, _ in flags)
+
+    iw = pipeline.importance_weights(
+        docs, docs.filter("lang = 'en'"), buckets=1024)
+    physw = iw._jdf.queryExecution().executedPlan().toString()
+    # the model join broadcasts; the two 1-row totals ride
+    # BroadcastNestedLoopJoin (a 1-row side is not a cartesian risk)
+    assert "BroadcastHashJoin" in physw
+    opt = iw._jdf.queryExecution().optimizedPlan().toString()
+    for ln in opt.splitlines():
+        assert ln.count("md5(") <= 1, ln[:160]
+
+    xp = dedup.cross_dedup_pairs(
+        docs.filter("doc_id % 3 = 0"), docs.filter("doc_id % 3 <> 0"),
+        num_hashes=16, bands=4, threshold=0.4)
+    physx = xp._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physx

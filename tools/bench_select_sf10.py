@@ -1,0 +1,177 @@
+"""Document-scale run of the session-4 data-selection / retrieval /
+incremental-dedup block (DSIR importance resampling, BM25 search,
+cross-corpus dedup) on the same 500k-doc fixture as
+tools/bench_dedup_sf10.py, with the same event-log task-skew audit.
+
+Prints one JSON line -> BENCH_r07_select_sf10.json.
+
+Usage: python tools/bench_select_sf10.py [docs_dir]
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import statistics
+import sys
+import time
+from contextlib import redirect_stderr
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EVDIR = "/root/repo/.scratch/eventlog_select"
+
+
+def main():
+    docs_dir = (sys.argv[1] if len(sys.argv) > 1
+                else "/root/repo/.scratch/docs10")
+    os.makedirs(EVDIR, exist_ok=True)
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    spark = (SparkSession.builder.master("local[32]")
+             .appName("select_sf10")
+             .config("spark.driver.memory", "24g")
+             .config("spark.sql.shuffle.partitions", "64")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled",
+                     "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.eventLog.enabled", "true")
+             .config("spark.eventLog.compress", "false")
+             .config("spark.eventLog.dir", EVDIR)
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    from pandas_alchemy_spark.ext import dedup, pipeline, text
+
+    docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
+    times, extra = {}, {}
+
+    def run(name, fn):
+        t0 = time.time()
+        buf = io.StringIO()
+        try:
+            with redirect_stderr(buf):
+                fn()
+            times[name] = round(time.time() - t0, 2)
+        except Exception as ex:
+            times[name] = -1.0
+            extra[name + "_error"] = str(ex)[:200]
+        err = buf.getvalue()
+        sys.stderr.write(err)
+        for what, n in re.findall(
+                r"(\w+): dropped (\d+) oversized LSH bucket", err):
+            extra[f"{name}_capped_{what}"] = int(n)
+        print(f"{name}: {times[name]}s", file=sys.stderr)
+
+    # DSIR: target = the 'en' slice; production fast_hash path
+    target = docs.filter(F.col("lang") == "en")
+    iw_holder = {}
+
+    def _iw():
+        iw = pipeline.importance_weights(docs, target,
+                                         buckets=1 << 16,
+                                         fast_hash=True)
+        iw_holder["iw"] = iw.persist()
+        noop(iw_holder["iw"])
+
+    run("importance_weights", _iw)
+    if "iw" in iw_holder:
+        def _sel():
+            sel = pipeline.resample_corpus(iw_holder["iw"],
+                                           k=50_000,
+                                           fast_hash=True)
+            extra["resample_k_selected"] = sel.count()
+        run("resample_50k", _sel)
+        iw_holder["iw"].unpersist()
+
+    # BM25: 8 audit queries over the full corpus
+    qs = spark.createDataFrame(
+        [(f"q{i}", q) for i, q in enumerate(
+            ["hash join filter", "vector stream window",
+             "customer order line", "slow scan batch",
+             "merge small table", "group agg value",
+             "spark column row", "key data part"])],
+        "query_id string, query string")
+    run("bm25_top10",
+        lambda: noop(text.bm25_search(docs, qs, k=10)))
+
+    # cross-corpus dedup: 'new crawl' = 1/10th of the corpus against
+    # the other 9/10ths (the realistic incremental-ingest ratio)
+    new_sl = docs.filter("doc_id % 10 = 0")
+    ref_sl = docs.filter("doc_id % 10 <> 0")
+
+    def _xd():
+        xp = dedup.cross_dedup_pairs(new_sl, ref_sl, num_hashes=16,
+                                     bands=4, threshold=0.4,
+                                     fast_hash=True)
+        extra["xdup_pairs"] = xp.count()
+
+    run("cross_dedup", _xd)
+    run("dedup_against",
+        lambda: extra.__setitem__(
+            "against_kept",
+            dedup.dedup_against(new_sl, ref_sl, num_hashes=16,
+                                bands=4, threshold=0.4,
+                                fast_hash=True).count()))
+
+    total = round(sum(t for t in times.values() if t >= 0), 2)
+    load = [round(x, 2) for x in os.getloadavg()]
+    spark.stop()
+
+    stages: dict[int, list[int]] = {}
+    files = []
+    for p in os.listdir(EVDIR):
+        full = os.path.join(EVDIR, p)
+        if app_id in p:
+            if os.path.isdir(full):
+                files += [os.path.join(full, f)
+                          for f in sorted(os.listdir(full))
+                          if f.startswith("events")]
+            else:
+                files.append(full)
+    for path in files:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") == "SparkListenerTaskEnd":
+                    ti = ev.get("Task Info", {})
+                    dur = (ti.get("Finish Time", 0)
+                           - ti.get("Launch Time", 0))
+                    stages.setdefault(ev.get("Stage ID"),
+                                      []).append(dur)
+    skew = []
+    for sid, durs in stages.items():
+        if len(durs) < 8:
+            continue
+        med = statistics.median(durs)
+        if med <= 100:
+            continue
+        skew.append({"stage": sid, "n_tasks": len(durs),
+                     "med_ms": int(med), "max_ms": max(durs),
+                     "ratio": round(max(durs) / med, 1)})
+    skew.sort(key=lambda s: -s["ratio"])
+
+    print(json.dumps({
+        "metric": "select_docscale_total", "value": total,
+        "unit": "sec", "queries": times, "n_docs": n_docs,
+        "loadavg": load, **extra,
+        "skew_top": skew[:8],
+        "worst_ratio": skew[0]["ratio"] if skew else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
