@@ -159,6 +159,35 @@ def main():
         docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
         return text.unigram_logprob(docs)
 
+    def dsir_select(spark_, sf_dir_):
+        # round-7 session 4: DSIR importance weights + Gumbel-top-k
+        # selection, end to end (target = the 'en' slice)
+        from pyspark.sql import functions as F_
+        from pandas_alchemy_spark.ext import pipeline
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        w = pipeline.importance_weights(
+            docs, docs.filter(F_.col("lang") == "en"), buckets=4096)
+        return pipeline.resample_corpus(w, k=500)
+
+    def bm25(spark_, sf_dir_):
+        # round-7 session 4: BM25 retrieval, 2 queries x top-10
+        from pandas_alchemy_spark.ext import text
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        qsf = spark_.createDataFrame(
+            [("q0", "hash join filter"), ("q1", "vector stream window")],
+            "query_id string, query string")
+        return text.bm25_search(docs, qsf, k=10)
+
+    def cross_dedup(spark_, sf_dir_):
+        # round-7 session 4: incremental dedup of a 1/10 'new crawl'
+        # against the other 9/10
+        from pandas_alchemy_spark.ext import dedup
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        return dedup.cross_dedup_pairs(
+            docs.filter("doc_id % 10 = 0"),
+            docs.filter("doc_id % 10 <> 0"),
+            num_hashes=16, bands=4, threshold=0.4)
+
     # per-operator functions are referenced DIRECTLY (several are now
     # folded into combined queries() entries for the driver's 50-entry
     # correctness window) so per-query times stay comparable with
@@ -213,6 +242,9 @@ def main():
         "semdedup": semdedup,
         "unigram_lm": unigram_lm,
         "shuffle_shards": shuffle_shards,
+        "dsir_select": dsir_select,
+        "bm25": bm25,
+        "cross_dedup": cross_dedup,
     }
 
     # warm the JVM + parquet footers with a trivial action, the

@@ -530,18 +530,40 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
         assigned = assigned.join(
             F.broadcast(sizes.filter(F.col("__cn") <= cell_cap)
                         .select("cell")), "cell")
+    dot = _DOT.format(a="va", b="vb")
+    cos = F.expr(f"({dot}) / nullif(na * nb, 0.0)")
+    if nprobe > 1:
+        # a pair sharing k probed cells surfaces k times.  Collapse
+        # duplicates on ID-ONLY candidate rows (~16 bytes each) and
+        # join the vectors back afterwards: deduplicating rows that
+        # already carry two dim-double payloads shuffles the payload
+        # sum(cell^2) times (measured 653 s at 200k x 64d, nlist 512,
+        # nprobe 2 — the dedup exchange moved ~1 KB/candidate), while
+        # the slim form shuffles ids and re-attaches each vector once
+        # per SIDE via two corpus-sized joins AQE can broadcast.
+        idp = assigned.select("cell", "id")
+        cand = (idp.select("cell", F.col("id").alias("id_a"))
+                .join(idp.select("cell", F.col("id").alias("id_b")),
+                      "cell")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"]))
+        vecs = (assigned.select("id", "v", "nrm")
+                .dropDuplicates(["id"]))
+        cand = (cand
+                .join(vecs.select(F.col("id").alias("id_a"),
+                                  F.col("v").alias("va"),
+                                  F.col("nrm").alias("na")), "id_a")
+                .join(vecs.select(F.col("id").alias("id_b"),
+                                  F.col("v").alias("vb"),
+                                  F.col("nrm").alias("nb")), "id_b"))
+        return (cand.select("id_a", "id_b", cos.alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
     a = assigned.select(F.col("cell"), F.col("id").alias("id_a"),
                         F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = assigned.select(F.col("cell"), F.col("id").alias("id_b"),
                         F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    dot = _DOT.format(a="va", b="vb")
-    cos = F.expr(f"({dot}) / nullif(na * nb, 0.0)")
     cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-    if nprobe > 1:
-        # a pair sharing k probed cells surfaces k times; collapse
-        # BEFORE the dot products so the dedup shuffle carries only
-        # (ids, vectors), and each pair pays one cosine
-        cand = cand.dropDuplicates(["id_a", "id_b"])
     return (cand.select("id_a", "id_b", cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
 
