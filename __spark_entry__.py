@@ -2659,8 +2659,29 @@ def q_text_suite(spark, sf_dir):
                            F.coalesce("__nx", F.lit(0)))
                     .otherwise(F.lit(-1)).cast("long").alias("n_xdup"),
                     F.coalesce("__xj", F.lit(-1.0)).alias("xjac")))
+    # round-7 leg: hashed TF-IDF vectors (ext/text.tfidf_vectors) —
+    # per-doc exact-int checksum of the unit vector on the 1e-6 grid
+    # (sum of round(v*1e6) BIGINTs: order-independent where a float
+    # sum is not) + the nonzero-dimension count.  Token-less docs are
+    # absent from the featurizer by contract -> -1 sentinels.
+    tv = text.tfidf_vectors(docs, dim=64)
+    tvleg = (docs.select("doc_id")
+             .join(tv.select(
+                 "doc_id",
+                 F.expr("aggregate(embedding, cast(0 as bigint), "
+                        "(s, v) -> s + cast(round(v * 1e6, 0) "
+                        "as bigint))").alias("tfidf_chk"),
+                 F.expr("size(filter(embedding, v -> v != 0D))")
+                 .cast("long").alias("tfidf_nnz")),
+                 "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce("tfidf_chk", F.lit(-1))
+                     .cast("long").alias("tfidf_chk"),
+                     F.coalesce("tfidf_nnz", F.lit(-1))
+                     .cast("long").alias("tfidf_nnz")))
     return (scalar.join(rep, "doc_id").join(pdd, "doc_id")
-            .join(ct, "doc_id").join(xleg, "doc_id"))
+            .join(ct, "doc_id").join(xleg, "doc_id")
+            .join(tvleg, "doc_id"))
 
 
 def q_langid_terms(spark, sf_dir):
@@ -4722,7 +4743,41 @@ def oracle_sql() -> dict[str, str]:
             __xagg AS (
               SELECT id_new AS doc_id, count(*)::BIGINT AS nx,
                      max(jac) AS xj
-              FROM __xpair WHERE jac >= 0.4 GROUP BY 1)
+              FROM __xpair WHERE jac >= 0.4 GROUP BY 1),
+            -- hashed TF-IDF replay (dim 64): exact tf/df/N, smoothed
+            -- idf, L2 norm folded in BUCKET-INDEX order (the engine
+            -- folds the dense array by index; adding the zero dims
+            -- is exact), unit-vector checksum on the 1e-6 grid
+            __tfb AS (
+              SELECT doc_id, {_DK_H60.format(s="t")} % 64 AS b
+              FROM (SELECT doc_id, unnest({toks_text}) AS t
+                    FROM documents)),
+            __tft AS (
+              SELECT doc_id, b, count(*)::BIGINT AS tf
+              FROM __tfb GROUP BY 1, 2),
+            __tfd AS (
+              SELECT b, count(*)::BIGINT AS df FROM __tft GROUP BY 1),
+            __tfw AS (
+              SELECT doc_id, b,
+                     tf * (ln(((SELECT count(*) FROM documents)
+                               + 1.0) / (df + 1.0)) + 1.0) AS w
+              FROM __tft JOIN __tfd USING (b)),
+            __tfn AS (
+              SELECT doc_id,
+                     sqrt(list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                                    list(w * w ORDER BY b)),
+                       (a, x) -> a + x)) AS nrm,
+                     list(w ORDER BY b) AS ws
+              FROM __tfw GROUP BY doc_id),
+            __tfchk AS (
+              SELECT doc_id,
+                     list_reduce(list_prepend(0::BIGINT,
+                       list_transform(ws,
+                         x -> round(x / nrm * 1e6)::BIGINT)),
+                       (a, x) -> a + x) AS chk,
+                     len(ws)::BIGINT AS nnz
+              FROM __tfn)
             SELECT a.doc_id, a.h, a.n, b.n_2grams, b.n_distinct_2grams,
                    b.top_2gram_count, b.dup_2gram_frac,
                    c.* EXCLUDE (doc_id),
@@ -4732,7 +4787,9 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN a.doc_id % 3 = 0
                          THEN coalesce(x.nx, 0)
                          ELSE -1 END)::BIGINT AS n_xdup,
-                   coalesce(x.xj, -1.0) AS xjac
+                   coalesce(x.xj, -1.0) AS xjac,
+                   coalesce(tc.chk, -1)::BIGINT AS tfidf_chk,
+                   coalesce(tc.nnz, -1)::BIGINT AS tfidf_nnz
             FROM {sub("text_normalize")} a
             JOIN {sub("repetition")} b ON a.doc_id = b.doc_id
             JOIN {sub("quality")} c ON a.doc_id = c.doc_id
@@ -4741,6 +4798,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN __pdd p ON a.doc_id = p.doc_id
             LEFT JOIN __contam ct ON a.doc_id = ct.doc_id
             LEFT JOIN __xagg x ON a.doc_id = x.doc_id
+            LEFT JOIN __tfchk tc ON a.doc_id = tc.doc_id
         """,
         "tpch_suite": """
             WITH rev AS (

@@ -441,3 +441,77 @@ def bm25_search(df: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("query_id", id_col,
                     F.col("rank").cast("long").alias("rank"), "score"))
+
+
+def tfidf_vectors(df: DataFrame, dim: int = 256,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  normalize: bool = True,
+                  fast_hash: bool = False) -> DataFrame:
+    """Hashed TF-IDF document vectors — `array<double>` embeddings
+    from raw text with NO external model, so the whole
+    text → embedding → ANN / SemDeDup / near-dup path
+    (:mod:`.similarity`) runs on corpora that ship without
+    embeddings.  The classic hashing-vectorizer recipe
+    (Weinberger et al. 2009 feature hashing; scikit-learn's
+    HashingVectorizer + TfidfTransformer composition): term →
+    md5-60bit → bucket ``h % dim``; weight = tf · idf with the
+    smoothed idf ``ln((N + 1) / (df_b + 1)) + 1`` (df counted per
+    BUCKET, post-collision — the oracle must replay what the hash
+    actually produced); optional L2 normalization so downstream
+    cosine is a plain dot product.
+
+    Determinism: tf/df/N are exact BIGINTs from hash aggregates; the
+    dense array is materialized BY BUCKET INDEX via a map lookup
+    (map_from_entries over sequence(0, dim-1)), so every float lands
+    at a fixed position and the L2 fold runs in fixed index order —
+    bit-stable across runs and partitionings, same ≤1-ulp-per-engine
+    ``ln`` caveat as every scorer here.
+
+    Plan shape at 100 TB: one corpus explode → (doc, bucket) tf
+    aggregate; df/N are a ``dim``-row and a 1-row aggregate DERIVED
+    from that same pre-aggregated frame (persisted — corpus-sized,
+    but columnar-narrow: id + bucket + count); the dense assembly is
+    one per-doc aggregate.  Token-less docs produce no (doc, bucket)
+    rows and are absent from the output entirely (the documented
+    token-less contract every scorer here shares — they have no
+    direction to embed).
+    """
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    from .dedup import _h60, _tune
+    _tune(df)
+    toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
+    ex = (toked.select(F.col(id_col),
+                       F.explode("__pas_toks").alias("t"))
+          .select(id_col,
+                  F.pmod(F.expr(_h60("t", fast_hash)),
+                         F.lit(dim)).alias("b")))
+    tf = (ex.groupBy(id_col, "b")
+          .agg(F.count(F.lit(1)).alias("tf")).persist())
+    dfreq = tf.groupBy("b").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = (toked.agg(F.count(F.lit(1)).alias("__n")).coalesce(1))
+    w = (tf.join(F.broadcast(dfreq), "b")
+         .crossJoin(F.broadcast(ndocs))
+         .select(id_col, "b",
+                 (F.col("tf")
+                  * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0))
+                     + 1.0)).alias("w")))
+    dense = F.expr(
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f"coalesce(element_at(__m, cast(i as bigint)), "
+        f"cast(0.0 as double)))")
+    vec = (w.groupBy(id_col)
+           .agg(F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("b", "w"))))
+                .alias("__m"))
+           .select(id_col, dense.alias("embedding")))
+    if not normalize:
+        return vec
+    nrm = F.expr(
+        "sqrt(aggregate(embedding, cast(0.0 as double), "
+        "(s, v) -> s + v * v))")
+    return (vec.withColumn("__nrm", nrm)
+            .filter(F.col("__nrm") > 0)
+            .select(id_col, F.expr(
+                "transform(embedding, v -> v / __nrm)")
+                .alias("embedding")))

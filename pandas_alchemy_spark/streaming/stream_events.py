@@ -122,3 +122,41 @@ def streaming_token_totals(stream: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_lines"),
                  F.sum("__n_tok").alias("n_tokens"),
                  F.sum("__n_chars").alias("n_chars")))
+
+
+def streaming_decontaminate(stream: DataFrame, eval_df: DataFrame,
+                            n: int = 8, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            fast_hash: bool = False) -> DataFrame:
+    """Ingest-time benchmark decontamination: mark each arriving
+    document with its count of word n-grams colliding with a STATIC
+    evaluation set — the streaming twin of
+    :func:`..ext.dedup.decontaminate`, for pipelines that screen
+    documents as they land rather than in a batch sweep.
+
+    STATELESS by construction: a streaming groupBy would keep one
+    state row per doc_id forever (no watermark can bound it — doc
+    ids never expire), so instead the static side collapses to ONE
+    row holding the sorted distinct eval-gram hash array, joined in
+    with a stream-static cross join (1-row static side), and the
+    collision count is a pure per-row expression:
+    ``size(array_intersect(distinct doc gram hashes, eval array))``.
+    Append-mode safe, zero state, every doc emits exactly one row
+    (0 for clean docs).  Trade vs the batch operator: the per-row
+    lambda hashes grams interpreted rather than codegen'd — the
+    right shape for ingest screening against benchmark-sized eval
+    sets (the batch op's broadcast-join form is the sweep path).
+    """
+    from ..ext.dedup import _h60, with_shingles
+    ev = with_shingles(eval_df, text_col, "__sh", n, distinct=False)
+    ev_arr = (ev.select(F.explode("__sh").alias("s"))
+              .select(F.expr(_h60("s", fast_hash)).alias("g"))
+              .agg(F.array_sort(F.collect_set("g")).alias("__ev")))
+    tr = with_shingles(stream, text_col, "__sh", n, distinct=False)
+    doc_grams = F.expr(
+        "array_distinct(transform(__sh, s -> "
+        + _h60("s", fast_hash) + "))")
+    return (tr.crossJoin(ev_arr)
+            .select(F.col(id_col),
+                    F.size(F.array_intersect(doc_grams, F.col("__ev")))
+                    .cast("long").alias("n_contam_ngrams")))

@@ -1264,3 +1264,66 @@ def test_bm25_search_edge_cases(spark, docs):
     m = a.merge(bdf, on=["query_id", "rank"], suffixes=("", "_b"))
     assert (m.doc_id == m.doc_id_b).all()
     assert (m.score == m.score_b).all()
+
+
+# ------------------------- round-7: hashed TF-IDF vectors
+
+
+def test_tfidf_vectors_match_python_reference(spark, docs):
+    import hashlib
+    got = text.tfidf_vectors(docs, dim=64).toPandas()
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def tok(t):
+        return [w for w in "".join(
+            c.lower() if c.isalnum() else " " for c in t).split() if w]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = {r.doc_id: tok(r.text) for r in pdf.itertuples()}
+    N = len(toks)
+    import collections
+    bt = {d: collections.Counter(h60(t) % 64 for t in v)
+          for d, v in toks.items() if v}
+    dfreq = collections.Counter()
+    for cnt in bt.values():
+        for b in cnt:
+            dfreq[b] += 1
+    assert len(got) == len(bt)
+    for row in got.head(20).itertuples():
+        v = np.zeros(64)
+        for b, tf in bt[row.doc_id].items():
+            v[b] = tf * (math.log((N + 1) / (dfreq[b] + 1)) + 1.0)
+        v = v / np.linalg.norm(v)
+        assert np.allclose(np.array(row.embedding), v, atol=1e-12)
+    # unit norm everywhere
+    nrm = got.embedding.map(lambda e: float(np.linalg.norm(e)))
+    assert np.allclose(nrm, 1.0, atol=1e-9)
+    # partitioning-invariant
+    again = (text.tfidf_vectors(docs.repartition(13), dim=64)
+             .toPandas())
+    m = got.merge(again, on="doc_id", suffixes=("", "_b"))
+    assert all(list(a) == list(b)
+               for a, b in zip(m.embedding, m.embedding_b))
+
+
+def test_tfidf_vectors_feed_semantic_dedup(spark, docs):
+    # the no-external-model path: text -> tfidf -> SemDeDup runs and
+    # collapses planted exact copies (identical text => identical
+    # vector => cosine 1)
+    base = docs.select("doc_id", "text").limit(200)
+    copies = base.limit(8).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text")
+    corpus = base.unionAll(copies)
+    vecs = text.tfidf_vectors(corpus, dim=64).withColumnRenamed(
+        "doc_id", "vec_id")
+    lab = similarity.semantic_dedup(
+        vecs, dim=64, nlist=4, threshold=0.999, nprobe=2)
+    out = lab.toPandas()
+    planted = {r.doc_id for r in base.limit(8).collect()}
+    pairs = out.set_index("id").component
+    for d in planted:
+        assert pairs[d] == pairs[d + 900000]
+    with pytest.raises(ValueError):
+        text.tfidf_vectors(docs, dim=1)

@@ -521,3 +521,50 @@ def test_read_text_stream_token_totals_match_batch(spark, tmp_path):
         assert got["n_lines"] == 3 and got["n_tokens"] == 11
     finally:
         q.stop()
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """streaming_decontaminate (stateless stream-static form) over a
+    drained file stream == ext.dedup.decontaminate(mode='mark') over
+    the same docs, for every doc including clean ones."""
+    import pandas as pd
+
+    from pandas_alchemy_spark.ext import dedup as dd
+    from pandas_alchemy_spark.streaming.stream_events import (
+        streaming_decontaminate)
+    d = tmp_path / "docs"
+    docs_pdf = pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": [
+            "alpha beta gamma delta epsilon zeta",
+            "the quick brown fox jumps over the lazy dog",
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "completely unrelated words here again folks",
+            "quick brown fox jumps over the lazy dog today",
+            "",
+            "short",
+            "alpha beta gamma delta epsilon zeta iota kappa",
+        ]})
+    spark.createDataFrame(docs_pdf).coalesce(1).write.parquet(str(d))
+    ev = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100, 101],
+        "text": ["alpha beta gamma delta epsilon zeta",
+                 "quick brown fox jumps over the lazy dog"]}))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(d)))
+    out = streaming_decontaminate(stream, ev, n=5)
+    q = (out.writeStream.format("memory").queryName("sdecon")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = (spark.sql("SELECT * FROM sdecon").toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    finally:
+        q.stop()
+    batch = (dd.decontaminate(spark.read.parquet(str(d)), ev, n=5)
+             .select("doc_id", "n_contam_ngrams").toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, batch)
+    # contaminated docs really got flagged
+    flagged = set(got[got.n_contam_ngrams > 0].doc_id)
+    assert {0, 2, 4, 7} <= flagged and 3 not in flagged
