@@ -2917,11 +2917,35 @@ def q_curate_corpus(spark, sf_dir):
                        F.col("__mn").cast("long").alias("n_bins"),
                        F.round(F.col("__s") / F.col("__n") / F.lit(1e6),
                                3).alias("avg_quality")))
+    # round-7 fold: grouped split (split_corpus(by=)) — leakage-safe
+    # splits hash the GROUP column, so every doc of a lang shares one
+    # split.  Shard -11 pins EVERY doc's label via the exact-int
+    # checksum sum(code * doc_id) (code train=1 val=2 test=3 — any
+    # single reassignment changes the sum), plus the train fraction.
+    spg = pipeline.split_corpus(
+        docs, {"train": 0.75, "val": 0.125, "test": 0.125}, by="lang")
+    code3 = (F.when(F.col("split") == "train", F.lit(1))
+             .when(F.col("split") == "val", F.lit(2))
+             .otherwise(F.lit(3)))
+    leg_gs = (spg.select((code3 * F.col("doc_id")).alias("__cw"),
+                         (F.col("split") == "train").cast("long")
+                         .alias("__is_tr"), "lang")
+              .agg(F.count(F.lit(1)).alias("__n"),
+                   F.sum("__cw").alias("__chk"),
+                   F.countDistinct("lang").alias("__nl"),
+                   F.sum("__is_tr").alias("__tr"))
+              .select(F.lit(-11).cast("long").alias("shard"),
+                      F.col("__n").cast("long").alias("n_docs"),
+                      F.col("__chk").cast("long").alias("n_tokens"),
+                      F.col("__nl").cast("long").alias("n_bins"),
+                      F.round(F.col("__tr") / F.col("__n"), 6)
+                      .alias("avg_quality")))
     return (per_shard.select(
         F.col("shard").cast("long").alias("shard"), "n_docs", "n_tokens",
         F.col("n_bins").cast("long").alias("n_bins"),
         "avg_quality").unionAll(leg_emb).unionAll(leg_mix)
-        .unionAll(leg_split).unionAll(leg_dsir).unionAll(leg_sel))
+        .unionAll(leg_split).unionAll(leg_dsir).unionAll(leg_sel)
+        .unionAll(leg_gs))
 
 
 def q_ann_suite(spark, sf_dir):
@@ -3092,6 +3116,7 @@ def oracle_sql() -> dict[str, str]:
     from pandas_alchemy_spark.ext.pipeline import split_thresholds
     _spb = split_thresholds({"train": 0.75, "val": 0.125, "test": 0.125})
     _spbkt = _DK_H60.format(s="CAST(doc_id AS VARCHAR)")
+    _spbkt_g = _DK_H60.format(s="lang")
     split_case = (f"CASE WHEN {_spbkt} < {_spb[0][1]} THEN -6 "
                   f"WHEN {_spbkt} < {_spb[1][1]} THEN -7 "
                   f"WHEN {_spbkt} < {_spb[2][1]} THEN -8 END")
@@ -5397,6 +5422,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(round(skey * 1e6)::BIGINT)
                          / count(*) / 1e6, 3)
             FROM dsel
+            UNION ALL
+            -- grouped split replay (shard -11): split_corpus(by=
+            -- 'lang') hashes the GROUP key; sum(code*doc_id) pins
+            -- every doc's label (codes train=1 val=2 test=3)
+            SELECT (-11)::BIGINT, count(*)::BIGINT,
+                   sum(gcode * doc_id)::BIGINT,
+                   count(DISTINCT lang)::BIGINT,
+                   round(sum(CASE WHEN gcode = 1 THEN 1 ELSE 0 END)
+                         / count(*), 6)
+            FROM (SELECT doc_id, lang,
+                         CASE WHEN {_spbkt_g} < {_spb[0][1]} THEN 1
+                              WHEN {_spbkt_g} < {_spb[1][1]} THEN 2
+                              ELSE 3 END AS gcode
+                  FROM documents) gsp
         """,
         # ann_suite: the NEIGHBOR LISTS are approximate by contract and
         # have no SQL twin; the recall-bucket summary they roll into is

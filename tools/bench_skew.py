@@ -197,6 +197,16 @@ def main():
         lambda: noop(dedup.simhash_pairs(t["documents"],
                                          max_hamming=8)))
 
+    # 7. cross-corpus dedup under boilerplate: the reference side's
+    #    band buckets are exactly where a template corpus
+    #    degenerates; the capped-bucket drop path must keep the task
+    #    profile bounded (watch for the logged drop counts)
+    run("cross_dedup_boiler",
+        lambda: noop(dedup.cross_dedup_pairs(
+            t["documents"].filter("doc_id % 10 = 0"),
+            t["documents"].filter("doc_id % 10 <> 0"),
+            num_hashes=16, bands=4, threshold=0.4)))
+
     total = round(sum(v for v in times.values() if v >= 0), 2)
     load = [round(x, 2) for x in os.getloadavg()]
     spark.stop()  # flush event log
