@@ -428,6 +428,12 @@ def resample_corpus(weighted: DataFrame, k: int,
         raise ValueError(f"k must be >= 1, got {k}")
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
+    if not seed or not all(c.isalnum() or c in "._-" for c in seed):
+        # the seed is spliced into a SQL expression string; restrict
+        # it to identifier-ish characters rather than escaping (a
+        # seed is a label, not free text)
+        raise ValueError(
+            f"seed must be non-empty [A-Za-z0-9._-], got {seed!r}")
     tagged = f"concat(cast(`{id_col}` as string), ':{seed}')"
     u = ((F.expr(_h60(tagged, fast_hash)) + F.lit(1)).cast("double")
          / F.lit(float((1 << 60) + 2)))

@@ -1327,3 +1327,14 @@ def test_tfidf_vectors_feed_semantic_dedup(spark, docs):
         assert pairs[d] == pairs[d + 900000]
     with pytest.raises(ValueError):
         text.tfidf_vectors(docs, dim=1)
+
+
+def test_resample_corpus_seed_validation(spark, docs):
+    from pandas_alchemy_spark.ext import pipeline
+    target = docs.filter("doc_id % 7 = 0")
+    w = pipeline.importance_weights(docs, target, buckets=1024)
+    with pytest.raises(ValueError, match="seed"):
+        pipeline.resample_corpus(w, k=5, seed="bad'quote")
+    with pytest.raises(ValueError, match="seed"):
+        pipeline.resample_corpus(w, k=5, seed="")
+    assert pipeline.resample_corpus(w, k=5, seed="run-2.a").count() == 5
