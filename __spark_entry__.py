@@ -2710,6 +2710,11 @@ def q_langid_terms(spark, sf_dir):
                 F.col("doc_id").cast("string").alias("key"),
                 F.col("n_lm_tokens").cast("long").alias("n"),
                 F.round("logprob", 6).alias("score")))
+            .unionAll(text.bigram_logprob(docs).select(
+                F.lit("bi").alias("tag"),
+                F.col("doc_id").cast("string").alias("key"),
+                F.col("n_lm_tokens").cast("long").alias("n"),
+                F.round("logprob2", 6).alias("score")))
             .unionAll(_bm25_leg(spark, docs)))
 
 
@@ -5102,6 +5107,62 @@ def oracle_sql() -> dict[str, str]:
                 USING (term)
               GROUP BY tkx.doc_id
             ) u
+            UNION ALL
+            -- bigram_logprob replay: interpolated bigram LM with
+            -- exact BIGINT c2/cp/ct/T, folded IN POSITION ORDER
+            -- (the engine sorts the struct list by pos); lam = 0.75
+            SELECT 'bi', CAST(sc.doc_id AS VARCHAR), sc.n,
+                   round(sc.s / sc.n, 6)
+            FROM (
+              SELECT p.doc_id, count(*)::BIGINT AS n,
+                     list_reduce(list_prepend(0.0::DOUBLE,
+                       list_transform(
+                         list([coalesce(b.c2, 0), coalesce(pt.cp, 0),
+                               u2.ct] ORDER BY p.pos),
+                         x -> ln(CASE WHEN x[2] > 0 THEN
+                                   0.75 * x[1] / x[2]
+                                   + 0.25 * x[3] / st.tt
+                                 ELSE x[3] / st.tt END))),
+                       (a, s) -> a + s) AS s
+              FROM (
+                SELECT doc_id,
+                       unnest(generate_series(1, len(t))) AS pos,
+                       unnest(t) AS tok,
+                       unnest(list_prepend(NULL::VARCHAR,
+                                           t[1:len(t) - 1])) AS prev
+                FROM (SELECT doc_id, {toks_text} AS t
+                      FROM documents) bt
+                WHERE len(t) >= 1
+              ) p
+              JOIN (SELECT tok, count(*)::BIGINT AS ct
+                    FROM (SELECT unnest({toks_text}) AS tok
+                          FROM documents) GROUP BY 1) u2
+                ON p.tok = u2.tok
+              LEFT JOIN (
+                SELECT prev, tok, count(*)::BIGINT AS c2
+                FROM (
+                  SELECT unnest(t[1:len(t) - 1]) AS prev,
+                         unnest(t[2:len(t)]) AS tok
+                  FROM (SELECT {toks_text} AS t FROM documents)
+                  WHERE len(t) >= 2
+                ) GROUP BY 1, 2
+              ) b ON p.prev = b.prev AND p.tok = b.tok
+              LEFT JOIN (
+                SELECT prev, count(*)::BIGINT AS cp
+                FROM (
+                  SELECT unnest(t[1:len(t) - 1]) AS prev
+                  FROM (SELECT {toks_text} AS t FROM documents)
+                  WHERE len(t) >= 2
+                ) GROUP BY 1
+              ) pt ON p.prev = pt.prev
+              CROSS JOIN (
+                SELECT sum(cnt)::BIGINT AS tt
+                FROM (SELECT count(*) AS cnt
+                      FROM (SELECT unnest({toks_text}) AS tok
+                            FROM documents) GROUP BY tok)
+              ) st
+              GROUP BY p.doc_id, st.tt
+            ) sc
             UNION ALL
             -- bm25_search replay: exact BIGINT tf/df/dl/N stats,
             -- Lucene idf, per-pair fold ORDER BY term (matches the

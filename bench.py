@@ -138,11 +138,19 @@ def main():
         return pipeline.split_corpus(docs)
 
     def semdedup(spark_, sf_dir_):
-        # round-7: SemDeDup cluster-then-prune semantic dedup
+        # round-7: SemDeDup cluster-then-prune semantic dedup.
+        # nlist is the documented scale knob (cells are the
+        # parallelism unit and intra-cell pairing is O(cell^2) by
+        # design): size it to ~256 vectors per cell, floored at the
+        # sf0.1 geometry (8 cells at 2k vectors) so round-over-round
+        # sf0.1 numbers stay comparable.  At sf10 the fixed 8-cell
+        # geometry would be 313x the sf0.1 pair work - the same
+        # defect class planes="auto" fixed for LSH in round 6.
         from pandas_alchemy_spark.ext import similarity
         emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
         dim = len(emb.select("embedding").head(1)[0][0])
-        return similarity.semantic_dedup(emb, dim=dim, nlist=8,
+        nlist = max(8, emb.count() // 256)
+        return similarity.semantic_dedup(emb, dim=dim, nlist=nlist,
                                          threshold=0.3)
 
     def shuffle_shards(spark_, sf_dir_):

@@ -515,3 +515,79 @@ def tfidf_vectors(df: DataFrame, dim: int = 256,
             .select(id_col, F.expr(
                 "transform(embedding, v -> v / __nrm)")
                 .alias("embedding")))
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   lam: float = 0.75) -> DataFrame:
+    """Corpus-trained INTERPOLATED BIGRAM language-model score per
+    document — one modeling step past :func:`unigram_logprob` toward
+    the CCNet perplexity filter while staying in exact JVM
+    expressions:
+
+        P(t | p) = lam * c(p,t) / c(p,·) + (1 - lam) * c(t) / T
+        score    = avg_i ln P(t_i | t_{i-1})      (t_1 scored by the
+                                                   unigram term alone)
+
+    with c(p,t) the corpus bigram count, c(p,·) the count of bigrams
+    STARTING with p (not the unigram count — a document-final token
+    starts nothing), c(t)/T the unigram model, all exact BIGINTs from
+    hash aggregates.  Gibberish scores low under both terms; stitched
+    boilerplate scores high on unigrams but low on bigrams — the
+    signal the unigram filter cannot see.
+
+    Determinism contract: the per-document fold runs over the token
+    list SORTED BY POSITION (collect_list of (pos, counts) structs,
+    sort_array, then one ln-fold), so the result is bit-stable across
+    runs and partitionings; cross-engine comparison rounds (the same
+    ≤1-ulp ``ln`` caveat as unigram_logprob).
+
+    Plan shape at 100 TB: one corpus pass builds the bigram model
+    (posexplode pairs → hash aggregate, map-side partials),
+    PERSISTED; the unigram model and the per-prev totals are two
+    aggregates DERIVED from corpus tokens / the bigram table (both
+    vocabulary-bounded).  A second corpus pass re-derives (pos,
+    prev, t) and left-joins the three bounded tables (AQE broadcasts
+    them), then one per-doc aggregate.  Two corpus passes is the
+    floor — the model must be complete before scoring.
+    """
+    if not (0.0 < lam < 1.0):
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    from .dedup import _tune
+    _tune(df)
+    toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
+    # (pos, prev, t) stream: pos 1-based; prev NULL for the first
+    pairs = (toked.filter(F.expr("size(__pas_toks) >= 1"))
+             .select(F.col(id_col),
+                     F.posexplode("__pas_toks").alias("__p0", "t"),
+                     F.col("__pas_toks"))
+             .select(id_col, (F.col("__p0") + 1).alias("pos"), "t",
+                     F.expr("CASE WHEN __p0 >= 1 THEN "
+                            "element_at(__pas_toks, __p0) END")
+                     .alias("prev")))
+    uni = (pairs.groupBy("t")
+           .agg(F.count(F.lit(1)).alias("ct")).persist())
+    big = (pairs.filter(F.col("prev").isNotNull())
+           .groupBy("prev", "t")
+           .agg(F.count(F.lit(1)).alias("c2")).persist())
+    ptot = big.groupBy("prev").agg(F.sum("c2").alias("cp"))
+    total = uni.agg(F.sum("ct").alias("__tt")).coalesce(1)
+    joined = (pairs
+              .join(F.broadcast(uni), "t")
+              .join(F.broadcast(big), ["prev", "t"], "left")
+              .join(F.broadcast(ptot), "prev", "left"))
+    per = (joined.groupBy(id_col)
+           .agg(F.sort_array(F.collect_list(F.struct(
+                    "pos",
+                    F.coalesce("c2", F.lit(0)).alias("c2"),
+                    F.coalesce("cp", F.lit(0)).alias("cp"),
+                    F.col("ct")))).alias("__xs"),
+                F.count(F.lit(1)).alias("n_lm_tokens")))
+    fold = F.expr(
+        f"aggregate(__xs, cast(0.0 as double), (s, x) -> s + "
+        f"ln(CASE WHEN x.cp > 0 THEN "
+        f"{lam!r} * x.c2 / x.cp + {1.0 - lam!r} * x.ct / __tt "
+        f"ELSE x.ct / __tt END))")
+    return (per.crossJoin(F.broadcast(total))
+            .select(F.col(id_col), F.col("n_lm_tokens"),
+                    (fold / F.col("n_lm_tokens")).alias("logprob2")))

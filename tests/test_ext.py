@@ -1338,3 +1338,72 @@ def test_resample_corpus_seed_validation(spark, docs):
     with pytest.raises(ValueError, match="seed"):
         pipeline.resample_corpus(w, k=5, seed="")
     assert pipeline.resample_corpus(w, k=5, seed="run-2.a").count() == 5
+
+
+# ------------------------- round-7: interpolated bigram LM
+
+
+def test_bigram_logprob_matches_python_reference(spark, docs):
+    got = text.bigram_logprob(docs).toPandas()
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def tok(t):
+        return [w for w in "".join(
+            c.lower() if c.isalnum() else " " for c in t).split() if w]
+
+    toks = {r.doc_id: tok(r.text) for r in pdf.itertuples()}
+    import collections
+    uni = collections.Counter()
+    big = collections.Counter()
+    for v in toks.values():
+        uni.update(v)
+        big.update(zip(v[:-1], v[1:]))
+    cp = collections.Counter()
+    for (p, _), c in big.items():
+        cp[p] += c
+    T = sum(uni.values())
+    lam = 0.75
+    want = {}
+    for d, v in toks.items():
+        if not v:
+            continue
+        s = 0.0
+        for i, t in enumerate(v):
+            if i == 0:
+                s += math.log(uni[t] / T)
+            else:
+                p = v[i - 1]
+                s += math.log(lam * big[(p, t)] / cp[p]
+                              + (1 - lam) * uni[t] / T)
+        want[d] = s / len(v)
+    assert len(got) == len(want)
+    for row in got.head(30).itertuples():
+        assert row.logprob2 == pytest.approx(want[row.doc_id],
+                                             rel=1e-12)
+    # the bigram term sees word ORDER where the unigram filter is
+    # blind: in a corpus dominated by "alpha beta" bigrams, a doc in
+    # corpus order must outscore the same TOKEN MULTISET reversed
+    # (identical unigram score by construction)
+    # (alpha, beta) dominant; the "beta gamma" docs split beta's
+    # continuations so P(a|b) < P(b|a) strictly (a corpus where every
+    # prev has ONE continuation is conditionally symmetric and the
+    # reversal scores EQUAL — found by this test's first version).
+    # The probe docs are reversals: same token multiset, forward doc
+    # holds 3 frequent + 2 rare transitions vs 2 + 3.
+    ctl = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(2, 30)]
+        + [(i, "beta gamma") for i in range(30, 34)]
+        + [(0, "alpha beta alpha beta alpha beta"),
+           (1, "beta alpha beta alpha beta alpha")],
+        "doc_id long, text string")
+    sc = {r.doc_id: r.logprob2
+          for r in text.bigram_logprob(ctl).collect()
+          if r.doc_id in (0, 1)}
+    assert sc[0] > sc[1]
+    # determinism under repartitioning
+    a = text.bigram_logprob(docs).toPandas()
+    b = text.bigram_logprob(docs.repartition(11)).toPandas()
+    m = a.merge(b, on="doc_id", suffixes=("", "_b"))
+    assert (m.logprob2 == m.logprob2_b).all()
+    with pytest.raises(ValueError):
+        text.bigram_logprob(docs, lam=1.0)
