@@ -3020,7 +3020,33 @@ def q_ann_suite(spark, sf_dir):
                    & (F.col("n_labels") == F.col("n_in"))
                    & (F.col("n_kept") == F.col("n_comp"))
                    & (F.col("n_minviol") == 0)).alias("recall_ok")))
-    return parts[0].unionAll(parts[1]).unionAll(sd)
+    # round-7 fold: cluster_documents (ext/pipeline.py) — hashed
+    # TF-IDF + deterministic k-means over documents.  k-means is not
+    # SQL-replayable; the invariants pinned: (a) every tokenized doc
+    # is labeled exactly once, (b) exactly one distinct label per
+    # doc, (c) labels live in [0, k).  Topic separation is pinned in
+    # tests/test_ext.py on a planted-vocabulary corpus.
+    from pandas_alchemy_spark.ext import pipeline as _pl2
+    from pandas_alchemy_spark.ext.text import _tok
+    docs_c = spark.read.parquet(_t(sf_dir, "documents"))
+    cl = _pl2.cluster_documents(docs_c, k=8, dim=64, refine_iters=1)
+    n_tok = (docs_c.filter(F.expr(f"size({_tok('text')}) >= 1"))
+             .agg(F.count(F.lit(1)).alias("n_tok")).coalesce(1))
+    cl_stats = (cl.agg(
+        F.count(F.lit(1)).alias("n_lab"),
+        F.countDistinct("doc_id").alias("n_doc"),
+        F.sum(((F.col("cluster") < 0)
+               | (F.col("cluster") >= 8)).cast("long"))
+        .alias("n_range")).coalesce(1))
+    clleg = (n_tok.crossJoin(cl_stats)
+             .select(F.lit("doc_cluster").alias("algo"),
+                     F.col("n_tok").cast("long").alias("n_queries"),
+                     F.lit(8).cast("long").alias("k"),
+                     ((F.col("n_lab") == F.col("n_tok"))
+                      & (F.col("n_doc") == F.col("n_tok"))
+                      & (F.col("n_range") == 0)).alias("recall_ok")))
+    return (parts[0].unionAll(parts[1]).unionAll(sd)
+            .unionAll(clleg))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5502,7 +5528,7 @@ def oracle_sql() -> dict[str, str]:
         # have no SQL twin; the recall-bucket summary they roll into is
         # deterministic (seeded hyperplanes/centroids), so THAT is the
         # oracle: both indexes must keep recall@5 >= 0.6 vs brute force
-        "ann_suite": """
+        "ann_suite": f"""
             SELECT 'ivf' AS algo,
                    (SELECT count(*) FROM embeddings
                     WHERE vec_id < 5)::BIGINT AS n_queries,
@@ -5516,6 +5542,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'semdedup',
                    (SELECT count(*) FROM embeddings
                     WHERE embedding IS NOT NULL)::BIGINT,
+                   8::BIGINT, true
+            UNION ALL
+            -- cluster_documents: n_queries = tokenized docs (the
+            -- tfidf featurizer's token-less contract), invariants
+            -- asserted in-plan on the Spark side
+            SELECT 'doc_cluster',
+                   (SELECT count(*) FROM documents
+                    WHERE len({toks_text}) >= 1)::BIGINT,
                    8::BIGINT, true
         """,
     }

@@ -444,3 +444,46 @@ def resample_corpus(weighted: DataFrame, k: int,
             .orderBy(F.col("__pas_key").desc(), F.col(id_col).asc())
             .limit(k)
             .withColumnRenamed("__pas_key", "sample_key"))
+
+
+def cluster_documents(docs: DataFrame, k: int = 16,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      dim: int = 256, refine_iters: int = 2,
+                      train_fraction: float | None = None,
+                      nprobe: int = 1) -> DataFrame:
+    """Topic-style document clustering with no external model: hashed
+    TF-IDF vectors (:func:`~.text.tfidf_vectors`) + the deterministic
+    k-means the ANN/SemDeDup path already trains
+    (:func:`~.similarity.train_ivf_centroids`) — the corpus-maplike
+    step a curation pipeline uses to inspect composition, balance
+    mixtures, or stratify sampling.
+
+    Fully deterministic (content-addressed seeds, no RNG), zero
+    driver-side data beyond the k×dim centroid matrix.  At 100 TB:
+    ``train_fraction`` trains centroids on a hash-sample; assignment
+    stays one Arrow-batch matmul per partition (narrow, no shuffle).
+    Token-less docs have no direction to embed and are absent (the
+    scorer contract).  Returns ``(id_col, cluster)``; join the label
+    back to the corpus (AQE broadcasts it when small) or feed the
+    label column to :func:`split_corpus(by=)` for cluster-stratified
+    leakage-safe splits.
+    """
+    from .similarity import _assign_cells_udf, train_ivf_centroids
+    from .text import tfidf_vectors
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    vecs = tfidf_vectors(docs, dim=dim, text_col=text_col,
+                         id_col=id_col)
+    centroids = train_ivf_centroids(
+        vecs, dim=dim, nlist=k, id_col=id_col, vec_col="embedding",
+        refine_iters=refine_iters, train_fraction=train_fraction)
+    cells = _assign_cells_udf(centroids, nprobe=nprobe)
+    out = vecs.select(F.col(id_col),
+                      cells(F.col("embedding")).alias("__cells"))
+    if nprobe == 1:
+        return out.select(id_col,
+                          F.col("__cells").getItem(0).cast("long")
+                          .alias("cluster"))
+    ex = out.select(id_col, F.explode("__cells").alias("__c"))
+    return ex.select(id_col,
+                     F.col("__c").cast("long").alias("cluster"))

@@ -1407,3 +1407,31 @@ def test_bigram_logprob_matches_python_reference(spark, docs):
     assert (m.logprob2 == m.logprob2_b).all()
     with pytest.raises(ValueError):
         text.bigram_logprob(docs, lam=1.0)
+
+
+# ------------------------- round-7: document clustering
+
+
+def test_cluster_documents_groups_planted_topics(spark):
+    from pandas_alchemy_spark.ext import pipeline
+    # two synthetic "topics" with disjoint vocabulary + exact copies
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta " * 4))
+    for i in range(40, 80):
+        rows.append((i, "omega sigma tau upsilon " * 4))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lab = pipeline.cluster_documents(docs, k=2, dim=32,
+                                     refine_iters=2).toPandas()
+    assert len(lab) == 80
+    a = set(lab[lab.doc_id < 40].cluster)
+    b = set(lab[lab.doc_id >= 40].cluster)
+    # identical texts MUST co-cluster; the two topics must separate
+    assert len(a) == 1 and len(b) == 1 and a != b
+    # deterministic under repartitioning
+    again = pipeline.cluster_documents(
+        docs.repartition(7), k=2, dim=32, refine_iters=2).toPandas()
+    m = lab.merge(again, on="doc_id", suffixes=("", "_b"))
+    assert (m.cluster == m.cluster_b).all()
+    with pytest.raises(ValueError):
+        pipeline.cluster_documents(docs, k=1)

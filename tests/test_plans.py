@@ -429,3 +429,32 @@ def test_plans_round7_session4_ops(spark):
         num_hashes=16, bands=4, threshold=0.4)
     physx = xp._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in physx
+
+
+def test_plans_tfidf_bigram_shapes(spark):
+    """Plan regressions for the session-4 scorers:
+
+    - tfidf_vectors: the df/model joins broadcast; the md5 term hash
+      appears at most once per optimized-plan line (hash-once);
+    - bigram_logprob: the three model tables broadcast into the
+      scoring pass and no repeated expensive expressions survive
+      (tokenize-once discipline, scale_report clean)."""
+    from pandas_alchemy_spark.ext import text
+    from pandas_alchemy_spark.plans import scale_report
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    tv = text.tfidf_vectors(docs, dim=32)
+    phys = tv._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+    assert "CartesianProduct" not in phys
+    opt = tv._jdf.queryExecution().optimizedPlan().toString()
+    for ln in opt.splitlines():
+        assert ln.count("md5(") <= 1, ln[:160]
+
+    bi = text.bigram_logprob(docs)
+    physb = bi._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in physb
+    assert "CartesianProduct" not in physb
+    flags = scale_report(bi)["flags"]
+    assert not any(k == "repeated_expensive_exprs" for k, _ in flags)
