@@ -568,3 +568,54 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
     # contaminated docs really got flagged
     flagged = set(got[got.n_contam_ngrams > 0].doc_id)
     assert {0, 2, 4, 7} <= flagged and 3 not in flagged
+
+
+def test_streaming_lm_scores_match_batch_external_vocab(spark, tmp_path):
+    """streaming_lm_scores over a drained file stream == batch
+    unigram_logprob(vocab=) up to float-sum ordering (the streaming
+    fold runs in token order, the batch fold over the sorted count
+    list)."""
+    import pandas as pd
+
+    from pandas_alchemy_spark.ext import text as xt
+    from pandas_alchemy_spark.streaming.stream_events import (
+        streaming_lm_scores)
+    d = tmp_path / "docs"
+    docs_pdf = pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": ["the quick brown fox", "the the the",
+                 "zzz unknown words only", "quick fox jumps",
+                 "", "the fox"]})
+    spark.createDataFrame(docs_pdf).coalesce(1).write.parquet(str(d))
+    # reference vocab trained on a separate corpus
+    ref = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the fox and the dog"]}))
+    from pandas_alchemy_spark.ext.dedup import _TOKENS
+    vocab = (ref.selectExpr(
+        f"explode({_TOKENS.format(col='text')}) AS term")
+        .groupBy("term").count()
+        .withColumnRenamed("count", "cnt"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(d)))
+    out = streaming_lm_scores(stream, vocab)
+    q = (out.writeStream.format("memory").queryName("slm")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = (spark.sql("SELECT * FROM slm").toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    finally:
+        q.stop()
+    batch = (xt.unigram_logprob(spark.read.parquet(str(d)),
+                                vocab=vocab)
+             .toPandas().sort_values("doc_id")
+             .reset_index(drop=True))
+    assert list(got.doc_id) == list(batch.doc_id)
+    assert (got.n_lm_tokens.values == batch.n_lm_tokens.values).all()
+    import numpy as np
+    assert np.allclose(got.logprob, batch.logprob, rtol=1e-12)
+    # OOV-only and empty docs are absent; 'zzz unknown words only'
+    # has NO in-vocab token ('only' not in ref) -> absent
+    assert set(got.doc_id) == {0, 1, 3, 5}

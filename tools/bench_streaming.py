@@ -117,6 +117,43 @@ def main():
     n_docs = 0
     if os.path.exists(docs_dir):
         try:
+            from pyspark.sql import functions as F
+            from pandas_alchemy_spark.ext.dedup import _TOKENS
+            batch0 = spark.read.parquet(docs_dir)
+            vocab = (batch0.filter("doc_id % 97 = 0")
+                     .selectExpr(
+                         f"explode({_TOKENS.format(col='text')}) "
+                         "AS term")
+                     .groupBy("term").count()
+                     .withColumnRenamed("count", "cnt"))
+            lm_stream = (spark.readStream.schema(batch0.schema)
+                         .option("maxFilesPerTrigger", 8)
+                         .parquet(docs_dir))
+            lm_out = stream_events.streaming_lm_scores(
+                lm_stream, vocab)
+            t0 = time.time()
+            q = (lm_out.writeStream.format("noop")
+                 .option("checkpointLocation",
+                         f"/root/repo/.scratch/ckpt_{int(time.time()*1e6)}")
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            sec = round(time.time() - t0, 2)
+            prog = q.recentProgress
+            rows = sum(p["numInputRows"] for p in prog)
+            results["streaming_lm_scores"] = sec
+            detail["streaming_lm_scores"] = {
+                "sec": sec, "micro_batches": len(prog),
+                "rows_in": rows, "docs_per_sec": int(rows / sec)}
+            print(f"streaming_lm_scores: {sec}s, {len(prog)} "
+                  f"batches, {int(rows / sec)} docs/s",
+                  file=sys.stderr)
+        except Exception as ex:
+            results["streaming_lm_scores"] = -1.0
+            detail["streaming_lm_scores"] = {"error": str(ex)[:200]}
+            print(f"streaming_lm_scores: ERROR {str(ex)[:200]}",
+                  file=sys.stderr)
+        try:
             batch_docs = spark.read.parquet(docs_dir)
             n_docs = batch_docs.count()
             eval_df = (batch_docs.filter("doc_id % 9973 = 0")
