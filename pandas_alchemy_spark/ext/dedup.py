@@ -213,6 +213,23 @@ def _minhash_base(df, text_col, id_col, num_hashes, shingle_n,
         F.col("hs"))
 
 
+def _banded(base: DataFrame, id_col: str, out_id: str,
+            bands: int, rows: int) -> DataFrame:
+    """(out_id, band, bh) band rows from a `_minhash_base` frame —
+    ONE banding-key construction shared by every LSH path
+    (:func:`minhash_lsh_pairs`, :func:`cross_dedup_pairs`): the band
+    key format is also replayed literally by the DuckDB oracle, so a
+    drifted copy would silently desynchronize the two engines."""
+    return (base.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f" struct(b as band, concat_ws(',', "
+            f"slice(signature, b * {rows} + 1, {rows})) as bh))"
+        )).alias("bb"))
+        .select(out_id, "bb.band", "bb.bh"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_n: int = 3,
@@ -255,13 +272,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     base = _minhash_base(df, text_col, id_col, num_hashes,
                          shingle_n, fast_hash)
     base = base.persist()
-    banded = (base.select(
-        id_col,
-        F.explode(F.expr(
-            f"transform(sequence(0, {bands - 1}), b -> "
-            f" struct(b as band, concat_ws(',', slice(signature, b * {rows} + 1, {rows})) as bh))"
-        )).alias("bb"))
-        .select(id_col, "bb.band", "bb.bh"))
+    banded = _banded(base, id_col, id_col, bands, rows)
     buckets = (banded.groupBy("band", "bh")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))
@@ -629,22 +640,14 @@ def cross_dedup_pairs(new: DataFrame, reference: DataFrame,
     br = _minhash_base(reference, text_col, id_col, num_hashes,
                        shingle_n, fast_hash).persist()
 
-    def banded(base, out_id):
-        return (base.select(
-            F.col(id_col).alias(out_id),
-            F.explode(F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f" struct(b as band, concat_ws(',', "
-                f"slice(signature, b * {rows} + 1, {rows})) as bh))"
-            )).alias("bb"))
-            .select(out_id, "bb.band", "bb.bh"))
-
-    ref_buckets = (banded(br, "id_ref").groupBy("band", "bh")
+    ref_buckets = (_banded(br, id_col, "id_ref", bands, rows)
+                   .groupBy("band", "bh")
                    .agg(F.array_sort(F.collect_list("id_ref"))
                         .alias("ids")))
     ref_buckets = _cap_buckets(ref_buckets, "ids", bucket_cap,
                                "cross_dedup_pairs")
-    cand = (banded(bn, "id_new").join(ref_buckets, ["band", "bh"])
+    cand = (_banded(bn, id_col, "id_new", bands, rows)
+            .join(ref_buckets, ["band", "bh"])
             .select("id_new", F.explode("ids").alias("id_ref"))
             .dropDuplicates())
     sha = bn.select(F.col(id_col).alias("id_new"),

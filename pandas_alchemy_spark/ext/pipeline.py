@@ -370,6 +370,15 @@ def importance_weights(docs: DataFrame, target: DataFrame,
 
     tcnt = (bucketed(target, False).groupBy("b")
             .agg(F.count(F.lit(1)).alias("tc")).persist())
+    # an empty/token-less target would make sum(tc) NULL and every
+    # logw silently NULL — and resample_corpus would then "select"
+    # the k lowest ids by the tiebreaker.  The probe is nearly free:
+    # tcnt is persisted, so the scan it triggers is reused by the
+    # model join below.
+    if tcnt.limit(1).count() == 0:
+        raise ValueError(
+            "importance_weights: the target corpus has no tokens "
+            "(empty frame or token-less text) - nothing to model")
     rcnt = (bucketed(docs, False).groupBy("b")
             .agg(F.count(F.lit(1)).alias("rc")).persist())
     # model table: every bucket seen in EITHER corpus, zero-filled
@@ -449,8 +458,7 @@ def resample_corpus(weighted: DataFrame, k: int,
 def cluster_documents(docs: DataFrame, k: int = 16,
                       text_col: str = "text", id_col: str = "doc_id",
                       dim: int = 256, refine_iters: int = 2,
-                      train_fraction: float | None = None,
-                      nprobe: int = 1) -> DataFrame:
+                      train_fraction: float | None = None) -> DataFrame:
     """Topic-style document clustering with no external model: hashed
     TF-IDF vectors (:func:`~.text.tfidf_vectors`) + the deterministic
     k-means the ANN/SemDeDup path already trains
@@ -477,13 +485,13 @@ def cluster_documents(docs: DataFrame, k: int = 16,
     centroids = train_ivf_centroids(
         vecs, dim=dim, nlist=k, id_col=id_col, vec_col="embedding",
         refine_iters=refine_iters, train_fraction=train_fraction)
-    cells = _assign_cells_udf(centroids, nprobe=nprobe)
+    # hard assignment only: a soft (multi-probe) label would return
+    # several rows per doc, and the advertised split_corpus(by=
+    # cluster) composition would then place copies of one document in
+    # DIFFERENT splits - the exact leakage by= exists to prevent
+    cells = _assign_cells_udf(centroids, nprobe=1)
     out = vecs.select(F.col(id_col),
                       cells(F.col("embedding")).alias("__cells"))
-    if nprobe == 1:
-        return out.select(id_col,
-                          F.col("__cells").getItem(0).cast("long")
-                          .alias("cluster"))
-    ex = out.select(id_col, F.explode("__cells").alias("__c"))
-    return ex.select(id_col,
-                     F.col("__c").cast("long").alias("cluster"))
+    return out.select(id_col,
+                      F.col("__cells").getItem(0).cast("long")
+                      .alias("cluster"))

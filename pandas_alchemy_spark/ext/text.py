@@ -547,9 +547,12 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     PERSISTED; the unigram model and the per-prev totals are two
     aggregates DERIVED from corpus tokens / the bigram table (both
     vocabulary-bounded).  A second corpus pass re-derives (pos,
-    prev, t) and left-joins the three bounded tables (AQE broadcasts
-    them), then one per-doc aggregate.  Two corpus passes is the
-    floor — the model must be complete before scoring.
+    prev, t) and left-joins the three model tables UNHINTED — the
+    bigram vocabulary is unbounded at web scale, so the join
+    strategy is AQE's call (broadcast when the persisted model
+    actually fits, shuffle otherwise), never a forced broadcast.
+    Then one per-doc aggregate.  Two corpus passes is the floor —
+    the model must be complete before scoring.
     """
     if not (0.0 < lam < 1.0):
         raise ValueError(f"lam must be in (0, 1), got {lam}")
@@ -572,10 +575,16 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
            .agg(F.count(F.lit(1)).alias("c2")).persist())
     ptot = big.groupBy("prev").agg(F.sum("c2").alias("cp"))
     total = uni.agg(F.sum("ct").alias("__tt")).coalesce(1)
+    # NO broadcast hints: the bigram table is corpus-bigram-vocabulary
+    # sized — unbounded at web scale (billions of distinct pairs), so
+    # a forced broadcast is a driver OOM waiting for a big corpus.
+    # AQE picks broadcast at runtime when the tables actually fit
+    # (the unigram_logprob pattern); the persisted models make the
+    # size estimate accurate.
     joined = (pairs
-              .join(F.broadcast(uni), "t")
-              .join(F.broadcast(big), ["prev", "t"], "left")
-              .join(F.broadcast(ptot), "prev", "left"))
+              .join(uni, "t")
+              .join(big, ["prev", "t"], "left")
+              .join(ptot, "prev", "left"))
     per = (joined.groupBy(id_col)
            .agg(F.sort_array(F.collect_list(F.struct(
                     "pos",

@@ -149,6 +149,12 @@ def streaming_decontaminate(stream: DataFrame, eval_df: DataFrame,
     sets (the batch op's broadcast-join form is the sweep path).
     """
     from ..ext.dedup import _h60, with_shingles
+    if not isinstance(n, int) or n < 1:
+        # the batch twin's guard: n=0 emits one empty-string shingle
+        # per position on BOTH sides, which collides universally and
+        # marks every arriving doc contaminated; a downstream drop
+        # filter then silently discards the whole stream
+        raise ValueError(f"n must be a positive integer, got {n!r}")
     ev = with_shingles(eval_df, text_col, "__sh", n, distinct=False)
     ev_arr = (ev.select(F.explode("__sh").alias("s"))
               .select(F.expr(_h60("s", fast_hash)).alias("g"))

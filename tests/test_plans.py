@@ -454,7 +454,9 @@ def test_plans_tfidf_bigram_shapes(spark):
 
     bi = text.bigram_logprob(docs)
     physb = bi._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in physb
+    # the model joins are deliberately UNHINTED (the bigram table is
+    # unbounded at web scale; AQE chooses at runtime) — assert only
+    # that nothing quadratic appears and the plan is expr-clean
     assert "CartesianProduct" not in physb
     flags = scale_report(bi)["flags"]
     assert not any(k == "repeated_expensive_exprs" for k, _ in flags)
