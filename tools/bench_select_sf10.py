@@ -124,6 +124,21 @@ def main():
                                 bands=4, threshold=0.4,
                                 fast_hash=True).count()))
 
+    # the quality/featurization trio at 500k docs
+    run("bigram_lm",
+        lambda: noop(text.bigram_logprob(docs)))
+    run("tfidf_vectors",
+        lambda: noop(text.tfidf_vectors(docs, dim=256,
+                                        fast_hash=True)))
+
+    def _cl():
+        lab = pipeline.cluster_documents(docs, k=64, dim=256,
+                                         refine_iters=1,
+                                         train_fraction=0.1)
+        extra["cluster_n_labeled"] = lab.count()
+
+    run("cluster_docs", _cl)
+
     total = round(sum(t for t in times.values() if t >= 0), 2)
     load = [round(x, 2) for x in os.getloadavg()]
     spark.stop()
