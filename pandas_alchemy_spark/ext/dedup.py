@@ -27,6 +27,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _register_cache(sdf) -> None:
+    """Route every module-internal ``persist`` through the bounded
+    similarity cache ring so repeated calls release the oldest cached
+    frame deterministically instead of accumulating session-lifetime
+    storage (ADVICE r7: five operators persisted internal frames the
+    caller never receives and could never unpersist)."""
+    from .similarity import _register_cache as _rc
+    _rc(sdf)
+
+
+def _claim_col(df: DataFrame, name: str, what: str) -> None:
+    """Guard an internal helper column name: a pre-existing user
+    column would be silently overwritten by the withColumn (and in
+    quality_score's case, REPLACE the user's data in the output) —
+    raise loudly instead (ADVICE r7)."""
+    if name in df.columns:
+        raise ValueError(
+            f"{what}: input already has a column named {name!r}, "
+            f"which this operator uses internally - rename or drop "
+            f"it first")
+
+
 def _cap_buckets(buckets: DataFrame, member_col: str,
                  cap: int | None, what: str) -> DataFrame:
     """Drop degenerate LSH buckets (> ``cap`` members) with a LOGGED
@@ -272,6 +294,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     base = _minhash_base(df, text_col, id_col, num_hashes,
                          shingle_n, fast_hash)
     base = base.persist()
+    _register_cache(base)
     banded = _banded(base, id_col, id_col, bands, rows)
     buckets = (banded.groupBy("band", "bh")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -366,6 +389,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingle values, not the cross product) -> per-pair intersection
     count -> Jaccard against per-doc set sizes."""
     sh = hashed_shingle_sets(_tune(df), text_col, id_col, n).persist()
+    _register_cache(sh)
     sizes = sh.select(id_col, F.size("hs").alias("sz"))
     ex = sh.select(id_col, F.explode("hs").alias("g"))
     l, r = ex.alias("l"), ex.alias("r")
@@ -637,8 +661,10 @@ def cross_dedup_pairs(new: DataFrame, reference: DataFrame,
     rows = num_hashes // bands
     bn = _minhash_base(new, text_col, id_col, num_hashes,
                        shingle_n, fast_hash).persist()
+    _register_cache(bn)
     br = _minhash_base(reference, text_col, id_col, num_hashes,
                        shingle_n, fast_hash).persist()
+    _register_cache(br)
 
     ref_buckets = (_banded(br, id_col, "id_ref", bands, rows)
                    .groupBy("band", "bh")

@@ -246,6 +246,8 @@ def split_corpus(docs: DataFrame, fractions: dict | None = None,
     # holdout filter tests the BUCKET (one mention, inlined once by
     # PushDownPredicate) rather than the CASE result (which would
     # inline the whole 3-mention CASE into the pushed filter)
+    from .dedup import _claim_col
+    _claim_col(docs, "__pas_bucket", "split_corpus")
     out = docs.withColumn("__pas_bucket", bucket)
     if bounds[-1][1] < scale:
         out = out.filter(F.col("__pas_bucket") < F.lit(bounds[-1][1]))
@@ -289,6 +291,8 @@ def shuffle_corpus(df: DataFrame, n_shards: int = 1024,
         ).cast("long")
     # hash materialized once (Catalyst does not CSE it between the
     # shard key and the window order)
+    from .dedup import _claim_col
+    _claim_col(df, "__pas_h", "shuffle_corpus")
     out = df.withColumn("__pas_h", bucket)
     w = (Window.partitionBy(F.pmod(F.col("__pas_h"), F.lit(n_shards)))
          .orderBy(F.col("__pas_h").asc(), k.asc()))
@@ -359,6 +363,8 @@ def importance_weights(docs: DataFrame, target: DataFrame,
         raise ValueError(f"buckets must be >= 2, got {buckets}")
 
     def bucketed(df, with_id):
+        from .dedup import _claim_col
+        _claim_col(df, "__pas_toks", "importance_weights")
         toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
         cols = ([F.col(id_col)] if with_id else []) + [
             F.explode(F.expr(_grams_expr("__pas_toks"))).alias("g")]
@@ -370,6 +376,8 @@ def importance_weights(docs: DataFrame, target: DataFrame,
 
     tcnt = (bucketed(target, False).groupBy("b")
             .agg(F.count(F.lit(1)).alias("tc")).persist())
+    from .similarity import _register_cache
+    _register_cache(tcnt)
     # an empty/token-less target would make sum(tc) NULL and every
     # logw silently NULL — and resample_corpus would then "select"
     # the k lowest ids by the tiebreaker.  The probe is nearly free:
@@ -381,6 +389,7 @@ def importance_weights(docs: DataFrame, target: DataFrame,
             "(empty frame or token-less text) - nothing to model")
     rcnt = (bucketed(docs, False).groupBy("b")
             .agg(F.count(F.lit(1)).alias("rc")).persist())
+    _register_cache(rcnt)
     # model table: every bucket seen in EITHER corpus, zero-filled
     # (add-one smoothing makes absent buckets well-defined); bounded
     # by `buckets` rows, so the scoring join broadcasts it
@@ -443,6 +452,8 @@ def resample_corpus(weighted: DataFrame, k: int,
         # seed is a label, not free text)
         raise ValueError(
             f"seed must be non-empty [A-Za-z0-9._-], got {seed!r}")
+    from .dedup import _claim_col
+    _claim_col(weighted, "__pas_key", "resample_corpus")
     tagged = f"concat(cast(`{id_col}` as string), ':{seed}')"
     u = ((F.expr(_h60(tagged, fast_hash)) + F.lit(1)).cast("double")
          / F.lit(float((1 << 60) + 2)))

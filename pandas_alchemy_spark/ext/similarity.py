@@ -59,7 +59,11 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
 
 _CACHE_RING: "list" = []
-_CACHE_RING_MAX = 4
+# 8, not 4: a single folded query can legitimately register ~4 live
+# persists before its action runs (bigram uni+big, dsir tcnt+rcnt,
+# curate's gate + its nested minhash base) — a ring evicting mid-plan
+# is only a recompute, but a pointless one
+_CACHE_RING_MAX = 8
 
 
 def _register_cache(sdf) -> None:
@@ -198,6 +202,17 @@ def _auto_tables(planes: int, threshold: float,
     per_table = p ** planes
     if per_table >= 1.0:
         return 1
+    if per_table <= 0.0:
+        # p == 0 (threshold <= -1) or p**planes underflowed to 0.0
+        # (huge caller-supplied planes): log(1 - 0) == 0 below would
+        # ZeroDivide — the intended behavior is the same loud
+        # capped-recall warning as an unreachable target
+        print(f"embedding_near_dup_pairs: tables='auto' capped at "
+              f"{max_tables}: per-table collision probability "
+              f"underflowed to 0 at planes={planes}, threshold="
+              f"{threshold} — expected recall ~0. Raise threshold or "
+              f"lower planes.", file=sys.stderr)
+        return max_tables
     need = math.log(1.0 - target_recall) / math.log(1.0 - per_table)
     L = max(1, math.ceil(need))
     if L > max_tables:
@@ -270,14 +285,24 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         planes_cost = max(6, min(24, math.ceil(
             math.log2(max(n_vec, 1) / 32 or 1))))
         if target_recall is None:
-            # cost-only sizing: ~32-row buckets, candidate generation
-            # linear in n.  Recall is whatever the fixed `tables`
-            # buys (1-(1-p^planes)^tables) — the throughput mode for
-            # low-threshold screening where a recall-honest geometry
-            # does not exist (at threshold 0.45, recall 0.9 needs ~30
-            # tables of 6-plane/64-bucket codes: measured 124 s on
-            # 20k vectors with 1597 capped buckets — degenerate).
-            planes = planes_cost
+            # cost-only sizing: hold the PER-DOCUMENT candidate
+            # budget constant across corpus sizes — occupancy*tables
+            # ~ 8, i.e. occupancy target = 8/tables — so candidate
+            # generation is linear in n at every scale AND small
+            # corpora don't over-pay (a fixed ~32-row occupancy was
+            # 2.2x at 2k vectors because 4 tables of 31-member
+            # buckets verify ~128k pairs where the same screening
+            # budget needs ~16k).  Recall is whatever the fixed
+            # `tables` buys (1-(1-p^planes)^tables) — the throughput
+            # mode for low-threshold screening where a recall-honest
+            # geometry does not exist (at threshold 0.45, recall 0.9
+            # needs ~30 tables of 6-plane/64-bucket codes: measured
+            # 124 s on 20k vectors with 1597 capped buckets —
+            # degenerate).
+            n_tables = tables if isinstance(tables, int) else 4
+            occ_target = max(2.0, 8.0 / max(n_tables, 1))
+            planes = max(6, min(24, math.ceil(
+                math.log2(max(n_vec, 1) / occ_target or 1))))
         else:
             # recall bound: the largest planes for which max_tables=32
             # tables can still reach target_recall at this threshold —
@@ -310,6 +335,20 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     elif not isinstance(tables, int) or tables < 1:
         raise ValueError(f"tables must be a positive int or 'auto', "
                          f"got {tables!r}")
+    elif target_recall is not None and isinstance(planes, int):
+        # both geometry knobs fixed: target_recall cannot change
+        # anything — surface the recall the fixed geometry actually
+        # buys instead of letting the parameter imply a guarantee
+        import sys
+        p = lsh_collision_prob(threshold)
+        reach = 1.0 - (1.0 - p ** planes) ** tables
+        if reach < target_recall:
+            print(f"embedding_near_dup_pairs: target_recall="
+                  f"{target_recall:.2f} is INERT with fixed geometry "
+                  f"(planes={planes}, tables={tables}); expected "
+                  f"recall at threshold {threshold} is ~{reach:.2f}. "
+                  f"Pass planes='auto'/tables='auto' to size for the "
+                  f"target.", file=sys.stderr)
     codes = table_codes_udf(dim, planes, tables)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      norm_expr(vec_col).alias("n"),
@@ -363,9 +402,18 @@ def _assign_cells_udf(centroids, nprobe: int = 1):
     return F.pandas_udf(_cells, "array<int>")
 
 
-def train_ivf_centroids(df: DataFrame, dim: int, nlist: int = 16,
+def auto_nlist(n: int) -> int:
+    """Cell count for an ``n``-vector corpus: ~sqrt(n) (the standard
+    IVF sizing — cells are the parallelism unit and candidate volume
+    per query is ~n·nprobe/nlist, so sqrt balances cell-scan cost
+    against centroid-scan cost), clamped to [16, 65536]."""
+    import math
+    return max(16, min(65536, int(round(math.sqrt(max(n, 1))))))
+
+
+def train_ivf_centroids(df: DataFrame, dim: int, nlist=16,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        refine_iters: int = 1,
+                        refine_iters: int = 2,
                         train_fraction: float | None = None):
     """k-means-lite centroid training, fully deterministic.
 
@@ -374,7 +422,15 @@ def train_ivf_centroids(df: DataFrame, dim: int, nlist: int = 16,
     the elementwise mean per cell is computed via posexplode +
     groupBy(cell, pos) — a narrow (cell, pos, value) shuffle.  At
     100 TB pass ``train_fraction`` to train on a hash-sample of the
-    corpus (training needs a sample, not the population)."""
+    corpus (training needs a sample, not the population).
+
+    ``nlist="auto"`` sizes the cell count to the corpus
+    (:func:`auto_nlist`; one metadata-answered count job)."""
+    if nlist == "auto":
+        nlist = auto_nlist(df.count())
+    elif not isinstance(nlist, int) or nlist < 1:
+        raise ValueError(f"nlist must be a positive int or 'auto', "
+                         f"got {nlist!r}")
     body = df
     if train_fraction is not None:
         body = body.filter(
@@ -411,10 +467,84 @@ def train_ivf_centroids(df: DataFrame, dim: int, nlist: int = 16,
     return centroids
 
 
+def tune_ivf_nprobe(df: DataFrame, centroids, target_recall: float = 0.9,
+                    k: int = 5, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    sample_queries: int = 64) -> tuple[int, float]:
+    """Pick the smallest ``nprobe`` whose estimated recall@k reaches
+    ``target_recall`` — the FAISS-standard parameter sweep, run as ONE
+    analytic pass instead of repeated searches.
+
+    Method: sample ``sample_queries`` content-addressed query vectors
+    (smallest xxhash64(id), no RNG), brute-force their exact top-k
+    (one corpus pass — the only data-sized cost), fetch the CELL of
+    each truth neighbor (a filter to ~S·k rows), then on the driver
+    rank every centroid per sampled query (an S×nlist numpy matmul)
+    and read recall(nprobe) = fraction of truth neighbors whose cell
+    ranks < nprobe in their query's centroid ordering.  The whole
+    sweep over every possible nprobe costs one sort — no repeated
+    index searches.
+
+    Returns ``(nprobe, estimated_recall)``.  When even a full scan
+    (nprobe = nlist) cannot reach the target on the sample —
+    impossible by construction, since rank < nlist always — the
+    maximum is returned.  Scale shape: the truth pass is |S| queries
+    against the corpus (broadcast brute force); at 100 TB sample the
+    corpus for the truth pass too (the cell-rank distribution, not
+    the exact neighbor set, is what's being estimated).
+    """
+    import numpy as np
+    body = df.filter(F.col(vec_col).isNotNull())
+    qs = (body.select(id_col, vec_col,
+                      F.xxhash64(F.col(id_col)).alias("__h"))
+          .orderBy("__h").limit(sample_queries).drop("__h"))
+    truth = cosine_topk(body, qs, k=k, id_col=id_col,
+                        vec_col=vec_col).select(
+        "query_id", "neighbor_id").collect()
+    if not truth:
+        return 1, 1.0
+    neighbor_ids = sorted({r["neighbor_id"] for r in truth})
+    one = _assign_cells_udf(centroids, nprobe=1)
+    cell_of = {r["id"]: r["cell"] for r in
+               body.filter(F.col(id_col).isin(neighbor_ids))
+               .select(F.col(id_col).alias("id"),
+                       one(F.col(vec_col)).getItem(0).alias("cell"))
+               .collect()}
+    qvecs = {r[0]: list(r[1]) for r in qs.collect()}
+    C = np.asarray(centroids, dtype=np.float64)
+    half_sq = 0.5 * (C * C).sum(axis=1)
+    # rank of every cell per sampled query: argsort of the assignment
+    # score (same v·c - |c|²/2 the executors use)
+    rank_of = {}
+    for qid, v in qvecs.items():
+        score = np.asarray(v, dtype=np.float64) @ C.T - half_sq
+        order = np.argsort(-score)
+        r = np.empty(len(order), dtype=np.int64)
+        r[order] = np.arange(len(order))
+        rank_of[qid] = r
+    ranks = sorted(
+        int(rank_of[q][cell_of[n]]) for q, n in
+        ((r["query_id"], r["neighbor_id"]) for r in truth)
+        if n in cell_of and q in rank_of)
+    n_truth = len(ranks)
+    target_hits = target_recall * n_truth
+    # smallest nprobe with >= target_recall of truth ranks below it
+    nprobe = len(centroids)
+    hits = 0
+    for i, rk in enumerate(ranks):
+        hits = i + 1
+        if hits >= target_hits:
+            nprobe = rk + 1
+            break
+    est = sum(1 for rk in ranks if rk < nprobe) / max(n_truth, 1)
+    return max(1, int(nprobe)), round(est, 4)
+
+
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             dim: int = 32, nlist: int = 16, nprobe: int = 4,
-             refine_iters: int = 1, centroids=None) -> DataFrame:
+             dim: int = 32, nlist="auto", nprobe="auto",
+             refine_iters: int = 2, centroids=None,
+             target_recall: float = 0.9) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine ANN.
 
     Corpus vectors live in their nearest-centroid cell; each query
@@ -422,7 +552,20 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     ~nprobe/nlist of the corpus (vs 1.0 for brute force), then exact
     cosine re-rank.  All data-sized work is Arrow matmuls and one
     bucket equi-join; centroids (nlist x dim doubles) are the only
-    driver-side state.  Approximate: compare by recall, not equality."""
+    driver-side state.  Approximate: compare by recall, not equality.
+
+    Geometry defaults are RECALL-HONEST (r7 verdict: the old fixed
+    nlist=16/nprobe=4 silently measured 0.763 recall@5 at 200k
+    vectors): ``nlist="auto"`` sizes cells to ~sqrt(n)
+    (:func:`auto_nlist`) and ``nprobe="auto"`` runs
+    :func:`tune_ivf_nprobe` — the smallest probe count whose
+    estimated recall@min(k,5) reaches ``target_recall`` on a sampled
+    truth set, logged with the implied corpus scan fraction.  On
+    clustered embeddings the tuner lands on a few probes; on
+    near-isotropic data it honestly discovers a large scan fraction
+    instead of shipping silent recall loss.  Fixed ints skip both
+    jobs (and ``target_recall`` is then inert)."""
+    import sys
     # NULL embeddings cannot be searched and would crash the Arrow
     # matmul with a ragged batch — drop them up front (the brute-force
     # SQL path tolerates them as NULL cosine; this keeps the ANN
@@ -433,6 +576,19 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         centroids = train_ivf_centroids(df, dim=dim, nlist=nlist,
                                         id_col=id_col, vec_col=vec_col,
                                         refine_iters=refine_iters)
+    nlist = len(centroids)
+    if nprobe == "auto":
+        nprobe, est = tune_ivf_nprobe(
+            df, centroids, target_recall=target_recall, k=min(k, 5),
+            id_col=id_col, vec_col=vec_col)
+        print(f"ivf_topk: tuned nprobe={nprobe}/{nlist} cells "
+              f"(~{nprobe / max(nlist, 1):.0%} corpus scan) for "
+              f"target recall {target_recall:.2f} "
+              f"(estimated {est:.3f} on the sampled truth set)",
+              file=sys.stderr)
+    elif not isinstance(nprobe, int) or nprobe < 1:
+        raise ValueError(f"nprobe must be a positive int or 'auto', "
+                         f"got {nprobe!r}")
     one = _assign_cells_udf(centroids, nprobe=1)
     many = _assign_cells_udf(centroids, nprobe=nprobe)
     c = df.select(F.col(id_col).alias("neighbor_id"),

@@ -28,7 +28,7 @@ STOPWORDS = {
 # fingerprints and token budgets must agree on tokenization, so the
 # expression lives in dedup and is imported here (a drifted copy
 # would silently desynchronize them)
-from .dedup import _TOKENS
+from .dedup import _TOKENS, _claim_col
 
 
 def _tok(col: str) -> str:
@@ -53,6 +53,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     Tokenizes ONCE into a hidden column (8 mentions of the token
     array otherwise cost 8 regex passes per row — see
     :func:`_stop_ratio_over`)."""
+    _claim_col(df, "__pas_toks", "language_id")
     pairs = ", ".join(
         f"struct(cast({_stop_ratio_over('__pas_toks', ws)} as double)"
         f" as score, '{lang}' as lang)"
@@ -69,6 +70,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + a composite score:
     length, token count, mean word length, punctuation ratio, stopword
     ratio, uppercase ratio.  All pure expressions."""
+    _claim_col(df, "__pas_toks", "quality_score")
     n_chars = F.length(F.col(text_col))
     toks = "__pas_toks"       # tokenize once; see _stop_ratio_over
     n_tokens = F.expr(f"size({toks})")
@@ -101,6 +103,7 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens and BPE-ish subword count
     (word chars in runs of <=4 plus punctuation marks — a deterministic
     proxy for BPE token count usable for budget estimates)."""
+    _claim_col(df, "__pas_toks", "token_stats")
     ws = F.expr("greatest(size(__pas_toks), 0)")
     # BPE-ish: ceil(len(word)/4) per word + count of non-space punctuation
     bpe = F.expr(
@@ -292,6 +295,7 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
             f"overlap must satisfy 0 <= overlap < chunk_tokens "
             f"(got overlap={overlap}, chunk_tokens={chunk_tokens})")
     stride = chunk_tokens - overlap
+    _claim_col(df, "__pas_toks", "chunk_documents")
     toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
     starts = F.expr(
         f"sequence(0, greatest(size(__pas_toks) - {overlap} - 1, 0), "
@@ -339,8 +343,9 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     one per-doc aggregate.  Two passes is the floor: the model must
     be complete before any document can be scored.  The persist is
     spill-safe (vocab is corpus-vocabulary-sized, not corpus-sized)
-    and sticky like curate_corpus's gate checkpoint — call
-    ``.unpersist()`` on a kept reference to release it early.
+    and released through the bounded module cache ring (the oldest of
+    8 registered frames unpersists as new ones register), so repeated
+    calls don't accumulate session-lifetime storage.
     Self-training also excludes ``InferFiltersFromGenerate`` for the
     session (the rule re-inlines the tokenizer into a pushed filter —
     one extra tokenization per row per scan; same exclusion
@@ -349,12 +354,15 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     """
     from .dedup import _tune
     _tune(df)
+    _claim_col(df, "__pas_toks", "unigram_logprob")
     toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
     ex = toked.select(F.col(id_col),
                       F.explode("__pas_toks").alias("term"))
     if vocab is None:
         vocab = (ex.groupBy("term")
                  .agg(F.count(F.lit(1)).alias("cnt")).persist())
+        from .dedup import _register_cache
+        _register_cache(vocab)
     else:
         # an external model may carry zero/negative counts; ln() of
         # those is -inf/NaN — treat them as OOV (dropped by the join)
@@ -407,6 +415,7 @@ def bm25_search(df: DataFrame, queries: DataFrame, k: int = 10,
     _tune(df)
     from pyspark.sql import Window
 
+    _claim_col(df, "__pas_toks", "bm25_search")
     toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
     # dl must count EVERY doc (BM25 normalizes against the full
     # corpus average, not the matching subset)
@@ -480,6 +489,7 @@ def tfidf_vectors(df: DataFrame, dim: int = 256,
         raise ValueError(f"dim must be >= 2, got {dim}")
     from .dedup import _h60, _tune
     _tune(df)
+    _claim_col(df, "__pas_toks", "tfidf_vectors")
     toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
     ex = (toked.select(F.col(id_col),
                        F.explode("__pas_toks").alias("t"))
@@ -488,6 +498,8 @@ def tfidf_vectors(df: DataFrame, dim: int = 256,
                          F.lit(dim)).alias("b")))
     tf = (ex.groupBy(id_col, "b")
           .agg(F.count(F.lit(1)).alias("tf")).persist())
+    from .dedup import _register_cache
+    _register_cache(tf)
     dfreq = tf.groupBy("b").agg(F.count(F.lit(1)).alias("df"))
     ndocs = (toked.agg(F.count(F.lit(1)).alias("__n")).coalesce(1))
     w = (tf.join(F.broadcast(dfreq), "b")
@@ -558,6 +570,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
         raise ValueError(f"lam must be in (0, 1), got {lam}")
     from .dedup import _tune
     _tune(df)
+    _claim_col(df, "__pas_toks", "bigram_logprob")
     toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
     # (pos, prev, t) stream: pos 1-based; prev NULL for the first
     pairs = (toked.filter(F.expr("size(__pas_toks) >= 1"))
@@ -573,6 +586,9 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     big = (pairs.filter(F.col("prev").isNotNull())
            .groupBy("prev", "t")
            .agg(F.count(F.lit(1)).alias("c2")).persist())
+    from .dedup import _register_cache
+    _register_cache(uni)
+    _register_cache(big)
     ptot = big.groupBy("prev").agg(F.sum("c2").alias("cp"))
     total = uni.agg(F.sum("ct").alias("__tt")).coalesce(1)
     # NO broadcast hints: the bigram table is corpus-bigram-vocabulary
