@@ -2679,9 +2679,27 @@ def q_text_suite(spark, sf_dir):
                      .cast("long").alias("tfidf_chk"),
                      F.coalesce("tfidf_nnz", F.lit(-1))
                      .cast("long").alias("tfidf_nnz")))
+    # round-8 leg: exact-substring repeated-passage spans
+    # (ext/dedup.duplicate_spans — Lee et al. 2022 ExactSubstr over
+    # hashed 6-token rolling windows).  Per doc: span count and an
+    # order-free exact-int span checksum (sum of s*131 + e + nw*7);
+    # docs with no spans carry 0/-1 sentinels.  Fully SQL-replayed
+    # (windows, global-first rule, gaps-and-islands merge).
+    sp = dd.duplicate_spans(docs, n=6)
+    spagg = (sp.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("__ns"),
+                  F.sum(F.col("span_start") * 131 + F.col("span_end")
+                        + F.col("n_windows") * 7).alias("__sc")))
+    spleg = (docs.select("doc_id")
+             .join(spagg, "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce("__ns", F.lit(0)).cast("long")
+                     .alias("n_spans"),
+                     F.coalesce("__sc", F.lit(-1)).cast("long")
+                     .alias("span_chk")))
     return (scalar.join(rep, "doc_id").join(pdd, "doc_id")
             .join(ct, "doc_id").join(xleg, "doc_id")
-            .join(tvleg, "doc_id"))
+            .join(tvleg, "doc_id").join(spleg, "doc_id"))
 
 
 def q_langid_terms(spark, sf_dir):
@@ -2802,8 +2820,29 @@ def q_seq_pack(spark, sf_dir):
                         "n_docs",
                         F.col("n_tokens").cast("long").alias("n_tokens"),
                         "first_doc"))
+    # round-8 fold: the pluggable tokenizer registry
+    # (ext/tokenize.py).  The BPE kernel's merge semantics are pinned
+    # by the pure-Python oracle in tests/test_tokenize.py; THIS leg
+    # pins the Spark plumbing (registry -> Arrow pandas_udf column ->
+    # chunk slicing/joining) with a full value hash, using the
+    # SQL-replayable 'chars4' kernel (fixed 4-char pieces): chunk i
+    # of (16 tokens, overlap 4) is exactly substr(text, s*4+1, 64),
+    # so DuckDB reproduces every chunk byte for byte.  shard=-4
+    # buckets the md5-60bit of each chunk's text mod 8
+    # (content-addressed: an off-by-one anywhere flips buckets).
+    ck4 = text.chunk_documents(docs, chunk_tokens=16, overlap=4,
+                               tokenizer="chars4")
+    h60c = F.expr(
+        "cast(conv(substr(md5(chunk_text), 1, 15), 16, 10) as bigint)")
+    leg_tok = (ck4.groupBy(F.pmod(h60c, F.lit(8)).cast("long")
+                           .alias("bin"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chunk_tokens").alias("n_tokens"),
+                    F.min("doc_id").alias("first_doc"))
+               .select(F.lit(-4).cast("long").alias("shard"),
+                       "bin", "n_docs", "n_tokens", "first_doc"))
     return (pack_leg.unionAll(leg_idx).unionAll(leg_txt)
-            .unionAll(leg_shuf))
+            .unionAll(leg_shuf).unionAll(leg_tok))
 
 
 def q_curate_corpus(spark, sf_dir):
@@ -4833,7 +4872,46 @@ def oracle_sql() -> dict[str, str]:
                          x -> round(x / nrm * 1e6)::BIGINT)),
                        (a, x) -> a + x) AS chk,
                      len(ws)::BIGINT AS nnz
-              FROM __tfn)
+              FROM __tfn),
+            -- exact-substring span replay (6-token rolling windows;
+            -- global first (id, pos) keeps, rest merge into maximal
+            -- spans via gaps-and-islands)
+            __w6 AS (
+              SELECT doc_id, s AS pos,
+                     {_DK_H60.format(
+                         s="array_to_string(toks[s + 1: s + 6], ' ')")}
+                       AS h
+              FROM (SELECT doc_id, toks,
+                           unnest(range(0, len(toks) - 5)) AS s
+                    FROM (SELECT doc_id, {toks_text} AS toks
+                          FROM documents)
+                    WHERE len(toks) >= 6)),
+            __d6 AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY h) AS cnt,
+                     row_number() OVER (PARTITION BY h
+                                        ORDER BY doc_id, pos) AS rn
+              FROM __w6),
+            __isl6 AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w1 IS NULL
+                            OR pos > lag(pos) OVER w1 + 6
+                          THEN 1 ELSE 0 END AS brk
+              FROM __d6 WHERE cnt >= 2 AND rn >= 2
+              WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos)),
+            __g6 AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS grp
+              FROM __isl6),
+            __sp6 AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 6 AS e,
+                     count(*) AS nw
+              FROM __g6 GROUP BY doc_id, grp),
+            __spagg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_spans,
+                     sum(s * 131 + e + nw * 7)::BIGINT AS span_chk
+              FROM __sp6 GROUP BY doc_id)
             SELECT a.doc_id, a.h, a.n, b.n_2grams, b.n_distinct_2grams,
                    b.top_2gram_count, b.dup_2gram_frac,
                    c.* EXCLUDE (doc_id),
@@ -4845,7 +4923,9 @@ def oracle_sql() -> dict[str, str]:
                          ELSE -1 END)::BIGINT AS n_xdup,
                    coalesce(x.xj, -1.0) AS xjac,
                    coalesce(tc.chk, -1)::BIGINT AS tfidf_chk,
-                   coalesce(tc.nnz, -1)::BIGINT AS tfidf_nnz
+                   coalesce(tc.nnz, -1)::BIGINT AS tfidf_nnz,
+                   coalesce(sp.n_spans, 0)::BIGINT AS n_spans,
+                   coalesce(sp.span_chk, -1)::BIGINT AS span_chk
             FROM {sub("text_normalize")} a
             JOIN {sub("repetition")} b ON a.doc_id = b.doc_id
             JOIN {sub("quality")} c ON a.doc_id = c.doc_id
@@ -4855,6 +4935,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN __contam ct ON a.doc_id = ct.doc_id
             LEFT JOIN __xagg x ON a.doc_id = x.doc_id
             LEFT JOIN __tfchk tc ON a.doc_id = tc.doc_id
+            LEFT JOIN __spagg sp ON a.doc_id = sp.doc_id
         """,
         "tpch_suite": """
             WITH rev AS (
@@ -5320,6 +5401,26 @@ def oracle_sql() -> dict[str, str]:
                            {_DK_H60.format(s="CAST(doc_id AS VARCHAR)")}
                              AS h
                     FROM documents)
+            ) GROUP BY 2
+            UNION ALL
+            -- tokenizer-kernel plumbing replay (chars4: fixed 4-char
+            -- pieces; 16-token chunks, overlap 4, stride 12 ->
+            -- chunk = substr(text, s*4+1, 64))
+            SELECT (-4)::BIGINT,
+                   ({_DK_H60.format(s="chunk_text")} % 8)::BIGINT,
+                   count(*)::BIGINT, sum(n_ck)::BIGINT,
+                   min(doc_id)::BIGINT
+            FROM (
+              SELECT doc_id, substr(text, s * 4 + 1, 64) AS chunk_text,
+                     least(16, nt - s) AS n_ck
+              FROM (
+                SELECT doc_id, text, nt,
+                       unnest(range(0, greatest(nt - 5, 0) + 1, 12))
+                         AS s
+                FROM (SELECT doc_id, text,
+                             (len(text) + 3) // 4 AS nt
+                      FROM documents WHERE len(text) >= 1)
+              )
             ) GROUP BY 2
         """,
         "curate_corpus": f"""

@@ -687,6 +687,118 @@ def cross_dedup_pairs(new: DataFrame, reference: DataFrame,
             .filter(F.col("jaccard") >= threshold))
 
 
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 16,
+                    fast_hash: bool = False) -> DataFrame:
+    """Repeated-passage (exact-substring) duplicate spans — the
+    within/across-document span dedup of Lee et al. 2022
+    (arXiv:2107.06499, ExactSubstr), re-expressed over hashed rolling
+    token windows instead of a suffix array: every ``n``-token window
+    is 60-bit-hashed; a window whose hash occurs MORE than once
+    corpus-wide marks a duplicated region; every occurrence except
+    the global first (smallest ``(id, pos)``) becomes part of a span,
+    and overlapping/adjacent window hits merge into MAXIMAL spans.
+
+    Paragraph dedup (:func:`dedup_paragraphs`) misses repeated
+    passages that don't align to paragraph boundaries; this operator
+    is boundary-free at the cost of ``n``-token resolution (a
+    repeated region shorter than ``n`` tokens is invisible — the
+    paper's threshold is 50 BPE tokens).
+
+    Plan shape at 100 TB: the window frame is ~one row per corpus
+    token but NARROW (hash, id, pos); duplicate detection is one
+    hash-aggregate with map-side partial count/min — hot keys (a
+    boilerplate window repeated millions of times) collapse in the
+    partial aggregate, so there is no skewed sort (an earlier window-
+    function formulation would put every occurrence of one hash on
+    one reducer).  The join back carries only duplicated hashes;
+    span merging is a per-document window (bounded by document
+    length).  No self-joins, no driver state.
+
+    Returns ``(id_col, span_start, span_end, n_windows)`` with
+    token-index spans ``[span_start, span_end)`` over the module
+    tokenizer's token stream, ordered ties broken deterministically.
+    """
+    from pyspark.sql import Window
+    if not isinstance(n, int) or n < 2:
+        raise ValueError(f"n must be an int >= 2, got {n!r}")
+    _tune(df)
+    toked = (df.select(F.col(id_col), tokens_expr(text_col).alias("__tk"))
+             .filter(F.size("__tk") >= n))
+    win = toked.select(
+        id_col,
+        F.posexplode(F.expr(
+            f"transform(sequence(0, size(__tk) - {n}), "
+            f"i -> concat_ws(' ', slice(__tk, i + 1, {n})))"))
+        .alias("pos", "w"))
+    hashed = win.select(id_col, "pos",
+                        F.expr(_h60("w", fast_hash)).alias("h"))
+    # duplicate hashes + their global first occurrence: ONE partial-
+    # aggregatable groupBy (count + min-struct), skew-proof
+    occ = (hashed.groupBy("h")
+           .agg(F.count(F.lit(1)).alias("__cnt"),
+                F.min(F.struct(F.col(id_col).alias("i"),
+                               F.col("pos").alias("p"))).alias("__f"))
+           .filter(F.col("__cnt") >= 2))
+    dup = (hashed.join(occ, "h")
+           .filter(~((F.col(id_col) == F.col("__f.i"))
+                     & (F.col("pos") == F.col("__f.p"))))
+           .select(id_col, "pos"))
+    # gaps-and-islands: merge window hits whose [pos, pos+n) overlap
+    # or touch into one maximal span per island
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w_doc).isNull()
+        | (F.col("pos") > F.lag("pos").over(w_doc) + n), 1).otherwise(0)
+    grp = (dup.withColumn("__brk", brk)
+           .withColumn("__grp", F.sum("__brk").over(
+               w_doc.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))))
+    return (grp.groupBy(id_col, "__grp")
+            .agg(F.min("pos").cast("long").alias("span_start"),
+                 (F.max("pos") + n).cast("long").alias("span_end"),
+                 F.count(F.lit(1)).cast("long").alias("n_windows"))
+            .drop("__grp"))
+
+
+def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 16,
+                           fast_hash: bool = False,
+                           spans: DataFrame | None = None) -> DataFrame:
+    """Drop every repeated passage found by :func:`duplicate_spans`
+    from the token stream and reassemble (first occurrence survives;
+    the Lee et al. 2022 removal policy).  Like
+    :func:`dedup_paragraphs`, the rebuilt text is the TOKEN stream
+    re-joined with single spaces — punctuation/case outside the
+    tokenizer's alphabet does not round-trip.
+
+    Returns ``(id_col, text_deduped, n_tokens, n_removed)``.  Spans
+    collect per document into a (small) array via one aggregate; the
+    token filter is a per-row lambda over tokens × that document's
+    spans — no shuffle beyond the span join (AQE broadcasts the span
+    table when small)."""
+    if spans is None:
+        spans = duplicate_spans(df, text_col=text_col, id_col=id_col,
+                                n=n, fast_hash=fast_hash)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.collect_list(F.struct(
+                   F.col("span_start").alias("s"),
+                   F.col("span_end").alias("e"))).alias("__spans")))
+    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("__tk"))
+    joined = toked.join(per_doc, id_col, "left")
+    kept = F.expr(
+        "case when __spans is null then __tk else "
+        "filter(__tk, (t, i) -> not exists(__spans, "
+        "sp -> i >= sp.s and i < sp.e)) end")
+    return (joined
+            .withColumn("__kept", kept)
+            .select(F.col(id_col),
+                    F.concat_ws(" ", "__kept").alias("text_deduped"),
+                    F.size("__tk").cast("long").alias("n_tokens"),
+                    (F.size("__tk") - F.size("__kept")).cast("long")
+                    .alias("n_removed")))
+
+
 def dedup_against(new: DataFrame, reference: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 32, bands: int = 8,

@@ -276,8 +276,11 @@ def shuffle_corpus(df: DataFrame, n_shards: int = 1024,
     membership never changes.
 
     Returns ``df`` plus ``shard`` and ``shard_pos`` (1-based).  To
-    materialize, write partitioned by ``shard`` sorted by
-    ``shard_pos`` (``to_parquet(..., sort_by=...)``).
+    materialize, use :func:`write_training_shards` — it repartitions
+    by shard BEFORE writing so each shard directory is one file in
+    ``shard_pos`` order (a bare ``to_parquet(sort_by=)`` only sorts
+    within write tasks and cannot guarantee read-back order when a
+    shard spans tasks).
     """
     from pyspark.sql import Window
     if n_shards < 1:
@@ -302,6 +305,34 @@ def shuffle_corpus(df: DataFrame, n_shards: int = 1024,
         .withColumn("shard_pos",
                     F.row_number().over(w).cast("long"))
         .drop("__pas_h"))
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          n_shards: int = 1024,
+                          id_col: str = "doc_id",
+                          fast_hash: bool = False,
+                          mode: str = "overwrite") -> None:
+    """Materialize :func:`shuffle_corpus` end to end — the writer-side
+    half of the shard contract (r7 verdict item 8): sequential readers
+    of any written shard see documents in exactly ``shard_pos`` order.
+
+    The docstring recipe ``to_parquet(partition_by="shard",
+    sort_by="shard_pos")`` alone is NOT sufficient: ``sort_by`` is
+    sortWithinPartitions, so when one shard's rows span several write
+    TASKS the shard directory holds several files, each internally
+    sorted, and the read-back interleaves them in file-listing order.
+    This writer therefore repartitions BY SHARD first (one task — one
+    file — per shard directory; the shuffle that was always implied by
+    a globally-ordered shard), then sorts within, then writes
+    hive-partitioned by ``shard``.  Shards are the parallelism unit:
+    size ``n_shards`` so one shard fits a write task's sort budget
+    (thousands at 100 TB).  Read-back ordering is pinned by the
+    integration test in tests/test_ext.py."""
+    sh = shuffle_corpus(df, n_shards=n_shards, id_col=id_col,
+                        fast_hash=fast_hash)
+    (sh.repartition(n_shards, F.col("shard"))
+     .sortWithinPartitions("shard", "shard_pos")
+     .write.mode(mode).partitionBy("shard").parquet(path))
 
 
 def _grams_expr(toks: str) -> str:
@@ -421,7 +452,9 @@ def importance_weights(docs: DataFrame, target: DataFrame,
 def resample_corpus(weighted: DataFrame, k: int,
                     weight_col: str = "logw", id_col: str = "doc_id",
                     temperature: float = 1.0, seed: str = "pas",
-                    fast_hash: bool = False) -> DataFrame:
+                    fast_hash: bool = False,
+                    method: str = "topk",
+                    sketch_rel_err: float = 0.001) -> DataFrame:
     """Deterministic importance resampling: draw ``k`` documents
     without replacement with probability proportional to
     ``exp(weight / temperature)`` — the Gumbel-top-k trick (Vieira
@@ -434,18 +467,32 @@ def resample_corpus(weighted: DataFrame, k: int,
     ``temperature`` interpolates between greedy top-k by weight
     (→ 0) and uniform sampling (→ inf).
 
-    Plan shape: one global top-k (``TakeOrderedAndProject`` — each
-    partition keeps its top ``k``, the driver merges O(P·k)), so
-    ``k`` is the driver-memory bound: fine up to ~millions of ids.
-    For billion-row selections, filter on a key threshold from a
-    quantile sketch instead of an exact top-k.  Ties (exactly equal
-    keys) break by id.
+    Two selection plans:
+
+    - ``method="topk"`` (default): EXACTLY ``k`` rows via one global
+      top-k (``TakeOrderedAndProject`` — each partition keeps its top
+      ``k``, the driver merges O(P·k)), so ``k`` is bounded by driver
+      memory: fine up to ~millions of ids.  Ties break by id.
+    - ``method="sketch"``: the billion-row path — a Greenwald-Khanna
+      quantile sketch (``approxQuantile``, one distributed pass, one
+      double to the driver) estimates the ``1 - k/n`` key quantile
+      and the selection is the pure filter ``key >= threshold``:
+      never more than O(1) driver state, no global sort, no top-k
+      heap.  The result is a PREFIX of the exact key ordering (every
+      selected row outranks every unselected one — boundary rows at
+      exactly the threshold are included deterministically), but its
+      SIZE is ``k ± sketch_rel_err·n`` rather than exactly ``k`` (the
+      sketch's rank-error contract).  Tighten ``sketch_rel_err`` to
+      taste: cost is the sketch's memory, not another data pass.
     """
     from .dedup import _h60
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
+    if method not in ("topk", "sketch"):
+        raise ValueError(
+            f"method must be 'topk' or 'sketch', got {method!r}")
     if not seed or not all(c.isalnum() or c in "._-" for c in seed):
         # the seed is spliced into a SQL expression string; restrict
         # it to identifier-ish characters rather than escaping (a
@@ -459,8 +506,26 @@ def resample_corpus(weighted: DataFrame, k: int,
          / F.lit(float((1 << 60) + 2)))
     key = (F.col(weight_col) / F.lit(float(temperature))
            - F.log(-F.log(u)))
-    return (weighted
-            .withColumn("__pas_key", key)
+    keyed = weighted.withColumn("__pas_key", key)
+    if method == "sketch":
+        if not (0.0 < sketch_rel_err < 1.0):
+            raise ValueError(f"sketch_rel_err must be in (0, 1), "
+                             f"got {sketch_rel_err}")
+        # NULL keys (NULL weights) can never be selected by either
+        # method; drop them before the sketch so they don't skew the
+        # quantile's rank space
+        keyed = keyed.filter(F.col("__pas_key").isNotNull())
+        n = keyed.count()
+        if n == 0:
+            return keyed.withColumnRenamed("__pas_key", "sample_key")
+        if k >= n:
+            return keyed.withColumnRenamed("__pas_key", "sample_key")
+        q = 1.0 - k / n
+        thr = keyed.stat.approxQuantile(
+            "__pas_key", [q], sketch_rel_err)[0]
+        return (keyed.filter(F.col("__pas_key") >= F.lit(thr))
+                .withColumnRenamed("__pas_key", "sample_key"))
+    return (keyed
             .orderBy(F.col("__pas_key").desc(), F.col(id_col).asc())
             .limit(k)
             .withColumnRenamed("__pas_key", "sample_key"))

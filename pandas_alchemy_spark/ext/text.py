@@ -35,6 +35,17 @@ def _tok(col: str) -> str:
     return _TOKENS.format(col=col)
 
 
+def _toks_col(text_col: str, tokenizer: str | None):
+    """The token-array Column: the codegen'd regex expression by
+    default, or a registered subword kernel (ONE Arrow-vectorized
+    pandas_udf — see :mod:`.tokenize`) when ``tokenizer`` names one.
+    Either way callers materialize it ONCE (the __pas_toks rule)."""
+    if tokenizer is None:
+        return F.expr(_tok(text_col))
+    from .tokenize import tokenizer_column
+    return tokenizer_column(tokenizer, text_col)
+
+
 def _stop_ratio_over(toks_col: str, words: list[str]) -> str:
     """Stopword hit-rate over an ALREADY-tokenized array column.
     Catalyst does not common-subexpression-eliminate the regexp
@@ -99,20 +110,33 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(score, 6).alias("q_score"))
 
 
-def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token counting: whitespace tokens and BPE-ish subword count
-    (word chars in runs of <=4 plus punctuation marks — a deterministic
-    proxy for BPE token count usable for budget estimates)."""
+def token_stats(df: DataFrame, text_col: str = "text",
+                tokenizer: str | None = None) -> DataFrame:
+    """Token counting: whitespace tokens and a subword count.
+
+    By default ``n_bpe_tokens`` is a deterministic expression PROXY
+    (word chars in runs of <=4 plus punctuation marks).  Pass
+    ``tokenizer=`` (a :mod:`.tokenize` kernel name, e.g. from
+    :func:`~.tokenize.train_bpe_tokenizer`) and ``n_bpe_tokens``
+    becomes the REAL subword count under that kernel — the unit
+    training budgets are actually set in — while ``n_ws_tokens``
+    stays the regex word count (same output schema either way)."""
     _claim_col(df, "__pas_toks", "token_stats")
     ws = F.expr("greatest(size(__pas_toks), 0)")
-    # BPE-ish: ceil(len(word)/4) per word + count of non-space punctuation
-    bpe = F.expr(
-        f"aggregate(__pas_toks, cast(0 as bigint), (s, t) -> s + cast(ceil(length(t) / 4.0) as bigint))"
-        f" + length(regexp_replace({text_col}, '[a-zA-Z0-9\\\\s]+', ''))")
+    if tokenizer is None:
+        # BPE-ish proxy: ceil(len(word)/4) per word + punctuation marks
+        bpe = F.expr(
+            f"aggregate(__pas_toks, cast(0 as bigint), (s, t) -> s + cast(ceil(length(t) / 4.0) as bigint))"
+            f" + length(regexp_replace({text_col}, '[a-zA-Z0-9\\\\s]+', ''))")
+    else:
+        _claim_col(df, "__pas_sub", "token_stats")
+        bpe = F.expr("cast(greatest(size(__pas_sub), 0) as bigint)")
     cols = list(df.columns)
-    return (df.withColumn("__pas_toks", F.expr(_tok(text_col)))
-            .select(*cols, ws.alias("n_ws_tokens"),
-                    bpe.alias("n_bpe_tokens")))
+    out = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
+    if tokenizer is not None:
+        out = out.withColumn("__pas_sub", _toks_col(text_col, tokenizer))
+    return out.select(*cols, ws.alias("n_ws_tokens"),
+                      bpe.alias("n_bpe_tokens"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -231,7 +255,8 @@ def top_terms(df: DataFrame, text_col: str = "text", k: int = 50,
 
 def pack_sequences(df: DataFrame, capacity: int = 2048,
                    n_shards: int = 32, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   tokenizer: str | None = None) -> DataFrame:
     """Offset-pack documents into fixed-token-budget bins for training
     batch assembly: each document lands in the bin whose token range
     ``[bin*capacity, (bin+1)*capacity)`` contains its starting offset.
@@ -251,7 +276,7 @@ def pack_sequences(df: DataFrame, capacity: int = 2048,
     base = df.select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
-        F.expr(f"greatest(size({_tok(text_col)}), 0)")
+        F.greatest(F.size(_toks_col(text_col, tokenizer)), F.lit(0))
         .cast("long").alias("n_tokens"))
     # ROWS frame: the default RANGE frame sums ORDER-BY PEERS, so
     # duplicate ids would each absorb all peers' tokens (overlapping
@@ -268,7 +293,8 @@ def pack_sequences(df: DataFrame, capacity: int = 2048,
 
 def chunk_documents(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", chunk_tokens: int = 256,
-                    overlap: int = 32) -> DataFrame:
+                    overlap: int = 32,
+                    tokenizer: str | None = None) -> DataFrame:
     """Split documents into overlapping fixed-token windows — the
     context-window chunking step of training-data / RAG ingestion.
 
@@ -296,7 +322,12 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
             f"(got overlap={overlap}, chunk_tokens={chunk_tokens})")
     stride = chunk_tokens - overlap
     _claim_col(df, "__pas_toks", "chunk_documents")
-    toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
+    toked = df.withColumn("__pas_toks", _toks_col(text_col, tokenizer))
+    if tokenizer is None:
+        joiner = " "
+    else:
+        from .tokenize import tokenizer_joiner
+        joiner = tokenizer_joiner(tokenizer)
     starts = F.expr(
         f"sequence(0, greatest(size(__pas_toks) - {overlap} - 1, 0), "
         f"{stride})")
@@ -309,7 +340,7 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.col("chunk_start").cast("long").alias("chunk_start"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
-        F.array_join(chunk, " ").alias("chunk_text"))
+        F.array_join(chunk, joiner).alias("chunk_text"))
 
 
 def unigram_logprob(df: DataFrame, text_col: str = "text",

@@ -1160,6 +1160,131 @@ def test_resample_corpus_gumbel_topk(spark, docs):
         pipeline.resample_corpus(w, k=5, temperature=0)
 
 
+def test_resample_corpus_sketch_path(spark, docs):
+    """method='sketch' (the billion-row selection path, r7 verdict
+    item 5): the result must be a PREFIX of the exact key ordering —
+    set-equal to the exact top-|result| — with |result| within the
+    sketch's rank-error tolerance of k, and deterministic under
+    repartitioning."""
+    import pytest as _pt
+    from pandas_alchemy_spark.ext import pipeline
+    target = docs.filter("doc_id % 7 = 0")
+    w = pipeline.importance_weights(docs, target, buckets=4096)
+    n = w.count()
+    k = 40
+    sel = pipeline.resample_corpus(w, k=k, method="sketch",
+                                   sketch_rel_err=0.01)
+    got = sorted(r.doc_id for r in sel.collect())
+    # size within the sketch tolerance of k
+    assert abs(len(got) - k) <= max(1, int(0.01 * n) + 1), \
+        f"|result|={len(got)} vs k={k} (n={n})"
+    # prefix property: set-equal to the EXACT top-|result| by key
+    exact = sorted(
+        r.doc_id for r in
+        pipeline.resample_corpus(w, k=len(got), method="topk")
+        .collect())
+    assert got == exact
+    # deterministic under repartitioning
+    again = sorted(r.doc_id for r in
+                   pipeline.resample_corpus(
+                       w.repartition(9), k=k, method="sketch",
+                       sketch_rel_err=0.01).collect())
+    assert got == again
+    # k >= n degenerates to the whole corpus
+    assert (pipeline.resample_corpus(w, k=n + 10, method="sketch")
+            .count() == n)
+    with _pt.raises(ValueError, match="method"):
+        pipeline.resample_corpus(w, k=5, method="nope")
+    with _pt.raises(ValueError, match="sketch_rel_err"):
+        pipeline.resample_corpus(w, k=5, method="sketch",
+                                 sketch_rel_err=0.0)
+
+
+def test_write_training_shards_readback_order(spark, docs, tmp_path):
+    """Writer-side shard contract (r7 verdict item 8): after
+    write_training_shards, reading any ONE shard directory back gives
+    documents in exactly shard_pos order WITHOUT re-sorting, and the
+    union of shards is the whole corpus.  The transposition-sensitive
+    checksum sum(pos * (doc_id % 97)) from the driver leg re-pins the
+    permutation through the writer."""
+    from pandas_alchemy_spark.ext import pipeline
+    path = str(tmp_path / "shards")
+    pipeline.write_training_shards(docs, path, n_shards=8)
+    sh = pipeline.shuffle_corpus(docs, n_shards=8).toPandas()
+    assert len(sh) >= 500, "need a 500+ doc corpus for this contract"
+    seen = 0
+    for k in sorted(sh["shard"].unique()):
+        back = spark.read.parquet(f"{path}/shard={k}").toPandas()
+        want = (sh[sh["shard"] == k]
+                .sort_values("shard_pos"))
+        # read-back file order IS shard_pos order — no sort applied
+        assert list(back["shard_pos"]) == list(want["shard_pos"])
+        assert list(back["doc_id"]) == list(want["doc_id"])
+        # permutation checksum survives the writer round-trip
+        got_chk = int((back["shard_pos"]
+                       * (back["doc_id"] % 97)).sum())
+        want_chk = int((want["shard_pos"]
+                        * (want["doc_id"] % 97)).sum())
+        assert got_chk == want_chk
+        seen += len(back)
+    assert seen == len(sh)
+
+
+def test_duplicate_spans_planted(spark):
+    """Plant a 6-token passage inside otherwise-unique documents: the
+    span detector must find exactly the non-first occurrences, merge
+    overlapping window hits into ONE maximal span, and removal must
+    keep the first occurrence while stripping the rest."""
+    passage = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (1, f"unique one {passage} tail words here"),
+        (2, f"other start text {passage} closing remark"),
+        (3, "completely unrelated document with its own words"),
+        # within-document repetition: second copy must be flagged
+        (4, f"{passage} middle filler {passage}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.duplicate_spans(docs, n=6).toPandas()
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in spans.itertuples()}
+    # doc 1 tokens: unique(0) one(1) alpha(2)..foxtrot(7) tail... ->
+    # first global occurrence (smallest (id, pos)) KEEPS; doc 2's copy
+    # starts at token 3, doc 4's copies at 0 and 8
+    assert (2, 3, 9) in got
+    assert (4, 8, 14) in got
+    assert (4, 0, 6) in got
+    assert not any(r.doc_id in (1, 3) for r in spans.itertuples())
+    out = dedup.remove_duplicate_spans(docs, n=6).toPandas() \
+        .set_index("doc_id")
+    assert passage in out.loc[1, "text_deduped"]
+    assert passage not in out.loc[2, "text_deduped"]
+    assert out.loc[2, "n_removed"] == 6
+    # doc 4 loses both copies? No: its FIRST copy is not the global
+    # first (doc 1 holds it), so both doc-4 copies strip
+    assert passage not in out.loc[4, "text_deduped"]
+    assert out.loc[4, "n_removed"] == 12
+    assert out.loc[3, "n_removed"] == 0
+    # untouched docs keep their full token stream
+    assert out.loc[3, "text_deduped"] == rows[2][1]
+
+
+def test_duplicate_spans_overlap_merge(spark):
+    """A long repeated region produces many overlapping window hits;
+    they must merge into one span covering the whole region."""
+    region = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, f"{region} first home"), (2, f"prefix {region} suffix")],
+        "doc_id long, text string")
+    spans = dedup.duplicate_spans(docs, n=6).toPandas()
+    assert len(spans) == 1
+    r = spans.iloc[0]
+    assert (r.doc_id, r.span_start, r.span_end) == (2, 1, 13)
+    assert r.n_windows == 7
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n must be"):
+        dedup.duplicate_spans(docs, n=1)
+
+
 # ------------------------- round-7: cross-corpus incremental dedup
 
 

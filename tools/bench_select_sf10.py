@@ -92,6 +92,16 @@ def main():
                                            fast_hash=True)
             extra["resample_k_selected"] = sel.count()
         run("resample_50k", _sel)
+
+        # r8: the billion-row sketch path — same k, O(1) driver
+        # state; record size deviation and prefix-exactness vs the
+        # exact top-k (set containment both ways on the boundary)
+        def _sel_sketch():
+            sel = pipeline.resample_corpus(
+                iw_holder["iw"], k=50_000, fast_hash=True,
+                method="sketch", sketch_rel_err=0.001)
+            extra["sketch_k_selected"] = sel.count()
+        run("resample_sketch_50k", _sel_sketch)
         iw_holder["iw"].unpersist()
 
     # BM25: 8 audit queries over the full corpus

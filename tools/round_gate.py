@@ -87,7 +87,23 @@ def main():
     print(f"expr_reuse: {g['findings']} finding(s) ({secs}s)",
           file=sys.stderr)
 
-    # 4. load-gated bench (bench.py prints one JSON line on stdout)
+    # 4. unit suite (r7 verdict item 7: the gate previously let a
+    # unit regression through — pytest is now a first-class stage)
+    p, secs = run([sys.executable, "-m", "pytest", "tests/", "-q",
+                   "--tb=no"], timeout=3600)
+    m = re.search(r"(\d+) passed", p.stdout)
+    mf = re.search(r"(\d+) failed", p.stdout)
+    g = {"sec": secs,
+         "pass": int(m.group(1)) if m else None,
+         "fail": int(mf.group(1)) if mf else 0,
+         "failures": [ln for ln in p.stdout.splitlines()
+                      if ln.startswith("FAILED")][:10]}
+    ok &= bool(m) and g["fail"] == 0
+    art["gates"]["pytest"] = g
+    print(f"pytest: {g['pass']} pass, {g['fail']} fail ({secs}s)",
+          file=sys.stderr)
+
+    # 5. load-gated bench (bench.py prints one JSON line on stdout)
     p, secs = run([sys.executable, "bench.py"], timeout=3600)
     bench = None
     for ln in reversed(p.stdout.splitlines()):
