@@ -3005,7 +3005,28 @@ def q_ann_suite(spark, sf_dir):
     brute = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     nq = (brute.agg(F.countDistinct("query_id").alias("n_queries"))
           .coalesce(1))
+    # round-8 fold: persistent IVF index (ext/similarity
+    # build_ivf_index / search_ivf_index) — the partition-pruned ANN
+    # table.  Built fresh (overwrite) under .scratch per scale; the
+    # same recall_ok >= 0.6 bucket as the in-memory legs, plus the
+    # pruning itself is pinned in tests/test_ext.py via
+    # input_file_name.
+    import os as _os
+    from pandas_alchemy_spark.ext import similarity as _sim0
+    emb0 = spark.read.parquet(_t(sf_dir, "embeddings"))
+    dim0 = len(emb0.select("embedding").head(1)[0][0])
+    idx_path = _os.path.join(
+        "/root/repo/.scratch",
+        f"ivf_index_{_os.path.basename(sf_dir.rstrip('/'))}")
+    cents_idx = _sim0.build_ivf_index(emb0, idx_path, dim=dim0,
+                                      nlist=16)
+    idx_ann = _sim0.search_ivf_index(
+        spark, idx_path, emb0.filter("vec_id < 5"), k=5, nprobe=6,
+        centroids=cents_idx).select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 4).alias("cosine"))
     legs = [("ivf", q_ivf_ann(spark, sf_dir)),
+            ("ivf_idx", idx_ann),
             ("lsh", q_lsh_ann(spark, sf_dir))]
     parts = []
     for name, ann in legs:
@@ -3084,8 +3105,9 @@ def q_ann_suite(spark, sf_dir):
                      ((F.col("n_lab") == F.col("n_tok"))
                       & (F.col("n_doc") == F.col("n_tok"))
                       & (F.col("n_range") == 0)).alias("recall_ok")))
-    return (parts[0].unionAll(parts[1]).unionAll(sd)
-            .unionAll(clleg))
+    from functools import reduce as _reduce
+    return (_reduce(lambda a, b: a.unionAll(b), parts)
+            .unionAll(sd).unionAll(clleg))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5634,6 +5656,11 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM embeddings
                     WHERE vec_id < 5)::BIGINT AS n_queries,
                    5::BIGINT AS k, true AS recall_ok
+            UNION ALL
+            SELECT 'ivf_idx',
+                   (SELECT count(*) FROM embeddings
+                    WHERE vec_id < 5)::BIGINT,
+                   5::BIGINT, true
             UNION ALL
             SELECT 'lsh',
                    (SELECT count(*) FROM embeddings

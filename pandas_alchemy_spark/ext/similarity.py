@@ -612,6 +612,112 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def build_ivf_index(df: DataFrame, path: str, dim: int,
+                    nlist="auto", id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    refine_iters: int = 2,
+                    train_fraction: float | None = None,
+                    centroids=None, mode: str = "overwrite"):
+    """Materialize an IVF index as a HIVE-PARTITIONED parquet table:
+    one directory per k-means cell, plus a ``_ivf_centroids.json``
+    sidecar (nlist×dim doubles — driver-sized by construction).
+
+    This is the storage-level half of IVF that :func:`ivf_topk`
+    (which re-assigns cells per call) cannot give you: a query
+    against the written index READS ONLY its probed cells' files —
+    Spark partition pruning turns nprobe/nlist into a literal I/O
+    fraction, the dominant cost at 100 TB.  Build once, query many.
+
+    Returns the trained centroids (pass them back to
+    :func:`search_ivf_index` to skip the sidecar read)."""
+    import json
+    import os
+    df = df.filter(F.col(vec_col).isNotNull())
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, dim=dim, nlist=nlist, id_col=id_col, vec_col=vec_col,
+            refine_iters=refine_iters, train_fraction=train_fraction)
+    one = _assign_cells_udf(centroids, nprobe=1)
+    assigned = df.withColumn(
+        "cell", one(F.col(vec_col)).getItem(0).cast("int"))
+    # repartition by cell so each cell directory is a bounded file
+    # set written by one task (same contract as write_training_shards)
+    (assigned.repartition(max(len(centroids) // 4, 1), F.col("cell"))
+     .write.mode(mode).partitionBy("cell").parquet(path))
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
+        json.dump({"dim": dim, "nlist": len(centroids),
+                   "id_col": id_col, "vec_col": vec_col,
+                   "centroids": centroids}, fh)
+    return centroids
+
+
+def search_ivf_index(spark, path: str, queries: DataFrame,
+                     k: int = 10, nprobe: int = 8,
+                     id_col: str | None = None,
+                     vec_col: str | None = None,
+                     centroids=None) -> DataFrame:
+    """Top-k cosine ANN against a :func:`build_ivf_index` table with
+    PARTITION-PRUNED I/O: the (small, broadcast-contract) query set's
+    probe cells are computed on the driver (one |Q|×nlist matmul) and
+    the scan filters ``cell IN (literal list)`` — Catalyst prunes
+    every unprobed cell directory before a byte is read, so the scan
+    cost is ~nprobe·|Q|/nlist of the index, not the corpus.  Exact
+    cosine re-rank inside the probed cells, same contract as
+    :func:`ivf_topk` (approximate: compare by recall)."""
+    import json
+    import os
+    import numpy as np
+    meta = None
+    if centroids is None or id_col is None or vec_col is None:
+        with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+            meta = json.load(fh)
+    if centroids is None:
+        centroids = meta["centroids"]
+    id_col = id_col or meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+    if not isinstance(nprobe, int) or nprobe < 1:
+        raise ValueError(f"nprobe must be a positive int, "
+                         f"got {nprobe!r}")
+    C = np.asarray(centroids, dtype=np.float64)
+    half_sq = 0.5 * (C * C).sum(axis=1)
+    qrows = (queries.filter(F.col(vec_col).isNotNull())
+             .select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).alias("qv")).collect())
+    if not qrows:
+        base = spark.read.parquet(path)
+        return (base.limit(0).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).cast("int").alias("rank")))
+    nprobe = min(nprobe, len(centroids))
+    Q = np.asarray([list(r["qv"]) for r in qrows], dtype=np.float64)
+    score = Q @ C.T - half_sq
+    probe = np.argsort(-score, axis=1)[:, :nprobe]
+    qcells = [(r["query_id"], [float(x) for x in r["qv"]], int(c))
+              for r, cells in zip(qrows, probe) for c in cells]
+    all_cells = sorted({c for _, _, c in qcells})
+    qdf = spark.createDataFrame(qcells, ["query_id", "qv", "cell"])
+    base = (spark.read.parquet(path)
+            .filter(F.col("cell").isin(all_cells)))
+    c = base.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("cv"),
+                    norm_expr(vec_col).alias("cn"),
+                    F.col("cell"))
+    q = qdf.select("query_id", "qv", "cell",
+                   norm_expr("qv").alias("qn"))
+    dot = _DOT.format(a="qv", b="cv")
+    cos = F.expr(f"({dot}) / nullif(qn * cn, 0.0)")
+    scored = (c.join(F.broadcast(q), "cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .dropDuplicates(["query_id", "neighbor_id"])
+              .select("query_id", "neighbor_id", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding", dim: int = 32,
                          nlist: int = 16, threshold: float = 0.9,

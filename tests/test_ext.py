@@ -277,6 +277,50 @@ def test_ivf_nprobe_tuner_estimate(emb):
     assert np_low <= np1
 
 
+def test_ivf_index_build_search_pruned(spark, emb, tmp_path):
+    """Persistent IVF index (build_ivf_index / search_ivf_index): the
+    search must (a) read ONLY the probed cells' partition directories
+    (partition pruning — checked via input_file_name), (b) reach the
+    same recall floor as in-memory ivf_topk at equal geometry, and
+    (c) reload centroids from the sidecar."""
+    dim = len(emb.take(1)[0]["embedding"])
+    path = str(tmp_path / "ivf_idx")
+    cents = similarity.build_ivf_index(emb, path, dim=dim, nlist=16)
+    assert len(cents) == 16
+    q = emb.filter("vec_id < 10")
+    got = similarity.search_ivf_index(spark, path, q, k=5, nprobe=6)
+    bf = similarity.cosine_topk(emb, q, k=5).toPandas()
+    gp = got.toPandas()
+    bf_set = set(zip(bf.query_id, bf.neighbor_id))
+    iv_set = set(zip(gp.query_id, gp.neighbor_id))
+    assert len(bf_set & iv_set) / len(bf_set) >= 0.7
+    # pruning: the scan of the probed-cell filter touches at most
+    # (distinct probed cells) partition directories — use a narrow
+    # query set (2 queries x 3 probes) so the union is a strict
+    # subset of the 16 cells
+    import numpy as np
+    C = np.asarray(cents)
+    half = 0.5 * (C * C).sum(axis=1)
+    qv = np.stack([np.asarray(r["embedding"], dtype=float)
+                   for r in emb.filter("vec_id < 2").collect()])
+    probed = {int(c) for row in np.argsort(-(qv @ C.T - half), axis=1)
+              [:, :3] for c in row}
+    assert len(probed) < 16
+    touched = (spark.read.parquet(path)
+               .filter(F.col("cell").isin(sorted(probed)))
+               .select(F.input_file_name().alias("f"))
+               .distinct().collect())
+    dirs = {r["f"].rsplit("/", 2)[-2] for r in touched}
+    assert dirs <= {f"cell={c}" for c in probed}
+    assert len(dirs) < 16  # strictly fewer than all cells
+    # sidecar round-trip: search without passing centroids/cols
+    again = similarity.search_ivf_index(spark, path, q, k=5, nprobe=6)
+    assert (again.toPandas().sort_values(["query_id", "rank"])
+            .neighbor_id.tolist()
+            == gp.sort_values(["query_id", "rank"])
+            .neighbor_id.tolist())
+
+
 def test_ivf_centroids_deterministic(emb):
     dim = len(emb.take(1)[0]["embedding"])
     c1 = similarity.train_ivf_centroids(emb, dim=dim, nlist=8)
