@@ -149,6 +149,30 @@ def main():
 
     run("cluster_docs", _cl)
 
+    # r8: pluggable byte-level BPE at document scale — train on a
+    # content-addressed 10k-doc sample (driver-side, bounded), then
+    # count REAL subword tokens for all 500k docs through the
+    # Arrow-batched kernel (the unit training budgets are set in)
+    from pandas_alchemy_spark.ext import tokenize
+    bpe_holder = {}
+
+    def _bpe_train():
+        bpe_holder["name"] = tokenize.train_bpe_tokenizer(
+            docs, vocab_size=512, sample_docs=10_000,
+            name="bpe_bench")
+
+    run("bpe_train_10k", _bpe_train)
+    if "name" in bpe_holder:
+        def _bpe_stats():
+            agg = (text.token_stats(docs, tokenizer=bpe_holder["name"])
+                   .agg(F.sum("n_bpe_tokens").alias("t"),
+                        F.sum("n_ws_tokens").alias("w")).first())
+            extra["bpe_total_tokens"] = int(agg["t"])
+            extra["bpe_tokens_per_word"] = round(
+                agg["t"] / max(int(agg["w"]), 1), 4)
+
+        run("bpe_token_stats", _bpe_stats)
+
     total = round(sum(t for t in times.values() if t >= 0), 2)
     load = [round(x, 2) for x in os.getloadavg()]
     spark.stop()
