@@ -196,6 +196,36 @@ def main():
             docs.filter("doc_id % 10 <> 0"),
             num_hashes=16, bands=4, threshold=0.4)
 
+    def span_dedup(spark_, sf_dir_):
+        # round-8: exact-substring repeated-passage removal (hashed
+        # rolling 8-token windows, partial-agg duplicate detection,
+        # maximal-span merge + token-stream rebuild)
+        from pandas_alchemy_spark.ext import dedup
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        return dedup.remove_duplicate_spans(docs, n=8, fast_hash=True)
+
+    def sketch_select(spark_, sf_dir_):
+        # round-8: billion-row selection path — approxQuantile sketch
+        # + pure key-threshold filter (O(1) driver state); weight =
+        # ln(doc length) so the bench isolates the selection
+        # machinery from DSIR model building (dsir_select covers it)
+        from pyspark.sql import functions as F_
+        from pandas_alchemy_spark.ext import pipeline
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        w = docs.withColumn(
+            "logw", F_.log(F_.length("text") + F_.lit(1.0)))
+        return pipeline.resample_corpus(w, k=500, method="sketch",
+                                        fast_hash=True)
+
+    def chunk_docs_kernel(spark_, sf_dir_):
+        # round-8: the pluggable tokenizer kernel path (Arrow-batched
+        # pandas_udf tokens through chunk slicing) — chars4 kernel so
+        # the number isolates plumbing cost, not BPE merge work
+        from pandas_alchemy_spark.ext import text
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        return text.chunk_documents(docs, chunk_tokens=64, overlap=16,
+                                    tokenizer="chars4")
+
     # per-operator functions are referenced DIRECTLY (several are now
     # folded into combined queries() entries for the driver's 50-entry
     # correctness window) so per-query times stay comparable with
@@ -253,6 +283,11 @@ def main():
         "dsir_select": dsir_select,
         "bm25": bm25,
         "cross_dedup": cross_dedup,
+        # round-8 additions (appended; the 50 shared queries stay
+        # comparable round-over-round)
+        "span_dedup": span_dedup,
+        "sketch_select": sketch_select,
+        "chunk_docs_kernel": chunk_docs_kernel,
     }
 
     # warm the JVM + parquet footers with a trivial action, the

@@ -811,30 +811,39 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
     dot = _DOT.format(a="va", b="vb")
     cos = F.expr(f"({dot}) / nullif(na * nb, 0.0)")
     if nprobe > 1:
-        # a pair sharing k probed cells surfaces k times.  Collapse
-        # duplicates on ID-ONLY candidate rows (~16 bytes each) and
-        # join the vectors back afterwards: deduplicating rows that
-        # already carry two dim-double payloads shuffles the payload
-        # sum(cell^2) times (measured 653 s at 200k x 64d, nlist 512,
-        # nprobe 2 — the dedup exchange moved ~1 KB/candidate), while
-        # the slim form shuffles ids and re-attaches each vector once
-        # per SIDE via two corpus-sized joins AQE can broadcast.
-        idp = assigned.select("cell", "id")
-        cand = (idp.select("cell", F.col("id").alias("id_a"))
-                .join(idp.select("cell", F.col("id").alias("id_b")),
-                      "cell")
+        # a pair sharing k probed cells surfaces k times.  History of
+        # this branch: the naive dropDuplicates carried the vector
+        # payload through the dedup exchange (653 s at 200k x 64d,
+        # nlist 512, nprobe 2); the r7 fix deduplicated ID-ONLY rows
+        # and re-attached vectors via two joins (270-410 s — the
+        # sum(cell²)-row id exchange, ~5 GB here, was still the
+        # bottleneck).  The r8 form removes the dedup exchange
+        # ENTIRELY with a canonical-shared-cell rule: each side
+        # carries its (post-cap) probed-cell set through the join,
+        # and a pair survives ONLY in the smallest cell both sides
+        # share — a local filter on the join output, exact by
+        # construction (every duplicate surfaces in a shared cell;
+        # exactly one shared cell is the minimum).  The cell sets are
+        # rebuilt AFTER the cell_cap exclusion so the canonical cell
+        # can never be a capped-out cell (which would silently drop
+        # the pair).  Only remaining shuffles: the per-id set rebuild
+        # (n rows) and the cell join itself (n·nprobe rows per side).
+        surv = (assigned.groupBy("id")
+                .agg(F.first("v").alias("v"),
+                     F.first("nrm").alias("nrm"),
+                     F.array_sort(F.collect_list("cell")).alias("cs")))
+        ex = surv.select("id", "v", "nrm", "cs",
+                         F.explode("cs").alias("cell"))
+        a = ex.select("cell", F.col("id").alias("id_a"),
+                      F.col("v").alias("va"), F.col("nrm").alias("na"),
+                      F.col("cs").alias("ca"))
+        b = ex.select("cell", F.col("id").alias("id_b"),
+                      F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+                      F.col("cs").alias("cb"))
+        cand = (a.join(b, "cell")
                 .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
-                .dropDuplicates(["id_a", "id_b"]))
-        vecs = (assigned.select("id", "v", "nrm")
-                .dropDuplicates(["id"]))
-        cand = (cand
-                .join(vecs.select(F.col("id").alias("id_a"),
-                                  F.col("v").alias("va"),
-                                  F.col("nrm").alias("na")), "id_a")
-                .join(vecs.select(F.col("id").alias("id_b"),
-                                  F.col("v").alias("vb"),
-                                  F.col("nrm").alias("nb")), "id_b"))
+                .filter(F.col("cell") == F.expr(
+                    "array_min(array_intersect(ca, cb))")))
         return (cand.select("id_a", "id_b", cos.alias("cosine"))
                 .filter(F.col("cosine") >= threshold))
     a = assigned.select(F.col("cell"), F.col("id").alias("id_a"),
