@@ -82,7 +82,12 @@ def main():
                                          buckets=1 << 16,
                                          fast_hash=True)
         iw_holder["iw"] = iw.persist()
-        noop(iw_holder["iw"])
+        # materialize WITHOUT the noop helper: noop() clearCache()s,
+        # which would evict this persist and make every selection leg
+        # below re-derive the full two-pass DSIR plan (measured: the
+        # 3-action sketch leg read 145 s — 3 x the weight recompute —
+        # instead of its own ~few-second cost)
+        iw_holder["iw"].write.format("noop").mode("overwrite").save()
 
     run("importance_weights", _iw)
     if "iw" in iw_holder:
