@@ -1,0 +1,48 @@
+"""Merge N bench.py JSON lines into a quiet min-of-N artifact: per
+query the minimum across runs (the quiet floor), plus run metadata.
+
+Usage: python tools/merge_quiet_bench.py out.json run1.json run2.json ...
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main():
+    out_path, paths = sys.argv[1], sys.argv[2:]
+    runs = []
+    for p in paths:
+        with open(p) as fh:
+            for ln in fh.read().splitlines():
+                try:
+                    runs.append(json.loads(ln))
+                    break
+                except json.JSONDecodeError:
+                    continue
+    if not runs:
+        sys.exit("no parseable runs")
+    queries = {}
+    for name in runs[0]["queries"]:
+        vals = [r["queries"].get(name) for r in runs
+                if r["queries"].get(name, -1) >= 0]
+        queries[name] = min(vals) if vals else -1.0
+    art = {
+        "metric": "headline_queries_quiet_min",
+        "value": round(sum(v for v in queries.values() if v >= 0), 3),
+        "unit": "sec",
+        "queries": queries,
+        "n_runs": len(runs),
+        "per_run_total": [r.get("value") for r in runs],
+        "load_at_start": [r.get("load_at_start") for r in runs],
+        "sf": runs[0].get("sf"),
+        "cpus": runs[0].get("cpus"),
+        "n_queries": len(queries),
+    }
+    with open(out_path, "w") as fh:
+        fh.write(json.dumps(art) + "\n")
+    print(json.dumps(art))
+
+
+if __name__ == "__main__":
+    main()
