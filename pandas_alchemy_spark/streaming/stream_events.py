@@ -235,3 +235,112 @@ def streaming_lm_scores(stream: DataFrame, vocab: DataFrame,
             .select(F.col(id_col),
                     F.col("__sc.n_lm_tokens").alias("n_lm_tokens"),
                     F.col("__sc.logprob").alias("logprob")))
+
+
+def streaming_dedup_against(stream: DataFrame, reference: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_hashes: int = 16, bands: int = 4,
+                            shingle_n: int = 3,
+                            threshold: float = 0.5,
+                            bucket_cap: int | None = 2000,
+                            fast_hash: bool = False) -> DataFrame:
+    """Ingest-time incremental near-duplicate gating: match each
+    arriving document against a STATIC reference corpus with the SAME
+    MinHash-LSH family the batch path uses — the streaming twin of
+    :func:`..ext.dedup.cross_dedup_pairs`, for pipelines that screen
+    a crawl as it lands instead of in a batch sweep.  Returns
+    ``(id_new, id_ref, jaccard)`` pairs with ``jaccard >= threshold``
+    (exact shingle Jaccard, so precision is 1 like every LSH path).
+
+    STATELESS by construction — three standard stateful shapes are
+    deliberately avoided:
+
+    - the batch ``_minhash_base`` groupBy would hold per-doc-id state
+      forever (ids never expire, no watermark can bound it), so the
+      K min-hash values are computed PER ROW: K ``aggregate()``
+      lambdas folding the row's distinct hashed shingle array.  Min
+      over the distinct set == min over the exploded multiset, and
+      the affine family / band-key format are shared constants, so
+      signatures and band keys are bit-identical to the batch side.
+    - candidates come from stream-STATIC equi-joins (band buckets,
+      then reference shingle sets), both natively append-safe.
+    - a pair colliding in several bands would need dropDuplicates
+      (stateful on a stream); instead the CANONICAL-BAND rule from
+      the SemDeDup pair stage applies: both signatures ride the
+      join, and a pair survives only in the smallest band whose key
+      matches — a local filter, exact by construction.
+
+    Reference buckets are ``bucket_cap``-capped with the logged-drop
+    policy every LSH path shares.  Trade vs the batch operator: the
+    per-row signature fold is interpreted (K·|shingles| lambda
+    evals/row) rather than codegen'd partial aggregation — the right
+    shape for ingest screening; run the batch op for sweeps.
+    """
+    from ..ext.dedup import (_banded, _cap_buckets, _h60,
+                             _minhash_base, _P31, with_shingles)
+    if bands < 1 or num_hashes < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple "
+            f"of bands ({bands})")
+    rows = num_hashes // bands
+
+    # --- static side: shared batch pipeline, built once
+    br = _minhash_base(reference, text_col, id_col, num_hashes,
+                       shingle_n, fast_hash)
+    ref_buckets = (_banded(br, id_col, "id_ref", bands, rows)
+                   .groupBy("band", "bh")
+                   .agg(F.array_sort(F.collect_list("id_ref"))
+                        .alias("ids")))
+    ref_buckets = _cap_buckets(ref_buckets, "ids", bucket_cap,
+                               "streaming_dedup_against")
+    # per-ref-doc SURVIVING bands (post-cap): the canonical-band rule
+    # below must pick the smallest matching band AMONG SURVIVING
+    # buckets — if the true smallest matching band was capped out,
+    # its candidate row never exists and an unaware canonical filter
+    # would silently drop the pair that a surviving band caught
+    # (the batch twin keeps a pair when ANY surviving band matches)
+    surv_bands = (ref_buckets
+                  .select("band", F.explode("ids").alias("id_ref"))
+                  .groupBy("id_ref")
+                  .agg(F.collect_set("band").alias("__sb")))
+    ref_sets = (br.select(F.col(id_col).alias("id_ref"),
+                          F.col("hs").alias("hs_r"),
+                          F.col("signature").alias("sig_r"))
+                .join(surv_bands, "id_ref"))
+
+    # --- stream side: per-row signature, no aggregation
+    sh = with_shingles(stream, text_col, "__shraw", shingle_n,
+                       distinct=False)
+    hs_expr = ("array_distinct(transform(__shraw, s -> "
+               + _h60("s", fast_hash) + "))")
+    mins = ", ".join(
+        f"aggregate(__hs, cast({_P31} as bigint), (m, h) -> "
+        f"least(m, pmod((2 * {k} + 1) * (h % {_P31}) "
+        f"+ (12345 + {k} * 7919), {_P31})))"
+        for k in range(num_hashes))
+    tr = (sh.withColumn("__hs", F.expr(hs_expr))
+          .filter(F.size("__hs") >= 1)
+          .withColumn("__sig", F.expr(f"array({mins})"))
+          .select(F.col(id_col).alias("id_new"),
+                  F.col("__hs").alias("hs_n"), F.col("__sig")))
+    banded_expr = (f"transform(sequence(0, {bands - 1}), b -> "
+                   f"struct(b as band, concat_ws(',', "
+                   f"slice(__sig, b * {rows} + 1, {rows})) as bh))")
+    tb = (tr.select("id_new", "hs_n", "__sig",
+                    F.explode(F.expr(banded_expr)).alias("bb"))
+          .select("id_new", "hs_n", "__sig", "bb.band", "bb.bh"))
+    cand = (tb.join(ref_buckets, ["band", "bh"])
+            .select("id_new", "hs_n", "__sig", "band",
+                    F.explode("ids").alias("id_ref"))
+            .join(ref_sets, "id_ref"))
+    canonical = F.expr(
+        f"array_min(filter(sequence(0, {bands - 1}), b -> "
+        f"array_contains(__sb, b) AND "
+        f"concat_ws(',', slice(__sig, b * {rows} + 1, {rows})) = "
+        f"concat_ws(',', slice(sig_r, b * {rows} + 1, {rows}))))")
+    jac = (F.size(F.array_intersect("hs_n", "hs_r"))
+           / F.size(F.array_union("hs_n", "hs_r")))
+    return (cand.filter(F.col("band") == canonical)
+            .select("id_new", "id_ref", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))

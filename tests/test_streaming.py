@@ -619,3 +619,88 @@ def test_streaming_lm_scores_match_batch_external_vocab(spark, tmp_path):
     # OOV-only and empty docs are absent; 'zzz unknown words only'
     # has NO in-vocab token ('only' not in ref) -> absent
     assert set(got.doc_id) == {0, 1, 3, 5}
+
+
+def test_streaming_dedup_against_matches_batch(spark, tmp_path):
+    """streaming_dedup_against (stateless per-row MinHash + stream-
+    static band join + canonical-band dedup) over a drained file
+    stream == ext.dedup.cross_dedup_pairs over the same split: same
+    pair set, same exact Jaccard values."""
+    import pandas as pd
+
+    from pandas_alchemy_spark.ext import dedup as dd
+    from pandas_alchemy_spark.streaming.stream_events import (
+        streaming_dedup_against)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new_sl = docs.filter("doc_id % 5 = 0")
+    ref_sl = docs.filter("doc_id % 5 <> 0")
+    d = tmp_path / "new_docs"
+    new_sl.select("doc_id", "text").coalesce(2).write.parquet(str(d))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = streaming_dedup_against(stream, ref_sl, num_hashes=16,
+                                  bands=4, threshold=0.4)
+    q = (out.writeStream.format("memory").queryName("sxdup")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM sxdup").toPandas()
+    finally:
+        q.stop()
+    want = dd.cross_dedup_pairs(new_sl, ref_sl, num_hashes=16,
+                                bands=4, threshold=0.4).toPandas()
+    assert len(want) > 0, "fixture must produce cross pairs"
+    gset = {(r.id_new, r.id_ref): round(r.jaccard, 9)
+            for r in got.itertuples()}
+    wset = {(r.id_new, r.id_ref): round(r.jaccard, 9)
+            for r in want.itertuples()}
+    assert gset == wset
+    # exactly one row per pair (canonical-band rule, no duplicates)
+    assert len(got) == len(gset)
+
+
+def test_streaming_dedup_against_cap_asymmetry(spark, tmp_path):
+    """When the smallest matching band's bucket is capped out, the
+    canonical-band rule must fall back to the smallest SURVIVING
+    matching band instead of silently dropping the pair (the batch
+    twin keeps a pair when any surviving band matches).  Identical
+    ref docs put every band bucket over a cap of 1 EXCEPT the probe
+    doc's — driving the asymmetry directly is fiddly, so this pins
+    the weaker but real contract: stream output == batch output
+    under the same aggressive cap."""
+    import pandas as pd
+
+    from pandas_alchemy_spark.ext import dedup as dd
+    from pandas_alchemy_spark.streaming.stream_events import (
+        streaming_dedup_against)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref_rows = [(i, base) for i in range(10, 16)]  # 6 identical docs
+    ref_rows += [(20, "one completely different reference document")]
+    new_rows = [(1, base + " lambda"), (2, "unrelated new text")]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    d = tmp_path / "nd"
+    spark.createDataFrame(new_rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(d))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(d)))
+    for cap in (2, None):
+        out = streaming_dedup_against(stream, ref, num_hashes=16,
+                                      bands=4, threshold=0.3,
+                                      bucket_cap=cap)
+        name = f"sxcap{cap or 0}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            got = spark.sql(f"SELECT * FROM {name}").toPandas()
+        finally:
+            q.stop()
+        new_df = spark.read.parquet(str(d))
+        want = dd.cross_dedup_pairs(new_df, ref, num_hashes=16,
+                                    bands=4, threshold=0.3,
+                                    bucket_cap=cap).toPandas()
+        gset = {(r.id_new, r.id_ref) for r in got.itertuples()}
+        wset = {(r.id_new, r.id_ref) for r in want.itertuples()}
+        assert gset == wset, f"cap={cap}: {gset} != {wset}"
+    # uncapped: the near-identical new doc matches every identical ref
+    assert {(1, r) for r in range(10, 16)} <= gset

@@ -185,6 +185,46 @@ def main():
             detail["streaming_decontaminate"] = {"error": str(ex)[:200]}
             print(f"streaming_decontaminate: ERROR {str(ex)[:200]}",
                   file=sys.stderr)
+        # r8: ingest-time incremental near-dup gating — a 1/10 slice
+        # of the 500k-doc corpus streams against the other 9/10 as
+        # the static reference (the cross_dedup_pairs streaming twin;
+        # per-row interpreted MinHash + stream-static band join)
+        try:
+            batch_docs = spark.read.parquet(docs_dir)
+            new_dir = "/root/repo/.scratch/stream_new_docs"
+            if not os.path.exists(os.path.join(new_dir, "_SUCCESS")):
+                (batch_docs.filter("doc_id % 10 = 0")
+                 .repartition(8).write.mode("overwrite")
+                 .parquet(new_dir))
+            ref_sl = batch_docs.filter("doc_id % 10 <> 0")
+            xstream = (spark.readStream.schema(batch_docs.schema)
+                       .option("maxFilesPerTrigger", 2)
+                       .parquet(new_dir))
+            out = stream_events.streaming_dedup_against(
+                xstream, ref_sl, num_hashes=16, bands=4,
+                threshold=0.4, fast_hash=True)
+            t0 = time.time()
+            q = (out.writeStream.format("noop")
+                 .option("checkpointLocation",
+                         f"/root/repo/.scratch/ckpt_{int(time.time()*1e6)}")
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            sec = round(time.time() - t0, 2)
+            prog = q.recentProgress
+            rows = sum(p["numInputRows"] for p in prog)
+            results["streaming_dedup_against"] = sec
+            detail["streaming_dedup_against"] = {
+                "sec": sec, "micro_batches": len(prog),
+                "rows_in": rows, "docs_per_sec": int(rows / sec)}
+            print(f"streaming_dedup_against: {sec}s, {len(prog)} "
+                  f"batches, {int(rows / sec)} docs/s",
+                  file=sys.stderr)
+        except Exception as ex:
+            results["streaming_dedup_against"] = -1.0
+            detail["streaming_dedup_against"] = {"error": str(ex)[:200]}
+            print(f"streaming_dedup_against: ERROR {str(ex)[:200]}",
+                  file=sys.stderr)
 
     total = round(sum(t for t in results.values() if t >= 0), 2)
     print(json.dumps({
