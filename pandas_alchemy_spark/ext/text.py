@@ -328,12 +328,19 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     else:
         from .tokenize import tokenizer_joiner
         joiner = tokenizer_joiner(tokenizer)
+    # token-less docs yield an EMPTY starts array (posexplode then
+    # emits no rows) instead of being filtered out: a filter on
+    # size(__pas_toks) gets predicate-pushed below the projection,
+    # inlining the tokenizer into the Filter — one full extra
+    # tokenization per row (the optimized plan showed regexp_replace
+    # twice; r8 plan audit)
     starts = F.expr(
+        f"case when size(__pas_toks) < 1 then array() else "
         f"sequence(0, greatest(size(__pas_toks) - {overlap} - 1, 0), "
-        f"{stride})")
-    ex = (toked.filter(F.expr("size(__pas_toks) >= 1"))
-          .select(F.col(id_col), F.col("__pas_toks"),
-                  F.posexplode(starts).alias("chunk_idx", "chunk_start")))
+        f"{stride}) end")
+    ex = (toked.select(F.col(id_col), F.col("__pas_toks"),
+                       F.posexplode(starts)
+                       .alias("chunk_idx", "chunk_start")))
     chunk = F.expr(f"slice(__pas_toks, chunk_start + 1, {chunk_tokens})")
     return ex.select(
         F.col(id_col),
@@ -603,8 +610,11 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     _tune(df)
     _claim_col(df, "__pas_toks", "bigram_logprob")
     toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
-    # (pos, prev, t) stream: pos 1-based; prev NULL for the first
-    pairs = (toked.filter(F.expr("size(__pas_toks) >= 1"))
+    # (pos, prev, t) stream: pos 1-based; prev NULL for the first.
+    # No size filter — posexplode of an empty array already emits no
+    # rows, and the filter's predicate-pushdown inlined the tokenizer
+    # into the Filter (one extra tokenization per row; r8 plan audit).
+    pairs = (toked
              .select(F.col(id_col),
                      F.posexplode("__pas_toks").alias("__p0", "t"),
                      F.col("__pas_toks"))
@@ -612,12 +622,20 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                      F.expr("CASE WHEN __p0 >= 1 THEN "
                             "element_at(__pas_toks, __p0) END")
                      .alias("prev")))
+    # PERSIST the token-pair stream: it feeds THREE derivations (the
+    # unigram model, the bigram model, and the scoring join) and each
+    # would otherwise re-run the scan + tokenize + explode — measured
+    # as 3 full corpus tokenizations per call (r8 plan audit).  The
+    # frame is corpus-token-sized (the bigram cost structure), spills
+    # under MEMORY_AND_DISK, and releases through the cache ring.
+    pairs = pairs.persist()
     uni = (pairs.groupBy("t")
            .agg(F.count(F.lit(1)).alias("ct")).persist())
     big = (pairs.filter(F.col("prev").isNotNull())
            .groupBy("prev", "t")
            .agg(F.count(F.lit(1)).alias("c2")).persist())
     from .dedup import _register_cache
+    _register_cache(pairs)
     _register_cache(uni)
     _register_cache(big)
     ptot = big.groupBy("prev").agg(F.sum("c2").alias("cp"))

@@ -202,7 +202,8 @@ def main():
                        .parquet(new_dir))
             out = stream_events.streaming_dedup_against(
                 xstream, ref_sl, num_hashes=16, bands=4,
-                threshold=0.4, fast_hash=True)
+                threshold=0.4, fast_hash=True,
+                stream_partitions=32)
             t0 = time.time()
             q = (out.writeStream.format("noop")
                  .option("checkpointLocation",
