@@ -3017,12 +3017,23 @@ def q_ann_suite(spark, sf_dir):
     # pruning itself is pinned in tests/test_ext.py via
     # input_file_name.
     import os as _os
+    import re as _re
     from pandas_alchemy_spark.ext import similarity as _sim0
     emb0 = spark.read.parquet(_t(sf_dir, "embeddings"))
     dim0 = len(emb0.select("embedding").head(1)[0][0])
+    # scratch root derives from THIS file (not a hardcoded absolute
+    # path), overridable via PAS_SCRATCH_DIR; the index directory is
+    # keyed by the FULL sf_dir (sanitized), so two scales sharing a
+    # basename — or the same harness run from two checkouts — cannot
+    # collide (ADVICE r8)
+    _scratch = _os.environ.get(
+        "PAS_SCRATCH_DIR",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      ".scratch"))
     idx_path = _os.path.join(
-        "/root/repo/.scratch",
-        f"ivf_index_{_os.path.basename(sf_dir.rstrip('/'))}")
+        _scratch,
+        "ivf_index_" + _re.sub(r"[^A-Za-z0-9_.-]+", "_",
+                               sf_dir.strip("/")))
     cents_idx = _sim0.build_ivf_index(emb0, idx_path, dim=dim0,
                                       nlist=16)
     idx_ann = _sim0.search_ivf_index(

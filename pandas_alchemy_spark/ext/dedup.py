@@ -723,13 +723,21 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     if not isinstance(n, int) or n < 2:
         raise ValueError(f"n must be an int >= 2, got {n!r}")
     _tune(df)
-    toked = (df.select(F.col(id_col), tokens_expr(text_col).alias("__tk"))
-             .filter(F.size("__tk") >= n))
+    toked = df.select(F.col(id_col), tokens_expr(text_col).alias("__tk"))
+    # short docs are guarded INSIDE the expression, not by a filter on
+    # size(__tk): PushDownPredicate inlines a derived-column predicate
+    # below the projection, re-tokenizing every row inside the Filter
+    # — the exact pattern the r8 plan audit removed from
+    # chunk_documents/bigram_logprob (ADVICE r8).  The guard itself is
+    # required: sequence(0, size-n) DESCENDS when size < n.  An empty
+    # window array posexplodes to no rows — same result, one
+    # tokenization.
     win = toked.select(
         id_col,
         F.posexplode(F.expr(
+            f"case when size(__tk) < {n} then array() else "
             f"transform(sequence(0, size(__tk) - {n}), "
-            f"i -> concat_ws(' ', slice(__tk, i + 1, {n})))"))
+            f"i -> concat_ws(' ', slice(__tk, i + 1, {n}))) end"))
         .alias("pos", "w"))
     hashed = win.select(id_col, "pos",
                         F.expr(_h60("w", fast_hash)).alias("h"))

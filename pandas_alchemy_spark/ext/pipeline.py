@@ -484,6 +484,17 @@ def resample_corpus(weighted: DataFrame, k: int,
       SIZE is ``k ± sketch_rel_err·n`` rather than exactly ``k`` (the
       sketch's rank-error contract).  Tighten ``sketch_rel_err`` to
       taste: cost is the sketch's memory, not another data pass.
+
+      Reproducibility contract (ADVICE r8): the Gumbel KEYS are
+      content-addressed and partition-independent, but the GK
+      sketch's threshold estimate depends on per-partition insertion
+      and merge order, so across DIFFERENT partitionings the
+      boundary — and hence the result SIZE — may shift within the
+      rank-error tolerance.  Each run individually satisfies the
+      prefix property; reruns under the SAME partitioning reproduce
+      exactly.  For a partition-invariant selection use
+      ``method="topk"`` (exact, driver-bounded k) — or filter to the
+      sketch band and finish with an exact boundary inside it.
     """
     from .dedup import _h60
     if k < 1:

@@ -274,10 +274,15 @@ def streaming_dedup_against(stream: DataFrame, reference: DataFrame,
       matches — a local filter, exact by construction.
 
     Reference buckets are ``bucket_cap``-capped with the logged-drop
-    policy every LSH path shares.  Trade vs the batch operator: the
-    per-row signature fold is interpreted (K·|shingles| lambda
-    evals/row) rather than codegen'd partial aggregation — the right
-    shape for ingest screening; run the batch op for sweeps.
+    policy every LSH path shares.
+
+    Cache lifetime: the three persisted static frames are PINNED for
+    the stream's lifetime (exempt from the bounded cache ring — a
+    ring eviction mid-stream would silently re-run the full reference
+    pipeline every micro-batch, the 30x docs/s cliff the persist
+    prevents; ADVICE r8).  After stopping the query, call
+    :func:`~..ext.similarity.release_pinned_caches` to unpersist
+    them.
 
     ``stream_partitions`` repartitions each micro-batch before the
     heavy work: a file-source batch has one partition per input
@@ -296,16 +301,21 @@ def streaming_dedup_against(stream: DataFrame, reference: DataFrame,
             f"of bands ({bands})")
     rows = num_hashes // bands
 
-    # --- static side: shared batch pipeline, built once.  PERSISTED:
-    # Structured Streaming re-executes the static plan of a
-    # stream-static join EVERY MICRO-BATCH — unpersisted, each batch
+    # --- static side: shared batch pipeline, built once.  PERSISTED
+    # AND PINNED: Structured Streaming re-executes the static plan of
+    # a stream-static join EVERY MICRO-BATCH — unpersisted, each batch
     # re-runs the full reference shingle/signature pipeline (measured
     # 193 docs/s at 50k stream docs vs a 450k-doc reference; the
-    # persist makes batches after the first reuse the cached tables)
-    from ..ext.dedup import _register_cache
+    # persist makes batches after the first reuse the cached tables).
+    # Pinned OUTSIDE the bounded cache ring (ADVICE r8): ~8 later
+    # cache-registering operator calls while the stream is live would
+    # evict these from the ring and re-ship the exact cliff the
+    # persist prevents.  The caller owns release: call
+    # ext.similarity.release_pinned_caches() after query.stop().
+    from ..ext.similarity import _pin_cache
     br = _minhash_base(reference, text_col, id_col, num_hashes,
                        shingle_n, fast_hash).persist()
-    _register_cache(br)  # feeds BOTH derived tables below
+    _pin_cache(br)  # feeds BOTH derived tables below
     ref_buckets = (_banded(br, id_col, "id_ref", bands, rows)
                    .groupBy("band", "bh")
                    .agg(F.array_sort(F.collect_list("id_ref"))
@@ -313,7 +323,7 @@ def streaming_dedup_against(stream: DataFrame, reference: DataFrame,
     ref_buckets = _cap_buckets(ref_buckets, "ids", bucket_cap,
                                "streaming_dedup_against")
     ref_buckets = ref_buckets.persist()
-    _register_cache(ref_buckets)
+    _pin_cache(ref_buckets)
     # per-ref-doc SURVIVING bands (post-cap): the canonical-band rule
     # below must pick the smallest matching band AMONG SURVIVING
     # buckets — if the true smallest matching band was capped out,
@@ -328,7 +338,7 @@ def streaming_dedup_against(stream: DataFrame, reference: DataFrame,
                           F.col("hs").alias("hs_r"),
                           F.col("signature").alias("sig_r"))
                 .join(surv_bands, "id_ref")).persist()
-    _register_cache(ref_sets)
+    _pin_cache(ref_sets)
 
     # --- stream side: per-row signature, no aggregation
     if stream_partitions is not None:

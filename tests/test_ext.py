@@ -319,6 +319,24 @@ def test_ivf_index_build_search_pruned(spark, emb, tmp_path):
             .neighbor_id.tolist()
             == gp.sort_values(["query_id", "rank"])
             .neighbor_id.tolist())
+    # r9: no dedup shuffle on the index query path — (query, neighbor)
+    # is unique BY CONSTRUCTION (one cell directory per corpus vector,
+    # distinct (query, cell) probe rows), so the plan must carry no
+    # Aggregate/Deduplicate between the cell join and the ranking
+    # window (the r8 defensive dropDuplicates added one no-op
+    # exchange).  Value-level: a duplicated pair would surface twice
+    # with consecutive ranks.
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan and "Deduplicate" not in plan
+    assert not gp.duplicated(["query_id", "neighbor_id"]).any()
+    # r9: nprobe="auto" (the default) tunes against the WRITTEN table
+    # — recall-honest indexed search, same contract as ivf_topk
+    tuned = similarity.search_ivf_index(spark, path, q, k=5)
+    tp = tuned.toPandas()
+    tn_set = set(zip(tp.query_id, tp.neighbor_id))
+    assert len(bf_set & tn_set) / len(bf_set) >= 0.7
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.search_ivf_index(spark, path, q, k=5, nprobe=0)
 
 
 def test_ivf_centroids_deterministic(emb):
@@ -1208,8 +1226,11 @@ def test_resample_corpus_sketch_path(spark, docs):
     """method='sketch' (the billion-row selection path, r7 verdict
     item 5): the result must be a PREFIX of the exact key ordering —
     set-equal to the exact top-|result| — with |result| within the
-    sketch's rank-error tolerance of k, and deterministic under
-    repartitioning."""
+    sketch's rank-error tolerance of k.  Under a DIFFERENT
+    partitioning the GK threshold estimate may shift within the
+    rank-error tolerance (ADVICE r8: the sketch depends on insertion/
+    merge order), so the cross-partitioning assertion is the CONTRACT
+    (prefix property + size tolerance), not bit-equality."""
     import pytest as _pt
     from pandas_alchemy_spark.ext import pipeline
     target = docs.filter("doc_id % 7 = 0")
@@ -1228,12 +1249,25 @@ def test_resample_corpus_sketch_path(spark, docs):
         pipeline.resample_corpus(w, k=len(got), method="topk")
         .collect())
     assert got == exact
-    # deterministic under repartitioning
+    # under a different partitioning: the CONTRACT holds (prefix of
+    # the exact ordering, size within tolerance) even though the GK
+    # threshold — hence boundary membership — may legitimately shift
     again = sorted(r.doc_id for r in
                    pipeline.resample_corpus(
                        w.repartition(9), k=k, method="sketch",
                        sketch_rel_err=0.01).collect())
-    assert got == again
+    assert abs(len(again) - k) <= max(1, int(0.01 * n) + 1)
+    exact_again = sorted(
+        r.doc_id for r in
+        pipeline.resample_corpus(w, k=len(again), method="topk")
+        .collect())
+    assert again == exact_again
+    # reruns under the SAME partitioning reproduce exactly
+    rerun = sorted(r.doc_id for r in
+                   pipeline.resample_corpus(
+                       w, k=k, method="sketch",
+                       sketch_rel_err=0.01).collect())
+    assert got == rerun
     # k >= n degenerates to the whole corpus
     assert (pipeline.resample_corpus(w, k=n + 10, method="sketch")
             .count() == n)

@@ -460,3 +460,22 @@ def test_plans_tfidf_bigram_shapes(spark):
     assert "CartesianProduct" not in physb
     flags = scale_report(bi)["flags"]
     assert not any(k == "repeated_expensive_exprs" for k, _ in flags)
+
+
+def test_plans_duplicate_spans_tokenize_once_per_scan(spark):
+    """duplicate_spans (ADVICE r8): the size(__tk) >= n guard must
+    live INSIDE the window-transform expression, not as a filter —
+    PushDownPredicate inlines a derived-column predicate below the
+    projection, re-tokenizing every row inside the Filter (the exact
+    pattern the r8 audit removed from chunk_documents and
+    bigram_logprob).  The hashed-window frame feeds two consumers
+    (the occurrence aggregate and the join back), so the optimized
+    plan carries exactly TWO tokenizer mentions — one per scan
+    subtree — not four."""
+    from pandas_alchemy_spark.ext import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (dedup.duplicate_spans(docs, n=8)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    n = plan.count("split(lower(regexp_replace(")
+    assert n == 2, f"duplicate_spans: {n} tokenizer mentions in plan"
