@@ -826,3 +826,149 @@ def dedup_against(new: DataFrame, reference: DataFrame,
         fast_hash=fast_hash)
     hit = (pairs.select(F.col("id_new").alias(id_col)).distinct())
     return new.join(hit, id_col, "left_anti")
+
+
+class ReferenceIndex:
+    """A prebuilt MinHash-LSH index over a STATIC reference corpus —
+    the build-once-gate-many half of incremental dedup, the exact
+    storage-level pattern :func:`~.similarity.build_ivf_index` sets
+    for ANN (r9: profiling showed the 50k-doc streaming drain was
+    DOMINATED by rebuilding the 450k-doc reference pipeline at
+    stream start — 26 s of the 29.7 s drain; a persistent gate
+    should pay that once, in batch, not per stream restart).
+
+    Holds two persisted frames plus the hash-family parameters that
+    produced them (a gate run with different parameters would
+    silently zero recall, so the params travel WITH the index):
+
+    - ``ref_buckets`` (band, bh, ids): the banded LSH buckets,
+      already ``bucket_cap``-capped (the cap is fixed at build).
+    - ``ref_sets`` (id_ref, hs_r, sig_r, __sb): per-doc shingle-hash
+      set, signature, and post-cap surviving bands.
+
+    Lifecycle is CALLER-OWNED: frames are persisted (not in the
+    bounded cache ring, not pinned) — call :meth:`release` when no
+    consumer is live.  ``save``/:func:`load_reference_index` write/
+    read the two frames as parquet with a params sidecar, so a
+    100 TB reference is indexed once and any number of ingest
+    streams (or later batch sweeps) reuse the files."""
+
+    def __init__(self, ref_buckets: DataFrame, ref_sets: DataFrame,
+                 num_hashes: int, bands: int, shingle_n: int,
+                 fast_hash: bool, bucket_cap: int | None):
+        self.ref_buckets = ref_buckets
+        self.ref_sets = ref_sets
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.fast_hash = fast_hash
+        self.bucket_cap = bucket_cap
+
+    _br = None  # set only on lazy builds (see build_reference_index)
+
+    def release(self) -> None:
+        """Unpersist the index frames (idempotent)."""
+        for sdf in (self.ref_buckets, self.ref_sets, self._br):
+            if sdf is None:
+                continue
+            try:
+                sdf.unpersist()
+            except Exception:
+                pass  # session already stopped
+
+    def save(self, path: str) -> "ReferenceIndex":
+        """Write the index as two parquet tables + a params sidecar
+        (``_dedup_index.json``).  Bucket rows repartition by band so
+        each band is a bounded file set."""
+        import json
+        import os
+        self.ref_buckets.write.mode("overwrite").parquet(
+            os.path.join(path, "ref_buckets"))
+        self.ref_sets.write.mode("overwrite").parquet(
+            os.path.join(path, "ref_sets"))
+        with open(os.path.join(path, "_dedup_index.json"), "w") as fh:
+            json.dump({"num_hashes": self.num_hashes,
+                       "bands": self.bands,
+                       "shingle_n": self.shingle_n,
+                       "fast_hash": self.fast_hash,
+                       "bucket_cap": self.bucket_cap}, fh)
+        return self
+
+
+def build_reference_index(reference: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          num_hashes: int = 16, bands: int = 4,
+                          shingle_n: int = 3,
+                          bucket_cap: int | None = 2000,
+                          fast_hash: bool = False,
+                          materialize: bool = True) -> ReferenceIndex:
+    """Build a :class:`ReferenceIndex` from a reference corpus — the
+    same shared ``_minhash_base`` / banding / cap machinery every
+    LSH path here uses (one hash family, never a drifted copy).
+
+    ``materialize=True`` (default) runs the build NOW (two counts),
+    so a streaming gate's first micro-batch doesn't pay it; pass
+    False to keep it lazy when the index feeds a batch job anyway."""
+    if bands < 1 or num_hashes < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple "
+            f"of bands ({bands})")
+    rows = num_hashes // bands
+    br = _minhash_base(reference, text_col, id_col, num_hashes,
+                       shingle_n, fast_hash).persist()
+    ref_buckets = (_banded(br, id_col, "id_ref", bands, rows)
+                   .groupBy("band", "bh")
+                   .agg(F.array_sort(F.collect_list("id_ref"))
+                        .alias("ids")))
+    ref_buckets = _cap_buckets(ref_buckets, "ids", bucket_cap,
+                               "build_reference_index").persist()
+    # per-ref-doc SURVIVING bands (post-cap): the canonical-band rule
+    # must pick the smallest matching band AMONG SURVIVING buckets
+    # (see streaming_dedup_against — a capped-out smallest band would
+    # otherwise silently drop pairs a surviving band caught)
+    surv_bands = (ref_buckets
+                  .select("band", F.explode("ids").alias("id_ref"))
+                  .groupBy("id_ref")
+                  .agg(F.collect_set("band").alias("__sb")))
+    ref_sets = (br.select(F.col(id_col).alias("id_ref"),
+                          F.col("hs").alias("hs_r"),
+                          F.col("signature").alias("sig_r"))
+                .join(surv_bands, "id_ref")).persist()
+    idx = ReferenceIndex(ref_buckets, ref_sets, num_hashes, bands,
+                         shingle_n, fast_hash, bucket_cap)
+    if materialize:
+        ref_buckets.count()
+        ref_sets.count()
+        # br fed both derived frames; once they are materialized it
+        # is dead weight
+        br.unpersist()
+    else:
+        # lazy: br must stay cached until both frames evaluate (each
+        # would otherwise re-derive the whole minhash subtree); tie
+        # its lifetime to the index
+        idx._br = br
+    return idx
+
+
+def load_reference_index(spark, path: str,
+                         materialize: bool = True) -> ReferenceIndex:
+    """Load a :meth:`ReferenceIndex.save` directory: read the two
+    parquet tables (persisted; ``materialize`` warms them) and the
+    params sidecar."""
+    import json
+    import os
+    with open(os.path.join(path, "_dedup_index.json")) as fh:
+        meta = json.load(fh)
+    ref_buckets = spark.read.parquet(
+        os.path.join(path, "ref_buckets")).persist()
+    ref_sets = spark.read.parquet(
+        os.path.join(path, "ref_sets")).persist()
+    if materialize:
+        ref_buckets.count()
+        ref_sets.count()
+    return ReferenceIndex(ref_buckets, ref_sets,
+                          int(meta["num_hashes"]), int(meta["bands"]),
+                          int(meta["shingle_n"]),
+                          bool(meta["fast_hash"]),
+                          meta["bucket_cap"])

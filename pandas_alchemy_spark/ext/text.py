@@ -508,11 +508,19 @@ def tfidf_vectors(df: DataFrame, dim: int = 256,
     cosine is a plain dot product.
 
     Determinism: tf/df/N are exact BIGINTs from hash aggregates; the
-    dense array is materialized BY BUCKET INDEX via a map lookup
-    (map_from_entries over sequence(0, dim-1)), so every float lands
-    at a fixed position and the L2 fold runs in fixed index order —
-    bit-stable across runs and partitionings, same ≤1-ulp-per-engine
-    ``ln`` caveat as every scorer here.
+    dense array is materialized by GAP-FILLING the (bucket-sorted,
+    bucket-unique) entry list — zeros between consecutive buckets,
+    then the tail pad — so every float lands at a fixed position and
+    the L2 fold runs in fixed index order: bit-stable across runs
+    and partitionings, same ≤1-ulp-per-engine ``ln`` caveat as every
+    scorer here.  (The r8 form probed a map per index —
+    ``element_at`` on MapData is a LINEAR key scan, the same pitfall
+    :func:`~..streaming.stream_events.streaming_lm_scores`
+    documents, O(dim·entries) per doc vs gap-fill's O(dim).  The BIG
+    r8 cost was elsewhere though: the normalization lambda — see the
+    in-body note.  Together 117.8 → ~31 s at 500k docs × dim 256,
+    identical output; the stage profile that found it is in SURVEY
+    §16.)
 
     Plan shape at 100 TB: one corpus explode → (doc, bucket) tf
     aggregate; df/N are a ``dim``-row and a 1-row aggregate DERIVED
@@ -546,25 +554,52 @@ def tfidf_vectors(df: DataFrame, dim: int = 256,
                  (F.col("tf")
                   * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0))
                      + 1.0)).alias("w")))
+    # __es is sorted by bucket and bucket-unique (one row per (doc,
+    # bucket) from the tf aggregate), so the dense vector is one
+    # linear pass: before each entry, the zero-run since the previous
+    # bucket; after the last, the tail pad.  element_at on an ARRAY
+    # is O(1) (1-based; the i=0 branch never evaluates it — CASE is
+    # lazy), unlike the map probe this replaced.
     dense = F.expr(
-        f"transform(sequence(0, {dim - 1}), i -> "
-        f"coalesce(element_at(__m, cast(i as bigint)), "
-        f"cast(0.0 as double)))")
+        f"concat("
+        f"flatten(transform(__es, (e, i) -> concat("
+        f"array_repeat(cast(0.0 as double), cast(e.b - (case when "
+        f"i = 0 then -1 else element_at(__es, i).b end) - 1 as int)), "
+        f"array(e.w)))), "
+        f"array_repeat(cast(0.0 as double), "
+        f"cast({dim - 1} - element_at(__es, -1).b as int)))")
     vec = (w.groupBy(id_col)
-           .agg(F.map_from_entries(
-                    F.sort_array(F.collect_list(F.struct("b", "w"))))
-                .alias("__m"))
+           .agg(F.sort_array(F.collect_list(F.struct("b", "w")))
+                .alias("__es"))
            .select(id_col, dense.alias("embedding")))
     if not normalize:
         return vec
-    nrm = F.expr(
-        "sqrt(aggregate(embedding, cast(0.0 as double), "
-        "(s, v) -> s + v * v))")
-    return (vec.withColumn("__nrm", nrm)
-            .filter(F.col("__nrm") > 0)
-            .select(id_col, F.expr(
-                "transform(embedding, v -> v / __nrm)")
-                .alias("embedding")))
+    # The norm is evaluated ONCE via zip_with against an array_repeat
+    # of it (ArrayRepeat evaluates its element child a single time).
+    # The obvious form — __nrm as a withColumn referenced inside the
+    # division lambda — is a 29x cliff: the filter on __nrm pushes
+    # below the projection and CollapseProject then inlines the whole
+    # L2 fold INTO the per-element lambda, re-running the dim-step
+    # aggregate for every element (dim² interpreted ops/row; measured
+    # 116.7 s for this step alone vs 4.0 s unnormalized at 500k docs
+    # x dim 256 — the derived-column cousin of the pushed-filter
+    # tokenizer cliff).  NOT the let-binding-by-outer-lambda form
+    # (transform(array(nrm), n -> ...)): a pandas_udf applied over a
+    # nested-lambda-CAPTURE expression sitting directly on an
+    # Aggregate fails Python-UDF extraction in Spark 4.1 (the UDF is
+    # left raw in the projection and dies "Cannot evaluate
+    # expression" at runtime) — and tfidf's embedding feeds exactly
+    # such UDFs (cluster_documents, the ANN matmuls).  No zero-norm
+    # filter is needed: every (doc, bucket) entry has w = tf·idf >= 1
+    # (tf >= 1 by count; idf = ln((N+1)/(df+1)) + 1 >= 1 since
+    # df <= N), so any doc reaching the aggregate has norm >= 1 —
+    # the r8 filter was vacuous AND pushed a full dense-rebuild+fold
+    # into the Filter.
+    return (vec.select(id_col, F.expr(
+        "zip_with(embedding, array_repeat(sqrt(aggregate(embedding, "
+        "cast(0.0 as double), (s, v) -> s + v * v)), "
+        "size(embedding)), (v, n) -> v / n)")
+        .alias("embedding")))
 
 
 def bigram_logprob(df: DataFrame, text_col: str = "text",

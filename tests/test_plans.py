@@ -462,6 +462,28 @@ def test_plans_tfidf_bigram_shapes(spark):
     assert not any(k == "repeated_expensive_exprs" for k, _ in flags)
 
 
+def test_plans_tfidf_norm_fold_once(spark):
+    """tfidf_vectors normalization (r9): the L2 fold must appear
+    exactly ONCE in the optimized plan.  The r8 form (__nrm
+    withColumn + filter + division lambda) collapsed into a plan
+    where the fold ran PER ELEMENT inside the division lambda plus
+    once more in the pushed filter — dim² interpreted ops per row,
+    measured 116.7 s of the operator's 117.8 s at 500k docs.  Also
+    pinned: the embedding must remain consumable by a pandas_udf
+    directly above the aggregate (the nested-lambda-capture
+    let-binding form broke Python-UDF extraction in Spark 4.1) —
+    test_ext.py::test_cluster_documents* covers that at value level.
+    """
+    from pandas_alchemy_spark.ext import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (text.tfidf_vectors(docs, dim=32)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # the L2 fold renders as one aggregate(...(v * v)...) lambda
+    n = plan.count("* lambda v")
+    assert n == 1, f"tfidf_vectors: {n} L2-fold mentions in plan"
+
+
 def test_plans_duplicate_spans_tokenize_once_per_scan(spark):
     """duplicate_spans (ADVICE r8): the size(__tk) >= n guard must
     live INSIDE the window-transform expression, not as a filter —

@@ -659,6 +659,154 @@ def test_streaming_dedup_against_matches_batch(spark, tmp_path):
     assert len(got) == len(gset)
 
 
+def test_streaming_dedup_against_prebuilt_index(spark, tmp_path):
+    """ReferenceIndex (r9 build-once-gate-many): gating a stream
+    against (a) the raw reference, (b) an in-memory prebuilt index,
+    and (c) the same index saved to parquet and loaded back must
+    produce the identical pair set + Jaccard values, with the hash
+    family coming FROM the index (mismatched args to the gate are
+    ignored).  Passing both or neither of reference=/index= raises."""
+    from pandas_alchemy_spark.ext import dedup as dd
+    from pandas_alchemy_spark.ext.similarity import (
+        release_pinned_caches)
+    from pandas_alchemy_spark.streaming.stream_events import (
+        streaming_dedup_against)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new_sl = docs.filter("doc_id % 5 = 0")
+    ref_sl = docs.filter("doc_id % 5 <> 0")
+    d = tmp_path / "new_docs"
+    new_sl.select("doc_id", "text").coalesce(2).write.parquet(str(d))
+
+    def drain(**kw):
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        out = streaming_dedup_against(stream, **kw)
+        name = f"sxidx{drain.n}"
+        drain.n += 1
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            return {(r.id_new, r.id_ref): round(r.jaccard, 9)
+                    for r in spark.sql(f"SELECT * FROM {name}")
+                    .toPandas().itertuples()}
+        finally:
+            q.stop()
+    drain.n = 0
+
+    raw = drain(reference=ref_sl, num_hashes=16, bands=4,
+                threshold=0.4)
+    release_pinned_caches()
+    assert len(raw) > 0
+
+    idx = dd.build_reference_index(ref_sl, num_hashes=16, bands=4)
+    # deliberately wrong num_hashes/bands args: the index's params
+    # must win (a drifted family would zero recall silently)
+    via_idx = drain(index=idx, num_hashes=8, bands=2, threshold=0.4)
+    assert via_idx == raw
+
+    path = str(tmp_path / "refidx")
+    idx.save(path)
+    idx.release()
+    loaded = dd.load_reference_index(spark, path)
+    assert (loaded.num_hashes, loaded.bands, loaded.shingle_n,
+            loaded.fast_hash) == (16, 4, 3, False)
+    via_loaded = drain(index=loaded, threshold=0.4)
+    assert via_loaded == raw
+    loaded.release()
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(d)))
+    with pytest.raises(ValueError, match="exactly one"):
+        streaming_dedup_against(stream)
+    with pytest.raises(ValueError, match="exactly one"):
+        streaming_dedup_against(stream, reference=ref_sl, index=idx)
+
+
+def test_streaming_dedup_against_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart recovery for the stream-static near-dup gate
+    (VERDICT r8 item 8): drain half the new-docs files with a
+    checkpoint, stop the query (the 'kill'), add the rest, rebuild
+    the operator (re-persisting the static side — a restart means a
+    fresh driver) and restart from the SAME checkpoint.  The
+    combined drained pair set must equal the batch twin over ALL
+    files, phase 2 must not reprocess phase-1 files (batch ids
+    strictly continue), and the pinned static caches release
+    cleanly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandas_alchemy_spark.ext import dedup as dd
+    from pandas_alchemy_spark.ext.similarity import (
+        release_pinned_caches)
+    from pandas_alchemy_spark.streaming.stream_events import (
+        streaming_dedup_against)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new_sl = docs.filter("doc_id % 5 = 0")
+    ref_sl = docs.filter("doc_id % 5 <> 0")
+    srcdir = tmp_path / "all_new"
+    new_sl.select("doc_id", "text").repartition(4) \
+        .write.parquet(str(srcdir))
+    files = sorted(f for f in os.listdir(srcdir)
+                   if f.endswith(".parquet"))
+    assert len(files) >= 2
+    half = len(files) // 2
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "pairs_out")
+    for f in files[:half]:
+        shutil.copy(srcdir / f, staged / f)
+
+    def write_batch(bdf, bid):
+        (bdf.withColumn("batch_id", F.lit(bid))
+         .write.mode("append").parquet(outdir))
+
+    def drain():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(staged)))
+        out = streaming_dedup_against(stream, ref_sl, num_hashes=16,
+                                      bands=4, threshold=0.4)
+        q = (out.writeStream.outputMode("append")
+             .foreachBatch(write_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+        # the restart contract: the stream owner releases the pinned
+        # static persists once the query stops
+        assert release_pinned_caches() >= 3
+        return spark.read.parquet(outdir).toPandas()
+
+    all1 = drain()
+    max1 = all1.batch_id.max() if len(all1) else -1
+    for f in files[half:]:
+        shutil.copy(srcdir / f, staged / f)
+    all2 = drain()
+    got2 = all2[all2.batch_id > max1]
+    # no reprocessing: phase-1 pairs appear exactly once overall, and
+    # phase 2 never re-emits a pre-restart batch id (>= not ==: a
+    # pair-less trailing phase-1 batch leaves no row to witness its
+    # id, so phase 2 may legitimately start further along)
+    assert not all2.duplicated(["id_new", "id_ref"]).any()
+    if len(got2):
+        assert got2.batch_id.min() >= max1 + 1
+    # combined == batch twin over everything
+    want = dd.cross_dedup_pairs(new_sl, ref_sl, num_hashes=16,
+                                bands=4, threshold=0.4).toPandas()
+    assert len(want) > 0
+    gset = {(r.id_new, r.id_ref): round(r.jaccard, 9)
+            for r in all2.itertuples()}
+    wset = {(r.id_new, r.id_ref): round(r.jaccard, 9)
+            for r in want.itertuples()}
+    assert gset == wset
+
+
 def test_streaming_dedup_against_cap_asymmetry(spark, tmp_path):
     """When the smallest matching band's bucket is capped out, the
     canonical-band rule must fall back to the smallest SURVIVING

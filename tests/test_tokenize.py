@@ -45,6 +45,71 @@ def test_train_bpe_deterministic_and_tie_break():
     assert m[0] == ("a", "b")
 
 
+def _train_bpe_quadratic(texts, vocab_size):
+    """The original full-recount merge learner, kept verbatim as the
+    oracle for the incremental trainer (r9): recompute every pair
+    count over every word per merge; max count, lexicographically
+    smallest pair wins."""
+    from collections import Counter
+    wf = Counter()
+    for t in texts:
+        if not t:
+            continue
+        for w in tokenize._pretokens(t):
+            wf[tuple(w.encode("utf-8").decode("latin-1"))] += 1
+    merges = []
+    words = dict(wf)
+    for _ in range(vocab_size - 256):
+        pairs = Counter()
+        for w, f in words.items():
+            for i in range(len(w) - 1):
+                pairs[(w[i], w[i + 1])] += f
+        if not pairs:
+            break
+        top = max(pairs.values())
+        if top < 2:
+            break
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_words = {}
+        for w, f in words.items():
+            if len(w) >= 2:
+                out = []
+                i = 0
+                while i < len(w):
+                    if i < len(w) - 1 and w[i] == a and w[i + 1] == b:
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(w[i])
+                        i += 1
+                w = tuple(out)
+            new_words[w] = new_words.get(w, 0) + f
+        words = new_words
+    return merges
+
+
+def test_train_bpe_incremental_matches_quadratic_oracle():
+    """The r9 incremental trainer (lazy max-heap + pair->word index)
+    must produce the IDENTICAL merge list the full-recount
+    formulation does — including tie-breaks, overlap handling
+    ('aaa'), and the top<2 stop — on corpora that exercise all
+    three."""
+    cases = [
+        (CORPUS, 360),
+        (["aaab aaab aaab"], 280),          # overlap: 'aaa' counts 2
+        (["abab baba", "zz zz qq"], 300),   # ties + early stop
+        (["x"], 300),                       # nothing repeats at all
+        (["the cat sat on the mat", "a cat and a mat", ""], 330),
+    ]
+    for texts, vs in cases:
+        got = tokenize.train_bpe(texts, vocab_size=vs)
+        want = _train_bpe_quadratic(texts, vocab_size=vs)
+        assert got == want, (texts[:1], vs)
+
+
 def test_bpe_kernel_lossless_roundtrip():
     """Every kernel partitions its input: ''.join(tokens) restores
     the latin-1 byte stream exactly, including unicode and weird

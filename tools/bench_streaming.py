@@ -188,7 +188,8 @@ def main():
         # r8: ingest-time incremental near-dup gating — a 1/10 slice
         # of the 500k-doc corpus streams against the other 9/10 as
         # the static reference (the cross_dedup_pairs streaming twin;
-        # per-row interpreted MinHash + stream-static band join)
+        # r9: per-row signatures via ONE Arrow pandas_udf kernel +
+        # stream-static band join)
         try:
             batch_docs = spark.read.parquet(docs_dir)
             new_dir = "/root/repo/.scratch/stream_new_docs"
@@ -225,6 +226,52 @@ def main():
             results["streaming_dedup_against"] = -1.0
             detail["streaming_dedup_against"] = {"error": str(ex)[:200]}
             print(f"streaming_dedup_against: ERROR {str(ex)[:200]}",
+                  file=sys.stderr)
+        # r9: the build-once-gate-many decomposition — index the
+        # static reference ONCE (recorded separately; amortized over
+        # the gate's lifetime in production), then drain against the
+        # prebuilt index.  The r8 "docs/s" conflated the one-time
+        # static build (~26 s of the 29.7 s drain) with steady-state
+        # gating throughput.
+        try:
+            from pandas_alchemy_spark.ext import dedup as _dd
+            batch_docs = spark.read.parquet(docs_dir)
+            ref_sl = batch_docs.filter("doc_id % 10 <> 0")
+            t0 = time.time()
+            idx = _dd.build_reference_index(
+                ref_sl, num_hashes=16, bands=4, fast_hash=True)
+            build_s = round(time.time() - t0, 2)
+            results["dedup_index_build"] = build_s
+            xstream = (spark.readStream.schema(batch_docs.schema)
+                       .option("maxFilesPerTrigger", 2)
+                       .parquet(new_dir))
+            out = stream_events.streaming_dedup_against(
+                xstream, index=idx, threshold=0.4,
+                stream_partitions=32)
+            t0 = time.time()
+            q = (out.writeStream.format("noop")
+                 .option("checkpointLocation",
+                         f"/root/repo/.scratch/ckpt_{int(time.time()*1e6)}")
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            sec = round(time.time() - t0, 2)
+            prog = q.recentProgress
+            rows = sum(p["numInputRows"] for p in prog)
+            idx.release()
+            results["streaming_dedup_indexed"] = sec
+            detail["streaming_dedup_indexed"] = {
+                "sec": sec, "index_build_sec": build_s,
+                "micro_batches": len(prog), "rows_in": rows,
+                "docs_per_sec": int(rows / sec)}
+            print(f"streaming_dedup_indexed: {sec}s drain "
+                  f"(+{build_s}s one-time index), {len(prog)} "
+                  f"batches, {int(rows / sec)} docs/s",
+                  file=sys.stderr)
+        except Exception as ex:
+            results["streaming_dedup_indexed"] = -1.0
+            detail["streaming_dedup_indexed"] = {"error": str(ex)[:200]}
+            print(f"streaming_dedup_indexed: ERROR {str(ex)[:200]}",
                   file=sys.stderr)
 
     total = round(sum(t for t in results.values() if t >= 0), 2)
