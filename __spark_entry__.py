@@ -2649,10 +2649,22 @@ def q_text_suite(spark, sf_dir):
     # exact Jaccard (an exact rational — bit-stable).  Reference-side
     # docs carry -1 sentinels.  bucket_cap=None so the oracle needs
     # no cap replay (the capped path is pytest-covered).
+    # r9: routed through the PREBUILT ReferenceIndex
+    # (dd.build_reference_index) — output identical to the inline
+    # path by construction (test-pinned), so the unchanged DuckDB
+    # replay now value-hashes the index build+query path end to end.
     new_sl = docs.filter("doc_id % 3 = 0")
     ref_sl = docs.filter("doc_id % 3 <> 0")
-    xp = dd.cross_dedup_pairs(new_sl, ref_sl, num_hashes=16, bands=4,
-                              threshold=0.4, bucket_cap=None)
+    ref_idx = dd.build_reference_index(
+        ref_sl, num_hashes=16, bands=4, bucket_cap=None,
+        materialize=False)
+    # index lifecycle is caller-owned; in this long-lived harness
+    # session, hand the frames to the bounded cache ring (the same
+    # release discipline the inline path used)
+    for _fr in (ref_idx.ref_buckets, ref_idx.ref_sets, ref_idx._br):
+        if _fr is not None:
+            dd._register_cache(_fr)
+    xp = dd.cross_dedup_pairs(new_sl, index=ref_idx, threshold=0.4)
     xagg = (xp.groupBy("id_new")
             .agg(F.count(F.lit(1)).alias("__nx"),
                  F.max("jaccard").alias("__xj")))

@@ -626,12 +626,13 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, n: int = 8,
             .drop("n_contam_ngrams"))
 
 
-def cross_dedup_pairs(new: DataFrame, reference: DataFrame,
+def cross_dedup_pairs(new: DataFrame, reference: DataFrame | None = None,
                       text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 32, bands: int = 8,
                       shingle_n: int = 3, threshold: float = 0.5,
                       bucket_cap: int | None = 2000,
-                      fast_hash: bool = False) -> DataFrame:
+                      fast_hash: bool = False,
+                      index=None) -> DataFrame:
     """Near-duplicate pairs ACROSS two corpora — the incremental-
     ingestion shape :func:`minhash_lsh_pairs` cannot express without
     waste: a new crawl arrives and must be deduplicated against the
@@ -653,8 +654,30 @@ def cross_dedup_pairs(new: DataFrame, reference: DataFrame,
     Returns ``(id_new, id_ref, jaccard)`` with ``jaccard >=
     threshold``.  Ids may collide across corpora (they are different
     tables); the output columns keep the sides apart.
+
+    ``index=`` takes a prebuilt :class:`ReferenceIndex` instead of
+    ``reference`` (build-once-query-many — the reference side's
+    signatures/buckets are static across incremental sweeps, so
+    re-deriving them per sweep is pure waste at 100 TB).  The hash
+    family then comes FROM the index; this function's
+    ``num_hashes``/``bands``/``shingle_n``/``fast_hash``/
+    ``bucket_cap`` are ignored, and the output is identical to the
+    inline path with the same parameters (test-pinned).
     """
-    if bands < 1 or num_hashes < 1 or num_hashes % bands != 0:
+    if (reference is None) == (index is None):
+        raise ValueError(
+            "pass exactly one of reference= (raw corpus) or index= "
+            "(a prebuilt ReferenceIndex)")
+    if index is not None:
+        # the index's hash family is authoritative (a mismatched
+        # family on the new side would silently zero recall)
+        num_hashes = index.num_hashes
+        bands = index.bands
+        shingle_n = index.shingle_n
+        fast_hash = index.fast_hash
+        ref_buckets = index.ref_buckets
+        shb = index.ref_sets.select("id_ref", F.col("hs_r"))
+    elif bands < 1 or num_hashes < 1 or num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a positive multiple "
             f"of bands ({bands})")
@@ -662,24 +685,24 @@ def cross_dedup_pairs(new: DataFrame, reference: DataFrame,
     bn = _minhash_base(new, text_col, id_col, num_hashes,
                        shingle_n, fast_hash).persist()
     _register_cache(bn)
-    br = _minhash_base(reference, text_col, id_col, num_hashes,
-                       shingle_n, fast_hash).persist()
-    _register_cache(br)
-
-    ref_buckets = (_banded(br, id_col, "id_ref", bands, rows)
-                   .groupBy("band", "bh")
-                   .agg(F.array_sort(F.collect_list("id_ref"))
-                        .alias("ids")))
-    ref_buckets = _cap_buckets(ref_buckets, "ids", bucket_cap,
-                               "cross_dedup_pairs")
+    if index is None:
+        br = _minhash_base(reference, text_col, id_col, num_hashes,
+                           shingle_n, fast_hash).persist()
+        _register_cache(br)
+        ref_buckets = (_banded(br, id_col, "id_ref", bands, rows)
+                       .groupBy("band", "bh")
+                       .agg(F.array_sort(F.collect_list("id_ref"))
+                            .alias("ids")))
+        ref_buckets = _cap_buckets(ref_buckets, "ids", bucket_cap,
+                                   "cross_dedup_pairs")
+        shb = br.select(F.col(id_col).alias("id_ref"),
+                        F.col("hs").alias("hs_r"))
     cand = (_banded(bn, id_col, "id_new", bands, rows)
             .join(ref_buckets, ["band", "bh"])
             .select("id_new", F.explode("ids").alias("id_ref"))
             .dropDuplicates())
     sha = bn.select(F.col(id_col).alias("id_new"),
                     F.col("hs").alias("hs_n"))
-    shb = br.select(F.col(id_col).alias("id_ref"),
-                    F.col("hs").alias("hs_r"))
     jac = (F.size(F.array_intersect("hs_n", "hs_r"))
            / F.size(F.array_union("hs_n", "hs_r")))
     return (cand.join(sha, "id_new").join(shb, "id_ref")
@@ -807,23 +830,25 @@ def remove_duplicate_spans(df: DataFrame, text_col: str = "text",
                     .alias("n_removed")))
 
 
-def dedup_against(new: DataFrame, reference: DataFrame,
+def dedup_against(new: DataFrame, reference: DataFrame | None = None,
                   text_col: str = "text", id_col: str = "doc_id",
                   num_hashes: int = 32, bands: int = 8,
                   shingle_n: int = 3, threshold: float = 0.5,
                   bucket_cap: int | None = 2000,
-                  fast_hash: bool = False) -> DataFrame:
+                  fast_hash: bool = False,
+                  index=None) -> DataFrame:
     """Keep only the ``new`` documents that are NOT near-duplicates
     of anything in ``reference`` (see :func:`cross_dedup_pairs` for
-    the candidate/verify machinery and its 100 TB shape).  One
-    LEFT ANTI join on the distinct matched ids — AQE broadcasts the
+    the candidate/verify machinery, its 100 TB shape, and the
+    ``index=`` prebuilt-:class:`ReferenceIndex` path).  One LEFT
+    ANTI join on the distinct matched ids — AQE broadcasts the
     matched-id set when it is small, which is the common case for an
     incremental crawl against a deduplicated corpus."""
     pairs = cross_dedup_pairs(
         new, reference, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         threshold=threshold, bucket_cap=bucket_cap,
-        fast_hash=fast_hash)
+        fast_hash=fast_hash, index=index)
     hit = (pairs.select(F.col("id_new").alias(id_col)).distinct())
     return new.join(hit, id_col, "left_anti")
 

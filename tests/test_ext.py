@@ -1416,6 +1416,40 @@ def test_dedup_against_drops_matches_keeps_rest(spark, docs):
         dedup.cross_dedup_pairs(new, ref, num_hashes=10, bands=4)
 
 
+def test_cross_dedup_pairs_prebuilt_index_matches_inline(spark, docs):
+    """cross_dedup_pairs(index=) / dedup_against(index=) — the batch
+    build-once-query-many path (r9): identical pair set + Jaccard
+    values to the inline path at the same parameters, with the hash
+    family coming FROM the index (mismatched args ignored); both/
+    neither of reference=/index= raises."""
+    n = docs.count()
+    new = docs.filter(f"doc_id < {n // 3}").select("doc_id", "text")
+    ref = docs.filter(f"doc_id >= {n // 3}").select("doc_id", "text")
+    inline = dedup.cross_dedup_pairs(new, ref, num_hashes=16,
+                                     bands=4, threshold=0.4)
+    want = {(r.id_new, r.id_ref): round(r.jaccard, 9)
+            for r in inline.collect()}
+    assert len(want) > 0
+    idx = dedup.build_reference_index(ref, num_hashes=16, bands=4)
+    # wrong explicit args: the index's family must win
+    got = {(r.id_new, r.id_ref): round(r.jaccard, 9)
+           for r in dedup.cross_dedup_pairs(
+               new, index=idx, num_hashes=8, bands=2,
+               threshold=0.4).collect()}
+    assert got == want
+    # dedup_against keeps exactly the unmatched new docs either way
+    k_inline = {r.doc_id for r in dedup.dedup_against(
+        new, ref, num_hashes=16, bands=4, threshold=0.4).collect()}
+    k_idx = {r.doc_id for r in dedup.dedup_against(
+        new, index=idx, threshold=0.4).collect()}
+    assert k_idx == k_inline
+    idx.release()
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.cross_dedup_pairs(new)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.cross_dedup_pairs(new, ref, index=idx)
+
+
 def test_split_corpus_by_group_is_leakage_safe(spark, docs):
     from pandas_alchemy_spark.ext import pipeline
     g = docs.withColumn("src", F.expr("concat('h', doc_id % 13)"))

@@ -27,6 +27,11 @@ def main():
     docs_dir = (sys.argv[1] if len(sys.argv) > 1
                 else "/root/repo/.scratch/docs10")
     os.makedirs(EVDIR, exist_ok=True)
+    # quiet-box discipline (r8 verdict item 7) — see bench.py
+    from bench import _gate_on_load
+    gate = _gate_on_load(
+        float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0")),
+        float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600")))
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
     spark = (SparkSession.builder.master("local[32]")
@@ -301,7 +306,7 @@ def main():
     print(json.dumps({
         "metric": "dedup_docscale_total", "value": total, "unit": "sec",
         "queries": times, "n_docs": n_docs, "n_vecs": n_vecs,
-        "dim": dim, "loadavg": load, **extra,
+        "dim": dim, "loadavg": load, **gate, **extra,
         "skew_top": skew[:8],
         "worst_ratio": skew[0]["ratio"] if skew else None,
     }))

@@ -27,6 +27,14 @@ def main():
     docs_dir = (sys.argv[1] if len(sys.argv) > 1
                 else "/root/repo/.scratch/docs10")
     os.makedirs(EVDIR, exist_ok=True)
+    # quiet-box discipline (r8 verdict item 7): the r8 doc-scale
+    # artifacts were captured at loadavg ~20 and manufactured phantom
+    # regressions the quiet pair had to adjudicate away — gate on the
+    # 1-min loadavg like bench.py does and record the telemetry
+    from bench import _gate_on_load
+    gate = _gate_on_load(
+        float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0")),
+        float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600")))
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
     spark = (SparkSession.builder.master("local[32]")
@@ -139,12 +147,36 @@ def main():
                                 bands=4, threshold=0.4,
                                 fast_hash=True).count()))
 
-    # the quality/featurization trio at 500k docs
+    # the quality/featurization trio at 500k docs.  Plan-audit
+    # assertion (r8 verdict item 1): the pushed-filter fixes must be
+    # IN the measured plan — exactly one tokenizer regexp in
+    # bigram_logprob's pre-persist plan and one L2 fold in
+    # tfidf_vectors' (a second mention of either means a pushed
+    # filter or collapsed projection re-inlined the expensive
+    # expression and the artifact is measuring the regression).
+    from pandas_alchemy_spark.plans import scale_report
+    bi_flags = [k for k, _ in
+                scale_report(text.bigram_logprob(docs))["flags"]]
+    extra["bigram_plan_flags"] = bi_flags
+    assert "repeated_expensive_exprs" not in bi_flags, bi_flags
+    tv = text.tfidf_vectors(docs, dim=256, fast_hash=True)
+    tv_flags = [k for k, _ in scale_report(tv)["flags"]]
+    tv_plan = tv._jdf.queryExecution().optimizedPlan().toString()
+    extra["tfidf_plan_flags"] = tv_flags
+    extra["tfidf_plan_l2_folds"] = tv_plan.count("* lambda v")
+    assert "repeated_expensive_exprs" not in tv_flags, tv_flags
+    assert extra["tfidf_plan_l2_folds"] == 1, tv_plan[:400]
+    spark.catalog.clearCache()  # the plan probes persist model tables
     run("bigram_lm",
         lambda: noop(text.bigram_logprob(docs)))
+    # both hash families recorded (r8 verdict item 2): fast_hash=True
+    # is the production path, md5 the oracle-replayable default
     run("tfidf_vectors",
         lambda: noop(text.tfidf_vectors(docs, dim=256,
                                         fast_hash=True)))
+    run("tfidf_vectors_md5",
+        lambda: noop(text.tfidf_vectors(docs, dim=256,
+                                        fast_hash=False)))
 
     def _cl():
         lab = pipeline.cluster_documents(docs, k=64, dim=256,
@@ -177,6 +209,39 @@ def main():
                 agg["t"] / max(int(agg["w"]), 1), 4)
 
         run("bpe_token_stats", _bpe_stats)
+
+    # r9: realistic 16k vocab (verdict item 4 — the incremental
+    # trainer makes this driver-side step sub-second; the 512-vocab
+    # tokens/word of 3.11 materially misstated token budgets).  The
+    # synthetic corpus's pair counts go <2 before 16k merges, so the
+    # merges-learned count is recorded too (training CONVERGES, not
+    # truncates).
+    bpe16_holder = {}
+
+    def _bpe16_train():
+        from pandas_alchemy_spark.ext import tokenize as tk
+        rows16 = (docs.select(F.col("text").alias("t"),
+                              F.xxhash64(F.col("doc_id")).alias("h"))
+                  .orderBy("h").limit(10_000).collect())
+        merges = tk.train_bpe([r["t"] for r in rows16],
+                              vocab_size=16384)
+        extra["bpe16k_merges_learned"] = len(merges)
+        tk.register_tokenizer("bpe16k_bench",
+                              tk.make_bpe_kernel(merges), joiner="")
+        bpe16_holder["name"] = "bpe16k_bench"
+
+    run("bpe16k_train_10k", _bpe16_train)
+    if "name" in bpe16_holder:
+        def _bpe16_stats():
+            agg = (text.token_stats(docs,
+                                    tokenizer=bpe16_holder["name"])
+                   .agg(F.sum("n_bpe_tokens").alias("t"),
+                        F.sum("n_ws_tokens").alias("w")).first())
+            extra["bpe16k_total_tokens"] = int(agg["t"])
+            extra["bpe16k_tokens_per_word"] = round(
+                agg["t"] / max(int(agg["w"]), 1), 4)
+
+        run("bpe16k_token_stats", _bpe16_stats)
 
     total = round(sum(t for t in times.values() if t >= 0), 2)
     load = [round(x, 2) for x in os.getloadavg()]
@@ -221,7 +286,7 @@ def main():
     print(json.dumps({
         "metric": "select_docscale_total", "value": total,
         "unit": "sec", "queries": times, "n_docs": n_docs,
-        "loadavg": load, **extra,
+        "loadavg": load, **gate, **extra,
         "skew_top": skew[:8],
         "worst_ratio": skew[0]["ratio"] if skew else None,
     }))

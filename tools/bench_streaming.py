@@ -45,6 +45,11 @@ def ensure_stream_dir(spark, path: str, k: int = 20) -> None:
 def main():
     events_dir = (sys.argv[1] if len(sys.argv) > 1
                   else "/root/repo/.scratch/stream_events")
+    # quiet-box discipline (r8 verdict item 7) — see bench.py
+    from bench import _gate_on_load
+    gate = _gate_on_load(
+        float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0")),
+        float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600")))
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[32]")
              .appName("streaming_bench")
@@ -235,6 +240,15 @@ def main():
         # gating throughput.
         try:
             from pandas_alchemy_spark.ext import dedup as _dd
+            from pandas_alchemy_spark.ext.similarity import (
+                release_pinned_caches)
+            # the inline leg's pinned static frames would satisfy the
+            # index build from cache (CacheManager plan-matching) and
+            # record a fake 4 s "build" — release + clear so the
+            # build cost below is COLD, as a real first-time indexing
+            # run would pay it
+            release_pinned_caches()
+            spark.catalog.clearCache()
             batch_docs = spark.read.parquet(docs_dir)
             ref_sl = batch_docs.filter("doc_id % 10 <> 0")
             t0 = time.time()
@@ -278,7 +292,7 @@ def main():
     print(json.dumps({
         "metric": "streaming_drain_total", "value": total,
         "unit": "sec", "n_events": n_events, "n_docs": n_docs,
-        "queries": results, "detail": detail,
+        "queries": results, "detail": detail, **gate,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
 
