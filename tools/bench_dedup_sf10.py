@@ -199,6 +199,30 @@ def main():
                                     refine_iters=1).collect()
     extra["ivf_fixed_recall_at5"] = recall(ivf_fixed, truth5, 5)
 
+    # r9 (verdict item 3): the PERSISTENT index at doc scale with the
+    # tuner running against the WRITTEN table (nprobe="auto" is now
+    # the search default) — build, search, recall@5, and the tuned
+    # probe count recorded.  Same auto nlist (~sqrt(n)) as ivf_topk.
+    idx_dir = "/root/repo/.scratch/ivf_index_docs10"
+    t0 = time.time()
+    cents_idx = similarity.build_ivf_index(
+        emb, idx_dir, dim=dim, nlist="auto",
+        centroids=ivf_cents_holder.get("c"))
+    extra["ivf_idx_build_sec"] = round(time.time() - t0, 2)
+    buf2 = _io.StringIO()
+    t0 = time.time()
+    with redirect_stderr(buf2):
+        idx_rows = similarity.search_ivf_index(
+            spark, idx_dir, qs, k=10, centroids=cents_idx).collect()
+    extra["ivf_idx_search_sec"] = round(time.time() - t0, 2)
+    sys.stderr.write(buf2.getvalue())
+    mt2 = re.search(r"tuned nprobe=(\d+)/(\d+)", buf2.getvalue())
+    if mt2:
+        extra["ivf_idx_nprobe"] = int(mt2.group(1))
+        extra["ivf_idx_nlist"] = int(mt2.group(2))
+    extra["ivf_idx_recall_at5"] = recall(idx_rows, truth5, 5)
+    extra["ivf_idx_recall_at10"] = recall(idx_rows, truth10, 10)
+
     # near-dup pair recall at the DESIGN threshold, against the
     # generator's planted truth (make_scaled_docs.py plants 1%
     # perturbed copies at cosine ~0.97 and writes the pair sidecar —
