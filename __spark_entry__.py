@@ -3001,12 +3001,56 @@ def q_curate_corpus(spark, sf_dir):
                       F.col("__nl").cast("long").alias("n_bins"),
                       F.round(F.col("__tr") / F.col("__n"), 6)
                       .alias("avg_quality")))
+    # round-9 fold: model-based quality filter
+    # (pipeline.train_quality_classifier / score_quality /
+    # quality_classifier_filter — the GPT-3/CCNet discriminative
+    # gate).  L-BFGS logistic regression is not SQL-replayable, so
+    # shard -12 pins in-plan INVARIANTS the oracle replays as
+    # constants + one SQL-computable count: (a) every non-null-text
+    # doc is scored exactly once (n_docs = SQL count), (b) the
+    # planted language signal separates (median en score > median
+    # non-en — 1/0), (c) the content-addressed Pareto gate keeps a
+    # non-trivial strict subset that includes >90% of q>0.99 docs
+    # (1/0).  Semantic quality (exact separation, reproducibility,
+    # model round-trip) is pinned in tests/test_ext.py.
+    qc_model = pipeline.train_quality_classifier(
+        docs.filter("lang = 'en'"), docs.filter("lang <> 'en'"),
+        max_iter=15)
+    qsc = (pipeline.score_quality(docs, qc_model)
+           .join(docs.select("doc_id", "lang"), "doc_id").persist())
+    from pandas_alchemy_spark.ext.dedup import _register_cache as _rc9
+    _rc9(qsc)
+    sep = (qsc.agg(
+        (F.expr("percentile(CASE WHEN lang = 'en' THEN q_prob END, "
+                "0.5)")
+         > F.expr("percentile(CASE WHEN lang <> 'en' THEN q_prob "
+                  "END, 0.5)")).cast("long").alias("__sep"))
+        .coalesce(1))
+    kept9 = pipeline.quality_classifier_filter(
+        docs, qc_model, seed="pas9").select("doc_id", "q_prob")
+    n_all = qsc.agg(F.count(F.lit(1)).alias("__n")).coalesce(1)
+    high = qsc.filter(F.col("q_prob") > 0.99).select("doc_id")
+    kstats = (kept9.agg(F.count(F.lit(1)).alias("__nk")).coalesce(1)
+              .crossJoin(high.agg(F.count(F.lit(1)).alias("__nh"))
+                         .coalesce(1))
+              .crossJoin(high.join(kept9, "doc_id", "left_semi")
+                         .agg(F.count(F.lit(1)).alias("__nhk"))
+                         .coalesce(1)))
+    leg_qc = (n_all.crossJoin(sep).crossJoin(kstats)
+              .select(F.lit(-12).cast("long").alias("shard"),
+                      F.col("__n").cast("long").alias("n_docs"),
+                      F.col("__sep").cast("long").alias("n_tokens"),
+                      ((F.col("__nk") > 0) & (F.col("__nk") < F.col("__n"))
+                       & (F.col("__nh") > 0)
+                       & (F.col("__nhk") * 10 > F.col("__nh") * 9))
+                      .cast("long").alias("n_bins"),
+                      F.lit(-12.0).alias("avg_quality")))
     return (per_shard.select(
         F.col("shard").cast("long").alias("shard"), "n_docs", "n_tokens",
         F.col("n_bins").cast("long").alias("n_bins"),
         "avg_quality").unionAll(leg_emb).unionAll(leg_mix)
         .unionAll(leg_split).unionAll(leg_dsir).unionAll(leg_sel)
-        .unionAll(leg_gs))
+        .unionAll(leg_gs).unionAll(leg_qc))
 
 
 def q_ann_suite(spark, sf_dir):
@@ -5674,6 +5718,18 @@ def oracle_sql() -> dict[str, str]:
                               WHEN {_spbkt_g} < {_spb[1][1]} THEN 2
                               ELSE 3 END AS gcode
                   FROM documents) gsp
+            UNION ALL
+            -- model-based quality filter (shard -12): L-BFGS logistic
+            -- regression is not SQL-replayable; the oracle replays
+            -- the SQL-computable scored-doc count and the in-plan
+            -- invariant booleans as constants (planted-language
+            -- separation; Pareto gate keeps a non-trivial subset
+            -- containing >90% of q>0.99 docs) — a Spark-side flip
+            -- hash-mismatches here
+            SELECT (-12)::BIGINT,
+                   (SELECT count(*) FROM documents
+                    WHERE text IS NOT NULL)::BIGINT,
+                   1::BIGINT, 1::BIGINT, -12.0
         """,
         # ann_suite: the NEIGHBOR LISTS are approximate by contract and
         # have no SQL twin; the recall-bucket summary they roll into is

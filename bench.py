@@ -248,6 +248,19 @@ def main():
             docs.filter("doc_id % 10 = 0"), index=idx, threshold=0.4)
         return out
 
+    def quality_gate(spark_, sf_dir_):
+        # round-9: the GPT-3/CCNet model-based quality filter —
+        # train (L-BFGS logistic regression over hashed
+        # unigram+bigram counts, all JVM) + score + the
+        # content-addressed Pareto gate, end to end
+        from pandas_alchemy_spark.ext import pipeline
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        model = pipeline.train_quality_classifier(
+            docs.filter("lang = 'en'"), docs.filter("lang <> 'en'"),
+            max_iter=15)
+        return pipeline.quality_classifier_filter(
+            docs, model, seed="bench").select("doc_id", "q_prob")
+
     # per-operator functions are referenced DIRECTLY (several are now
     # folded into combined queries() entries for the driver's 50-entry
     # correctness window) so per-query times stay comparable with
@@ -314,6 +327,7 @@ def main():
         # comparable round-over-round)
         "tfidf_embed": tfidf_embed,
         "cross_dedup_indexed": cross_dedup_indexed,
+        "quality_gate": quality_gate,
     }
 
     # warm the JVM + parquet footers with a trivial action, the

@@ -582,3 +582,160 @@ def cluster_documents(docs: DataFrame, k: int = 16,
     return out.select(id_col,
                       F.col("__cells").getItem(0).cast("long")
                       .alias("cluster"))
+
+
+#: RegexTokenizer pattern matching the module tokenizer exactly
+#: (dedup._TOKENS: lowercase, split on non-alphanumeric runs, drop
+#: empties — RegexTokenizer with gaps=True + minTokenLength=1 does
+#: the same split; toLowercase handles the case fold)
+_ML_TOKEN_PATTERN = "[^a-zA-Z0-9]+"
+
+
+def train_quality_classifier(positive: DataFrame, negative: DataFrame,
+                             text_col: str = "text",
+                             buckets: int = 1 << 17,
+                             max_iter: int = 20,
+                             reg_param: float = 1e-4,
+                             elastic_net: float = 0.0):
+    """Train the model-based quality filter of the GPT-3 / CCNet
+    pipelines (Brown et al. 2020 appendix A; Wenzek et al. 2020): a
+    LOGISTIC REGRESSION over hashed unigram+bigram counts that scores
+    how ``positive``-like a document is.  ``positive`` is the
+    high-quality reference (wiki/books/curated), ``negative`` the raw
+    crawl; both are (…, text) frames — at 100 TB train on SAMPLES
+    (the model needs thousands of docs a side, not the population).
+
+    Spark-native end to end — RegexTokenizer (the module tokenizer's
+    exact split) → two HashingTF legs (unigrams + word bigrams,
+    ``buckets`` each, binary counts — the fastText-style recipe) →
+    VectorAssembler → ``ml.classification.LogisticRegression``
+    (L-BFGS; ``reg_param``/``elastic_net`` regularize).  All JVM: no
+    Python in the fit or scoring path, features never materialize
+    densely, and the fitted ``PipelineModel`` carries its OWN
+    featurization so train and score can never drift.  Vs
+    :func:`importance_weights` (DSIR): that is a generative
+    importance RATIO for resampling toward a target distribution;
+    this is a discriminative quality GATE — pipelines run both.
+
+    Returns the fitted ``pyspark.ml.PipelineModel`` (save/load with
+    its native ``.save(path)`` / ``PipelineModel.load``).  Scoring
+    order is deterministic; coefficient values are float-sum stable
+    only to aggregation order, so compare scores with a tolerance,
+    not bitwise.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import (HashingTF, NGram, RegexTokenizer,
+                                    VectorAssembler)
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    train = (positive.select(F.col(text_col).alias("__qc_text"),
+                             F.lit(1.0).alias("__qc_label"))
+             .unionAll(negative.select(
+                 F.col(text_col).alias("__qc_text"),
+                 F.lit(0.0).alias("__qc_label"))))
+    # NULL text would crash the tokenizer stage; a NULL doc carries
+    # no quality signal either way
+    train = train.filter(F.col("__qc_text").isNotNull())
+    stages = [
+        RegexTokenizer(inputCol="__qc_text", outputCol="__qc_tok",
+                       pattern=_ML_TOKEN_PATTERN, gaps=True,
+                       toLowercase=True, minTokenLength=1),
+        NGram(n=2, inputCol="__qc_tok", outputCol="__qc_bi"),
+        HashingTF(inputCol="__qc_tok", outputCol="__qc_tf1",
+                  numFeatures=buckets, binary=True),
+        HashingTF(inputCol="__qc_bi", outputCol="__qc_tf2",
+                  numFeatures=buckets, binary=True),
+        VectorAssembler(inputCols=["__qc_tf1", "__qc_tf2"],
+                        outputCol="__qc_feat"),
+        LogisticRegression(featuresCol="__qc_feat",
+                           labelCol="__qc_label",
+                           maxIter=max_iter, regParam=reg_param,
+                           elasticNetParam=elastic_net),
+    ]
+    model = Pipeline(stages=stages).fit(train)
+    # Spark 4.1: the fitted LR model's trainingSummary holds a
+    # NON-TRANSIENT SparkSession; the prediction UDF closure captures
+    # the model, so any plan that ships that closure in a serialized
+    # task (observed: the model transform unioned into a larger query
+    # with broadcast exchanges) dies "Task not serializable:
+    # ObservationManager".  The summary is training-time diagnostics
+    # we never expose — drop it (setSummary is package-private in
+    # Scala, i.e. public in bytecode, so py4j reaches it; a save/load
+    # round-trip would also shed it, at the cost of a filesystem
+    # write).
+    try:
+        lrm = model.stages[-1]
+        lrm._java_obj.setSummary(
+            positive.sparkSession._jvm.scala.Option.empty())
+    except Exception:
+        pass  # diagnostics-only: scoring still works, larger plans
+        # may hit the serialization bug on this Spark build
+    return model
+
+
+def score_quality(docs: DataFrame, model, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Score every document under a
+    :func:`train_quality_classifier` model: returns ``(id_col,
+    q_prob)`` with ``q_prob`` = P(positive | doc) in [0, 1].  One
+    JVM-side model pass (the PipelineModel re-runs its own
+    featurization); token-less and empty docs score at the intercept
+    (they carry no features).  NULL text rows are dropped (no
+    features to score)."""
+    from pyspark.ml.functions import vector_to_array
+    scored = model.transform(
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col).alias("__qc_text")))
+    return scored.select(
+        F.col(id_col),
+        vector_to_array(F.col("probability")).getItem(1)
+        .alias("q_prob"))
+
+
+def quality_classifier_filter(docs: DataFrame, model,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float | None = None,
+                              pareto_alpha: float = 9.0,
+                              seed: str = "pas",
+                              fast_hash: bool = False) -> DataFrame:
+    """Gate a corpus on the trained quality score.  Two modes:
+
+    - ``threshold=t``: deterministic hard gate ``q_prob >= t``.
+    - ``threshold=None`` (default): the GPT-3 stochastic-Pareto rule
+      — keep a document iff ``pareto(alpha) > 1 - q_prob`` (Brown et
+      al. 2020 appendix A: keeps essentially all high-scorers but
+      lets a long tail of low-scorers through, avoiding the
+      homogeneity of a hard cut).  The Pareto draw is
+      CONTENT-ADDRESSED, not RNG: ``u = (h60(id || ':' || seed) + 1)
+      / (2^60 + 2)``, ``x = u^(-1/alpha) - 1`` (inverse-CDF of
+      numpy's ``pareto(alpha)``), so the same (corpus, model, seed)
+      keeps the same set on any cluster under any partitioning;
+      change ``seed`` to redraw.
+
+    Returns the kept documents with ``q_prob`` attached.  Plan: one
+    model pass + a broadcast-free join of (id, q_prob) back to the
+    corpus (AQE picks the strategy), then a pure filter."""
+    from .dedup import _h60
+    if threshold is not None and not (0.0 <= threshold <= 1.0):
+        raise ValueError(
+            f"threshold must be in [0, 1], got {threshold}")
+    if pareto_alpha <= 0:
+        raise ValueError(
+            f"pareto_alpha must be > 0, got {pareto_alpha}")
+    if not seed or not all(c.isalnum() or c in "._-" for c in seed):
+        raise ValueError(
+            f"seed must be non-empty [A-Za-z0-9._-], got {seed!r}")
+    scores = score_quality(docs, model, text_col=text_col,
+                           id_col=id_col)
+    joined = docs.join(scores, id_col)
+    if threshold is not None:
+        return joined.filter(F.col("q_prob") >= F.lit(threshold))
+    tagged = f"concat(cast(`{id_col}` as string), ':{seed}')"
+    u = ((F.expr(_h60(tagged, fast_hash)) + F.lit(1)).cast("double")
+         / F.lit(float((1 << 60) + 2)))
+    draw = F.pow(u, F.lit(-1.0 / pareto_alpha)) - F.lit(1.0)
+    return joined.filter(draw > (F.lit(1.0) - F.col("q_prob")))

@@ -1603,6 +1603,71 @@ def test_tfidf_vectors_feed_semantic_dedup(spark, docs):
         text.tfidf_vectors(docs, dim=1)
 
 
+def test_quality_classifier_separates_and_filters(spark, docs):
+    """Model-based quality filter (r9; the GPT-3/CCNet fastText-style
+    gate): logistic regression over hashed unigram+bigram counts must
+    separate the planted language signal, the hard threshold must
+    gate on it, and the content-addressed Pareto rule must be
+    reproducible per seed and seed-sensitive."""
+    from pandas_alchemy_spark.ext import pipeline
+    pos = docs.filter("lang = 'en'")
+    neg = docs.filter("lang <> 'en'")
+    m = pipeline.train_quality_classifier(pos, neg, max_iter=15)
+    sc = pipeline.score_quality(docs, m)
+    pdf = (sc.join(docs.select("doc_id", "lang"), "doc_id")
+           .toPandas())
+    assert len(pdf) == docs.filter("text is not null").count()
+    assert ((pdf.q_prob >= 0) & (pdf.q_prob <= 1)).all()
+    en = pdf[pdf.lang == "en"].q_prob
+    rest = pdf[pdf.lang != "en"].q_prob
+    assert en.median() > 0.9 and rest.median() < 0.1
+    # hard gate == score >= t
+    kept = pipeline.quality_classifier_filter(docs, m, threshold=0.5)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    want_ids = set(pdf[pdf.q_prob >= 0.5].doc_id)
+    assert kept_ids == want_ids
+    # kept frame carries the score and the original columns
+    assert "q_prob" in kept.columns and "text" in kept.columns
+    # Pareto mode: reproducible for a seed, different across seeds,
+    # and keeps essentially all high scorers
+    k1 = {r.doc_id for r in pipeline.quality_classifier_filter(
+        docs, m, seed="a").select("doc_id").collect()}
+    k1b = {r.doc_id for r in pipeline.quality_classifier_filter(
+        docs, m, seed="a").select("doc_id").collect()}
+    k2 = {r.doc_id for r in pipeline.quality_classifier_filter(
+        docs, m, seed="b").select("doc_id").collect()}
+    assert k1 == k1b and k1 != k2
+    high = set(pdf[pdf.q_prob > 0.99].doc_id)
+    assert high and len(high & k1) / len(high) > 0.9
+    with pytest.raises(ValueError, match="threshold"):
+        pipeline.quality_classifier_filter(docs, m, threshold=1.5)
+    with pytest.raises(ValueError, match="pareto_alpha"):
+        pipeline.quality_classifier_filter(docs, m, pareto_alpha=0)
+    with pytest.raises(ValueError, match="seed"):
+        pipeline.quality_classifier_filter(docs, m, seed="bad seed!")
+    with pytest.raises(ValueError, match="buckets"):
+        pipeline.train_quality_classifier(pos, neg, buckets=1)
+
+
+def test_quality_classifier_model_roundtrip(spark, docs, tmp_path):
+    """The fitted PipelineModel saves/loads with its featurization
+    intact: identical scores (same JVM, same aggregation order)."""
+    from pyspark.ml import PipelineModel
+
+    from pandas_alchemy_spark.ext import pipeline
+    pos = docs.filter("lang = 'en'").limit(120)
+    neg = docs.filter("lang <> 'en'").limit(120)
+    m = pipeline.train_quality_classifier(pos, neg, max_iter=8)
+    path = str(tmp_path / "qc_model")
+    m.save(path)
+    m2 = PipelineModel.load(path)
+    a = (pipeline.score_quality(docs, m).toPandas()
+         .set_index("doc_id").sort_index())
+    b = (pipeline.score_quality(docs, m2).toPandas()
+         .set_index("doc_id").sort_index())
+    assert (a.q_prob == b.q_prob).all()
+
+
 def test_resample_corpus_seed_validation(spark, docs):
     from pandas_alchemy_spark.ext import pipeline
     target = docs.filter("doc_id % 7 = 0")
