@@ -246,6 +246,13 @@ def main():
             fast_hash=True)
         out = dedup.cross_dedup_pairs(
             docs.filter("doc_id % 10 = 0"), index=idx, threshold=0.4)
+        # register the index's persisted frames with the bounded
+        # cache ring (ADVICE r9): min-of-3 repetitions otherwise
+        # accumulate 2 persisted 450k-doc frames per rep until the
+        # harness clearCache, inflating storage memory mid-run
+        from pandas_alchemy_spark.ext.similarity import _register_cache
+        _register_cache(idx.ref_buckets)
+        _register_cache(idx.ref_sets)
         return out
 
     def quality_gate(spark_, sf_dir_):
@@ -255,9 +262,13 @@ def main():
         # content-addressed Pareto gate, end to end
         from pandas_alchemy_spark.ext import pipeline
         docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        # max_train_docs pinned (r10): round-over-round numbers
+        # compare like for like regardless of fixture size, and the
+        # leg exercises the bounded-training contract the operator
+        # documents for 100 TB
         model = pipeline.train_quality_classifier(
             docs.filter("lang = 'en'"), docs.filter("lang <> 'en'"),
-            max_iter=15)
+            max_iter=15, max_train_docs=20_000)
         return pipeline.quality_classifier_filter(
             docs, model, seed="bench").select("doc_id", "q_prob")
 

@@ -870,17 +870,25 @@ class ReferenceIndex:
       already ``bucket_cap``-capped (the cap is fixed at build).
     - ``ref_sets`` (id_ref, hs_r, sig_r, __sb): per-doc shingle-hash
       set, signature, and post-cap surviving bands.
+    - ``ref_over`` (band, bh): keys of buckets DROPPED at the cap —
+      tombstones (r10).  Tiny by construction (only degenerate
+      boilerplate buckets saturate).  They exist so :meth:`append`
+      is value-equal to a from-scratch rebuild on the union: a
+      saturated bucket must stay saturated when new members arrive,
+      not silently resurrect with only the new ids.
 
     Lifecycle is CALLER-OWNED: frames are persisted (not in the
     bounded cache ring, not pinned) — call :meth:`release` when no
     consumer is live.  ``save``/:func:`load_reference_index` write/
-    read the two frames as parquet with a params sidecar, so a
+    read the frames as parquet with a params sidecar, so a
     100 TB reference is indexed once and any number of ingest
-    streams (or later batch sweeps) reuse the files."""
+    streams (or later batch sweeps) reuse the files.  The reference
+    GROWS without a full rebuild via :meth:`append`."""
 
     def __init__(self, ref_buckets: DataFrame, ref_sets: DataFrame,
                  num_hashes: int, bands: int, shingle_n: int,
-                 fast_hash: bool, bucket_cap: int | None):
+                 fast_hash: bool, bucket_cap: int | None,
+                 ref_over: DataFrame | None = None):
         self.ref_buckets = ref_buckets
         self.ref_sets = ref_sets
         self.num_hashes = num_hashes
@@ -888,12 +896,14 @@ class ReferenceIndex:
         self.shingle_n = shingle_n
         self.fast_hash = fast_hash
         self.bucket_cap = bucket_cap
+        self.ref_over = ref_over
 
     _br = None  # set only on lazy builds (see build_reference_index)
 
     def release(self) -> None:
         """Unpersist the index frames (idempotent)."""
-        for sdf in (self.ref_buckets, self.ref_sets, self._br):
+        for sdf in (self.ref_buckets, self.ref_sets, self.ref_over,
+                    self._br):
             if sdf is None:
                 continue
             try:
@@ -902,22 +912,128 @@ class ReferenceIndex:
                 pass  # session already stopped
 
     def save(self, path: str) -> "ReferenceIndex":
-        """Write the index as two parquet tables + a params sidecar
-        (``_dedup_index.json``).  Bucket rows repartition by band so
-        each band is a bounded file set."""
+        """Write the index as parquet tables + a params sidecar
+        (``_dedup_index.json``).  Bucket rows are written as the
+        aggregation produced them (shuffle-partition-bounded files;
+        no extra repartition — consumers read all bands anyway)."""
         import json
         import os
         self.ref_buckets.write.mode("overwrite").parquet(
             os.path.join(path, "ref_buckets"))
         self.ref_sets.write.mode("overwrite").parquet(
             os.path.join(path, "ref_sets"))
+        if self.ref_over is not None:
+            self.ref_over.write.mode("overwrite").parquet(
+                os.path.join(path, "ref_over"))
         with open(os.path.join(path, "_dedup_index.json"), "w") as fh:
             json.dump({"num_hashes": self.num_hashes,
                        "bands": self.bands,
                        "shingle_n": self.shingle_n,
                        "fast_hash": self.fast_hash,
-                       "bucket_cap": self.bucket_cap}, fh)
+                       "bucket_cap": self.bucket_cap,
+                       "has_over": self.ref_over is not None}, fh)
         return self
+
+    def append(self, new_docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               materialize: bool = True) -> "ReferenceIndex":
+        """Grow the reference WITHOUT re-minhashing the existing
+        corpus (r10; VERDICT r9 #6 — a real ingest pipeline adds
+        accepted docs to its reference continuously): minhash only
+        ``new_docs`` with the index's own hash family, merge their
+        band rows into the existing buckets (one shuffle of the
+        bucket table + the new docs — never a second pass over the
+        old corpus text), re-cap with logged drops, and recompute
+        the per-doc surviving-band sets.
+
+        VALUE-EQUAL to ``build_reference_index(old_corpus UNION
+        new_docs)`` by construction (test-pinned): the merged bucket
+        carries exactly the union's members (old ids ride in the
+        stored buckets), previously-saturated keys stay dropped via
+        the ``ref_over`` tombstones (saturation is monotone — a
+        bucket over the cap can only grow), and newly-over-cap
+        buckets drop with the same logged policy.  Old docs whose
+        every band saturated at build are unrecoverable from the
+        index, and stay absent — exactly as the rebuild would drop
+        them.  Indexes loaded from a pre-r10 save (no tombstones)
+        get an empty tombstone set — exact equality then holds only
+        if no bucket was dropped at the original build (the common
+        case; the build logs any drop).
+
+        New ids must be DISJOINT from the indexed ids (the natural
+        ingest contract — accepted docs are new): a re-appended id
+        would keep two signature rows where the rebuild merges one
+        doc's shingles.  ``materialize=True`` enforces it (one cheap
+        semi-join probe piggybacked on the warm-up counts);
+        ``materialize=False`` trusts the caller.
+
+        Returns a NEW :class:`ReferenceIndex`; the old one is left
+        intact (live streams may still hold it) — release it when
+        its consumers stop."""
+        rows = self.num_hashes // self.bands
+        nb = _minhash_base(new_docs, text_col, id_col,
+                           self.num_hashes, self.shingle_n,
+                           self.fast_hash).persist()
+        if materialize:
+            dup = (nb.select(F.col(id_col).alias("id_ref"))
+                   .join(self.ref_sets.select("id_ref"), "id_ref",
+                         "left_semi").limit(1).count())
+            if dup:
+                nb.unpersist()
+                raise ValueError(
+                    "ReferenceIndex.append: new_docs share ids with "
+                    "the indexed reference — appended docs must "
+                    "carry fresh ids (a re-appended id would keep "
+                    "two signature rows where a rebuild merges one)")
+        new_band = _banded(nb, id_col, "id_ref", self.bands, rows)
+        old_rows = self.ref_buckets.select(
+            "band", "bh", F.explode("ids").alias("id_ref"))
+        merged = (old_rows.unionAll(
+            new_band.select("band", "bh", "id_ref"))
+            .groupBy("band", "bh")
+            .agg(F.array_sort(F.collect_list("id_ref")).alias("ids")))
+        spark = new_docs.sparkSession
+        over_old = self.ref_over
+        if over_old is None:
+            over_old = spark.createDataFrame(
+                [], "band int, bh string")
+        if self.bucket_cap is not None:
+            # tombstoned keys stay dropped; then the shared cap
+            # policy (logged drops) handles newly-saturated keys
+            surv = merged.join(over_old, ["band", "bh"], "left_anti")
+            over_new = (merged.filter(
+                F.size("ids") > self.bucket_cap)
+                .select("band", "bh")
+                .unionAll(over_old).distinct()).persist()
+            surv = _cap_buckets(surv, "ids", self.bucket_cap,
+                                "ReferenceIndex.append")
+        else:
+            surv = merged
+            over_new = over_old.persist()
+        ref_buckets2 = surv.persist()
+        surv_bands = (ref_buckets2
+                      .select("band",
+                              F.explode("ids").alias("id_ref"))
+                      .groupBy("id_ref")
+                      .agg(F.collect_set("band").alias("__sb")))
+        all_sets = (self.ref_sets.select("id_ref", "hs_r", "sig_r")
+                    .unionAll(nb.select(
+                        F.col(id_col).alias("id_ref"),
+                        F.col("hs").alias("hs_r"),
+                        F.col("signature").alias("sig_r"))))
+        ref_sets2 = all_sets.join(surv_bands, "id_ref").persist()
+        idx = ReferenceIndex(ref_buckets2, ref_sets2,
+                             self.num_hashes, self.bands,
+                             self.shingle_n, self.fast_hash,
+                             self.bucket_cap, ref_over=over_new)
+        if materialize:
+            ref_buckets2.count()
+            ref_sets2.count()
+            over_new.count()
+            nb.unpersist()
+        else:
+            idx._br = nb
+        return idx
 
 
 def build_reference_index(reference: DataFrame,
@@ -942,11 +1058,20 @@ def build_reference_index(reference: DataFrame,
     rows = num_hashes // bands
     br = _minhash_base(reference, text_col, id_col, num_hashes,
                        shingle_n, fast_hash).persist()
-    ref_buckets = (_banded(br, id_col, "id_ref", bands, rows)
-                   .groupBy("band", "bh")
-                   .agg(F.array_sort(F.collect_list("id_ref"))
-                        .alias("ids")))
-    ref_buckets = _cap_buckets(ref_buckets, "ids", bucket_cap,
+    grouped = (_banded(br, id_col, "id_ref", bands, rows)
+               .groupBy("band", "bh")
+               .agg(F.array_sort(F.collect_list("id_ref"))
+                    .alias("ids")))
+    if bucket_cap is not None:
+        # tombstones for the dropped (saturated) keys — r10: they
+        # make append() rebuild-equal (a saturated bucket must stay
+        # saturated when new members arrive).  Tiny by construction.
+        ref_over = (grouped.filter(F.size("ids") > bucket_cap)
+                    .select("band", "bh")).persist()
+    else:
+        ref_over = reference.sparkSession.createDataFrame(
+            [], "band int, bh string").persist()
+    ref_buckets = _cap_buckets(grouped, "ids", bucket_cap,
                                "build_reference_index").persist()
     # per-ref-doc SURVIVING bands (post-cap): the canonical-band rule
     # must pick the smallest matching band AMONG SURVIVING buckets
@@ -961,10 +1086,12 @@ def build_reference_index(reference: DataFrame,
                           F.col("signature").alias("sig_r"))
                 .join(surv_bands, "id_ref")).persist()
     idx = ReferenceIndex(ref_buckets, ref_sets, num_hashes, bands,
-                         shingle_n, fast_hash, bucket_cap)
+                         shingle_n, fast_hash, bucket_cap,
+                         ref_over=ref_over)
     if materialize:
         ref_buckets.count()
         ref_sets.count()
+        ref_over.count()
         # br fed both derived frames; once they are materialized it
         # is dead weight
         br.unpersist()
@@ -989,11 +1116,17 @@ def load_reference_index(spark, path: str,
         os.path.join(path, "ref_buckets")).persist()
     ref_sets = spark.read.parquet(
         os.path.join(path, "ref_sets")).persist()
+    ref_over = None
+    if meta.get("has_over"):
+        ref_over = spark.read.parquet(
+            os.path.join(path, "ref_over")).persist()
     if materialize:
         ref_buckets.count()
         ref_sets.count()
+        if ref_over is not None:
+            ref_over.count()
     return ReferenceIndex(ref_buckets, ref_sets,
                           int(meta["num_hashes"]), int(meta["bands"]),
                           int(meta["shingle_n"]),
                           bool(meta["fast_hash"]),
-                          meta["bucket_cap"])
+                          meta["bucket_cap"], ref_over=ref_over)

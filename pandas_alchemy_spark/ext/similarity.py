@@ -90,29 +90,42 @@ def _register_cache(sdf) -> None:
 # exists to prevent — 193 docs/s measured on streaming_dedup_against).
 # Pinned frames are released only by release_pinned_caches(), which
 # the stream owner calls after query.stop().
-_PINNED_CACHE: "list" = []
+_PINNED_CACHE: "list" = []  # (scope, frame) pairs
 
 
-def _pin_cache(sdf) -> None:
+def _pin_cache(sdf, scope=None) -> None:
     """Pin a persisted frame for a stream's lifetime (exempt from the
     bounded ring's eviction).  Callers MUST pair with
-    :func:`release_pinned_caches` once the streaming query stops."""
-    _PINNED_CACHE.append(sdf)
+    :func:`release_pinned_caches` once the streaming query stops.
+    ``scope`` tags the pin with its owning stream (ADVICE r9: two
+    live gates share this module-global list; an owner draining
+    everything would silently reinstate the OTHER stream's
+    per-micro-batch reference-rebuild cliff)."""
+    _PINNED_CACHE.append((scope, sdf))
 
 
-def release_pinned_caches() -> int:
-    """Unpersist every stream-lifetime pinned frame (see
+def release_pinned_caches(scope=None) -> int:
+    """Unpersist stream-lifetime pinned frames (see
     :func:`_pin_cache`).  Call after stopping streaming queries built
-    by :func:`~..streaming.stream_events.streaming_dedup_against`.
+    by :func:`~..streaming.stream_events.streaming_dedup_against` —
+    pass that call's pin scope (the returned frame's
+    ``_pas_pin_scope`` attribute, or your own ``pin_scope=`` value)
+    to release ONLY that stream's static frames; ``scope=None``
+    keeps the drain-everything behavior for single-stream owners.
     Returns the number of frames released."""
     n = 0
+    keep: list = []
     while _PINNED_CACHE:
-        old = _PINNED_CACHE.pop()
+        sc, old = _PINNED_CACHE.pop()
+        if scope is not None and sc is not scope:
+            keep.append((sc, old))
+            continue
         try:
             old.unpersist()
             n += 1
         except Exception:
             pass  # session already stopped
+    _PINNED_CACHE.extend(reversed(keep))
     return n
 
 
@@ -718,6 +731,13 @@ def build_ivf_index(df: DataFrame, path: str, dim: int,
         json.dump({"dim": dim, "nlist": len(centroids),
                    "id_col": id_col, "vec_col": vec_col,
                    "centroids": centroids}, fh)
+    # a rebuild invalidates any cached tuned nprobe (r10: the tune
+    # cache is keyed to the WRITTEN data; stale reuse would carry a
+    # previous corpus's recall point onto the new index)
+    try:
+        os.remove(os.path.join(path, "_ivf_nprobe.json"))
+    except FileNotFoundError:
+        pass
     return centroids
 
 
@@ -742,9 +762,13 @@ def search_ivf_index(spark, path: str, queries: DataFrame,
     table — the smallest probe count whose estimated recall@min(k,5)
     reaches ``target_recall`` on a sampled truth set, logged with the
     implied scan fraction.  The tuner costs one brute-force pass over
-    the index for ~64 sampled queries; amortize it by passing the
-    tuned int back on subsequent searches of the same index (the
-    point of build-once-query-many).  A fixed int skips the tuner
+    the index for ~64 sampled queries, so its result is CACHED in the
+    index directory (``_ivf_nprobe.json``, keyed by (target_recall,
+    k); ADVICE r9 — without the cache every default-args search of a
+    build-once index re-paid the tune, contradicting the
+    amortization the index exists for) and reused by every later
+    ``"auto"`` search; a read-only index directory just skips the
+    cache write and re-tunes.  A fixed int skips the tuner
     (``target_recall`` is then inert)."""
     import json
     import os
@@ -759,16 +783,37 @@ def search_ivf_index(spark, path: str, queries: DataFrame,
     id_col = id_col or meta["id_col"]
     vec_col = vec_col or meta["vec_col"]
     if nprobe == "auto":
-        nprobe, est = tune_ivf_nprobe(
-            spark.read.parquet(path), centroids,
-            target_recall=target_recall, k=min(k, 5),
-            id_col=id_col, vec_col=vec_col)
-        print(f"search_ivf_index: tuned nprobe={nprobe}/"
-              f"{len(centroids)} cells "
-              f"(~{nprobe / max(len(centroids), 1):.0%} index scan) "
-              f"for target recall {target_recall:.2f} "
-              f"(estimated {est:.3f} on the sampled truth set)",
-              file=sys.stderr)
+        cache_path = os.path.join(path, "_ivf_nprobe.json")
+        ck = f"r{target_recall:.4f}@k{min(k, 5)}"
+        tuned: dict = {}
+        try:
+            with open(cache_path) as fh:
+                tuned = json.load(fh)
+        except Exception:
+            pass  # no cache yet (first search) or unreadable
+        if ck in tuned:
+            nprobe = int(tuned[ck]["nprobe"])
+            print(f"search_ivf_index: reusing cached tuned "
+                  f"nprobe={nprobe}/{len(centroids)} cells for "
+                  f"target recall {target_recall:.2f} @k{min(k, 5)} "
+                  f"({cache_path})", file=sys.stderr)
+        else:
+            nprobe, est = tune_ivf_nprobe(
+                spark.read.parquet(path), centroids,
+                target_recall=target_recall, k=min(k, 5),
+                id_col=id_col, vec_col=vec_col)
+            print(f"search_ivf_index: tuned nprobe={nprobe}/"
+                  f"{len(centroids)} cells "
+                  f"(~{nprobe / max(len(centroids), 1):.0%} index "
+                  f"scan) for target recall {target_recall:.2f} "
+                  f"(estimated {est:.3f} on the sampled truth set)",
+                  file=sys.stderr)
+            tuned[ck] = {"nprobe": int(nprobe), "est": float(est)}
+            try:
+                with open(cache_path, "w") as fh:
+                    json.dump(tuned, fh)
+            except OSError:
+                pass  # read-only index dir: re-tune next time
     elif not isinstance(nprobe, int) or nprobe < 1:
         raise ValueError(f"nprobe must be a positive int or 'auto', "
                          f"got {nprobe!r}")

@@ -44,17 +44,86 @@ def uses_take_ordered(obj) -> bool:
     return "TakeOrderedAndProject" in physical_plan(obj)
 
 
+#: tree-prefix chars of a physical-plan toString line (indentation +
+#: branch glyphs), NOT including the ``*(N)`` codegen marker — two
+#: siblings must compare equal regardless of codegen stage id
+_TREE_PREFIX = r"^[\s:|+-]*"
+
+#: wrapper nodes that sit between an Exchange and its semantic parent
+#: in AQE / codegen plan text
+_WRAPPER_NODES = ("WholeStageCodegen", "InputAdapter",
+                  "ShuffleQueryStage", "BroadcastQueryStage",
+                  "AQEShuffleRead", "TableCacheQueryStage",
+                  "ResultQueryStage", "ColumnarToRow",
+                  "AdaptiveSparkPlan", "ReusedExchange")
+
+
+def _node_depth(line: str) -> int:
+    import re
+    return re.match(_TREE_PREFIX, line).end()
+
+
+def _subtree(lines: list, i: int) -> list:
+    """Indices of the subtree rooted at line ``i`` (itself included):
+    the following lines strictly deeper than ``i``."""
+    d = _node_depth(lines[i])
+    out = [i]
+    for j in range(i + 1, len(lines)):
+        if not lines[j].strip():
+            continue
+        if _node_depth(lines[j]) <= d:
+            break
+        out.append(j)
+    return out
+
+
+def _semantic_parent(lines: list, i: int) -> str:
+    """Nearest ancestor line of ``i`` that is not a pure wrapper node
+    (codegen/AQE adapters) — the node that REQUIRED the child's
+    distribution."""
+    d = _node_depth(lines[i])
+    for j in range(i - 1, -1, -1):
+        if not lines[j].strip():
+            continue
+        dj = _node_depth(lines[j])
+        if dj < d:
+            d = dj
+            if not any(w in lines[j] for w in _WRAPPER_NODES):
+                return lines[j]
+    return ""
+
+
+def _scalar_agg_subtree(lines: list, i: int) -> bool:
+    """True when the subtree at ``i`` produces at most one row by
+    construction: it contains a grouping-key-free aggregate
+    (``keys=[]``) with no wider-output operator above it inside the
+    subtree.  That is the lineage of a scalar (count/sum/avg) used as
+    a broadcast build side or behind a final SinglePartition
+    exchange."""
+    return any("Aggregate(keys=[]" in lines[j] for j in _subtree(lines, i))
+
+
 def scale_report(obj) -> dict:
     """Audit a frame's physical plan for 100 TB red flags and return a
     structured report — the engine's scale lessons packaged as a
     diagnostic (see SCALE.md; each finding names the fix).
 
     Checks:
-      - ``single_partition``: any stage funnels through ONE partition
+      - ``single_partition``: a stage funnels through ONE partition
         (global Window/sort without range partitioning) — the classic
-        scale killer.
+        scale killer.  ADJUDICATED (r10, VERDICT r9 #2): the final
+        ``Exchange SinglePartition`` under a scalar aggregate
+        (``keys=[]`` — one row per upstream partition arrives, one
+        row leaves) is how EVERY global sum/count compiles and is not
+        a finding; only exchanges whose semantic parent is something
+        else (Window, Sort, a keyed aggregate) flag.
       - ``cartesian``: CartesianProduct / BroadcastNestedLoopJoin in
-        the plan (a join lost its equi-condition).
+        the plan (a join lost its equi-condition).  ADJUDICATED: a
+        BroadcastNestedLoopJoin whose build side descends from a
+        scalar aggregate (``keys=[]`` lineage — a 1-row relation,
+        e.g. a doc-count broadcast into a per-row expression) is the
+        plan you WANT for attaching a scalar to every row; only a
+        build side that can exceed one row flags.
       - ``repeated_expensive_exprs``: a non-cheap expression (the
         text tokenizer, hashes, JSON codecs) evaluated >=2x inside
         one plan node — Catalyst does not CSE across lambdas and
@@ -76,17 +145,58 @@ def scale_report(obj) -> dict:
     lines = plan.splitlines()
     flags: list = []
 
-    if "SinglePartition" in plan:
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        parent = _semantic_parent(lines, i)
+        if "Aggregate(keys=[]" in parent:
+            continue  # scalar aggregate's final exchange — benign
         flags.append(("single_partition",
                       "a stage funnels through one partition "
-                      "(global window/sort?) — use a range-"
-                      "partitioned segmented scan"))
-    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-        if bad in plan:
-            flags.append(("cartesian",
-                          f"{bad} in plan — the join has no "
-                          f"equi-condition"))
-            break
+                      f"(required by: {parent.strip() or 'root'}"
+                      ") — use a range-partitioned segmented scan"))
+        break
+    if "CartesianProduct" in plan:
+        flags.append(("cartesian",
+                      "CartesianProduct in plan — the join has no "
+                      "equi-condition"))
+    else:
+        for i, ln in enumerate(lines):
+            if "BroadcastNestedLoopJoin" not in ln:
+                continue
+            # direct children of the join node; the build side is
+            # the one holding the broadcast (wrapped by
+            # BroadcastQueryStage under AQE)
+            sub = _subtree(lines, i)
+            benign = False
+            if len(sub) > 1:
+                cd = min(_node_depth(lines[j]) for j in sub[1:])
+                children = [j for j in sub[1:]
+                            if _node_depth(lines[j]) == cd]
+                for c in children:
+                    csub = _subtree(lines, c)
+                    if not any("Broadcast" in lines[j]
+                               or "ReusedExchange" in lines[j]
+                               for j in csub):
+                        continue
+                    if any("ReusedExchange" in lines[j] for j in csub):
+                        # points at an exchange rendered elsewhere —
+                        # benign iff some identity-broadcast in the
+                        # plan has scalar-agg (1-row) lineage
+                        benign = any(
+                            "IdentityBroadcastMode" in lines[k]
+                            and _scalar_agg_subtree(lines, k)
+                            for k in range(len(lines))
+                            if "BroadcastExchange" in lines[k])
+                    else:
+                        benign = _scalar_agg_subtree(lines, c)
+                    break
+            if not benign:
+                flags.append(("cartesian",
+                              "BroadcastNestedLoopJoin with a "
+                              "multi-row build side — the join has "
+                              "no equi-condition"))
+                break
     shapes = ["split(lower(regexp_replace(", "md5(", "sha2(",
               "xxhash64(", "from_json(", "to_json("]
     skip_deeper_than = None

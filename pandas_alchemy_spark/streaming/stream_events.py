@@ -287,7 +287,8 @@ def streaming_dedup_against(stream: DataFrame,
                             bucket_cap: int | None = 2000,
                             fast_hash: bool = False,
                             stream_partitions: int | None = None,
-                            index=None) -> DataFrame:
+                            index=None,
+                            pin_scope=None) -> DataFrame:
     """Ingest-time incremental near-duplicate gating: match each
     arriving document against a STATIC reference corpus with the SAME
     MinHash-LSH family the batch path uses — the streaming twin of
@@ -389,10 +390,16 @@ def streaming_dedup_against(stream: DataFrame,
         # would evict these from the ring and re-ship the exact
         # cliff the persist prevents.  The caller owns release: call
         # ext.similarity.release_pinned_caches() after query.stop().
+        # per-stream pin scope (ADVICE r9): with two live gates,
+        # release_pinned_caches(scope) unpins only THIS stream's
+        # frames; the scope rides on the returned frame as
+        # ._pas_pin_scope when the caller didn't supply one
         from ..ext.similarity import _pin_cache
+        if pin_scope is None:
+            pin_scope = object()
         br = _minhash_base(reference, text_col, id_col, num_hashes,
                            shingle_n, fast_hash).persist()
-        _pin_cache(br)  # feeds BOTH derived tables below
+        _pin_cache(br, pin_scope)  # feeds BOTH derived tables below
         ref_buckets = (_banded(br, id_col, "id_ref", bands, rows)
                        .groupBy("band", "bh")
                        .agg(F.array_sort(F.collect_list("id_ref"))
@@ -400,7 +407,7 @@ def streaming_dedup_against(stream: DataFrame,
         ref_buckets = _cap_buckets(ref_buckets, "ids", bucket_cap,
                                    "streaming_dedup_against")
         ref_buckets = ref_buckets.persist()
-        _pin_cache(ref_buckets)
+        _pin_cache(ref_buckets, pin_scope)
         # per-ref-doc SURVIVING bands (post-cap): the canonical-band
         # rule below must pick the smallest matching band AMONG
         # SURVIVING buckets — if the true smallest matching band was
@@ -416,7 +423,7 @@ def streaming_dedup_against(stream: DataFrame,
                               F.col("hs").alias("hs_r"),
                               F.col("signature").alias("sig_r"))
                     .join(surv_bands, "id_ref")).persist()
-        _pin_cache(ref_sets)
+        _pin_cache(ref_sets, pin_scope)
 
     # --- stream side: per-row signature, no aggregation
     if stream_partitions is not None:
@@ -461,6 +468,11 @@ def streaming_dedup_against(stream: DataFrame,
         f"concat_ws(',', slice(sig_r, b * {rows} + 1, {rows}))))")
     jac = (F.size(F.array_intersect("hs_n", "hs_r"))
            / F.size(F.array_union("hs_n", "hs_r")))
-    return (cand.filter(F.col("band") == canonical)
-            .select("id_new", "id_ref", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    out = (cand.filter(F.col("band") == canonical)
+           .select("id_new", "id_ref", jac.alias("jaccard"))
+           .filter(F.col("jaccard") >= threshold))
+    if pin_scope is not None:
+        # hand the owner its release handle (index mode pins nothing,
+        # so there is nothing to scope there)
+        out._pas_pin_scope = pin_scope
+    return out

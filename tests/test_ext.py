@@ -335,6 +335,24 @@ def test_ivf_index_build_search_pruned(spark, emb, tmp_path):
     tp = tuned.toPandas()
     tn_set = set(zip(tp.query_id, tp.neighbor_id))
     assert len(bf_set & tn_set) / len(bf_set) >= 0.7
+    # r10 (ADVICE r9): the tune result is cached in the index dir
+    # keyed by (target_recall, k) — a second "auto" search reuses it
+    # (no second brute-force tuner pass) and returns the same frame
+    import json as _json
+    import os as _os
+    side = _os.path.join(path, "_ivf_nprobe.json")
+    assert _os.path.exists(side)
+    cache1 = _json.load(open(side))
+    assert "r0.9000@k5" in cache1
+    t2 = similarity.search_ivf_index(spark, path, q, k=5).toPandas()
+    assert _json.load(open(side)) == cache1  # reused, not re-tuned
+    assert (t2.sort_values(["query_id", "rank"]).neighbor_id.tolist()
+            == tp.sort_values(["query_id", "rank"])
+            .neighbor_id.tolist())
+    # a different target_recall gets its own cache key
+    similarity.search_ivf_index(spark, path, q, k=5,
+                                target_recall=0.5)
+    assert "r0.5000@k5" in _json.load(open(side))
     with pytest.raises(ValueError, match="nprobe"):
         similarity.search_ivf_index(spark, path, q, k=5, nprobe=0)
 
@@ -1774,3 +1792,169 @@ def test_cluster_documents_groups_planted_topics(spark):
     assert (m.cluster == m.cluster_b).all()
     with pytest.raises(ValueError):
         pipeline.cluster_documents(docs, k=1)
+
+
+def test_quality_classifier_filter_join_and_fast_paths_agree(spark, docs):
+    """r10 (VERDICT r9 #1): the no-join fast path (one corpus scan
+    through model.transform) must keep exactly the set the score+join
+    path keeps, in both gate modes."""
+    from pandas_alchemy_spark.ext import pipeline
+    m = pipeline.train_quality_classifier(
+        docs.filter("lang = 'en'"), docs.filter("lang <> 'en'"),
+        max_iter=8)
+    sc = pipeline.score_quality(docs, m)
+    for kw in ({"seed": "agree"}, {"threshold": 0.5}):
+        fast = {(r.doc_id, round(r.q_prob, 9))
+                for r in pipeline.quality_classifier_filter(
+                    docs, m, **kw).select("doc_id", "q_prob")
+                .collect()}
+        join = {(r.doc_id, round(r.q_prob, 9))
+                for r in pipeline.quality_classifier_filter(
+                    docs, m, scores=sc, **kw)
+                .select("doc_id", "q_prob").collect()}
+        assert fast == join and fast
+    # a corpus column colliding with the model's appended names
+    # falls back to the join path with the same kept set
+    clash = docs.withColumn("prediction", F.lit(0))
+    k1 = {r.doc_id for r in pipeline.quality_classifier_filter(
+        clash, m, seed="agree").select("doc_id").collect()}
+    k2 = {r.doc_id for r in pipeline.quality_classifier_filter(
+        docs, m, seed="agree").select("doc_id").collect()}
+    assert k1 == k2
+
+
+def test_quality_classifier_max_train_docs_bound(spark, docs):
+    """r10 (VERDICT r9 #5): the bounded-training contract is
+    ENFORCED — a side above max_train_docs is hash-sampled to ~the
+    bound, deterministically (same model coefficients on re-train),
+    and max_train_docs=None deliberately fits the population."""
+    from pandas_alchemy_spark.ext import pipeline
+    pos = docs.filter("lang = 'en'")
+    neg = docs.filter("lang <> 'en'")
+
+    def coefs(m):
+        lr = m.stages[-1]
+        arr = lr.coefficients.toArray()
+        # the hashed feature space is sparse — summarize the FULL
+        # vector, not a prefix of mostly-empty slots
+        return (float(lr.intercept), float(arr.sum()),
+                int((arr != 0).sum()))
+
+    # bound smaller than the side sizes: the training set shrinks but
+    # the planted signal still separates
+    m1 = pipeline.train_quality_classifier(
+        pos, neg, max_iter=8, max_train_docs=50)
+    m2 = pipeline.train_quality_classifier(
+        pos, neg, max_iter=8, max_train_docs=50)
+    assert coefs(m1) == coefs(m2)  # content-addressed: no RNG state
+    mfull = pipeline.train_quality_classifier(
+        pos, neg, max_iter=8, max_train_docs=None)
+    assert coefs(m1) != coefs(mfull)  # the bound really bit
+    sc = (pipeline.score_quality(docs, m1)
+          .join(docs.select("doc_id", "lang"), "doc_id").toPandas())
+    assert (sc[sc.lang == "en"].q_prob.median()
+            > sc[sc.lang != "en"].q_prob.median())
+    with pytest.raises(ValueError, match="max_train_docs"):
+        pipeline.train_quality_classifier(pos, neg, max_train_docs=0)
+
+
+def test_quality_classifier_heldout_eval(spark):
+    """r10 (VERDICT r9 #4): held-out evaluation on a PLANTED fixture
+    with a generalizable vocabulary signal — train on one half,
+    evaluate on the disjoint half; AUC floor and gate-metric sanity.
+    (The sf0.001 documents fixture's lang sides share vocabulary —
+    500 docs generalize at chance there, an honest small-data result;
+    the planted fixture tests the evaluator, the doc-scale artifact
+    carries the real-fixture numbers.)"""
+    from pandas_alchemy_spark.ext import pipeline
+    posv = ("curated edited encyclopedia citation reviewed prose "
+            "paragraph chapter reference archive").split()
+    negv = ("spam casino winner click banner popup lottery crypto "
+            "pills refinance").split()
+
+    def corpus(vocab, n, tag):
+        # deterministic index-addressed docs: ~12 words each, vocab
+        # rotated by doc index so every doc differs but the signal
+        # generalizes across the split
+        rows = [(i, " ".join(vocab[(i + j) % len(vocab)]
+                             for j in range(12)) + f" {tag}{i}")
+                for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    pos, neg = corpus(posv, 300, "p"), corpus(negv, 300, "n")
+    m = pipeline.train_quality_classifier(
+        pos.filter("doc_id % 2 = 0"), neg.filter("doc_id % 2 = 0"),
+        max_iter=15)
+    ev = pipeline.evaluate_quality_classifier(
+        m, pos.filter("doc_id % 2 = 1"), neg.filter("doc_id % 2 = 1"))
+    assert ev["auc"] >= 0.95
+    assert ev["n_pos"] == 150 and ev["n_neg"] == 150
+    assert 0 < ev["kept_rate"] < 1
+    assert ev["precision_at_kept"] >= 0.9
+    assert 0 < ev["recall_at_kept"] <= 1
+    # hard-gate mode evaluates too and is at least as precise
+    evh = pipeline.evaluate_quality_classifier(
+        m, pos.filter("doc_id % 2 = 1"), neg.filter("doc_id % 2 = 1"),
+        threshold=0.5)
+    assert evh["precision_at_kept"] >= ev["precision_at_kept"] - 0.05
+
+
+def test_reference_index_append_equals_rebuild(spark, docs):
+    """ReferenceIndex.append (r10, VERDICT r9 #6): growing the
+    reference without re-minhashing the old corpus must be
+    VALUE-EQUAL to a from-scratch rebuild on the union — buckets,
+    per-doc sets, surviving bands, and tombstones — including when
+    the bucket cap binds (planted boilerplate saturates a bucket at
+    build; its key must stay dropped after the append, not
+    resurrect with only the new members)."""
+    base = docs.select("doc_id", "text")
+    boiler = docs.limit(1).select(F.col("text").alias("btext"))
+    # 10 identical boilerplate docs in A: every one of their band
+    # buckets holds >= 10 members, over the cap of 3 -> tombstoned
+    planted_a = (spark.range(10).crossJoin(boiler)
+                 .select((F.col("id") + 800000).alias("doc_id"),
+                         F.col("btext").alias("text")))
+    a_side = base.filter("doc_id % 2 = 0").unionAll(planted_a)
+    # 2 more copies arrive in the append batch
+    planted_b = (spark.range(2).crossJoin(boiler)
+                 .select((F.col("id") + 900000).alias("doc_id"),
+                         F.col("btext").alias("text")))
+    b_side = base.filter("doc_id % 2 = 1").unionAll(planted_b)
+
+    def snap(idx):
+        b = {(r.band, r.bh, tuple(r.ids))
+             for r in idx.ref_buckets.collect()}
+        s = {(r["id_ref"], tuple(sorted(r["hs_r"])),
+              tuple(r["sig_r"]), tuple(sorted(r["__sb"])))
+             for r in idx.ref_sets.collect()}
+        o = {(r.band, r.bh) for r in idx.ref_over.collect()}
+        return b, s, o
+
+    i_a = dedup.build_reference_index(a_side, num_hashes=16,
+                                      bands=4, bucket_cap=3)
+    assert i_a.ref_over.count() > 0  # the cap really bound at build
+    i_app = i_a.append(b_side)
+    i_reb = dedup.build_reference_index(
+        a_side.unionAll(b_side), num_hashes=16, bands=4,
+        bucket_cap=3)
+    assert snap(i_app) == snap(i_reb)
+    # and the gate sees identical pairs through either index
+    q = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+    p_app = {(r.id_new, r.id_ref): round(r.jaccard, 9)
+             for r in dedup.cross_dedup_pairs(
+                 q, index=i_app, threshold=0.3).collect()}
+    p_reb = {(r.id_new, r.id_ref): round(r.jaccard, 9)
+             for r in dedup.cross_dedup_pairs(
+                 q, index=i_reb, threshold=0.3).collect()}
+    assert p_app == p_reb and p_app
+    # tombstones survive a save/load round trip
+    import tempfile
+    d = tempfile.mkdtemp()
+    i_app.save(d)
+    loaded = dedup.load_reference_index(spark, d)
+    assert snap(loaded) == snap(i_reb)
+    # re-appending an already-indexed id violates the contract
+    with pytest.raises(ValueError, match="fresh ids"):
+        i_app.append(b_side.limit(1))
+    for i in (i_a, i_app, i_reb, loaded):
+        i.release()

@@ -501,3 +501,66 @@ def test_plans_duplicate_spans_tokenize_once_per_scan(spark):
             ._jdf.queryExecution().optimizedPlan().toString())
     n = plan.count("split(lower(regexp_replace(")
     assert n == 2, f"duplicate_spans: {n} tokenizer mentions in plan"
+
+
+def test_scale_report_adjudicates_benign_flags(spark):
+    """scale_report (r10, VERDICT r9 #2): the final SinglePartition
+    exchange under a scalar aggregate and a BroadcastNestedLoopJoin
+    with a 1-row (scalar-agg lineage) build side are how clean plans
+    compile — they must NOT flag; a genuine lost-equi-condition join
+    and a global window still must."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    from pandas_alchemy_spark.plans import scale_report
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # scalar aggregate: Exchange SinglePartition feeding keys=[] agg
+    sc = docs.agg(SF.count(SF.lit(1)).alias("n"))
+    assert not any(k == "single_partition"
+                   for k, _ in scale_report(sc)["flags"])
+    # 1-row broadcast (doc count attached per row): compiles to
+    # BroadcastNestedLoopJoin over an IdentityBroadcastMode exchange
+    # of a scalar aggregate — the plan you WANT
+    j = docs.crossJoin(docs.agg(
+        SF.count(SF.lit(1)).alias("n_total"))).select(
+        "doc_id", "n_total")
+    assert not any(k == "cartesian"
+                   for k, _ in scale_report(j)["flags"])
+    # a REAL lost-equi-condition join (multi-row both sides) flags
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    reg = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    bad = nat.join(reg, nat.n_regionkey < reg.r_regionkey)
+    assert any(k == "cartesian"
+               for k, _ in scale_report(bad)["flags"])
+    # a genuine global window still flags single_partition
+    w = docs.withColumn("rn", SF.row_number().over(
+        Window.orderBy("doc_id")))
+    assert any(k == "single_partition"
+               for k, _ in scale_report(w)["flags"])
+
+
+def test_plans_quality_gate_no_join_no_shuffle(spark):
+    """quality_classifier_filter (r10, VERDICT r9 #1): the gate is
+    the operator that scores 100 TB of raw crawl — model.transform
+    APPENDS columns, so there must be NO join and NO exchange
+    between the scoring pass and the gate filter (one corpus scan).
+    Both gate modes, plus column survival."""
+    from pandas_alchemy_spark.ext import pipeline
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    m = pipeline.train_quality_classifier(
+        docs.filter("lang = 'en'"), docs.filter("lang <> 'en'"),
+        max_iter=5)
+    for kept in (pipeline.quality_classifier_filter(docs, m),
+                 pipeline.quality_classifier_filter(
+                     docs, m, threshold=0.5)):
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+        assert "Exchange" not in plan, plan
+        assert kept.columns == docs.columns + ["q_prob"]
+    # the pre-scored path keeps the join form
+    sc = pipeline.score_quality(docs, m)
+    kept2 = pipeline.quality_classifier_filter(docs, m, scores=sc)
+    plan2 = kept2._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan2

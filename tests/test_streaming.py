@@ -852,3 +852,112 @@ def test_streaming_dedup_against_cap_asymmetry(spark, tmp_path):
         assert gset == wset, f"cap={cap}: {gset} != {wset}"
     # uncapped: the near-identical new doc matches every identical ref
     assert {(1, r) for r in range(10, 16)} <= gset
+
+
+def test_streaming_dedup_against_index_append_between_batches(
+        spark, tmp_path):
+    """ReferenceIndex.append in the streaming gate (r10, VERDICT r9
+    #6): an ingest gate's reference GROWS — drain a first wave
+    against index(A), stop, append corpus B to the index (no
+    rebuild), restart the stream for the second wave against the
+    appended index.  Each wave's pair set must equal the batch twin
+    against its wave's reference (A, then A UNION B)."""
+    from pandas_alchemy_spark.ext import dedup as dd
+    from pandas_alchemy_spark.streaming.stream_events import (
+        streaming_dedup_against)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref_a = docs.filter("doc_id % 5 = 1").select("doc_id", "text")
+    ref_b = docs.filter("doc_id % 5 = 2").select("doc_id", "text")
+    wave1 = docs.filter("doc_id % 5 = 0").select("doc_id", "text")
+    wave2 = docs.filter("doc_id % 5 = 3").select("doc_id", "text")
+    d = tmp_path / "ingest"
+
+    def drain(index, name):
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        out = streaming_dedup_against(stream, index=index,
+                                      threshold=0.4)
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+            return {(r.id_new, r.id_ref): round(r.jaccard, 9)
+                    for r in spark.sql(f"SELECT * FROM {name}")
+                    .toPandas().itertuples()}
+        finally:
+            q.stop()
+
+    idx_a = dd.build_reference_index(ref_a, num_hashes=16, bands=4)
+    wave1.coalesce(2).write.mode("overwrite").parquet(str(d))
+    got1 = drain(idx_a, "sxapp1")
+
+    # the reference grows between replays: append B, no rebuild
+    idx_ab = idx_a.append(ref_b)
+    idx_a.release()
+    import shutil
+    shutil.rmtree(str(d))
+    wave2.coalesce(2).write.parquet(str(d))
+    got2 = drain(idx_ab, "sxapp2")
+    idx_ab.release()
+
+    want1 = {(r.id_new, r.id_ref): round(r.jaccard, 9)
+             for r in dd.cross_dedup_pairs(
+                 wave1, ref_a, num_hashes=16, bands=4,
+                 threshold=0.4).collect()}
+    want2 = {(r.id_new, r.id_ref): round(r.jaccard, 9)
+             for r in dd.cross_dedup_pairs(
+                 wave2, ref_a.unionAll(ref_b), num_hashes=16,
+                 bands=4, threshold=0.4).collect()}
+    assert got1 == want1 and got2 == want2
+    # the appended reference actually participates: wave2 pairs hit
+    # B-side ids too (planted by fixture density at 0.4)
+    b_ids = {r.doc_id for r in ref_b.collect()}
+    assert any(ref in b_ids for _, ref in got2)
+
+
+def test_pin_scope_releases_only_owner(spark, tmp_path):
+    """Per-stream pin scopes (ADVICE r9): with two live gates,
+    releasing one stream's scope must leave the other stream's
+    static persists pinned (else its per-micro-batch reference
+    rebuild cliff silently returns); scope=None still drains all."""
+    from pandas_alchemy_spark.ext.similarity import (
+        _PINNED_CACHE, release_pinned_caches)
+    from pandas_alchemy_spark.streaming.stream_events import (
+        streaming_dedup_against)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ref1 = docs.filter("doc_id % 4 = 1").select("doc_id", "text")
+    ref2 = docs.filter("doc_id % 4 = 2").select("doc_id", "text")
+    d = tmp_path / "pinscope"
+    (docs.filter("doc_id % 4 = 0").select("doc_id", "text")
+     .coalesce(1).write.parquet(str(d)))
+    base = len(_PINNED_CACHE)
+
+    def gate(ref):
+        stream = (spark.readStream
+                  .schema("doc_id long, text string").parquet(str(d)))
+        return streaming_dedup_against(stream, reference=ref,
+                                       threshold=0.4)
+    g1, g2 = gate(ref1), gate(ref2)
+    s1, s2 = g1._pas_pin_scope, g2._pas_pin_scope
+    assert s1 is not s2
+    assert len(_PINNED_CACHE) == base + 6  # 3 static frames each
+    assert release_pinned_caches(s1) == 3
+    # the second stream's pins survive
+    assert len(_PINNED_CACHE) == base + 3
+    assert all(sc is s2 for sc, _ in _PINNED_CACHE[base:])
+    # a pin_scope the caller supplies rides through verbatim
+    tok = object()
+    g3 = gate(ref1.limit(50))
+    del g3
+    g4_stream = (spark.readStream
+                 .schema("doc_id long, text string").parquet(str(d)))
+    g4 = streaming_dedup_against(g4_stream, reference=ref2.limit(50),
+                                 threshold=0.4, pin_scope=tok)
+    assert g4._pas_pin_scope is tok
+    assert release_pinned_caches(tok) == 3
+    # drain-everything fallback still clears the rest
+    assert release_pinned_caches() >= 3
+    assert len(_PINNED_CACHE) == 0
