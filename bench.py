@@ -153,6 +153,19 @@ def main():
         return similarity.semantic_dedup(emb, dim=dim, nlist=nlist,
                                          threshold=0.3)
 
+    def semdedup_np(spark_, sf_dir_):
+        # round-10: the production kernel — blocked-BLAS per-cell
+        # pairwise (the SQL fold was 122 of SemDeDup's ~166 s at doc
+        # scale; pair set test-pinned equal).  Same geometry as the
+        # sql leg above so the two stay comparable.
+        from pandas_alchemy_spark.ext import similarity
+        emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+        dim = len(emb.select("embedding").head(1)[0][0])
+        nlist = max(8, emb.count() // 256)
+        return similarity.semantic_dedup(emb, dim=dim, nlist=nlist,
+                                         threshold=0.3,
+                                         kernel="numpy")
+
     def shuffle_shards(spark_, sf_dir_):
         # round-7: deterministic global corpus shuffle (hash shard +
         # in-shard hash rank; shards are the parallelism unit)
@@ -339,6 +352,8 @@ def main():
         "tfidf_embed": tfidf_embed,
         "cross_dedup_indexed": cross_dedup_indexed,
         "quality_gate": quality_gate,
+        # round-10 additions
+        "semdedup_np": semdedup_np,
     }
 
     # warm the JVM + parquet footers with a trivial action, the

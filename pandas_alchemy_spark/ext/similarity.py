@@ -865,6 +865,84 @@ def search_ivf_index(spark, path: str, queries: DataFrame,
             .filter(F.col("rank") <= k))
 
 
+def _semdedup_pairs_numpy(assigned: DataFrame, threshold: float,
+                          nprobe: int) -> DataFrame:
+    """The ``kernel="numpy"`` pairwise stage of
+    :func:`semantic_dedup_pairs`: per probed cell, ONE blocked BLAS
+    matmul computes every intra-cell pairwise dot (vs the SQL path's
+    per-candidate ``aggregate(zip_with)`` fold — the 122-of-166 s
+    stage in the §17 doc-scale profile), then the canonical-shared-
+    cell rule filters locally.  ``assigned`` is the post-cap
+    (cell, id, v, nrm) frame; same dot-then-divide shape as the SQL
+    cosine — f64 products vs zip_with's per-product f32 rounding, so
+    values agree to the f32 data's own precision (~1e-7)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    id_type = assigned.schema["id"].dataType
+    out_schema = StructType([StructField("id_a", id_type),
+                             StructField("id_b", id_type),
+                             StructField("cosine", DoubleType())])
+    if nprobe > 1:
+        # per-id surviving probed-cell set (post-cap), as in the SQL
+        # nprobe>1 branch — the canonical rule needs both sides' sets
+        surv = (assigned.groupBy("id")
+                .agg(F.first("v").alias("v"),
+                     F.first("nrm").alias("nrm"),
+                     F.array_sort(F.collect_list("cell")).alias("cs")))
+        ex = surv.select("id", "v", "nrm", "cs",
+                         F.explode("cs").alias("cell"))
+    else:
+        ex = assigned.select("id", "v", "nrm", "cell")
+    thr = float(threshold)
+    soft = nprobe > 1
+
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = len(pdf)
+        if g < 2:
+            return empty
+        # id-ascending order makes the emitted (id_a < id_b)
+        # orientation identical to the SQL join's filter
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(
+            drop=True)
+        V = np.asarray([np.asarray(x, dtype=np.float64)
+                        for x in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        # zero-norm vectors: the SQL path's nullif makes their
+        # cosine NULL (never >= thr); NaN reproduces that here
+        denom = np.where(nrm > 0, nrm, np.nan)
+        cs = [set(x) for x in pdf["cs"]] if soft else None
+        cell = pdf["cell"].iloc[0]
+        ids = pdf["id"].to_numpy()
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        # row blocks bound the score matrix at ~32 MB however large
+        # the (already cell_cap-bounded) cell is
+        block = max(1, (1 << 22) // g)
+        for s in range(0, g, block):
+            e = min(s + block, g)
+            S = (V[s:e] @ V.T) / np.outer(denom[s:e], denom)
+            for bi in range(e - s):
+                i = s + bi
+                row = S[bi]
+                js = np.nonzero(row[i + 1:] >= thr)[0] + i + 1
+                for j in js:
+                    j = int(j)
+                    if cs is not None and cell != min(cs[i] & cs[j]):
+                        continue  # surfaces in its canonical cell
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_c.append(float(row[j]))
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "cosine": out_c})
+
+    return ex.groupBy("cell").applyInPandas(_pairs, schema=out_schema)
+
+
 def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding", dim: int = 32,
                          nlist: int = 16, threshold: float = 0.9,
@@ -872,7 +950,8 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
                          train_fraction: float | None = None,
                          centroids=None,
                          cell_cap: int | None = 200_000,
-                         nprobe: int = 1) -> DataFrame:
+                         nprobe: int = 1,
+                         kernel: str = "sql") -> DataFrame:
     """Intra-cluster near-duplicate candidate pairs — the pair stage of
     SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
     embedding space, compare vectors ONLY within their cluster, keep
@@ -900,6 +979,29 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
     their probed cells, at ~nprobe² candidate volume.  Duplicate
     hits from multi-shared cells are de-duplicated before the
     threshold filter.
+
+    ``kernel`` picks the intra-cell pairwise engine (r10; the stage
+    profile in SURVEY §17 put the SQL fold at 122 of SemDeDup's
+    ~166 s @200k×64d — the cosine is evaluated per CANDIDATE, i.e.
+    sum(cell²) times, where Catalyst's higher-order-function fold
+    has no vectorization):
+
+    - ``"sql"`` (default): cell self-join + ``aggregate(zip_with)``
+      cosine — pure Catalyst, DuckDB-replayable bit-for-bit, the
+      oracle path.
+    - ``"numpy"``: per-cell Arrow-batched ``applyInPandas`` — one
+      blocked BLAS matmul per cell computes ALL of its pairwise
+      dots at once (row blocks bound memory at ~32 MB regardless of
+      cell size), then the same canonical-shared-cell rule filters
+      locally.  Same dot-then-divide shape as the SQL path, but the
+      products are computed in f64 where Catalyst's ``zip_with``
+      rounds each f32×f32 product to f32 first — so cosines agree
+      to the float32 DATA's own precision (~1e-7 relative; pinned
+      at 1e-6 in tests), and a pair sitting within that noise band
+      of the threshold may differ between kernels.  The
+      production/scale path, same contract as ``fast_hash``
+      elsewhere: recall/set contracts, not bit-equality with the
+      oracle.
     """
     df = df.filter(F.col(vec_col).isNotNull())
     if centroids is None:
@@ -939,6 +1041,11 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
         assigned = assigned.join(
             F.broadcast(sizes.filter(F.col("__cn") <= cell_cap)
                         .select("cell")), "cell")
+    if kernel not in ("sql", "numpy"):
+        raise ValueError(
+            f"kernel must be 'sql' or 'numpy', got {kernel!r}")
+    if kernel == "numpy":
+        return _semdedup_pairs_numpy(assigned, threshold, nprobe)
     dot = _DOT.format(a="va", b="vb")
     cos = F.expr(f"({dot}) / nullif(na * nb, 0.0)")
     if nprobe > 1:
@@ -993,7 +1100,8 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    train_fraction: float | None = None,
                    centroids=None, cell_cap: int | None = 200_000,
                    nprobe: int = 1, max_iters: int = 20,
-                   on_nonconverged: str = "raise") -> DataFrame:
+                   on_nonconverged: str = "raise",
+                   kernel: str = "sql") -> DataFrame:
     """SemDeDup semantic deduplication: cluster-then-prune.  Returns
     ``(id, component, keep)`` like
     :func:`~.dedup.cluster_near_dups` — ``keep`` marks the min-id
@@ -1006,7 +1114,7 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
         df, id_col=id_col, vec_col=vec_col, dim=dim, nlist=nlist,
         threshold=threshold, refine_iters=refine_iters,
         train_fraction=train_fraction, centroids=centroids,
-        cell_cap=cell_cap, nprobe=nprobe)
+        cell_cap=cell_cap, nprobe=nprobe, kernel=kernel)
     comp = _dd.connected_components(pairs, src="id_a", dst="id_b",
                                     max_iters=max_iters,
                                     on_nonconverged=on_nonconverged)

@@ -1958,3 +1958,41 @@ def test_reference_index_append_equals_rebuild(spark, docs):
         i_app.append(b_side.limit(1))
     for i in (i_a, i_app, i_reb, loaded):
         i.release()
+
+
+def test_semantic_dedup_numpy_kernel_matches_sql(spark, emb):
+    """kernel="numpy" (r10; SURVEY §17 profile put the SQL fold at
+    122 of SemDeDup's ~166 s @200k×64d): the blocked-BLAS per-cell
+    pairwise must produce the SAME pair set as the SQL path at both
+    hard and soft assignment, cosines within the f32 data's own
+    precision (1e-6), and identical end-to-end labels/keep sets."""
+    base = emb.select("vec_id", "embedding")
+    copies = base.limit(12).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding")
+    corpus = base.unionAll(copies)
+    dim = len(base.take(1)[0]["embedding"])
+    cents = similarity.train_ivf_centroids(corpus, dim=dim, nlist=8)
+    for nprobe in (1, 2):
+        sa = {(r.id_a, r.id_b): r.cosine
+              for r in similarity.semantic_dedup_pairs(
+                  corpus, dim=dim, nlist=8, threshold=0.8,
+                  nprobe=nprobe, centroids=cents).collect()}
+        sb = {(r.id_a, r.id_b): r.cosine
+              for r in similarity.semantic_dedup_pairs(
+                  corpus, dim=dim, nlist=8, threshold=0.8,
+                  nprobe=nprobe, centroids=cents,
+                  kernel="numpy").collect()}
+        assert sa.keys() == sb.keys() and sa
+        assert all(abs(sa[k] - sb[k]) < 1e-6 for k in sa)
+    la = (similarity.semantic_dedup(
+        corpus, dim=dim, nlist=8, threshold=0.8, nprobe=2,
+        centroids=cents).toPandas().set_index("id").sort_index())
+    lb = (similarity.semantic_dedup(
+        corpus, dim=dim, nlist=8, threshold=0.8, nprobe=2,
+        centroids=cents, kernel="numpy").toPandas()
+        .set_index("id").sort_index())
+    assert (la.component == lb.component).all()
+    assert (la.keep == lb.keep).all()
+    with pytest.raises(ValueError, match="kernel"):
+        similarity.semantic_dedup_pairs(corpus, dim=dim, nlist=8,
+                                        kernel="blas")

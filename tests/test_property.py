@@ -273,6 +273,40 @@ def test_frame_rank_generated(spark):
     _check_frame_rank(spark)
 
 
+def _exact_pair_scan(x, y, win, mp, stat):
+    """Two-pass (mean-centered) per-window corr/cov — the exact
+    oracle.  Pandas' own rolling kernel is ONLINE (add/remove over
+    the traversal prefix) and loses up to ~1e-2 on adversarial
+    windows whose values sit at f32-epsilon scale below earlier
+    large values; the engine's border-exchange scan restarts that
+    state at every partition border and can come out MORE accurate
+    than single-node pandas (hypothesis found such a case in r10).
+    Differential assertions accept the engine when it matches EITHER
+    pandas or this exact value."""
+    import numpy as np
+    xv = np.asarray(x, dtype="float64")
+    yv = np.asarray(y, dtype="float64")
+    out = []
+    for i in range(len(xv)):
+        lo = 0 if win is None else max(0, i - win + 1)
+        xs, ys = xv[lo:i + 1], yv[lo:i + 1]
+        m = ~(np.isnan(xs) | np.isnan(ys))
+        k = int(m.sum())
+        if k < mp or k < 2:
+            out.append(float("nan"))
+            continue
+        xc = xs[m] - xs[m].mean()
+        yc = ys[m] - ys[m].mean()
+        c = float((xc * yc).sum() / (k - 1))
+        if stat == "cov":
+            out.append(c)
+        else:
+            d = float(np.sqrt((xc * xc).sum() / (k - 1)
+                              * (yc * yc).sum() / (k - 1)))
+            out.append(c / d if d > 0 else float("nan"))
+    return out
+
+
 @_SLOW
 @given(a=_scan_col, b=_scan_col)
 def _check_pair_scans(spark, a, b):
@@ -284,17 +318,24 @@ def _check_pair_scans(spark, a, b):
     sx, sy = pas.Series.from_pandas(x), pas.Series.from_pandas(y)
     got_r = sx.rolling(3).corr(sy).to_pandas().sort_index()
     want_r = x.rolling(3).corr(y)
+    exact_r = _exact_pair_scan(x, y, 3, 3, "corr")
     got_e = sx.expanding(2).cov(sy).to_pandas().sort_index()
     want_e = x.expanding(2).cov(y)
-    for g, w in ((got_r, want_r), (got_e, want_e)):
+    exact_e = _exact_pair_scan(x, y, None, 2, "cov")
+    for g, w, ex in ((got_r, want_r, exact_r),
+                     (got_e, want_e, exact_e)):
         gn, wn = _norm(g.tolist()), _norm(w.tolist())
-        for gi, wi in zip(gn, wn):
+        en = _norm(ex)
+        for gi, wi, ei in zip(gn, wn, en):
             if isinstance(gi, float) and isinstance(wi, float):
-                assert abs(gi - wi) <= 1e-6 * max(abs(wi), 1.0), \
-                    (a, b, gn, wn)
+                ok_pd = abs(gi - wi) <= 1e-6 * max(abs(wi), 1.0)
+                ok_ex = (isinstance(ei, float)
+                         and abs(gi - ei) <= 1e-6 * max(abs(ei), 1.0))
+                assert ok_pd or ok_ex, (a, b, gn, wn, en)
             else:
-                # inf/-inf can't arise; NaN-pattern must agree
-                assert gi == wi, (a, b, gn, wn)
+                # inf/-inf can't arise; NaN-pattern must agree with
+                # pandas or the exact oracle
+                assert gi == wi or gi == ei, (a, b, gn, wn, en)
 
 
 def test_pair_scans_generated(spark):
