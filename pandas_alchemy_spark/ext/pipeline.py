@@ -649,6 +649,8 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
         raise ValueError(
             f"max_train_docs must be >= 1 or None, got {max_train_docs}")
 
+    est_rows: list = []
+
     def _side(df, label, name):
         # NULL text would crash the tokenizer stage; a NULL doc
         # carries no quality signal either way
@@ -658,6 +660,7 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
         if max_train_docs is None:
             return out
         n = out.count()
+        est_rows.append(min(n, max_train_docs))
         if n <= max_train_docs:
             return out
         # deterministic content-addressed down-sample: the training
@@ -678,6 +681,21 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
 
     train = _side(positive, 1.0, "positive").unionAll(
         _side(negative, 0.0, "negative"))
+    if max_train_docs is not None and est_rows:
+        # the bounded sample inherits the CORPUS scan's partitioning
+        # (~2x shuffle partitions of a few hundred rows each), and
+        # every L-BFGS iteration ships a dense 2 x buckets x 8 B
+        # gradient per task through treeAggregate — measured 45 s of
+        # pure aggregation overhead at 64 partitions x 15 iters for
+        # a 20k-doc sample.  A few thousand docs per task is the
+        # right gradient-pass granularity.
+        train = train.coalesce(
+            max(2, min(32, int(sum(est_rows)) // 5000)))
+    # persisted across the fit: L-BFGS makes max_iter+ passes and
+    # Spark 4's LogisticRegression does NOT cache its input —
+    # uncached, every pass re-runs the whole sampling lineage (a
+    # full corpus re-scan per iteration at doc scale)
+    train = train.persist()
     stages = [
         RegexTokenizer(inputCol="__qc_text", outputCol="__qc_tok",
                        pattern=_ML_TOKEN_PATTERN, gaps=True,
@@ -694,7 +712,10 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
                            maxIter=max_iter, regParam=reg_param,
                            elasticNetParam=elastic_net),
     ]
-    model = Pipeline(stages=stages).fit(train)
+    try:
+        model = Pipeline(stages=stages).fit(train)
+    finally:
+        train.unpersist()
     # Spark 4.1: the fitted LR model's trainingSummary holds a
     # NON-TRANSIENT SparkSession; the prediction UDF closure captures
     # the model, so any plan that ships that closure in a serialized

@@ -173,13 +173,16 @@ def scale_report(obj) -> dict:
                 cd = min(_node_depth(lines[j]) for j in sub[1:])
                 children = [j for j in sub[1:]
                             if _node_depth(lines[j]) == cd]
-                for c in children:
+                # the join line names its build side; text renders
+                # the left child first (the probe side can contain
+                # its OWN broadcast exchanges, so picking "the child
+                # with a Broadcast" misattributes the build)
+                c = (children[-1] if "BuildRight" in ln
+                     else children[0]) if children else None
+                if c is not None:
                     csub = _subtree(lines, c)
-                    if not any("Broadcast" in lines[j]
-                               or "ReusedExchange" in lines[j]
-                               for j in csub):
-                        continue
-                    if any("ReusedExchange" in lines[j] for j in csub):
+                    if any("ReusedExchange" in lines[j]
+                           for j in csub):
                         # points at an exchange rendered elsewhere —
                         # benign iff some identity-broadcast in the
                         # plan has scalar-agg (1-row) lineage
@@ -190,7 +193,6 @@ def scale_report(obj) -> dict:
                             if "BroadcastExchange" in lines[k])
                     else:
                         benign = _scalar_agg_subtree(lines, c)
-                    break
             if not benign:
                 flags.append(("cartesian",
                               "BroadcastNestedLoopJoin with a "
