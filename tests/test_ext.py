@@ -1899,6 +1899,53 @@ def test_quality_classifier_heldout_eval(spark):
     assert evh["precision_at_kept"] >= ev["precision_at_kept"] - 0.05
 
 
+def test_quality_classifier_no_signal_control(spark, docs):
+    """Leakage guard for the planted AUC floor (r10 session 2): a
+    model trained on labels UNCORRELATED with text (the fixture's
+    lang label — every lang shares one vocabulary) must evaluate at
+    ~chance on held-out data.  If document identity ever leaked into
+    the features, the train/eval split, or the gate, this AUC would
+    rise well above 0.5 — the same control the doc-scale artifact
+    records as quality_eval_control."""
+    from pandas_alchemy_spark.ext import pipeline
+    pool = docs.filter("doc_id % 3 <> 0")
+    hold = docs.filter("doc_id % 3 = 0")
+    m = pipeline.train_quality_classifier(
+        pool.filter("lang = 'en'"), pool.filter("lang <> 'en'"),
+        max_iter=8)
+    ev = pipeline.evaluate_quality_classifier(
+        m, hold.filter("lang = 'en'"), hold.filter("lang <> 'en'"))
+    # small held-out set (~160 docs) -> wide chance band; the guard
+    # is against STRONG separation, which leakage would produce
+    assert ev["auc"] <= 0.75, ev
+
+
+def test_quality_classifier_planted_corruption_split(spark, docs):
+    """The doc-scale artifact's planted task, at test scale: clean
+    text vs the same corpus with every 3rd token reversed, trained
+    and evaluated on DISJOINT doc ids.  Reversed tokens are new
+    vocabulary, so the hashed unigram features separate and the
+    signal generalizes across the split — the learnable counterpart
+    to the no-signal control above."""
+    from pandas_alchemy_spark.ext import pipeline
+    corrupt = F.expr(
+        "concat_ws(' ', transform(split(text, ' '), "
+        "(t, i) -> CASE WHEN i % 3 = 0 THEN reverse(t) ELSE t END))"
+    ).alias("text")
+
+    def planted(frame):
+        pos = frame.filter("doc_id % 2 = 0").select("doc_id", "text")
+        neg = frame.filter("doc_id % 2 = 1").select("doc_id", corrupt)
+        return pos, neg
+
+    pool = docs.filter("doc_id % 3 <> 0")
+    hold = docs.filter("doc_id % 3 = 0")
+    m = pipeline.train_quality_classifier(*planted(pool), max_iter=15)
+    ev = pipeline.evaluate_quality_classifier(m, *planted(hold))
+    assert ev["auc"] >= 0.9, ev
+    assert ev["precision_at_kept"] >= 0.8, ev
+
+
 def test_reference_index_append_equals_rebuild(spark, docs):
     """ReferenceIndex.append (r10, VERDICT r9 #6): growing the
     reference without re-minhashing the old corpus must be
