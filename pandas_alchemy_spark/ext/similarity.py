@@ -741,6 +741,60 @@ def build_ivf_index(df: DataFrame, path: str, dim: int,
     return centroids
 
 
+def append_to_ivf_index(df: DataFrame, path: str) -> int:
+    """Grow a :func:`build_ivf_index` table IN PLACE — the ANN
+    sibling of ``ReferenceIndex.append`` (r10): an ingest pipeline
+    accepts new documents continuously, and a full rebuild re-reads
+    and re-writes the entire index to add a batch that is typically
+    a tiny fraction of it.
+
+    New vectors are assigned under the EXISTING centroid sidecar
+    (cell geometry is frozen at build; old vectors never move) and
+    appended as new parquet files inside their cell directories, so
+    the cost is one pass over the NEW batch only.  Search results
+    after an append are VALUE-EQUAL to a from-scratch rebuild on the
+    union with the same centroids (test-pinned): hard assignment is
+    a pure function of (vector, centroids), so file layout is the
+    only thing that differs.  The tuned-nprobe cache is INVALIDATED:
+    the recall point is a property of the written data, and appended
+    mass can shift it (the next ``nprobe="auto"`` search re-tunes
+    against the grown table and re-caches).
+
+    Centroid staleness is the documented trade: if the appended
+    distribution drifts from the build-time corpus, cells skew and
+    the tuner answers with ever-larger nprobe — rebuild with fresh
+    centroids (``build_ivf_index`` with ``centroids=None``) when the
+    tuned nprobe or the cell-size skew degrades.  Returns the number
+    of vectors appended."""
+    import json
+    import os
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        meta = json.load(fh)
+    centroids = meta["centroids"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    one = _assign_cells_udf(centroids, nprobe=1)
+    assigned = (df.filter(F.col(vec_col).isNotNull())
+                .withColumn("cell",
+                            one(F.col(vec_col)).getItem(0)
+                            .cast("int"))
+                .persist())
+    try:
+        n = assigned.count()
+        if n:
+            # same bounded-file-set contract as the build: one task
+            # per ~4 cells, scoped to the append batch only
+            (assigned
+             .repartition(max(len(centroids) // 4, 1), F.col("cell"))
+             .write.mode("append").partitionBy("cell").parquet(path))
+    finally:
+        assigned.unpersist()
+    try:
+        os.remove(os.path.join(path, "_ivf_nprobe.json"))
+    except FileNotFoundError:
+        pass
+    return n
+
+
 def search_ivf_index(spark, path: str, queries: DataFrame,
                      k: int = 10, nprobe="auto",
                      id_col: str | None = None,

@@ -357,6 +357,54 @@ def test_ivf_index_build_search_pruned(spark, emb, tmp_path):
         similarity.search_ivf_index(spark, path, q, k=5, nprobe=0)
 
 
+def test_ivf_index_append_equals_rebuild(spark, emb, tmp_path):
+    """append_to_ivf_index (r10): growing the index in place under
+    the frozen centroid sidecar must be search-VALUE-EQUAL to a
+    from-scratch rebuild on the union with the same centroids (hard
+    assignment is a pure function of (vector, centroids) — only file
+    layout may differ), must cost one pass over the NEW batch only
+    (old cell files untouched), and must invalidate the tuned-nprobe
+    cache (the recall point belongs to the written data)."""
+    import json as _json
+    import os as _os
+    dim = len(emb.take(1)[0]["embedding"])
+    old = emb.filter("vec_id % 5 <> 0")
+    new = emb.filter("vec_id % 5 = 0")
+    grown = str(tmp_path / "grown")
+    rebuilt = str(tmp_path / "rebuilt")
+    cents = similarity.build_ivf_index(old, grown, dim=dim, nlist=16)
+    pre_files = {f for _, _, fs in _os.walk(grown) for f in fs
+                 if f.endswith(".parquet")}
+    # seed a tuned-nprobe cache entry; the append must drop it
+    with open(_os.path.join(grown, "_ivf_nprobe.json"), "w") as fh:
+        _json.dump({"r0.9000@k5": {"nprobe": 3, "est": 0.9}}, fh)
+    n = similarity.append_to_ivf_index(new, grown)
+    assert n == new.count() > 0
+    assert not _os.path.exists(_os.path.join(grown,
+                                             "_ivf_nprobe.json"))
+    post_files = {f for _, _, fs in _os.walk(grown) for f in fs
+                  if f.endswith(".parquet")}
+    assert pre_files <= post_files  # old cell files untouched
+    similarity.build_ivf_index(emb, rebuilt, dim=dim, nlist=16,
+                               centroids=cents)
+    q = emb.filter("vec_id < 8")
+    a = (similarity.search_ivf_index(spark, grown, q, k=5, nprobe=4)
+         .toPandas().sort_values(["query_id", "rank"]))
+    b = (similarity.search_ivf_index(spark, rebuilt, q, k=5, nprobe=4)
+         .toPandas().sort_values(["query_id", "rank"]))
+    assert a.neighbor_id.tolist() == b.neighbor_id.tolist()
+    assert np.allclose(a.cosine.values, b.cosine.values)
+    # per-cell row counts agree with the union
+    ga = (spark.read.parquet(grown).groupBy("cell").count()
+          .toPandas().set_index("cell")["count"].sort_index())
+    gb = (spark.read.parquet(rebuilt).groupBy("cell").count()
+          .toPandas().set_index("cell")["count"].sort_index())
+    assert ga.equals(gb)
+    # appending an empty batch is a no-op that still reports 0
+    assert similarity.append_to_ivf_index(
+        new.filter("vec_id < 0"), grown) == 0
+
+
 def test_ivf_centroids_deterministic(emb):
     dim = len(emb.take(1)[0]["embedding"])
     c1 = similarity.train_ivf_centroids(emb, dim=dim, nlist=8)
