@@ -372,18 +372,24 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     decimals; a 1-ulp input diff crosses that boundary with
     probability ~1e-10 per row).
 
-    Plan shape at 100 TB: one corpus pass builds the vocab (explode +
-    hash-aggregate with map-side partials), PERSISTED — the vocab is
-    reused by both the token join and the total (without the persist
-    the whole scan+aggregate subtree re-derives per use: measured 3
-    corpus scans, each tokenizing twice).  A second corpus pass joins
-    tokens to it (AQE picks broadcast vs shuffle by vocab size), then
-    one per-doc aggregate.  Two passes is the floor: the model must
-    be complete before any document can be scored.  The persist is
-    spill-safe (vocab is corpus-vocabulary-sized, not corpus-sized)
-    and released through the bounded module cache ring (the oldest of
-    8 registered frames unpersists as new ones register), so repeated
-    calls don't accumulate session-lifetime storage.
+    Plan shape at 100 TB: when self-training, the exploded token
+    stream is PERSISTED (r10 — the bigram_logprob pattern: it feeds
+    both the vocab aggregate and the scoring join, and without the
+    persist the scan + regex tokenize + explode re-derived per use —
+    the whole corpus tokenized TWICE, measured 52.6 s vs bigram's
+    27.2 s at 500k docs despite bigram doing strictly more modeling
+    work).  The frame is corpus-token-sized, spills under
+    MEMORY_AND_DISK, and trades one local-disk round-trip for the
+    second scan + tokenization — the regex is the dominant cost, so
+    the trade wins at every scale the family has been measured at.
+    The vocab aggregate is persisted too (vocabulary-sized; reused by
+    the token join and the total).  The scoring join is unhinted —
+    AQE picks broadcast vs shuffle by the persisted vocab's actual
+    size.  Both persists release through the bounded module cache
+    ring (the oldest of 8 registered frames unpersists as new ones
+    register), so repeated calls don't accumulate session-lifetime
+    storage.  With an EXTERNAL ``vocab`` the token stream is consumed
+    once and is not persisted (one corpus pass total).
     Self-training also excludes ``InferFiltersFromGenerate`` for the
     session (the rule re-inlines the tokenizer into a pushed filter —
     one extra tokenization per row per scan; same exclusion
@@ -397,9 +403,11 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     ex = toked.select(F.col(id_col),
                       F.explode("__pas_toks").alias("term"))
     if vocab is None:
+        from .dedup import _register_cache
+        ex = ex.persist()
+        _register_cache(ex)
         vocab = (ex.groupBy("term")
                  .agg(F.count(F.lit(1)).alias("cnt")).persist())
-        from .dedup import _register_cache
         _register_cache(vocab)
     else:
         # an external model may carry zero/negative counts; ln() of
