@@ -47,6 +47,38 @@ def _gate_on_load(max_load: float, wait_s: float) -> dict:
             "load_gate_timed_out": final > max_load}
 
 
+def _cpu_mark() -> dict:
+    """A 2-second deterministic hardware fingerprint embedded in
+    every artifact (r10): the round-10 VM measured ~2.0x slower than
+    the VM that captured the same round's earlier artifacts on
+    IDENTICAL code (tfidf_vectors 50.9 s vs 24.2 s), so cross-round
+    wall-clock ratios are uninterpretable without a recorded
+    box-speed mark to normalize by.  Two numbers, min-of-3:
+
+    - ``st_mops``: single-thread pure-Python ops/s (interpreter +
+      clock speed; immune to BLAS threading).
+    - ``mt_gflops``: 512x512 f64 numpy matmul GFLOPs (BLAS, uses
+      whatever threads the box gives it — the vectorized-kernel
+      speed the pandas_udf paths see).
+    """
+    import numpy as np
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i & 7
+        best = max(best, 2.0 / (time.perf_counter() - t0))
+    a = np.full((512, 512), 1.000001)
+    gf = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a @ a
+        gf = max(gf, 2 * 512**3 / (time.perf_counter() - t0) / 1e9)
+    return {"st_mops": round(best, 2), "mt_gflops": round(gf, 2),
+            "ncpu": os.cpu_count()}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -400,6 +432,7 @@ def main():
         "queries": times,
         "loadavg1": loads,
         **gate,
+        "cpu_mark": _cpu_mark(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "n_queries": len(times),

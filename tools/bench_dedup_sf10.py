@@ -28,7 +28,7 @@ def main():
                 else "/root/repo/.scratch/docs10")
     os.makedirs(EVDIR, exist_ok=True)
     # quiet-box discipline (r8 verdict item 7) — see bench.py
-    from bench import _gate_on_load
+    from bench import _cpu_mark, _gate_on_load
     gate = _gate_on_load(
         float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0")),
         float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600")))
@@ -362,7 +362,8 @@ def main():
     print(json.dumps({
         "metric": "dedup_docscale_total", "value": total, "unit": "sec",
         "queries": times, "n_docs": n_docs, "n_vecs": n_vecs,
-        "dim": dim, "loadavg": load, **gate, **extra,
+        "dim": dim, "loadavg": load, **gate,
+        "cpu_mark": _cpu_mark(), **extra,
         "skew_top": skew[:8],
         "worst_ratio": skew[0]["ratio"] if skew else None,
     }))

@@ -31,7 +31,7 @@ def main():
     # artifacts were captured at loadavg ~20 and manufactured phantom
     # regressions the quiet pair had to adjudicate away — gate on the
     # 1-min loadavg like bench.py does and record the telemetry
-    from bench import _gate_on_load
+    from bench import _cpu_mark, _gate_on_load
     gate = _gate_on_load(
         float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0")),
         float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600")))
@@ -382,7 +382,7 @@ def main():
     print(json.dumps({
         "metric": "select_docscale_total", "value": total,
         "unit": "sec", "queries": times, "n_docs": n_docs,
-        "loadavg": load, **gate, **extra,
+        "loadavg": load, **gate, "cpu_mark": _cpu_mark(), **extra,
         "skew_top": skew[:8],
         "worst_ratio": skew[0]["ratio"] if skew else None,
     }))

@@ -46,7 +46,7 @@ def main():
     events_dir = (sys.argv[1] if len(sys.argv) > 1
                   else "/root/repo/.scratch/stream_events")
     # quiet-box discipline (r8 verdict item 7) — see bench.py
-    from bench import _gate_on_load
+    from bench import _cpu_mark, _gate_on_load
     gate = _gate_on_load(
         float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0")),
         float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600")))
@@ -335,6 +335,7 @@ def main():
         "metric": "streaming_drain_total", "value": total,
         "unit": "sec", "n_events": n_events, "n_docs": n_docs,
         "queries": results, "detail": detail, **gate,
+        "cpu_mark": _cpu_mark(),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
 

@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import _cpu_mark  # noqa: E402
+
 EVDIR = "/root/repo/.scratch/eventlog"
 
 
@@ -108,6 +110,7 @@ def main():
     print(json.dumps({
         "metric": "tpch_sf10_total", "value": total, "unit": "sec",
         "queries": times, "sf": 10, "loadavg": load,
+        "cpu_mark": _cpu_mark(),
         "skew_top": skew[:8],
         "worst_ratio": skew[0]["ratio"] if skew else None,
     }))
