@@ -2750,7 +2750,38 @@ def q_langid_terms(spark, sf_dir):
                 F.col("doc_id").cast("string").alias("key"),
                 F.col("n_lm_tokens").cast("long").alias("n"),
                 F.round("logprob2", 6).alias("score")))
-            .unionAll(_bm25_leg(spark, docs)))
+            .unionAll(_bm25_leg(spark, docs))
+            .unionAll(_profile_leg(docs)))
+
+
+def _profile_leg(docs):
+    """corpus_profile (ext/profile.py, round 10) exact-mode fold:
+    the per-language one-pass report unpivoted to (tag='prof',
+    key=lang/metric, n, score) rows.  Exact mode is the oracle path
+    (count(distinct) + interpolated percentile == quantile_cont);
+    doubles rounded to 6 for the cross-engine hash."""
+    from pandas_alchemy_spark.ext import profile as _prof
+    rep = _prof.corpus_profile(docs, text_col="text", group_col="lang",
+                               quantiles=(0.5, 0.9, 0.99), mode="exact")
+    return rep.selectExpr(
+        "grp",
+        """stack(11,
+            'n_docs', n_docs, cast(null as double),
+            'total_tokens', total_tokens, cast(null as double),
+            'min_tokens', min_tokens, cast(null as double),
+            'max_tokens', max_tokens, cast(null as double),
+            'distinct', distinct_texts, cast(null as double),
+            'avg_tokens', cast(null as bigint), round(avg_tokens, 6),
+            'p50', cast(null as bigint), round(p50_tokens, 6),
+            'p90', cast(null as bigint), round(p90_tokens, 6),
+            'p99', cast(null as bigint), round(p99_tokens, 6),
+            'avg_chars', cast(null as bigint), round(avg_chars, 6),
+            'dup_ratio', cast(null as bigint), round(dup_ratio, 6)
+        ) as (m, nv, score)""").select(
+        F.lit("prof").alias("tag"),
+        F.concat_ws("/", F.col("grp"), F.col("m")).alias("key"),
+        F.col("nv").cast("long").alias("n"),
+        F.col("score"))
 
 
 #: fixed audit queries for the bm25 driver leg (mid-frequency corpus
@@ -5429,6 +5460,60 @@ def oracle_sql() -> dict[str, str]:
               ) s0
             ) sc
             WHERE sc.rnk <= 5
+            UNION ALL
+            -- corpus_profile replay (round 10): per-language one-pass
+            -- report, unpivoted to lang/metric rows.  quantile_cont
+            -- == Spark's exact interpolated percentile; integer
+            -- division is float division in DuckDB (dup_ratio).
+            SELECT 'prof', pr.grp || '/' || pm.m,
+                   CASE pm.m WHEN 'n_docs' THEN pr.n_docs
+                             WHEN 'total_tokens' THEN pr.total_tokens
+                             WHEN 'min_tokens' THEN pr.min_tokens
+                             WHEN 'max_tokens' THEN pr.max_tokens
+                             WHEN 'distinct' THEN pr.distinct_texts
+                   END,
+                   CASE pm.m WHEN 'avg_tokens' THEN round(pr.avg_tokens, 6)
+                             WHEN 'p50' THEN round(pr.p50, 6)
+                             WHEN 'p90' THEN round(pr.p90, 6)
+                             WHEN 'p99' THEN round(pr.p99, 6)
+                             WHEN 'avg_chars' THEN round(pr.avg_chars, 6)
+                             WHEN 'dup_ratio' THEN round(pr.dup_ratio, 6)
+                   END
+            FROM (
+              SELECT coalesce(lang, '<null>') AS grp,
+                     count(*)::BIGINT AS n_docs,
+                     sum(CASE WHEN text IS NULL THEN 0
+                              ELSE len({toks_text}) END)::BIGINT
+                       AS total_tokens,
+                     avg(CASE WHEN text IS NULL THEN 0
+                              ELSE len({toks_text}) END) AS avg_tokens,
+                     min(CASE WHEN text IS NULL THEN 0
+                              ELSE len({toks_text}) END)::BIGINT
+                       AS min_tokens,
+                     max(CASE WHEN text IS NULL THEN 0
+                              ELSE len({toks_text}) END)::BIGINT
+                       AS max_tokens,
+                     quantile_cont(CASE WHEN text IS NULL THEN 0
+                                        ELSE len({toks_text}) END, 0.5)
+                       AS p50,
+                     quantile_cont(CASE WHEN text IS NULL THEN 0
+                                        ELSE len({toks_text}) END, 0.9)
+                       AS p90,
+                     quantile_cont(CASE WHEN text IS NULL THEN 0
+                                        ELSE len({toks_text}) END, 0.99)
+                       AS p99,
+                     avg(coalesce(length(text), 0)) AS avg_chars,
+                     count(DISTINCT coalesce(text, ''))::BIGINT
+                       AS distinct_texts,
+                     1.0 - count(DISTINCT coalesce(text, ''))
+                           / count(*) AS dup_ratio
+              FROM documents GROUP BY 1
+            ) pr
+            CROSS JOIN (VALUES ('n_docs'), ('total_tokens'),
+                               ('min_tokens'), ('max_tokens'),
+                               ('distinct'), ('avg_tokens'), ('p50'),
+                               ('p90'), ('p99'), ('avg_chars'),
+                               ('dup_ratio')) pm(m)
         """,
         "multimodal_suite": f"""
             SELECT a.media_type, a.n_items, a.total_bytes, a.avg_width,

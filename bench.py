@@ -317,6 +317,14 @@ def main():
         return pipeline.quality_classifier_filter(
             docs, model, seed="bench").select("doc_id", "q_prob")
 
+    def corpus_profile_sketch(spark_, sf_dir_):
+        # round-10: one-pass per-language corpus report in sketch
+        # mode (HLL distinct + KLL quantiles) — single shuffle,
+        # fixed-size mergeable state per group
+        from pandas_alchemy_spark.ext import profile
+        docs = spark_.read.parquet(f"{sf_dir_}/documents.parquet")
+        return profile.corpus_profile(docs, mode="sketch")
+
     # per-operator functions are referenced DIRECTLY (several are now
     # folded into combined queries() entries for the driver's 50-entry
     # correctness window) so per-query times stay comparable with
@@ -384,6 +392,7 @@ def main():
         "tfidf_embed": tfidf_embed,
         "cross_dedup_indexed": cross_dedup_indexed,
         "quality_gate": quality_gate,
+        "corpus_profile": corpus_profile_sketch,
         # round-10 additions
         "semdedup_np": semdedup_np,
     }

@@ -659,7 +659,14 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
                .filter(F.col("__qc_text").isNotNull()))
         if max_train_docs is None:
             return out
-        n = out.count()
+        # size the sampling fraction from the PRE-projection count:
+        # counting `out` forces a full text-column scan (the null
+        # filter defeats column pruning), while the caller's frame
+        # counts off its own filter columns only — at doc scale the
+        # text column IS the corpus, so this count must not read it.
+        # NULL-text rows inflate n slightly => a slightly smaller
+        # sample, within the operator's "~max_train_docs" contract.
+        n = df.count()
         est_rows.append(min(n, max_train_docs))
         if n <= max_train_docs:
             return out

@@ -1,0 +1,277 @@
+"""Corpus profiling: one-pass per-group statistics reports.
+
+Beyond-reference extension (round 10).  A training-data pipeline's
+first question about a new corpus is always the same report: how many
+documents per language/source, how long are they (tokens + quantiles),
+and how much exact duplication is there.  At 100 TB that report must
+be ONE pass with mergeable aggregation state — never "collect and
+describe".
+
+Three surfaces, one schema:
+
+- :func:`corpus_profile` — the direct report.  ``mode="exact"`` is
+  DuckDB-replayable (exact ``count(distinct)`` + exact interpolated
+  ``percentile``) and is the driver-oracle path; ``mode="sketch"``
+  swaps in HyperLogLog (``approx_count_distinct``) and KLL
+  (``approx_percentile``) so the whole report is ONE shuffle with
+  map-side partial aggregation — the 100-TB path (exact distinct
+  plans an Expand + a second aggregate over every distinct value; the
+  sketch carries fixed-size state per group).
+- :func:`profile_sketches` — per-shard MERGEABLE state: plain sums,
+  min/max, a Datasketches HLL binary (``hll_sketch_agg``) and a
+  log-bucketed token-length histogram (``map<int,long>``, 4%% bucket
+  growth => <=2%% relative value error).  Shards profile
+  independently (e.g. per ingest wave, per day), the states land in a
+  tiny parquet table, and nothing ever re-reads the corpus.
+- :func:`merge_profile_sketches` / :func:`finalize_profile` — fold
+  shard states (``hll_union_agg`` + map-sum + min/max) and turn the
+  merged state into the same report columns.  Datasketches HLL union
+  is exact-over-unions: merging shard sketches yields the SAME
+  estimate as sketching the union, which the tests pin.
+
+All built-in expressions (no Python in the hot path); the tokenizer is
+the module-wide ``dedup._TOKENS`` regex so token counts agree with
+dedup keys, budgets and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _TOKENS
+
+#: log-histogram bucket growth: value v (>=1) lands in bucket
+#: floor(ln(v)/ln(1.04)); a bucket's bounds differ by 4%, so a
+#: quantile read back from bucket mids errs <=2% in value (plus one
+#: bucket of rank slack), independent of corpus size.
+_HIST_BASE = 1.04
+
+#: report columns shared by every surface, in output order
+_REPORT_COLS = [
+    "n_docs", "total_tokens", "avg_tokens", "min_tokens", "max_tokens",
+    "avg_chars", "distinct_texts", "dup_ratio",
+]
+
+
+def _n_toks_expr(text_col: str) -> str:
+    # NULL text counts as a document with 0 tokens (size(NULL) is -1
+    # under non-ANSI Spark — never let that reach an aggregate)
+    toks = _TOKENS.format(col=text_col)
+    return (f"case when {text_col} is null then cast(0 as int) "
+            f"else size({toks}) end")
+
+
+def _grp_expr(group_col: str | None) -> str:
+    # a NULL group key groups fine but concat()s to NULL in Spark
+    # (vs skipped in DuckDB) — canonicalize before it reaches a key
+    if group_col is None:
+        return "'<all>'"
+    return f"coalesce(cast({group_col} as string), '<null>')"
+
+
+def _base_projection(df: DataFrame, text_col: str,
+                     group_col: str | None) -> DataFrame:
+    """ONE narrow projection evaluating the tokenizer regex once per
+    row; every aggregate downstream touches only these scalars."""
+    return df.select(
+        F.expr(_grp_expr(group_col)).alias("grp"),
+        F.expr(_n_toks_expr(text_col)).cast("long").alias("__n_toks"),
+        F.expr(f"coalesce(length({text_col}), 0)")
+        .cast("long").alias("__n_chars"),
+        F.expr(f"coalesce({text_col}, '')").alias("__txt"),
+    )
+
+
+def corpus_profile(df: DataFrame, text_col: str = "text",
+                   group_col: str | None = "lang",
+                   quantiles: tuple = (0.5, 0.9, 0.99),
+                   mode: str = "exact", rsd: float = 0.02,
+                   pct_accuracy: int = 10_000) -> DataFrame:
+    """Per-group corpus report: doc counts, token-length stats and
+    quantiles, mean char length, exact-duplicate ratio.
+
+    ``mode="exact"``: ``count(distinct text)`` + exact
+    ``percentile`` — bit-replayable in DuckDB (``count(distinct)`` /
+    ``quantile_cont``), the oracle path.  The exact distinct plans an
+    Expand (every row duplicated per distinct-aggregate) plus a second
+    shuffle — correct, but its cost scales with corpus size.
+
+    ``mode="sketch"``: ``approx_count_distinct(text, rsd)`` (HLL++)
+    and ``approx_percentile(..., pct_accuracy)`` (KLL-style) — every
+    aggregate is a fixed-size mergeable sketch, so the plan is ONE
+    hash-aggregate pair (partial map-side, final after a single
+    group-key shuffle).  At 100 TB this is the only viable shape:
+    state per group is O(sketch), not O(distinct values).
+
+    Output: one row per group, columns ``grp``, ``n_docs``,
+    ``total_tokens``, ``avg_tokens``, ``min_tokens``, ``max_tokens``,
+    ``p<q>_tokens`` per requested quantile, ``avg_chars``,
+    ``distinct_texts``, ``dup_ratio``.
+    """
+    if mode not in ("exact", "sketch"):
+        raise ValueError(f"mode must be 'exact' or 'sketch', got {mode!r}")
+    base = _base_projection(df, text_col, group_col)
+    qlist = ", ".join(repr(float(q)) for q in quantiles)
+    if mode == "exact":
+        dist = F.countDistinct(F.col("__txt")).alias("distinct_texts")
+        pct = F.expr(f"percentile(__n_toks, array({qlist}))")
+    else:
+        dist = F.expr(f"approx_count_distinct(__txt, {rsd})") \
+            .alias("distinct_texts")
+        pct = F.expr(
+            f"approx_percentile(__n_toks, array({qlist}), {pct_accuracy})")
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n_toks").alias("total_tokens"),
+        F.avg("__n_toks").alias("avg_tokens"),
+        F.min("__n_toks").alias("min_tokens"),
+        F.max("__n_toks").alias("max_tokens"),
+        F.avg("__n_chars").alias("avg_chars"),
+        dist,
+        pct.alias("__pct"),
+    )
+    pct_cols = [
+        F.col("__pct")[i].cast("double").alias(_pct_name(q))
+        for i, q in enumerate(quantiles)]
+    return agg.select(
+        "grp", "n_docs", "total_tokens", "avg_tokens", "min_tokens",
+        "max_tokens", *pct_cols, "avg_chars", "distinct_texts",
+        (1.0 - F.col("distinct_texts") / F.col("n_docs"))
+        .alias("dup_ratio"))
+
+
+def _pct_name(q: float) -> str:
+    s = f"{float(q) * 100:g}".replace(".", "_")
+    return f"p{s}_tokens"
+
+
+# ---------------------------------------------------------------------------
+# mergeable shard sketches
+# ---------------------------------------------------------------------------
+
+def profile_sketches(df: DataFrame, text_col: str = "text",
+                     group_col: str | None = "lang",
+                     lg_k: int = 12) -> DataFrame:
+    """Per-group MERGEABLE profile state for one shard: plain sums and
+    extrema, a Datasketches HLL binary over the text (``lg_k`` => 2^k
+    registers, ~1.6%/sqrt(2^(lg_k-12)) rel. std. error), and the
+    log-bucketed token-length histogram.
+
+    One row per group with columns ``grp, n_docs, total_tokens,
+    sum_chars, min_tokens, max_tokens, hll, hist``.  The frame is tiny
+    (groups × fixed state) — write it to parquet next to the shard and
+    the corpus never needs re-reading: :func:`merge_profile_sketches`
+    folds any number of shard frames, :func:`finalize_profile` renders
+    the report.
+
+    The histogram build is two aggregations (group×bucket, then
+    group) — both tiny after the first map-side combine; bucket
+    cardinality is <= log_1.04(max_tokens) ≈ 350 for million-token
+    docs, so the map column stays bounded by construction.
+    """
+    base = _base_projection(df, text_col, group_col)
+    bucketed = base.withColumn(
+        "__bkt", F.expr(
+            f"case when __n_toks <= 0 then -1 else "
+            f"cast(floor(ln(__n_toks) / ln({_HIST_BASE})) as int) end"))
+    per_bucket = bucketed.groupBy("grp", "__bkt").agg(
+        F.count(F.lit(1)).alias("__bn"),
+        F.sum("__n_toks").alias("__bt"),
+        F.sum("__n_chars").alias("__bc"),
+        F.min("__n_toks").alias("__bmin"),
+        F.max("__n_toks").alias("__bmax"),
+        F.expr("hll_sketch_agg(__txt, "
+               f"{int(lg_k)})").alias("__bhll"),
+    )
+    return per_bucket.groupBy("grp").agg(
+        F.sum("__bn").alias("n_docs"),
+        F.sum("__bt").alias("total_tokens"),
+        F.sum("__bc").alias("sum_chars"),
+        F.min("__bmin").alias("min_tokens"),
+        F.max("__bmax").alias("max_tokens"),
+        F.expr("hll_union_agg(__bhll)").alias("hll"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("__bkt"), F.col("__bn"))))).alias("hist"),
+    )
+
+
+def merge_profile_sketches(sketches: DataFrame) -> DataFrame:
+    """Fold shard states (a UNION ALL of :func:`profile_sketches`
+    outputs) into one state row per group: sums add, extrema fold,
+    ``hll_union_agg`` merges the distinct sketches (union of sketches
+    == sketch of the union — exact, not approximate, over unions),
+    histograms add bucket-wise."""
+    # a group row exists only with >=1 doc, so hist is never empty
+    per_bucket = (sketches
+                  .select("grp", F.explode("hist").alias("__bkt", "__bn"))
+                  .groupBy("grp", "__bkt")
+                  .agg(F.sum("__bn").alias("__bn2")))
+    scalars = sketches.groupBy("grp").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("sum_chars").alias("sum_chars"),
+        F.min("min_tokens").alias("min_tokens"),
+        F.max("max_tokens").alias("max_tokens"),
+        F.expr("hll_union_agg(hll)").alias("hll"),
+    )
+    hist = per_bucket.groupBy("grp").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("__bkt"),
+                         F.col("__bn2").alias("__bn"))))).alias("hist"))
+    return scalars.join(hist, "grp")
+
+
+def finalize_profile(sketches: DataFrame,
+                     quantiles: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Render merged sketch state into the :func:`corpus_profile`
+    report schema.  Quantiles come from the log-histogram: walk the
+    sorted buckets to the target rank, read the bucket's geometric
+    midpoint (<=2% value error by bucket construction).  The walk is
+    an ``aggregate`` over the map entries — group rows are tiny, no
+    extra shuffle."""
+    qexprs = []
+    for q in quantiles:
+        target = f"cast(ceil({float(q)} * n_docs) as bigint)"
+        # fold: (cum, ans); once cum >= target keep the first bucket
+        walk = (
+            "aggregate(array_sort(map_entries(hist)), "
+            "named_struct('cum', cast(0 as bigint), 'ans', "
+            "cast(null as int)), (s, e) -> named_struct("
+            "'cum', s.cum + e.value, "
+            f"'ans', case when s.ans is not null then s.ans "
+            f"when s.cum + e.value >= {target} then e.key "
+            "else cast(null as int) end), s -> s.ans)")
+        mid = (f"case when {walk} is null then cast(null as double) "
+               f"when {walk} = -1 then 0.0 else "
+               f"(power({_HIST_BASE}, {walk}) + "
+               f"power({_HIST_BASE}, {walk} + 1)) / 2.0 end")
+        qexprs.append(F.expr(mid).alias(_pct_name(q)))
+    return sketches.select(
+        "grp", "n_docs", "total_tokens",
+        (F.col("total_tokens") / F.col("n_docs")).alias("avg_tokens"),
+        "min_tokens", "max_tokens", *qexprs,
+        (F.col("sum_chars") / F.col("n_docs")).alias("avg_chars"),
+        F.expr("cast(round(hll_sketch_estimate(hll)) as bigint)")
+        .alias("distinct_texts"),
+        (1.0 - F.expr("hll_sketch_estimate(hll)") / F.col("n_docs"))
+        .alias("dup_ratio"))
+
+
+def histogram_quantile_error_bound() -> float:
+    """The histogram's guaranteed relative VALUE error for any
+    quantile: bucket bounds differ by ``_HIST_BASE``, the midpoint is
+    off by at most half a bucket width => (base-1)/2 relative, plus
+    interpolation slack of one bucket when the exact quantile sits on
+    a bucket edge.  Exposed for the tests to pin against."""
+    return (_HIST_BASE - 1.0)
+
+
+__all__ = [
+    "corpus_profile", "profile_sketches", "merge_profile_sketches",
+    "finalize_profile", "histogram_quantile_error_bound",
+]

@@ -339,6 +339,53 @@ def main():
 
         run("bpe16k_token_stats", _bpe16_stats)
 
+    # r10: one-pass corpus profiling (ext/profile.py) — the exact
+    # (oracle) mode vs the sketch (single-shuffle, mergeable) mode,
+    # plus the incremental shard-state path: profile 4 ingest waves
+    # independently, then merge+finalize WITHOUT re-reading any text.
+    from pandas_alchemy_spark.ext import profile as _prof
+
+    def _profile_exact():
+        noop(_prof.corpus_profile(docs, mode="exact"))
+
+    run("profile_exact_500k", _profile_exact)
+
+    def _profile_sketch():
+        rep = _prof.corpus_profile(docs, mode="sketch")
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        extra["profile_sketch_exchanges"] = plan.count("Exchange")
+        assert extra["profile_sketch_exchanges"] == 1, plan[:400]
+        assert "Expand" not in plan, plan[:400]
+        noop(rep)
+
+    run("profile_sketch_500k", _profile_sketch)
+
+    prof_holder = {}
+
+    def _profile_shards():
+        frames = [_prof.profile_sketches(
+            docs.filter(f"doc_id % 4 = {i}")) for i in range(4)]
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionAll(f)
+        u = u.persist()
+        extra["profile_shard_state_rows"] = u.count()
+        prof_holder["states"] = u
+
+    run("profile_shard_states_4x", _profile_shards)
+    if "states" in prof_holder:
+        def _profile_merge():
+            rep = _prof.finalize_profile(
+                _prof.merge_profile_sketches(prof_holder["states"]))
+            rows = rep.collect()
+            extra["profile_merged_groups"] = len(rows)
+            extra["profile_merged_n_docs"] = sum(
+                r["n_docs"] for r in rows)
+            assert extra["profile_merged_n_docs"] == n_docs
+
+        run("profile_merge_finalize", _profile_merge)
+        prof_holder["states"].unpersist()
+
     total = round(sum(t for t in times.values() if t >= 0), 2)
     load = [round(x, 2) for x in os.getloadavg()]
     spark.stop()
