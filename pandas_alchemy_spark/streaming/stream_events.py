@@ -476,3 +476,62 @@ def streaming_dedup_against(stream: DataFrame,
         # so there is nothing to scope there)
         out._pas_pin_scope = pin_scope
     return out
+
+
+# ---------------------------------------------------------------------------
+# streaming corpus profiling (round 10)
+# ---------------------------------------------------------------------------
+
+def streaming_profile_sink(stream: DataFrame, state_path: str,
+                           checkpoint: str, text_col: str = "text",
+                           group_col: str | None = "lang",
+                           lg_k: int = 12):
+    """Incremental corpus profiling at ingest: each micro-batch is
+    reduced to its :func:`~..ext.profile.profile_sketches` state rows
+    (a few KB per group — sums, HLL binary, log-histogram) and written
+    to ``state_path/batch_id=N``.  The corpus itself is never stored
+    or re-read by the profiler; :func:`streaming_profile_report`
+    renders the running report from the state table alone.
+
+    Exactly-once by construction: each batch OVERWRITES its own
+    ``batch_id=`` directory, so a foreachBatch retry after a crash
+    re-emits the same rows instead of appending duplicates (the
+    parquet-append + dedup-on-read alternative cannot dedup HLL
+    binaries, whose bytes vary with partition order).  The layout is
+    a hive-partitioned table — readers prune by batch_id for free.
+
+    Returns the started :class:`StreamingQuery` (availableNow
+    trigger: drains everything visible, then stops — callers loop
+    waves the way the other ingest gates here do).
+    """
+    from ..ext import profile as _profile
+
+    def _write(batch_df, batch_id: int):
+        if not batch_df.take(1):
+            return
+        (_profile.profile_sketches(batch_df, text_col=text_col,
+                                   group_col=group_col, lg_k=lg_k)
+         .coalesce(1)
+         .write.mode("overwrite")
+         .parquet(f"{state_path}/batch_id={batch_id}"))
+
+    return (stream.writeStream
+            .foreachBatch(_write)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
+def streaming_profile_report(spark: SparkSession, state_path: str,
+                             quantiles: tuple = (0.5, 0.9, 0.99)):
+    """The running report over everything profiled so far: read the
+    state table (tiny — groups x batches rows), merge
+    (``hll_union_agg`` + bucket-wise histogram sums), finalize.
+    Identical output to batch :func:`~..ext.profile.finalize_profile`
+    over the union of all ingested docs — the batch-twin contract the
+    tests pin across micro-batch boundaries AND a checkpoint restart.
+    """
+    from ..ext import profile as _profile
+    states = spark.read.parquet(state_path).drop("batch_id")
+    return _profile.finalize_profile(
+        _profile.merge_profile_sketches(states), quantiles=quantiles)

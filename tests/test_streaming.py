@@ -961,3 +961,66 @@ def test_pin_scope_releases_only_owner(spark, tmp_path):
     # drain-everything fallback still clears the rest
     assert release_pinned_caches() >= 3
     assert len(_PINNED_CACHE) == 0
+
+
+def test_streaming_profile_matches_batch_across_restart(spark,
+                                                        tmp_path):
+    """Incremental corpus profiling (round 10): docs stream in as
+    parquet waves, each micro-batch leaves only its profile_sketches
+    state rows (hive batch_id=N dirs, overwrite => retry-idempotent),
+    and the running report is rendered from state alone.  Drain half,
+    STOP (the kill), stage the rest, restart from the same checkpoint
+    — the final report must equal the batch twin over ALL docs
+    bit-for-bit (HLL union exactness + bucket-wise histogram sums)."""
+    import os
+
+    from pandas_alchemy_spark.ext import profile as P
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = tmp_path / "src"
+    docs.repartition(6).write.parquet(str(src))
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert len(files) >= 4
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = docs.schema
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(staged)))
+        q = stream_events.streaming_profile_sink(
+            stream, state, ckpt, text_col="text", group_col="lang")
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(f"{src}/{f}", staged / f)
+    drain()
+    # phase-1 report covers exactly the staged docs
+    part = stream_events.streaming_profile_report(spark, state)
+    staged_docs = spark.read.parquet(str(staged / "*.parquet"))
+    want_part = P.finalize_profile(P.profile_sketches(staged_docs))
+    key = lambda r: r["grp"]  # noqa: E731
+    assert sorted([r.asDict() for r in part.collect()], key=key) == \
+        sorted([r.asDict() for r in want_part.collect()], key=key)
+    n_state_dirs_1 = len([d for d in os.listdir(state)
+                          if d.startswith("batch_id=")])
+    assert n_state_dirs_1 >= 1
+
+    for f in files[half:]:
+        shutil.copy(f"{src}/{f}", staged / f)
+    drain()  # restart from the same checkpoint: only NEW files run
+    got = stream_events.streaming_profile_report(spark, state)
+    want = P.finalize_profile(P.profile_sketches(docs))
+    assert sorted([r.asDict() for r in got.collect()], key=key) == \
+        sorted([r.asDict() for r in want.collect()], key=key)
+    # restart appended new batch dirs, did not rewrite phase-1 ones
+    n_state_dirs_2 = len([d for d in os.listdir(state)
+                          if d.startswith("batch_id=")])
+    assert n_state_dirs_2 > n_state_dirs_1

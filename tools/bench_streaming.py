@@ -330,6 +330,47 @@ def main():
             print(f"streaming_dedup_indexed: ERROR {str(ex)[:200]}",
                   file=sys.stderr)
 
+    if os.path.exists(docs_dir):
+        # r10: ingest-time corpus profiling — every micro-batch folds
+        # to sketch-state rows (KBs), the corpus is never re-read; the
+        # leg reports drain docs/s plus the report render time over
+        # the accumulated state table.
+        try:
+            import shutil as _sh
+            batch_docs = spark.read.parquet(docs_dir)
+            state = "/root/repo/.scratch/profile_state"
+            pckpt = f"/root/repo/.scratch/ckpt_prof_{int(time.time()*1e6)}"
+            _sh.rmtree(state, ignore_errors=True)
+            pstream = (spark.readStream.schema(batch_docs.schema)
+                       .option("maxFilesPerTrigger", 4)
+                       .parquet(docs_dir))
+            t0 = time.time()
+            q = stream_events.streaming_profile_sink(
+                pstream, state, pckpt, text_col="text",
+                group_col="lang")
+            q.awaitTermination()
+            sec = round(time.time() - t0, 2)
+            prog = q.recentProgress
+            rows = sum(p["numInputRows"] for p in prog)
+            results["streaming_profile"] = sec
+            t0 = time.time()
+            rep = stream_events.streaming_profile_report(spark, state)
+            n_groups = rep.count()
+            report_s = round(time.time() - t0, 2)
+            detail["streaming_profile"] = {
+                "sec": sec, "micro_batches": len(prog),
+                "rows_in": rows, "docs_per_sec": int(rows / sec),
+                "report_render_sec": report_s, "groups": n_groups}
+            print(f"streaming_profile: {sec}s drain, {len(prog)} "
+                  f"batches, {int(rows / sec)} docs/s; report render "
+                  f"{report_s}s over {n_groups} groups",
+                  file=sys.stderr)
+        except Exception as ex:
+            results["streaming_profile"] = -1.0
+            detail["streaming_profile"] = {"error": str(ex)[:200]}
+            print(f"streaming_profile: ERROR {str(ex)[:200]}",
+                  file=sys.stderr)
+
     total = round(sum(t for t in results.values() if t >= 0), 2)
     print(json.dumps({
         "metric": "streaming_drain_total", "value": total,
