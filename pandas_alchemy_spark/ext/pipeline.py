@@ -733,25 +733,28 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
     # Scala, i.e. public in bytecode, so py4j reaches it; a save/load
     # round-trip would also shed it, at the cost of a filesystem
     # write).
+    _drop_lr_summary(model, positive.sparkSession,
+                     "train_quality_classifier")
+    return model
+
+
+def _drop_lr_summary(model, spark, op_name: str) -> None:
+    """Shed the fitted LR model's trainingSummary (see the comment at
+    the call sites — Spark 4.1's summary holds a non-transient
+    SparkSession that breaks task serialization when the model
+    closure ships in a larger plan).  Diagnostics-only, but LOUD on
+    failure (ADVICE r9): a silent pass would bury the only signal."""
     try:
         lrm = model.stages[-1]
-        lrm._java_obj.setSummary(
-            positive.sparkSession._jvm.scala.Option.empty())
+        lrm._java_obj.setSummary(spark._jvm.scala.Option.empty())
     except Exception as exc:  # pragma: no cover - Spark-build drift
-        # Diagnostics-only, scoring still works — but LOUD (ADVICE
-        # r9): on a Spark build where the package-private setSummary
-        # bytecode signature changes, larger plans that serialize
-        # the model closure can re-ship the documented "Task not
-        # serializable: ObservationManager" failure; a silent pass
-        # here would bury the only signal.
-        print("[pandas_alchemy_spark] train_quality_classifier: "
+        print(f"[pandas_alchemy_spark] {op_name}: "
               f"could not drop the LR trainingSummary ({exc!r}); "
               "plans that serialize the model closure (e.g. unions "
               "with broadcast exchanges) may fail 'Task not "
               "serializable: ObservationManager' on this Spark "
               "build — a PipelineModel save/load round-trip also "
               "sheds the summary", file=sys.stderr)
-    return model
 
 
 def score_quality(docs: DataFrame, model, text_col: str = "text",
@@ -913,3 +916,211 @@ def evaluate_quality_classifier(model, positive: DataFrame,
             "kept_rate": (k_total / n_total) if n_total else 0.0,
             "precision_at_kept": (k_pos / k_total) if k_total else 0.0,
             "recall_at_kept": (k_pos / n_pos) if n_pos else 0.0}
+
+
+# ---------------------------------------------------------------------------
+# model-based language identification (round 10)
+# ---------------------------------------------------------------------------
+
+def train_langid_classifier(df: DataFrame, text_col: str = "text",
+                            label_col: str = "lang",
+                            buckets: int = 1 << 16,
+                            max_iter: int = 25,
+                            reg_param: float = 1e-4,
+                            max_chars: int = 2000,
+                            max_train_docs_per_lang: int | None = 50_000,
+                            fast_hash: bool = False):
+    """Train the fastText-style language identifier of the CCNet
+    pipeline (Joulin et al. 2016, arXiv:1607.01759; Wenzek et al.
+    2020 use its published lid.176 model): a MULTINOMIAL logistic
+    regression over hashed character 2-/3-gram and word-unigram
+    counts.  The heuristic :func:`~.text.language_id` (stopword
+    hit-rate) is the zero-training baseline; this is the trained
+    upgrade for corpora where curated per-language text exists.
+
+    All JVM end to end: one SQLTransformer projects null-safe char
+    and word token arrays (chars capped at ``max_chars`` — language
+    is decidable from a prefix; unbounded docs would make feature
+    cost O(doc) for no accuracy), then NGram -> three HashingTF legs
+    (char bigrams, char trigrams, word unigrams; spaces KEPT in the
+    char stream — cross-word shapes like 'e d' are strong language
+    signal) -> VectorAssembler -> LogisticRegression
+    (family="multinomial", L-BFGS).  The fitted PipelineModel carries
+    its own featurization AND an IndexToString stage mapping class
+    index back to the label string, so save/load round-trips the
+    whole predictor with no side state.
+
+    Label indexing is deterministic (labels sorted lexicographically,
+    not frequency-ranked like StringIndexer) and the training label
+    column is attached OUTSIDE the pipeline — a StringIndexer stage
+    would make scoring demand a ``lang`` column on unlabeled corpora.
+
+    ``max_train_docs_per_lang`` is the bounded-training contract,
+    STRATIFIED: each language larger than the bound is hash-sampled
+    to ~the bound independently (one narrow count pass over the label
+    column sizes the fractions), so a 98%-English crawl cannot starve
+    the tail languages out of the model.  ``None`` fits everything.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import (HashingTF, IndexToString, NGram,
+                                    SQLTransformer, VectorAssembler)
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if max_chars < 1:
+        raise ValueError(f"max_chars must be >= 1, got {max_chars}")
+    if (max_train_docs_per_lang is not None
+            and max_train_docs_per_lang < 1):
+        raise ValueError("max_train_docs_per_lang must be >= 1 or "
+                         f"None, got {max_train_docs_per_lang}")
+
+    labeled = df.filter(F.col(text_col).isNotNull()
+                        & F.col(label_col).isNotNull())
+    # label domain: bounded by the number of languages by construction
+    labels = sorted(r[0] for r in
+                    labeled.select(label_col).distinct().collect())
+    if len(labels) < 2:
+        raise ValueError(
+            f"need >= 2 distinct {label_col!r} values, got {labels}")
+    idx_expr = "CASE " + " ".join(
+        f"WHEN {label_col} = '{lv}' THEN {i}.0"
+        for i, lv in enumerate(labels)) + " END"
+    train = labeled.select(
+        F.col(text_col).alias("__li_text"),
+        F.expr(idx_expr).alias("__li_label"))
+
+    if max_train_docs_per_lang is not None:
+        # stratified bound: ONE narrow count pass (label column only)
+        # sizes a per-language hash threshold; content-addressed, so
+        # the training set reproduces under any partitioning
+        from .dedup import _h60
+        counts = {r[0]: r[1] for r in labeled.groupBy(label_col)
+                  .count().collect()}
+        over = {lv: n for lv, n in counts.items()
+                if n > max_train_docs_per_lang}
+        if over:
+            lim = float((1 << 60) + 2)
+            thr_expr = "CASE " + " ".join(
+                f"WHEN __li_label = {i}.0 THEN "
+                + str(int(max_train_docs_per_lang
+                          / counts[lv] * lim)
+                      if lv in over else int(lim))
+                for i, lv in enumerate(labels)) + " END"
+            train = train.filter(
+                F.expr(_h60("concat(__li_text, ':li_train')",
+                            fast_hash))
+                < F.expr(thr_expr))
+            print("[pandas_alchemy_spark] train_langid_classifier: "
+                  + "; ".join(
+                      f"{lv} hash-sampled {n} -> "
+                      f"~{max_train_docs_per_lang}"
+                      for lv, n in sorted(over.items()))
+                  + " docs (max_train_docs_per_lang bound)",
+                  file=sys.stderr)
+        est = sum(min(n, max_train_docs_per_lang)
+                  for n in counts.values())
+        train = train.coalesce(max(2, min(32, est // 5000)))
+    # L-BFGS re-reads its input every iteration; see the quality
+    # classifier's persist note
+    train = train.persist()
+    sqlt = SQLTransformer(statement=(
+        "SELECT *, "
+        "slice(filter(split(lower(coalesce(__li_text, '')), ''), "
+        f"c -> c != ''), 1, {int(max_chars)}) AS __li_chars, "
+        "filter(split(lower(coalesce(__li_text, '')), "
+        f"'{_ML_TOKEN_PATTERN}'), t -> t != '') AS __li_words "
+        "FROM __THIS__"))
+    stages = [
+        sqlt,
+        NGram(n=2, inputCol="__li_chars", outputCol="__li_c2"),
+        NGram(n=3, inputCol="__li_chars", outputCol="__li_c3"),
+        HashingTF(inputCol="__li_c2", outputCol="__li_tf2",
+                  numFeatures=buckets, binary=False),
+        HashingTF(inputCol="__li_c3", outputCol="__li_tf3",
+                  numFeatures=buckets, binary=False),
+        HashingTF(inputCol="__li_words", outputCol="__li_tfw",
+                  numFeatures=buckets, binary=True),
+        VectorAssembler(inputCols=["__li_tf2", "__li_tf3",
+                                   "__li_tfw"],
+                        outputCol="__li_feat"),
+        LogisticRegression(featuresCol="__li_feat",
+                           labelCol="__li_label",
+                           family="multinomial",
+                           maxIter=max_iter, regParam=reg_param),
+        IndexToString(inputCol="prediction", outputCol="lang_pred",
+                      labels=labels),
+    ]
+    try:
+        model = Pipeline(stages=stages).fit(train)
+    finally:
+        train.unpersist()
+    # the LR stage is second-to-last here (IndexToString follows)
+    _drop_lr_summary_at(model, -2, df.sparkSession,
+                        "train_langid_classifier")
+    return model
+
+
+def _drop_lr_summary_at(model, pos: int, spark, op_name: str) -> None:
+    try:
+        model.stages[pos]._java_obj.setSummary(
+            spark._jvm.scala.Option.empty())
+    except Exception as exc:  # pragma: no cover - Spark-build drift
+        print(f"[pandas_alchemy_spark] {op_name}: "
+              f"could not drop the LR trainingSummary ({exc!r}); "
+              "see _drop_lr_summary", file=sys.stderr)
+
+
+def predict_language(docs: DataFrame, model, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Predict language for every document under a
+    :func:`train_langid_classifier` model: returns ``(id_col,
+    lang_pred, lang_prob)`` with ``lang_prob`` = the winning class's
+    posterior.  One JVM model pass; NULL text rows are dropped (no
+    features).  Same schema contract as the heuristic
+    :func:`~.text.language_id` (``lang_pred``), so downstream
+    group-bys swap freely between the two."""
+    from pyspark.ml.functions import vector_to_array
+    scored = model.transform(
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.col(text_col).alias("__li_text")))
+    return scored.select(
+        F.col(id_col), F.col("lang_pred"),
+        F.array_max(vector_to_array(F.col("probability")))
+        .alias("lang_prob"))
+
+
+def evaluate_langid_classifier(model, labeled: DataFrame,
+                               text_col: str = "text",
+                               label_col: str = "lang") -> dict:
+    """Held-out evaluation against gold labels: accuracy, macro-F1
+    (unweighted mean over languages — the tail-language-honest
+    number), and the per-language precision/recall/support table.
+    One model pass + one tiny confusion aggregate (bounded by
+    #langs²)."""
+    rows = (model.transform(
+        labeled.filter(F.col(text_col).isNotNull()
+                       & F.col(label_col).isNotNull())
+        .select(F.col(label_col).alias("__li_gold"),
+                F.col(text_col).alias("__li_text")))
+        .groupBy("__li_gold", "lang_pred").count().collect())
+    conf: dict = {}
+    for r in rows:
+        conf[(r["__li_gold"], r["lang_pred"])] = r["count"]
+    langs = sorted({g for g, _ in conf} | {p for _, p in conf})
+    total = sum(conf.values())
+    correct = sum(n for (g, p), n in conf.items() if g == p)
+    per_lang, f1s = {}, []
+    for lv in langs:
+        tp = conf.get((lv, lv), 0)
+        support = sum(n for (g, _), n in conf.items() if g == lv)
+        predicted = sum(n for (_, p), n in conf.items() if p == lv)
+        prec = tp / predicted if predicted else 0.0
+        rec = tp / support if support else 0.0
+        f1 = (2 * prec * rec / (prec + rec)) if (prec + rec) else 0.0
+        per_lang[lv] = {"precision": prec, "recall": rec,
+                        "f1": f1, "support": support}
+        if support:
+            f1s.append(f1)
+    return {"accuracy": correct / total if total else 0.0,
+            "macro_f1": sum(f1s) / len(f1s) if f1s else 0.0,
+            "n_docs": total, "per_lang": per_lang}

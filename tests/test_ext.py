@@ -2091,3 +2091,136 @@ def test_semantic_dedup_numpy_kernel_matches_sql(spark, emb):
     with pytest.raises(ValueError, match="kernel"):
         similarity.semantic_dedup_pairs(corpus, dim=dim, nlist=8,
                                         kernel="blas")
+
+
+# ---------------------------------------------------------------------------
+# model-based language ID (round 10)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def planted_langs(spark):
+    """Deterministic multilingual fixture: each doc mixes its
+    language's stopword inventory with shared neutral vocabulary —
+    no RNG, so every run trains on the identical corpus."""
+    from pandas_alchemy_spark.ext.text import STOPWORDS
+    shared = ["data", "spark", "table", "row", "merge", "batch"]
+    rows, i = [], 0
+    for lang, sws in sorted(STOPWORDS.items()):
+        for d in range(180):
+            words = ([sws[(d + j) % len(sws)] for j in range(12)]
+                     + [shared[(d + j) % len(shared)]
+                        for j in range(4)])
+            rows.append((i, " ".join(words), lang))
+            i += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+
+
+def test_langid_classifier_learns_planted_languages(spark,
+                                                    planted_langs):
+    """fastText-style char-ngram multinomial LR separates the planted
+    languages on a held-out split (train/holdout disjoint by parity),
+    and predict_language carries the winning posterior."""
+    from pandas_alchemy_spark.ext import pipeline
+    train = planted_langs.filter("doc_id % 3 <> 0")
+    hold = planted_langs.filter("doc_id % 3 = 0")
+    m = pipeline.train_langid_classifier(train, max_iter=15,
+                                         buckets=1 << 14)
+    ev = pipeline.evaluate_langid_classifier(m, hold)
+    assert ev["accuracy"] >= 0.95, ev
+    assert ev["macro_f1"] >= 0.95, ev
+    assert set(ev["per_lang"]) == {"de", "en", "es", "fr"}
+    pred = pipeline.predict_language(hold, m).toPandas()
+    assert set(pred.columns) == {"doc_id", "lang_pred", "lang_prob"}
+    assert (pred.lang_prob > 0.25).all()  # above uniform over 4
+    assert ((pred.lang_prob >= 0) & (pred.lang_prob <= 1)).all()
+
+
+def test_langid_classifier_deterministic_and_bounded(spark,
+                                                     planted_langs):
+    """Content-addressed stratified sampling: retrain reproduces the
+    model exactly; a per-language bound really bites and still keeps
+    every language learnable (no starvation of small languages)."""
+    from pandas_alchemy_spark.ext import pipeline
+
+    def coefs(m):
+        lr = m.stages[-2]
+        arr = lr.coefficientMatrix.toArray()
+        return (float(arr.sum()), int((arr != 0).sum()),
+                tuple(float(x) for x in
+                      lr.interceptVector.toArray()))
+
+    m1 = pipeline.train_langid_classifier(
+        planted_langs, max_iter=8, buckets=1 << 12,
+        max_train_docs_per_lang=60)
+    m2 = pipeline.train_langid_classifier(
+        planted_langs, max_iter=8, buckets=1 << 12,
+        max_train_docs_per_lang=60)
+    assert coefs(m1) == coefs(m2)
+    mfull = pipeline.train_langid_classifier(
+        planted_langs, max_iter=8, buckets=1 << 12,
+        max_train_docs_per_lang=None)
+    assert coefs(m1) != coefs(mfull)  # the bound really bit
+    ev = pipeline.evaluate_langid_classifier(m1, planted_langs)
+    assert ev["accuracy"] >= 0.9, ev
+
+
+def test_langid_classifier_save_load_roundtrip(spark, planted_langs,
+                                               tmp_path):
+    """The PipelineModel carries featurization AND the IndexToString
+    label mapping: save/load round-trips the whole predictor with no
+    side state (the label list is not python-side)."""
+    from pyspark.ml import PipelineModel
+
+    from pandas_alchemy_spark.ext import pipeline
+    m = pipeline.train_langid_classifier(
+        planted_langs.filter("doc_id % 3 <> 0"), max_iter=8,
+        buckets=1 << 12)
+    path = str(tmp_path / "langid_model")
+    m.save(path)
+    m2 = PipelineModel.load(path)
+    hold = planted_langs.filter("doc_id % 3 = 0")
+    a = (pipeline.predict_language(hold, m).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (pipeline.predict_language(hold, m2).toPandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert (a.lang_pred == b.lang_pred).all()
+    assert (a.lang_prob - b.lang_prob).abs().max() < 1e-12
+
+
+def test_langid_classifier_error_paths(spark, planted_langs):
+    from pandas_alchemy_spark.ext import pipeline
+    with pytest.raises(ValueError, match="buckets"):
+        pipeline.train_langid_classifier(planted_langs, buckets=1)
+    with pytest.raises(ValueError, match="max_chars"):
+        pipeline.train_langid_classifier(planted_langs, max_chars=0)
+    with pytest.raises(ValueError, match="max_train_docs_per_lang"):
+        pipeline.train_langid_classifier(
+            planted_langs, max_train_docs_per_lang=0)
+    with pytest.raises(ValueError, match="distinct"):
+        pipeline.train_langid_classifier(
+            planted_langs.filter("lang = 'en'"))
+
+
+def test_langid_classifier_null_text_and_agreement(spark,
+                                                   planted_langs):
+    """NULL text/label rows are excluded from training and scoring;
+    on stopword-planted docs the trained model agrees with the
+    heuristic language_id (the zero-training baseline) on nearly
+    every doc."""
+    from pandas_alchemy_spark.ext import pipeline, text
+    withnull = planted_langs.unionAll(planted_langs.sparkSession
+                                      .createDataFrame(
+                                          [(99999, None, "en"),
+                                           (99998, "der die und", None)],
+                                          planted_langs.schema))
+    m = pipeline.train_langid_classifier(withnull, max_iter=10,
+                                         buckets=1 << 13)
+    pred = pipeline.predict_language(withnull, m)
+    assert pred.filter("doc_id = 99999").count() == 0  # null text
+    assert pred.filter("doc_id = 99998").count() == 1  # label-less ok
+    both = (pred.join(text.language_id(planted_langs)
+                      .select("doc_id", F.col("lang_pred")
+                              .alias("lang_heur")), "doc_id"))
+    agree = both.filter("lang_pred = lang_heur").count() / both.count()
+    assert agree >= 0.9, agree

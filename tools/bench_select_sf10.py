@@ -386,6 +386,53 @@ def main():
         run("profile_merge_finalize", _profile_merge)
         prof_holder["states"].unpersist()
 
+    # r10: model-based language ID at doc scale.  The fixture's lang
+    # labels carry no text signal (see the quality-control eval), so
+    # the leg PLANTS one: each doc gets a language assigned by id
+    # parity and that language's stopword inventory appended — the
+    # model must learn the planted signal, the heuristic baseline's
+    # own vocabulary.  Measures: bounded stratified train, one-pass
+    # 500k score, held-out accuracy.
+    from pandas_alchemy_spark.ext.pipeline import (
+        evaluate_langid_classifier, predict_language,
+        train_langid_classifier)
+    from pandas_alchemy_spark.ext.text import STOPWORDS as _SW
+    _langs = sorted(_SW)
+    _case = "CASE " + " ".join(
+        f"WHEN doc_id % 4 = {i} THEN '{lv}'"
+        for i, lv in enumerate(_langs)) + " END"
+    _inject = "CASE " + " ".join(
+        f"WHEN doc_id % 4 = {i} THEN "
+        f"concat(text, ' ', '{' '.join(_SW[lv][:12])}')"
+        for i, lv in enumerate(_langs)) + " END"
+    li_docs = docs.selectExpr("doc_id", f"{_inject} AS text",
+                              f"{_case} AS lang")
+    li_holder = {}
+
+    def _li_train():
+        li_holder["m"] = train_langid_classifier(
+            li_docs.filter("doc_id % 7 <> 0"), max_iter=15,
+            buckets=1 << 16, max_train_docs_per_lang=5_000,
+            fast_hash=True)
+
+    run("langid_train_500k", _li_train)
+    if "m" in li_holder:
+        def _li_score():
+            noop(predict_language(li_docs, li_holder["m"]))
+
+        run("langid_score_500k", _li_score)
+
+        def _li_eval():
+            ev = evaluate_langid_classifier(
+                li_holder["m"], li_docs.filter("doc_id % 7 = 0"))
+            assert ev["accuracy"] >= 0.95, ev
+            extra["langid_eval"] = {
+                "accuracy": round(ev["accuracy"], 4),
+                "macro_f1": round(ev["macro_f1"], 4),
+                "n_docs": ev["n_docs"]}
+
+        run("langid_eval_heldout", _li_eval)
+
     total = round(sum(t for t in times.values() if t >= 0), 2)
     load = [round(x, 2) for x in os.getloadavg()]
     spark.stop()
