@@ -535,3 +535,34 @@ def streaming_profile_report(spark: SparkSession, state_path: str,
     states = spark.read.parquet(state_path).drop("batch_id")
     return _profile.finalize_profile(
         _profile.merge_profile_sketches(states), quantiles=quantiles)
+
+
+def streaming_language_gate(stream: DataFrame, model,
+                            keep_langs: list[str] | None = None,
+                            min_prob: float = 0.0,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Ingest-time language filter — the CCNet deployment shape of
+    :func:`~..ext.pipeline.train_langid_classifier`: keep only docs
+    whose predicted language is in ``keep_langs`` with posterior >=
+    ``min_prob``.  The fitted PipelineModel is row-local (hashing
+    featurization + one matrix-vector product + argmax), so it
+    applies to a streaming frame directly — no state store, no
+    watermark, per-micro-batch cost linear in batch size, identical
+    output to the batch twin row for row (tested).
+
+    ``keep_langs=None`` passes everything through annotated
+    (``lang_pred``, ``lang_prob``) instead of gating."""
+    from pyspark.ml.functions import vector_to_array
+    scored = (model.transform(
+        stream.filter(F.col(text_col).isNotNull())
+        .withColumn("__li_text", F.col(text_col)))
+        .withColumn("lang_prob",
+                    F.array_max(vector_to_array(F.col("probability")))))
+    out = scored.select(id_col, text_col, "lang_pred", "lang_prob")
+    if keep_langs is not None:
+        out = out.filter(F.col("lang_pred").isin(list(keep_langs))
+                         & (F.col("lang_prob") >= F.lit(min_prob)))
+    elif min_prob > 0.0:
+        out = out.filter(F.col("lang_prob") >= F.lit(min_prob))
+    return out

@@ -1024,3 +1024,47 @@ def test_streaming_profile_matches_batch_across_restart(spark,
     n_state_dirs_2 = len([d for d in os.listdir(state)
                           if d.startswith("batch_id=")])
     assert n_state_dirs_2 > n_state_dirs_1
+
+
+def test_streaming_language_gate_matches_batch(spark, tmp_path):
+    """The langid model is row-local, so the streaming gate must equal
+    the batch twin row for row — same kept set, same predictions —
+    across micro-batch boundaries."""
+    from pandas_alchemy_spark.ext import pipeline
+    from pandas_alchemy_spark.ext.text import STOPWORDS
+
+    shared = ["data", "spark", "table", "row"]
+    rows = []
+    for i, (lang, sws) in enumerate(sorted(STOPWORDS.items()) * 60):
+        words = ([sws[(i + j) % len(sws)] for j in range(10)]
+                 + [shared[(i + j) % len(shared)] for j in range(3)])
+        rows.append((i, " ".join(words), lang))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    model = pipeline.train_langid_classifier(docs, max_iter=10,
+                                             buckets=1 << 13)
+    src = tmp_path / "src"
+    docs.repartition(4).write.parquet(str(src))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    gated = stream_events.streaming_language_gate(
+        stream, model, keep_langs=["en", "de"], min_prob=0.5)
+    q = (gated.writeStream.format("memory").queryName("t_lang_gate")
+         .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(120)
+        got = (spark.table("t_lang_gate").toPandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    finally:
+        q.stop()
+    want = (stream_events.streaming_language_gate(
+        spark.read.parquet(str(src)), model,
+        keep_langs=["en", "de"], min_prob=0.5).toPandas()
+        .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    assert (got.doc_id == want.doc_id).all()
+    assert (got.lang_pred == want.lang_pred).all()
+    assert (got.lang_prob - want.lang_prob).abs().max() < 1e-12
+    # the gate kept only confident target-language docs
+    assert set(got.lang_pred) <= {"en", "de"}
+    assert (got.lang_prob >= 0.5).all()

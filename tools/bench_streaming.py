@@ -371,6 +371,66 @@ def main():
             print(f"streaming_profile: ERROR {str(ex)[:200]}",
                   file=sys.stderr)
 
+        # r10: ingest-time language gate — the langid model is
+        # row-local, so the drain rate IS the model's scoring
+        # throughput (no state store).  Signal planted the same way
+        # the select-scale leg does; train time recorded separately
+        # from the drain.
+        try:
+            from pandas_alchemy_spark.ext.pipeline import \
+                train_langid_classifier
+            from pandas_alchemy_spark.ext.text import STOPWORDS as _SW
+            _langs = sorted(_SW)
+            _case = "CASE " + " ".join(
+                f"WHEN doc_id % 4 = {i} THEN '{lv}'"
+                for i, lv in enumerate(_langs)) + " END"
+            _inj = "CASE " + " ".join(
+                f"WHEN doc_id % 4 = {i} THEN "
+                f"concat(text, ' ', '{' '.join(_SW[lv][:12])}')"
+                for i, lv in enumerate(_langs)) + " END"
+            li_dir = "/root/repo/.scratch/stream_langid_docs"
+            if not os.path.exists(li_dir):
+                (spark.read.parquet(docs_dir)
+                 .selectExpr("doc_id", f"{_inj} AS text",
+                             f"{_case} AS lang")
+                 .repartition(16).write.parquet(li_dir))
+            li_batch = spark.read.parquet(li_dir)
+            t0 = time.time()
+            li_model = train_langid_classifier(
+                li_batch, max_iter=15, buckets=1 << 16,
+                max_train_docs_per_lang=5_000, fast_hash=True)
+            train_s = round(time.time() - t0, 2)
+            lstream = (spark.readStream.schema(li_batch.schema)
+                       .option("maxFilesPerTrigger", 4)
+                       .parquet(li_dir))
+            gated = stream_events.streaming_language_gate(
+                lstream, li_model, keep_langs=["en", "de"],
+                min_prob=0.5)
+            t0 = time.time()
+            q = (gated.writeStream.format("noop")
+                 .option("checkpointLocation",
+                         f"/root/repo/.scratch/ckpt_{int(time.time()*1e6)}")
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            sec = round(time.time() - t0, 2)
+            prog = q.recentProgress
+            rows = sum(p["numInputRows"] for p in prog)
+            results["streaming_language_gate"] = sec
+            detail["streaming_language_gate"] = {
+                "sec": sec, "train_sec": train_s,
+                "micro_batches": len(prog), "rows_in": rows,
+                "docs_per_sec": int(rows / sec)}
+            print(f"streaming_language_gate: {sec}s drain "
+                  f"({train_s}s one-time train), {len(prog)} "
+                  f"batches, {int(rows / sec)} docs/s",
+                  file=sys.stderr)
+        except Exception as ex:
+            results["streaming_language_gate"] = -1.0
+            detail["streaming_language_gate"] = {"error": str(ex)[:200]}
+            print(f"streaming_language_gate: ERROR {str(ex)[:200]}",
+                  file=sys.stderr)
+
     total = round(sum(t for t in results.values() if t >= 0), 2)
     print(json.dumps({
         "metric": "streaming_drain_total", "value": total,
