@@ -541,7 +541,8 @@ def streaming_language_gate(stream: DataFrame, model,
                             keep_langs: list[str] | None = None,
                             min_prob: float = 0.0,
                             text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            stream_partitions: int | None = None) -> DataFrame:
     """Ingest-time language filter — the CCNet deployment shape of
     :func:`~..ext.pipeline.train_langid_classifier`: keep only docs
     whose predicted language is in ``keep_langs`` with posterior >=
@@ -552,11 +553,22 @@ def streaming_language_gate(stream: DataFrame, model,
     output to the batch twin row for row (tested).
 
     ``keep_langs=None`` passes everything through annotated
-    (``lang_pred``, ``lang_prob``) instead of gating."""
+    (``lang_pred``, ``lang_prob``) instead of gating.
+
+    ``stream_partitions`` repartitions each micro-batch BEFORE the
+    model transform (same knob as :func:`streaming_dedup_against`):
+    a micro-batch's task count is its FILE count, so with
+    maxFilesPerTrigger=4 the scoring pass runs 4-wide no matter how
+    many cores the cluster has — measured 3.4k docs/s vs the batch
+    twin's 9.4k on 32 cores.  The per-batch shuffle is a few MB of
+    text against an 8x parallelism unlock; set it to the executor
+    core count when the trigger's file count is below it."""
     from pyspark.ml.functions import vector_to_array
+    src = stream.filter(F.col(text_col).isNotNull())
+    if stream_partitions is not None:
+        src = src.repartition(stream_partitions)
     scored = (model.transform(
-        stream.filter(F.col(text_col).isNotNull())
-        .withColumn("__li_text", F.col(text_col)))
+        src.withColumn("__li_text", F.col(text_col)))
         .withColumn("lang_prob",
                     F.array_max(vector_to_array(F.col("probability")))))
     out = scored.select(id_col, text_col, "lang_pred", "lang_prob")

@@ -1048,7 +1048,8 @@ def test_streaming_language_gate_matches_batch(spark, tmp_path):
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 1).parquet(str(src)))
     gated = stream_events.streaming_language_gate(
-        stream, model, keep_langs=["en", "de"], min_prob=0.5)
+        stream, model, keep_langs=["en", "de"], min_prob=0.5,
+        stream_partitions=8)
     q = (gated.writeStream.format("memory").queryName("t_lang_gate")
          .outputMode("append").trigger(availableNow=True).start())
     try:

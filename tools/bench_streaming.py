@@ -405,7 +405,7 @@ def main():
                        .parquet(li_dir))
             gated = stream_events.streaming_language_gate(
                 lstream, li_model, keep_langs=["en", "de"],
-                min_prob=0.5)
+                min_prob=0.5, stream_partitions=32)
             t0 = time.time()
             q = (gated.writeStream.format("noop")
                  .option("checkpointLocation",
