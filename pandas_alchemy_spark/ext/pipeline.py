@@ -626,7 +626,11 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
     the bound is down-sampled to ~``max_train_docs`` docs with a
     deterministic content-addressed hash gate (``h60(text) <
     frac*2^60`` — same set on any cluster under any partitioning; no
-    RNG state), and the pre/post counts are logged.  Pass ``None``
+    RNG state), and the pre/post counts are logged.  NB the sampling
+    fraction is sized from the PRE-null-filter count (the cheap,
+    text-column-free one), so on corpora with a high NULL-text rate
+    the sample lands proportionally UNDER ``max_train_docs`` — a
+    ~bound, not an exact target (ADVICE r10).  Pass ``None``
     to deliberately fit the full population.  ``fast_hash`` switches
     the sampling hash to codegen'd xxhash64 (Spark-only; the md5
     default is DuckDB-reproducible).
@@ -637,7 +641,7 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
     only to aggregation order, so compare scores with a tolerance,
     not bitwise.
     """
-    from pyspark.ml import Pipeline
+    from pyspark.ml import PipelineModel
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import (HashingTF, NGram, RegexTokenizer,
                                     VectorAssembler)
@@ -698,12 +702,7 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
         # right gradient-pass granularity.
         train = train.coalesce(
             max(2, min(32, int(sum(est_rows)) // 5000)))
-    # persisted across the fit: L-BFGS makes max_iter+ passes and
-    # Spark 4's LogisticRegression does NOT cache its input —
-    # uncached, every pass re-runs the whole sampling lineage (a
-    # full corpus re-scan per iteration at doc scale)
-    train = train.persist()
-    stages = [
+    feat_stages = [
         RegexTokenizer(inputCol="__qc_text", outputCol="__qc_tok",
                        pattern=_ML_TOKEN_PATTERN, gaps=True,
                        toLowercase=True, minTokenLength=1),
@@ -714,15 +713,32 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
                   numFeatures=buckets, binary=True),
         VectorAssembler(inputCols=["__qc_tf1", "__qc_tf2"],
                         outputCol="__qc_feat"),
-        LogisticRegression(featuresCol="__qc_feat",
-                           labelCol="__qc_label",
-                           maxIter=max_iter, regParam=reg_param,
-                           elasticNetParam=elastic_net),
     ]
+    lr = LogisticRegression(featuresCol="__qc_feat",
+                            labelCol="__qc_label",
+                            maxIter=max_iter, regParam=reg_param,
+                            elasticNetParam=elastic_net)
+    # featurize ONCE, then fit (r11; VERDICT r10 #1): L-BFGS makes
+    # max_iter+ passes and Spark 4's LogisticRegression does NOT
+    # cache its input, so fitting a Pipeline whose LR stage sits on
+    # the lazy tokenize→NGram→HashingTF chain re-runs the WHOLE
+    # featurization every iteration (~15x redundant work measured on
+    # the 20k-doc doc-scale leg).  Run the transformer stages once,
+    # persist only the (features, label) frame — sparse vectors, far
+    # smaller than the re-tokenization it replaces — fit LR alone on
+    # it, and assemble the PipelineModel from the same transformer
+    # stages + the fitted LR so scoring featurization cannot drift
+    # from training (all stages are stateless Transformers; the
+    # assembled model save/loads like Pipeline.fit's would).
+    feat = train
+    for st in feat_stages:
+        feat = st.transform(feat)
+    feat = feat.select("__qc_feat", "__qc_label").persist()
     try:
-        model = Pipeline(stages=stages).fit(train)
+        lr_model = lr.fit(feat)
     finally:
-        train.unpersist()
+        feat.unpersist()
+    model = PipelineModel(feat_stages + [lr_model])
     # Spark 4.1: the fitted LR model's trainingSummary holds a
     # NON-TRANSIENT SparkSession; the prediction UDF closure captures
     # the model, so any plan that ships that closure in a serialized
@@ -961,7 +977,7 @@ def train_langid_classifier(df: DataFrame, text_col: str = "text",
     column sizes the fractions), so a 98%-English crawl cannot starve
     the tail languages out of the model.  ``None`` fits everything.
     """
-    from pyspark.ml import Pipeline
+    from pyspark.ml import PipelineModel
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import (HashingTF, IndexToString, NGram,
                                     SQLTransformer, VectorAssembler)
@@ -982,12 +998,16 @@ def train_langid_classifier(df: DataFrame, text_col: str = "text",
     if len(labels) < 2:
         raise ValueError(
             f"need >= 2 distinct {label_col!r} values, got {labels}")
-    idx_expr = "CASE " + " ".join(
-        f"WHEN {label_col} = '{lv}' THEN {i}.0"
-        for i, lv in enumerate(labels)) + " END"
+    # label -> class index as a chained F.when (r11; ADVICE r10: an
+    # interpolated SQL CASE broke on labels containing a quote —
+    # label_col is arbitrary user data, not always clean ISO codes)
+    idx_expr = F.lit(None).cast("double")
+    for i, lv in enumerate(labels):
+        idx_expr = F.when(F.col(label_col) == F.lit(lv),
+                          F.lit(float(i))).otherwise(idx_expr)
     train = labeled.select(
         F.col(text_col).alias("__li_text"),
-        F.expr(idx_expr).alias("__li_label"))
+        idx_expr.alias("__li_label"))
 
     if max_train_docs_per_lang is not None:
         # stratified bound: ONE narrow count pass (label column only)
@@ -1020,9 +1040,6 @@ def train_langid_classifier(df: DataFrame, text_col: str = "text",
         est = sum(min(n, max_train_docs_per_lang)
                   for n in counts.values())
         train = train.coalesce(max(2, min(32, est // 5000)))
-    # L-BFGS re-reads its input every iteration; see the quality
-    # classifier's persist note
-    train = train.persist()
     sqlt = SQLTransformer(statement=(
         "SELECT *, "
         "slice(filter(split(lower(coalesce(__li_text, '')), ''), "
@@ -1030,7 +1047,7 @@ def train_langid_classifier(df: DataFrame, text_col: str = "text",
         "filter(split(lower(coalesce(__li_text, '')), "
         f"'{_ML_TOKEN_PATTERN}'), t -> t != '') AS __li_words "
         "FROM __THIS__"))
-    stages = [
+    feat_stages = [
         sqlt,
         NGram(n=2, inputCol="__li_chars", outputCol="__li_c2"),
         NGram(n=3, inputCol="__li_chars", outputCol="__li_c3"),
@@ -1043,17 +1060,30 @@ def train_langid_classifier(df: DataFrame, text_col: str = "text",
         VectorAssembler(inputCols=["__li_tf2", "__li_tf3",
                                    "__li_tfw"],
                         outputCol="__li_feat"),
-        LogisticRegression(featuresCol="__li_feat",
-                           labelCol="__li_label",
-                           family="multinomial",
-                           maxIter=max_iter, regParam=reg_param),
+    ]
+    lr = LogisticRegression(featuresCol="__li_feat",
+                            labelCol="__li_label",
+                            family="multinomial",
+                            maxIter=max_iter, regParam=reg_param)
+    # featurize ONCE, then fit — same rationale as
+    # train_quality_classifier (r11; VERDICT r10 #1): persist the
+    # sparse (features, label) frame so L-BFGS's ~max_iter passes
+    # reuse it instead of re-running the char-split/NGram/HashingTF
+    # chain per iteration; assemble the PipelineModel from the same
+    # transformer stages + the fitted LR + IndexToString.
+    feat = train
+    for st in feat_stages:
+        feat = st.transform(feat)
+    feat = feat.select("__li_feat", "__li_label").persist()
+    try:
+        lr_model = lr.fit(feat)
+    finally:
+        feat.unpersist()
+    model = PipelineModel(feat_stages + [
+        lr_model,
         IndexToString(inputCol="prediction", outputCol="lang_pred",
                       labels=labels),
-    ]
-    try:
-        model = Pipeline(stages=stages).fit(train)
-    finally:
-        train.unpersist()
+    ])
     # the LR stage is second-to-last here (IndexToString follows)
     _drop_lr_summary_at(model, -2, df.sparkSession,
                         "train_langid_classifier")

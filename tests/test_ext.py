@@ -2202,6 +2202,23 @@ def test_langid_classifier_error_paths(spark, planted_langs):
             planted_langs.filter("lang = 'en'"))
 
 
+def test_langid_classifier_naughty_label_values(spark, planted_langs):
+    """Label values are arbitrary user data (ADVICE r10): quotes,
+    backslashes and SQL-ish fragments in the label column must train
+    and round-trip through IndexToString unharmed — the index map is
+    built with F.when chains, not an interpolated SQL CASE."""
+    from pandas_alchemy_spark.ext import pipeline
+    naughty = {"en": "en'); DROP--", "fr": "fr\\'\"", "de": "de\nx",
+               "es": "es"}
+    relabeled = planted_langs.replace(naughty, subset=["lang"])
+    m = pipeline.train_langid_classifier(
+        relabeled, max_iter=8, buckets=1 << 12,
+        max_train_docs_per_lang=60)
+    ev = pipeline.evaluate_langid_classifier(m, relabeled)
+    assert ev["accuracy"] >= 0.9, ev
+    assert set(ev["per_lang"]) == set(naughty.values())
+
+
 def test_langid_classifier_null_text_and_agreement(spark,
                                                    planted_langs):
     """NULL text/label rows are excluded from training and scoring;
