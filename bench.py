@@ -434,18 +434,33 @@ def main():
             print(f"# bench error {name}: {str(ex)[:200]}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(json.dumps({
+    art = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "loadavg1": loads,
         **gate,
         "cpu_mark": _cpu_mark(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "n_queries": len(times),
-    }))
+    }
+    # full telemetry (per-query loadavg etc.) goes to a SIDECAR file,
+    # NOT stdout (r11; VERDICT r10 #5: the driver's stdout capture
+    # kept only the tail of the line and failed to parse for two
+    # rounds — the per-query loadavg dict roughly doubled the line).
+    # The stdout line keeps the contract fields + cpu_mark (the
+    # box-speed label every cross-round comparison needs).
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR",
+                             os.path.join(os.path.dirname(
+                                 os.path.abspath(__file__)),
+                                 "bench_full_last.json"))
+    try:
+        with open(sidecar, "w") as fh:
+            fh.write(json.dumps({**art, "loadavg1": loads}) + "\n")
+    except OSError as ex:  # read-only checkout: stdout still works
+        print(f"# bench sidecar write failed: {ex}", file=sys.stderr)
+    print(json.dumps(art))
 
 
 if __name__ == "__main__":

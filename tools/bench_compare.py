@@ -47,6 +47,38 @@ def main() -> None:
     print(f"shared-{len(shared)} total {tb:.2f} -> {ta:.2f} s — "
           f"ratio {ta / tb:.3f} (median "
           f"{statistics.median(ratios.values()):.3f})")
+    # box-speed adjudication line (r11; VERDICT r10 #2): cpu_mark is
+    # a LABEL, not a divisor (the marks themselves wobble with
+    # neighbor noise), so print the mark ratio + a mark-normalized
+    # total as a first-order correction and warn loudly when the
+    # boxes differ — a uniform ratio band near the mark ratio is a
+    # box constant, an outlier operator is a real regression.
+    mb, ma = b.get("cpu_mark"), a.get("cpu_mark")
+    if not mb or not ma:
+        missing = [p for p, m in ((before_p, mb), (after_p, ma))
+                   if not m]
+        print("WARNING: no cpu_mark in "
+              + ", ".join(missing)
+              + " — cross-box wall-clock ratios are uninterpretable;"
+              " prefer same-box A/Bs / value contracts")
+    else:
+        inv = {}
+        for k in ("st_mops", "mt_gflops"):
+            if mb.get(k) and ma.get(k):
+                inv[k] = mb[k] / ma[k]  # >1 = after box slower
+        line = (f"cpu_mark before st={mb.get('st_mops')}"
+                f"/mt={mb.get('mt_gflops')} after "
+                f"st={ma.get('st_mops')}/mt={ma.get('mt_gflops')}")
+        if inv:
+            norm = {k: (ta / tb) / v for k, v in inv.items()}
+            line += ("; mark-normalized total ratio "
+                     + " ".join(f"{k.split('_')[0]}={r:.3f}"
+                                for k, r in norm.items()))
+        print(line)
+        if any(v > 1.2 or v < 1 / 1.2 for v in inv.values()):
+            print("WARNING: cross-box comparison (cpu_mark differs "
+                  ">1.2x) — judge the ratio DISTRIBUTION (uniform "
+                  "band = box constant), not raw seconds")
     print(f"{len(over)} row(s) above {floor}x:"
           + ("" if over else " none"))
     for k, r in over:

@@ -472,12 +472,20 @@ def main():
                      "med_ms": int(med), "max_ms": max(durs),
                      "ratio": round(max(durs) / med, 1)})
     skew.sort(key=lambda s: -s["ratio"])
+    # flag only REAL hot keys (r11; VERDICT r10 #8): adjudication is
+    # owed only to stages with BOTH ratio > 4 AND a multi-second
+    # straggler (max > 5 s) — high-ratio sub-second stragglers are
+    # scheduling jitter by stated policy, recorded in skew_top but
+    # not flagged.
+    skew_flags = [s for s in skew
+                  if s["ratio"] > 4.0 and s["max_ms"] > 5000]
 
     print(json.dumps({
         "metric": "select_docscale_total", "value": total,
         "unit": "sec", "queries": times, "n_docs": n_docs,
         "loadavg": load, **gate, "cpu_mark": _cpu_mark(), **extra,
         "skew_top": skew[:8],
+        "skew_flags": skew_flags,
         "worst_ratio": skew[0]["ratio"] if skew else None,
     }))
 

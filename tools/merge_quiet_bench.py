@@ -27,6 +27,19 @@ def main():
         vals = [r["queries"].get(name) for r in runs
                 if r["queries"].get(name, -1) >= 0]
         queries[name] = min(vals) if vals else -1.0
+    # propagate cpu_mark (r11; VERDICT r10 #2: the quiet artifact —
+    # the primary round-over-round signal — dropped it, leaving the
+    # next box lottery with no normalization label).  Per-run marks
+    # verbatim plus a best-of summary in the same shape bench.py
+    # emits, so bench_compare reads quiet and single-run artifacts
+    # uniformly.
+    marks = [r.get("cpu_mark") for r in runs]
+    best = None
+    got = [m for m in marks if m]
+    if got:
+        best = {"st_mops": max(m.get("st_mops", 0) for m in got),
+                "mt_gflops": max(m.get("mt_gflops", 0) for m in got),
+                "ncpu": got[0].get("ncpu")}
     art = {
         "metric": "headline_queries_quiet_min",
         "value": round(sum(v for v in queries.values() if v >= 0), 3),
@@ -35,6 +48,8 @@ def main():
         "n_runs": len(runs),
         "per_run_total": [r.get("value") for r in runs],
         "load_at_start": [r.get("load_at_start") for r in runs],
+        "cpu_mark": best,
+        "cpu_mark_per_run": marks,
         "sf": runs[0].get("sf"),
         "cpus": runs[0].get("cpus"),
         "n_queries": len(queries),
