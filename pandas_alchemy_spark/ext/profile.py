@@ -20,7 +20,8 @@ Three surfaces, one schema:
 - :func:`profile_sketches` — per-shard MERGEABLE state: plain sums,
   min/max, a Datasketches HLL binary (``hll_sketch_agg``) and a
   log-bucketed token-length histogram (``map<int,long>``, 4%% bucket
-  growth => <=2%% relative value error).  Shards profile
+  growth; end-to-end quantile value error pinned at <=10%% — see
+  :func:`histogram_quantile_error_bound`).  Shards profile
   independently (e.g. per ingest wave, per day), the states land in a
   tiny parquet table, and nothing ever re-reads the corpus.
 - :func:`merge_profile_sketches` / :func:`finalize_profile` — fold
@@ -44,9 +45,10 @@ from pyspark.sql import functions as F
 from .dedup import _TOKENS
 
 #: log-histogram bucket growth: value v (>=1) lands in bucket
-#: floor(ln(v)/ln(1.04)); a bucket's bounds differ by 4%, so a
-#: quantile read back from bucket mids errs <=2% in value (plus one
-#: bucket of rank slack), independent of corpus size.
+#: floor(ln(v)/ln(1.04)); a bucket's bounds differ by 4%.  The
+#: end-to-end quantile value bound (midpoint error + rank-walk
+#: interpolation slack) is histogram_quantile_error_bound() = 10%,
+#: independent of corpus size.
 _HIST_BASE = 1.04
 
 #: report columns shared by every surface, in output order
@@ -138,8 +140,14 @@ def corpus_profile(df: DataFrame, text_col: str = "text",
         for i, q in enumerate(quantiles)]
     return agg.select(
         "grp", "n_docs", "total_tokens", "avg_tokens", "min_tokens",
-        "max_tokens", *pct_cols, "avg_chars", "distinct_texts",
-        (1.0 - F.col("distinct_texts") / F.col("n_docs"))
+        "max_tokens", *pct_cols, "avg_chars",
+        # clamp (r11; ADVICE r10): HLL overestimation on small groups
+        # can push the estimate past n_docs, which would render an
+        # impossible distinct count and a negative dup_ratio
+        F.least("distinct_texts", "n_docs").alias("distinct_texts"),
+        F.greatest(
+            F.lit(0.0),
+            1.0 - F.col("distinct_texts") / F.col("n_docs"))
         .alias("dup_ratio"))
 
 
@@ -231,7 +239,8 @@ def finalize_profile(sketches: DataFrame,
     """Render merged sketch state into the :func:`corpus_profile`
     report schema.  Quantiles come from the log-histogram: walk the
     sorted buckets to the target rank, read the bucket's geometric
-    midpoint (<=2% value error by bucket construction).  The walk is
+    midpoint (value error within
+    :func:`histogram_quantile_error_bound`).  The walk is
     an ``aggregate`` over the map entries — group rows are tiny, no
     extra shuffle."""
     qexprs = []
@@ -256,19 +265,30 @@ def finalize_profile(sketches: DataFrame,
         (F.col("total_tokens") / F.col("n_docs")).alias("avg_tokens"),
         "min_tokens", "max_tokens", *qexprs,
         (F.col("sum_chars") / F.col("n_docs")).alias("avg_chars"),
-        F.expr("cast(round(hll_sketch_estimate(hll)) as bigint)")
-        .alias("distinct_texts"),
-        (1.0 - F.expr("hll_sketch_estimate(hll)") / F.col("n_docs"))
-        .alias("dup_ratio"))
+        # clamp (r11; ADVICE r10): HLL can overestimate past n_docs
+        # on small groups — never report distinct > n_docs or a
+        # negative dup_ratio
+        F.expr("least(cast(round(hll_sketch_estimate(hll)) as "
+               "bigint), n_docs)").alias("distinct_texts"),
+        F.expr("greatest(0.0D, 1.0D - hll_sketch_estimate(hll) "
+               "/ n_docs)").alias("dup_ratio"))
 
 
 def histogram_quantile_error_bound() -> float:
-    """The histogram's guaranteed relative VALUE error for any
-    quantile: bucket bounds differ by ``_HIST_BASE``, the midpoint is
-    off by at most half a bucket width => (base-1)/2 relative, plus
-    interpolation slack of one bucket when the exact quantile sits on
-    a bucket edge.  Exposed for the tests to pin against."""
-    return (_HIST_BASE - 1.0)
+    """The END-TO-END relative VALUE error bound pinned for a
+    histogram-read quantile vs the exact interpolated percentile
+    (r11; ADVICE r10 — the old return value and its derivation
+    disagreed, and the test silently multiplied by 2.5x).  Two
+    terms: reading a bucket's geometric midpoint errs <= ~(base-1)/2
+    against any value inside that bucket, and the rank walk can land
+    a bucket off the exact percentile's interpolation point (exact
+    percentiles interpolate BETWEEN observed values; the histogram
+    reads the single bucket covering the target rank), adding up to
+    two further buckets of slack.  Combined conservative bound:
+    ``2.5 * (base - 1)`` — 10% at base 1.04.  This function returns
+    the constant the tests pin verbatim; call sites apply no
+    multiplier."""
+    return 2.5 * (_HIST_BASE - 1.0)
 
 
 __all__ = [

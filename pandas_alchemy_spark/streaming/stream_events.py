@@ -531,8 +531,19 @@ def streaming_profile_report(spark: SparkSession, state_path: str,
     over the union of all ingested docs — the batch-twin contract the
     tests pin across micro-batch boundaries AND a checkpoint restart.
     """
+    from pyspark.errors import AnalysisException
+
     from ..ext import profile as _profile
-    states = spark.read.parquet(state_path).drop("batch_id")
+    try:
+        states = spark.read.parquet(state_path).drop("batch_id")
+    except AnalysisException:
+        # zero non-empty batches drained => the sink never wrote a
+        # batch_id= dir (r11; ADVICE r10): report "nothing profiled
+        # yet" as an EMPTY frame in the report schema, not a
+        # path/schema-inference error
+        empty = spark.createDataFrame([], "text string, grp string")
+        states = _profile.profile_sketches(empty, text_col="text",
+                                           group_col="grp")
     return _profile.finalize_profile(
         _profile.merge_profile_sketches(states), quantiles=quantiles)
 
