@@ -919,6 +919,27 @@ def search_ivf_index(spark, path: str, queries: DataFrame,
             .filter(F.col("rank") <= k))
 
 
+#: kernel="auto" break-even: mean intra-cell pair work per cell
+#: (sum over cells of cell_size^2, divided by the cell count) above
+#: this floor => the blocked-BLAS numpy kernel amortizes its
+#: ~constant Arrow per-group overhead; below it the Catalyst SQL
+#: fold wins.  Calibrated r11 on the two committed fixtures: the
+#: 202k x 64d doc-scale corpus (~256-vector cells, work/cell ~7e4,
+#: numpy 9.1x faster) and the sf10 exact-copy corpus (tiny/capped
+#: cells, numpy 1.15x SLOWER).
+_SEMDEDUP_AUTO_WORK_FLOOR = 4096
+
+
+def _auto_semdedup_kernel(n_cells: int, sum_sq: int) -> str:
+    """Pure decision rule behind ``semantic_dedup(kernel="auto")`` —
+    split out so tests pin the rule on forged geometries without
+    paying a clustering run."""
+    if n_cells <= 0:
+        return "sql"
+    return ("numpy" if sum_sq / n_cells >= _SEMDEDUP_AUTO_WORK_FLOOR
+            else "sql")
+
+
 def _semdedup_pairs_numpy(assigned: DataFrame, threshold: float,
                           nprobe: int) -> DataFrame:
     """The ``kernel="numpy"`` pairwise stage of
@@ -1060,6 +1081,13 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
       production/scale path, same contract as ``fast_hash``
       elsewhere: recall/set contracts, not bit-equality with the
       oracle.
+    - ``"auto"`` (r11): price the two kernels from the post-cap
+      cell-size distribution (one narrow extra job) and pick the
+      winner — numpy iff the mean per-cell pair work
+      ``sum(cell^2)/n_cells`` clears ``_SEMDEDUP_AUTO_WORK_FLOOR``
+      (Arrow per-group overhead is ~constant per cell; the BLAS win
+      grows with cell^2, so many tiny cells favor the SQL fold).
+      The decision is logged; both explicit kernels remain available.
     """
     df = df.filter(F.col(vec_col).isNotNull())
     if centroids is None:
@@ -1099,9 +1127,34 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
         assigned = assigned.join(
             F.broadcast(sizes.filter(F.col("__cn") <= cell_cap)
                         .select("cell")), "cell")
-    if kernel not in ("sql", "numpy"):
+    if kernel not in ("sql", "numpy", "auto"):
         raise ValueError(
-            f"kernel must be 'sql' or 'numpy', got {kernel!r}")
+            f"kernel must be 'sql', 'numpy' or 'auto', got {kernel!r}")
+    if kernel == "auto":
+        # the decision variable is the CELL-SIZE distribution (r11;
+        # VERDICT r10 #4: numpy won 9.1x at ~256-vector cells and
+        # LOST on an exact-copy corpus whose cells are tiny/capped —
+        # Arrow per-group overhead is ~constant per cell while the
+        # BLAS win grows with cell^2).  One extra narrow job over the
+        # post-cap assignment prices it: mean pair-work per cell
+        # (sum(cell^2)/n_cells) above the floor => numpy.  The
+        # assignment is persisted so the decision pass and the pair
+        # stage share it (cache-ring scoped).
+        assigned = assigned.persist()
+        _register_cache(assigned)
+        row = (assigned.groupBy("cell")
+               .agg(F.count(F.lit(1)).alias("__c"))
+               .agg(F.count(F.lit(1)).alias("n_cells"),
+                    F.sum(F.col("__c") * F.col("__c"))
+                    .alias("sum_sq")).first())
+        kernel = _auto_semdedup_kernel(
+            int(row["n_cells"] or 0), int(row["sum_sq"] or 0))
+        import sys as _sys2
+        print(f"[pandas_alchemy_spark] semantic_dedup: kernel=auto "
+              f"picked {kernel!r} (n_cells={row['n_cells']}, "
+              f"mean cell^2 work="
+              f"{(row['sum_sq'] or 0) / max(row['n_cells'] or 0, 1):.0f},"
+              f" floor={_SEMDEDUP_AUTO_WORK_FLOOR})", file=_sys2.stderr)
     if kernel == "numpy":
         return _semdedup_pairs_numpy(assigned, threshold, nprobe)
     dot = _DOT.format(a="va", b="vb")

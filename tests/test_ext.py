@@ -2241,3 +2241,33 @@ def test_langid_classifier_null_text_and_agreement(spark,
                               .alias("lang_heur")), "doc_id"))
     agree = both.filter("lang_pred = lang_heur").count() / both.count()
     assert agree >= 0.9, agree
+
+
+def test_semdedup_auto_kernel(spark, emb):
+    """kernel='auto' (r11): the pure decision rule picks numpy for
+    big-cell geometries and sql for tiny-cell ones, and the auto
+    path produces the same keep set as both explicit kernels."""
+    from pandas_alchemy_spark.ext.similarity import (
+        _SEMDEDUP_AUTO_WORK_FLOOR, _auto_semdedup_kernel)
+    # forged geometries around the floor
+    assert _auto_semdedup_kernel(0, 0) == "sql"
+    assert _auto_semdedup_kernel(
+        100, 100 * (_SEMDEDUP_AUTO_WORK_FLOOR - 1)) == "sql"
+    assert _auto_semdedup_kernel(
+        100, 100 * _SEMDEDUP_AUTO_WORK_FLOOR) == "numpy"
+    # tiny cells -> sql; a few fat cells -> numpy
+    assert _auto_semdedup_kernel(10_000, 10_000 * 4) == "sql"
+    assert _auto_semdedup_kernel(4, 4 * 300 * 300) == "numpy"
+    corpus = emb.select("vec_id", "embedding")
+    dim = len(corpus.take(1)[0]["embedding"])
+    cents = similarity.train_ivf_centroids(corpus, dim=dim, nlist=8)
+    frames = {k: similarity.semantic_dedup(
+        corpus, dim=dim, nlist=8, threshold=0.3, centroids=cents,
+        kernel=k).toPandas().set_index("id").sort_index()
+        for k in ("auto", "sql", "numpy")}
+    # both kernels agree on this fixture, so auto matches whichever
+    # side of the floor the geometry lands on
+    assert (frames["sql"].keep == frames["numpy"].keep).all()
+    assert (frames["auto"].keep == frames["sql"].keep).all()
+    with pytest.raises(ValueError, match="kernel"):
+        similarity.semantic_dedup_pairs(corpus, dim=dim, kernel="av")
