@@ -888,7 +888,8 @@ class ReferenceIndex:
     def __init__(self, ref_buckets: DataFrame, ref_sets: DataFrame,
                  num_hashes: int, bands: int, shingle_n: int,
                  fast_hash: bool, bucket_cap: int | None,
-                 ref_over: DataFrame | None = None):
+                 ref_over: DataFrame | None = None,
+                 n_base: int | None = None, n_appended: int = 0):
         self.ref_buckets = ref_buckets
         self.ref_sets = ref_sets
         self.num_hashes = num_hashes
@@ -897,6 +898,11 @@ class ReferenceIndex:
         self.fast_hash = fast_hash
         self.bucket_cap = bucket_cap
         self.ref_over = ref_over
+        #: docs indexed at build time (None on a lazy build until the
+        #: first append materializes a count) / via append() — the
+        #: compaction-policy inputs (r11; VERDICT r10 #7)
+        self.n_base = n_base
+        self.n_appended = n_appended
 
     _br = None  # set only on lazy builds (see build_reference_index)
 
@@ -931,7 +937,9 @@ class ReferenceIndex:
                        "shingle_n": self.shingle_n,
                        "fast_hash": self.fast_hash,
                        "bucket_cap": self.bucket_cap,
-                       "has_over": self.ref_over is not None}, fh)
+                       "has_over": self.ref_over is not None,
+                       "n_base": self.n_base,
+                       "n_appended": self.n_appended}, fh)
         return self
 
     def append(self, new_docs: DataFrame, text_col: str = "text",
@@ -1004,13 +1012,22 @@ class ReferenceIndex:
             over_new = (merged.filter(
                 F.size("ids") > self.bucket_cap)
                 .select("band", "bh")
-                .unionAll(over_old).distinct()).persist()
+                .unionAll(over_old).distinct())
             surv = _cap_buckets(surv, "ids", self.bucket_cap,
                                 "ReferenceIndex.append")
         else:
             surv = merged
-            over_new = over_old.persist()
-        ref_buckets2 = surv.persist()
+            over_new = over_old
+        # localCheckpoint, NOT persist (r11): a persisted frame still
+        # CARRIES its full logical plan, so an append CHAIN nests
+        # every predecessor's plan — ~10 appends deep the driver
+        # OOMs just RENDERING the tree during persist (found by the
+        # 20-append longevity test).  Checkpointing truncates the
+        # lineage per append, so plan depth is O(1) however many
+        # waves arrive — the same executor-local-blocks tradeoff
+        # connected_components documents.
+        over_new = over_new.localCheckpoint(eager=materialize)
+        ref_buckets2 = surv.localCheckpoint(eager=materialize)
         surv_bands = (ref_buckets2
                       .select("band",
                               F.explode("ids").alias("id_ref"))
@@ -1021,19 +1038,46 @@ class ReferenceIndex:
                         F.col(id_col).alias("id_ref"),
                         F.col("hs").alias("hs_r"),
                         F.col("signature").alias("sig_r"))))
-        ref_sets2 = all_sets.join(surv_bands, "id_ref").persist()
+        ref_sets2 = (all_sets.join(surv_bands, "id_ref")
+                     .localCheckpoint(eager=materialize))
         idx = ReferenceIndex(ref_buckets2, ref_sets2,
                              self.num_hashes, self.bands,
                              self.shingle_n, self.fast_hash,
-                             self.bucket_cap, ref_over=over_new)
+                             self.bucket_cap, ref_over=over_new,
+                             n_base=self.n_base,
+                             n_appended=self.n_appended)
         if materialize:
-            ref_buckets2.count()
-            ref_sets2.count()
-            over_new.count()
+            # the eager localCheckpoints above already materialized
+            # the frames; only the accounting count remains (on the
+            # already-persisted new-doc base)
+            idx.n_appended = self.n_appended + nb.count()
             nb.unpersist()
         else:
             idx._br = nb
         return idx
+
+    def appended_fraction(self) -> float | None:
+        """Appended docs as a fraction of the BUILD-time corpus, or
+        None when the build was lazy (no base count recorded)."""
+        if not self.n_base:
+            return None
+        return self.n_appended / self.n_base
+
+    def needs_compaction(self,
+                         max_appended_fraction: float = 1.0) -> bool:
+        """The compaction trigger (r11; VERDICT r10 #7).  Appends are
+        VALUE-equal to a rebuild at any depth (tombstones keep
+        saturation monotone — test-pinned through 20 sequential
+        appends), so the trigger is a COST policy, not a quality one:
+        each append shuffles the whole bucket table (O(index) per
+        wave), so once the appended mass reaches the build-time mass
+        (default 1.0) the accumulated append cost exceeds one
+        rebuild, and rebuilding resets the tombstone set and the
+        per-append constant.  Returns False when the build was lazy
+        (no base count to compare against) — pass
+        ``materialize=True`` at build to enable the policy."""
+        frac = self.appended_fraction()
+        return frac is not None and frac >= max_appended_fraction
 
 
 def build_reference_index(reference: DataFrame,
@@ -1090,7 +1134,7 @@ def build_reference_index(reference: DataFrame,
                          ref_over=ref_over)
     if materialize:
         ref_buckets.count()
-        ref_sets.count()
+        idx.n_base = ref_sets.count()
         ref_over.count()
         # br fed both derived frames; once they are materialized it
         # is dead weight
@@ -1129,4 +1173,6 @@ def load_reference_index(spark, path: str,
                           int(meta["num_hashes"]), int(meta["bands"]),
                           int(meta["shingle_n"]),
                           bool(meta["fast_hash"]),
-                          meta["bucket_cap"], ref_over=ref_over)
+                          meta["bucket_cap"], ref_over=ref_over,
+                          n_base=meta.get("n_base"),
+                          n_appended=int(meta.get("n_appended", 0)))

@@ -727,10 +727,14 @@ def build_ivf_index(df: DataFrame, path: str, dim: int,
     # set written by one task (same contract as write_training_shards)
     (assigned.repartition(max(len(centroids) // 4, 1), F.col("cell"))
      .write.mode(mode).partitionBy("cell").parquet(path))
+    # n_rows: parquet footer count over the just-written table (no
+    # data scan) — the base mass for ivf_compaction_due (r11)
+    n_rows = df.sparkSession.read.parquet(path).count()
     with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
         json.dump({"dim": dim, "nlist": len(centroids),
                    "id_col": id_col, "vec_col": vec_col,
-                   "centroids": centroids}, fh)
+                   "centroids": centroids,
+                   "n_rows": n_rows, "n_appended": 0}, fh)
     # a rebuild invalidates any cached tuned nprobe (r10: the tune
     # cache is keyed to the WRITTEN data; stale reuse would carry a
     # previous corpus's recall point onto the new index)
@@ -792,7 +796,44 @@ def append_to_ivf_index(df: DataFrame, path: str) -> int:
         os.remove(os.path.join(path, "_ivf_nprobe.json"))
     except FileNotFoundError:
         pass
+    # appended-mass accounting for ivf_compaction_due (r11); the
+    # sidecar rewrite is atomic-enough for the single-writer ingest
+    # contract this index documents
+    if n:
+        meta["n_appended"] = int(meta.get("n_appended", 0)) + n
+        with open(os.path.join(path, "_ivf_centroids.json"),
+                  "w") as fh:
+            json.dump(meta, fh)
     return n
+
+
+def ivf_compaction_due(path: str,
+                       max_appended_fraction: float = 0.25) -> dict:
+    """The IVF compaction/rebuild trigger (r11; VERDICT r10 #7).
+    Unlike :meth:`~.dedup.ReferenceIndex.needs_compaction` (pure cost
+    policy — dedup appends stay value-equal forever), IVF appends
+    DEGRADE with appended mass: cell geometry is frozen at build, so
+    appended vectors land in stale cells (the tuner answers with
+    ever-larger nprobe as mass drifts off the centroids), and each
+    append adds a file wave per touched cell (the small-file tax on
+    every later scan).  Returns the decision inputs + ``due``:
+    rebuild with fresh centroids (``build_ivf_index`` with
+    ``centroids=None``) when the appended fraction clears
+    ``max_appended_fraction`` (default 0.25 — the measured recall
+    knee depends on drift, so the default is conservative; see
+    SCALE.md's longevity curve)."""
+    import json
+    import os
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        meta = json.load(fh)
+    n_base = int(meta.get("n_rows") or 0)  # build-time mass
+    n_app = int(meta.get("n_appended") or 0)
+    frac = (n_app / n_base) if n_base else None
+    return {"due": frac is not None
+            and frac >= max_appended_fraction,
+            "n_base": n_base, "n_appended": n_app,
+            "appended_fraction": frac,
+            "max_appended_fraction": max_appended_fraction}
 
 
 def search_ivf_index(spark, path: str, queries: DataFrame,

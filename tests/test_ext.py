@@ -2271,3 +2271,87 @@ def test_semdedup_auto_kernel(spark, emb):
     assert (frames["auto"].keep == frames["sql"].keep).all()
     with pytest.raises(ValueError, match="kernel"):
         similarity.semantic_dedup_pairs(corpus, dim=dim, kernel="av")
+
+
+def test_reference_index_deep_append_chain_and_compaction(spark, docs):
+    """Longevity contract (r11; VERDICT r10 #7): a 20-deep append
+    chain stays VALUE-EQUAL to one union rebuild (tombstones keep
+    cap-saturation monotone at any depth), the appended-mass
+    accounting survives the chain and a save/load, and
+    needs_compaction trips exactly at the policy threshold."""
+    base = docs.filter("doc_id % 21 = 0").select("doc_id", "text")
+    idx = dedup.build_reference_index(base, num_hashes=16, bands=4,
+                                      bucket_cap=3)
+    n_base = base.count()
+    assert idx.n_base == n_base and idx.n_appended == 0
+    assert idx.appended_fraction() == 0.0
+    first = idx
+    n_app = 0
+    for w in range(1, 21):
+        wave = docs.filter(f"doc_id % 21 = {w}").select(
+            "doc_id", "text")
+        nxt = idx.append(wave)
+        # the ingest-loop lifecycle: the new index is materialized,
+        # so the predecessor releases immediately (keeping all 21
+        # alive is 60+ persisted frames — not the operator contract)
+        if idx is not first:
+            idx.release()
+        idx = nxt
+        n_app += wave.count()
+    deep = idx
+    assert deep.n_appended == n_app
+    reb = dedup.build_reference_index(docs.select("doc_id", "text"),
+                                      num_hashes=16, bands=4,
+                                      bucket_cap=3)
+
+    def snap(i):
+        b = {(r.band, r.bh, tuple(r.ids))
+             for r in i.ref_buckets.collect()}
+        s = {(r["id_ref"], tuple(sorted(r["hs_r"])),
+              tuple(r["sig_r"]), tuple(sorted(r["__sb"])))
+             for r in i.ref_sets.collect()}
+        return b, s
+    assert snap(deep) == snap(reb)
+    # compaction policy: ~20x the base mass appended -> overdue at
+    # the default 1.0, quiet under a deliberately huge threshold
+    frac = deep.appended_fraction()
+    assert frac == pytest.approx(n_app / n_base)
+    assert deep.needs_compaction()
+    assert not deep.needs_compaction(max_appended_fraction=frac + 1)
+    assert not first.needs_compaction()
+    # accounting round-trips through save/load
+    import tempfile
+    d = tempfile.mkdtemp()
+    deep.save(d)
+    loaded = dedup.load_reference_index(spark, d)
+    assert (loaded.n_base, loaded.n_appended) == (n_base, n_app)
+    assert loaded.needs_compaction()
+    for i in (first, deep, reb, loaded):
+        i.release()
+
+
+def test_ivf_compaction_due(spark, emb, tmp_path):
+    """ivf_compaction_due (r11): appended-mass accounting in the
+    centroid sidecar trips the rebuild trigger at the policy
+    threshold and survives multiple appends."""
+    from pandas_alchemy_spark.ext.similarity import (
+        append_to_ivf_index, build_ivf_index, ivf_compaction_due)
+    path = str(tmp_path / "ivf")
+    base = emb.filter("vec_id % 4 <> 3")
+    dim = len(emb.take(1)[0]["embedding"])
+    build_ivf_index(base, path, dim=dim, nlist=8)
+    st = ivf_compaction_due(path)
+    assert st["n_base"] == base.count()
+    assert st["appended_fraction"] == 0.0 and not st["due"]
+    wave = emb.filter("vec_id % 8 = 3")
+    n1 = append_to_ivf_index(wave, path)
+    st = ivf_compaction_due(path)
+    assert st["n_appended"] == n1
+    assert not st["due"]  # ~1/8 of base < 0.25
+    n2 = append_to_ivf_index(emb.filter("vec_id % 8 = 7"), path)
+    st = ivf_compaction_due(path)
+    assert st["n_appended"] == n1 + n2
+    # ~2/7 of base clears the default 0.25
+    assert st["due"]
+    assert not ivf_compaction_due(
+        path, max_appended_fraction=0.9)["due"]
