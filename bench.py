@@ -198,6 +198,19 @@ def main():
                                          threshold=0.3,
                                          kernel="numpy")
 
+    def semdedup_auto(spark_, sf_dir_):
+        # round-11: kernel="auto" — prices sql vs numpy from the
+        # post-cap cell-size distribution (one extra narrow job) and
+        # dispatches; tracked alongside both explicit kernels so the
+        # decision's cost and win are visible per fixture
+        from pandas_alchemy_spark.ext import similarity
+        emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+        dim = len(emb.select("embedding").head(1)[0][0])
+        nlist = max(8, emb.count() // 256)
+        return similarity.semantic_dedup(emb, dim=dim, nlist=nlist,
+                                         threshold=0.3,
+                                         kernel="auto")
+
     def shuffle_shards(spark_, sf_dir_):
         # round-7: deterministic global corpus shuffle (hash shard +
         # in-shard hash rank; shards are the parallelism unit)
@@ -395,6 +408,8 @@ def main():
         "corpus_profile": corpus_profile_sketch,
         # round-10 additions
         "semdedup_np": semdedup_np,
+        # round-11 additions
+        "semdedup_auto": semdedup_auto,
     }
 
     # warm the JVM + parquet footers with a trivial action, the

@@ -166,6 +166,25 @@ def main():
 
     run("semantic_dedup_numpy", _sd_np)
 
+    # r11: kernel="auto" must pick the WINNER on this fixture (the
+    # decision is logged by the operator; the artifact records which
+    # kernel it chose so the calibration is auditable per fixture)
+    def _sd_auto():
+        import io
+        from contextlib import redirect_stderr
+        buf = io.StringIO()
+        with redirect_stderr(buf):
+            lab = similarity.semantic_dedup(
+                emb, dim=dim, nlist=512, threshold=0.93,
+                cell_cap=20_000, nprobe=2, kernel="auto")
+            noop(lab)
+        msg = buf.getvalue()
+        sys.stderr.write(msg)
+        m = re.search(r"picked '(\w+)'", msg)
+        extra["semdedup_auto_picked"] = m.group(1) if m else None
+
+    run("semantic_dedup_auto", _sd_auto)
+
     # --- recall at document scale (VERDICT r6 item 1): the
     # planes="auto" geometry fix is only time-verified at the scale it
     # exists for.  ~200 sampled query vectors, brute-force cosine
