@@ -960,25 +960,35 @@ def search_ivf_index(spark, path: str, queries: DataFrame,
             .filter(F.col("rank") <= k))
 
 
-#: kernel="auto" break-even: mean intra-cell pair work per cell
+#: kernel="auto" break-even #1: mean intra-cell pair work per cell
 #: (sum over cells of cell_size^2, divided by the cell count) above
 #: this floor => the blocked-BLAS numpy kernel amortizes its
 #: ~constant Arrow per-group overhead; below it the Catalyst SQL
-#: fold wins.  Calibrated r11 on the two committed fixtures: the
-#: 202k x 64d doc-scale corpus (~256-vector cells, work/cell ~7e4,
-#: numpy 9.1x faster) and the sf10 exact-copy corpus (tiny/capped
-#: cells, numpy 1.15x SLOWER).
+#: fold wins on tiny cells.
 _SEMDEDUP_AUTO_WORK_FLOOR = 4096
+#: break-even #2: estimated fraction of candidate pairs that PASS
+#: the threshold (probed on one ~p90-size cell, driver-side).  The
+#: numpy kernel's win is computing the scores; its loss mode is
+#: EMITTING them — a pair-dense workload (exact-copy corpora at a
+#: loose threshold: r10 measured numpy 1.15x SLOWER at estimated
+#: density ~1) ships the surviving pairs back as Arrow batches where
+#: the SQL join emits through codegen.  Above this ceiling auto
+#: stays on sql.
+_SEMDEDUP_AUTO_DENSITY_CEIL = 0.05
 
 
-def _auto_semdedup_kernel(n_cells: int, sum_sq: int) -> str:
+def _auto_semdedup_kernel(n_cells: int, sum_sq: int,
+                          emit_density: float = 0.0) -> str:
     """Pure decision rule behind ``semantic_dedup(kernel="auto")`` —
     split out so tests pin the rule on forged geometries without
     paying a clustering run."""
     if n_cells <= 0:
         return "sql"
-    return ("numpy" if sum_sq / n_cells >= _SEMDEDUP_AUTO_WORK_FLOOR
-            else "sql")
+    if sum_sq / n_cells < _SEMDEDUP_AUTO_WORK_FLOOR:
+        return "sql"
+    if emit_density > _SEMDEDUP_AUTO_DENSITY_CEIL:
+        return "sql"
+    return "numpy"
 
 
 def _semdedup_pairs_numpy(assigned: DataFrame, threshold: float,
@@ -1122,13 +1132,18 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
       production/scale path, same contract as ``fast_hash``
       elsewhere: recall/set contracts, not bit-equality with the
       oracle.
-    - ``"auto"`` (r11): price the two kernels from the post-cap
-      cell-size distribution (one narrow extra job) and pick the
-      winner — numpy iff the mean per-cell pair work
-      ``sum(cell^2)/n_cells`` clears ``_SEMDEDUP_AUTO_WORK_FLOOR``
-      (Arrow per-group overhead is ~constant per cell; the BLAS win
-      grows with cell^2, so many tiny cells favor the SQL fold).
-      The decision is logged; both explicit kernels remain available.
+    - ``"auto"`` (r11): price the two kernels and pick the winner —
+      numpy iff the mean per-cell pair work ``sum(cell^2)/n_cells``
+      clears ``_SEMDEDUP_AUTO_WORK_FLOOR`` (Arrow per-group overhead
+      is ~constant per cell; the BLAS win grows with cell^2, so many
+      tiny cells favor the SQL fold) AND the estimated emit density
+      (pass fraction probed exactly on one ~p90-size cell, <=512
+      vectors to the driver) stays under
+      ``_SEMDEDUP_AUTO_DENSITY_CEIL`` — a pair-dense result ships
+      back through Arrow where the SQL join emits via codegen (the
+      regime where numpy measured slower).  Costs one narrow job +
+      one bounded collect; the decision is logged; both explicit
+      kernels remain available.
     """
     df = df.filter(F.col(vec_col).isNotNull())
     if centroids is None:
@@ -1172,30 +1187,53 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
         raise ValueError(
             f"kernel must be 'sql', 'numpy' or 'auto', got {kernel!r}")
     if kernel == "auto":
-        # the decision variable is the CELL-SIZE distribution (r11;
-        # VERDICT r10 #4: numpy won 9.1x at ~256-vector cells and
-        # LOST on an exact-copy corpus whose cells are tiny/capped —
-        # Arrow per-group overhead is ~constant per cell while the
-        # BLAS win grows with cell^2).  One extra narrow job over the
-        # post-cap assignment prices it: mean pair-work per cell
-        # (sum(cell^2)/n_cells) above the floor => numpy.  The
-        # assignment is persisted so the decision pass and the pair
-        # stage share it (cache-ring scoped).
+        # two decision variables (r11; VERDICT r10 #4): (1) the
+        # CELL-SIZE distribution — Arrow per-group overhead is
+        # ~constant per cell while the BLAS win grows with cell², so
+        # tiny cells favor the SQL fold; (2) the EMIT density — the
+        # numpy kernel's loss mode is shipping a pair-dense result
+        # back through Arrow (exact-copy corpora at loose
+        # thresholds), priced by an exact pass-fraction probe on one
+        # ~p90-size cell (<=512 vectors to the driver, bounded).
+        # The assignment is persisted so the decision pass and the
+        # pair stage share it (cache-ring scoped); the size list is
+        # nlist*nprobe-bounded by construction.
         assigned = assigned.persist()
         _register_cache(assigned)
-        row = (assigned.groupBy("cell")
-               .agg(F.count(F.lit(1)).alias("__c"))
-               .agg(F.count(F.lit(1)).alias("n_cells"),
-                    F.sum(F.col("__c") * F.col("__c"))
-                    .alias("sum_sq")).first())
-        kernel = _auto_semdedup_kernel(
-            int(row["n_cells"] or 0), int(row["sum_sq"] or 0))
+        csizes = sorted(
+            (int(r["__c"]), r["cell"]) for r in
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__c")).collect())
+        n_cells = len(csizes)
+        sum_sq = sum(c * c for c, _ in csizes)
+        density = 0.0
+        if (n_cells and sum_sq / n_cells >= _SEMDEDUP_AUTO_WORK_FLOOR
+                and csizes[-1][0] >= 2):
+            import numpy as _np
+            pc = csizes[min(int(0.9 * (n_cells - 1)),
+                            n_cells - 1)][1]
+            smp = (assigned.filter(F.col("cell") == F.lit(pc))
+                   .select("v", "nrm").limit(512).collect())
+            if len(smp) >= 2:
+                V = _np.asarray([r["v"] for r in smp],
+                                dtype=_np.float64)
+                nrm = _np.asarray([r["nrm"] for r in smp],
+                                  dtype=_np.float64)
+                denom = _np.where(nrm > 0, nrm, _np.nan)
+                S = (V @ V.T) / _np.outer(denom, denom)
+                iu = _np.triu_indices(len(smp), k=1)
+                density = float(
+                    _np.nansum(S[iu] >= float(threshold))
+                    / max(len(iu[0]), 1))
+        kernel = _auto_semdedup_kernel(n_cells, sum_sq, density)
         import sys as _sys2
         print(f"[pandas_alchemy_spark] semantic_dedup: kernel=auto "
-              f"picked {kernel!r} (n_cells={row['n_cells']}, "
-              f"mean cell^2 work="
-              f"{(row['sum_sq'] or 0) / max(row['n_cells'] or 0, 1):.0f},"
-              f" floor={_SEMDEDUP_AUTO_WORK_FLOOR})", file=_sys2.stderr)
+              f"picked {kernel!r} (n_cells={n_cells}, "
+              f"mean cell^2 work={sum_sq / max(n_cells, 1):.0f}, "
+              f"floor={_SEMDEDUP_AUTO_WORK_FLOOR}, "
+              f"emit_density={density:.4f}, "
+              f"ceil={_SEMDEDUP_AUTO_DENSITY_CEIL})",
+              file=_sys2.stderr)
     if kernel == "numpy":
         return _semdedup_pairs_numpy(assigned, threshold, nprobe)
     dot = _DOT.format(a="va", b="vb")

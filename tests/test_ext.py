@@ -2258,6 +2258,15 @@ def test_semdedup_auto_kernel(spark, emb):
     # tiny cells -> sql; a few fat cells -> numpy
     assert _auto_semdedup_kernel(10_000, 10_000 * 4) == "sql"
     assert _auto_semdedup_kernel(4, 4 * 300 * 300) == "numpy"
+    # pair-dense emit -> sql even on fat cells (the r10 exact-copy
+    # regime); sparse emit stays numpy
+    from pandas_alchemy_spark.ext.similarity import (
+        _SEMDEDUP_AUTO_DENSITY_CEIL)
+    big = 4 * 300 * 300
+    assert _auto_semdedup_kernel(
+        4, big, _SEMDEDUP_AUTO_DENSITY_CEIL * 2) == "sql"
+    assert _auto_semdedup_kernel(
+        4, big, _SEMDEDUP_AUTO_DENSITY_CEIL / 2) == "numpy"
     corpus = emb.select("vec_id", "embedding")
     dim = len(corpus.take(1)[0]["embedding"])
     cents = similarity.train_ivf_centroids(corpus, dim=dim, nlist=8)
