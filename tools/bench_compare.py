@@ -28,8 +28,11 @@ def load(p: str) -> dict:
 
 
 def main() -> None:
-    before_p, after_p = sys.argv[1], sys.argv[2]
-    floor = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--json=")), None)
+    before_p, after_p = args[0], args[1]
+    floor = float(args[2]) if len(args) > 2 else 1.3
     b, a = load(before_p), load(after_p)
     bq = {k: v for k, v in b["queries"].items() if v and v > 0}
     aq = {k: v for k, v in a["queries"].items() if v and v > 0}
@@ -91,6 +94,32 @@ def main() -> None:
             f"{k} {aq[k]:.2f} s" for k in new))
     if gone:
         print("dropped queries: " + ", ".join(gone))
+    if json_out:
+        # the SURVEY-citable summary as a committed artifact, so the
+        # citation audit can verify the prose against it (r11)
+        with open(json_out, "w") as fh:
+            fh.write(json.dumps({
+                "metric": "bench_compare",
+                "before": before_p, "after": after_p,
+                "n_shared": len(shared),
+                "total_before_s": round(tb, 2),
+                "total_after_s": round(ta, 2),
+                "ratio": round(ta / tb, 3),
+                "median_ratio": round(
+                    statistics.median(ratios.values()), 3),
+                "floor": floor,
+                "over_floor": [
+                    {"query": k, "before_s": round(bq[k], 2),
+                     "after_s": round(aq[k], 2),
+                     "ratio": round(r, 2)} for k, r in over],
+                "top_wins": [
+                    {"query": k, "before_s": round(bq[k], 2),
+                     "after_s": round(aq[k], 2),
+                     "ratio": round(r, 2)} for k, r in wins],
+                "new": {k: aq[k] for k in new},
+                "dropped": gone,
+                "cpu_mark_before": mb, "cpu_mark_after": ma,
+            }) + "\n")
 
 
 if __name__ == "__main__":

@@ -134,13 +134,19 @@ def main():
     for p in arts:
         try:
             with open(p) as fh:
-                for ln in fh.read().splitlines():
-                    try:
-                        flatten(json.loads(ln), pool)
-                    except json.JSONDecodeError:
-                        continue
+                text_p = fh.read()
         except OSError as ex:
             print(f"WARNING: cannot read {p}: {ex}")
+            continue
+        try:
+            flatten(json.loads(text_p), pool)
+        except json.JSONDecodeError:
+            # JSONL / trailing-junk files: per-line fallback
+            for ln in text_p.splitlines():
+                try:
+                    flatten(json.loads(ln), pool)
+                except json.JSONDecodeError:
+                    continue
     # derived values the prose legitimately quotes: docs/s rates and
     # pairwise ratios come from artifact fields, so add simple
     # derivations of per-query values (handled via ratio_matches)
