@@ -1056,6 +1056,73 @@ class ReferenceIndex:
             idx._br = nb
         return idx
 
+    def compact(self, materialize: bool = True) -> "ReferenceIndex":
+        """Rebuild the index FROM ITS OWN STORED STATE (r11) — the
+        corpus-free answer to :meth:`needs_compaction`: a true
+        rebuild at 100 TB means re-reading and re-minhashing the
+        whole reference corpus, but ``ref_sets`` already holds every
+        surviving doc's shingle-hash set and signature, so
+        compaction re-bands the signatures (the cheap stage), re-caps
+        fresh, and recomputes the surviving-band sets — one pass over
+        the INDEX, never over the text.
+
+        VALUE-EQUAL to ``build_reference_index`` on the corpus the
+        index still holds, with one deliberate carry: saturation
+        TOMBSTONES are preserved.  They must be — a doc whose every
+        band saturated is absent from ``ref_sets``, so a tombstoned
+        bucket would otherwise re-form UNDER the cap with only its
+        surviving members and silently resurrect.  With no tombstones
+        (the common case at the production cap; the r11 longevity run
+        recorded 0 across 20 waves) compaction is exactly a fresh
+        rebuild.  Appended-mass accounting resets
+        (``n_base`` = current doc count, ``n_appended`` = 0), so
+        :meth:`needs_compaction` clears.  Returns a NEW index; the
+        old one is left intact — release it when its consumers stop.
+        """
+        rows = self.num_hashes // self.bands
+        spark = self.ref_sets.sparkSession
+        base = self.ref_sets.select(
+            F.col("id_ref"), F.col("sig_r").alias("signature"))
+        grouped = (_banded(base, "id_ref", "id_ref", self.bands,
+                           rows)
+                   .groupBy("band", "bh")
+                   .agg(F.array_sort(F.collect_list("id_ref"))
+                        .alias("ids")))
+        over_old = self.ref_over
+        if over_old is None:
+            over_old = spark.createDataFrame(
+                [], "band int, bh string")
+        if self.bucket_cap is not None:
+            surv = grouped.join(over_old, ["band", "bh"],
+                                "left_anti")
+            over_new = (surv.filter(
+                F.size("ids") > self.bucket_cap)
+                .select("band", "bh")
+                .unionAll(over_old).distinct())
+            surv = _cap_buckets(surv, "ids", self.bucket_cap,
+                                "ReferenceIndex.compact")
+        else:
+            surv = grouped
+            over_new = over_old
+        over_new = over_new.localCheckpoint(eager=materialize)
+        ref_buckets2 = surv.localCheckpoint(eager=materialize)
+        surv_bands = (ref_buckets2
+                      .select("band",
+                              F.explode("ids").alias("id_ref"))
+                      .groupBy("id_ref")
+                      .agg(F.collect_set("band").alias("__sb")))
+        ref_sets2 = (self.ref_sets.select("id_ref", "hs_r", "sig_r")
+                     .join(surv_bands, "id_ref")
+                     .localCheckpoint(eager=materialize))
+        idx = ReferenceIndex(ref_buckets2, ref_sets2,
+                             self.num_hashes, self.bands,
+                             self.shingle_n, self.fast_hash,
+                             self.bucket_cap, ref_over=over_new,
+                             n_appended=0)
+        if materialize:
+            idx.n_base = ref_sets2.count()
+        return idx
+
     def appended_fraction(self) -> float | None:
         """Appended docs as a fraction of the BUILD-time corpus, or
         None when the build was lazy (no base count recorded)."""
@@ -1072,8 +1139,9 @@ class ReferenceIndex:
         each append shuffles the whole bucket table (O(index) per
         wave), so once the appended mass reaches the build-time mass
         (default 1.0) the accumulated append cost exceeds one
-        rebuild, and rebuilding resets the tombstone set and the
-        per-append constant.  Returns False when the build was lazy
+        rebuild.  :meth:`compact` is the corpus-free mechanism: it
+        rebuilds from the stored signatures without re-reading any
+        reference text.  Returns False when the build was lazy
         (no base count to compare against) — pass
         ``materialize=True`` at build to enable the policy."""
         frac = self.appended_fraction()

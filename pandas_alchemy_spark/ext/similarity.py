@@ -807,6 +807,43 @@ def append_to_ivf_index(df: DataFrame, path: str) -> int:
     return n
 
 
+def compact_ivf_index(spark, path: str, nlist="auto",
+                      refine_iters: int = 2,
+                      train_fraction: float | None = None):
+    """Compact/rebuild a :func:`build_ivf_index` table FROM ITSELF
+    (r11) — the corpus-free answer to :func:`ivf_compaction_due`:
+    the index table stores every (id, vector) row, so compaction
+    reads the index (one index-sized pass, never the source corpus),
+    retrains FRESH centroids on the current mass (the drift answer),
+    re-assigns, and rewrites — collapsing the per-append file waves
+    back to one bounded file set per cell and resetting the
+    appended-mass counters and the tuned-nprobe cache.
+
+    The rewrite goes to a sibling temp directory and swaps in with
+    two renames (old table moved aside, then removed) — a reader
+    racing the swap sees either the old or the new table, not a
+    partial one; single-writer remains the documented contract, as
+    for append.  Returns the fresh centroids."""
+    import json
+    import os
+    import shutil
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        meta = json.load(fh)
+    df = spark.read.parquet(path).drop("cell")
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    centroids = build_ivf_index(
+        df, tmp, dim=int(meta["dim"]), nlist=nlist,
+        id_col=meta["id_col"], vec_col=meta["vec_col"],
+        refine_iters=refine_iters, train_fraction=train_fraction)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return centroids
+
+
 def ivf_compaction_due(path: str,
                        max_appended_fraction: float = 0.25) -> dict:
     """The IVF compaction/rebuild trigger (r11; VERDICT r10 #7).

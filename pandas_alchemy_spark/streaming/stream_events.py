@@ -548,6 +548,41 @@ def streaming_profile_report(spark: SparkSession, state_path: str,
         _profile.merge_profile_sketches(states), quantiles=quantiles)
 
 
+def streaming_quality_gate(stream: DataFrame, model,
+                           threshold: float | None = None,
+                           pareto_alpha: float = 9.0,
+                           seed: str = "pas",
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           fast_hash: bool = False,
+                           stream_partitions: int | None = None
+                           ) -> DataFrame:
+    """Ingest-time model-based quality filter (r11) — the GPT-3/CCNet
+    gate deployed the way :func:`streaming_language_gate` deploys
+    langid: the fitted PipelineModel is row-local (hash featurization
+    + one matrix-vector product) and the Pareto draw is
+    content-addressed (``h60(id || seed)``, no RNG state), so the
+    WHOLE gate is stateless and applies to a streaming frame
+    directly — no state store, no watermark, and the kept set is
+    identical to the batch twin
+    :func:`~..ext.pipeline.quality_classifier_filter` row for row
+    (tested).  Returns the kept documents as (id, text, q_prob).
+
+    ``stream_partitions`` is the same task-width knob as the other
+    gates here: a micro-batch's task count is its FILE count, so
+    repartition up to the core count when the trigger's file count
+    is below it."""
+    from ..ext import pipeline as _pipeline
+    src = stream
+    if stream_partitions is not None:
+        src = src.repartition(stream_partitions)
+    kept = _pipeline.quality_classifier_filter(
+        src.select(id_col, text_col), model, text_col=text_col,
+        id_col=id_col, threshold=threshold,
+        pareto_alpha=pareto_alpha, seed=seed, fast_hash=fast_hash)
+    return kept.select(id_col, text_col, "q_prob")
+
+
 def streaming_language_gate(stream: DataFrame, model,
                             keep_langs: list[str] | None = None,
                             min_prob: float = 0.0,

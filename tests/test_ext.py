@@ -2364,3 +2364,88 @@ def test_ivf_compaction_due(spark, emb, tmp_path):
     assert st["due"]
     assert not ivf_compaction_due(
         path, max_appended_fraction=0.9)["due"]
+
+
+def test_reference_index_compact_equals_rebuild(spark, docs):
+    """compact() (r11): rebuild the index from its own stored
+    signatures — value-equal to a fresh build on the union corpus
+    (no tombstones), tombstone-preserving when saturation bound, and
+    it resets the appended-mass accounting."""
+    def snap(i):
+        b = {(r.band, r.bh, tuple(r.ids))
+             for r in i.ref_buckets.collect()}
+        s = {(r["id_ref"], tuple(sorted(r["hs_r"])),
+              tuple(r["sig_r"]), tuple(sorted(r["__sb"])))
+             for r in i.ref_sets.collect()}
+        o = {(r.band, r.bh) for r in i.ref_over.collect()}
+        return b, s, o
+
+    base = docs.filter("doc_id % 3 = 0").select("doc_id", "text")
+    rest = docs.filter("doc_id % 3 <> 0").select("doc_id", "text")
+    idx = dedup.build_reference_index(base, num_hashes=16, bands=4)
+    grown = idx.append(rest)
+    assert grown.needs_compaction(0.5)
+    comp = grown.compact()
+    reb = dedup.build_reference_index(
+        base.unionAll(rest), num_hashes=16, bands=4)
+    assert snap(comp) == snap(reb)
+    assert comp.n_appended == 0
+    assert comp.n_base == comp.ref_sets.count()
+    assert not comp.needs_compaction(0.5)
+    # with tombstones: planted boilerplate saturates at cap=3; the
+    # compacted index must keep the key dropped (its fully-dropped
+    # members are unrecoverable from ref_sets), same as an append
+    boiler = docs.limit(1).select(F.col("text").alias("btext"))
+    planted = (spark.range(10).crossJoin(boiler)
+               .select((F.col("id") + 800000).alias("doc_id"),
+                       F.col("btext").alias("text")))
+    i2 = dedup.build_reference_index(base.unionAll(planted),
+                                     num_hashes=16, bands=4,
+                                     bucket_cap=3)
+    assert i2.ref_over.count() > 0
+    c2 = i2.compact()
+    assert snap(c2) == snap(i2)  # fixed point: nothing resurrects
+    # and the gate sees identical pairs through compacted vs grown
+    q = docs.filter("doc_id % 7 = 3").select("doc_id", "text")
+    p_a = {(r.id_new, r.id_ref) for r in dedup.cross_dedup_pairs(
+        q, index=grown, threshold=0.4).collect()}
+    p_b = {(r.id_new, r.id_ref) for r in dedup.cross_dedup_pairs(
+        q, index=comp, threshold=0.4).collect()}
+    assert p_a == p_b and p_a
+    for i in (idx, grown, comp, reb, i2, c2):
+        i.release()
+
+
+def test_compact_ivf_index(spark, emb, tmp_path):
+    """compact_ivf_index (r11): rebuilds the table from itself —
+    same id set, fresh centroids, per-append file waves collapsed,
+    counters and the compaction trigger reset, search still sane."""
+    import glob as _glob
+
+    from pandas_alchemy_spark.ext.similarity import (
+        append_to_ivf_index, build_ivf_index, compact_ivf_index,
+        ivf_compaction_due, search_ivf_index)
+    path = str(tmp_path / "ivf")
+    base = emb.filter("vec_id % 3 = 0")
+    dim = len(emb.take(1)[0]["embedding"])
+    build_ivf_index(base, path, dim=dim, nlist=8)
+    append_to_ivf_index(emb.filter("vec_id % 3 = 1"), path)
+    append_to_ivf_index(emb.filter("vec_id % 3 = 2"), path)
+    st = ivf_compaction_due(path)
+    assert st["due"]
+    ids_before = {r[0] for r in
+                  spark.read.parquet(path).select("vec_id").collect()}
+    files_before = len(_glob.glob(f"{path}/cell=*/*.parquet"))
+    compact_ivf_index(spark, path, nlist=8)
+    st2 = ivf_compaction_due(path)
+    assert not st2["due"] and st2["n_appended"] == 0
+    assert st2["n_base"] == len(ids_before)
+    ids_after = {r[0] for r in
+                 spark.read.parquet(path).select("vec_id").collect()}
+    assert ids_after == ids_before
+    files_after = len(_glob.glob(f"{path}/cell=*/*.parquet"))
+    assert files_after < files_before
+    qs = (emb.limit(8).select(F.col("vec_id").alias("vec_id"),
+                              "embedding"))
+    got = search_ivf_index(spark, path, qs, k=3, nprobe=8)
+    assert got.count() == 8 * 3

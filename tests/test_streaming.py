@@ -1069,3 +1069,45 @@ def test_streaming_language_gate_matches_batch(spark, tmp_path):
     # the gate kept only confident target-language docs
     assert set(got.lang_pred) <= {"en", "de"}
     assert (got.lang_prob >= 0.5).all()
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The quality model is row-local and the Pareto draw is
+    content-addressed, so the streaming gate must keep the IDENTICAL
+    set as the batch twin quality_classifier_filter across
+    micro-batch boundaries — both gate modes."""
+    from pandas_alchemy_spark.ext import pipeline
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet")
+    model = pipeline.train_quality_classifier(
+        docs.filter("lang = 'en'"), docs.filter("lang <> 'en'"),
+        max_iter=8, max_train_docs=2000)
+    src = tmp_path / "src"
+    docs.select("doc_id", "text").repartition(4).write.parquet(
+        str(src))
+    schema = "doc_id long, text string"
+    for mode, kw in (("pareto", {"seed": "sq"}),
+                     ("hard", {"threshold": 0.6})):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        gated = stream_events.streaming_quality_gate(
+            stream, model, stream_partitions=8, **kw)
+        name = f"t_q_gate_{mode}"
+        q = (gated.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True)
+             .start())
+        try:
+            q.awaitTermination(120)
+            got = (spark.table(name).toPandas()
+                   .sort_values("doc_id").reset_index(drop=True))
+        finally:
+            q.stop()
+        want = (pipeline.quality_classifier_filter(
+            docs.select("doc_id", "text"), model, **kw)
+            .select("doc_id", "text", "q_prob").toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+        assert len(got) == len(want) > 0, mode
+        assert (got.doc_id == want.doc_id).all(), mode
+        assert (got.q_prob - want.q_prob).abs().max() < 1e-12, mode
+        assert 0 < len(got) < docs.count()  # a real, partial gate

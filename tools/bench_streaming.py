@@ -431,6 +431,50 @@ def main():
             print(f"streaming_language_gate: ERROR {str(ex)[:200]}",
                   file=sys.stderr)
 
+        # --- r11: streaming model-based quality gate (the GPT-3/
+        # CCNet filter at ingest — row-local model + content-
+        # addressed Pareto, stateless; batch-twin pinned in tests)
+        try:
+            from pandas_alchemy_spark.ext.pipeline import \
+                train_quality_classifier
+            qdocs = spark.read.parquet(docs_dir)
+            t0 = time.time()
+            q_model = train_quality_classifier(
+                qdocs.filter("lang = 'en'"),
+                qdocs.filter("lang <> 'en'"),
+                max_iter=15, max_train_docs=20_000, fast_hash=True)
+            qtrain_s = round(time.time() - t0, 2)
+            qstream = (spark.readStream.schema(qdocs.schema)
+                       .option("maxFilesPerTrigger", 4)
+                       .parquet(docs_dir))
+            qgated = stream_events.streaming_quality_gate(
+                qstream, q_model, seed="bench", fast_hash=True,
+                stream_partitions=32)
+            t0 = time.time()
+            q = (qgated.writeStream.format("noop")
+                 .option("checkpointLocation",
+                         f"/root/repo/.scratch/ckpt_{int(time.time()*1e6)}")
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            sec = round(time.time() - t0, 2)
+            prog = q.recentProgress
+            rows = sum(p["numInputRows"] for p in prog)
+            results["streaming_quality_gate"] = sec
+            detail["streaming_quality_gate"] = {
+                "sec": sec, "train_sec": qtrain_s,
+                "micro_batches": len(prog), "rows_in": rows,
+                "docs_per_sec": int(rows / sec)}
+            print(f"streaming_quality_gate: {sec}s drain "
+                  f"({qtrain_s}s one-time train), {len(prog)} "
+                  f"batches, {int(rows / sec)} docs/s",
+                  file=sys.stderr)
+        except Exception as ex:
+            results["streaming_quality_gate"] = -1.0
+            detail["streaming_quality_gate"] = {"error": str(ex)[:200]}
+            print(f"streaming_quality_gate: ERROR {str(ex)[:200]}",
+                  file=sys.stderr)
+
     total = round(sum(t for t in results.values() if t >= 0), 2)
     print(json.dumps({
         "metric": "streaming_drain_total", "value": total,
