@@ -27,6 +27,38 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Paths whose content the gate certifies: if any of these change after
+# the gate ran, the gate artifact no longer describes HEAD (r11 verdict
+# item 2 — 144 product lines landed post-gate and the gate's pytest
+# count never executed their tests).
+PRODUCT_GLOBS = ("pandas_alchemy_spark/", "tests/", "__spark_entry__.py",
+                 "bench.py")
+
+
+def product_state():
+    """(head_sha, product_hash): a content hash over every tracked +
+    untracked product file AS IT SITS IN THE WORKING TREE, so an
+    uncommitted edit also changes the hash.  tools/snapshot_check.py
+    recomputes this at snapshot time and fails on mismatch."""
+    import hashlib
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
+    ls = subprocess.run(
+        ["git", "ls-files", "--cached", "--others",
+         "--exclude-standard", "--", *PRODUCT_GLOBS],
+        cwd=REPO, capture_output=True, text=True).stdout.splitlines()
+    h = hashlib.sha256()
+    for rel in sorted(set(p for p in ls if p.strip())):
+        fp = os.path.join(REPO, rel)
+        if not os.path.isfile(fp):
+            continue
+        h.update(rel.encode())
+        h.update(b"\0")
+        with open(fp, "rb") as fh:
+            h.update(fh.read())
+        h.update(b"\0")
+    return head, h.hexdigest()
+
 
 def run(cmd, timeout=1800, env=None):
     t0 = time.time()
@@ -39,7 +71,10 @@ def main():
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
-    art: dict = {"gates": {}}
+    head_sha, product_hash = product_state()
+    art: dict = {"gates": {}, "head_sha": head_sha,
+                 "product_hash": product_hash,
+                 "product_globs": list(PRODUCT_GLOBS)}
     ok = True
 
     # 1. multi-scale oracle gate

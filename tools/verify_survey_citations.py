@@ -40,7 +40,16 @@ _SKIP_TOKEN = re.compile(
 
 
 def extract_numbers(text: str):
-    """Yield (number_string, is_ratio, line) for candidate citations."""
+    """Yield (number_string, is_ratio, line) for candidate citations.
+
+    A number immediately followed by ``‡`` (modulo closing ``*``/
+    backtick/unit) is an EXPLICIT in-prose adjudication — "this is a
+    logged/derived/constant value, not an artifact claim" — and is
+    skipped.  r12 addition: §18.7 listed such numbers in prose but the
+    tool still flagged them, so the snapshot gate could never go
+    green; the marker makes each adjudication visible at the citation
+    site itself instead of in a sidecar.
+    """
     for lineno, line in enumerate(text.splitlines(), 1):
         if line.lstrip().startswith("#"):  # section headers
             continue
@@ -53,6 +62,9 @@ def extract_numbers(text: str):
                 continue
             if _SKIP_TOKEN.match(tok):
                 continue
+            after = line[m.end():m.end() + 4]
+            if after.lstrip("*`%sx ").startswith("‡"):
+                continue  # explicitly adjudicated non-artifact number
             # bare small integers with no unit are usually counts /
             # prose ("two", "50/50", "N=20") — only audit unitful or
             # decimal or thousands-separated numbers
