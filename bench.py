@@ -449,6 +449,15 @@ def main():
             print(f"# bench error {name}: {str(ex)[:200]}", file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    # kernel="auto" decision telemetry (r12; VERDICT r11 #3): persist
+    # the decision INPUTS (n_cells, mean cell^2 work, emit density),
+    # not just the pick, so the citation audit can match them.
+    auto_decision = None
+    try:
+        from pandas_alchemy_spark.ext import similarity as _sim
+        auto_decision = _sim.LAST_AUTO_DECISION
+    except Exception:
+        pass
     art = {
         "metric": "headline_queries_total",
         "value": total,
@@ -459,6 +468,7 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "n_queries": len(times),
+        "semdedup_auto_decision": auto_decision,
     }
     # full telemetry (per-query loadavg etc.) goes to a SIDECAR file,
     # NOT stdout (r11; VERDICT r10 #5: the driver's stdout capture

@@ -853,6 +853,28 @@ def dedup_against(new: DataFrame, reference: DataFrame | None = None,
     return new.join(hit, id_col, "left_anti")
 
 
+def _release_frame(sdf: DataFrame) -> None:
+    """Free a frame's storage whether it was ``persist()``-ed or
+    ``localCheckpoint()``-ed (r12; ADVICE r11).
+    ``DataFrame.unpersist()`` only covers the former — checkpoint
+    blocks are not registered in the CacheManager, so on a long
+    ingest chain each superseded index's blocks lingered until GC.
+    For a checkpointed frame the analyzed plan is a ``LogicalRDD``
+    whose internal RDD holds the blocks; unpersist THAT directly.
+    Best-effort by design: on Spark Connect (no ``_jdf``) or a
+    stopped session it degrades to the old GC-eventually behavior."""
+    try:
+        sdf.unpersist()
+    except Exception:
+        pass
+    try:
+        plan = sdf._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 class ReferenceIndex:
     """A prebuilt MinHash-LSH index over a STATIC reference corpus —
     the build-once-gate-many half of incremental dedup, the exact
@@ -905,17 +927,26 @@ class ReferenceIndex:
         self.n_appended = n_appended
 
     _br = None  # set only on lazy builds (see build_reference_index)
+    #: True once any append/compact ran with ``materialize=False``:
+    #: those skip the accounting count, so the counters UNDERCOUNT
+    #: from that point on.  ``appended_fraction`` then returns None
+    #: (policy disabled) instead of silently never tripping
+    #: (r12; ADVICE r11).
+    _lazy_accounting = False
 
     def release(self) -> None:
-        """Unpersist the index frames (idempotent)."""
+        """Free the index frames' storage (idempotent).  Covers both
+        backing modes: a built index holds ``persist()``-ed frames
+        (CacheManager unpersist), while appended/compacted indexes
+        hold ``localCheckpoint()``-ed frames whose blocks live on the
+        checkpointed RDD itself — :func:`_release_frame` unpersists
+        that RDD directly (r12; ADVICE r11: plain ``unpersist()`` was
+        a no-op for the checkpointed case, so superseded indexes on a
+        long ingest chain freed memory only at GC's leisure)."""
         for sdf in (self.ref_buckets, self.ref_sets, self.ref_over,
                     self._br):
-            if sdf is None:
-                continue
-            try:
-                sdf.unpersist()
-            except Exception:
-                pass  # session already stopped
+            if sdf is not None:
+                _release_frame(sdf)
 
     def save(self, path: str) -> "ReferenceIndex":
         """Write the index as parquet tables + a params sidecar
@@ -973,7 +1004,10 @@ class ReferenceIndex:
         would keep two signature rows where the rebuild merges one
         doc's shingles.  ``materialize=True`` enforces it (one cheap
         semi-join probe piggybacked on the warm-up counts);
-        ``materialize=False`` trusts the caller.
+        ``materialize=False`` trusts the caller — and also OPTS THE
+        INDEX OUT of compaction accounting (no count without
+        triggering compute), permanently: ``appended_fraction()``
+        returns None from then on (r12; ADVICE r11).
 
         Returns a NEW :class:`ReferenceIndex`; the old one is left
         intact (live streams may still hold it) — release it when
@@ -1046,6 +1080,7 @@ class ReferenceIndex:
                              self.bucket_cap, ref_over=over_new,
                              n_base=self.n_base,
                              n_appended=self.n_appended)
+        idx._lazy_accounting = self._lazy_accounting
         if materialize:
             # the eager localCheckpoints above already materialized
             # the frames; only the accounting count remains (on the
@@ -1053,6 +1088,11 @@ class ReferenceIndex:
             idx.n_appended = self.n_appended + nb.count()
             nb.unpersist()
         else:
+            # no count without triggering compute — the counters now
+            # undercount, so flag the index out of the compaction
+            # policy (appended_fraction -> None) rather than letting
+            # needs_compaction() silently never trip (ADVICE r11)
+            idx._lazy_accounting = True
             idx._br = nb
         return idx
 
@@ -1121,12 +1161,21 @@ class ReferenceIndex:
                              n_appended=0)
         if materialize:
             idx.n_base = ref_sets2.count()
+        else:
+            # n_base stays None -> the policy is disabled on the
+            # compacted index; flag it so the reason is queryable
+            idx._lazy_accounting = True
         return idx
 
     def appended_fraction(self) -> float | None:
         """Appended docs as a fraction of the BUILD-time corpus, or
-        None when the build was lazy (no base count recorded)."""
-        if not self.n_base:
+        None when the accounting is unavailable: the build was lazy
+        (no base count recorded), or any append/compact ran with
+        ``materialize=False`` (its docs were never counted, so the
+        ratio would silently undercount — r12; ADVICE r11).  A None
+        here disables :meth:`needs_compaction`; schedule compaction
+        externally or use ``materialize=True`` throughout."""
+        if not self.n_base or self._lazy_accounting:
             return None
         return self.n_appended / self.n_base
 
@@ -1141,9 +1190,10 @@ class ReferenceIndex:
         (default 1.0) the accumulated append cost exceeds one
         rebuild.  :meth:`compact` is the corpus-free mechanism: it
         rebuilds from the stored signatures without re-reading any
-        reference text.  Returns False when the build was lazy
-        (no base count to compare against) — pass
-        ``materialize=True`` at build to enable the policy."""
+        reference text.  Returns False when the accounting is
+        unavailable — lazy build (no base count) or any
+        ``materialize=False`` append/compact in the chain — pass
+        ``materialize=True`` throughout to enable the policy."""
         frac = self.appended_fraction()
         return frac is not None and frac >= max_appended_fraction
 

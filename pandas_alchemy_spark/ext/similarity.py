@@ -711,11 +711,27 @@ def build_ivf_index(df: DataFrame, path: str, dim: int,
     Spark partition pruning turns nprobe/nlist into a literal I/O
     fraction, the dominant cost at 100 TB.  Build once, query many.
 
+    ``mode="append"`` against an EXISTING index is sugar for
+    :func:`append_to_ivf_index` semantics (r12; ADVICE r11 — it
+    previously retrained centroids on just the new batch, leaving old
+    rows assigned under a different geometry, and reset the sidecar
+    counters so ``ivf_compaction_due`` silently absorbed the history
+    into the base): the sidecar's centroids are reused when none are
+    passed, and the prior (``n_rows``, ``n_appended``) counters are
+    MERGED — the new batch counts as appended mass, not base mass.
+
     Returns the trained centroids (pass them back to
     :func:`search_ivf_index` to skip the sidecar read)."""
     import json
     import os
     df = df.filter(F.col(vec_col).isNotNull())
+    prior = None
+    sidecar = os.path.join(path, "_ivf_centroids.json")
+    if mode == "append" and os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            prior = json.load(fh)
+        if centroids is None:
+            centroids = prior["centroids"]
     if centroids is None:
         centroids = train_ivf_centroids(
             df, dim=dim, nlist=nlist, id_col=id_col, vec_col=vec_col,
@@ -730,11 +746,18 @@ def build_ivf_index(df: DataFrame, path: str, dim: int,
     # n_rows: parquet footer count over the just-written table (no
     # data scan) — the base mass for ivf_compaction_due (r11)
     n_rows = df.sparkSession.read.parquet(path).count()
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
-        json.dump({"dim": dim, "nlist": len(centroids),
-                   "id_col": id_col, "vec_col": vec_col,
-                   "centroids": centroids,
-                   "n_rows": n_rows, "n_appended": 0}, fh)
+    if prior is not None:
+        # appended build: base mass unchanged; everything beyond the
+        # prior base is appended mass (prior appends + this batch)
+        meta = {**prior,
+                "n_appended": n_rows - int(prior.get("n_rows", 0))}
+    else:
+        meta = {"dim": dim, "nlist": len(centroids),
+                "id_col": id_col, "vec_col": vec_col,
+                "centroids": centroids,
+                "n_rows": n_rows, "n_appended": 0}
+    with open(sidecar, "w") as fh:
+        json.dump(meta, fh)
     # a rebuild invalidates any cached tuned nprobe (r10: the tune
     # cache is keyed to the WRITTEN data; stale reuse would carry a
     # previous corpus's recall point onto the new index)
@@ -820,10 +843,18 @@ def compact_ivf_index(spark, path: str, nlist="auto",
     appended-mass counters and the tuned-nprobe cache.
 
     The rewrite goes to a sibling temp directory and swaps in with
-    two renames (old table moved aside, then removed) — a reader
-    racing the swap sees either the old or the new table, not a
-    partial one; single-writer remains the documented contract, as
-    for append.  Returns the fresh centroids."""
+    two renames (old table moved aside, then the rebuilt one renamed
+    in).  The swap is NOT reader-atomic (r12; ADVICE r11): between
+    the two renames the path does not exist, so a reader racing the
+    swap gets ENOENT — readers must not overlap the swap window
+    (the documented contract is single writer AND no concurrent
+    readers during compaction; schedule it in the ingest pipeline's
+    quiet slot).  Crash recovery: if the process dies between the
+    renames, the intact pre-compaction table is at
+    ``<path>._compact_old`` — rename it back to ``<path>`` by hand
+    (nothing at ``<path>`` is lost; the rebuilt tree is at
+    ``<path>._compact_tmp`` or already renamed in).  Returns the
+    fresh centroids."""
     import json
     import os
     import shutil
@@ -1012,6 +1043,13 @@ _SEMDEDUP_AUTO_WORK_FLOOR = 4096
 #: the SQL join emits through codegen.  Above this ceiling auto
 #: stays on sql.
 _SEMDEDUP_AUTO_DENSITY_CEIL = 0.05
+
+
+#: Last ``kernel="auto"`` decision tuple (driver-side, overwritten per
+#: call).  Benches persist this into their artifacts so the citation
+#: audit can match the decision INPUTS, not just the pick (VERDICT r11
+#: item 3 — the r11 emit-density 0.5992 existed only in run logs).
+LAST_AUTO_DECISION: dict | None = None
 
 
 def _auto_semdedup_kernel(n_cells: int, sum_sq: int,
@@ -1263,6 +1301,15 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
                     _np.nansum(S[iu] >= float(threshold))
                     / max(len(iu[0]), 1))
         kernel = _auto_semdedup_kernel(n_cells, sum_sq, density)
+        global LAST_AUTO_DECISION
+        LAST_AUTO_DECISION = {
+            "n_cells": n_cells,
+            "mean_cell_sq_work": round(sum_sq / max(n_cells, 1), 1),
+            "emit_density": round(density, 4),
+            "work_floor": _SEMDEDUP_AUTO_WORK_FLOOR,
+            "density_ceil": _SEMDEDUP_AUTO_DENSITY_CEIL,
+            "picked": kernel,
+        }
         import sys as _sys2
         print(f"[pandas_alchemy_spark] semantic_dedup: kernel=auto "
               f"picked {kernel!r} (n_cells={n_cells}, "

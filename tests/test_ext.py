@@ -2449,3 +2449,100 @@ def test_compact_ivf_index(spark, emb, tmp_path):
                               "embedding"))
     got = search_ivf_index(spark, path, qs, k=3, nprobe=8)
     assert got.count() == 8 * 3
+
+
+def test_reference_index_release_frees_checkpoint_blocks(spark, docs):
+    """release() (r12; ADVICE r11): appended/compacted indexes are
+    backed by localCheckpoint, whose blocks are NOT registered in the
+    CacheManager — DataFrame.unpersist() is a no-op on them.
+    release() must unpersist the checkpointed RDD itself so a long
+    ingest chain reclaims each superseded index deterministically."""
+    base = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    wave = docs.filter("doc_id % 2 = 1").select("doc_id", "text")
+
+    def cached_ids():
+        return {info.id() for info in
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()
+    idx = dedup.build_reference_index(base, num_hashes=16, bands=4)
+    idx2 = idx.append(wave)  # eager localCheckpoints materialize now
+    assert cached_ids() - before  # the new index really holds blocks
+    idx2.release()
+    idx.release()
+    leaked = cached_ids() - before
+    assert not leaked, f"index blocks survived release(): {leaked}"
+
+
+def test_reference_index_lazy_append_disables_policy(spark, docs):
+    """materialize=False appends skip the accounting count, so the
+    counters would silently undercount; appended_fraction() must
+    return None (policy disabled) from then on — including through a
+    later materialized append — instead of needs_compaction() never
+    tripping (r12; ADVICE r11)."""
+    base = docs.filter("doc_id % 3 = 0").select("doc_id", "text")
+    w1 = docs.filter("doc_id % 3 = 1").select("doc_id", "text")
+    w2 = docs.filter("doc_id % 3 = 2").select("doc_id", "text")
+    idx = dedup.build_reference_index(base, num_hashes=16, bands=4)
+    assert idx.appended_fraction() == 0.0
+    lazy = idx.append(w1, materialize=False)
+    assert lazy.appended_fraction() is None
+    assert not lazy.needs_compaction(max_appended_fraction=0.0)
+    later = lazy.append(w2)  # materialized, but history is stale
+    assert later.appended_fraction() is None
+    # compact(materialize=False) likewise opts out (n_base unknown)
+    lc = idx.compact(materialize=False)
+    assert lc.appended_fraction() is None
+    for i in (idx, lazy, later, lc):
+        i.release()
+
+
+def test_build_ivf_index_append_mode_merges_accounting(
+        spark, emb, tmp_path):
+    """build_ivf_index(mode='append') (r12; ADVICE r11): against an
+    existing index it must behave as an append — reuse the sidecar's
+    centroids (retraining on just the new batch would leave old rows
+    assigned under a different geometry) and count the new batch as
+    APPENDED mass, not absorb history into the base."""
+    from pandas_alchemy_spark.ext.similarity import (
+        build_ivf_index, ivf_compaction_due, search_ivf_index)
+    path = str(tmp_path / "ivf")
+    base = emb.filter("vec_id % 4 <> 3")
+    wave = emb.filter("vec_id % 4 = 3")
+    dim = len(emb.take(1)[0]["embedding"])
+    cents = build_ivf_index(base, path, dim=dim, nlist=8)
+    c2 = build_ivf_index(wave, path, dim=dim, nlist=8, mode="append")
+    assert c2 == cents  # geometry reused, not retrained on the wave
+    st = ivf_compaction_due(path)
+    assert st["n_base"] == base.count()
+    assert st["n_appended"] == wave.count()
+    # the wave really landed in the table, and the grown index is
+    # searchable end to end under the shared geometry
+    assert (spark.read.parquet(path).count()
+            == base.count() + wave.count())
+    qs = base.limit(4).select("vec_id", "embedding")
+    got = search_ivf_index(spark, path, qs, k=3, nprobe=8).collect()
+    assert {r["query_id"] for r in got} == {
+        r["vec_id"] for r in qs.collect()}
+
+
+def test_semdedup_auto_decision_telemetry(spark, emb):
+    """kernel='auto' records its decision tuple (inputs AND pick) in
+    similarity.LAST_AUTO_DECISION so benches persist it into their
+    artifacts (r12; VERDICT r11 #3 — the r11 emit-density existed
+    only in run logs and the citation audit could not match it)."""
+    similarity.LAST_AUTO_DECISION = None
+    lab = similarity.semantic_dedup(
+        emb, dim=len(emb.take(1)[0]["embedding"]), nlist=8,
+        threshold=0.3, kernel="auto")
+    lab.count()
+    d = similarity.LAST_AUTO_DECISION
+    assert d is not None
+    assert set(d) == {"n_cells", "mean_cell_sq_work", "emit_density",
+                      "work_floor", "density_ceil", "picked"}
+    assert d["picked"] in ("sql", "numpy")
+    from pandas_alchemy_spark.ext.similarity import (
+        _auto_semdedup_kernel)
+    assert d["picked"] == _auto_semdedup_kernel(
+        d["n_cells"], d["mean_cell_sq_work"] * d["n_cells"],
+        d["emit_density"])

@@ -28,7 +28,14 @@ def load(p: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    # only the '--json=PATH' form is valid; the space-separated
+    # '--json PATH' form used to drop the flag but leave PATH in the
+    # positional list, silently mis-comparing (ADVICE r11)
+    bad = [a for a in sys.argv[1:]
+           if a.startswith("--json") and not a.startswith("--json=")]
+    if bad:
+        sys.exit(f"use --json=PATH (got {bad[0]!r})")
+    args = [a for a in sys.argv[1:] if not a.startswith("--json=")]
     json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
                      if a.startswith("--json=")), None)
     before_p, after_p = args[0], args[1]

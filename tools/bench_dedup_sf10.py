@@ -182,6 +182,10 @@ def main():
         sys.stderr.write(msg)
         m = re.search(r"picked '(\w+)'", msg)
         extra["semdedup_auto_picked"] = m.group(1) if m else None
+        # r12 (VERDICT r11 #3): persist the decision tuple — inputs
+        # AND pick — so the calibration numbers cited in SURVEY are
+        # artifact-backed, not log-only.
+        extra["semdedup_auto_decision"] = similarity.LAST_AUTO_DECISION
 
     run("semantic_dedup_auto", _sd_auto)
 
