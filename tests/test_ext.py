@@ -2546,3 +2546,54 @@ def test_semdedup_auto_decision_telemetry(spark, emb):
     assert d["picked"] == _auto_semdedup_kernel(
         d["n_cells"], d["mean_cell_sq_work"] * d["n_cells"],
         d["emit_density"])
+
+
+def test_reference_index_tombstone_append_compact_append(spark, docs):
+    """Tombstone LIFECYCLE (r12; VERDICT r11 #6): a key saturated at
+    build must stay dead through append -> compact -> append — never
+    resurrect under-cap with only its surviving members — and the
+    gate's hit set must equal a from-scratch rebuild on the union
+    (which re-drops the same key) at every step."""
+    boiler = docs.limit(1).select(F.col("text").alias("btext"))
+
+    def planted(n, off):
+        return (spark.range(n).crossJoin(boiler)
+                .select((F.col("id") + off).alias("doc_id"),
+                        F.col("btext").alias("text")))
+
+    base = (docs.filter("doc_id % 3 = 0").select("doc_id", "text")
+            .unionAll(planted(6, 800000)))
+    w1 = (docs.filter("doc_id % 3 = 1").select("doc_id", "text")
+          .unionAll(planted(2, 900000)))
+    w2 = (docs.filter("doc_id % 3 = 2").select("doc_id", "text")
+          .unionAll(planted(2, 950000)))
+    # held-out query includes one boilerplate copy: a resurrected
+    # bucket would hand it every planted id as a hit
+    q = (docs.filter("doc_id % 7 = 1").select("doc_id", "text")
+         .unionAll(planted(1, 990000)))
+
+    def pairs(idx):
+        return {(r.id_new, r.id_ref): round(r.jaccard, 9)
+                for r in dedup.cross_dedup_pairs(
+                    q, index=idx, threshold=0.3).collect()}
+
+    i0 = dedup.build_reference_index(base, num_hashes=16, bands=4,
+                                     bucket_cap=3)
+    assert i0.ref_over.count() > 0  # saturation really bound
+    i1 = i0.append(w1)
+    ic = i1.compact()
+    assert ic.ref_over.count() > 0  # tombstones survive compaction
+    i2 = ic.append(w2)
+    assert i2.ref_over.count() > 0
+    reb = dedup.build_reference_index(
+        base.unionAll(w1).unionAll(w2), num_hashes=16, bands=4,
+        bucket_cap=3)
+    p_chain, p_reb = pairs(i2), pairs(reb)
+    assert p_chain == p_reb and p_chain
+    # the boilerplate key is DEAD on both sides: the planted query
+    # doc surfaces no planted reference id
+    planted_hits = {(a, b) for (a, b) in p_chain
+                    if a >= 990000 or b >= 800000}
+    assert not planted_hits
+    for i in (i0, i1, ic, i2, reb):
+        i.release()

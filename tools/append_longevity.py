@@ -60,6 +60,24 @@ def main():
     held_q = docs.filter(f"doc_id % {mod} = {n_waves + 1}")
     waves = [docs.filter(f"doc_id % {mod} = {n_waves + 1 + w}")
              for w in range(1, n_waves + 1)]
+    # r12 (VERDICT r11 #6): plant a boilerplate key that SATURATES at
+    # the production cap (2000) so the tombstone-preservation logic is
+    # exercised at doc scale, not just in the cap=3 unit test — the
+    # r11 curve recorded 0 tombstones across all 20 waves.  2100 base
+    # copies saturate at build; each wave appends 5 more; the held-out
+    # query carries one copy (a resurrected bucket would hand it
+    # every planted id as a hit and break hits_equal_rebuild).
+    boiler = docs.limit(1).select(F.col("text").alias("btext"))
+
+    def planted(n, off):
+        return (spark.range(n).crossJoin(boiler)
+                .select((F.col("id") + off).alias("doc_id"),
+                        F.col("btext").alias("text")))
+
+    base = base.unionAll(planted(2100, 100_000_000))
+    held_q = held_q.unionAll(planted(1, 101_000_000))
+    waves = [w.unionAll(planted(5, 102_000_000 + i * 10))
+             for i, w in enumerate(waves)]
     t0 = time.time()
     idx = dedup.build_reference_index(base, num_hashes=16, bands=4,
                                       fast_hash=True)
@@ -107,7 +125,54 @@ def main():
                     idx.needs_compaction(),
             })
             print(f"# ref wave {w}: {ref_rows[-1]}", file=sys.stderr)
+    # ---- firing wave (r12; VERDICT r11 #5): the mod layout caps the
+    # appended fraction at n_waves/(n_waves+1) < 1.0, so the default
+    # trigger could never fire inside the loop by construction.  One
+    # extra wave of two base-sized slices (offset ids — disjoint)
+    # pushes it past 1.0; then the measured corpus-free compact() and
+    # a post-compaction query-equality check close the lifecycle.
+    fire_wave = (docs.filter(f"doc_id % {mod} < 2")
+                 .select((F.col("doc_id") + 200_000_000)
+                         .alias("doc_id"), "text"))
+    t0 = time.time()
+    fired = idx.append(fire_wave)
+    fire_append_s = round(time.time() - t0, 2)
     idx.release()
+    cum = cum.unionAll(fire_wave)
+    t0 = time.time()
+    comp = fired.compact()
+    compact_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    hits_comp = {(r.id_new, r.id_ref)
+                 for r in dedup.cross_dedup_pairs(
+                     held_q, index=comp, threshold=0.4).collect()}
+    q_comp_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    reb = dedup.build_reference_index(cum, num_hashes=16, bands=4,
+                                      fast_hash=True)
+    fire_rebuild_s = round(time.time() - t0, 2)
+    hits_reb = {(r.id_new, r.id_ref)
+                for r in dedup.cross_dedup_pairs(
+                    held_q, index=reb, threshold=0.4).collect()}
+    reb.release()
+    out["reference_index_firing"] = {
+        "wave": n_waves + 1,
+        "append_s": fire_append_s,
+        "appended_fraction": round(fired.appended_fraction(), 4),
+        "needs_compaction_default": fired.needs_compaction(),
+        "compact_s": compact_s,
+        "rebuild_s": fire_rebuild_s,
+        "query_s": q_comp_s,
+        "hits_compacted": len(hits_comp),
+        "hits_equal_rebuild": hits_comp == hits_reb,
+        "n_tombstones_after_compact": comp.ref_over.count(),
+        "post_compact_fraction": comp.appended_fraction(),
+        "post_compact_needs": comp.needs_compaction(),
+    }
+    print(f"# ref firing: {out['reference_index_firing']}",
+          file=sys.stderr)
+    fired.release()
+    comp.release()
     out["reference_index"] = {"build_s": build_s,
                               "append_s": append_times,
                               "checkpoints": ref_rows}
