@@ -74,9 +74,9 @@ def main():
                 .select((F.col("id") + off).alias("doc_id"),
                         F.col("btext").alias("text")))
 
-    base = base.unionAll(planted(2100, 100_000_000))
-    held_q = held_q.unionAll(planted(1, 101_000_000))
-    waves = [w.unionAll(planted(5, 102_000_000 + i * 10))
+    base = base.unionAll(planted(2100, 1_000_000_000_000))
+    held_q = held_q.unionAll(planted(1, 1_001_000_000_000))
+    waves = [w.unionAll(planted(5, 1_002_000_000_000 + i * 10))
              for i, w in enumerate(waves)]
     t0 = time.time()
     idx = dedup.build_reference_index(base, num_hashes=16, bands=4,
@@ -132,7 +132,7 @@ def main():
     # pushes it past 1.0; then the measured corpus-free compact() and
     # a post-compaction query-equality check close the lifecycle.
     fire_wave = (docs.filter(f"doc_id % {mod} < 2")
-                 .select((F.col("doc_id") + 200_000_000)
+                 .select((F.col("doc_id") + 2_000_000_000_000)
                          .alias("doc_id"), "text"))
     t0 = time.time()
     fired = idx.append(fire_wave)
