@@ -1041,8 +1041,21 @@ _SEMDEDUP_AUTO_WORK_FLOOR = 4096
 #: loose threshold: r10 measured numpy 1.15x SLOWER at estimated
 #: density ~1) ships the surviving pairs back as Arrow batches where
 #: the SQL join emits through codegen.  Above this ceiling auto
-#: stays on sql.
+#: stays on sql — but only in the MODERATE work band (see
+#: _SEMDEDUP_AUTO_WORK_DOMINANT below).
 _SEMDEDUP_AUTO_DENSITY_CEIL = 0.05
+#: break-even #3 (r12; VERDICT r11 #4): the r10/r11 single-sample
+#: orderings on the pair-dense exact-copy fixture contradicted each
+#: other across boxes, so r12 settled it with the controlled
+#: measurement — interleaved min-of-3 in ONE process on the sf10
+#: exact-copy fixture (mean cell^2 work 91,658, emit density
+#: 0.5992): numpy 87.2 s vs sql 155.0 s, 1.78x
+#: (AB_SEMDEDUP_DENSE_r12.json).  At dominant per-cell work the
+#: blocked-BLAS win dwarfs the Arrow emit cost, so density no longer
+#: vetoes numpy above this bar; the veto stays for the moderate band
+#: (floor..dominant) where no controlled measurement exists and sql
+#: is the DuckDB-replayable conservative choice.
+_SEMDEDUP_AUTO_WORK_DOMINANT = 65536
 
 
 #: Last ``kernel="auto"`` decision tuple (driver-side, overwritten per
@@ -1059,8 +1072,11 @@ def _auto_semdedup_kernel(n_cells: int, sum_sq: int,
     paying a clustering run."""
     if n_cells <= 0:
         return "sql"
-    if sum_sq / n_cells < _SEMDEDUP_AUTO_WORK_FLOOR:
+    mean_work = sum_sq / n_cells
+    if mean_work < _SEMDEDUP_AUTO_WORK_FLOOR:
         return "sql"
+    if mean_work >= _SEMDEDUP_AUTO_WORK_DOMINANT:
+        return "numpy"
     if emit_density > _SEMDEDUP_AUTO_DENSITY_CEIL:
         return "sql"
     return "numpy"
@@ -1307,6 +1323,7 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
             "mean_cell_sq_work": round(sum_sq / max(n_cells, 1), 1),
             "emit_density": round(density, 4),
             "work_floor": _SEMDEDUP_AUTO_WORK_FLOOR,
+            "work_dominant": _SEMDEDUP_AUTO_WORK_DOMINANT,
             "density_ceil": _SEMDEDUP_AUTO_DENSITY_CEIL,
             "picked": kernel,
         }

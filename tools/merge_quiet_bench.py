@@ -53,6 +53,11 @@ def main():
         "sf": runs[0].get("sf"),
         "cpus": runs[0].get("cpus"),
         "n_queries": len(queries),
+        # r12 (VERDICT r11 #3): the auto-kernel decision tuple rides
+        # into the quiet artifact too (per-run, they should agree —
+        # the decision is a pure function of the data's geometry)
+        "semdedup_auto_decision_per_run": [
+            r.get("semdedup_auto_decision") for r in runs],
     }
     with open(out_path, "w") as fh:
         fh.write(json.dumps(art) + "\n")
