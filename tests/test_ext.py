@@ -2274,7 +2274,7 @@ def test_semdedup_auto_kernel(spark, emb):
     # near-dup/sparse (BENCH_r12_dedup_sf10.json decision tuple)
     assert _auto_semdedup_kernel(760, 760 * 91657.9, 0.5992) == "numpy"
     assert _auto_semdedup_kernel(
-        512, 512 * 155000.0, 0.0) == "numpy"  # sparse, fat cells
+        512, 512 * 624467.0, 0.0) == "numpy"  # sparse, fat cells
     corpus = emb.select("vec_id", "embedding")
     dim = len(corpus.take(1)[0]["embedding"])
     cents = similarity.train_ivf_centroids(corpus, dim=dim, nlist=8)
