@@ -1198,6 +1198,49 @@ class ReferenceIndex:
         return frac is not None and frac >= max_appended_fraction
 
 
+def maintain_reference_index(
+        idx: ReferenceIndex, new_docs: DataFrame,
+        text_col: str = "text", id_col: str = "doc_id",
+        max_appended_fraction: float = 1.0,
+) -> tuple[ReferenceIndex, dict]:
+    """The one-call ingest-maintenance step (r12): append a wave,
+    check the compaction policy, compact when due, and release every
+    superseded index — the full append -> monitor -> compact
+    lifecycle the r11/r12 longevity runs measured piecewise
+    (``SCALE_append_longevity_r12.json``: appends O(index) per wave,
+    hits rebuild-equal at every depth, trigger fires at appended
+    mass >= build mass, corpus-free compact 8.3 s vs 29.1 s rebuild
+    at 500k docs — at 100 TB the avoided corpus re-read IS the win).
+
+    A steady-state ingest pipeline calls this per accepted batch and
+    never thinks about index hygiene again::
+
+        idx, info = dedup.maintain_reference_index(idx, accepted)
+
+    Returns ``(index, info)`` where ``info`` records the append
+    seconds, whether compaction ran, its seconds, and the
+    post-maintenance appended fraction.  Superseded indexes are
+    released HERE (deterministically — release() covers checkpointed
+    frames since r12); callers holding the old index across the call
+    should append/compact manually instead."""
+    import time as _time
+    t0 = _time.time()
+    grown = idx.append(new_docs, text_col=text_col, id_col=id_col)
+    idx.release()
+    info = {"append_s": round(_time.time() - t0, 3),
+            "compacted": False, "compact_s": None,
+            "appended_fraction": grown.appended_fraction()}
+    if grown.needs_compaction(max_appended_fraction):
+        t0 = _time.time()
+        comp = grown.compact()
+        grown.release()
+        info["compacted"] = True
+        info["compact_s"] = round(_time.time() - t0, 3)
+        info["appended_fraction"] = comp.appended_fraction()
+        return comp, info
+    return grown, info
+
+
 def build_reference_index(reference: DataFrame,
                           text_col: str = "text",
                           id_col: str = "doc_id",

@@ -904,6 +904,39 @@ def ivf_compaction_due(path: str,
             "max_appended_fraction": max_appended_fraction}
 
 
+def maintain_ivf_index(spark, df: DataFrame, path: str,
+                       max_appended_fraction: float = 0.25,
+                       nlist="auto", refine_iters: int = 2) -> dict:
+    """The one-call ANN ingest-maintenance step (r12), twin of
+    :func:`~.dedup.maintain_reference_index`: append the batch under
+    the frozen centroids, check :func:`ivf_compaction_due`, and when
+    due run :func:`compact_ivf_index` (fresh centroids retrained from
+    the index's own rows — the drift answer — and the per-append file
+    waves collapsed).  The compaction swap is not reader-atomic
+    (see compact_ivf_index); call this from the single ingest writer
+    in a window with no concurrent readers.
+
+    Returns the decision record: appended count, append seconds,
+    whether compaction ran and its seconds, and the post-maintenance
+    sidecar state."""
+    import time as _time
+    t0 = _time.time()
+    n = append_to_ivf_index(df, path)
+    info = {"n_appended_now": n,
+            "append_s": round(_time.time() - t0, 3),
+            "compacted": False, "compact_s": None}
+    st = ivf_compaction_due(path, max_appended_fraction)
+    if st["due"]:
+        t0 = _time.time()
+        compact_ivf_index(spark, path, nlist=nlist,
+                          refine_iters=refine_iters)
+        info["compacted"] = True
+        info["compact_s"] = round(_time.time() - t0, 3)
+        st = ivf_compaction_due(path, max_appended_fraction)
+    info["state"] = st
+    return info
+
+
 def search_ivf_index(spark, path: str, queries: DataFrame,
                      k: int = 10, nprobe="auto",
                      id_col: str | None = None,

@@ -2606,3 +2606,64 @@ def test_reference_index_tombstone_append_compact_append(spark, docs):
     assert not planted_hits
     for i in (i0, i1, ic, i2, reb):
         i.release()
+
+
+def test_maintain_reference_index(spark, docs):
+    """maintain_reference_index (r12): append -> policy check ->
+    compact-when-due in one call, superseded indexes released."""
+    base = docs.filter("doc_id % 4 = 0").select("doc_id", "text")
+    w1 = docs.filter("doc_id % 4 = 1").select("doc_id", "text")
+    w2 = docs.filter("doc_id % 4 = 2").select("doc_id", "text")
+    idx = dedup.build_reference_index(base, num_hashes=16, bands=4)
+    idx, info1 = dedup.maintain_reference_index(
+        idx, w1, max_appended_fraction=5.0)
+    assert not info1["compacted"] and info1["append_s"] > 0
+    assert 0 < info1["appended_fraction"] < 5.0
+    # second wave crosses a tiny threshold -> compaction runs and
+    # the accounting resets
+    idx, info2 = dedup.maintain_reference_index(
+        idx, w2, max_appended_fraction=0.5)
+    assert info2["compacted"] and info2["compact_s"] > 0
+    assert info2["appended_fraction"] == 0.0
+    # the maintained index answers queries over ALL ingested docs
+    q = docs.filter("doc_id % 4 = 3").select("doc_id", "text")
+    reb = dedup.build_reference_index(
+        base.unionAll(w1).unionAll(w2), num_hashes=16, bands=4)
+    hits_m = {(r.id_new, r.id_ref) for r in dedup.cross_dedup_pairs(
+        q, index=idx, threshold=0.3).collect()}
+    hits_r = {(r.id_new, r.id_ref) for r in dedup.cross_dedup_pairs(
+        q, index=reb, threshold=0.3).collect()}
+    assert hits_m == hits_r and hits_m
+    idx.release()
+    reb.release()
+
+
+def test_maintain_ivf_index(spark, emb, tmp_path):
+    """maintain_ivf_index (r12): the ANN twin — append under frozen
+    centroids, compact with fresh centroids when the appended
+    fraction clears the policy, counters reset."""
+    from pandas_alchemy_spark.ext.similarity import (
+        build_ivf_index, maintain_ivf_index, search_ivf_index)
+    path = str(tmp_path / "ivf")
+    base = emb.filter("vec_id % 3 = 0")
+    dim = len(emb.take(1)[0]["embedding"])
+    build_ivf_index(base, path, dim=dim, nlist=8)
+    info1 = maintain_ivf_index(
+        spark, emb.filter("vec_id % 6 = 1"), path,
+        max_appended_fraction=5.0)
+    assert not info1["compacted"]
+    assert info1["n_appended_now"] > 0
+    assert info1["state"]["appended_fraction"] < 5.0
+    info2 = maintain_ivf_index(
+        spark, emb.filter("vec_id % 6 = 4"), path,
+        max_appended_fraction=0.25)
+    assert info2["compacted"] and info2["compact_s"] > 0
+    assert info2["state"]["appended_fraction"] == 0.0
+    # post-maintenance index holds every ingested row and searches
+    n_all = (base.count()
+             + emb.filter("vec_id % 6 = 1").count()
+             + emb.filter("vec_id % 6 = 4").count())
+    assert spark.read.parquet(path).count() == n_all
+    qs = base.limit(4).select("vec_id", "embedding")
+    assert search_ivf_index(spark, path, qs, k=3,
+                            nprobe=4).count() == 12
