@@ -58,6 +58,12 @@ def main():
         # the decision is a pure function of the data's geometry)
         "semdedup_auto_decision_per_run": [
             r.get("semdedup_auto_decision") for r in runs],
+        # r12: per-run samples, not just the min — jitter-band
+        # adjudications (e.g. the r11 semdedup watch item) need the
+        # spread to be artifact-backed, not quoted from run logs
+        "queries_per_run": {
+            name: [r["queries"].get(name) for r in runs]
+            for name in runs[0]["queries"]},
     }
     with open(out_path, "w") as fh:
         fh.write(json.dumps(art) + "\n")
