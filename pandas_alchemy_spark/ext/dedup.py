@@ -348,36 +348,82 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     15-bit chunks (pigeonhole: hamming<=3 -> >=1 chunk equal), join on
     chunk equality, verify with bit_count(a XOR b).  Chunk buckets
     larger than ``bucket_cap`` are dropped with a logged count
-    (:func:`_cap_buckets`) — degenerate boilerplate protection."""
+    (:func:`_cap_buckets`) — degenerate boilerplate protection.
+
+    r12 rewrite — pair at the SIGNATURE level, expand to ids at the
+    end.  Web-scale corpora are full of exact duplicates, and exact
+    copies share the whole 60-bit signature, so the pigeonhole join
+    only needs one representative per distinct signature: the
+    bucket/combination/verify work drops from O(docs) to O(distinct
+    signatures) (the exact-copy sf10 fixture: 100 copies per doc =
+    10^4x less pairing work), identical-signature pairs regenerate
+    locally from the per-signature id lists (hamming 0 by identity),
+    and cross-signature pairs expand through two joins on the
+    signature key AFTER the hamming filter, so the only pair-sized
+    exchange left carries TRUE pairs.  The dedup exchange also
+    shrank: a signature pair surfacing in k chunks dedups on the
+    (sig_a, sig_b) key before expansion.  Value-identical to the
+    per-doc formulation off the cap; ``bucket_cap`` now binds at TWO
+    boilerplate sites, both logged — an identical-signature group
+    larger than the cap drops whole (the old formulation dropped the
+    same flood because it saturated every one of its chunk buckets),
+    and a chunk bucket with more than ``bucket_cap`` DISTINCT
+    signatures drops as before (exact copies no longer consume
+    chunk-bucket budget — one signature, not one row per copy)."""
     sig = simhash_signature(df, text_col, id_col,
                             fast_hash=fast_hash)
+    groups = (sig.groupBy("sh")
+              .agg(F.array_sort(F.collect_list(id_col)).alias("ids")))
+    groups = _cap_buckets(groups, "ids", bucket_cap,
+                          "simhash_pairs exact-copy group").persist()
+    _register_cache(groups)
+    # identical-signature pairs: hamming 0 by identity, generated
+    # locally per group (no join, no shuffle beyond the sig agg)
+    within = (groups.filter(F.size("ids") > 1)
+              .select(F.explode(F.expr(
+                  "flatten(transform(ids, (x, i) -> "
+                  "transform(slice(ids, i + 2, size(ids)), y -> "
+                  "struct(x as id_a, y as id_b))))")).alias("p"))
+              .select("p.id_a", "p.id_b",
+                      F.lit(0).cast("int").alias("hamming")))
     # 4 chunks x 15 bits cover the full 60-bit signature: a 16-bit
     # chunking left chunk 3 with only 12 effective bits (16x larger
     # buckets than designed — inflated false candidates + cap drops)
-    chunked = sig.select(
-        id_col, "sh",
+    chunked = groups.select(
+        "sh",
         F.explode(F.expr(
             "transform(sequence(0, 3), c -> "
             "struct(c as chunk, (shiftright(sh, c * 15) & 32767) as ch))"
-        )).alias("cc")).select(id_col, "sh", "cc.chunk", "cc.ch")
-    # bucket-local combinations instead of a self-join: one shuffle on
-    # (chunk, ch); the 64-bit signatures ride along in the buckets so
-    # no join-back is needed for the hamming verify.
+        )).alias("cc")).select("sh", "cc.chunk", "cc.ch")
+    # bucket-local combinations instead of a self-join: one shuffle
+    # on (chunk, ch); buckets hold bare signatures (the key IS the
+    # payload — no struct, no id list riding along)
     buckets = (chunked.groupBy("chunk", "ch")
-               .agg(F.array_sort(F.collect_list(F.struct(
-                   F.col(id_col).alias("id"), F.col("sh")))).alias("ms"))
+               .agg(F.array_sort(F.collect_list("sh")).alias("ms"))
                .filter(F.size("ms") > 1))
     buckets = _cap_buckets(buckets, "ms", bucket_cap, "simhash_pairs")
-    pairs = (buckets.select(F.explode(F.expr(
+    rep = (buckets.select(F.explode(F.expr(
         "flatten(transform(ms, (x, i) -> "
         "transform(slice(ms, i + 2, size(ms)), y -> "
-        "struct(x.id as id_a, y.id as id_b, x.sh as sh_a, y.sh as sh_b))))"
-    )).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sh_a", "p.sh_b")
-        .dropDuplicates(["id_a", "id_b"]))
+        "struct(x as sh_a, y as sh_b))))")).alias("p"))
+        .select("p.sh_a", "p.sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.select("id_a", "id_b", ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    # verify BEFORE the dedup exchange: false candidates die locally,
+    # so the dropDuplicates shuffle carries true signature pairs only
+    rep = (rep.select("sh_a", "sh_b", ham.alias("hamming"))
+           .filter(F.col("hamming") <= max_hamming)
+           .dropDuplicates(["sh_a", "sh_b"]))
+    cross = (rep
+             .join(groups.select(F.col("sh").alias("sh_a"),
+                                 F.col("ids").alias("ids_a")), "sh_a")
+             .join(groups.select(F.col("sh").alias("sh_b"),
+                                 F.col("ids").alias("ids_b")), "sh_b")
+             .select(F.explode("ids_a").alias("a"), "ids_b", "hamming")
+             .select("a", F.explode("ids_b").alias("b"), "hamming")
+             .select(F.least("a", "b").alias("id_a"),
+                     F.greatest("a", "b").alias("id_b"),
+                     F.col("hamming").cast("int").alias("hamming")))
+    return within.unionAll(cross)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
