@@ -1248,6 +1248,7 @@ def maintain_reference_index(
         idx: ReferenceIndex, new_docs: DataFrame,
         text_col: str = "text", id_col: str = "doc_id",
         max_appended_fraction: float = 1.0,
+        release_old: bool = True,
 ) -> tuple[ReferenceIndex, dict]:
     """The one-call ingest-maintenance step (r12): append a wave,
     check the compaction policy, compact when due, and release every
@@ -1267,12 +1268,17 @@ def maintain_reference_index(
     seconds, whether compaction ran, its seconds, and the
     post-maintenance appended fraction.  Superseded indexes are
     released HERE (deterministically — release() covers checkpointed
-    frames since r12); callers holding the old index across the call
-    should append/compact manually instead."""
+    frames since r12).  ``release_old=False`` keeps the PASSED-IN
+    index alive (r13; ADVICE r12: release() is destructive for
+    checkpoint-backed indexes — dropped blocks cannot be recomputed —
+    so a caller still holding the input index, e.g. a live stream's
+    gate, got a permanently broken handle; intermediate indexes this
+    function itself created are always released)."""
     import time as _time
     t0 = _time.time()
     grown = idx.append(new_docs, text_col=text_col, id_col=id_col)
-    idx.release()
+    if release_old:
+        idx.release()
     info = {"append_s": round(_time.time() - t0, 3),
             "compacted": False, "compact_s": None,
             "appended_fraction": grown.appended_fraction()}

@@ -727,11 +727,32 @@ def build_ivf_index(df: DataFrame, path: str, dim: int,
     df = df.filter(F.col(vec_col).isNotNull())
     prior = None
     sidecar = os.path.join(path, "_ivf_centroids.json")
-    if mode == "append" and os.path.exists(sidecar):
+    if mode == "append":
+        # r13 (ADVICE r12): an append MUST run under the existing
+        # sidecar's geometry.  (a) No sidecar at the path means there
+        # is no index to append to — degrading to a fresh build here
+        # silently reintroduced the exact r11 failure (centroids
+        # retrained on just the batch, counters reset), so a path
+        # typo or a pre-sidecar index now fails loudly.  (b) An
+        # explicitly passed `centroids` would assign the batch under
+        # one geometry while the sidecar keeps the prior's — every
+        # later search/tune probes the wrong cells (silent recall
+        # loss).  Geometry is frozen at build: rebuild with
+        # mode="overwrite" to change it.
+        if not os.path.exists(sidecar):
+            raise ValueError(
+                f"build_ivf_index(mode='append'): no _ivf_centroids"
+                f".json at {path!r} — appends require an existing "
+                "index (build one first with mode='overwrite')")
+        if centroids is not None:
+            raise ValueError(
+                "build_ivf_index(mode='append'): cell geometry is "
+                "frozen at build time; pass centroids=None to append "
+                "under the index's own sidecar centroids, or rebuild "
+                "with mode='overwrite' to retrain")
         with open(sidecar) as fh:
             prior = json.load(fh)
-        if centroids is None:
-            centroids = prior["centroids"]
+        centroids = prior["centroids"]
     if centroids is None:
         centroids = train_ivf_centroids(
             df, dim=dim, nlist=nlist, id_col=id_col, vec_col=vec_col,

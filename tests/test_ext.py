@@ -2667,3 +2667,51 @@ def test_maintain_ivf_index(spark, emb, tmp_path):
     qs = base.limit(4).select("vec_id", "embedding")
     assert search_ivf_index(spark, path, qs, k=3,
                             nprobe=4).count() == 12
+
+
+def test_build_ivf_index_append_guards(spark, emb, tmp_path):
+    """r13 (ADVICE r12): append mode must fail loudly instead of
+    (a) degrading to a fresh build when no sidecar exists at the
+    path — the exact r11 retrain-on-the-batch failure a typo'd path
+    would silently reintroduce — and (b) assigning the batch under
+    explicitly passed centroids while the sidecar keeps the prior
+    geometry (later searches would probe the wrong cells)."""
+    import pytest
+
+    from pandas_alchemy_spark.ext.similarity import build_ivf_index
+    dim = len(emb.take(1)[0]["embedding"])
+    with pytest.raises(ValueError, match="no _ivf_centroids"):
+        build_ivf_index(emb, str(tmp_path / "nonexistent"), dim=dim,
+                        nlist=8, mode="append")
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(emb.filter("vec_id % 2 = 0"), path,
+                            dim=dim, nlist=8)
+    with pytest.raises(ValueError, match="frozen at build"):
+        build_ivf_index(emb.filter("vec_id % 2 = 1"), path, dim=dim,
+                        nlist=8, mode="append", centroids=cents)
+
+
+def test_maintain_reference_index_release_old(spark, docs):
+    """r13 (ADVICE r12): release() is destructive for checkpoint-
+    backed indexes, so a caller still holding the passed-in index
+    (a live stream's gate) needs release_old=False to keep its
+    handle usable across the maintenance call."""
+    base = docs.filter("doc_id % 4 = 0").select("doc_id", "text")
+    w1 = docs.filter("doc_id % 4 = 1").select("doc_id", "text")
+    q = docs.filter("doc_id % 4 = 3").limit(50).select(
+        "doc_id", "text")
+    idx = dedup.build_reference_index(base, num_hashes=16, bands=4)
+    before = {(r.id_new, r.id_ref) for r in dedup.cross_dedup_pairs(
+        q, index=idx, threshold=0.3).collect()}
+    grown, info = dedup.maintain_reference_index(
+        idx, w1, max_appended_fraction=5.0, release_old=False)
+    # the OLD handle still answers identically after maintenance
+    after_old = {(r.id_new, r.id_ref) for r in dedup.cross_dedup_pairs(
+        q, index=idx, threshold=0.3).collect()}
+    assert after_old == before
+    # and the grown index covers the appended wave too
+    grown_hits = {(r.id_new, r.id_ref) for r in dedup.cross_dedup_pairs(
+        q, index=grown, threshold=0.3).collect()}
+    assert grown_hits >= before
+    idx.release()
+    grown.release()

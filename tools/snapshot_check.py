@@ -17,11 +17,17 @@ Checks (all must pass; exit 1 otherwise):
   1. every git-tracked artifact in the repo root (BENCH_* / SCALE_* /
      AB_* / CORRECTNESS_* / ROUND_GATE_* / COPYCHECK / LEAKCHECK /
      BASELINE .json) is non-empty and parses as JSON or JSONL;
-  2. the round's gate artifact exists, its recorded ``product_hash``
+  2. no tracked root artifact is DIRTY — working tree differs from
+     the committed blob (r13; VERDICT r12 #1: the at-HEAD gate
+     re-run sat uncommitted in the working tree while the committed
+     gate recorded a superseded head_sha, and this tool verified the
+     working tree and passed — commit artifact updates FIRST, then
+     run the check);
+  3. the round's gate artifact exists, its recorded ``product_hash``
      equals a fresh hash of the working tree's product files
      (pandas_alchemy_spark/**, tests/**, __spark_entry__.py, bench.py
      — see round_gate.PRODUCT_GLOBS), and its gates all passed;
-  3. tools/verify_survey_citations.py --round N exits clean.
+  4. tools/verify_survey_citations.py --round N exits clean.
 """
 from __future__ import annotations
 
@@ -60,6 +66,27 @@ def parseable(path: str) -> bool:
             return False
 
 
+def dirty_tracked_artifacts(repo: str) -> list[str]:
+    """Tracked root artifacts whose working-tree content differs from
+    the committed (HEAD) blob — modified or deleted.  Untracked new
+    artifacts are NOT dirty (they ride the snapshot commit); a
+    TRACKED one that differs means a certification was regenerated
+    without being committed, exactly the r12 evidence-chain wound."""
+    out = subprocess.run(
+        ["git", "diff", "HEAD", "--name-status", "--", "*.json"],
+        cwd=repo, capture_output=True, text=True).stdout.splitlines()
+    dirty = []
+    for ln in out:
+        parts = ln.split("\t")
+        if len(parts) < 2:
+            continue
+        rel = parts[-1]
+        if "/" in rel or not rel.startswith(ARTIFACT_PREFIXES):
+            continue
+        dirty.append(rel)
+    return sorted(dirty)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
@@ -86,7 +113,16 @@ def main():
     print(f"artifacts: {n_art} checked, "
           f"{sum('artifact' in f for f in failures)} bad")
 
-    # 2. gate artifact certifies the CURRENT product tree
+    # 2. no tracked root artifact dirty vs its committed blob
+    dirty = dirty_tracked_artifacts(REPO)
+    for rel in dirty:
+        failures.append(
+            f"artifact {rel} is DIRTY (working tree != committed "
+            "blob) — commit the regenerated artifact before "
+            "snapshotting")
+    print(f"dirty tracked artifacts: {len(dirty)}")
+
+    # 3. gate artifact certifies the CURRENT product tree
     gate_path = args.gate or f"ROUND_GATE_r{args.round}.json"
     fp = os.path.join(REPO, gate_path)
     if not os.path.isfile(fp):
@@ -110,7 +146,7 @@ def main():
                 print(f"gate: product_hash match ({now[:12]}, "
                       f"gate head {gate.get('head_sha', '?')[:12]})")
 
-    # 3. citation audit clean
+    # 4. citation audit clean
     p = subprocess.run(
         [sys.executable, "tools/verify_survey_citations.py",
          "--round", str(args.round)],

@@ -64,13 +64,19 @@ def extract_numbers(text: str):
                 continue
             after = line[m.end():m.end() + 4]
             if after.lstrip("*`%sx ").startswith("‡"):
-                continue  # explicitly adjudicated non-artifact number
+                # explicitly adjudicated non-artifact number — still
+                # surfaced to the caller (r13; ADVICE r12: an
+                # uncounted exemption is an unbounded audit escape
+                # hatch), which prints each one and enforces a budget
+                yield tok, False, lineno, line.strip(), True
+                continue
             # bare small integers with no unit are usually counts /
             # prose ("two", "50/50", "N=20") — only audit unitful or
             # decimal or thousands-separated numbers
             if unit is None and "." not in tok and "," not in tok:
                 continue
-            yield tok, unit in ("x", "×", "/s"), lineno, line.strip()
+            yield (tok, unit in ("x", "×", "/s"), lineno,
+                   line.strip(), False)
 
 
 def flatten(obj, out):
@@ -118,6 +124,11 @@ def main():
     ap.add_argument("--round", type=int)
     ap.add_argument("--section")
     ap.add_argument("--survey", default=os.path.join(REPO, "SURVEY.md"))
+    ap.add_argument("--dagger-budget", type=int, default=12,
+                    help="max ‡-exempted numbers per section (each is "
+                    "printed; above the budget the audit fails — the "
+                    "exemption marker must stay an exception, not an "
+                    "escape hatch)")
     ap.add_argument("artifacts", nargs="*")
     args = ap.parse_args()
     arts = list(args.artifacts)
@@ -165,9 +176,13 @@ def main():
     print(f"auditing {section} of {os.path.basename(args.survey)} "
           f"against {len(arts)} artifact(s), {len(pool)} values")
     unmatched = []
+    exempted = []
     n_checked = 0
     seen = set()
-    for tok, is_ratio, lineno, line in extract_numbers(body):
+    for tok, is_ratio, lineno, line, is_exempt in extract_numbers(body):
+        if is_exempt:
+            exempted.append((tok, lineno, line))
+            continue
         n_checked += 1
         # ratios ("Nx") and derived rates ("docs/s" = count/seconds)
         # may also match a pool-pair quotient; plain values must
@@ -178,7 +193,14 @@ def main():
             seen.add((tok, lineno))
             unmatched.append((tok, is_ratio, lineno, line))
     print(f"{n_checked} cited numbers checked, "
-          f"{len(unmatched)} unmatched")
+          f"{len(unmatched)} unmatched, {len(exempted)} ‡-exempted")
+    for tok, lineno, line in exempted:
+        print(f"  EXEMPT ‡ {tok} (line {lineno}): {line[:90]}")
+    if len(exempted) > args.dagger_budget:
+        print(f"‡ exemption budget exceeded: {len(exempted)} > "
+              f"{args.dagger_budget} — back these numbers with an "
+              "artifact or raise --dagger-budget with justification")
+        sys.exit(1)
     for tok, is_ratio, lineno, line in unmatched:
         kind = "ratio" if is_ratio else "value"
         print(f"  UNMATCHED {kind} {tok} (line {lineno}): {line[:90]}")
