@@ -564,3 +564,30 @@ def test_plans_quality_gate_no_join_no_shuffle(spark):
     kept2 = pipeline.quality_classifier_filter(docs, m, scores=sc)
     plan2 = kept2._jdf.queryExecution().executedPlan().toString()
     assert "Join" in plan2
+
+
+def test_metadata_resolvable_plan_walk(spark):
+    """_metadata_resolvable (r13; VERDICT r12 #5): the rowid wrap
+    must decide by PLAN WALK whether `_metadata.row_index` resolves —
+    the old try/except logged a JVM AnalysisException ERROR block and
+    paid an analyzer pass on every derived-frame wrap.  Metadata
+    propagates through Project/Filter/alias down to the file
+    relation; an Aggregate (and therefore a pivot, which is
+    Project-over-Aggregate and still reports one input file) kills
+    it."""
+    from pandas_alchemy_spark.core import _metadata_resolvable
+
+    base = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    assert _metadata_resolvable(base)
+    assert _metadata_resolvable(base.select("r_regionkey"))
+    assert _metadata_resolvable(base.filter("r_regionkey > 0"))
+    assert _metadata_resolvable(base.alias("x"))
+    assert not _metadata_resolvable(
+        base.groupBy("r_regionkey").count())
+    piv = base.groupBy().pivot("r_name").count()
+    assert len(piv.inputFiles()) == 1  # the trap: looks like a scan
+    assert not _metadata_resolvable(piv)
+    # and the wrap itself stays correct on both shapes
+    from pandas_alchemy_spark.core import DataFrame as PDF
+    assert len(PDF.from_spark(piv)) == 1
+    assert PDF.from_table(f"{SF_DIR}/region.parquet").head(2).shape[0] == 2
