@@ -2653,15 +2653,27 @@ def q_text_suite(spark, sf_dir):
     # (dd.build_reference_index) — output identical to the inline
     # path by construction (test-pinned), so the unchanged DuckDB
     # replay now value-hashes the index build+query path end to end.
+    # r13 (VERDICT r12 #7): the reference is now built on HALF its
+    # docs and grown to the full set through the one-call
+    # maintain_reference_index path — append is rebuild-equal by
+    # construction, so the leg's values (and the DuckDB replay) are
+    # unchanged while the maintenance surface itself becomes
+    # driver-oracle-covered: a drift in append/maintain hash-
+    # mismatches this suite.
     new_sl = docs.filter("doc_id % 3 = 0")
-    ref_sl = docs.filter("doc_id % 3 <> 0")
-    ref_idx = dd.build_reference_index(
-        ref_sl, num_hashes=16, bands=4, bucket_cap=None,
+    ref_base = docs.filter("doc_id % 3 = 1")
+    ref_wave = docs.filter("doc_id % 3 = 2")
+    idx0 = dd.build_reference_index(
+        ref_base, num_hashes=16, bands=4, bucket_cap=None,
         materialize=False)
+    # lazy build -> appended_fraction is None -> no compaction at
+    # oracle scale (compaction itself is pytest-pinned rebuild-equal)
+    ref_idx, _minfo = dd.maintain_reference_index(idx0, ref_wave)
     # index lifecycle is caller-owned; in this long-lived harness
     # session, hand the frames to the bounded cache ring (the same
     # release discipline the inline path used)
-    for _fr in (ref_idx.ref_buckets, ref_idx.ref_sets, ref_idx._br):
+    for _fr in (ref_idx.ref_buckets, ref_idx.ref_sets,
+                ref_idx.ref_over, ref_idx._br):
         if _fr is not None:
             dd._register_cache(_fr)
     xp = dd.cross_dedup_pairs(new_sl, index=ref_idx, threshold=0.4)
@@ -3183,6 +3195,66 @@ def q_ann_suite(spark, sf_dir):
                    & (F.col("n_labels") == F.col("n_in"))
                    & (F.col("n_kept") == F.col("n_comp"))
                    & (F.col("n_minviol") == 0)).alias("recall_ok")))
+    # round-13 fold: semantic_dedup_against (ext/similarity) — the
+    # embedding twin of cross_dedup_pairs(index=): new-batch
+    # near-dup pairs against a PERSISTED IVF reference, which here
+    # is built on one slice and GROWN via append_to_ivf_index, so
+    # the incremental-index machinery sits under the driver oracle.
+    # k-means centroids are not SQL-replayable; the hashed fields
+    # are the SQL-computable new-slice count and an in-plan
+    # invariant conjunction: (a) the grown-index pairs equal a
+    # from-scratch-union index's pairs under the same centroids
+    # (append lifecycle value-equality — symmetric difference 0),
+    # (b) pairs are strictly cross-corpus (id_new in the new slice,
+    # id_ref in the reference slices), (c) planted near-copies of
+    # reference vectors are all found (recall contract).
+    ref_a = emb0.filter("vec_id % 3 = 0")
+    ref_b = emb0.filter("vec_id % 3 = 1")
+    new_e = emb0.filter("vec_id % 3 = 2")
+    xg_path = _os.path.join(
+        _scratch, "ivfx_grown_" + _re.sub(
+            r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/")))
+    xs_path = _os.path.join(
+        _scratch, "ivfx_scratch_" + _re.sub(
+            r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/")))
+    xc = _sim0.build_ivf_index(ref_a, xg_path, dim=dim0, nlist=16)
+    _sim0.append_to_ivf_index(ref_b, xg_path)
+    _sim0.build_ivf_index(ref_a.unionAll(ref_b), xs_path, dim=dim0,
+                          nlist=16, centroids=xc)
+    planted = (ref_a.filter(F.col("embedding").isNotNull())
+               .limit(20).select(
+                   (F.col("vec_id") + 10000000).alias("vec_id"),
+                   F.col("embedding")))
+    probe = new_e.select("vec_id", "embedding").unionAll(planted)
+    # nprobe=1 keeps the candidate volume at sum(cell) not
+    # 2*sum(cell); exact planted copies land in their source's home
+    # cell, so the recall contract holds at one probe (boundary
+    # pairs at nprobe=2 are pytest-pinned)
+    xpg = _sim0.semantic_dedup_against(spark, xg_path, probe,
+                                       threshold=0.25, nprobe=1)
+    xps = _sim0.semantic_dedup_against(spark, xs_path, probe,
+                                       threshold=0.25, nprobe=1)
+    xdiff = (xpg.select("id_new", "id_ref")
+             .unionAll(xps.select("id_new", "id_ref"))
+             .groupBy("id_new", "id_ref")
+             .agg(F.count(F.lit(1)).alias("__c"))
+             .filter("__c <> 2")
+             .agg(F.count(F.lit(1)).alias("n_diff")).coalesce(1))
+    xbad = (xpg.filter(
+        (F.col("id_new") % 3 != 2) & (F.col("id_new") < 10000000)
+        | (F.col("id_ref") % 3 == 2))
+        .agg(F.count(F.lit(1)).alias("n_bad")).coalesce(1))
+    xplant = (xpg.filter(
+        F.col("id_new") - 10000000 == F.col("id_ref"))
+        .agg(F.countDistinct("id_new").alias("n_plant")).coalesce(1))
+    xn = (new_e.filter(F.col("embedding").isNotNull())
+          .agg(F.count(F.lit(1)).alias("n_new")).coalesce(1))
+    xleg_e = (xn.crossJoin(xdiff).crossJoin(xbad).crossJoin(xplant)
+              .select(F.lit("semdedup_x").alias("algo"),
+                      F.col("n_new").cast("long").alias("n_queries"),
+                      F.lit(8).cast("long").alias("k"),
+                      ((F.col("n_diff") == 0) & (F.col("n_bad") == 0)
+                       & (F.col("n_plant") == 20)).alias("recall_ok")))
     # round-7 fold: cluster_documents (ext/pipeline.py) — hashed
     # TF-IDF + deterministic k-means over documents.  k-means is not
     # SQL-replayable; the invariants pinned: (a) every tokenized doc
@@ -3210,7 +3282,7 @@ def q_ann_suite(spark, sf_dir):
                       & (F.col("n_range") == 0)).alias("recall_ok")))
     from functools import reduce as _reduce
     return (_reduce(lambda a, b: a.unionAll(b), parts)
-            .unionAll(sd).unionAll(clleg))
+            .unionAll(sd).unionAll(xleg_e).unionAll(clleg))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5839,6 +5911,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'semdedup',
                    (SELECT count(*) FROM embeddings
                     WHERE embedding IS NOT NULL)::BIGINT,
+                   8::BIGINT, true
+            UNION ALL
+            -- semantic_dedup_against (r13): cross-corpus embedding
+            -- dedup vs a persisted, APPEND-grown IVF index.
+            -- Centroids are not SQL-replayable; the invariants
+            -- (grown == from-scratch-union pairs, cross-only
+            -- endpoints, 20/20 planted recall) are asserted in-plan
+            -- Spark-side and must land true here
+            SELECT 'semdedup_x',
+                   (SELECT count(*) FROM embeddings
+                    WHERE vec_id % 3 = 2
+                      AND embedding IS NOT NULL)::BIGINT,
                    8::BIGINT, true
             UNION ALL
             -- cluster_documents: n_queries = tokenized docs (the

@@ -92,6 +92,63 @@ def _cap_buckets(buckets: DataFrame, member_col: str,
     threading.Thread(target=_log, daemon=True).start()
     return observed.filter(F.size(member_col) <= cap)
 
+
+def _split_over_cap(buckets: DataFrame, member_col: str,
+                    cap: int | None, what: str
+                    ) -> tuple[DataFrame, DataFrame | None]:
+    """Split LSH buckets at ``cap`` into ``(kept, over)`` instead of
+    dropping the oversized ones (r13; VERDICT r12 #4): ``kept``
+    (size <= cap) flows to the caller's full O(B²) clique expansion;
+    ``over`` buckets emit a STAR — representative → member, O(B)
+    rows via :func:`_star_pairs` — so a boilerplate flood larger
+    than the cap keeps its CONNECTIVITY for
+    :func:`connected_components` / :func:`cluster_near_dups` at any
+    flood size, where the old ``_cap_buckets`` made the whole group
+    vanish from the pair set (with a log line, not with pairs).  For
+    dedup the full clique is never needed — a star spans the same
+    connected component.  Over-cap count logged through the same
+    zero-extra-pass Observation as ``_cap_buckets``.  Returns
+    ``(buckets, None)`` when ``cap`` is None (uncapped)."""
+    if cap is None:
+        return buckets, None
+    import threading
+
+    from pyspark.sql import Observation
+    obs = Observation()
+    observed = buckets.observe(
+        obs, F.sum((F.size(member_col) > cap).cast("long"))
+        .alias("n_over"))
+
+    def _log():
+        try:
+            n = obs.get.get("n_over")  # blocks until the caller acts
+            if n:
+                print(f"[pandas_alchemy_spark] {what}: {n} oversized "
+                      f"LSH bucket(s) (> {cap} members) emitted as "
+                      "O(B) representative stars instead of full "
+                      "cliques; pre-collapse exact duplicates "
+                      "(exact_dedup) to avoid degenerate buckets",
+                      file=sys.stderr)
+        except Exception:
+            pass
+
+    threading.Thread(target=_log, daemon=True).start()
+    return (observed.filter(F.size(member_col) <= cap),
+            observed.filter(F.size(member_col) > cap))
+
+
+def _star_pairs(over: DataFrame, member_col: str,
+                a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Representative→member pairs for over-cap buckets: O(B) rows
+    per bucket.  Members are ``array_sort``-ed by every caller, so
+    the representative is the MINIMUM and the emitted orientation
+    (``a`` < ``b``) matches the clique expansions'."""
+    return over.select(
+        F.element_at(member_col, 1).alias(a),
+        F.explode(F.expr(
+            f"slice({member_col}, 2, size({member_col}) - 1)"))
+        .alias(b))
+
 # tokenize: lowercase, strip non-alphanumerics, split
 _TOKENS = "filter(split(lower(regexp_replace({col}, '[^a-zA-Z0-9]+', ' ')), ' '), t -> t != '')"
 
@@ -275,10 +332,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     - band key = the band's signature values as a string — oracle-
       reproducible; re-hash it (xxhash64) to narrow the shuffle key at
       very large scale;
-    - buckets larger than ``bucket_cap`` are DROPPED with a logged
-      count (see :func:`_cap_buckets`) — the O(B^2) within-bucket
-      explode of a degenerate boilerplate bucket would otherwise pin
-      one task; pre-collapse exact dups to keep recall.
+    - buckets larger than ``bucket_cap`` emit a representative STAR
+      (O(B) candidate rows, logged — see :func:`_split_over_cap`)
+      instead of the O(B^2) within-bucket explode that would pin one
+      task on a degenerate boilerplate bucket; star candidates pass
+      the same Jaccard verify, so an exact-copy flood keeps its
+      connectivity for clustering at any size (r13 — previously the
+      whole bucket dropped and the flood vanished from the pair
+      set).  Pre-collapse exact dups to keep full pairwise recall.
     """
     if bands < 1 or num_hashes < 1 or num_hashes % bands != 0:
         raise ValueError(
@@ -299,12 +360,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     buckets = (banded.groupBy("band", "bh")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))
-    buckets = _cap_buckets(buckets, "ids", bucket_cap,
-                           "minhash_lsh_pairs")
-    pairs = (buckets.select(F.explode(F.expr(
+    kept, over = _split_over_cap(buckets, "ids", bucket_cap,
+                                 "minhash_lsh_pairs")
+    pairs = (kept.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x as id_a, y as id_b))))"
-    )).alias("p")).select("p.id_a", "p.id_b").dropDuplicates())
+    )).alias("p")).select("p.id_a", "p.id_b"))
+    if over is not None:
+        # over-cap boilerplate bucket -> representative star (r13):
+        # candidates still pass the exact-Jaccard verify below, and
+        # an exact-copy flood keeps jaccard 1.0 rep->member edges,
+        # so clustering collapses it however large it grows
+        pairs = pairs.unionAll(_star_pairs(over, "ids"))
+    pairs = pairs.dropDuplicates()
     sha = base.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
     shb = base.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
     jac = (F.size(F.array_intersect("hs_a", "hs_b"))
@@ -363,29 +431,50 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     exchange left carries TRUE pairs.  The dedup exchange also
     shrank: a signature pair surfacing in k chunks dedups on the
     (sig_a, sig_b) key before expansion.  Value-identical to the
-    per-doc formulation off the cap; ``bucket_cap`` now binds at TWO
-    boilerplate sites, both logged — an identical-signature group
-    larger than the cap drops whole (the old formulation dropped the
-    same flood because it saturated every one of its chunk buckets),
-    and a chunk bucket with more than ``bucket_cap`` DISTINCT
-    signatures drops as before (exact copies no longer consume
-    chunk-bucket budget — one signature, not one row per copy)."""
+    per-doc formulation off the cap; ``bucket_cap`` binds at TWO
+    boilerplate sites, both logged and both STAR-preserving (r13;
+    VERDICT r12 #4 — previously the flood dropped whole, with a log
+    line instead of pairs):
+
+    - an identical-signature group larger than the cap emits
+      representative→member pairs (hamming 0, O(B) rows — a star
+      spans the same connected component as the clique, so
+      :func:`cluster_near_dups` still collapses the flood at any
+      size) and joins the cross-signature stage through its
+      representative id only (O(1) per flood instead of
+      O(B × neighbor group));
+    - a chunk bucket holding more than ``bucket_cap`` DISTINCT
+      signatures emits representative→member signature candidates
+      (O(B)) instead of the O(B²) combination explode; they pass
+      the same hamming verify as clique candidates."""
     sig = simhash_signature(df, text_col, id_col,
                             fast_hash=fast_hash)
     groups = (sig.groupBy("sh")
-              .agg(F.array_sort(F.collect_list(id_col)).alias("ids")))
-    groups = _cap_buckets(groups, "ids", bucket_cap,
-                          "simhash_pairs exact-copy group").persist()
+              .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+              .persist())
     _register_cache(groups)
+    kept_g, over_g = _split_over_cap(groups, "ids", bucket_cap,
+                                     "simhash_pairs exact-copy group")
     # identical-signature pairs: hamming 0 by identity, generated
     # locally per group (no join, no shuffle beyond the sig agg)
-    within = (groups.filter(F.size("ids") > 1)
+    within = (kept_g.filter(F.size("ids") > 1)
               .select(F.explode(F.expr(
                   "flatten(transform(ids, (x, i) -> "
                   "transform(slice(ids, i + 2, size(ids)), y -> "
                   "struct(x as id_a, y as id_b))))")).alias("p"))
               .select("p.id_a", "p.id_b",
                       F.lit(0).cast("int").alias("hamming")))
+    if over_g is not None:
+        # over-cap exact-copy flood -> representative star (r13):
+        # hamming 0 by identity, O(B) rows, connectivity preserved
+        within = within.unionAll(
+            _star_pairs(over_g, "ids").select(
+                "id_a", "id_b",
+                F.lit(0).cast("int").alias("hamming")))
+        # the flood still takes part in cross-signature pairing,
+        # through its representative id only (ids truncated to [rep])
+        groups = kept_g.unionAll(
+            over_g.select("sh", F.slice("ids", 1, 1).alias("ids")))
     # 4 chunks x 15 bits cover the full 60-bit signature: a 16-bit
     # chunking left chunk 3 with only 12 effective bits (16x larger
     # buckets than designed — inflated false candidates + cap drops)
@@ -401,12 +490,18 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     buckets = (chunked.groupBy("chunk", "ch")
                .agg(F.array_sort(F.collect_list("sh")).alias("ms"))
                .filter(F.size("ms") > 1))
-    buckets = _cap_buckets(buckets, "ms", bucket_cap, "simhash_pairs")
-    rep = (buckets.select(F.explode(F.expr(
+    kept_b, over_b = _split_over_cap(buckets, "ms", bucket_cap,
+                                     "simhash_pairs")
+    rep = (kept_b.select(F.explode(F.expr(
         "flatten(transform(ms, (x, i) -> "
         "transform(slice(ms, i + 2, size(ms)), y -> "
         "struct(x as sh_a, y as sh_b))))")).alias("p"))
         .select("p.sh_a", "p.sh_b"))
+    if over_b is not None:
+        # over-cap chunk bucket -> O(B) representative-signature
+        # candidates; the hamming verify below prunes them exactly
+        # like clique candidates
+        rep = rep.unionAll(_star_pairs(over_b, "ms", "sh_a", "sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     # verify BEFORE the dedup exchange: false candidates die locally,
     # so the dropDuplicates shuffle carries true signature pairs only

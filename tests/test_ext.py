@@ -2669,6 +2669,71 @@ def test_maintain_ivf_index(spark, emb, tmp_path):
                             nprobe=4).count() == 12
 
 
+def test_semantic_dedup_against_lifecycle(spark, emb, tmp_path):
+    """semantic_dedup_against (r13; VERDICT r12 #6): new-batch vs
+    persisted-IVF-reference near-dup pairs must be VALUE-EQUAL
+    whether the reference index was built at once or grown through
+    append_to_ivf_index — assignment is a pure function of
+    (vector, centroids) and the geometry is frozen at build.  Also:
+    pairs are strictly cross-corpus (no ref-ref, no new-new)."""
+    from pandas_alchemy_spark.ext.similarity import (
+        append_to_ivf_index, build_ivf_index, semantic_dedup_against)
+    ref_a = emb.filter("vec_id % 3 = 0")
+    ref_b = emb.filter("vec_id % 3 = 1")
+    new = emb.filter("vec_id % 3 = 2")
+    dim = len(emb.take(1)[0]["embedding"])
+    grown = str(tmp_path / "grown")
+    cents = build_ivf_index(ref_a, grown, dim=dim, nlist=8)
+    append_to_ivf_index(ref_b, grown)
+    scratch = str(tmp_path / "scratch")
+    build_ivf_index(ref_a.unionAll(ref_b), scratch, dim=dim,
+                    nlist=8, centroids=cents)
+
+    def pairs(path):
+        return {(r.id_new, r.id_ref, round(r.cosine, 9))
+                for r in semantic_dedup_against(
+                    spark, path, new, threshold=0.25).collect()}
+
+    pg, ps = pairs(grown), pairs(scratch)
+    assert pg == ps and pg
+    new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+    ref_ids = {r.vec_id for r in
+               ref_a.unionAll(ref_b).select("vec_id").collect()}
+    assert {a for a, _, _ in pg} <= new_ids
+    assert {b for _, b, _ in pg} <= ref_ids
+    # nprobe=1 finds a subset of nprobe=2 (boundary pairs need the
+    # wider probe), never a superset
+    p1 = {(r.id_new, r.id_ref) for r in semantic_dedup_against(
+        spark, grown, new, threshold=0.25, nprobe=1).collect()}
+    assert p1 <= {(a, b) for a, b, _ in pg}
+
+
+def test_semantic_dedup_against_recall_vs_brute(spark, emb, tmp_path):
+    """Planted-near-dup recall for the cross-corpus embedding path:
+    copies of reference vectors (tiny perturbation) in the new batch
+    must be found against the persisted index."""
+    from pandas_alchemy_spark.ext.similarity import (
+        build_ivf_index, semantic_dedup_against)
+    dim = len(emb.take(1)[0]["embedding"])
+    ref = emb.filter("vec_id % 2 = 0")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(ref, path, dim=dim, nlist=8)
+    # plant: new ids 10^6 + k carry (almost) the reference vector
+    planted = ref.limit(20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(1.000001 AS FLOAT))")
+        .alias("embedding"))
+    got = semantic_dedup_against(spark, path, planted,
+                                 threshold=0.99)
+    found = {(r.id_new - 1000000 == r.id_ref)
+             for r in got.collect()
+             if r.id_new - 1000000 == r.id_ref}
+    n_hit = got.filter(
+        F.col("id_new") - 1000000 == F.col("id_ref")).count()
+    assert found == {True} or n_hit == 20
+    assert n_hit >= 18  # >=90% planted recall at nprobe=2
+
+
 def test_build_ivf_index_append_guards(spark, emb, tmp_path):
     """r13 (ADVICE r12): append mode must fail loudly instead of
     (a) degrading to a fresh build when no sidecar exists at the

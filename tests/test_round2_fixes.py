@@ -226,14 +226,21 @@ def test_get_dummies_domain_guard(spark):
 def test_minhash_bucket_cap_degenerate_corpus(spark):
     from pandas_alchemy_spark.ext import dedup
     # 3000 byte-identical docs: every band bucket would hold all 3000
-    # ids -> an O(B^2)=4.5M-pair explode in ONE task without the cap
+    # ids -> an O(B^2)=4.5M-pair explode in ONE task without the cap.
+    # r13 (VERDICT r12 #4): the over-cap bucket now emits a
+    # representative STAR — O(B) rep->member pairs at jaccard 1.0 —
+    # instead of dropping whole, so the flood keeps its connectivity
+    # for clustering while the task stays O(B)
     docs = spark.range(3000).select(
         F.col("id").alias("doc_id"),
         F.lit("the same boilerplate license header text "
               "appears in every single document").alias("text"))
     out = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
                                   threshold=0.4, bucket_cap=100)
-    assert out.count() == 0  # degenerate buckets dropped, fast
+    rows = out.collect()
+    assert len(rows) == 2999  # the star, not the 4.5M-pair clique
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in rows)
+    assert {r.id_b for r in rows} == set(range(1, 3000))
 
     # and the capped path stays correct on a mixed corpus
     real = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -246,11 +253,59 @@ def test_minhash_bucket_cap_degenerate_corpus(spark):
 
 def test_simhash_bucket_cap(spark):
     from pandas_alchemy_spark.ext import dedup
+    # identical docs share the whole signature: one over-cap group ->
+    # star (r13), hamming 0, O(B) rows
     docs = spark.range(2000).select(
         F.col("id").alias("doc_id"),
         F.lit("identical words everywhere again and again").alias("text"))
     out = dedup.simhash_pairs(docs, max_hamming=8, bucket_cap=100)
-    assert out.count() == 0
+    rows = out.collect()
+    assert len(rows) == 1999
+    assert all(r.id_a == 0 and r.hamming == 0 for r in rows)
+    assert {r.id_b for r in rows} == set(range(1, 2000))
+
+
+def test_flood_star_cluster_twin(spark):
+    """VERDICT r12 #4 done-criterion: a planted flood of 3x cap
+    identical docs must yield the SAME cluster set as an uncapped
+    rebuild — the star preserves exactly the connectivity the old
+    whole-group drop destroyed.  Both LSH families, end to end
+    through connected components."""
+    from pandas_alchemy_spark.ext import dedup
+    cap = 8
+    rows = [(i, "flood boilerplate header exactly identical text "
+             "in every copy of the template") for i in range(3 * cap)]
+    # normal near-dup pairs + singletons around the flood
+    rows += [(100, "the quick brown fox jumps over the lazy dog"),
+             (101, "the quick brown fox jumps over the lazy dogs"),
+             (200, "completely unrelated document about spark"),
+             (201, "another standalone text on query planning")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def clusters(lab_df):
+        return {(r.id, r.component) for r in lab_df.collect()}
+
+    capped = dedup.cluster_near_dups(docs, threshold=0.5,
+                                     num_hashes=16, bands=4,
+                                     bucket_cap=cap)
+    uncapped = dedup.cluster_near_dups(docs, threshold=0.5,
+                                       num_hashes=16, bands=4,
+                                       bucket_cap=None)
+    assert clusters(capped) == clusters(uncapped)
+    # the flood really collapsed to one component
+    flood = {r.component for r in capped.collect()
+             if r.id < 3 * cap}
+    assert flood == {0}
+
+    # simhash twin: star pairs feed the same component machinery
+    sp_capped = dedup.simhash_pairs(docs, max_hamming=3,
+                                    bucket_cap=cap)
+    sp_un = dedup.simhash_pairs(docs, max_hamming=3, bucket_cap=None)
+    cc_c = {(r.id, r.component) for r in dedup.connected_components(
+        sp_capped).collect()}
+    cc_u = {(r.id, r.component) for r in dedup.connected_components(
+        sp_un).collect()}
+    assert cc_c == cc_u
 
 
 def test_emb_near_dup_recall_vs_brute_force(spark):
