@@ -478,6 +478,98 @@ def streaming_dedup_against(stream: DataFrame,
     return out
 
 
+def streaming_semantic_dedup_against(stream: DataFrame,
+                                     index_path: str,
+                                     threshold: float = 0.9,
+                                     nprobe: int = 2,
+                                     id_col: str | None = None,
+                                     vec_col: str | None = None,
+                                     stream_partitions: int | None = None,
+                                     pin_scope=None) -> DataFrame:
+    """Ingest-time SEMANTIC near-duplicate gating: match each
+    arriving embedding against a persisted :func:`~..ext.similarity.
+    build_ivf_index` reference — the streaming twin of
+    :func:`~..ext.similarity.semantic_dedup_against`, completing the
+    symmetry the MinHash family already has
+    (``cross_dedup_pairs`` ↔ :func:`streaming_dedup_against`).
+    Returns ``(id_new, id_ref, cosine)`` with cosine >= ``threshold``
+    — batch-twin VALUE-EQUAL on the same rows (test-pinned).
+
+    STATELESS by construction, the same discipline as the MinHash
+    gate:
+
+    - cell assignment is a per-row Arrow ``pandas_udf`` against the
+      driver-held sidecar centroids (nlist×dim doubles) — no
+      aggregation, no watermark, no state store;
+    - candidates come from a stream-STATIC equi-join on the cell id,
+      natively append-safe;
+    - a reference vector lives in exactly ONE cell (hard assignment
+      at build) while the stream row probes ``nprobe`` cells, so a
+      pair can surface at most once — no stateful dropDuplicates
+      needed, exactly the batch twin's argument.
+
+    The reference cells are read once from the index table,
+    PERSISTED AND PINNED for the stream's lifetime (a stream-static
+    join re-executes the static plan every micro-batch; unpinned,
+    the bounded cache ring would evict the reference mid-stream and
+    re-read the index per batch).  Unlike the batch twin there is no
+    probed-cell partition pruning — a long-lived stream eventually
+    probes every cell, so the whole index is cached up front; gate
+    memory is the index size, the number the operator exists to
+    bound (index rows, not corpus rows).  Call
+    :func:`~..ext.similarity.release_pinned_caches` after
+    ``query.stop()``.
+
+    Geometry is FROZEN at the index build (the sidecar is
+    authoritative — a mismatched centroid set would silently zero
+    recall, the same argument as the MinHash index's hash family).
+    Maintain the reference with
+    :func:`~..ext.similarity.append_to_ivf_index` /
+    ``maintain_ivf_index`` and restart the gate to pick up growth.
+    """
+    import json as _json
+    import os as _os
+
+    from ..ext.similarity import (_DOT, _assign_cells_udf,
+                                  _pin_cache, norm_expr)
+    with open(_os.path.join(index_path,
+                            "_ivf_centroids.json")) as fh:
+        meta = _json.load(fh)
+    centroids = meta["centroids"]
+    id_col = id_col or meta["id_col"]
+    vec_col = vec_col or meta["vec_col"]
+    nprobe = max(1, min(int(nprobe), len(centroids)))
+    if pin_scope is None:
+        pin_scope = object()
+    spark = stream.sparkSession
+    ref = (spark.read.parquet(index_path)
+           .select(F.col("cell"),
+                   F.col(id_col).alias("id_ref"),
+                   F.col(vec_col).alias("rv"),
+                   norm_expr(vec_col).alias("rn"))
+           .persist())
+    _pin_cache(ref, pin_scope)
+    if stream_partitions is not None:
+        if (not isinstance(stream_partitions, int)
+                or stream_partitions < 1):
+            raise ValueError(f"stream_partitions must be a positive "
+                             f"int, got {stream_partitions!r}")
+        stream = stream.repartition(stream_partitions)
+    cells = _assign_cells_udf(centroids, nprobe=nprobe)
+    newa = (stream.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("id_new"),
+                    F.col(vec_col).alias("nv"),
+                    norm_expr(vec_col).alias("nn"),
+                    F.explode(cells(F.col(vec_col))).alias("cell")))
+    dot = _DOT.format(a="nv", b="rv")
+    cos = F.expr(f"({dot}) / nullif(nn * rn, 0.0)")
+    out = (newa.join(ref, "cell")
+           .select("id_new", "id_ref", cos.alias("cosine"))
+           .filter(F.col("cosine") >= threshold))
+    out._pas_pin_scope = pin_scope
+    return out
+
+
 # ---------------------------------------------------------------------------
 # streaming corpus profiling (round 10)
 # ---------------------------------------------------------------------------

@@ -1111,3 +1111,56 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
         assert (got.doc_id == want.doc_id).all(), mode
         assert (got.q_prob - want.q_prob).abs().max() < 1e-12, mode
         assert 0 < len(got) < docs.count()  # a real, partial gate
+
+
+def test_streaming_semantic_dedup_against_batch_twin(spark, tmp_path):
+    """streaming_semantic_dedup_against (r13): the embedding gate's
+    stream output must VALUE-equal the batch twin
+    (ext.similarity.semantic_dedup_against) on the same rows — same
+    frozen sidecar geometry, same cell join, same cosine."""
+    import numpy as np
+
+    from pandas_alchemy_spark.ext.similarity import (
+        build_ivf_index, release_pinned_caches,
+        semantic_dedup_against)
+    from pandas_alchemy_spark.streaming.stream_events import (
+        streaming_semantic_dedup_against)
+    rng = np.random.default_rng(77)
+    ref_rows = [(i, rng.standard_normal(16).astype(float).tolist())
+                for i in range(200)]
+    ref = spark.createDataFrame(
+        ref_rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ref, idx, dim=16, nlist=8)
+    # new wave: near-copies of some refs + fresh noise
+    new_rows = [(1000 + i, [x * 1.000001 for x in ref_rows[i][1]])
+                for i in range(0, 40, 2)]
+    new_rows += [(2000 + i,
+                  rng.standard_normal(16).astype(float).tolist())
+                 for i in range(10)]
+    nd = tmp_path / "wave"
+    spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<float>") \
+        .coalesce(1).write.parquet(str(nd))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .parquet(str(nd)))
+    out = streaming_semantic_dedup_against(stream, idx,
+                                           threshold=0.5, nprobe=2)
+    q = (out.writeStream.format("memory").queryName("semgate")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.id_new, r.id_ref, round(r.cosine, 9))
+               for r in spark.sql("SELECT * FROM semgate").collect()}
+    finally:
+        q.stop()
+    release_pinned_caches(out._pas_pin_scope)
+    want = {(r.id_new, r.id_ref, round(r.cosine, 9))
+            for r in semantic_dedup_against(
+                spark, idx, spark.read.parquet(str(nd)),
+                threshold=0.5, nprobe=2).collect()}
+    assert got == want
+    # every planted near-copy is gated against its source
+    assert {(1000 + i, i) for i in range(0, 40, 2)} <= {
+        (a, b) for a, b, _ in got}

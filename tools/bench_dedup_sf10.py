@@ -260,6 +260,34 @@ def main():
     extra["ivf_idx_recall_at5"] = recall(idx_rows, truth5, 5)
     extra["ivf_idx_recall_at10"] = recall(idx_rows, truth10, 10)
 
+    # r13 (VERDICT r12 #6): cross-corpus embedding dedup against the
+    # persisted index — a planted "new wave" (perturbed copies of a
+    # spread sample, cosine ~1.0 to their sources) queried against
+    # the index WITHOUT re-pairing the reference; recall vs a brute
+    # exact-cosine truth on the same wave.
+    stepx = max(1, n_vecs // 256)
+    wave = (emb.filter(F.col("vec_id") % stepx == 0).limit(256)
+            .select((F.col("vec_id") + 10000000).alias("vec_id"),
+                    F.expr("transform(embedding, x -> "
+                           "CAST(x * 1.000001 AS FLOAT))")
+                    .alias("embedding"))
+            .localCheckpoint())  # pin the sample across both passes
+    t0 = time.time()
+    xp = similarity.semantic_dedup_against(
+        spark, idx_dir, wave, threshold=0.99, nprobe=2)
+    foundx = {(r["id_new"], r["id_ref"]) for r in xp.collect()}
+    times["semantic_dedup_x"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    truthx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.cosine_topk(emb, wave, k=5).collect()
+              if r["cosine"] >= 0.99}
+    extra["semdedup_x_brute_sec"] = round(time.time() - t0, 2)
+    hitx = sum(1 for p in truthx if p in foundx)
+    extra["semdedup_x_truth_pairs"] = len(truthx)
+    extra["semdedup_x_recall_vs_brute"] = round(
+        hitx / max(len(truthx), 1), 4)
+    extra["semdedup_x_extra_found"] = len(foundx) - hitx
+
     # near-dup pair recall at the DESIGN threshold, against the
     # generator's planted truth (make_scaled_docs.py plants 1%
     # perturbed copies at cosine ~0.97 and writes the pair sidecar —
