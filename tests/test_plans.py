@@ -591,3 +591,27 @@ def test_metadata_resolvable_plan_walk(spark):
     from pandas_alchemy_spark.core import DataFrame as PDF
     assert len(PDF.from_spark(piv)) == 1
     assert PDF.from_table(f"{SF_DIR}/region.parquet").head(2).shape[0] == 2
+
+
+def test_plans_semantic_dedup_against_partition_pruned(spark, tmp_path):
+    """semantic_dedup_against (r13): the headline scale claim is that
+    the reference scan reads ONLY the probed cell directories — the
+    driver-collected probe list must land as a PartitionFilter on the
+    index scan (Catalyst prunes unprobed directories before a byte is
+    read), and the join must be a cell equi-join, not a cartesian."""
+    import re
+
+    from pandas_alchemy_spark.ext import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").head(1)[0][0])
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb.filter("vec_id % 2 = 0"), idx,
+                               dim=dim, nlist=8)
+    new = emb.filter("vec_id % 2 = 1").limit(5)
+    xp = similarity.semantic_dedup_against(spark, idx, new,
+                                           threshold=0.3, nprobe=1)
+    plan = xp._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
