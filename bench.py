@@ -211,6 +211,31 @@ def main():
                                          threshold=0.3,
                                          kernel="auto")
 
+    def semdedup_x(spark_, sf_dir_):
+        # round-13: cross-corpus embedding dedup against a persisted
+        # IVF index — build the index on the reference slice and gate
+        # the "new" slice against it (end-to-end; the steady-state
+        # win is the partition-pruned probe of a build-once index)
+        import os as _os
+        import re as _re
+
+        from pandas_alchemy_spark.ext import similarity
+        emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+        dim = len(emb.select("embedding").head(1)[0][0])
+        scratch = _os.environ.get(
+            "PAS_SCRATCH_DIR",
+            _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          ".scratch"))
+        path = _os.path.join(
+            scratch, "bench_ivfx_" + _re.sub(
+                r"[^A-Za-z0-9_.-]+", "_", sf_dir_.strip("/")))
+        similarity.build_ivf_index(
+            emb.filter("vec_id % 3 <> 2"), path, dim=dim,
+            nlist=max(8, emb.count() // 512))
+        return similarity.semantic_dedup_against(
+            spark_, path, emb.filter("vec_id % 3 = 2"),
+            threshold=0.25, nprobe=2)
+
     def shuffle_shards(spark_, sf_dir_):
         # round-7: deterministic global corpus shuffle (hash shard +
         # in-shard hash rank; shards are the parallelism unit)
@@ -410,6 +435,9 @@ def main():
         "semdedup_np": semdedup_np,
         # round-11 additions
         "semdedup_auto": semdedup_auto,
+        # round-13 additions (appended; the 59 shared queries stay
+        # comparable round-over-round)
+        "semdedup_x": semdedup_x,
     }
 
     # warm the JVM + parquet footers with a trivial action, the

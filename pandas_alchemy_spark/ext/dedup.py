@@ -93,24 +93,11 @@ def _cap_buckets(buckets: DataFrame, member_col: str,
     return observed.filter(F.size(member_col) <= cap)
 
 
-def _split_over_cap(buckets: DataFrame, member_col: str,
-                    cap: int | None, what: str
-                    ) -> tuple[DataFrame, DataFrame | None]:
-    """Split LSH buckets at ``cap`` into ``(kept, over)`` instead of
-    dropping the oversized ones (r13; VERDICT r12 #4): ``kept``
-    (size <= cap) flows to the caller's full O(B²) clique expansion;
-    ``over`` buckets emit a STAR — representative → member, O(B)
-    rows via :func:`_star_pairs` — so a boilerplate flood larger
-    than the cap keeps its CONNECTIVITY for
-    :func:`connected_components` / :func:`cluster_near_dups` at any
-    flood size, where the old ``_cap_buckets`` made the whole group
-    vanish from the pair set (with a log line, not with pairs).  For
-    dedup the full clique is never needed — a star spans the same
-    connected component.  Over-cap count logged through the same
-    zero-extra-pass Observation as ``_cap_buckets``.  Returns
-    ``(buckets, None)`` when ``cap`` is None (uncapped)."""
-    if cap is None:
-        return buckets, None
+def _observe_over_cap(buckets: DataFrame, member_col: str, cap: int,
+                      what: str) -> DataFrame:
+    """Attach the zero-extra-pass over-cap counter (same Observation
+    mechanism as ``_cap_buckets``) with the r13 star-emission log
+    text."""
     import threading
 
     from pyspark.sql import Observation
@@ -133,21 +120,50 @@ def _split_over_cap(buckets: DataFrame, member_col: str,
             pass
 
     threading.Thread(target=_log, daemon=True).start()
-    return (observed.filter(F.size(member_col) <= cap),
-            observed.filter(F.size(member_col) > cap))
+    return observed
 
 
-def _star_pairs(over: DataFrame, member_col: str,
-                a: str = "id_a", b: str = "id_b") -> DataFrame:
-    """Representative→member pairs for over-cap buckets: O(B) rows
-    per bucket.  Members are ``array_sort``-ed by every caller, so
-    the representative is the MINIMUM and the emitted orientation
-    (``a`` < ``b``) matches the clique expansions'."""
-    return over.select(
-        F.element_at(member_col, 1).alias(a),
-        F.explode(F.expr(
-            f"slice({member_col}, 2, size({member_col}) - 1)"))
-        .alias(b))
+def _pairs_with_star_cap(buckets: DataFrame, member_col: str,
+                         cap: int | None, what: str,
+                         a: str = "id_a",
+                         b: str = "id_b") -> DataFrame:
+    """Bucket-local pair expansion with the r13 star cap (VERDICT
+    r12 #4): a bucket of B sorted members explodes to its full
+    O(B²) combination clique when B <= ``cap``, and to a
+    representative STAR — min-member → each other member, O(B) rows
+    — when it is larger, so a boilerplate flood of ANY size keeps
+    its connectivity for :func:`connected_components` /
+    :func:`cluster_near_dups` while the degenerate task stays
+    linear (the old ``_cap_buckets`` made the whole group vanish
+    from the pair set — a log line instead of pairs).  For dedup
+    the full clique is never needed: a star spans the same
+    connected component.
+
+    ONE conditional expression in ONE explode — not a kept/over
+    branch split, which would re-run the caller's bucket
+    aggregation once per branch (Spark executes shared UNPERSISTED
+    subtrees per DAG branch).  Size-1 buckets yield empty arrays
+    under both arms and fall out of the explode.  Members are
+    ``array_sort``-ed by every caller, so both arms emit the same
+    ``a < b`` orientation.  Over-cap bucket count logged via
+    Observation; uncapped (``cap`` is None) keeps the pure clique
+    expansion."""
+    clique = (f"flatten(transform({member_col}, (x, i) -> "
+              f"transform(slice({member_col}, i + 2, "
+              f"size({member_col})), y -> "
+              f"struct(x as {a}, y as {b}))))")
+    if cap is None:
+        expr = clique
+    else:
+        star = (f"transform(slice({member_col}, 2, "
+                f"size({member_col}) - 1), y -> "
+                f"struct(element_at({member_col}, 1) as {a}, "
+                f"y as {b}))")
+        expr = (f"CASE WHEN size({member_col}) <= {cap} "
+                f"THEN {clique} ELSE {star} END")
+        buckets = _observe_over_cap(buckets, member_col, cap, what)
+    return (buckets.select(F.explode(F.expr(expr)).alias("p"))
+            .select(f"p.{a}", f"p.{b}"))
 
 # tokenize: lowercase, strip non-alphanumerics, split
 _TOKENS = "filter(split(lower(regexp_replace({col}, '[^a-zA-Z0-9]+', ' ')), ' '), t -> t != '')"
@@ -333,7 +349,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
       reproducible; re-hash it (xxhash64) to narrow the shuffle key at
       very large scale;
     - buckets larger than ``bucket_cap`` emit a representative STAR
-      (O(B) candidate rows, logged — see :func:`_split_over_cap`)
+      (O(B) candidate rows, logged — see :func:`_pairs_with_star_cap`)
       instead of the O(B^2) within-bucket explode that would pin one
       task on a degenerate boilerplate bucket; star candidates pass
       the same Jaccard verify, so an exact-copy flood keeps its
@@ -360,19 +376,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     buckets = (banded.groupBy("band", "bh")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))
-    kept, over = _split_over_cap(buckets, "ids", bucket_cap,
-                                 "minhash_lsh_pairs")
-    pairs = (kept.select(F.explode(F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> struct(x as id_a, y as id_b))))"
-    )).alias("p")).select("p.id_a", "p.id_b"))
-    if over is not None:
-        # over-cap boilerplate bucket -> representative star (r13):
-        # candidates still pass the exact-Jaccard verify below, and
-        # an exact-copy flood keeps jaccard 1.0 rep->member edges,
-        # so clustering collapses it however large it grows
-        pairs = pairs.unionAll(_star_pairs(over, "ids"))
-    pairs = pairs.dropDuplicates()
+    # clique-or-star in one pass (r13): over-cap boilerplate buckets
+    # emit representative stars — candidates still pass the exact-
+    # Jaccard verify below, and an exact-copy flood keeps jaccard
+    # 1.0 rep->member edges, so clustering collapses it however
+    # large it grows
+    pairs = _pairs_with_star_cap(buckets, "ids", bucket_cap,
+                                 "minhash_lsh_pairs").dropDuplicates()
     sha = base.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
     shb = base.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
     jac = (F.size(F.array_intersect("hs_a", "hs_b"))
@@ -453,28 +463,22 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
               .persist())
     _register_cache(groups)
-    kept_g, over_g = _split_over_cap(groups, "ids", bucket_cap,
-                                     "simhash_pairs exact-copy group")
     # identical-signature pairs: hamming 0 by identity, generated
-    # locally per group (no join, no shuffle beyond the sig agg)
-    within = (kept_g.filter(F.size("ids") > 1)
-              .select(F.explode(F.expr(
-                  "flatten(transform(ids, (x, i) -> "
-                  "transform(slice(ids, i + 2, size(ids)), y -> "
-                  "struct(x as id_a, y as id_b))))")).alias("p"))
-              .select("p.id_a", "p.id_b",
+    # locally per group (no join, no shuffle beyond the sig agg);
+    # over-cap exact-copy floods emit representative stars (r13 —
+    # O(B) rows, connectivity preserved at any flood size)
+    within = (_pairs_with_star_cap(groups, "ids", bucket_cap,
+                                   "simhash_pairs exact-copy group")
+              .select("id_a", "id_b",
                       F.lit(0).cast("int").alias("hamming")))
-    if over_g is not None:
-        # over-cap exact-copy flood -> representative star (r13):
-        # hamming 0 by identity, O(B) rows, connectivity preserved
-        within = within.unionAll(
-            _star_pairs(over_g, "ids").select(
-                "id_a", "id_b",
-                F.lit(0).cast("int").alias("hamming")))
-        # the flood still takes part in cross-signature pairing,
-        # through its representative id only (ids truncated to [rep])
-        groups = kept_g.unionAll(
-            over_g.select("sh", F.slice("ids", 1, 1).alias("ids")))
+    if bucket_cap is not None:
+        # a flood still takes part in cross-signature pairing,
+        # through its representative id only (ids truncated to
+        # [rep]: O(1) per flood instead of O(B x neighbor group))
+        groups = groups.select(
+            "sh",
+            F.when(F.size("ids") <= bucket_cap, F.col("ids"))
+            .otherwise(F.slice("ids", 1, 1)).alias("ids"))
     # 4 chunks x 15 bits cover the full 60-bit signature: a 16-bit
     # chunking left chunk 3 with only 12 effective bits (16x larger
     # buckets than designed — inflated false candidates + cap drops)
@@ -490,18 +494,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     buckets = (chunked.groupBy("chunk", "ch")
                .agg(F.array_sort(F.collect_list("sh")).alias("ms"))
                .filter(F.size("ms") > 1))
-    kept_b, over_b = _split_over_cap(buckets, "ms", bucket_cap,
-                                     "simhash_pairs")
-    rep = (kept_b.select(F.explode(F.expr(
-        "flatten(transform(ms, (x, i) -> "
-        "transform(slice(ms, i + 2, size(ms)), y -> "
-        "struct(x as sh_a, y as sh_b))))")).alias("p"))
-        .select("p.sh_a", "p.sh_b"))
-    if over_b is not None:
-        # over-cap chunk bucket -> O(B) representative-signature
-        # candidates; the hamming verify below prunes them exactly
-        # like clique candidates
-        rep = rep.unionAll(_star_pairs(over_b, "ms", "sh_a", "sh_b"))
+    # clique-or-star in one pass: an over-cap chunk bucket emits
+    # O(B) representative-signature candidates, which the hamming
+    # verify below prunes exactly like clique candidates
+    rep = _pairs_with_star_cap(buckets, "ms", bucket_cap,
+                               "simhash_pairs", a="sh_a", b="sh_b")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     # verify BEFORE the dedup exchange: false candidates die locally,
     # so the dropDuplicates shuffle carries true signature pairs only

@@ -1158,34 +1158,23 @@ def semantic_dedup_against(spark, path: str, new: DataFrame,
             .filter(F.col("cosine") >= threshold))
 
 
-#: kernel="auto" break-even #1: mean intra-cell pair work per cell
+#: kernel="auto" break-even: mean intra-cell pair work per cell
 #: (sum over cells of cell_size^2, divided by the cell count) above
 #: this floor => the blocked-BLAS numpy kernel amortizes its
 #: ~constant Arrow per-group overhead; below it the Catalyst SQL
-#: fold wins on tiny cells.
+#: fold wins on tiny cells.  This is the ONLY decision input since
+#: r13: the emit-density veto (r11, from a single uncontrolled r10
+#: sample claiming "numpy 1.15x slower at density ~1") was retired
+#: band by band as controlled interleaved min-of-3 measurements
+#: landed — r12 at dominant work (91,658 / density 0.5992: numpy
+#: 1.78x, AB_SEMDEDUP_DENSE_r12.json), r13 across the moderate band
+#: at BOTH ends of the density axis (41,476 / 0.185: numpy 1.258x,
+#: AB_SEMDEDUP_MID_r13.json; 36,617 / 0.777: numpy 1.232x, every
+#: individual round numpy-faster, AB_SEMDEDUP_MID_HI_r13.json).
+#: The density probe remains in the decision pass for TELEMETRY
+#: (it is how the veto's wrongness was caught), but no longer
+#: gates the pick.
 _SEMDEDUP_AUTO_WORK_FLOOR = 4096
-#: break-even #2: estimated fraction of candidate pairs that PASS
-#: the threshold (probed on one ~p90-size cell, driver-side).  The
-#: numpy kernel's win is computing the scores; its loss mode is
-#: EMITTING them — a pair-dense workload (exact-copy corpora at a
-#: loose threshold: r10 measured numpy 1.15x SLOWER at estimated
-#: density ~1) ships the surviving pairs back as Arrow batches where
-#: the SQL join emits through codegen.  Above this ceiling auto
-#: stays on sql — but only in the MODERATE work band (see
-#: _SEMDEDUP_AUTO_WORK_DOMINANT below).
-_SEMDEDUP_AUTO_DENSITY_CEIL = 0.05
-#: break-even #3 (r12; VERDICT r11 #4): the r10/r11 single-sample
-#: orderings on the pair-dense exact-copy fixture contradicted each
-#: other across boxes, so r12 settled it with the controlled
-#: measurement — interleaved min-of-3 in ONE process on the sf10
-#: exact-copy fixture (mean cell^2 work 91,658, emit density
-#: 0.5992): numpy 87.2 s vs sql 155.0 s, 1.78x
-#: (AB_SEMDEDUP_DENSE_r12.json).  At dominant per-cell work the
-#: blocked-BLAS win dwarfs the Arrow emit cost, so density no longer
-#: vetoes numpy above this bar; the veto stays for the moderate band
-#: (floor..dominant) where no controlled measurement exists and sql
-#: is the DuckDB-replayable conservative choice.
-_SEMDEDUP_AUTO_WORK_DOMINANT = 65536
 
 
 #: Last ``kernel="auto"`` decision tuple (driver-side, overwritten per
@@ -1199,15 +1188,15 @@ def _auto_semdedup_kernel(n_cells: int, sum_sq: int,
                           emit_density: float = 0.0) -> str:
     """Pure decision rule behind ``semantic_dedup(kernel="auto")`` —
     split out so tests pin the rule on forged geometries without
-    paying a clustering run."""
+    paying a clustering run.  Since r13 the rule is ONE threshold:
+    numpy iff the mean per-cell pair work clears the Arrow-overhead
+    floor.  ``emit_density`` is accepted (and recorded in the
+    telemetry tuple) but no longer consulted: the r11 density veto
+    lost its controlled A/Bs in every band it claimed (see the
+    ``_SEMDEDUP_AUTO_WORK_FLOOR`` comment for the artifact trail)."""
     if n_cells <= 0:
         return "sql"
-    mean_work = sum_sq / n_cells
-    if mean_work < _SEMDEDUP_AUTO_WORK_FLOOR:
-        return "sql"
-    if mean_work >= _SEMDEDUP_AUTO_WORK_DOMINANT:
-        return "numpy"
-    if emit_density > _SEMDEDUP_AUTO_DENSITY_CEIL:
+    if sum_sq / n_cells < _SEMDEDUP_AUTO_WORK_FLOOR:
         return "sql"
     return "numpy"
 
@@ -1353,18 +1342,20 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
       production/scale path, same contract as ``fast_hash``
       elsewhere: recall/set contracts, not bit-equality with the
       oracle.
-    - ``"auto"`` (r11): price the two kernels and pick the winner —
-      numpy iff the mean per-cell pair work ``sum(cell^2)/n_cells``
-      clears ``_SEMDEDUP_AUTO_WORK_FLOOR`` (Arrow per-group overhead
-      is ~constant per cell; the BLAS win grows with cell^2, so many
-      tiny cells favor the SQL fold) AND the estimated emit density
-      (pass fraction probed exactly on one ~p90-size cell, <=512
-      vectors to the driver) stays under
-      ``_SEMDEDUP_AUTO_DENSITY_CEIL`` — a pair-dense result ships
-      back through Arrow where the SQL join emits via codegen (the
-      regime where numpy measured slower).  Costs one narrow job +
-      one bounded collect; the decision is logged; both explicit
-      kernels remain available.
+    - ``"auto"`` (r11; simplified r13): price the kernels and pick
+      the winner — numpy iff the mean per-cell pair work
+      ``sum(cell^2)/n_cells`` clears ``_SEMDEDUP_AUTO_WORK_FLOOR``
+      (Arrow per-group overhead is ~constant per cell; the BLAS win
+      grows with cell², so many tiny cells favor the SQL fold).
+      The r11 emit-density veto is RETIRED: controlled interleaved
+      A/Bs measured numpy faster in every band it claimed (r12
+      dominant-work 1.78x at density 0.6; r13 moderate-band 1.258x
+      at density 0.185 and 1.232x at density 0.777 — see the
+      ``_SEMDEDUP_AUTO_WORK_FLOOR`` comment).  The density probe
+      (exact pass fraction on one ~p90-size cell, <=512 vectors to
+      the driver) still runs and lands in the telemetry tuple.
+      Costs one narrow job + one bounded collect; the decision is
+      logged; both explicit kernels remain available.
     """
     df = df.filter(F.col(vec_col).isNotNull())
     if centroids is None:
@@ -1453,8 +1444,6 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
             "mean_cell_sq_work": round(sum_sq / max(n_cells, 1), 1),
             "emit_density": round(density, 4),
             "work_floor": _SEMDEDUP_AUTO_WORK_FLOOR,
-            "work_dominant": _SEMDEDUP_AUTO_WORK_DOMINANT,
-            "density_ceil": _SEMDEDUP_AUTO_DENSITY_CEIL,
             "picked": kernel,
         }
         import sys as _sys2
@@ -1462,8 +1451,8 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
               f"picked {kernel!r} (n_cells={n_cells}, "
               f"mean cell^2 work={sum_sq / max(n_cells, 1):.0f}, "
               f"floor={_SEMDEDUP_AUTO_WORK_FLOOR}, "
-              f"emit_density={density:.4f}, "
-              f"ceil={_SEMDEDUP_AUTO_DENSITY_CEIL})",
+              f"emit_density={density:.4f} [telemetry-only since "
+              f"r13])",
               file=_sys2.stderr)
     if kernel == "numpy":
         return _semdedup_pairs_numpy(assigned, threshold, nprobe)

@@ -2258,23 +2258,23 @@ def test_semdedup_auto_kernel(spark, emb):
     # tiny cells -> sql; a few fat cells -> numpy
     assert _auto_semdedup_kernel(10_000, 10_000 * 4) == "sql"
     assert _auto_semdedup_kernel(4, 4 * 300 * 300) == "numpy"
-    # pair-dense emit -> sql in the MODERATE work band only (r12;
-    # VERDICT r11 #4: the controlled interleaved min-of-3 on the
-    # exact-copy fixture measured numpy 1.78x faster at mean work
-    # 91,658 / density 0.5992, so dominant work overrides the veto)
-    from pandas_alchemy_spark.ext.similarity import (
-        _SEMDEDUP_AUTO_DENSITY_CEIL, _SEMDEDUP_AUTO_WORK_DOMINANT)
-    mod = 4 * (_SEMDEDUP_AUTO_WORK_DOMINANT - 1)  # moderate band
-    assert _auto_semdedup_kernel(
-        4, mod, _SEMDEDUP_AUTO_DENSITY_CEIL * 2) == "sql"
-    assert _auto_semdedup_kernel(
-        4, mod, _SEMDEDUP_AUTO_DENSITY_CEIL / 2) == "numpy"
-    # the two sf10 fixtures' RECORDED geometries (artifact-backed):
-    # exact-copy/dense (AB_SEMDEDUP_DENSE_r12.json auto_decision) and
-    # near-dup/sparse (BENCH_r12_dedup_sf10.json decision tuple)
+    # the density veto is RETIRED (r13): above the work floor the
+    # pick is numpy at ANY emit density — the controlled moderate-
+    # band A/Bs measured numpy 1.258x at density 0.185 and 1.232x at
+    # density 0.777 (AB_SEMDEDUP_MID_r13.json /
+    # AB_SEMDEDUP_MID_HI_r13.json), closing the r11 veto's last band
+    mod = 4 * 40_000  # squarely inside the former moderate band
+    assert _auto_semdedup_kernel(4, mod, 0.0) == "numpy"
+    assert _auto_semdedup_kernel(4, mod, 0.5) == "numpy"
+    assert _auto_semdedup_kernel(4, mod, 1.0) == "numpy"
+    # RECORDED geometries (artifact-backed): r12 exact-copy/dense
+    # (AB_SEMDEDUP_DENSE_r12.json), r12 near-dup/sparse
+    # (BENCH_r12_dedup_sf10.json), and both r13 mid-band fixtures
     assert _auto_semdedup_kernel(760, 760 * 91657.9, 0.5992) == "numpy"
     assert _auto_semdedup_kernel(
         512, 512 * 624467.0, 0.0) == "numpy"  # sparse, fat cells
+    assert _auto_semdedup_kernel(502, 502 * 41475.7, 0.185) == "numpy"
+    assert _auto_semdedup_kernel(402, 402 * 36616.9, 0.777) == "numpy"
     corpus = emb.select("vec_id", "embedding")
     dim = len(corpus.take(1)[0]["embedding"])
     cents = similarity.train_ivf_centroids(corpus, dim=dim, nlist=8)
@@ -2547,8 +2547,7 @@ def test_semdedup_auto_decision_telemetry(spark, emb):
     d = similarity.LAST_AUTO_DECISION
     assert d is not None
     assert set(d) == {"n_cells", "mean_cell_sq_work", "emit_density",
-                      "work_floor", "work_dominant", "density_ceil",
-                      "picked"}
+                      "work_floor", "picked"}
     assert d["picked"] in ("sql", "numpy")
     from pandas_alchemy_spark.ext.similarity import (
         _auto_semdedup_kernel)

@@ -42,10 +42,12 @@ N_COPIES = 20
 DIM = 64
 NLIST = 512
 THRESHOLD = 0.3
+TAG = "lo"  # density ~0.15; the "hi" variant (614 x 100) lands ~1.0
 
 
 def _fixture_path() -> str:
-    return os.path.join(".scratch", "ab_mid_r13", "embeddings.parquet")
+    return os.path.join(".scratch", f"ab_mid_r13_{TAG}",
+                        "embeddings.parquet")
 
 
 def make_fixture(spark) -> str:
@@ -64,7 +66,15 @@ def make_fixture(spark) -> str:
 
 
 def main():
+    global N_DISTINCT, N_COPIES, TAG
     n_rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    if len(sys.argv) > 3:
+        # the high-density variant: same mid-band work, emit density
+        # near 1.0 (one ~100-copy flood per cell) — the exact regime
+        # the r10 single-sample "numpy 1.15x slower at density ~1"
+        # point claimed
+        N_DISTINCT, N_COPIES = int(sys.argv[2]), int(sys.argv[3])
+        TAG = sys.argv[4] if len(sys.argv) > 4 else "hi"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master(f"local[{cpus}]")
@@ -108,11 +118,14 @@ def main():
     auto_s = round(time.time() - t0, 2)
     dec = similarity.LAST_AUTO_DECISION
     work = dec["mean_cell_sq_work"]
-    in_band = (similarity._SEMDEDUP_AUTO_WORK_FLOOR <= work
-               < similarity._SEMDEDUP_AUTO_WORK_DOMINANT)
-    dense_enough = dec["emit_density"] > dec["density_ceil"]
+    # band bounds as LITERALS: this tool's measurements RETIRED the
+    # moderate-band tiering, so the constants it tested no longer
+    # exist in the rule — the artifact stays reproducible against
+    # the regime it claimed (work in [4096, 65536), density > 0.05)
+    in_band = 4096 <= work < 65536
+    dense_enough = dec["emit_density"] > 0.05
     min_sql, min_np = min(legs["sql"]), min(legs["numpy"])
-    out = {"metric": "ab_semdedup_mid",
+    out = {"metric": f"ab_semdedup_mid_{TAG}",
            "fixture": {"n_distinct": N_DISTINCT, "n_copies": N_COPIES,
                        "dim": DIM, "nlist": NLIST,
                        "threshold": THRESHOLD},

@@ -330,6 +330,67 @@ def main():
             print(f"streaming_dedup_indexed: ERROR {str(ex)[:200]}",
                   file=sys.stderr)
 
+    emb_dir = "/root/repo/.scratch/docs10/embeddings.parquet"
+    if os.path.exists(emb_dir):
+        # r13: the embedding ingest gate — stream a "new wave" of
+        # vectors against a persisted IVF index
+        # (streaming_semantic_dedup_against, the semantic twin of the
+        # MinHash gate above).  Index build recorded separately (the
+        # one-time cost a production gate amortizes); the drain is
+        # stream-static cell join + cosine, stateless.
+        try:
+            from pandas_alchemy_spark.ext.similarity import (
+                build_ivf_index, release_pinned_caches)
+            from pyspark.sql import functions as F
+            emb_all = spark.read.parquet(emb_dir)
+            dim = len(emb_all.select("embedding").head(1)[0][0])
+            ref_e = emb_all.filter("vec_id % 10 <> 0")
+            new_edir = "/root/repo/.scratch/stream_new_emb"
+            if not os.path.exists(os.path.join(new_edir, "_SUCCESS")):
+                (emb_all.filter("vec_id % 10 = 0")
+                 .select((F.col("vec_id") + 100_000_000)
+                         .alias("vec_id"), "embedding")
+                 .repartition(8).write.mode("overwrite")
+                 .parquet(new_edir))
+            ivfp = "/root/repo/.scratch/stream_ivf_gate"
+            t0 = time.time()
+            build_ivf_index(ref_e, ivfp, dim=dim,
+                            nlist=max(8, ref_e.count() // 512))
+            build_s = round(time.time() - t0, 2)
+            results["semantic_index_build"] = build_s
+            estream = (spark.readStream
+                       .schema("vec_id long, embedding array<float>")
+                       .option("maxFilesPerTrigger", 2)
+                       .parquet(new_edir))
+            out = stream_events.streaming_semantic_dedup_against(
+                estream, ivfp, threshold=0.8, nprobe=2,
+                stream_partitions=32)
+            t0 = time.time()
+            q = (out.writeStream.format("noop")
+                 .option("checkpointLocation",
+                         f"/root/repo/.scratch/ckpt_{int(time.time()*1e6)}")
+                 .outputMode("append")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            sec = round(time.time() - t0, 2)
+            prog = q.recentProgress
+            rows = sum(p["numInputRows"] for p in prog)
+            release_pinned_caches(out._pas_pin_scope)
+            results["streaming_semantic_gate"] = sec
+            detail["streaming_semantic_gate"] = {
+                "sec": sec, "index_build_sec": build_s,
+                "micro_batches": len(prog), "rows_in": rows,
+                "vecs_per_sec": int(rows / sec)}
+            print(f"streaming_semantic_gate: {sec}s drain "
+                  f"(+{build_s}s one-time index), {len(prog)} "
+                  f"batches, {int(rows / sec)} vecs/s",
+                  file=sys.stderr)
+        except Exception as ex:
+            results["streaming_semantic_gate"] = -1.0
+            detail["streaming_semantic_gate"] = {"error": str(ex)[:200]}
+            print(f"streaming_semantic_gate: ERROR {str(ex)[:200]}",
+                  file=sys.stderr)
+
     if os.path.exists(docs_dir):
         # r10: ingest-time corpus profiling — every micro-batch folds
         # to sketch-state rows (KBs), the corpus is never re-read; the
