@@ -79,33 +79,10 @@ def _cpu_mark() -> dict:
             "ncpu": os.cpu_count()}
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    gate = _gate_on_load(
-        float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0")),
-        float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300")))
-
-    # local[N] puts driver AND all executor threads in ONE JVM — the
-    # 1g default heap OOMs sort buffers above sf0.1; size it like a
-    # real executor would be
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-    from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.master(f"local[{cpus}]")
-             .appName("pandas_alchemy_spark_bench")
-             .config("spark.driver.memory", mem)
-             .config("spark.sql.shuffle.partitions", cpus)
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-             .config("spark.sql.session.timeZone", "UTC")
-             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-             .config("spark.sql.optimizer.excludedRules",
-                     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-             .config("spark.ui.enabled", "false")
-             .getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
-
+def build_bench_queries(spark, sf_dir):
+    """The bench's query dict, factored out (r13) so plan-capture and
+    per-query profiling tools reuse EXACTLY the queries the bench
+    times.  Pure construction — no timing or materialization here."""
     import __spark_entry__ as E
     from pandas_alchemy_spark.ext import similarity
 
@@ -439,6 +416,37 @@ def main():
         # comparable round-over-round)
         "semdedup_x": semdedup_x,
     }
+    return bench_queries
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    gate = _gate_on_load(
+        float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0")),
+        float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300")))
+
+    # local[N] puts driver AND all executor threads in ONE JVM — the
+    # 1g default heap OOMs sort buffers above sf0.1; size it like a
+    # real executor would be
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("pandas_alchemy_spark_bench")
+             .config("spark.driver.memory", mem)
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+             .config("spark.sql.optimizer.excludedRules",
+                     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = build_bench_queries(spark, sf_dir)
 
     # warm the JVM + parquet footers with a trivial action, the
     # Python/Arrow worker pool with a no-op pandas UDF, and the
@@ -446,7 +454,6 @@ def main():
     # (pool startup and first-compilation are session infrastructure,
     # not per-query work — q1 was absorbing ~1s of JIT)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    import pandas as pd
     from pyspark.sql import functions as F
     noop_udf = F.pandas_udf(lambda s: s, "long")
     (spark.range(10000).repartition(int(cpus))

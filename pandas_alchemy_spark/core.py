@@ -61,7 +61,19 @@ def _metadata_resolvable(sdf) -> bool:
         for _ in range(64):
             name = plan.getClass().getSimpleName()
             if name in ("LogicalRelation", "DataSourceV2Relation"):
-                return True
+                # a file relation alone is not enough: only some
+                # formats expose row_index in their _metadata struct
+                # (parquet does; CSV/JSON expose file_path.. only —
+                # attaching there throws FIELD_NOT_FOUND).  Ask the
+                # relation's own metadataOutput.
+                mo = plan.metadataOutput()
+                for i in range(mo.size()):
+                    attr = mo.apply(i)
+                    if attr.name() == "_metadata":
+                        fields = attr.dataType().fieldNames()
+                        return any(fields[j] == "row_index"
+                                   for j in range(len(fields)))
+                return False
             if name not in _METADATA_PASSTHROUGH:
                 return False
             plan = plan.child()
