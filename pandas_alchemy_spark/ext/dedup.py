@@ -581,15 +581,21 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .union(pairs.select(F.col(dst).alias("a"),
                                  F.col(src).alias("b"))))
-    # localCheckpoint (eager) truncates lineage each round — without
-    # it the plan doubles per iteration and the convergence count
-    # re-executes the whole history (measured 5× slower)
+    # persist, partitioned on the join key (r13): the (possibly
+    # expensive) pair lineage runs once into the cache, and the
+    # cached blocks arrive at every round's neighbor join already
+    # hash-partitioned by `b` so no round re-exchanges the edge set
+    # — the largest frame in the loop.  The old eager localCheckpoint
+    # also ran the lineage once but reported UnknownPartitioning
+    # (plans/r13/semdedup_before.txt shows the UnknownPartitioning(0)
+    # scan), so every round paid an edge-sized Exchange on top.
     edges = (edges.filter(F.col("a") != F.col("b")).distinct()
-             .localCheckpoint(eager=True))
+             .repartition(F.col("b")).persist())
+    from .similarity import _register_cache
+    _register_cache(edges)
     labels = (edges.select(F.col("a").alias("id"))
               .distinct()
-              .withColumn("comp", F.col("id"))
-              .localCheckpoint(eager=True))
+              .withColumn("comp", F.col("id")))
     converged_in = None
     changed = None
     for i in range(max_iters):
@@ -597,11 +603,21 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         nbr = (edges.join(labels.withColumnRenamed("id", "b")
                           .withColumnRenamed("comp", "nbr_comp"), "b")
                .groupBy("a").agg(F.min("nbr_comp").alias("min_nbr")))
+        # LAZY localCheckpoint + count in ONE action per round (r13;
+        # previously an EAGER checkpoint job AND a count job — 2
+        # jobs/round): the convergence count materializes the
+        # checkpoint blocks as a side effect.  The checkpoint (not a
+        # bare persist) is load-bearing: labels feeds each round
+        # TWICE (the join and the neighbor aggregate), so without
+        # per-round lineage truncation the logical plan doubles per
+        # iteration — 2^rounds nodes; the AQE plan-string alone
+        # OOMed the driver at round ~10 when this was tried with
+        # persist() only.
         new_labels = (labels.withColumnRenamed("comp", "old_comp")
                       .join(nbr, labels["id"] == nbr["a"], "left")
                       .select(F.col("id"), F.col("old_comp"),
                               F.least("old_comp", "min_nbr").alias("comp"))
-                      .localCheckpoint(eager=True))
+                      .localCheckpoint(eager=False))
         changed = new_labels.filter(
             F.col("comp") != F.col("old_comp")).count()
         labels = new_labels.drop("old_comp")

@@ -376,15 +376,17 @@ def importance_weights(docs: DataFrame, target: DataFrame,
     bit-stability contract as :func:`~.text.unigram_logprob` (across
     engines the last ulp of ``ln`` can differ; round for comparison).
 
-    Plan shape at 100 TB: the two models are hash aggregates bounded
-    by ``buckets`` rows (map-side partials; the target corpus is
-    typically small anyway), PERSISTED and joined to each other once
-    — a <=2^16-row table that Spark then BROADCASTS to the scoring
-    pass.  Scoring is one more corpus pass: explode grams, one
-    (doc, bucket) partial aggregate, broadcast-join the model table,
-    one per-doc aggregate.  Two corpus passes is the floor (the raw
-    model must be complete before any document can be scored); no
-    corpus-sized shuffle beyond the per-doc aggregates.
+    Plan shape at 100 TB: the raw corpus is tokenized/hashed ONCE —
+    the per-document (doc, bucket) count frame is persisted and BOTH
+    the raw bucket model (a per-bucket sum of the per-doc counts —
+    identical exact-BIGINT totals) and the scoring join derive from
+    it (r13; previously the raw model was its own corpus pass).  The
+    target model is one hash aggregate over the (typically small)
+    target corpus.  The model table (every bucket seen in either
+    corpus, <= ``buckets`` rows) BROADCASTS to the scoring pass:
+    broadcast-join the persisted per-doc counts, one per-doc
+    aggregate.  No corpus-sized shuffle beyond the per-doc
+    aggregates.
 
     Returns ``(id_col, n_grams, logw)``; feed to
     :func:`resample_corpus` to select.
@@ -420,9 +422,17 @@ def importance_weights(docs: DataFrame, target: DataFrame,
         raise ValueError(
             "importance_weights: the target corpus has no tokens "
             "(empty frame or token-less text) - nothing to model")
-    rcnt = (bucketed(docs, False).groupBy("b")
-            .agg(F.count(F.lit(1)).alias("rc")).persist())
-    _register_cache(rcnt)
+    # ONE corpus pass instead of two (r13; guide §1.2 "don't compute
+    # things twice"): the raw-corpus model used to be its own
+    # tokenize+hash pass (`bucketed(docs, False)`); the per-doc
+    # count frame below already contains every (doc, bucket) count,
+    # and summing them per bucket gives the IDENTICAL exact-BIGINT
+    # totals.  Persist per_doc (it also feeds the scoring join) and
+    # derive the model from it.
+    per_doc = (bucketed(docs, True).groupBy(id_col, "b")
+               .agg(F.count(F.lit(1)).alias("c")).persist())
+    _register_cache(per_doc)
+    rcnt = per_doc.groupBy("b").agg(F.sum("c").alias("rc"))
     # model table: every bucket seen in EITHER corpus, zero-filled
     # (add-one smoothing makes absent buckets well-defined); bounded
     # by `buckets` rows, so the scoring join broadcasts it
@@ -433,8 +443,6 @@ def importance_weights(docs: DataFrame, target: DataFrame,
     totals = (tcnt.agg(F.sum("tc").alias("__tt")).coalesce(1)
               .crossJoin(rcnt.agg(F.sum("rc").alias("__tr"))
                          .coalesce(1)))
-    per_doc = (bucketed(docs, True).groupBy(id_col, "b")
-               .agg(F.count(F.lit(1)).alias("c")))
     joined = per_doc.join(F.broadcast(model), "b")
     per = (joined.groupBy(id_col)
            .agg(F.sort_array(F.collect_list(

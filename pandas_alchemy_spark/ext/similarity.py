@@ -1367,6 +1367,17 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         norm_expr(vec_col).alias("nrm"),
         F.explode(cells(F.col(vec_col))).alias("cell")))
+    # persist the Arrow-assignment output for EVERY kernel (r13;
+    # guide §5 reuse rule): the sql kernel's plan re-executes this
+    # subtree THREE times (self-join a side, b side, and the
+    # cell_cap sizes broadcast build), the numpy kernel twice —
+    # each re-execution pays the pandas_udf matmul + the norm fold
+    # over the whole corpus.  Before r13 only kernel="auto"
+    # persisted (post-cap), which is why the auto leg benched
+    # FASTER than the sql leg it dispatches to.  MEMORY_AND_DISK by
+    # default; ring-registered so repeated calls release the oldest.
+    assigned = assigned.persist()
+    _register_cache(assigned)
     if cell_cap is not None:
         import sys as _sys
         import threading as _threading
@@ -1407,11 +1418,9 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
         # back through Arrow (exact-copy corpora at loose
         # thresholds), priced by an exact pass-fraction probe on one
         # ~p90-size cell (<=512 vectors to the driver, bounded).
-        # The assignment is persisted so the decision pass and the
-        # pair stage share it (cache-ring scoped); the size list is
-        # nlist*nprobe-bounded by construction.
-        assigned = assigned.persist()
-        _register_cache(assigned)
+        # The assignment is persisted above (pre-cap, all kernels)
+        # so the decision pass and the pair stage share it; the
+        # size list is nlist*nprobe-bounded by construction.
         csizes = sorted(
             (int(r["__c"]), r["cell"]) for r in
             assigned.groupBy("cell")

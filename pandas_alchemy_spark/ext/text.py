@@ -477,6 +477,15 @@ def bm25_search(df: DataFrame, queries: DataFrame, k: int = 10,
     tf = (ex.join(F.broadcast(qterms.select("term").distinct()), "term")
           .groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+    # persist the matching-subset aggregate (r13; guide §5 reuse
+    # rule): `dfreq` is materialized as a BROADCAST build whose
+    # subtree is the whole corpus explode+join+aggregate, and
+    # `per_term` then probes the SAME tf pipeline again — without
+    # the persist the corpus pass runs twice inside one query.
+    # Bounded by (matching docs x query terms), tiny by design.
+    tf = tf.persist()
+    from .similarity import _register_cache
+    _register_cache(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     per_term = (tf.join(F.broadcast(dfreq), "term")
                 .join(F.broadcast(qterms), "term"))
