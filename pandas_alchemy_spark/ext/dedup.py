@@ -916,8 +916,15 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
             f"transform(sequence(0, size(__tk) - {n}), "
             f"i -> concat_ws(' ', slice(__tk, i + 1, {n}))) end"))
         .alias("pos", "w"))
+    # hashed feeds BOTH the occurrence aggregate and the join probe
+    # below; without a persist the tokenize+explode+hash pipeline (the
+    # expensive corpus pass) executes twice.  The frame is narrow
+    # (id, pos, 60-bit hash — no window text), so caching it costs a
+    # token-count-sized spill at worst while halving the corpus passes
+    # (guide §1.2 step 1: don't recompute what you already computed).
     hashed = win.select(id_col, "pos",
-                        F.expr(_h60("w", fast_hash)).alias("h"))
+                        F.expr(_h60("w", fast_hash)).alias("h")).persist()
+    _register_cache(hashed)
     # duplicate hashes + their global first occurrence: ONE partial-
     # aggregatable groupBy (count + min-struct), skew-proof
     occ = (hashed.groupBy("h")
@@ -1427,6 +1434,12 @@ def build_reference_index(reference: DataFrame,
                .groupBy("band", "bh")
                .agg(F.array_sort(F.collect_list("id_ref"))
                     .alias("ids")))
+    if materialize:
+        # grouped feeds BOTH ref_buckets and ref_over; unpersisted,
+        # the band explode + collect_list aggregate executes once per
+        # derived frame (guide §1.2).  Cache it for the build, drop it
+        # with br once the derived frames are materialized.
+        grouped = grouped.persist()
     if bucket_cap is not None:
         # tombstones for the dropped (saturated) keys — r10: they
         # make append() rebuild-equal (a saturated bucket must stay
@@ -1457,9 +1470,10 @@ def build_reference_index(reference: DataFrame,
         ref_buckets.count()
         idx.n_base = ref_sets.count()
         ref_over.count()
-        # br fed both derived frames; once they are materialized it
-        # is dead weight
+        # br/grouped fed the derived frames; once those are
+        # materialized they are dead weight
         br.unpersist()
+        grouped.unpersist()
     else:
         # lazy: br must stay cached until both frames evaluate (each
         # would otherwise re-derive the whole minhash subtree); tie
