@@ -225,15 +225,17 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
+            # column-wise zip, not iterrows() (r13; guide §4.2):
+            # iterrows materializes a pandas Series PER ROW — pure
+            # interpreter overhead inside the hot batch loop
+            for did, mt, payload in zip(pdf[id_col], pdf["media_type"],
+                                        pdf[payload_col]):
                 # A NULL payload must flow through the on_error policy
                 # like any other corrupt input — so the length probe and
                 # the decode both live inside the try.
                 try:
                     plen = len(payload)
-                    w, h, c, feat = k(bytes(payload),
-                                      row["media_type"])
+                    w, h, c, feat = k(bytes(payload), mt)
                 except Exception:
                     if on_error == "raise":
                         raise
@@ -241,11 +243,15 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
                         continue
                     plen = len(payload) if payload is not None else 0
                     w = h = c = feat = None
-                rows.append((row[id_col], row["media_type"],
-                             plen, w, h, c, feat))
+                rows.append((did, mt, plen, w, h, c, feat))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])
 
-    return df.mapInPandas(decode_batches, MEDIA_META_SCHEMA)
+    # project to exactly what the kernel reads (r13; guide §4.1):
+    # mapInPandas is opaque to column pruning, so an unprojected
+    # input ships EVERY column (at ingest, the full text/payload row)
+    # through the Arrow boundary
+    return (df.select(id_col, "media_type", payload_col)
+            .mapInPandas(decode_batches, MEDIA_META_SCHEMA))
 
 
 RESIZED_SCHEMA = T.StructType([
@@ -268,16 +274,20 @@ def resize_media(df: DataFrame, max_w: int = 64, max_h: int = 64,
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col])
+            # column-wise zip, not iterrows() (r13; guide §4.2)
+            for did, mt, pl in zip(pdf[id_col], pdf["media_type"],
+                                   pdf[payload_col]):
+                payload = bytes(pl)
                 w, h, _, _ = _fake_decode(payload)
                 scale = min(max_w / w, max_h / h, 1.0)
-                rows.append((row[id_col], row["media_type"],
+                rows.append((did, mt,
                              int(w * scale), int(h * scale), payload))
             yield pd.DataFrame(rows,
                                columns=[f.name for f in RESIZED_SCHEMA])
 
-    return df.mapInPandas(resize_batches, RESIZED_SCHEMA)
+    # project before the opaque op (r13; guide §4.1 column pruning)
+    return (df.select(id_col, "media_type", payload_col)
+            .mapInPandas(resize_batches, RESIZED_SCHEMA))
 
 
 FRAMES_SCHEMA = T.StructType([
@@ -299,19 +309,22 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col])
+            # column-wise zip, not iterrows() (r13; guide §4.2)
+            for did, mt, pl in zip(pdf[id_col], pdf["media_type"],
+                                   pdf[payload_col]):
+                payload = bytes(pl)
                 digest = hashlib.md5(payload).digest()
-                mt = row["media_type"]
                 n = 1 + digest[3] % 5 if mt == "audio/wav" else 1
                 for i in range(n):
                     feat = [b / 255.0 for b in
                             hashlib.md5(payload + bytes([i])).digest()[:4]]
-                    rows.append((row[id_col], mt, i, feat))
+                    rows.append((did, mt, i, feat))
             yield pd.DataFrame(rows,
                                columns=[f.name for f in FRAMES_SCHEMA])
 
-    return df.mapInPandas(frame_batches, FRAMES_SCHEMA)
+    # project before the opaque op (r13; guide §4.1 column pruning)
+    return (df.select(id_col, "media_type", payload_col)
+            .mapInPandas(frame_batches, FRAMES_SCHEMA))
 
 
 def media_stats(decoded: DataFrame) -> DataFrame:
