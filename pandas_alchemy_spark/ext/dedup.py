@@ -595,9 +595,15 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
              .repartition(F.col("b")).persist())
     from .similarity import _register_cache
     _register_cache(edges)
-    labels = (edges.select(F.col("a").alias("id"))
-              .distinct()
-              .withColumn("comp", F.col("id")))
+    # initialize labels at the ROUND-1 state directly (r13): the
+    # vertex set used to come from a distinct() — the same-priced
+    # aggregate keyed the same way also yields each vertex's direct
+    # neighbor min, which is exactly what one propagation round over
+    # the identity labeling computes.  One full loop round (join +
+    # agg + join) disappears for free.
+    labels = (edges.groupBy("a")
+              .agg(F.least(F.col("a"), F.min("b")).alias("comp"))
+              .select(F.col("a").alias("id"), "comp"))
     converged_in = None
     changed = None
     for i in range(max_iters):
