@@ -636,12 +636,23 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         # graph: 8 -> 7 rounds and 5.37 -> 3.77 s (min-of-3,
         # identical labels); the parent map is one more n-row
         # consumer of the checkpointed round-start labels.
-        parent = labels.select(F.col("id").alias("comp"),
-                               F.col("comp").alias("__pcomp"))
-        new_labels = (stepped.join(parent, "comp", "left")
-                      .select("id", "old_comp",
-                              F.least("comp", "__pcomp").alias("comp"))
-                      .localCheckpoint(eager=False))
+        #
+        # GATED to the deep-graph case (i >= 1): near-dup graphs at
+        # scale are overwhelmingly shallow cliques — the doc-scale
+        # artifacts converge in 2 total rounds (init + 1 loop round)
+        # — and for them a vertex-set-sized extra join per round is
+        # pure overhead, with a skew hazard on the comp key (every
+        # member of a flood component shares one comp value).  A
+        # graph still unconverged after the init round plus one full
+        # propagation round has real chains, and only then does the
+        # shortcut engage.
+        if i >= 1:
+            parent = labels.select(F.col("id").alias("comp"),
+                                   F.col("comp").alias("__pcomp"))
+            stepped = (stepped.join(parent, "comp", "left")
+                       .select("id", "old_comp",
+                               F.least("comp", "__pcomp").alias("comp")))
+        new_labels = stepped.localCheckpoint(eager=False)
         changed = new_labels.filter(
             F.col("comp") != F.col("old_comp")).count()
         labels = new_labels.drop("old_comp")
