@@ -1141,6 +1141,12 @@ def semantic_dedup_against(spark, path: str, new: DataFrame,
                     F.col(vec_col).alias("nv"),
                     norm_expr(vec_col).alias("nn"),
                     F.explode(cells(F.col(vec_col))).alias("cell")))
+    # persist the assigned wave (r13; guide §1.2): it feeds both the
+    # probed-cell collect and the pairing join — unpersisted, the
+    # Arrow assignment pass over the new batch ran twice.  Bounded by
+    # wave size x nprobe (the new side is small by contract).
+    newa = newa.persist()
+    _register_cache(newa)
     # probed-cell list: <= nlist ints — bounded driver collect that
     # buys partition pruning on the reference scan
     probed = sorted(r["cell"] for r in
