@@ -425,6 +425,36 @@ def test_connected_components(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_connected_components_deep_chain_shortcut(spark):
+    """r13 pointer-jump + round-1 init: a 17-vertex chain (diameter
+    16) must converge WITHIN a round budget the plain 1-hop-per-round
+    propagation could not meet (it needs ~16 rounds), and the labels
+    must equal the min reachable id.  Pins both the shortcut's
+    existence and its fixpoint-preserving correctness."""
+    from pandas_alchemy_spark.ext import dedup
+    chain = [(i, i + 1) for i in range(16)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(
+               pairs, max_iters=12).collect()}
+    assert got == {i: 0 for i in range(17)}
+
+
+def test_connected_components_shallow_clique_fast(spark):
+    """Shallow graphs (the dominant near-dup shape at scale) must
+    converge in ONE loop round post-init — the doc-scale contract the
+    r13 round-1 initialization created; the pointer-jump gate keys
+    off exactly this."""
+    from pandas_alchemy_spark.ext import dedup
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(clique + [(10, 11)],
+                                  "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(
+               pairs, max_iters=1).collect()}
+    assert got == {**{i: 0 for i in range(5)}, 10: 10, 11: 10}
+
+
 def test_cluster_near_dups(docs):
     from pandas_alchemy_spark.ext import dedup
     out = dedup.cluster_near_dups(docs, threshold=0.5).toPandas()
