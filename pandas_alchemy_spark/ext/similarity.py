@@ -286,7 +286,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              threshold: float = 0.95,
                              target_recall=_RECALL_UNSET,
                              bucket_cap: int | None = 2000,
-                             cache: bool = True) -> DataFrame:
+                             cache: bool = True,
+                             verify_kernel: str = "auto") -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table sign-bit
     LSH — the same banded candidate generation :func:`lsh_topk` uses.
 
@@ -320,6 +321,22 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     ``embedding_near_dup_pairs(df)`` call would be noise about
     arguments the caller never set).
 
+    ``verify_kernel`` picks the candidate-verify engine (r13):
+    ``"numpy"`` verifies pairs BUCKET-LOCALLY in an ``applyInPandas``
+    kernel — candidates never materialize as rows, only threshold
+    survivors reach the dedup exchange (the simhash
+    verify-before-exchange pattern; see
+    :func:`_near_dup_bucket_verify` for the bit-identity argument).
+    ``"sql"`` is the pre-r13 row-materialized formulation (pair
+    explode → dedup exchange → two vector joins → Catalyst fold
+    cosine) — the two kernels are bit-identical by construction and
+    test-pinned, so ``"auto"`` (default) picks purely on measured
+    cost: numpy iff the estimated candidate volume clears
+    ``_NEAR_DUP_VERIFY_FLOOR`` (:func:`_near_dup_verify_choice`; the
+    kernel's flat job/Arrow overhead loses to the one-job Catalyst
+    plan on small corpora and wins 3.9x at 202k vectors).  The
+    decision is logged.
+
     ``cache=True`` persists the projected (id, vec, norm, codes) frame
     so the Arrow-batch code UDF runs once instead of three times
     (banded explode + both verify-join sides); the cached blocks are
@@ -338,6 +355,7 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     # matmul with a ragged batch — drop them up front (the brute-force
     # SQL path tolerates them as NULL cosine; this keeps the ANN
     # paths consistent and un-crashable)
+    n_vec = None
     if planes == "auto":
         import math
         # count BEFORE the isNotNull filter: a filterless count-star
@@ -416,6 +434,19 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                   f"recall at threshold {threshold} is ~{reach:.2f}. "
                   f"Pass planes='auto'/tables='auto' to size for the "
                   f"target.", file=sys.stderr)
+    if verify_kernel == "auto":
+        if n_vec is None:
+            # filterless count-star: parquet answers it from footer
+            # metadata, no data scan (same rationale as the
+            # planes='auto' count above)
+            n_vec = df.count()
+        import sys
+        verify_kernel, est = _near_dup_verify_choice(n_vec, planes,
+                                                     tables)
+        print(f"embedding_near_dup_pairs: verify_kernel=auto -> "
+              f"{verify_kernel} (n={n_vec}, planes={planes}, "
+              f"tables={tables}, est_candidates={est:.0f}, "
+              f"floor={_NEAR_DUP_VERIFY_FLOOR})", file=sys.stderr)
     codes = table_codes_udf(dim, planes, tables)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      norm_expr(vec_col).alias("n"),
@@ -423,29 +454,232 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     if cache:
         base = base.persist()
         _register_cache(base)
-    banded = base.select("id", F.posexplode("codes").alias("tbl", "code"))
-    buckets = (banded.groupBy("tbl", "code")
-               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-               .filter(F.size("ids") > 1))
-    buckets = _cap_buckets(buckets, "ids", bucket_cap,
-                           "embedding_near_dup_pairs")
-    pairs = (buckets.select(F.explode(F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(x as id_a, y as id_b))))"
-    )).alias("p")).select("p.id_a", "p.id_b").dropDuplicates())
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                    F.col("n").alias("na"))
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                    F.col("n").alias("nb"))
-    dot = _DOT.format(a="va", b="vb")
-    cos = F.expr(f"({dot}) / nullif(na * nb, 0.0)")
-    out = (pairs.join(a, "id_a").join(b, "id_b")
-           .select("id_a", "id_b", cos.alias("cosine"))
-           .filter(F.col("cosine") >= threshold))
+    if verify_kernel == "numpy":
+        out = _near_dup_bucket_verify(base, threshold, bucket_cap)
+    elif verify_kernel == "sql":
+        # pre-r13 formulation, kept as the differential/A-B twin: the
+        # candidate pairs materialize as ROWS (44M at 200k vectors),
+        # pay a pair-sized dedup exchange, then TWO vector joins and
+        # one interpreted fold cosine per pair.  Bit-identical to the
+        # numpy kernel (pinned by test) — slower at every scale
+        # measured.
+        banded = base.select("id",
+                             F.posexplode("codes").alias("tbl", "code"))
+        buckets = (banded.groupBy("tbl", "code")
+                   .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+                   .filter(F.size("ids") > 1))
+        buckets = _cap_buckets(buckets, "ids", bucket_cap,
+                               "embedding_near_dup_pairs")
+        pairs = (buckets.select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), y -> "
+            "struct(x as id_a, y as id_b))))"
+        )).alias("p")).select("p.id_a", "p.id_b").dropDuplicates())
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        F.col("n").alias("na"))
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("n").alias("nb"))
+        dot = _DOT.format(a="va", b="vb")
+        cos = F.expr(f"({dot}) / nullif(na * nb, 0.0)")
+        out = (pairs.join(a, "id_a").join(b, "id_b")
+               .select("id_a", "id_b", cos.alias("cosine"))
+               .filter(F.col("cosine") >= threshold))
+    else:
+        raise ValueError(f"verify_kernel must be 'auto', 'numpy' or "
+                         f"'sql', got {verify_kernel!r}")
     if cache:
         _register_cache(base)
     return out
+
+
+def _near_dup_bucket_verify(base: DataFrame, threshold: float,
+                            bucket_cap: int | None) -> DataFrame:
+    """Bucket-local near-dup verification (r13; guide §2.2/§4.1, the
+    simhash verify-before-exchange pattern): candidate pairs NEVER
+    materialize as rows.  Each (table, code) bucket's members travel
+    once to an ``applyInPandas`` kernel that generates the
+    within-bucket pairs in numpy and emits only the survivors —
+    measured 44.1M candidates -> 2,041 survivors at 200k vectors, so
+    the pre-r13 plan's pair-sized dedup exchange plus two 44M-row
+    vector joins collapse into one member-sized group exchange and a
+    2k-row dedup.
+
+    Bit-identical to the SQL fold by construction: Catalyst evaluates
+    ``aggregate(zip_with(a, b, (x,y) -> x*y), 0.0d, (s,v) -> s+v)`` as
+    f32 products (FloatType * FloatType rounds each product to f32)
+    accumulated left-to-right in f64; the kernel multiplies in f32 and
+    accumulates column-by-column in f64 — the same rounding at every
+    step.  Norms arrive PRE-COMPUTED from the Catalyst ``norm_expr``
+    column, so they carry the oracle path's exact bits.  Spark's
+    NaN-is-largest comparison semantics (``NaN >= t`` is true) and the
+    ``nullif(na*nb, 0.0)`` zero-norm drop are replicated explicitly.
+
+    Over-cap buckets are excluded BEFORE the member exchange by a
+    broadcast of the (tbl, code) survivors (same sizes-aggregate +
+    Observation pattern as ``semantic_dedup``'s cell_cap), so a
+    degenerate boilerplate bucket never materializes its vectors in
+    one task — the same bound the old ``_cap_buckets`` drop gave the
+    ids-array formulation."""
+    import sys as _sys
+    import threading as _threading
+
+    member = base.select("id", "v", "n",
+                         F.posexplode("codes").alias("tbl", "code"))
+    sizes = member.groupBy("tbl", "code").agg(
+        F.count(F.lit(1)).alias("__bn"))
+    if bucket_cap is not None:
+        from pyspark.sql import Observation
+        obs = Observation()
+        sizes = sizes.observe(
+            obs, F.sum((F.col("__bn") > bucket_cap).cast("long"))
+            .alias("n_over"))
+
+        def _log():
+            try:
+                n = obs.get.get("n_over")  # blocks until the action
+                if n:
+                    print(f"[pandas_alchemy_spark] "
+                          f"embedding_near_dup_pairs: dropped {n} "
+                          f"oversized LSH bucket(s) (> {bucket_cap} "
+                          "members); pre-collapse exact duplicates "
+                          "(exact_dedup) to avoid degenerate buckets",
+                          file=_sys.stderr)
+            except Exception:
+                pass
+
+        _threading.Thread(target=_log, daemon=True).start()
+        eligible = sizes.filter((F.col("__bn") >= 2)
+                                & (F.col("__bn") <= bucket_cap))
+    else:
+        eligible = sizes.filter(F.col("__bn") >= 2)
+    member = member.join(F.broadcast(eligible.select("tbl", "code")),
+                         ["tbl", "code"])
+    # Group by a HASH of the bucket key into a bounded number of
+    # composite groups (sub-grouped again inside the kernel): an
+    # applyInPandas group costs ~0.1 ms of Arrow overhead regardless
+    # of size, and low-occupancy geometries (cost-only sizing at
+    # threshold 0.45 makes ~1-member buckets) produce tens of
+    # thousands of near-empty buckets — grouping per (tbl, code)
+    # measured 6.5 s vs 0.8 s TOTAL on the sf0.1 leg on overhead
+    # alone.  1024 composite groups keep 32x parallelism with
+    # per-group payloads of n*tables/1024 rows.
+    member = member.withColumn(
+        "__sb", F.pmod(F.hash("tbl", "code"), F.lit(_NEAR_DUP_SUPERBUCKETS)))
+    # pin the group-apply stage's task count to the session's core
+    # count (scale-adaptive: local[N] -> N, a cluster -> total
+    # executor cores): each FlatMapGroupsInPandas task beyond the
+    # warm python-worker pool forks a fresh worker, and with the
+    # default shuffle partitioning the fork cost alone measured
+    # 3-4 s on a 7k-row input (64 tasks) vs ~1 s at 8 — the
+    # repartition satisfies the clustering so groupBy adds no
+    # second exchange
+    spark = base.sparkSession
+    member = member.repartition(
+        spark.sparkContext.defaultParallelism, "__sb")
+    idt = base.schema["id"].dataType.simpleString()
+    kernel = _bucket_pair_verify_kernel(threshold)
+    out = (member.groupBy("__sb")
+           .applyInPandas(kernel,
+                          schema=f"id_a {idt}, id_b {idt}, cosine double")
+           .dropDuplicates(["id_a", "id_b"]))
+    # Arrow's pandas->Spark conversion turns float NaN into NULL; the
+    # kernel never emits a genuine NULL (zero-norm pairs are excluded
+    # before emission), so any NULL here IS a NaN cosine — restore it
+    # to match the SQL path, where ``NaN >= t`` keeps the row as NaN
+    return out.withColumn(
+        "cosine", F.coalesce(F.col("cosine"), F.lit(float("nan"))))
+
+
+_NEAR_DUP_SUPERBUCKETS = 1024
+
+# verify_kernel="auto" floor on the ESTIMATED candidate-pair volume
+# (tables * n * occupancy / 2, occupancy = n / 2^planes): below it the
+# single-job all-Catalyst SQL formulation wins on fixed costs (extra
+# sizes-broadcast job + Arrow group machinery measured ~3.5 s flat on
+# a 2k-vector corpus where the whole SQL plan is ~1 s); above it the
+# bucket-local kernel wins and keeps growing with candidate volume
+# (3.9x at 202k vectors / 44M candidates — AB_EMBND_VERIFY_r13.json;
+# the floor itself is bracketed by the mid-scale legs in that
+# artifact).
+_NEAR_DUP_VERIFY_FLOOR = 500_000
+
+
+def _near_dup_verify_choice(n: int, planes: int, tables: int):
+    """Pure decision rule for ``verify_kernel="auto"`` (testable
+    without a session): expected candidate volume vs the measured
+    floor.  E[candidates] ~ tables * n * occ / 2 with occ = n /
+    2^planes — within 2x of the measured volume on both committed
+    geometries (10.8k actual vs 7.8k estimated at sf0.1; 44.1M vs
+    27.4M at doc scale, the gap being bucket skew)."""
+    est = tables * n * (n / float(1 << planes)) / 2.0
+    return ("numpy" if est >= _NEAR_DUP_VERIFY_FLOOR else "sql"), est
+
+
+def _bucket_pair_verify_kernel(threshold: float,
+                               pair_block: int = 1 << 17):
+    """Composite-group pair generation + exact-cosine verify: the
+    group is a HASH of (tbl, code), so the kernel first splits it back
+    into real buckets (one lexsort + boundary scan), then verifies
+    each bucket's within-bucket pairs, blocked at ``pair_block`` pairs
+    (~33 MB of f32 products) so a cap-sized bucket's O(B²) candidates
+    bound task memory.  See :func:`_near_dup_bucket_verify` for the
+    bit-identity argument."""
+    import numpy as np
+    import pandas as pd
+
+    def _empty():
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty()
+        tbl = g["tbl"].to_numpy()
+        code = g["code"].to_numpy()
+        ids_all = g["id"].to_numpy()
+        order = np.lexsort((ids_all, code, tbl))
+        tbl, code, ids_all = tbl[order], code[order], ids_all[order]
+        vs = g["v"].to_numpy()[order]
+        ns = g["n"].to_numpy()[order].astype(np.float64)
+        # bucket boundaries in the (tbl, code)-sorted run
+        change = np.flatnonzero((tbl[1:] != tbl[:-1])
+                                | (code[1:] != code[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(tbl)]))
+        outs = []
+        for lo, hi in zip(starts, ends):
+            m = hi - lo
+            if m < 2:
+                continue
+            ids = ids_all[lo:hi]                  # id-ascending (lexsort)
+            V = np.array(vs[lo:hi].tolist(), dtype=np.float32)
+            N = ns[lo:hi]
+            ia, ib = np.triu_indices(m, 1)
+            for s in range(0, len(ia), pair_block):
+                sa = ia[s:s + pair_block]
+                sb = ib[s:s + pair_block]
+                P = V[sa] * V[sb]                 # f32 products (IEEE)
+                dot = np.zeros(len(sa), dtype=np.float64)
+                for j in range(P.shape[1]):       # strict left fold
+                    dot += P[:, j].astype(np.float64)
+                prod = N[sa] * N[sb]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / prod
+                # Spark semantics: nullif(prod, 0.0) -> NULL drops
+                # the pair; NaN >= threshold is TRUE (NaN sorts
+                # largest)
+                keep = ((prod != 0.0)
+                        & ((cos >= threshold) | np.isnan(cos)))
+                if keep.any():
+                    outs.append(pd.DataFrame({"id_a": ids[sa[keep]],
+                                              "id_b": ids[sb[keep]],
+                                              "cosine": cos[keep]}))
+        if not outs:
+            return _empty()
+        return pd.concat(outs, ignore_index=True)
+
+    return _verify
 
 
 def _assign_cells_udf(centroids, nprobe: int = 1):
