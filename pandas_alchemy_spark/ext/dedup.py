@@ -548,6 +548,70 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
+# r13 batch 5: below this many DIRECTED edge rows (the symmetric
+# doubled form — i.e. floor/2 undirected pairs) connected_components
+# collects the edge list and solves exactly on the driver instead of
+# running the distributed propagation loop.  Same bounded-small-side
+# principle as a broadcast join (Spark collects ≤ the broadcast
+# threshold to the driver on every BHJ build): 500k two-id rows is
+# tens of MB of driver memory and a few hundred ms of union-find,
+# while each distributed loop ROUND costs a join + aggregate +
+# checkpoint no matter how tiny the graph is — 2.6-3.5 s of pure
+# fixed overhead on the sf0.1 bench graphs (AB_CC_DRIVER_r13.json).
+# Large graphs take the distributed loop unchanged.
+_CC_DRIVER_EDGE_FLOOR = 500_000
+
+
+def _cc_driver_union_find(edges: DataFrame, n_edges: int) -> DataFrame:
+    """Exact driver-side CC over a bounded, already-counted edge
+    frame: union-find keeping the MIN id as each set's root, so the
+    labeling (component = min reachable id) is identical to the
+    distributed loop's least fixpoint.  Id order agrees across
+    engines: Python compares ints like Spark's least(), and for
+    strings UTF-8 byte order (Spark) equals code-point order
+    (Python) because UTF-8 is order-preserving."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:                      # min id stays the root
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    labels = [(v, find(v)) for v in parent]
+    print(f"[pandas_alchemy_spark] connected_components: {n_edges} "
+          f"edge row(s) <= driver floor {_CC_DRIVER_EDGE_FLOOR}; "
+          f"exact union-find on the driver ({len(parent)} vertices)",
+          file=sys.stderr)
+    from pyspark.sql import types as T
+    idt = edges.schema["a"].dataType
+    schema = T.StructType([T.StructField("id", idt, True),
+                           T.StructField("component", idt, True)])
+    out = edges.sparkSession.createDataFrame(labels, schema)
+    # bounded by the floor, so safe to broadcast into the callers'
+    # label joins (ids ⋈ component): a createDataFrame relation plans
+    # as ExistingRDD whose size statistic defaults to "huge", so
+    # without the hint the full corpus id set pays a sort-merge
+    # exchange against a frame we just built ON the driver
+    return F.broadcast(out)
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
                          max_iters: int = 20,
@@ -566,6 +630,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     changed labels (a scalar per round).  This is the standard
     large-graph CC recipe (GraphX/Pregel formulation) expressed in
     plain DataFrame ops.
+
+    Graphs at or below ``_CC_DRIVER_EDGE_FLOOR`` directed edge rows
+    (r13) never enter the loop: the bounded edge list is collected
+    and solved exactly on the driver (union-find, min-id roots) —
+    the same small-side-collect principle as a broadcast join, with
+    identical labels by construction.  ``max_iters`` and
+    ``on_nonconverged`` apply to the distributed loop only; the
+    driver solve cannot fail to converge.
 
     ``max_iters`` is a HARD budget: at extreme scale a pathological
     chain (diameter > budget) would otherwise turn into a silently
@@ -595,6 +667,19 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
              .repartition(F.col("b")).persist())
     from .similarity import _register_cache
     _register_cache(edges)
+    # size gate (r13 batch 5): the count materializes the edge cache
+    # — work the round-1 init aggregate below would have paid anyway,
+    # so the large-graph path's only extra cost is one in-memory
+    # scan.  Small graphs skip the loop entirely: collect the bounded
+    # edge list and solve exactly on the driver (see
+    # _CC_DRIVER_EDGE_FLOOR).  max_iters / on_nonconverged guard the
+    # DISTRIBUTED loop's round budget; the driver solve is exact and
+    # never hits a budget.
+    n_edges = edges.count()
+    if n_edges <= _CC_DRIVER_EDGE_FLOOR:
+        out = _cc_driver_union_find(edges, n_edges)
+        edges.unpersist()
+        return out
     # initialize labels at the ROUND-1 state directly (r13): the
     # vertex set used to come from a distinct() — the same-priced
     # aggregate keyed the same way also yields each vertex's direct

@@ -425,13 +425,16 @@ def test_connected_components(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
-def test_connected_components_deep_chain_shortcut(spark):
+def test_connected_components_deep_chain_shortcut(spark, monkeypatch):
     """r13 pointer-jump + round-1 init: a 17-vertex chain (diameter
     16) must converge WITHIN a round budget the plain 1-hop-per-round
     propagation could not meet (it needs ~16 rounds), and the labels
     must equal the min reachable id.  Pins both the shortcut's
-    existence and its fixpoint-preserving correctness."""
+    existence and its fixpoint-preserving correctness.  (Floor
+    patched to 0 — this pins the DISTRIBUTED loop; the r13 driver
+    union-find would otherwise absorb a graph this small.)"""
     from pandas_alchemy_spark.ext import dedup
+    monkeypatch.setattr(dedup, "_CC_DRIVER_EDGE_FLOOR", 0)
     chain = [(i, i + 1) for i in range(16)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     got = {r["id"]: r["component"]
@@ -440,12 +443,14 @@ def test_connected_components_deep_chain_shortcut(spark):
     assert got == {i: 0 for i in range(17)}
 
 
-def test_connected_components_shallow_clique_fast(spark):
+def test_connected_components_shallow_clique_fast(spark, monkeypatch):
     """Shallow graphs (the dominant near-dup shape at scale) must
     converge in ONE loop round post-init — the doc-scale contract the
     r13 round-1 initialization created; the pointer-jump gate keys
-    off exactly this."""
+    off exactly this.  (Floor patched to 0 to pin the distributed
+    loop.)"""
     from pandas_alchemy_spark.ext import dedup
+    monkeypatch.setattr(dedup, "_CC_DRIVER_EDGE_FLOOR", 0)
     clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
     pairs = spark.createDataFrame(clique + [(10, 11)],
                                   "id_a long, id_b long")

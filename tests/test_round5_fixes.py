@@ -187,16 +187,20 @@ def _chain_pairs(spark, n):
         [(i, i + 1) for i in range(n)], "id_a long, id_b long")
 
 
-def test_cc_nonconvergence_raises(spark):
+def test_cc_nonconvergence_raises(spark, monkeypatch):
     from pandas_alchemy_spark.ext import dedup
+    # force the DISTRIBUTED loop (r13: graphs under the driver floor
+    # are solved exactly by union-find and never hit the budget)
+    monkeypatch.setattr(dedup, "_CC_DRIVER_EDGE_FLOOR", 0)
     pairs = _chain_pairs(spark, 8)
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, max_iters=2).collect()
 
 
-def test_cc_nonconvergence_warn_mode(spark):
+def test_cc_nonconvergence_warn_mode(spark, monkeypatch):
     import warnings
     from pandas_alchemy_spark.ext import dedup
+    monkeypatch.setattr(dedup, "_CC_DRIVER_EDGE_FLOOR", 0)
     pairs = _chain_pairs(spark, 8)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")

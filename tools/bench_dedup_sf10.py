@@ -79,6 +79,9 @@ def main():
         if m:
             extra["cc_converged_in"] = int(m.group(1))
             extra["cc_max_iters"] = int(m.group(2))
+        m = re.search(r"(\d+) edge row\(s\) <= driver floor", err)
+        if m:
+            extra["cc_driver_edge_rows"] = int(m.group(1))
         for what, n in re.findall(
                 r"(\w+): dropped (\d+) oversized LSH bucket", err):
             extra[f"{name}_capped_{what}"] = int(n)
