@@ -5,9 +5,10 @@ MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection over a
 ``documents``-shaped table (doc_id, text, ...).
 
 Scale design (100 TB intent):
-- Everything is expression-level (no Python UDFs): tokenization,
-  shingling, hashing, signatures all run in whole-stage codegen via
-  higher-order array functions.
+- Hot paths are either expression-level (whole-stage codegen via
+  higher-order array functions) or ONE Arrow ``mapInPandas`` pass per
+  document batch (the md5 MinHash transport, r14) — never row-at-a-
+  time Python UDFs.
 - SimHash signatures are computed entirely *narrow* (per-row array
   fold) — zero shuffle until the final candidate join.
 - MinHash/LSH shuffles only on (band, band_hash) buckets — the classic
@@ -274,27 +275,63 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       shingle_n: int = 3,
                       fast_hash: bool = False) -> DataFrame:
-    """(id, signature array<long>, __sh) — universal-hash MinHash:
+    """(id, signature array<long>, hs) — universal-hash MinHash:
     ONE md5 per shingle reduced to 31 bits, then K affine hashes
-    h_k(x) = ((2k+1)·x + c_k) mod (2^31-1) as K codegen'd MIN
-    aggregates over exploded shingles.
+    h_k(x) = ((2k+1)·x + c_k) mod (2^31-1).
 
-    Formulation notes (measured at sf0.1): higher-order array lambdas
-    are interpreted per element AND Catalyst's CollapseProject re-
-    inlines the hashed array into every k-lambda (K x md5 recompute);
-    explode + plain aggregates keeps everything in whole-stage codegen
-    with map-side partial MIN — ~20x faster and shuffle-light (the
-    partial agg reduces each partition to one row per doc)."""
+    Transport notes (see :func:`_minhash_base`): the md5 default runs
+    as one Arrow ``mapInPandas`` pass (r14 — no explode, no exchange,
+    hashlib md5 bit-identical to SQL ``md5()``); ``fast_hash=True``
+    keeps the codegen explode + K-MIN-aggregate SQL pipeline.  The
+    earlier finding still binds the SQL form: higher-order array
+    lambdas are interpreted per element AND Catalyst's
+    CollapseProject re-inlines the hashed array into every k-lambda
+    (K x md5 recompute); explode + plain aggregates keeps everything
+    in whole-stage codegen with map-side partial MIN."""
     return _minhash_base(df, text_col, id_col, num_hashes,
                          shingle_n, fast_hash)
 
 
 def _minhash_base(df, text_col, id_col, num_hashes, shingle_n,
                   fast_hash) -> DataFrame:
-    """The shared shingle→hash→K-MIN-aggregate pipeline behind
+    """The shared shingle→hash→K-MIN pipeline behind
     :func:`minhash_signature` and :func:`minhash_lsh_pairs` — ONE
     implementation so the hash family can never drift between the
-    signature API and the LSH path."""
+    signature API and the LSH path.
+
+    Two transports, same (id, signature, hs) values:
+
+    - md5 (``fast_hash=False``, the DuckDB-reproducible default):
+      ONE Arrow ``mapInPandas`` pass — tokenize, shingle, md5 via
+      ``hashlib`` (bit-identical to Spark's ``md5()``), K affine
+      minima and the distinct hash set all inside the document's own
+      row.  No explode, no groupBy exchange (the SQL form shipped one
+      partially-aggregated row per doc through an Exchange and paid
+      an md5→hex→conv round-trip per shingle in codegen; the kernel
+      measured 2.6x at sf0.1 and 7.8x at 500k docs,
+      ``AB_MINHASH_KERNEL_r14.json``, outputs asserted bit-equal).
+      ``hs`` comes back sorted ascending — a deterministic order
+      where ``collect_set`` was partition-order-dependent; every
+      consumer is set-algebraic (``array_intersect``/``array_union``).
+    - xxhash64 (``fast_hash=True``): the original codegen explode +
+      K-MIN-aggregate SQL pipeline (:func:`_minhash_base_sql`) —
+      xxhash64 has no bit-identical Python counterpart here, and the
+      hex round-trip the kernel exists to kill is absent from this
+      path.
+    """
+    if fast_hash:
+        return _minhash_base_sql(df, text_col, id_col, num_hashes,
+                                 shingle_n, fast_hash)
+    return _minhash_base_kernel(df, text_col, id_col, num_hashes,
+                                shingle_n)
+
+
+def _minhash_base_sql(df, text_col, id_col, num_hashes, shingle_n,
+                      fast_hash) -> DataFrame:
+    """The codegen explode + K-MIN-aggregate formulation (see
+    :func:`_minhash_base` for when it runs).  Kept verbatim: it is
+    the ``fast_hash`` transport and the differential pin the kernel
+    is tested against."""
     sh = with_shingles(_tune(df), text_col, "__shraw", shingle_n, distinct=False)
     ex = sh.select(F.col(id_col), F.explode("__shraw").alias("s"))
     hashed = ex.select(id_col, F.expr(_h60("s", fast_hash)).alias("h"))
@@ -306,6 +343,114 @@ def _minhash_base(df, text_col, id_col, num_hashes, shingle_n,
         F.col(id_col),
         F.array(*[F.col(f"__m{k}") for k in range(num_hashes)]).alias("signature"),
         F.col("hs"))
+
+
+def _minhash_kernel_fn(text_col: str, id_col: str, num_hashes: int,
+                       shingle_n: int):
+    """Batch function for the Arrow md5-MinHash transport.  Per
+    document: tokenize (same regex/lower/split/filter as ``_TOKENS``),
+    shingle (same ``sequence``/``slice``/``concat_ws`` geometry as
+    :func:`shingles_expr`, multiset), 60-bit md5 (first 15 hex chars
+    == first 60 bits of the digest), then the K affine minima
+    ``pmod((2k+1)·(h mod P31) + (12345 + k·7919), P31)`` — computed
+    over the DISTINCT hash set (min over the set == min over the
+    multiset, the streaming ``_signature_kernel`` argument).  Docs
+    whose token list is empty emit nothing (``explode`` over an empty
+    shingle array); NULL-text docs emit one md5("") hash — the SQL
+    pipeline's exact (quirky) behavior, see the comment in the body.
+
+    numpy shape notes (measured): one flat int64 buffer over the
+    batch + ``minimum.reduceat`` per k beats the K×N matrix form 21x
+    (smaller temporaries, one mod + conditional subtract instead of
+    two mods — the affine sum is < P31 + 131130, one subtract
+    suffices)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    pat = re.compile("[^a-zA-Z0-9]+")
+    md5 = hashlib.md5
+    # NULL text in the SQL pipeline yields __toks = NULL, which slips
+    # past the size(__toks) = 0 guard (greatest(NULL, 0) = 0 →
+    # sequence → slice(NULL) → concat_ws → "") and emits exactly ONE
+    # empty-string shingle — replicated verbatim (probed, test-pinned)
+    null_hs = [int.from_bytes(md5(b"").digest()[:8], "big") >> 4]
+
+    def fn(batches):
+        for pdf in batches:
+            ids, counts, hss = [], [], []
+            for did, txt in zip(pdf[id_col].tolist(),
+                                pdf[text_col].tolist()):
+                if txt is None:
+                    ids.append(did)
+                    counts.append(1)
+                    hss.append(list(null_hs))
+                    continue
+                toks = [t for t in
+                        pat.sub(" ", txt).lower().split(" ") if t]
+                if not toks:
+                    continue
+                m = len(toks) - shingle_n
+                if m < 0:
+                    m = 0
+                hs = sorted({
+                    int.from_bytes(
+                        md5(" ".join(toks[i:i + shingle_n])
+                            .encode()).digest()[:8], "big") >> 4
+                    for i in range(m + 1)})
+                ids.append(did)
+                counts.append(len(hs))
+                hss.append(hs)
+            if not ids:
+                continue
+            flat = np.fromiter(
+                (h for doc in hss for h in doc), dtype=np.int64,
+                count=sum(counts))
+            flat %= _P31
+            offsets = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            sig = np.empty((num_hashes, len(counts)), dtype=np.int64)
+            buf = np.empty(len(flat), dtype=np.int64)
+            for k in range(num_hashes):
+                np.multiply(flat, int(2 * k + 1), out=buf)
+                np.mod(buf, _P31, out=buf)
+                np.add(buf, int(12345 + k * 7919), out=buf)
+                np.subtract(buf, _P31, out=buf, where=buf >= _P31)
+                sig[k] = np.minimum.reduceat(buf, offsets)
+            yield pd.DataFrame({id_col: ids,
+                                "signature": list(sig.T),
+                                "hs": hss})
+
+    return fn
+
+
+def _minhash_base_kernel(df, text_col, id_col, num_hashes,
+                         shingle_n) -> DataFrame:
+    """Arrow transport of :func:`_minhash_base` (md5 family only).
+    Projects to exactly (id, text) before the opaque kernel (guide
+    §4.1 — ``mapInPandas`` defeats column pruning otherwise).  A
+    single- or few-file scan is re-spread to ``defaultParallelism``
+    first: ALL of the kernel's work happens map-side, so scan
+    parallelism is the only parallelism it gets (the SQL form had the
+    same scan-side skew but hid it behind the aggregate's exchange);
+    the repartition ships only (id, text) — the lightest possible
+    proxy for this pipeline — and is skipped when the scan is already
+    wide enough."""
+    from pyspark.sql import types as T
+    sel = df.select(id_col, text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
+    schema = T.StructType([
+        id_field,
+        T.StructField("signature", T.ArrayType(T.LongType())),
+        T.StructField("hs", T.ArrayType(T.LongType()))])
+    return sel.mapInPandas(
+        _minhash_kernel_fn(text_col, id_col, num_hashes, shingle_n),
+        schema)
 
 
 def _banded(base: DataFrame, id_col: str, out_id: str,
