@@ -663,7 +663,20 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
 
     est_rows: list = []
 
-    def _side(df, label, name):
+    # the two sampling-plan counts are independent jobs; run them
+    # concurrently so the second back-fills the first's task tail
+    # (guide §2.6 overlap-independent-jobs; measured ~0.3 s of the
+    # bench leg's 0.7 s sampling-plan stage).  Counts stay on the
+    # caller's frames (pre-projection — see the comment in _side).
+    if max_train_docs is not None:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            n_pos, n_neg = pool.map(
+                lambda d: d.count(), (positive, negative))
+    else:
+        n_pos = n_neg = None
+
+    def _side(df, label, name, n):
         # NULL text would crash the tokenizer stage; a NULL doc
         # carries no quality signal either way
         out = (df.select(F.col(text_col).alias("__qc_text"),
@@ -671,14 +684,14 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
                .filter(F.col("__qc_text").isNotNull()))
         if max_train_docs is None:
             return out
-        # size the sampling fraction from the PRE-projection count:
-        # counting `out` forces a full text-column scan (the null
-        # filter defeats column pruning), while the caller's frame
-        # counts off its own filter columns only — at doc scale the
-        # text column IS the corpus, so this count must not read it.
+        # the sampling fraction is sized from the PRE-projection
+        # count (computed above, both sides concurrently): counting
+        # `out` forces a full text-column scan (the null filter
+        # defeats column pruning), while the caller's frame counts
+        # off its own filter columns only — at doc scale the text
+        # column IS the corpus, so this count must not read it.
         # NULL-text rows inflate n slightly => a slightly smaller
         # sample, within the operator's "~max_train_docs" contract.
-        n = df.count()
         est_rows.append(min(n, max_train_docs))
         if n <= max_train_docs:
             return out
@@ -698,8 +711,8 @@ def train_quality_classifier(positive: DataFrame, negative: DataFrame,
               f"docs (max_train_docs bound)", file=sys.stderr)
         return out
 
-    train = _side(positive, 1.0, "positive").unionAll(
-        _side(negative, 0.0, "negative"))
+    train = _side(positive, 1.0, "positive", n_pos).unionAll(
+        _side(negative, 0.0, "negative", n_neg))
     if max_train_docs is not None and est_rows:
         # the bounded sample inherits the CORPUS scan's partitioning
         # (~2x shuffle partitions of a few hundred rows each), and
