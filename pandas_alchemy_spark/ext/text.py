@@ -35,6 +35,31 @@ def _tok(col: str) -> str:
     return _TOKENS.format(col=col)
 
 
+# r13 batch 6: bm25_search persists its tokenized corpus (one regex
+# pass instead of two) only when Catalyst's no-pass size estimate of
+# the input is at or above this floor.  Below it the two tokenize
+# branches execute as parallel stages that absorb the second pass in
+# wall-clock while the corpus-sized cache write/read serializes —
+# persist measured 1.2x SLOWER at sf0.1 (OPTIMIZATION_r13.md batch-2
+# rejection) but 1.73x FASTER at 500k docs (AB_BM25_PERSIST_r13.json,
+# outputs bit-equal).  Module-level so tests/production can repin it,
+# same pattern as dedup._CC_DRIVER_EDGE_FLOOR.
+_BM25_PERSIST_FLOOR_BYTES = 16 << 20
+
+
+def _est_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan — no data pass
+    (for file sources: the pruned file-byte sum; relations without
+    statistics, e.g. literal/ExistingRDD frames, report "huge")."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j converts scala.math.BigInt to a Python int already;
+        # str() round-trip covers a JavaObject handle on older bridges
+        return size if isinstance(size, int) else int(str(size))
+    except Exception:  # noqa: BLE001 — estimate only, never fail the query
+        return 1 << 62
+
+
 def _toks_col(text_col: str, tokenizer: str | None):
     """The token-array Column: the codegen'd regex expression by
     default, or a registered subword kernel (ONE Arrow-vectorized
@@ -463,6 +488,23 @@ def bm25_search(df: DataFrame, queries: DataFrame, k: int = 10,
 
     _claim_col(df, "__pas_toks", "bm25_search")
     toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
+    # size-gated single-tokenize persist (r13 batch 6; guide §5 reuse
+    # rule): `toked` feeds BOTH the full-corpus stats aggregate below
+    # and the explode+join pass, so unpersisted the corpus pays the
+    # regex tokenize twice.  Gated on the no-pass Catalyst estimate
+    # because the trade flips with scale — see
+    # _BM25_PERSIST_FLOOR_BYTES.  Results are unaffected either way
+    # (AB_BM25_PERSIST_r13.json asserts bit-equal top-k sets).
+    est = _est_plan_bytes(df)
+    if est >= _BM25_PERSIST_FLOOR_BYTES:
+        toked = toked.persist()
+        from .similarity import _register_cache
+        _register_cache(toked)
+        import sys as _sys
+        print(f"[pandas_alchemy_spark] bm25_search: corpus estimate "
+              f"{est} B >= {_BM25_PERSIST_FLOOR_BYTES} B; tokenized "
+              f"corpus persisted (single tokenize pass)",
+              file=_sys.stderr)
     # dl must count EVERY doc (BM25 normalizes against the full
     # corpus average, not the matching subset)
     stats = (toked.agg(
