@@ -545,11 +545,33 @@ def simhash_signature(df: DataFrame, text_col: str = "text",
     a "64-bit" signature here was 60 effective bits with 4 dead
     aggregates).
 
-    Formulation chosen for whole-stage codegen: explode tokens, ONE md5
-    per token, then ``bits`` plain SUM(CASE ...) aggregates (vectorized
-    hash-agg with map-side partial aggregation) — higher-order array
-    lambdas are interpreted per-element in Spark and were ~10x slower.
-    Shuffle is one hash-agg keyed by doc id."""
+    Transports (the minhash :func:`_minhash_base` split, r14): the
+    md5 default runs as ONE Arrow ``mapInPandas`` pass — tokenize,
+    md5 per DISTINCT token weighted by its occurrence count, the
+    ``bits`` majority votes and the bit-pack all inside the
+    document's own row; no token explode, no id-keyed aggregate
+    exchange (the kernel measured 2.7x at sf0.1 and 20.3x at 500k
+    docs — the SQL form's 60 SUM(CASE) aggregates ran over every
+    exploded token occurrence; ``AB_SIMHASH_KERNEL_r14.json``,
+    signatures asserted bit-equal).  ``fast_hash=True`` keeps the codegen SQL pipeline
+    (:func:`_simhash_signature_sql`) — explode tokens, ONE md5 per
+    token, ``bits`` SUM(CASE) aggregates (map-side partials); the
+    earlier finding still binds it: higher-order array lambdas are
+    interpreted per-element and were ~10x slower than the explode
+    form."""
+    if fast_hash:
+        return _simhash_signature_sql(df, text_col, id_col, bits,
+                                      fast_hash)
+    return _simhash_signature_kernel(df, text_col, id_col, bits)
+
+
+def _simhash_signature_sql(df: DataFrame, text_col: str,
+                           id_col: str, bits: int,
+                           fast_hash: bool) -> DataFrame:
+    """The codegen explode + SUM(CASE) formulation (see
+    :func:`simhash_signature` for when it runs).  Kept verbatim: it
+    is the ``fast_hash`` transport and the differential pin the
+    kernel is tested against."""
     th = _h60("t", fast_hash)
     tok = _tune(df).select(F.col(id_col),
                            F.explode(tokens_expr(text_col)).alias("t"))
@@ -561,6 +583,83 @@ def simhash_signature(df: DataFrame, text_col: str = "text",
         f"(case when s{b} > 0 then shiftleft(cast(1 as bigint), {b}) else cast(0 as bigint) end)"
         for b in range(bits))
     return sums.select(id_col, F.expr(packed).alias("sh"))
+
+
+def _simhash_kernel_fn(text_col: str, id_col: str, bits: int):
+    """Batch function for the Arrow md5-SimHash transport.  Per
+    document: tokenize (same regex/lower/split/filter as ``_TOKENS``),
+    60-bit md5 per DISTINCT token with its multiset count as the vote
+    weight (Σ cnt·(2·bit−1) == the per-occurrence SUM(CASE) — fewer
+    md5 calls, identical integer sums), then bit b of ``sh`` is set
+    iff the weighted vote is positive (2·Σ cnt·bit_b > Σ cnt).
+    Tokenless and NULL-text docs emit nothing — ``explode`` over an
+    empty/NULL token array (no shingle-style CASE guard on this
+    path, so NULL drops here, unlike the minhash kernel)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    pat = re.compile("[^a-zA-Z0-9]+")
+    md5 = hashlib.md5
+
+    def fn(batches):
+        for pdf in batches:
+            ids, counts, ntoks, flat_h, flat_w = [], [], [], [], []
+            for did, txt in zip(pdf[id_col].tolist(),
+                                pdf[text_col].tolist()):
+                if txt is None:
+                    continue
+                toks = [t for t in
+                        pat.sub(" ", txt).lower().split(" ") if t]
+                if not toks:
+                    continue
+                cnt = Counter(toks)
+                ids.append(did)
+                counts.append(len(cnt))
+                ntoks.append(len(toks))
+                for t, c in cnt.items():
+                    flat_h.append(int.from_bytes(
+                        md5(t.encode()).digest()[:8], "big") >> 4)
+                    flat_w.append(c)
+            if not ids:
+                continue
+            flat = np.asarray(flat_h, dtype=np.int64)
+            w = np.asarray(flat_w, dtype=np.int64)
+            n_tok = np.asarray(ntoks, dtype=np.int64)
+            offsets = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            sh = np.zeros(len(counts), dtype=np.int64)
+            buf = np.empty(len(flat), dtype=np.int64)
+            for b in range(bits):
+                np.right_shift(flat, b, out=buf)
+                np.bitwise_and(buf, 1, out=buf)
+                np.multiply(buf, w, out=buf)
+                wb = np.add.reduceat(buf, offsets)
+                sh |= (2 * wb > n_tok).astype(np.int64) << b
+            yield pd.DataFrame({id_col: ids, "sh": sh})
+
+    return fn
+
+
+def _simhash_signature_kernel(df, text_col, id_col, bits) -> DataFrame:
+    """Arrow transport of :func:`simhash_signature` (md5 family
+    only).  Same boundary discipline as :func:`_minhash_base_kernel`:
+    narrow (id, text) projection before the opaque kernel, and a
+    single-/few-file scan re-spread to ``defaultParallelism`` first
+    (all kernel work is map-side)."""
+    from pyspark.sql import types as T
+    sel = df.select(id_col, text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    id_field = [f for f in df.schema.fields if f.name == id_col][0]
+    schema = T.StructType([id_field,
+                           T.StructField("sh", T.LongType())])
+    return sel.mapInPandas(
+        _simhash_kernel_fn(text_col, id_col, bits), schema)
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
