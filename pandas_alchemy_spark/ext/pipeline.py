@@ -352,6 +352,104 @@ def _grams_expr(toks: str) -> str:
     return f"concat({toks}, {bi})"
 
 
+def _dsir_bucketed_sql(df: DataFrame, text_col: str,
+                       id_col: str | None, buckets: int,
+                       fast_hash: bool) -> DataFrame:
+    """The codegen tokenize→gram-explode→hash→pmod bucketing (one row
+    per gram occurrence; see ``importance_weights`` for when it
+    runs).  Kept verbatim: it is the ``fast_hash`` transport and the
+    differential pin :func:`_dsir_bucket_kernel` is tested against."""
+    from .dedup import _claim_col, _h60
+    from .text import _tok
+    _claim_col(df, "__pas_toks", "importance_weights")
+    toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
+    cols = ([F.col(id_col)] if id_col is not None else []) + [
+        F.explode(F.expr(_grams_expr("__pas_toks"))).alias("g")]
+    ex = toked.select(*cols)
+    return ex.select(
+        *([F.col(id_col)] if id_col is not None else []),
+        F.pmod(F.expr(_h60("g", fast_hash)),
+               F.lit(buckets)).alias("b"))
+
+
+def _dsir_bucket_kernel(df: DataFrame, text_col: str,
+                        id_col: str | None, buckets: int) -> DataFrame:
+    """Arrow transport of ``importance_weights``' feature bucketing
+    (md5 family only): tokenize (the ``_TOKENS`` regex/lower/split/
+    filter), unigram+bigram grams (the exact :func:`_grams_expr`
+    geometry), 60-bit md5 per gram via hashlib (bit-identical to SQL
+    ``md5()``), bucket = h mod ``buckets`` (h >= 0, so Python ``%``
+    == SQL ``pmod``) — and EXACT integer counts, all inside one
+    ``mapInPandas`` pass.
+
+    ``id_col`` set: yields one (id, b, c) row per document bucket —
+    the per-doc count frame, no explode, no id-keyed aggregate
+    exchange.  ``id_col`` None: yields batch-partial (b, c) rows
+    (bounded by ``buckets`` per batch) — map-side partial counts the
+    caller SUMs, identical totals to counting exploded gram rows.
+    NULL-text and tokenless docs emit nothing (``explode`` over a
+    NULL/empty gram array).  Same boundary discipline as the dedup
+    kernels: narrow projection, single-file scans re-spread to
+    ``defaultParallelism``."""
+    from collections import Counter
+
+    import hashlib
+    import re
+
+    from pyspark.sql import types as T
+
+    pat = re.compile("[^a-zA-Z0-9]+")
+    md5 = hashlib.md5
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            texts = pdf[text_col].tolist()
+            idvals = (pdf[id_col].tolist() if id_col is not None
+                      else [None] * len(texts))
+            total = Counter()
+            ids_out, bs, cs = [], [], []
+            for did, txt in zip(idvals, texts):
+                if txt is None:
+                    continue
+                toks = [t for t in
+                        pat.sub(" ", txt).lower().split(" ") if t]
+                if not toks:
+                    continue
+                grams = toks + [toks[i] + " " + toks[i + 1]
+                                for i in range(len(toks) - 1)]
+                cnt = Counter(
+                    (int.from_bytes(md5(g.encode()).digest()[:8],
+                                    "big") >> 4) % buckets
+                    for g in grams)
+                if id_col is None:
+                    total.update(cnt)
+                else:
+                    ids_out.extend([did] * len(cnt))
+                    bs.extend(cnt.keys())
+                    cs.extend(cnt.values())
+            if id_col is None:
+                if total:
+                    yield pd.DataFrame({"b": list(total.keys()),
+                                        "c": list(total.values())})
+            elif ids_out:
+                yield pd.DataFrame({id_col: ids_out, "b": bs,
+                                    "c": cs})
+
+    sel = df.select(*([id_col] if id_col is not None else []),
+                    text_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    fields = []
+    if id_col is not None:
+        fields.append([f for f in df.schema.fields
+                       if f.name == id_col][0])
+    fields += [T.StructField("b", T.LongType()),
+               T.StructField("c", T.LongType())]
+    return sel.mapInPandas(fn, T.StructType(fields))
+
+
 def importance_weights(docs: DataFrame, target: DataFrame,
                        text_col: str = "text", id_col: str = "doc_id",
                        buckets: int = 1 << 16,
@@ -391,26 +489,38 @@ def importance_weights(docs: DataFrame, target: DataFrame,
     Returns ``(id_col, n_grams, logw)``; feed to
     :func:`resample_corpus` to select.
     """
-    from .dedup import _h60, _tune
-    from .text import _tok
+    from .dedup import _tune
     _tune(docs)
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
 
-    def bucketed(df, with_id):
-        from .dedup import _claim_col
-        _claim_col(df, "__pas_toks", "importance_weights")
-        toked = df.withColumn("__pas_toks", F.expr(_tok(text_col)))
-        cols = ([F.col(id_col)] if with_id else []) + [
-            F.explode(F.expr(_grams_expr("__pas_toks"))).alias("g")]
-        ex = toked.select(*cols)
-        return ex.select(
-            *([F.col(id_col)] if with_id else []),
-            F.pmod(F.expr(_h60("g", fast_hash)),
-                   F.lit(buckets)).alias("b"))
-
-    tcnt = (bucketed(target, False).groupBy("b")
-            .agg(F.count(F.lit(1)).alias("tc")).persist())
+    # feature-bucketing transports (the minhash/simhash r14 split):
+    # the md5 default hashes grams in ONE Arrow mapInPandas pass —
+    # hashlib md5 is bit-identical to SQL md5(), and everything the
+    # kernel emits is an exact BIGINT count, so the downstream model
+    # joins and the bit-stability-contracted logw fold (still SQL)
+    # compute from IDENTICAL inputs.  fast_hash keeps the codegen
+    # explode+count pipeline (xxhash64 has no Python twin).  Measured
+    # on the per-doc bucketing stage (AB_DSIR_BUCKET_r14.json,
+    # interleaved, checksums equal): 2.5x at sf0.1, 6.8x at 500k
+    # docs.
+    if fast_hash:
+        tcnt = (_dsir_bucketed_sql(target, text_col, None, buckets,
+                                   fast_hash)
+                .groupBy("b").agg(F.count(F.lit(1)).alias("tc")))
+        per_doc = (_dsir_bucketed_sql(docs, text_col, id_col,
+                                      buckets, fast_hash)
+                   .groupBy(id_col, "b")
+                   .agg(F.count(F.lit(1)).alias("c")))
+    else:
+        # target side: batch-partial Counter rows -> one tiny SUM
+        # (identical totals to counting the exploded rows)
+        tcnt = (_dsir_bucket_kernel(target, text_col, None, buckets)
+                .groupBy("b").agg(F.sum("c").alias("tc")))
+        # raw side: exact per-(doc, bucket) counts straight from the
+        # kernel - the id-keyed aggregate exchange disappears
+        per_doc = _dsir_bucket_kernel(docs, text_col, id_col, buckets)
+    tcnt = tcnt.persist()
     from .similarity import _register_cache
     _register_cache(tcnt)
     # an empty/token-less target would make sum(tc) NULL and every
@@ -423,14 +533,13 @@ def importance_weights(docs: DataFrame, target: DataFrame,
             "importance_weights: the target corpus has no tokens "
             "(empty frame or token-less text) - nothing to model")
     # ONE corpus pass instead of two (r13; guide §1.2 "don't compute
-    # things twice"): the raw-corpus model used to be its own
-    # tokenize+hash pass (`bucketed(docs, False)`); the per-doc
-    # count frame below already contains every (doc, bucket) count,
-    # and summing them per bucket gives the IDENTICAL exact-BIGINT
-    # totals.  Persist per_doc (it also feeds the scoring join) and
-    # derive the model from it.
-    per_doc = (bucketed(docs, True).groupBy(id_col, "b")
-               .agg(F.count(F.lit(1)).alias("c")).persist())
+    # things twice"): the raw-corpus model is NOT its own
+    # tokenize+hash pass — the per-doc (doc, bucket) count frame
+    # (built above by either transport) already contains every
+    # count, and summing them per bucket gives the IDENTICAL
+    # exact-BIGINT totals.  Persist per_doc (it also feeds the
+    # scoring join) and derive the model from it.
+    per_doc = per_doc.persist()
     _register_cache(per_doc)
     rcnt = per_doc.groupBy("b").agg(F.sum("c").alias("rc"))
     # model table: every bucket seen in EITHER corpus, zero-filled
