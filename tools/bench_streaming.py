@@ -362,9 +362,12 @@ def main():
                        .schema("vec_id long, embedding array<float>")
                        .option("maxFilesPerTrigger", 2)
                        .parquet(new_edir))
+            # r14: stream_partitions=None — the r10 repartition lever
+            # does not transfer to this leg (AB_SEMGATE_r14.json:
+            # the drain is candidate-volume-bound, and repartitioning
+            # the tiny 5k-row batches to 32 partitions costs ~8%)
             out = stream_events.streaming_semantic_dedup_against(
-                estream, ivfp, threshold=0.8, nprobe=2,
-                stream_partitions=32)
+                estream, ivfp, threshold=0.8, nprobe=2)
             t0 = time.time()
             q = (out.writeStream.format("noop")
                  .option("checkpointLocation",
