@@ -806,15 +806,35 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 _CC_DRIVER_EDGE_FLOOR = 500_000
 
 
-def _cc_driver_union_find(edges: DataFrame, n_edges: int) -> DataFrame:
+#: byte budget for the driver-solve label frame's broadcast HINT
+#: (ADVICE r13): the edge-row floor bounds ROWS, not bytes — wide
+#: string ids could push the label frame to hundreds of MB, and a
+#: broadcast hint bypasses autoBroadcastJoinThreshold.  Above this
+#: estimate the frame returns unhinted and AQE decides.
+_CC_BROADCAST_BYTE_CAP = 64 << 20
+
+
+def _cc_driver_union_find(edges: DataFrame, n_edges: int):
     """Exact driver-side CC over a bounded, already-counted edge
     frame: union-find keeping the MIN id as each set's root, so the
     labeling (component = min reachable id) is identical to the
     distributed loop's least fixpoint.  Id order agrees across
     engines: Python compares ints like Spark's least(), and for
     strings UTF-8 byte order (Spark) equals code-point order
-    (Python) because UTF-8 is order-preserving."""
-    rows = edges.collect()
+    (Python) because UTF-8 is order-preserving.
+
+    Returns ``None`` when the bounded collect itself fails (ADVICE
+    r13: the row floor does not bound BYTES — wide string ids just
+    under the floor can trip spark.driver.maxResultSize) — the
+    caller then falls through to the distributed loop, which handles
+    any size."""
+    try:
+        rows = edges.collect()
+    except Exception as exc:  # noqa: BLE001 — deliberate fallback
+        print(f"[pandas_alchemy_spark] connected_components: bounded "
+              f"edge collect failed ({str(exc)[:160]}); falling back "
+              f"to the distributed loop", file=sys.stderr)
+        return None
     parent: dict = {}
 
     def find(x):
@@ -848,11 +868,25 @@ def _cc_driver_union_find(edges: DataFrame, n_edges: int) -> DataFrame:
     schema = T.StructType([T.StructField("id", idt, True),
                            T.StructField("component", idt, True)])
     out = edges.sparkSession.createDataFrame(labels, schema)
-    # bounded by the floor, so safe to broadcast into the callers'
-    # label joins (ids ⋈ component): a createDataFrame relation plans
-    # as ExistingRDD whose size statistic defaults to "huge", so
-    # without the hint the full corpus id set pays a sort-merge
-    # exchange against a frame we just built ON the driver
+    # broadcast into the callers' label joins (ids ⋈ component): a
+    # createDataFrame relation plans as ExistingRDD whose size
+    # statistic defaults to "huge", so without the hint the full
+    # corpus id set pays a sort-merge exchange against a frame we
+    # just built ON the driver.  The hint is BYTE-gated (ADVICE r13):
+    # the labels are already in driver memory, so the estimate is
+    # exact-order (UTF-8 ≈ chars for these ids; 2 cells/row + struct
+    # overhead), and a wide-string-id frame past the cap returns
+    # unhinted for AQE to place.
+    if labels and isinstance(labels[0][0], str):
+        est = sum(len(v) + len(c) for v, c in labels) + 32 * len(labels)
+    else:
+        est = 48 * len(labels)
+    if est > _CC_BROADCAST_BYTE_CAP:
+        print(f"[pandas_alchemy_spark] connected_components: label "
+              f"frame ~{est >> 20} MB exceeds the broadcast-hint cap "
+              f"({_CC_BROADCAST_BYTE_CAP >> 20} MB); returning "
+              f"unhinted", file=sys.stderr)
+        return out
     return F.broadcast(out)
 
 
@@ -922,8 +956,11 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     n_edges = edges.count()
     if n_edges <= _CC_DRIVER_EDGE_FLOOR:
         out = _cc_driver_union_find(edges, n_edges)
-        edges.unpersist()
-        return out
+        if out is not None:
+            edges.unpersist()
+            return out
+        # bounded collect failed (bytes, not rows — ADVICE r13):
+        # continue into the distributed loop below
     # initialize labels at the ROUND-1 state directly (r13): the
     # vertex set used to come from a distinct() — the same-priced
     # aggregate keyed the same way also yields each vertex's direct

@@ -95,3 +95,46 @@ def test_driver_path_ignores_max_iters_budget(spark, monkeypatch):
            for r in dedup.connected_components(
                pairs, max_iters=1).collect()}
     assert got == {i: 0 for i in range(9)}
+
+
+def test_collect_failure_falls_back_to_distributed(spark,
+                                                   monkeypatch,
+                                                   capsys):
+    """ADVICE r13: the edge-row floor bounds rows, not bytes — when
+    the bounded collect itself fails (maxResultSize), the caller must
+    fall through to the distributed loop, not raise."""
+    class _Boom:
+        def collect(self):
+            raise RuntimeError("bigger than spark.driver.maxResultSize")
+
+    assert dedup._cc_driver_union_find(_Boom(), 1) is None
+
+    real = dedup._cc_driver_union_find
+    monkeypatch.setattr(dedup, "_cc_driver_union_find",
+                        lambda edges, n: None)
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)],
+                                  "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    assert "converged in" in capsys.readouterr().err
+    monkeypatch.setattr(dedup, "_cc_driver_union_find", real)
+
+
+def test_broadcast_hint_byte_gated(spark, monkeypatch, capsys):
+    """ADVICE r13: wide string ids past the byte cap return the label
+    frame UNHINTED (AQE decides); labels are unchanged either way."""
+    wide = "x" * 4096
+    pairs = spark.createDataFrame(
+        [(wide + "a", wide + "b"), (wide + "b", wide + "c")],
+        "id_a string, id_b string")
+    want = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    monkeypatch.setattr(dedup, "_CC_BROADCAST_BYTE_CAP", 1)
+    out = dedup.connected_components(pairs)
+    err = capsys.readouterr().err
+    assert "exceeds the broadcast-hint cap" in err
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == want
+    assert "ResolvedHint" not in out._jdf.queryExecution() \
+        .analyzed().toString()
